@@ -1,0 +1,56 @@
+"""Central query registry: name -> (spark callable, optional DuckDB oracle SQL).
+
+Every operator claimed as implemented (SURVEY.md §2) registers here; the
+driver contract in ``__spark_entry__.py`` is a thin view over this table.
+Oracle SQL is ``None`` only for genuinely non-SQL-expressible operators
+(LSH-based probabilistic dedup, streaming-stateful ops) — the driver then
+records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Entry:
+    fn: QueryFn
+    oracle: str | None
+
+
+_REGISTRY: dict[str, Entry] = {}
+
+
+def register(name: str, fn: QueryFn, oracle: str | None) -> None:
+    if name in _REGISTRY:
+        raise ValueError(f"duplicate query name {name!r}")
+    _REGISTRY[name] = Entry(fn, oracle)
+
+
+def queries() -> dict[str, QueryFn]:
+    _load()
+    return {name: e.fn for name, e in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return {name: e.oracle for name, e in _REGISTRY.items() if e.oracle is not None}
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import every operator module so registrations run (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import relational
+
+    relational.register_all()
+    _LOADED = True

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+Local-mode defaults mirror what we'd set on a real cluster where it matters
+for plan shape (AQE, shuffle partitions, UTC, Arrow); memory sizing is
+local-only. On a 1000-executor cluster the same builder works — only
+``master`` and memory knobs change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "apache_jira_scraper_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    Scale notes:
+      - AQE on: runtime shuffle-coalesce, skew-join splitting, broadcast
+        demotion — required at 100 TB where static planning misjudges sizes.
+      - shuffle.partitions defaults to cores locally; on a cluster this is
+        sized to ~2-3x total cores (or left to AQE's coalescing with a high
+        initial value).
+      - UTC session timezone pins timestamp semantics to match the DuckDB
+        oracle and makes plans reproducible across machines.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
