@@ -1,0 +1,15 @@
+from .core import (
+    backoff_sleep_time,
+    clean_text,
+    parse_jira_timestamp,
+    sanitize_filename,
+    user_display_name,
+)
+
+__all__ = [
+    "backoff_sleep_time",
+    "clean_text",
+    "parse_jira_timestamp",
+    "sanitize_filename",
+    "user_display_name",
+]
