@@ -35,7 +35,16 @@ def sf_dir_from_env(default: str = "/root/testdata/sf0.1") -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts arrives as raw nanos (see session.py nanosAsLong); convert to a
+        # µs TimestampType. `DIV 1000` truncates exactly like Spark's own
+        # ns→µs handling would; DuckDB-oracle queries never compare sub-second.
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,257 @@
+"""Window/analytic/as-of operators over the `events` table (SURVEY.md §2.5,
+§2.8 json fns, §2.9 batch analogs).
+
+Determinism contract with the DuckDB oracle:
+  - Window ordering is by `event_id` alone (a unique total order). Ordering
+    by raw `ts` would diverge: the parquet stores nanoseconds, Spark reads
+    microseconds, so ts-ties differ between engines.
+  - Raw `ts` is never emitted — always unix seconds (floor) or date_trunc,
+    both invariant under the ns→µs truncation.
+  - Running double sums use DECIMAL(14,4) casts (exact, association-free);
+    plain doubles would differ because DuckDB's segment-tree window
+    aggregation associates differently than Spark's running accumulator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def _w():
+    return Window.partitionBy("user_id").orderBy("event_id")
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total + row_number (frame-spec aggregate, ranking)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(_w()).alias("rn"),
+        F.sum(F.col("value").cast("decimal(14,4)")).over(w).cast("decimal(38,4)").alias("running_value"),
+    ).orderBy("event_id")
+
+
+RUNNING_SUM_SQL = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER
+            (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY event_id
+"""
+
+
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics + inter-event gap in whole seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _w()
+    secs = F.unix_timestamp("ts")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (secs - F.lag(secs).over(w)).alias("gap_s"),
+    ).orderBy("event_id")
+
+
+LAG_LEAD_SQL = """
+SELECT event_id, user_id, event_type,
+       LAG(event_type) OVER w AS prev_type,
+       LEAD(event_type) OVER w AS next_type,
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS gap_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY event_id
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap > 30 min starts a session (lag + cumsum —
+    the batch analog of session_window, §2.9 T4)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _w()
+    secs = F.unix_timestamp("ts")
+    gap = secs - F.lag(secs).over(w)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
+            "session_id"
+        ),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s
+  FROM events
+), sessions AS (
+  SELECT user_id, event_id,
+         SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gaps
+)
+SELECT user_id, MAX(session_id) AS n_sessions, COUNT(1) AS n_events
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window, batch form: date_trunc to the hour
+    (streaming flavor lives in streaming/pipelines.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("decimal(38,4)").alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+HOURLY_AGG_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(1) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(38,4)) AS total_value
+FROM events
+GROUP BY DATE_TRUNC('hour', ts), event_type
+ORDER BY hour, event_type
+"""
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the props string column (§2.8 [X])."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.count(F.when(k > 50, 1)).alias("n_large"),
+        )
+        .orderBy("event_type")
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                  THEN 1 END) AS n_large
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J5): each purchase matched to the latest signup at-or-
+    before it for the same user.
+
+    Spark has no native as-of join; this is the composition route (SURVEY
+    §2.3 J5-a): last(ignorenulls) over an ordered running window on the
+    unioned stream — one shuffle on user_id, no per-row Python. The
+    applyInPandas/merge_asof route only pays off when the two sides have
+    wildly different cardinalities.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signup_ts = F.last(
+        F.when(F.col("event_type") == "signup", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("signup_s", F.unix_timestamp(signup_ts))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_timestamp("ts").alias("purchase_s"),
+            "signup_s",
+        )
+        .orderBy("event_id")
+    )
+
+
+ASOF_JOIN_SQL = """
+SELECT event_id, user_id, purchase_s, signup_s
+FROM (
+  SELECT event_id, user_id, event_type,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS purchase_s,
+         CAST(FLOOR(EPOCH(
+           LAST_VALUE(CASE WHEN event_type = 'signup' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         )) AS BIGINT) AS signup_s
+  FROM events
+) t
+WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
+
+def q_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile + first_value/last_value frame semantics per user."""
+    ev = load_table(spark, sf_dir, "events")
+    w = _w()
+    wf = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("event_type").over(wf).alias("first_type"),
+        F.last("event_type").over(wf).alias("last_type"),
+    ).orderBy("event_id")
+
+
+NTILE_SQL = """
+SELECT event_id, user_id,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(event_type) OVER
+         (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
+       LAST_VALUE(event_type) OVER
+         (PARTITION BY user_id ORDER BY event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+ORDER BY event_id
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("window_running_sum", q_running_sum, RUNNING_SUM_SQL)
+    register("window_lag_lead", q_lag_lead, LAG_LEAD_SQL)
+    register("sessionize", q_sessionize, SESSIONIZE_SQL)
+    register("event_hourly_agg", q_hourly_agg, HOURLY_AGG_SQL)
+    register("json_extract", q_json_extract, JSON_EXTRACT_SQL)
+    register("asof_join", q_asof_join, ASOF_JOIN_SQL)
+    register("window_ntile_first_last", q_ntile_first_last, NTILE_SQL)

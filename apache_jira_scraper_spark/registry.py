@@ -50,7 +50,8 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import relational
+    from .operators import events, relational
 
     relational.register_all()
+    events.register_all()
     _LOADED = True
