@@ -17,7 +17,12 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# Executor Python workers inherit PYTHONPATH (not the driver's sys.path
+# mutations); without this, pickled-by-reference UDF closures fail to import
+# the package when the harness runs from outside the repo.
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from apache_jira_scraper_spark import registry  # noqa: E402
 

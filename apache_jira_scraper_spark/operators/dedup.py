@@ -1,0 +1,385 @@
+"""Deduplication operator family (BASELINE.json north star: "dedup").
+
+Five flavors over `documents` (+ one over `embeddings`), each a real
+shuffle-based distributed algorithm — no driver-side loops:
+
+  exact          md5(content) hash-groupBy keep-first
+  minhash-LSH    shingle → k minhashes → banded buckets → candidate pairs
+                 → exact-jaccard verification (the 100 TB-scale path:
+                 candidates come from equi-joins on band keys, never O(n²))
+  simhash        16-bit sign-aggregated token fingerprint + hamming pairs
+  n-gram jaccard exact set-similarity join via shared-shingle equi-join
+                 (inverted-index style: |A∩B| from a groupBy on shingle)
+  embedding      cosine-threshold near-dup pairs (blocked all-pairs; the
+                 LSH-bucketed variant lives in similarity.py)
+
+Hashing is portable-by-construction (md5 hex → BIGINT, see
+text.token_hash60) so every stage is replicated by the DuckDB oracle —
+MinHash permutations use (a*x + b) mod P with 32-bit x and 20-bit a so
+products stay < 2^52: exact in BIGINT and in IEEE double, no overflow in
+either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime), minhash modulus
+NUM_HASHES = 8
+BANDS = 4  # 2 rows per band
+# (a, b) parameters per hash fn; a < 2^20 keeps a*x < 2^52 (exact everywhere)
+HASH_PARAMS = [(999_983 - 7 * i, 7_919 * (i + 1) + 13) for i in range(NUM_HASHES)]
+
+JACCARD_THRESHOLD = 0.8
+LSH_VERIFY_THRESHOLD = 0.5
+HAMMING_MAX = 3
+COSINE_DUP_THRESHOLD = 0.45
+
+
+def _toks() -> Column:
+    return F.split(F.col("text"), " ")
+
+
+def _shingles() -> Column:
+    """Distinct word-3-gram shingles; [] for docs under 3 tokens."""
+    toks = _toks()
+    n = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            ),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+  SELECT doc_id, s
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
+       unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS u(i),
+       LATERAL (SELECT concat_ws(' ', list_extract(toks, i),
+                                 list_extract(toks, i + 1),
+                                 list_extract(toks, i + 2)) AS s) x
+  GROUP BY doc_id, s
+"""
+
+
+def _hash32(col: Column) -> Column:
+    """Portable 32-bit shingle hash: first 8 md5 hex chars -> BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+_HASH32_SQL = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
+
+
+def _doc_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(_shingles()).alias("s"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content md5, keep lowest doc_id.
+
+    At 100 TB this is one shuffle on a 128-bit key with map-side partial
+    aggregation — the canonical first dedup pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keeper_doc_id", "n_copies")
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS keeper_doc_id, COUNT(1) AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keeper_doc_id
+"""
+
+
+def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _doc_shingle_df(spark, sf_dir)
+    x = _hash32(F.col("s"))
+    hashed = sh.select(
+        "doc_id",
+        *[((F.lit(a) * x + F.lit(b)) % P31).alias(f"h{i}") for i, (a, b) in enumerate(HASH_PARAMS)],
+    )
+    return hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(NUM_HASHES)]
+    )
+
+
+_X_SQL = _HASH32_SQL.format(s="s")
+_SIG_SQL = f"""
+  SELECT doc_id,
+         {", ".join(f"MIN(({a} * {_X_SQL} + {b}) % {P31}) AS m{i}" for i, (a, b) in enumerate(HASH_PARAMS))}
+  FROM ({_SHINGLES_SQL}) sh
+  GROUP BY doc_id
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8) per document — the dedup sketch itself."""
+    return _signatures(spark, sf_dir).orderBy("doc_id")
+
+
+MINHASH_SIG_SQL = f"SELECT * FROM ({_SIG_SQL}) s ORDER BY doc_id"
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    Banding: 4 bands × 2 rows; a pair collides if any band's packed key is
+    equal → candidate generation is 4 self-equi-joins on a single BIGINT
+    (shuffle-friendly; never materializes O(n²)). Candidates are then
+    verified with exact jaccard via the shared-shingle inverted index and
+    filtered at 0.5.
+    """
+    sig = _signatures(spark, sf_dir)
+    two31 = F.lit(2_147_483_648)
+    bands = sig.select(
+        "doc_id",
+        *[
+            (F.col(f"m{2 * j}") * two31 + F.col(f"m{2 * j + 1}")).alias(f"b{j}")
+            for j in range(BANDS)
+        ],
+    )
+    cand = None
+    for j in range(BANDS):
+        left = bands.select(F.col("doc_id").alias("d1"), F.col(f"b{j}").alias("bk"))
+        right = bands.select(F.col("doc_id").alias("d2"), F.col(f"b{j}").alias("bk"))
+        pairs_j = left.join(right, "bk").filter(F.col("d1") < F.col("d2")).select("d1", "d2")
+        cand = pairs_j if cand is None else cand.unionByName(pairs_j)
+    cand = cand.distinct()
+
+    sh = _doc_shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("d1"), "s")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .join(cand, ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+    )
+    return jac.orderBy("d1", "d2")
+
+
+_BANDS_SQL = f"""
+  SELECT doc_id,
+         {", ".join(f"m{2 * j} * 2147483648 + m{2 * j + 1} AS b{j}" for j in range(BANDS))}
+  FROM ({_SIG_SQL}) s
+"""
+
+DEDUP_MINHASH_SQL = f"""
+WITH bands AS ({_BANDS_SQL}),
+cand AS (
+  {" UNION ".join(f"SELECT a.doc_id AS d1, b.doc_id AS d2 FROM bands a JOIN bands b ON a.b{j} = b.b{j} AND a.doc_id < b.doc_id" for j in range(BANDS))}
+),
+sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  JOIN cand c ON c.d1 = a.doc_id AND c.d2 = b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2,
+       ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {LSH_VERIFY_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram set-similarity join: inverted-index equi-join on the
+    shared shingle, |A∩B| by groupBy, jaccard ≥ 0.8.
+
+    The scale caveat vs LSH: the shingle join explodes on hot shingles;
+    at 100 TB you run minhash-LSH first and reserve this for verification.
+    """
+    sh = _doc_shingle_df(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh.select(F.col("doc_id").alias("d1"), "s")
+        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(1) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(1) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT d1, d2, ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON d1 = s1.doc_id
+JOIN sizes s2 ON d2 = s2.doc_id
+WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per token-occurrence 32-bit hash, per-bit ±1 vote,
+    sign of the vote sum sets the bit. Token multiplicity counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(_toks()).alias("t"))
+    x = _hash32(F.col("t"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(16)
+        ]
+    )
+    bits = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)
+    ]
+    sim = bits[0]
+    for b in bits[1:]:
+        sim = sim + b
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+_XT_SQL = _HASH32_SQL.format(s="t")
+_SIMHASH_SQL = f"""
+  SELECT doc_id,
+         CAST({" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS simhash
+  FROM (
+    SELECT doc_id,
+           {", ".join(f"SUM(CASE WHEN (({_XT_SQL} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(16))}
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) tk
+    GROUP BY doc_id
+  ) v
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _simhash_df(spark, sf_dir).orderBy("doc_id")
+
+
+SIMHASH_SIG_SQL = f"SELECT * FROM ({_SIMHASH_SQL}) s ORDER BY doc_id"
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance ≤ 3 on the 16-bit sketch.
+
+    All-pairs here (fine at test SF); the 100 TB path blocks by simhash
+    prefix exactly like the LSH banding above.
+    """
+    sim = _simhash_df(spark, sf_dir)
+    a = sim.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
+    b = sim.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+        .orderBy("d1", "d2")
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH s AS ({_SIMHASH_SQL})
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+ORDER BY d1, d2
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above threshold, blocked by label
+    (same-label pairs only) so the pair space stays linear-ish — the
+    blocking key stands in for an IVF/LSH bucket at scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("v1"), F.col("label"), F.col("e").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("v2"), F.col("label"), F.col("e").alias("e2"))
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("v1") < F.col("v2"))
+        .withColumn("cosine", F.round(dot / (norm(F.col("e1")) * norm(F.col("e2"))), 4))
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("v1", "v2", "label", "cosine")
+        .orderBy("v1", "v2")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 4) >= {COSINE_DUP_THRESHOLD}
+ORDER BY v1, v2
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL)
+    register("minhash_signatures", q_minhash_signatures, MINHASH_SIG_SQL)
+    register("dedup_minhash_lsh", q_dedup_minhash_lsh, DEDUP_MINHASH_SQL)
+    register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
+    register("simhash_signatures", q_simhash_signatures, SIMHASH_SIG_SQL)
+    register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
+    register("dedup_embedding_cosine", q_dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)

@@ -1,0 +1,161 @@
+"""Multimodal column handling (BASELINE.json north star: "multimodal
+columns").
+
+Pattern: media is an opaque `binary` column + a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+`mapInPandas` stages so bytes never round-trip through Python row objects.
+The container has no image/audio codecs, so the *decode* innermost step is
+stubbed (deterministic fake, clearly marked) while everything Spark-level —
+schema, batching, partitioning, UDF signatures — is real and tested.
+
+The synthetic corpus: documents.text UTF-8-encoded stands in for the media
+payload (deterministic, so the DuckDB oracle can follow the binary
+plumbing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+# Set True only in an environment with real codecs (PIL etc.); the container
+# deliberately has none, so the deterministic fake below is the active path.
+_REAL_DECODE_AVAILABLE = False
+
+FRAME_STRIDE = 16
+
+
+def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media table: binary payload + typed metadata struct."""
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        content.alias("content"),
+        F.lit("image/fake").alias("media_type"),
+        F.struct(
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            ((F.col("n_chars") * 7) % 480).cast("int").alias("height"),
+            F.octet_length(content).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing parity query: payload size + content digest +
+    derived metadata, all computed on the binary column."""
+    media = binary_docs(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    ).orderBy("doc_id")
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id,
+       CAST(n_chars % 640 AS INT) AS width,
+       CAST((n_chars * 7) % 480 AS INT) AS height,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents ORDER BY doc_id
+"""
+
+
+def _fake_decode(payload: bytes, width: int, height: int) -> list[int]:
+    """STUB for the real image decode (no codecs in this container).
+
+    Deterministic fake: an 8-bin byte histogram of the payload — shaped like
+    a real feature vector so downstream stages exercise realistic data.
+    Swap in PIL/libvips here (gated on _REAL_DECODE_AVAILABLE) on a real
+    cluster.
+    """
+    if _REAL_DECODE_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("real codec path not wired in this environment")
+    hist = [0] * 8
+    for b in payload:
+        hist[b >> 5] += 1
+    return hist
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode + feature extraction over the binary column.
+
+    mapInPandas: each batch arrives as a pandas DataFrame (zero-copy Arrow
+    for the binary payload); output is a typed feature table. This is the
+    UDF shape that scales — per-batch vectorizable, no per-row pickling.
+    """
+
+    # NOTE: the closure must be self-contained (no module-global references):
+    # cloudpickle serializes globals by module reference, and executor Python
+    # workers launched from a foreign CWD cannot import this package.
+    real_decode = _REAL_DECODE_AVAILABLE
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def fake_decode(payload: bytes) -> list[int]:
+            if real_decode:  # pragma: no cover
+                raise NotImplementedError("real codec path not wired here")
+            hist = [0] * 8
+            for b in payload:
+                hist[b >> 5] += 1
+            return hist
+
+        for pdf in batches:
+            feats = [fake_decode(payload) for payload in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "features": feats,
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                }
+            )
+
+    return media.mapInPandas(
+        extract, schema="doc_id long, features array<int>, n_bytes int"
+    )
+
+
+def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling for "video" payloads: every stride-th byte, as the
+    stand-in for keyframe selection. Pure column algebra (no UDF needed) —
+    slicing bytes is expressible with substring/sequence natively."""
+    n = F.octet_length("content")
+    idx = F.sequence(F.lit(1), n, F.lit(stride))
+    frames = F.transform(idx, lambda i: F.ascii(F.substring(F.col("content").cast("string"), i, 1)))
+    return media.select("doc_id", frames.alias("frames"), F.size(frames).alias("n_frames"))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling parity query (byte-level slicing of the payload)."""
+    return frame_sample(binary_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
+                        i -> ascii(substr(text, i, 1))) AS frames
+  FROM documents
+)
+SELECT doc_id, frames, len(frames) AS n_frames FROM t ORDER BY doc_id
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("multimodal_meta", q_multimodal_meta, MULTIMODAL_META_SQL)
+    register("multimodal_frame_sample", q_frame_sample, FRAME_SAMPLE_SQL)
+    # decode_features is mapInPandas (not SQL-expressible) -> rows-only check
+    register(
+        "multimodal_decode_features",
+        lambda spark, sf_dir: decode_features(binary_docs(spark, sf_dir)).orderBy("doc_id"),
+        None,
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over the embeddings table (BASELINE.json north star:
+"similarity search").
+
+Three tiers:
+  cosine_topk       brute-force exact top-k: broadcast the (small) query set
+                    against the full corpus — the correctness baseline. At
+                    100 TB the corpus side stays partitioned; only queries
+                    broadcast.
+  ann_lsh_topk      sign-bit LSH buckets (random-projection flavor with
+                    deterministic coordinate-pair projections): candidates
+                    come from a bucket equi-join, so the pair space is
+                    ~1/16th — the scale path.
+  knn_label_vote    k-NN classification on top of the exact top-k.
+
+Cosine is computed over array<double> with a sequential fold (zip_with +
+aggregate) — bit-identical to DuckDB's list_cosine_similarity loop — and
+rounded to 6 decimals before ranking; ties broken by neighbor id so top-k
+membership is deterministic in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+LSH_TOP_K = 3
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+
+
+def _cosine(e1: Column, e2: Column) -> Column:
+    dot = F.aggregate(F.zip_with(e1, e2, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, v: a + v
+    )
+    return F.round(dot / (F.sqrt(sq(e1)) * F.sqrt(sq(e2))), 6)
+
+
+_COS_SQL = (
+    "ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+    " CAST(c.embedding AS DOUBLE[])), 6)"
+)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k cosine neighbors for the query vectors."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("label"), F.col("e").alias("ce"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", "label", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "rank", "nid", "label", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
+COSINE_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, c.label, {_COS_SQL} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT qid, nid, label, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, nid, label, cosine FROM ranked
+WHERE rank <= {TOP_K}
+ORDER BY qid, rank
+"""
+
+
+def _bucket(e: Column) -> Column:
+    """Deterministic 4-bit sign-LSH bucket from coordinate-pair comparisons."""
+    bits = [
+        F.when(F.element_at(e, 1) > F.element_at(e, 33), 1).otherwise(0),
+        F.when(F.element_at(e, 2) > F.element_at(e, 34), 2).otherwise(0),
+        F.when(F.element_at(e, 3) > F.element_at(e, 35), 4).otherwise(0),
+        F.when(F.element_at(e, 4) > F.element_at(e, 36), 8).otherwise(0),
+    ]
+    return (bits[0] + bits[1] + bits[2] + bits[3]).alias("bucket")
+
+
+_BUCKET_SQL = """
+  (CASE WHEN list_extract(ce, 1) > list_extract(ce, 33) THEN 1 ELSE 0 END
+   + CASE WHEN list_extract(ce, 2) > list_extract(ce, 34) THEN 2 ELSE 0 END
+   + CASE WHEN list_extract(ce, 3) > list_extract(ce, 35) THEN 4 ELSE 0 END
+   + CASE WHEN list_extract(ce, 4) > list_extract(ce, 36) THEN 8 ELSE 0 END)
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+
+    The bucket equi-join replaces the cross join — this is the plan shape
+    that survives scale-up (bucket count grows with corpus size).
+    """
+    emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), "bucket"
+    )
+    c = emb.select(F.col("vec_id").alias("nid"), F.col("e").alias("ce"), "bucket")
+    scored = (
+        F.broadcast(q)
+        .join(c, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "bucket", "nid", _cosine(F.col("qe"), F.col("ce")).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= LSH_TOP_K)
+        .select("qid", "bucket", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH b AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce,
+         {_BUCKET_SQL} AS bucket
+  FROM (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings) t0
+), scored AS (
+  SELECT q.vec_id AS qid, q.bucket, c.vec_id AS nid,
+         ROUND(list_cosine_similarity(q.ce, c.ce), 6) AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT qid, bucket, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, bucket, rank, nid, cosine FROM ranked
+WHERE rank <= {LSH_TOP_K}
+ORDER BY qid, rank
+"""
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-label vote over the exact top-k (ties -> smaller label)."""
+    topk = q_cosine_topk(spark, sf_dir)
+    votes = topk.groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
+    w = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "votes")
+        .orderBy("qid")
+    )
+
+
+KNN_VOTE_SQL = f"""
+WITH topk AS ({COSINE_TOPK_SQL.replace("ORDER BY qid, rank", "")}),
+votes AS (
+  SELECT qid, label, COUNT(1) AS votes FROM topk GROUP BY qid, label
+), ranked AS (
+  SELECT qid, label, votes,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
+  FROM votes
+)
+SELECT qid, label AS pred_label, votes FROM ranked WHERE rn = 1 ORDER BY qid
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("cosine_topk", q_cosine_topk, COSINE_TOPK_SQL)
+    register("ann_lsh_topk", q_ann_lsh_topk, ANN_LSH_SQL)
+    register("knn_label_vote", q_knn_label_vote, KNN_VOTE_SQL)

@@ -1,0 +1,277 @@
+"""Text-analysis operators over the documents table (SURVEY.md §2.11 +
+BASELINE.json north star: "text analysis").
+
+All pure column algebra — tokenization, quality scoring, language ID, and
+fingerprinting run inside whole-stage codegen. The only state is literal
+marker/stopword arrays, broadcast as constants in the plan. At 100 TB these
+are embarrassingly parallel narrow maps: no shuffle at all.
+
+Portability notes for the DuckDB oracle:
+  - documents.text is single-spaced lowercase ASCII (verified), so
+    tokenization is split-on-space in both engines.
+  - hashes go through md5 (identical hex in both); numeric token hashing
+    parses the first 15 md5 hex chars to a 60-bit BIGINT (Spark conv(,16,10),
+    DuckDB CAST('0x…' AS BIGINT)).
+  - element_at/list_extract are both 1-based (Spark's `arr[i]` is 0-based —
+    never used here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import clean_text
+from ..io import load_table
+
+STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
+
+# marker words per language for the n-gram/keyword language-ID heuristic;
+# precedence (tie-break) order is the tuple order below.
+LANG_MARKERS = (
+    ("en", ("the", "and", "fast", "slow")),
+    ("de", ("der", "die", "und", "nicht")),
+    ("es", ("el", "los", "y", "que")),
+    ("fr", ("le", "la", "et", "est")),
+    ("zh", ("shi", "de", "bu", "le")),
+)
+
+
+def tokens_col(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_hash60(col: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5 -> BIGINT.
+
+    Same value as DuckDB's CAST('0x' || substr(md5(t),1,15) AS BIGINT);
+    used by dedup.py's MinHash/SimHash so the oracle can replicate them.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+TOKEN_HASH60_SQL = "CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT)"
+
+
+def q_doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_text (F1) semantics applied at corpus scale: whitespace
+    normalization + truncate-with-ellipsis (the reference's +3 contract)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        clean_text(F.col("text"), max_length=100).alias("cleaned"),
+        F.length(clean_text(F.col("text"), max_length=100)).alias("cleaned_len"),
+    ).orderBy("doc_id")
+
+
+DOC_CLEAN_SQL = """
+WITH c AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct
+  FROM documents
+), t AS (
+  SELECT doc_id,
+         CASE WHEN length(ct) > 100 THEN substr(ct, 1, 100) || '...' ELSE ct END AS cleaned
+  FROM c
+)
+SELECT doc_id, cleaned, length(cleaned) AS cleaned_len
+FROM t ORDER BY doc_id
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, avg token length."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       ROUND(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+                  AS DOUBLE) / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length band + stopword ratio + type/token ratio,
+    combined into one deterministic [0,1] score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = F.round(n_stop.cast("double") / n, 6)
+    ttr = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    # Integer basis-point score (0..10000): floor over exact integer ratios.
+    # A float composite (0.4*x + 0.3*y …) lands on round-half boundaries where
+    # Spark (HALF_UP) and DuckDB disagree in the last digit; integer math
+    # can't.
+    n_dist = F.size(F.array_distinct(toks))
+    score_bp = (
+        F.when(len_ok, F.lit(4000)).otherwise(F.lit(0))
+        + F.floor(n_stop * 3000 / n).cast("bigint")
+        + F.floor(n_dist * 3000 / n).cast("bigint")
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("type_token_ratio"),
+        score_bp.alias("quality_score_bp"),
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+
+QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, n_chars, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         len(list_distinct(toks)) AS n_dist
+  FROM t
+)
+SELECT doc_id, n AS n_tokens,
+       ROUND(CAST(n_stop AS DOUBLE) / n, 6) AS stopword_ratio,
+       ROUND(CAST(n_dist AS DOUBLE) / n, 6) AS type_token_ratio,
+       CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 4000 ELSE 0 END
+         + CAST(FLOOR(n_stop * 3000 / n) AS BIGINT)
+         + CAST(FLOOR(n_dist * 3000 / n) AS BIGINT) AS quality_score_bp
+FROM m ORDER BY doc_id
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword/n-gram language-ID heuristic: per-language marker counts,
+    argmax with fixed precedence; compared against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    scores = {}
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
+            "en",
+        )
+        .when(
+            (scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"])
+            & (scores["de"] >= scores["zh"]),
+            "de",
+        )
+        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]), "es")
+        .when(scores["fr"] >= scores["zh"], "fr")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        (pred == F.col("lang")).alias("correct"),
+    ).orderBy("doc_id")
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+    return f"len(list_filter(toks, x -> list_contains({arr}, x)))"
+
+
+_M = {lang: _marker_sql(m) for lang, m in LANG_MARKERS}
+
+LANG_ID_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT doc_id, lang,
+         {_M['en']} AS s_en, {_M['de']} AS s_de, {_M['es']} AS s_es,
+         {_M['fr']} AS s_fr, {_M['zh']} AS s_zh
+  FROM t
+)
+SELECT doc_id, lang,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh'
+       END AS pred_lang,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+         WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+         WHEN s_fr >= s_zh THEN 'fr'
+         ELSE 'zh'
+       END = lang AS correct
+FROM s ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content md5 + min word-3-gram shingle
+    fingerprint (the content-defined analog of a rolling hash)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    full_fp = F.md5(F.col("text"))
+    return docs.select(
+        "doc_id",
+        full_fp.alias("content_fp"),
+        F.coalesce(F.array_min(shingles), full_fp).alias("shingle_fp"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+)
+SELECT doc_id,
+       md5(text) AS content_fp,
+       COALESCE(
+         list_aggregate(
+           list_transform(
+             generate_series(1, len(toks) - 2),
+             i -> md5(concat_ws(' ', list_extract(toks, i),
+                                list_extract(toks, i + 1),
+                                list_extract(toks, i + 2)))
+           ), 'min'),
+         md5(text)) AS shingle_fp
+FROM t ORDER BY doc_id
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("doc_clean_text", q_doc_clean, DOC_CLEAN_SQL)
+    register("doc_token_stats", q_token_stats, TOKEN_STATS_SQL)
+    register("doc_quality_score", q_quality_score, QUALITY_SQL)
+    register("doc_lang_id", q_lang_id, LANG_ID_SQL)
+    register("doc_fingerprint", q_fingerprint, FINGERPRINT_SQL)

@@ -50,8 +50,12 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import events, relational
+    from .operators import dedup, events, multimodal, relational, similarity, text
 
     relational.register_all()
     events.register_all()
+    text.register_all()
+    dedup.register_all()
+    similarity.register_all()
+    multimodal.register_all()
     _LOADED = True

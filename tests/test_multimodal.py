@@ -1,0 +1,46 @@
+"""Multimodal plumbing tests: binary schema, Arrow batch shapes, stub
+determinism (the decode itself is a documented fake — no codecs here)."""
+
+from __future__ import annotations
+
+from apache_jira_scraper_spark.operators.multimodal import (
+    _fake_decode,
+    binary_docs,
+    decode_features,
+    frame_sample,
+)
+
+
+def test_binary_docs_schema(spark, sf_dir):
+    media = binary_docs(spark, sf_dir)
+    dt = dict(media.dtypes)
+    assert dt["content"] == "binary"
+    assert dt["meta"].startswith("struct<width:int,height:int,n_bytes:int")
+    row = media.orderBy("doc_id").first()
+    assert row["meta"]["n_bytes"] == len(row["content"])
+
+
+def test_decode_features_deterministic(spark, sf_dir):
+    media = binary_docs(spark, sf_dir).limit(20)
+    feats = decode_features(media).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert sum(r["features"]) == r["n_bytes"]  # histogram partitions bytes
+    # determinism across runs (and across partitioning)
+    again = {r["doc_id"]: r["features"] for r in decode_features(media.repartition(7)).collect()}
+    for r in feats:
+        assert again[r["doc_id"]] == r["features"]
+
+
+def test_fake_decode_is_byte_histogram():
+    assert _fake_decode(b"\x00\x1f\x20\xff", 1, 1) == [2, 1, 0, 0, 0, 0, 0, 1]
+
+
+def test_frame_sample_stride(spark, sf_dir):
+    media = binary_docs(spark, sf_dir)
+    out = frame_sample(media, stride=16).orderBy("doc_id").first()
+    src = media.orderBy("doc_id").first()
+    expected = list(src["content"][::16])
+    assert out["frames"] == expected
+    assert out["n_frames"] == len(expected)
