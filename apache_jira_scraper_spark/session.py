@@ -50,6 +50,8 @@ def get_spark(
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as raw nanos and convert in io.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # required for DataSourceReader.pushFilters (jira source JQL pushdown)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
