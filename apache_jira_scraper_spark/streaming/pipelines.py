@@ -1,0 +1,99 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9 T1-T5).
+
+The reference's only streaming-ish machinery is the checkpointed cursor
+(T1-T3), replaced by the jira source's offset log. This module adds the
+extension surface (T4-T5): watermarked event-time windows, sliding windows,
+session windows, late-data drop, streaming dedup, and an idempotent
+foreachBatch sink — the exactly-once upgrade of the reference's
+resume-overwrite gap (S10 note).
+
+Every builder takes a *streaming* DataFrame of the events shape
+(ts timestamp, user_id long, event_type string, value double, ...) and
+returns the transformed streaming DataFrame. Tests drive them with a
+file-source stream over the driver's parquet (rate-limited via
+maxFilesPerTrigger) and a memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, window: str = "5 minutes",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling event-time windows: counts + decimal-exact sums
+    per (window, event_type). Late rows beyond the watermark are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,4)")).cast("decimal(38,4)").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes",
+                watermark: str = "10 minutes") -> DataFrame:
+    """Sliding windows: each event lands in window/slide overlapping frames."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "30 minutes") -> DataFrame:
+    """Native session windows (gap-based), the streaming twin of
+    operators.events.q_sessionize."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon —
+    dropDuplicatesWithinWatermark bounds the dedup state (T5)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def write_idempotent_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str):
+    """foreachBatch + overwrite-by-batch-id: an idempotent sink. If a batch
+    is replayed after a crash, the same batch_id overwrite lands the same
+    bytes — the exactly-once upgrade of the reference's resume gap (S10)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
