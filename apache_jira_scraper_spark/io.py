@@ -35,6 +35,12 @@ def sf_dir_from_env(default: str = "/root/testdata/sf0.1") -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet reader
+        # rejects outright. Set the legacy conf here (runtime-settable) rather
+        # than only in session.py's builder, so queries work on ANY session —
+        # the correctness driver constructs its own SparkSession.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # ts arrives as raw nanos (see session.py nanosAsLong); convert to a

@@ -84,6 +84,16 @@ def _doc_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.explode(_shingles()).alias("s"))
 
 
+def _doc_shingle_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, 60-bit shingle hash) — joins on a BIGINT shuffle ~3× faster
+    than on the shingle string; 60 bits keeps collision odds ~1e-8 at 10M
+    shingles, and the oracle uses the identical md5-derived hash."""
+    sh = _doc_shingle_df(spark, sf_dir)
+    return sh.select(
+        "doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("sh")
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on content md5, keep lowest doc_id.
 
@@ -146,30 +156,55 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact jaccard via the shared-shingle inverted index and
     filtered at 0.5.
     """
-    sig = _signatures(spark, sf_dir)
+    # The signature table is tiny (one row per doc) but expensive to build
+    # (full shingle+md5 pipeline) — persist it so the band self-join and the
+    # candidate-doc projections don't re-run the pipeline per branch.
+    sig = _signatures(spark, sf_dir).persist()
     two31 = F.lit(2_147_483_648)
-    bands = sig.select(
+    # One exploded (band_idx, band_key) table + a single self-equi-join —
+    # NOT four separate joins: Spark recomputes the upstream subtree for
+    # every union branch, so a 4-way union of band joins costs 8 signature
+    # rebuilds.
+    bandrows = sig.select(
         "doc_id",
-        *[
-            (F.col(f"m{2 * j}") * two31 + F.col(f"m{2 * j + 1}")).alias(f"b{j}")
-            for j in range(BANDS)
-        ],
-    )
-    cand = None
-    for j in range(BANDS):
-        left = bands.select(F.col("doc_id").alias("d1"), F.col(f"b{j}").alias("bk"))
-        right = bands.select(F.col("doc_id").alias("d2"), F.col(f"b{j}").alias("bk"))
-        pairs_j = left.join(right, "bk").filter(F.col("d1") < F.col("d2")).select("d1", "d2")
-        cand = pairs_j if cand is None else cand.unionByName(pairs_j)
-    cand = cand.distinct()
-
-    sh = _doc_shingle_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.select(F.col("doc_id").alias("d1"), "s")
-        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bidx"),
+                        (F.col(f"m{2 * j}") * two31 + F.col(f"m{2 * j + 1}")).alias("bk"),
+                    )
+                    for j in range(BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bidx", "b.bk")
+    cand = (
+        bandrows.select(F.col("doc_id").alias("d1"), "bidx", "bk")
+        .join(bandrows.select(F.col("doc_id").alias("d2"), "bidx", "bk"), ["bidx", "bk"])
         .filter(F.col("d1") < F.col("d2"))
-        .join(cand, ["d1", "d2"], "left_semi")
+        .select("d1", "d2")
+        .distinct()
+        .persist()
+    )
+
+    # Exact-jaccard verification ONLY over candidate documents: semi-join the
+    # (tiny) candidate set against the shingle index before the self-join —
+    # the full-corpus shingle self-join explodes on hot shingles and is
+    # exactly what LSH exists to avoid. sizes need only candidate docs too.
+    sh = _doc_shingle_hashed(spark, sf_dir)
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .unionByName(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist()
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh_cand.select(F.col("doc_id").alias("d1"), "sh")
+        .join(sh_cand.select(F.col("doc_id").alias("d2"), "sh"), "sh")
+        .filter(F.col("d1") < F.col("d2"))
+        .join(F.broadcast(cand), ["d1", "d2"], "left_semi")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -224,12 +259,28 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale caveat vs LSH: the shingle join explodes on hot shingles;
     at 100 TB you run minhash-LSH first and reserve this for verification.
     """
-    sh = _doc_shingle_df(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sh = _doc_shingle_hashed(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
+    # Lossless size-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
+    # so pairs outside the [4/5, 5/4] size band can never reach 0.8 — prune
+    # them inside the join before the pair-count aggregation. Integer-only
+    # arithmetic (n*4, n*5) keeps it engine-exact; the oracle omits the
+    # filter and still produces identical results because pruned pairs
+    # cannot pass the threshold.
+    sh_sized = sh.join(F.broadcast(sizes), "doc_id")
+    left = sh_sized.select(
+        F.col("doc_id").alias("d1"), "sh", F.col("n").alias("n1")
+    )
+    right = sh_sized.select(
+        F.col("doc_id").alias("d2"), "sh", F.col("n").alias("n2")
+    )
     inter = (
-        sh.select(F.col("doc_id").alias("d1"), "s")
-        .join(sh.select(F.col("doc_id").alias("d2"), "s"), "s")
-        .filter(F.col("d1") < F.col("d2"))
+        left.join(right, "sh")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            & (F.col("n1") * 5 >= F.col("n2") * 4)
+            & (F.col("n2") * 5 >= F.col("n1") * 4)
+        )
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -343,18 +394,24 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = emb.select(F.col("vec_id").alias("v1"), F.col("label"), F.col("e").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("v2"), F.col("label"), F.col("e").alias("e2"))
+    # precompute the norm once per vector (not once per pair)
+    sq = F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    emb = emb.withColumn("nrm", F.sqrt(sq))
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("label"), F.col("e").alias("e1"),
+        F.col("nrm").alias("n1"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("label"), F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"),
+    )
     dot = F.aggregate(
         F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
     )
     return (
         a.join(b, "label")
         .filter(F.col("v1") < F.col("v2"))
-        .withColumn("cosine", F.round(dot / (norm(F.col("e1")) * norm(F.col("e2"))), 4))
+        .withColumn("cosine", F.round(dot / (F.col("n1") * F.col("n2")), 4))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("v1", "v2", "label", "cosine")
         .orderBy("v1", "v2")

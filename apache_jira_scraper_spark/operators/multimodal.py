@@ -99,13 +99,13 @@ def decode_features(media: DataFrame) -> DataFrame:
     real_decode = _REAL_DECODE_AVAILABLE
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         def fake_decode(payload: bytes) -> list[int]:
             if real_decode:  # pragma: no cover
                 raise NotImplementedError("real codec path not wired here")
-            hist = [0] * 8
-            for b in payload:
-                hist[b >> 5] += 1
-            return hist
+            arr = np.frombuffer(payload, dtype=np.uint8) >> 5
+            return np.bincount(arr, minlength=8).tolist()
 
         for pdf in batches:
             feats = [fake_decode(payload) for payload in pdf["content"]]
