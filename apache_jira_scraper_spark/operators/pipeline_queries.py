@@ -1,0 +1,453 @@
+"""Reference-pipeline operators under the DuckDB oracle gate.
+
+The reference's core capability — raw Jira envelope -> issue projection ->
+training-example flatMap -> statistics (scraper.py:190-259,
+transformer.py:214-357, main.py:99-110) — has golden unit tests, but those
+run outside the driver's hash-checked correctness harness, which only sees
+queries over the synthetic testdata tables.
+
+This module closes that gap: it *synthesizes* a deterministic raw-Jira
+envelope from `orders` + `lineitem` (order -> issue, lineitem comments ->
+issue comments, keyed so every Unknown-default / gate in the pipeline is
+exercised), runs the REAL pipeline code (`extract_issues`,
+`issues_to_examples`, the stats aggregates), and pairs each query with a
+DuckDB oracle that restates the reference semantics in ANSI SQL. Value-hash
+equality then certifies the whole P1-P6 / F1-F2 / D2 / A1-A6 / U1 surface.
+
+Scale: the synthesis is one shuffle (groupBy orderkey for the comment
+arrays) + one broadcast-free equi-join on the orders key; extraction and the
+flatMap are narrow whole-stage-codegen projections (explode of a 7-element
+array), so the plan at 100 TB is scan -> shuffle -> codegen — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .extract import extract_issues
+from .tasks import issues_to_examples
+
+
+# ---------------------------------------------------------------------------
+# Synthetic raw envelope (deterministic, pure column algebra)
+# ---------------------------------------------------------------------------
+
+def synthetic_raw_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders+lineitem -> DataFrame shaped like the raw Jira API envelope.
+
+    Key-derived variation so extraction semantics are all exercised:
+      %3  -> project (KAFKA/SPARK/HADOOP: the reference's config.py:25-29)
+      %7  -> NULL status        -> 'Unknown' default (scraper.py:217)
+      %5  -> NULL priority      -> 'Unknown' default (scraper.py:218)
+      %4  -> NULL issue type    -> 'Unknown' default (scraper.py:219)
+      %11 -> NULL reporter.displayName -> falls back to .name (utils.py:108-121)
+      %10 -> NULL assignee      -> 'Unknown' (gates the QA-assignee task)
+      %13 -> NULL description   (gates desc-dependent fragments)
+      lineitem l_linenumber >= 6 -> whitespace-only comment body, dropped by
+      the cleaned-empty filter (scraper.py:250)
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # documents is the text dimension: doc_id is contiguous 0..n-1, so a
+    # key-modulo equi-join against the (broadcast) dim picks a deterministic
+    # text for every order/comment. At 100 TB documents-as-dim stays
+    # broadcastable; the fact table never shuffles for this join.
+    ndocs = docs.count()
+
+    li = load_table(spark, sf_dir, "lineitem")
+    body = F.when(F.col("l_linenumber") >= 6, F.lit(" ")).otherwise(
+        F.substring(F.col("text"), 1 + 13 * F.col("l_linenumber").cast("int"), 90)
+    )
+    comments = (
+        li.join(
+            F.broadcast(docs),
+            (F.col("l_orderkey") + 7919 * F.col("l_linenumber")) % ndocs
+            == F.col("doc_id"),
+        )
+        .select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.struct(
+                    F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias(
+                        "displayName"
+                    ),
+                    F.lit(None).cast("string").alias("name"),
+                ).alias("author"),
+                F.concat(
+                    F.col("l_shipdate").cast("string"), F.lit("T00:00:00.000+0000")
+                ).alias("created"),
+                body.alias("body"),
+            ).alias("c"),
+        )
+        .groupBy("l_orderkey")
+        # sort_array orders by the leading `ln` field -> deterministic comment
+        # order without a per-group window; ln is unique within an order.
+        .agg(F.sort_array(F.collect_list("c")).alias("cs"))
+        .select(
+            "l_orderkey",
+            F.transform(
+                "cs",
+                lambda c: F.struct(
+                    c.getField("author").alias("author"),
+                    c.getField("created").alias("created"),
+                    c.getField("body").alias("body"),
+                ),
+            ).alias("comments"),
+        )
+    )
+
+    orders = load_table(spark, sf_dir, "orders").join(
+        F.broadcast(docs), F.col("o_orderkey") % ndocs == F.col("doc_id")
+    )
+    k = F.col("o_orderkey")
+    cust = F.col("o_custkey").cast("string")
+    nstr = F.lit(None).cast("string")
+    status_raw = F.when(k % 7 == 0, nstr).otherwise(
+        F.when(F.col("o_orderstatus") == "F", "Resolved")
+        .when(F.col("o_orderstatus") == "O", "Open")
+        .otherwise("In Progress")
+    )
+    priority_raw = F.when(k % 5 == 0, nstr).otherwise(F.col("o_orderpriority"))
+    itype_raw = (
+        F.when(k % 4 == 0, nstr)
+        .when(k % 4 == 1, "Bug")
+        .when(k % 4 == 2, "Task")
+        .otherwise("Improvement")
+    )
+    reporter = F.struct(
+        F.when(k % 11 == 0, nstr)
+        .otherwise(F.concat(F.lit("Cust "), cust))
+        .alias("displayName"),
+        F.concat(F.lit("u_"), cust).alias("name"),
+    )
+    assignee = F.when(
+        k % 10 == 0, F.lit(None).cast("struct<displayName:string,name:string>")
+    ).otherwise(
+        F.struct(
+            F.concat(F.lit("A. "), cust).alias("displayName"),
+            nstr.alias("name"),
+        )
+    )
+    desc_raw = F.when(k % 13 == 0, nstr).otherwise(
+        F.concat(F.lit("Notes: "), F.substring(F.col("text"), 1, 300))
+    )
+    created = F.concat(F.col("o_orderdate").cast("string"), F.lit("T00:00:00.000+0000"))
+    resolved = F.when(
+        F.col("o_orderstatus") == "F",
+        F.concat(F.date_add("o_orderdate", 30).cast("string"), F.lit("T00:00:00.000+0000")),
+    ).otherwise(nstr)
+
+    return (
+        orders.join(comments, orders["o_orderkey"] == comments["l_orderkey"], "left")
+        .select(
+            F.concat(F.lit("ORD-"), k.cast("string")).alias("key"),
+            k.cast("string").alias("id"),
+            F.when(k % 3 == 0, "KAFKA")
+            .when(k % 3 == 1, "SPARK")
+            .otherwise("HADOOP")
+            .alias("project"),
+            F.struct(
+                F.substring(F.col("text"), 1, 80).alias("summary"),
+                desc_raw.alias("description"),
+                F.struct(status_raw.alias("name")).alias("status"),
+                F.struct(priority_raw.alias("name")).alias("priority"),
+                F.struct(itype_raw.alias("name")).alias("issuetype"),
+                reporter.alias("reporter"),
+                assignee.alias("assignee"),
+                created.alias("created"),
+                created.alias("updated"),
+                resolved.alias("resolutiondate"),
+                F.array().cast("array<string>").alias("labels"),
+                F.array(F.struct(F.col("o_orderpriority").alias("name"))).alias(
+                    "components"
+                ),
+                F.lit(None).cast("array<struct<name:string>>").alias("versions"),
+                F.lit(None).cast("array<struct<name:string>>").alias("fixVersions"),
+                F.struct(F.col("comments").alias("comments")).alias("comment"),
+            ).alias("fields"),
+        )
+    )
+
+
+def _examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    issues = extract_issues(synthetic_raw_issues(spark, sf_dir))
+    return issues_to_examples(issues)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (shared CTE restating the pipeline semantics in ANSI SQL)
+# ---------------------------------------------------------------------------
+
+_CLEAN = "coalesce(trim(regexp_replace({x}, '\\s+', ' ', 'g')), '')"
+
+_RAW_BODY = "substr(d.text, 1 + 13 * l_linenumber, 90)"
+
+_ISSUES_CTE = f"""
+WITH nd AS (SELECT count(*) AS n FROM documents),
+kept AS (
+  SELECT l_orderkey,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_orderkey) AS nk,
+         {_CLEAN.format(x=_RAW_BODY)} AS body
+  FROM lineitem l
+  JOIN documents d ON d.doc_id = (l.l_orderkey + 7919 * l.l_linenumber) % (SELECT n FROM nd)
+  WHERE l_linenumber <= 5 AND {_CLEAN.format(x=_RAW_BODY)} <> ''
+),
+cagg AS (
+  SELECT l_orderkey,
+         count(*) AS comment_count,
+         string_agg(CASE WHEN rn <= 3 THEN 'Comment ' || CAST(rn AS VARCHAR) || ': ' || body END,
+                    chr(10) || chr(10) ORDER BY rn) AS first3,
+         string_agg(CASE WHEN rn > nk - 2 THEN body END, chr(10) ORDER BY rn) AS last2
+  FROM kept GROUP BY l_orderkey
+),
+issues AS (
+  SELECT
+    'ORD-' || CAST(o_orderkey AS VARCHAR) AS issue_key,
+    CAST(o_orderkey AS VARCHAR) AS issue_id,
+    CASE CAST(o_orderkey % 3 AS INTEGER) WHEN 0 THEN 'KAFKA' WHEN 1 THEN 'SPARK' ELSE 'HADOOP' END AS project,
+    'https://issues.apache.org/jira/browse/ORD-' || CAST(o_orderkey AS VARCHAR) AS url,
+    {_CLEAN.format(x='substr(d.text, 1, 80)')} AS title,
+    CASE WHEN o_orderkey % 13 = 0 THEN ''
+         ELSE {_CLEAN.format(x="'Notes: ' || substr(d.text, 1, 300)")} END AS description,
+    CASE WHEN o_orderkey % 7 = 0 THEN 'Unknown'
+         WHEN o_orderstatus = 'F' THEN 'Resolved'
+         WHEN o_orderstatus = 'O' THEN 'Open'
+         ELSE 'In Progress' END AS status,
+    CASE WHEN o_orderkey % 5 = 0 THEN 'Unknown' ELSE o_orderpriority END AS priority,
+    CASE CAST(o_orderkey % 4 AS INTEGER) WHEN 0 THEN 'Unknown' WHEN 1 THEN 'Bug' WHEN 2 THEN 'Task' ELSE 'Improvement' END AS issue_type,
+    CASE WHEN o_orderkey % 11 = 0 THEN 'u_' || CAST(o_custkey AS VARCHAR) ELSE 'Cust ' || CAST(o_custkey AS VARCHAR) END AS reporter,
+    CASE WHEN o_orderkey % 10 = 0 THEN 'Unknown' ELSE 'A. ' || CAST(o_custkey AS VARCHAR) END AS assignee,
+    CAST(o_orderdate AS VARCHAR) || 'T00:00:00.000+0000' AS created,
+    CAST(o_orderdate AS VARCHAR) || 'T00:00:00.000+0000' AS updated,
+    CASE WHEN o_orderstatus = 'F' THEN CAST(CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS VARCHAR) || 'T00:00:00.000+0000' ELSE '' END AS resolved,
+    coalesce(c.comment_count, 0) AS comment_count,
+    c.first3 AS first3,
+    c.last2 AS last2
+  FROM orders o
+  JOIN documents d ON d.doc_id = o.o_orderkey % (SELECT n FROM nd)
+  LEFT JOIN cagg c ON c.l_orderkey = o.o_orderkey
+),
+ex AS (
+  SELECT 'summarization' AS task_type,
+         'Summarize the following software issue and its discussion:' AS instruction,
+         concat_ws(chr(10) || chr(10),
+                   CASE WHEN description <> '' THEN 'Description: ' || description END,
+                   first3) AS input,
+         title || ' (Status: ' || status || ', Priority: ' || priority || ')' AS output,
+         CAST(NULL AS VARCHAR) AS question_type,
+         issue_key, project, status, priority, url
+  FROM issues WHERE description <> '' OR comment_count > 0
+  UNION ALL
+  SELECT 'classification',
+         'Classify the priority of this software issue (Blocker, Critical, Major, Minor, Trivial):',
+         'Title: ' || title || chr(10) ||
+           CASE WHEN description <> '' THEN 'Description: ' || substr(description, 1, 500) ELSE '' END,
+         priority, CAST(NULL AS VARCHAR), issue_key, project, status, priority, url
+  FROM issues WHERE title <> '' AND priority <> ''
+  UNION ALL
+  SELECT 'status_prediction',
+         'Predict the current status of this software issue:',
+         'Issue: ' || title || chr(10) || 'Type: ' || issue_type || chr(10) ||
+           'Priority: ' || priority || chr(10) ||
+           CASE WHEN description <> '' THEN 'Description: ' || substr(description, 1, 500) ELSE '' END,
+         status, CAST(NULL AS VARCHAR), issue_key, project, status, priority, url
+  FROM issues WHERE title <> '' AND status <> ''
+  UNION ALL
+  SELECT 'question_answering',
+         'Answer the following question about this software issue:',
+         'Issue Key: ' || issue_key || chr(10) || 'Title: ' || title || chr(10) ||
+           'Description: ' || description || chr(10) || chr(10) ||
+           'Question: What is this issue about?',
+         title, 'summary', issue_key, project, status, priority, url
+  FROM issues
+  UNION ALL
+  SELECT 'question_answering',
+         'Answer the following question about this software issue:',
+         'Issue Key: ' || issue_key || chr(10) || 'Title: ' || title || chr(10) || chr(10) ||
+           'Question: What is the current status of this issue?',
+         status, 'status', issue_key, project, status, priority, url
+  FROM issues
+  UNION ALL
+  SELECT 'question_answering',
+         'Answer the following question about this software issue:',
+         'Issue Key: ' || issue_key || chr(10) || 'Title: ' || title || chr(10) || chr(10) ||
+           'Question: Who is assigned to this issue?',
+         assignee, 'assignee', issue_key, project, status, priority, url
+  FROM issues WHERE assignee <> '' AND assignee <> 'Unknown'
+  UNION ALL
+  SELECT 'issue_resolution',
+         'Based on the issue discussion, explain how this issue was resolved:',
+         'Issue: ' || title || chr(10) ||
+           CASE WHEN description <> '' THEN 'Description: ' || substr(description, 1, 500) || chr(10) ELSE '' END ||
+           chr(10) || 'How was this issue resolved?',
+         substr(coalesce(last2, ''), 1, 500),
+         CAST(NULL AS VARCHAR), issue_key, project, status, priority, url
+  FROM issues WHERE comment_count > 0 AND status IN ('Resolved', 'Closed')
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+_EX_COLS = [
+    "task_type",
+    "instruction",
+    "input",
+    "output",
+    "question_type",
+    "issue_key",
+    "project",
+    "status",
+    "priority",
+    "url",
+]
+
+
+def q_jira_issue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silver issue projection (P1-P5, F1-F4) over the synthetic envelope."""
+    issues = extract_issues(synthetic_raw_issues(spark, sf_dir))
+    return issues.select(
+        "issue_key",
+        "issue_id",
+        "project",
+        "url",
+        "title",
+        "description",
+        "status",
+        "priority",
+        "issue_type",
+        "reporter",
+        "assignee",
+        "created",
+        "updated",
+        "resolved",
+        F.col("comment_count").cast("bigint").alias("comment_count"),
+    )
+
+
+def q_jira_flatmap_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1->7 training-example flatMap (D2), flattened to scalar columns."""
+    ex = _examples(spark, sf_dir)
+    m = F.col("metadata")
+    return ex.select(
+        "task_type",
+        "instruction",
+        "input",
+        "output",
+        m.getField("question_type").alias("question_type"),
+        m.getField("issue_key").alias("issue_key"),
+        m.getField("project").alias("project"),
+        m.getField("status").alias("status"),
+        m.getField("priority").alias("priority"),
+        m.getField("url").alias("url"),
+    )
+
+
+def q_jira_task_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task-type distribution + ratio-to-total (A2, A6).
+
+    The ratio is integer parts-per-million of a percent (n*1e8 DIV total) so
+    the oracle comparison is exact-integer, immune to float rounding-mode
+    differences between engines.
+    """
+    ex = _examples(spark, sf_dir)
+    counts = ex.groupBy("task_type").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "task_type",
+            "n",
+            F.expr("n * 100000000 DIV t").alias("pct_ppm"),
+        )
+        .orderBy("task_type")
+    )
+
+
+def q_jira_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) + distinct-value sets (A1, A3) as one aggregate row."""
+    ex = _examples(spark, sf_dir)
+    m = F.col("metadata")
+    return ex.agg(
+        F.count(F.lit(1)).alias("total_examples"),
+        F.array_join(F.sort_array(F.collect_set(m.getField("project"))), ",").alias(
+            "projects"
+        ),
+        F.array_join(F.sort_array(F.collect_set("task_type")), ",").alias("task_types"),
+        F.array_join(F.sort_array(F.collect_set(m.getField("priority"))), ",").alias(
+            "priorities"
+        ),
+        F.array_join(F.sort_array(F.collect_set(m.getField("status"))), ",").alias(
+            "statuses"
+        ),
+    )
+
+
+def q_jira_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-project corpus counts + grand total (U1 bag-union + A4 rollup).
+
+    The reference merges per-project JSONL files then sums counts
+    (main.py:92, 99-110); with `project` as a column the merge is a rollup.
+    """
+    ex = _examples(spark, sf_dir)
+    return (
+        ex.select(F.col("metadata").getField("project").alias("project"))
+        .rollup("project")
+        .agg(F.count(F.lit(1)).alias("total_examples"))
+        .select(F.coalesce("project", F.lit("ALL")).alias("project"), "total_examples")
+        .orderBy("project")
+    )
+
+
+ORACLES = {
+    "jira_issue_extract": _ISSUES_CTE
+    + """
+SELECT issue_key, issue_id, project, url, title, description, status, priority,
+       issue_type, reporter, assignee, created, updated, resolved, comment_count
+FROM issues
+""",
+    "jira_flatmap_examples": _ISSUES_CTE + "\nSELECT * FROM ex\n",
+    "jira_task_type_stats": _ISSUES_CTE
+    + """
+SELECT task_type, count(*) AS n,
+       (count(*) * 100000000) // (SELECT count(*) FROM ex) AS pct_ppm
+FROM ex GROUP BY task_type ORDER BY task_type
+""",
+    "jira_summary_stats": _ISSUES_CTE
+    + """
+SELECT count(*) AS total_examples,
+       string_agg(DISTINCT project, ',' ORDER BY project) AS projects,
+       string_agg(DISTINCT task_type, ',' ORDER BY task_type) AS task_types,
+       string_agg(DISTINCT priority, ',' ORDER BY priority) AS priorities,
+       string_agg(DISTINCT status, ',' ORDER BY status) AS statuses
+FROM ex
+""",
+    "jira_corpus_rollup": _ISSUES_CTE
+    + """
+SELECT coalesce(project, 'ALL') AS project, count(*) AS total_examples
+FROM ex GROUP BY ROLLUP(project) ORDER BY project
+""",
+}
+
+
+def register_all() -> None:
+    from .. import registry
+
+    registry.register("jira_issue_extract", q_jira_issue_extract, ORACLES["jira_issue_extract"])
+    registry.register(
+        "jira_flatmap_examples", q_jira_flatmap_examples, ORACLES["jira_flatmap_examples"]
+    )
+    registry.register(
+        "jira_task_type_stats", q_jira_task_type_stats, ORACLES["jira_task_type_stats"]
+    )
+    registry.register(
+        "jira_summary_stats", q_jira_summary_stats, ORACLES["jira_summary_stats"]
+    )
+    registry.register(
+        "jira_corpus_rollup", q_jira_corpus_rollup, ORACLES["jira_corpus_rollup"]
+    )

@@ -50,7 +50,15 @@ def _load() -> None:
     global _LOADED
     if _LOADED:
         return
-    from .operators import dedup, events, multimodal, relational, similarity, text
+    from .operators import (
+        dedup,
+        events,
+        multimodal,
+        pipeline_queries,
+        relational,
+        similarity,
+        text,
+    )
 
     relational.register_all()
     events.register_all()
@@ -58,4 +66,5 @@ def _load() -> None:
     dedup.register_all()
     similarity.register_all()
     multimodal.register_all()
+    pipeline_queries.register_all()
     _LOADED = True
