@@ -53,6 +53,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_parallel(
+    spark: SparkSession, sf_dir: str, name: str, partitions: int | None = None
+) -> DataFrame:
+    """Load + round-robin repartition to the full core count.
+
+    A small single-file parquet table arrives as ONE scan partition, so any
+    compute-heavy projection over it (per-shingle md5, vector folds, Pandas
+    UDF decode) runs on one core. Fanning out first costs a tiny shuffle of
+    the small table and buys core-count parallelism for the expensive stage.
+    On a real cluster the same call is cheap insurance against skewed file
+    layouts; explicit numPartitions is preserved by AQE (no re-coalesce).
+    """
+    df = load_table(spark, sf_dir, name)
+    n = partitions or spark.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

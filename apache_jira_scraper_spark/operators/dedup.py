@@ -7,7 +7,8 @@ shuffle-based distributed algorithm — no driver-side loops:
   minhash-LSH    shingle → k minhashes → banded buckets → candidate pairs
                  → exact-jaccard verification (the 100 TB-scale path:
                  candidates come from equi-joins on band keys, never O(n²))
-  simhash        16-bit sign-aggregated token fingerprint + hamming pairs
+  simhash        60-bit sign-aggregated token fingerprint + hamming pairs
+                 (pigeonhole-blocked: 4×15-bit blocks, join on equal block)
   n-gram jaccard exact set-similarity join via shared-shingle equi-join
                  (inverted-index style: |A∩B| from a groupBy on shingle)
   embedding      cosine-threshold near-dup pairs (blocked all-pairs; the
@@ -25,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, load_table_parallel
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime), minhash modulus
 NUM_HASHES = 8
@@ -80,8 +81,24 @@ _HASH32_SQL = "CAST(concat('0x', substr(md5({s}), 1, 8)) AS BIGINT)"
 
 
 def _doc_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    # Two-phase projection: alias `toks` first so split(text) runs once per
+    # row, not once per element_at reference inside the shingle lambda
+    # (CollapseProject keeps multi-referenced non-cheap aliases separate).
+    toks = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("toks"), i),
+                F.element_at(F.col("toks"), i + 1),
+                F.element_at(F.col("toks"), i + 2),
+            ),
+        )
+    )
+    return toks.select("doc_id", F.explode(shingles).alias("s"))
 
 
 def _doc_shingle_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,10 +135,20 @@ ORDER BY keeper_doc_id
 """
 
 
-def _signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _doc_shingle_df(spark, sf_dir)
-    x = _hash32(F.col("s"))
-    hashed = sh.select(
+def _signatures(
+    spark: SparkSession, sf_dir: str, sh_hashed: DataFrame | None = None
+) -> DataFrame:
+    """MinHash signatures from the 60-bit hashed shingle table.
+
+    The 32-bit permutation input x is the TOP 32 bits of the 60-bit hash
+    (= first 8 md5 hex chars, since 60 bits = 15 hex digits), so a caller
+    holding a persisted `_doc_shingle_hashed` table gets signatures without
+    a second md5 pass — one shingle scan feeds banding AND verification.
+    """
+    if sh_hashed is None:
+        sh_hashed = _doc_shingle_hashed(spark, sf_dir)
+    x = F.shiftright(F.col("sh"), 28)
+    hashed = sh_hashed.select(
         "doc_id",
         *[((F.lit(a) * x + F.lit(b)) % P31).alias(f"h{i}") for i, (a, b) in enumerate(HASH_PARAMS)],
     )
@@ -156,10 +183,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact jaccard via the shared-shingle inverted index and
     filtered at 0.5.
     """
-    # The signature table is tiny (one row per doc) but expensive to build
-    # (full shingle+md5 pipeline) — persist it so the band self-join and the
-    # candidate-doc projections don't re-run the pipeline per branch.
-    sig = _signatures(spark, sf_dir).persist()
+    # ONE shingle+md5 pass, persisted: signatures (via the top-32-bits trick
+    # in _signatures), sizes, and the verification inverted index all read
+    # the same cached (doc_id, sh) table instead of re-running the pipeline.
+    sh = _doc_shingle_hashed(spark, sf_dir).persist()
+    sig = _signatures(spark, sf_dir, sh_hashed=sh)
     two31 = F.lit(2_147_483_648)
     # One exploded (band_idx, band_key) table + a single self-equi-join —
     # NOT four separate joins: Spark recomputes the upstream subtree for
@@ -192,7 +220,6 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tiny) candidate set against the shingle index before the self-join —
     # the full-corpus shingle self-join explodes on hot shingles and is
     # exactly what LSH exists to avoid. sizes need only candidate docs too.
-    sh = _doc_shingle_hashed(spark, sf_dir)
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
@@ -259,8 +286,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale caveat vs LSH: the shingle join explodes on hot shingles;
     at 100 TB you run minhash-LSH first and reserve this for verification.
     """
-    sh = _doc_shingle_hashed(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).persist()
+    # One shingle pass: persist the hashed index; the self-join's two sides
+    # and the size table otherwise each re-run the whole shingle pipeline.
+    sh = _doc_shingle_hashed(spark, sf_dir).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Lossless size-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
     # so pairs outside the [4/5, 5/4] size band can never reach 0.8 — prune
     # them inside the join before the pair-count aggregation. Integer-only
@@ -316,22 +345,36 @@ ORDER BY d1, d2
 """
 
 
+SIMHASH_BITS = 60  # 15 md5 hex chars -> portable BIGINT in both engines
+SIMHASH_BLOCK_BITS = 15  # 4 blocks; hamming<=3 pairs share >=1 block (pigeonhole)
+
+
 def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash: per token-occurrence 32-bit hash, per-bit ±1 vote,
-    sign of the vote sum sets the bit. Token multiplicity counts."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(_toks()).alias("t"))
-    x = _hash32(F.col("t"))
+    """60-bit SimHash: per token-occurrence 60-bit hash, per-bit ±1 vote,
+    sign of the vote sum sets the bit. Token multiplicity counts.
+
+    60 bits (not a toy 16) keeps hamming<=3 a genuine near-dup relation:
+    random doc pairs land near hamming ~30, so the pair output stays linear
+    in the number of true duplicates instead of going quadratic."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    # hash once per token occurrence (separate projection), not once per of
+    # the 60 bit-vote expressions
+    tok = docs.select("doc_id", F.explode(_toks()).alias("t")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("x"),
+    )
+    x = F.col("x")
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(16)
+            for i in range(SIMHASH_BITS)
         ]
     )
     bits = [
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(SIMHASH_BITS)
     ]
     sim = bits[0]
     for b in bits[1:]:
@@ -339,14 +382,15 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-_XT_SQL = _HASH32_SQL.format(s="t")
+_XT_SQL = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
 _SIMHASH_SQL = f"""
   SELECT doc_id,
-         CAST({" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))} AS BIGINT) AS simhash
+         CAST({" + ".join(f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))} AS BIGINT) AS simhash
   FROM (
     SELECT doc_id,
-           {", ".join(f"SUM(CASE WHEN (({_XT_SQL} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(16))}
-    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) tk
+           {", ".join(f"SUM(CASE WHEN ((x >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60))}
+    FROM (SELECT doc_id, {_XT_SQL} AS x
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents) tk0) tk
     GROUP BY doc_id
   ) v
 """
@@ -360,16 +404,53 @@ SIMHASH_SIG_SQL = f"SELECT * FROM ({_SIMHASH_SQL}) s ORDER BY doc_id"
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: hamming distance ≤ 3 on the 16-bit sketch.
+    """SimHash near-dup pairs: hamming distance ≤ 3 on the 60-bit sketch.
 
-    All-pairs here (fine at test SF); the 100 TB path blocks by simhash
-    prefix exactly like the LSH banding above.
+    Exact pigeonhole blocking instead of the O(n²) all-pairs join: split the
+    sketch into 4 15-bit blocks; any pair within hamming 3 differs in ≤3
+    bits, so at least one block is identical (4 blocks, 3 changes). Joining
+    on (block_idx, block_value) therefore finds EVERY qualifying pair — the
+    hamming filter then drops false candidates, and distinct() collapses
+    pairs that collide in several blocks. This is the Manku/Google simhash
+    dedup layout: equi-join shuffles on a small key, never a cross-join.
     """
-    sim = _simhash_df(spark, sf_dir)
-    a = sim.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"))
-    b = sim.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"))
+    sim = _simhash_df(spark, sf_dir).persist()
+    blocks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("blk"),
+                        F.shiftright("simhash", SIMHASH_BLOCK_BITS * j)
+                        .bitwiseAND(F.lit((1 << SIMHASH_BLOCK_BITS) - 1))
+                        .alias("nib"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.nib")
+    a = blocks.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("s1"), "blk", "nib")
+    b = blocks.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("s2"), "blk", "nib")
+
+    def _nib(c: Column, e: int) -> Column:
+        return F.shiftright(c, SIMHASH_BLOCK_BITS * e).bitwiseAND(
+            F.lit((1 << SIMHASH_BLOCK_BITS) - 1)
+        )
+
+    # Emit each pair only from its FIRST agreeing block (earlier blocks must
+    # differ): exact dedup as a codegen'd filter instead of a distinct()
+    # shuffle over the multiply-matched candidate stream.
+    first_block_only = F.lit(True)
+    for e in range(3):
+        first_block_only = first_block_only & (
+            (F.col("blk") <= e) | (_nib(F.col("s1"), e) != _nib(F.col("s2"), e))
+        )
     return (
-        a.join(b, F.col("d1") < F.col("d2"))
+        a.join(b, ["blk", "nib"])
+        .filter((F.col("d1") < F.col("d2")) & first_block_only)
         .withColumn("hamming", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("d1", "d2", "hamming")
@@ -391,7 +472,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above threshold, blocked by label
     (same-label pairs only) so the pair space stays linear-ish — the
     blocking key stands in for an IVF/LSH bucket at scale."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     # precompute the norm once per vector (not once per pair)

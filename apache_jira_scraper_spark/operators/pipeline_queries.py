@@ -171,9 +171,11 @@ def synthetic_raw_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _examples(
+    spark: SparkSession, sf_dir: str, include_content: bool = True
+) -> DataFrame:
     issues = extract_issues(synthetic_raw_issues(spark, sf_dir))
-    return issues_to_examples(issues)
+    return issues_to_examples(issues, include_content=include_content)
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +357,7 @@ def q_jira_task_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle comparison is exact-integer, immune to float rounding-mode
     differences between engines.
     """
-    ex = _examples(spark, sf_dir)
+    ex = _examples(spark, sf_dir, include_content=False)
     counts = ex.groupBy("task_type").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("t"))
     return (
@@ -371,7 +373,7 @@ def q_jira_task_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_jira_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(*) + distinct-value sets (A1, A3) as one aggregate row."""
-    ex = _examples(spark, sf_dir)
+    ex = _examples(spark, sf_dir, include_content=False)
     m = F.col("metadata")
     return ex.agg(
         F.count(F.lit(1)).alias("total_examples"),
@@ -394,7 +396,7 @@ def q_jira_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference merges per-project JSONL files then sums counts
     (main.py:92, 99-110); with `project` as a column the merge is a rollup.
     """
-    ex = _examples(spark, sf_dir)
+    ex = _examples(spark, sf_dir, include_content=False)
     return (
         ex.select(F.col("metadata").getField("project").alias("project"))
         .rollup("project")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import load_table, load_table_parallel
 
 
 def _dec(col: str, typ: str = "decimal(14,4)") -> Column:
@@ -458,7 +458,7 @@ ORDER BY o_orderpriority
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta/range join (J3): events bucketed by value against a tiny
     broadcast bucket dimension → BroadcastNestedLoopJoin, no shuffle."""
-    events = load_table(spark, sf_dir, "events")
+    events = load_table_parallel(spark, sf_dir, "events")
     buckets = spark.createDataFrame(
         [("small", 0.0, 50.0), ("mid", 50.0, 150.0), ("large", 150.0, 1e9)],
         "label string, lo double, hi double",

@@ -61,7 +61,14 @@ def _metadata(question_type: Column | None = None) -> Column:
 
 
 def _example(task_type: str, input_col: Column, output_col: Column,
-             question_type: str | None = None) -> Column:
+             question_type: str | None = None, include_content: bool = True) -> Column:
+    if not include_content:
+        # Hand nested-column pruning: gate semantics (row existence) never
+        # depend on input/output content, so count-only consumers skip the
+        # string assembly entirely — Catalyst cannot prune through a
+        # Generate of freshly-constructed structs.
+        input_col = F.lit("")
+        output_col = F.lit("")
     return F.struct(
         F.lit(task_type).alias("task_type"),
         F.lit(_INSTRUCTIONS[task_type]).alias("instruction"),
@@ -75,8 +82,15 @@ def _gated(gate: Column, example: Column) -> Column:
     return F.when(gate, example)
 
 
-def issues_to_examples(issues: DataFrame) -> DataFrame:
-    """Transform an ISSUE DataFrame into an EXAMPLE DataFrame (the flatMap)."""
+def issues_to_examples(issues: DataFrame, include_content: bool = True) -> DataFrame:
+    """Transform an ISSUE DataFrame into an EXAMPLE DataFrame (the flatMap).
+
+    ``include_content=False`` keeps row multiplicity and metadata identical
+    but emits empty input/output — for aggregate-only consumers (see
+    _example's pruning note)."""
+    def _ex(task_type, input_col, output_col, question_type=None):
+        return _example(task_type, input_col, output_col, question_type, include_content)
+
     desc = F.col("description")
     has_desc = _truthy(desc)
     has_comments = F.size("comments") > 0
@@ -96,7 +110,7 @@ def issues_to_examples(issues: DataFrame) -> DataFrame:
     )
     summarization = _gated(
         has_desc | has_comments,
-        _example(
+        _ex(
             "summarization",
             F.concat_ws("\n\n", context_parts),
             F.concat(
@@ -109,7 +123,7 @@ def issues_to_examples(issues: DataFrame) -> DataFrame:
     # -- classification (transformer.py:66-91): plain [:500] slice, no ellipsis
     classification = _gated(
         _truthy(F.col("title")) & _truthy(F.col("priority")),
-        _example(
+        _ex(
             "classification",
             F.concat(
                 F.lit("Title: "), F.col("title"), F.lit("\n"),
@@ -122,7 +136,7 @@ def issues_to_examples(issues: DataFrame) -> DataFrame:
     # -- status prediction (transformer.py:93-120)
     status_prediction = _gated(
         _truthy(F.col("title")) & _truthy(F.col("status")),
-        _example(
+        _ex(
             "status_prediction",
             F.concat(
                 F.lit("Issue: "), F.col("title"), F.lit("\n"),
@@ -135,7 +149,7 @@ def issues_to_examples(issues: DataFrame) -> DataFrame:
     )
 
     # -- QA tasks (transformer.py:122-177); Q1/Q2 ungated, Q3 assignee-gated
-    qa_summary = _example(
+    qa_summary = _ex(
         "question_answering",
         F.concat(
             F.lit("Issue Key: "), F.col("issue_key"),
@@ -146,7 +160,7 @@ def issues_to_examples(issues: DataFrame) -> DataFrame:
         F.col("title"),
         question_type="summary",
     )
-    qa_status = _example(
+    qa_status = _ex(
         "question_answering",
         F.concat(
             F.lit("Issue Key: "), F.col("issue_key"),
@@ -158,7 +172,7 @@ def issues_to_examples(issues: DataFrame) -> DataFrame:
     )
     qa_assignee = _gated(
         _truthy(F.col("assignee")) & (F.col("assignee") != "Unknown"),
-        _example(
+        _ex(
             "question_answering",
             F.concat(
                 F.lit("Issue Key: "), F.col("issue_key"),
@@ -180,7 +194,7 @@ def issues_to_examples(issues: DataFrame) -> DataFrame:
     )
     issue_resolution = _gated(
         has_comments & F.col("status").isin("Resolved", "Closed"),
-        _example(
+        _ex(
             "issue_resolution",
             F.concat(
                 F.lit("Issue: "), F.col("title"), F.lit("\n"),

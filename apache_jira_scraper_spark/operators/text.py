@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import clean_text
-from ..io import load_table
+from ..io import load_table, load_table_parallel
 
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
 
@@ -226,7 +226,7 @@ FROM s ORDER BY doc_id
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5 + min word-3-gram shingle
     fingerprint (the content-defined analog of a rolling hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = tokens_col()
     n = F.size(toks)
     shingles = F.transform(

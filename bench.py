@@ -36,6 +36,9 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # drop intra-query persisted tables so later queries aren't taxed by
+        # dead cache blocks (each query is measured cold, like the driver runs it)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     try:
