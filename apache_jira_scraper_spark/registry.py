@@ -53,6 +53,7 @@ def _load() -> None:
     from .operators import (
         dedup,
         events,
+        extended,
         multimodal,
         pipeline_queries,
         relational,
@@ -67,4 +68,5 @@ def _load() -> None:
     similarity.register_all()
     multimodal.register_all()
     pipeline_queries.register_all()
+    extended.register_all()
     _LOADED = True
