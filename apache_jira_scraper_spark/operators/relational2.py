@@ -1,0 +1,160 @@
+"""Second relational batch: outer joins, union-distinct, date/interval
+functions, and a vectorized Pandas UDAF — the last unchecked rows of
+SURVEY.md §2.3/2.7/2.8/2.4.
+
+  outer_join_balance   J1's left/full-outer flavors: customers without
+                       orders and orders-per-customer via a full outer join
+                       (null-extension semantics hash-checked)
+  set_union_distinct   §2.7's UNION (distinct) over supplier/customer nation
+                       memberships
+  date_arithmetic      §2.8 [X] date fns: interval arithmetic, datediff,
+                       unix_timestamp, date_trunc('month')
+  udaf_geomean         §2.4 [X] UDAF: grouped-agg Pandas UDF (Arrow batch)
+                       computing the geometric mean of event values — the
+                       vectorized Python escape hatch, oracle'd via
+                       exp(avg(ln)) with integer-ppm rounding
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+
+
+def q_outer_join_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join customer↔orders: per-customer order stats with
+    null-extension on both sides kept visible (J1 left/right/full family).
+
+    Plan shape at scale: shuffle hash / sort-merge on the key — outer joins
+    can't broadcast the null-producing side, so both sides partition by
+    o_custkey; AQE handles skewed customers.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey, "full_outer")
+    return (
+        j.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.col("c_custkey").isNull().alias("order_without_customer"),
+            F.col("o_custkey").isNull().alias("customer_without_order"),
+        )
+        .orderBy("custkey")
+    )
+
+
+OUTER_JOIN_SQL = """
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       coalesce(n_orders, 0) AS n_orders,
+       c_custkey IS NULL AS order_without_customer,
+       o_custkey IS NULL AS customer_without_order
+FROM (SELECT c_custkey, c_nationkey FROM customer) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(1) AS n_orders FROM orders GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+"""
+
+
+def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of the nations having suppliers with those having
+    customers — completes the §2.7 set-operation family."""
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    return sup.union(cust).distinct().orderBy("nationkey")
+
+
+SET_UNION_SQL = """
+SELECT s_nationkey AS nationkey FROM supplier
+UNION
+SELECT c_nationkey FROM customer
+ORDER BY nationkey
+"""
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval function family over orders: month bucketing, interval
+    shift, day difference from a fixed epoch, unix seconds."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.date_add("o_orderdate", 90)).alias("earliest_due"),
+            F.max(F.datediff("o_orderdate", F.lit("1992-01-01"))).alias("max_day_offset"),
+            F.min(F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))).alias(
+                "min_unix"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+DATE_ARITH_SQL = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       COUNT(1) AS n,
+       MIN(CAST(o_orderdate + INTERVAL 90 DAY AS DATE)) AS earliest_due,
+       MAX(datediff('day', DATE '1992-01-01', o_orderdate)) AS max_day_offset,
+       MIN(CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) AS min_unix
+FROM orders
+GROUP BY DATE_TRUNC('month', o_orderdate)
+ORDER BY month
+"""
+
+
+def q_udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg Pandas UDAF (Arrow-vectorized): geometric mean of event
+    value per event_type — the §2.4 UDAF row. Integer ppm output so the
+    oracle (exp(avg(ln))) compares exactly despite float rounding modes.
+
+    Scale note: GROUPED_AGG pandas UDFs run after the shuffle with whole
+    groups in memory — fine for bounded groups like these; unbounded groups
+    would use the two-phase trick (ln-sum natively, exp at the end).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: "pd.Series") -> "float":
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    return (
+        ev.groupBy("event_type")
+        .agg(geomean("value").alias("gm"))
+        .select(
+            "event_type",
+            F.round(F.col("gm") * 1_000_000).cast("bigint").alias("geomean_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+UDAF_GEOMEAN_SQL = """
+SELECT event_type,
+       CAST(ROUND(exp(avg(ln(value))) * 1000000) AS BIGINT) AS geomean_ppm
+FROM events
+WHERE value > 0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("outer_join_balance", q_outer_join_balance, OUTER_JOIN_SQL)
+    register("set_union_distinct", q_set_union_distinct, SET_UNION_SQL)
+    register("date_arithmetic", q_date_arithmetic, DATE_ARITH_SQL)
+    register("udaf_geomean", q_udaf_geomean, UDAF_GEOMEAN_SQL)

@@ -57,11 +57,13 @@ def _load() -> None:
         multimodal,
         pipeline_queries,
         relational,
+        relational2,
         similarity,
         text,
     )
 
     relational.register_all()
+    relational2.register_all()
     events.register_all()
     text.register_all()
     dedup.register_all()
