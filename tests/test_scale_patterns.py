@@ -1,0 +1,64 @@
+"""Prove the scale patterns do what SURVEY §8 claims, at plan level.
+
+- Bucketed join: zero Exchange operators (co-located scan → join).
+- Salted aggregation: identical results to the direct aggregation, with the
+  hot key's phase-1 load spread across salt partitions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_jira_scraper_spark.io import load_table
+from apache_jira_scraper_spark.operators.scale_patterns import (
+    bucketed_join,
+    salted_agg,
+    write_bucketed,
+)
+from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed(orders, "b_orders", "o_orderkey", buckets=8, path=str(tmp_path / "bo"))
+    write_bucketed(li, "b_lineitem", "o_orderkey", buckets=8, path=str(tmp_path / "bl"))
+
+    joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+    ops = operator_counts(joined)
+    assert ops.get("Exchange", 0) == 0, f"bucketed join must not shuffle: {ops}"
+    # and it is still a real join producing every lineitem row
+    assert joined.count() == li.count()
+
+    # the same join over plain parquet shuffles (or broadcasts) — the
+    # bucketing is what removed the Exchange, not the data size
+    plain = orders.join(li, "o_orderkey")
+    plain_ops = operator_counts(plain)
+    assert plain_ops.get("Exchange", 0) > 0 or "BroadcastHashJoin" in plain_ops
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = {
+        r["l_returnflag"]: (round(float(r["total"]), 4), r["n"], round(r["mean"], 6))
+        for r in salted_agg(li, "l_returnflag", "l_quantity", salts=8).collect()
+    }
+    want = {
+        r["l_returnflag"]: (round(float(r["total"]), 4), r["n"], round(r["mean"], 6))
+        for r in (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.sum("l_quantity").alias("total"),
+                F.count(F.lit(1)).alias("n"),
+                (F.sum("l_quantity") / F.count(F.lit(1))).alias("mean"),
+            )
+            .collect()
+        )
+    }
+    assert got == want
