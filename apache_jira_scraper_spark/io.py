@@ -67,6 +67,12 @@ def load_table_parallel(
     """
     df = load_table(spark, sf_dir, name)
     n = partitions or spark.sparkContext.defaultParallelism
+    # Only fan out when the scan is actually under-parallel (small/few files).
+    # A big table already scans with >= core-count partitions, and a blanket
+    # repartition there would be a full shuffle of the corpus — the opposite
+    # of cheap insurance.
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)
 
 
