@@ -267,6 +267,40 @@ FROM t ORDER BY doc_id
 """
 
 
+# GPT-2-style pretokenizer, simplified to the RE2-compatible subset (no
+# lookahead — DuckDB's regex engine rejects it): a piece is an optionally
+# space-prefixed letter run, digit run, or punctuation run.
+BPE_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-pretokenizer flavor: pieces per document and the
+    pieces-per-whitespace-word ratio (integer ppm) — the standard proxy for
+    LLM token cost of a corpus (whitespace flavor: doc_token_stats)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
+    words = F.size(tokens_col())
+    return docs.select(
+        "doc_id",
+        pieces.alias("n_pieces"),
+        words.alias("n_words"),
+        F.expr(
+            f"CAST(size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS BIGINT)"
+            " * 1000000 DIV size(split(text, ' '))"
+        ).alias("pieces_per_word_ppm"),
+    ).orderBy("doc_id")
+
+
+BPE_TOKEN_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_pieces,
+       len(string_split(text, ' ')) AS n_words,
+       (CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) * 1000000)
+         // len(string_split(text, ' ')) AS pieces_per_word_ppm
+FROM documents ORDER BY doc_id
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
@@ -275,3 +309,4 @@ def register_all() -> None:
     register("doc_quality_score", q_quality_score, QUALITY_SQL)
     register("doc_lang_id", q_lang_id, LANG_ID_SQL)
     register("doc_fingerprint", q_fingerprint, FINGERPRINT_SQL)
+    register("doc_bpe_token_count", q_bpe_token_count, BPE_TOKEN_SQL)
