@@ -233,4 +233,16 @@ class JiraDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # Serialize this module BY VALUE into the data-source pickle: executor
+    # Python workers then need no importable copy of the package. Matters
+    # when the harness builds its SparkSession before PYTHONPATH is exported
+    # (worker env is frozen at JVM launch).
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older cloudpickle: fall back to by-reference + PYTHONPATH
     spark.dataSource.register(JiraDataSource)
