@@ -151,6 +151,69 @@ ORDER BY event_type
 """
 
 
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar-subquery pattern: orders above the global average
+    price, counted per status. The comparison is done as
+    ``price * n > total`` in exact decimal/bigint arithmetic — dividing
+    first would put a float boundary between the engines.
+
+    Plan: one tiny agg broadcast against the fact scan — no shuffle of the
+    fact table at all.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    tot = o.agg(
+        F.sum("o_totalprice").alias("t"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.crossJoin(F.broadcast(tot))
+        .filter(F.col("o_totalprice") * F.col("n") > F.col("t"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above_avg"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ABOVE_AVG_SQL = """
+SELECT o_orderstatus, COUNT(1) AS n_above_avg
+FROM orders, (SELECT SUM(o_totalprice) AS t, COUNT(1) AS n FROM orders) s
+WHERE o_totalprice * n > t
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+def q_array_ops_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions at the gate: per-customer
+    distinct order-priority set (built by collect_set), joined/sized/probed
+    with native array functions (§2.8 F8 surface over the star schema)."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = F.sort_array(F.collect_set("o_orderpriority"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(prios.alias("prios"))
+        .select(
+            "o_custkey",
+            F.array_join("prios", ",").alias("prios_csv"),
+            F.size("prios").alias("n_prios"),
+            F.array_contains("prios", "1-URGENT").alias("has_urgent"),
+            F.element_at("prios", 1).alias("first_prio"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+ARRAY_OPS_SQL = """
+SELECT o_custkey,
+       string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios_csv,
+       COUNT(DISTINCT o_orderpriority) AS n_prios,
+       bool_or(o_orderpriority = '1-URGENT') AS has_urgent,
+       MIN(o_orderpriority) AS first_prio
+FROM orders
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
@@ -158,3 +221,5 @@ def register_all() -> None:
     register("set_union_distinct", q_set_union_distinct, SET_UNION_SQL)
     register("date_arithmetic", q_date_arithmetic, DATE_ARITH_SQL)
     register("udaf_geomean", q_udaf_geomean, UDAF_GEOMEAN_SQL)
+    register("above_avg_orders", q_above_avg_orders, ABOVE_AVG_SQL)
+    register("array_ops_per_customer", q_array_ops_per_customer, ARRAY_OPS_SQL)
