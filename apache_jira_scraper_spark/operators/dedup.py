@@ -469,28 +469,38 @@ ORDER BY d1, d2
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold, blocked by label
-    (same-label pairs only) so the pair space stays linear-ish — the
-    blocking key stands in for an IVF/LSH bucket at scale."""
+    """Embedding-cosine near-dup pairs above threshold, blocked on
+    (label, sign-LSH bucket) — the same deterministic 4-bit bucket the ANN
+    path uses (similarity._bucket), so each label block is subdivided 16
+    ways and the pair space within a block stays linear-ish at corpus scale
+    (label alone is quadratic within a block).
+
+    Recall contract: a near-dup pair whose vectors land in different LSH
+    buckets is NOT emitted — the standard LSH trade; add more bucket tables
+    (OR-amplification) to raise recall. The DuckDB oracle replicates the
+    identical bucket function, so the check is exact for this contract.
+    """
+    from .similarity import _bucket
+
     emb = load_table_parallel(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    # precompute the norm once per vector (not once per pair)
+    # precompute norm and bucket once per vector (not once per pair)
     sq = F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    emb = emb.withColumn("nrm", F.sqrt(sq))
+    emb = emb.withColumn("nrm", F.sqrt(sq)).withColumn("bucket", _bucket(F.col("e")))
     a = emb.select(
-        F.col("vec_id").alias("v1"), F.col("label"), F.col("e").alias("e1"),
+        F.col("vec_id").alias("v1"), "label", "bucket", F.col("e").alias("e1"),
         F.col("nrm").alias("n1"),
     )
     b = emb.select(
-        F.col("vec_id").alias("v2"), F.col("label"), F.col("e").alias("e2"),
+        F.col("vec_id").alias("v2"), "label", "bucket", F.col("e").alias("e2"),
         F.col("nrm").alias("n2"),
     )
     dot = F.aggregate(
         F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )
     return (
-        a.join(b, "label")
+        a.join(b, ["label", "bucket"])
         .filter(F.col("v1") < F.col("v2"))
         .withColumn("cosine", F.round(dot / (F.col("n1") * F.col("n2")), 4))
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
@@ -499,14 +509,26 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_BUCKET_SQL = """
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce,
+         (CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 1)
+                  > list_extract(CAST(embedding AS DOUBLE[]), 33) THEN 1 ELSE 0 END
+          + CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 2)
+                  > list_extract(CAST(embedding AS DOUBLE[]), 34) THEN 2 ELSE 0 END
+          + CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 3)
+                  > list_extract(CAST(embedding AS DOUBLE[]), 35) THEN 4 ELSE 0 END
+          + CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 4)
+                  > list_extract(CAST(embedding AS DOUBLE[]), 36) THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+"""
+
 DEDUP_EMBEDDING_SQL = f"""
+WITH e AS ({_EMB_BUCKET_SQL})
 SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 4) AS cosine
-FROM embeddings a
-JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                   CAST(b.embedding AS DOUBLE[])), 4) >= {COSINE_DUP_THRESHOLD}
+       ROUND(list_cosine_similarity(a.ce, b.ce), 4) AS cosine
+FROM e a
+JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.ce, b.ce), 4) >= {COSINE_DUP_THRESHOLD}
 ORDER BY v1, v2
 """
 
@@ -514,10 +536,12 @@ ORDER BY v1, v2
 def register_all() -> None:
     from ..registry import register
 
+    # The signature-only gates (minhash_signatures, simhash_signatures) are
+    # deliberately NOT registered: their consumers dedup_minhash_lsh /
+    # dedup_simhash subsume them end-to-end, and the driver hash-checks at
+    # most 50 queries. Signature parity stays pinned in tests/test_dedup.py.
     register("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL)
-    register("minhash_signatures", q_minhash_signatures, MINHASH_SIG_SQL)
     register("dedup_minhash_lsh", q_dedup_minhash_lsh, DEDUP_MINHASH_SQL)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
-    register("simhash_signatures", q_simhash_signatures, SIMHASH_SIG_SQL)
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_embedding_cosine", q_dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)

@@ -25,34 +25,43 @@ def _w():
 
 
 def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user running total + row_number (frame-spec aggregate, ranking)."""
+    """Per-user running total + row_number (frame-spec aggregate, ranking).
+
+    The running sum is decimal-exact internally and emitted as integer cents
+    (values are 2-decimal) — fixed-point BIGINT is stable across the
+    driver's pandas bridge where DECIMAL is not.
+    """
     ev = load_table(spark, sf_dir, "events")
     w = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    running = F.sum(F.col("value").cast("decimal(14,2)")).over(w)
     return ev.select(
         "event_id",
         "user_id",
         F.row_number().over(_w()).alias("rn"),
-        F.sum(F.col("value").cast("decimal(14,4)")).over(w).cast("decimal(38,4)").alias("running_value"),
+        (running * 100).cast("bigint").alias("running_value_cents"),
     ).orderBy("event_id")
 
 
 RUNNING_SUM_SQL = """
 SELECT event_id, user_id,
        ROW_NUMBER() OVER w AS rn,
-       CAST(SUM(CAST(value AS DECIMAL(14,4))) OVER
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) OVER
             (PARTITION BY user_id ORDER BY event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,4))
-         AS running_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 AS BIGINT)
+         AS running_value_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
 ORDER BY event_id
 """
 
 
-def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead analytics + inter-event gap in whole seconds."""
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window analytic family in one gate: lag/lead neighbors, inter-event
+    gap in whole seconds, ntile quartile, and first/last_value over the
+    full-partition frame — one window spec, one shuffle on user_id."""
     ev = load_table(spark, sf_dir, "events")
     w = _w()
+    wf = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     secs = F.unix_timestamp("ts")
     return ev.select(
         "event_id",
@@ -61,16 +70,24 @@ def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
         (secs - F.lag(secs).over(w)).alias("gap_s"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("event_type").over(wf).alias("first_type"),
+        F.last("event_type").over(wf).alias("last_type"),
     ).orderBy("event_id")
 
 
-LAG_LEAD_SQL = """
+WINDOW_ANALYTICS_SQL = """
 SELECT event_id, user_id, event_type,
        LAG(event_type) OVER w AS prev_type,
        LEAD(event_type) OVER w AS next_type,
-       CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS gap_s
+       CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS gap_s,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(event_type) OVER wf AS first_type,
+       LAST_VALUE(event_type) OVER wf AS last_type
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
+       wf AS (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 ORDER BY event_id
 """
 
@@ -114,7 +131,7 @@ WITH gaps AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM gaps
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(1) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(1) AS n_events
 FROM sessions
 GROUP BY user_id
 ORDER BY user_id
@@ -131,7 +148,9 @@ def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(14,4)")).cast("decimal(38,4)").alias("total_value"),
+            (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("total_value_cents"),
         )
         .orderBy("hour", "event_type")
     )
@@ -139,7 +158,7 @@ def q_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 HOURLY_AGG_SQL = """
 SELECT DATE_TRUNC('hour', ts) AS hour, event_type, COUNT(1) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(38,4)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS total_value_cents
 FROM events
 GROUP BY DATE_TRUNC('hour', ts), event_type
 ORDER BY hour, event_type
@@ -162,7 +181,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_EXTRACT_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
                   THEN 1 END) AS n_large
 FROM events
@@ -216,42 +235,12 @@ ORDER BY event_id
 """
 
 
-def q_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile + first_value/last_value frame semantics per user."""
-    ev = load_table(spark, sf_dir, "events")
-    w = _w()
-    wf = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.ntile(4).over(w).alias("quartile"),
-        F.first("event_type").over(wf).alias("first_type"),
-        F.last("event_type").over(wf).alias("last_type"),
-    ).orderBy("event_id")
-
-
-NTILE_SQL = """
-SELECT event_id, user_id,
-       NTILE(4) OVER w AS quartile,
-       FIRST_VALUE(event_type) OVER
-         (PARTITION BY user_id ORDER BY event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_type,
-       LAST_VALUE(event_type) OVER
-         (PARTITION BY user_id ORDER BY event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-ORDER BY event_id
-"""
-
-
 def register_all() -> None:
     from ..registry import register
 
     register("window_running_sum", q_running_sum, RUNNING_SUM_SQL)
-    register("window_lag_lead", q_lag_lead, LAG_LEAD_SQL)
+    register("window_analytics", q_window_analytics, WINDOW_ANALYTICS_SQL)
     register("sessionize", q_sessionize, SESSIONIZE_SQL)
     register("event_hourly_agg", q_hourly_agg, HOURLY_AGG_SQL)
     register("json_extract", q_json_extract, JSON_EXTRACT_SQL)
     register("asof_join", q_asof_join, ASOF_JOIN_SQL)
-    register("window_ntile_first_last", q_ntile_first_last, NTILE_SQL)

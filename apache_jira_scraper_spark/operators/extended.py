@@ -41,19 +41,28 @@ _MEM_SINK_IDS = itertools.count()
 # ---------------------------------------------------------------------------
 
 def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles of extended price per return flag.
+    """Exact interpolated quantiles of extended price per return flag, PLUS
+    the 100 TB-safe member of the family: approx_percentile (GK sketch,
+    bounded memory) checked against the exact value via an error envelope.
 
     Integer cents output so the oracle compare is immune to 1-ulp
-    differences in the two engines' interpolation arithmetic.
+    differences in the two engines' interpolation arithmetic. The sketch
+    estimate itself is engine-specific, so what crosses the oracle is the
+    *envelope verdict* (|approx - exact| within 1% + a cent) — DuckDB emits
+    literal TRUE; the row only hash-matches if Spark's sketch landed inside
+    the envelope. `percentile()` materializes each group's values (memory
+    cliff at 100 TB) — at scale you keep ONLY the approx columns.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    p = F.col("l_extendedprice").cast("double")
 
     def cents(q: float) -> F.Column:
         return F.round(F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), {q})") * 100).cast(
             "bigint"
         )
 
+    approx_p50 = F.round(
+        F.expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)") * 100
+    ).cast("bigint")
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -61,6 +70,10 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             cents(0.5).alias("p50_cents"),
             cents(0.75).alias("p75_cents"),
             F.count(F.lit(1)).alias("n"),
+            (
+                F.abs(approx_p50 - cents(0.5))
+                <= F.greatest(cents(0.5) / 100, F.lit(100))
+            ).alias("approx_p50_ok"),
         )
         .orderBy("l_returnflag")
     )
@@ -71,7 +84,8 @@ SELECT l_returnflag,
        CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) * 100) AS BIGINT) AS p25_cents,
        CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) * 100) AS BIGINT) AS p50_cents,
        CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) * 100) AS BIGINT) AS p75_cents,
-       COUNT(1) AS n
+       COUNT(1) AS n,
+       TRUE AS approx_p50_ok
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -80,17 +94,35 @@ ORDER BY l_returnflag
 
 def q_approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct next to the exact distinct (A3's 100 TB
-    form). Rows-only check: sketch estimates are engine-specific by design;
-    the test asserts the estimate lands within HLL's error envelope."""
+    form). The sketch estimate is engine-specific, so the oracle checks the
+    exact count plus an envelope verdict: the HLL estimate must land within
+    5× the configured 2% rsd of the exact count (P[miss] < 1e-6) — DuckDB
+    emits literal TRUE and the row only hash-matches if it did."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
             F.count_distinct("l_partkey").alias("exact_parts"),
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey", rsd=0.02)
+                    - F.count_distinct("l_partkey")
+                )
+                <= F.greatest(F.count_distinct("l_partkey") / 10, F.lit(8))
+            ).alias("approx_ok"),
         )
         .orderBy("l_returnflag")
     )
+
+
+APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -155,25 +187,41 @@ SELECT ws AS window_start,
        ws + INTERVAL 5 MINUTE AS window_end,
        event_type,
        COUNT(1) AS n,
-       CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DECIMAL(38,4)) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS total_value_cents
 FROM e
 GROUP BY ws, event_type
 ORDER BY window_start, event_type
 """
 
 
-def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4: gap-based session windows as a streaming aggregation."""
-    out = pipelines.session_counts(_events_stream(spark, sf_dir))
-    return _run_to_memory(out, spark, "complete").orderBy("session_start", "user_id")
-
-
-def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T5: dropDuplicatesWithinWatermark — bounded-state streaming dedup."""
-    out = pipelines.stream_dedup(_events_stream(spark, sf_dir)).select(
-        "event_id", "user_id", "event_type"
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4+T5 stateful streaming in one gate: gap-based session_window
+    aggregation and dropDuplicatesWithinWatermark dedup, tagged and
+    union-ALL'd (rows-only: true streaming state has no SQL twin). Legs are
+    normalized to a common (op, id, aux, n) shape; sessions keyed by user
+    with the start second as aux, dedup rows keyed by event with the
+    event_type as aux."""
+    sessions = _run_to_memory(
+        pipelines.session_counts(_events_stream(spark, sf_dir)), spark, "complete"
+    ).select(
+        F.lit("session").alias("op"),
+        F.col("user_id").alias("id"),
+        F.unix_timestamp("session_start").cast("string").alias("aux"),
+        F.col("n_events").alias("n"),
     )
-    return _run_to_memory(out, spark, "append").orderBy("event_id")
+    dedup = _run_to_memory(
+        pipelines.stream_dedup(_events_stream(spark, sf_dir)).select(
+            "event_id", "user_id", "event_type"
+        ),
+        spark,
+        "append",
+    ).select(
+        F.lit("dedup").alias("op"),
+        F.col("event_id").alias("id"),
+        F.col("event_type").alias("aux"),
+        F.col("user_id").alias("n"),
+    )
+    return sessions.unionAll(dedup).orderBy("op", "id", "aux")
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +240,7 @@ def q_jira_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole reference ingest path as ONE Spark plan. Rows-only (no SQL oracle:
     the source is a live HTTP endpoint)."""
     from ..sources import jira_source
-    from tests.mock_jira import MockJira
+    from ..sources.mock_jira import MockJira
 
     jira_source.register(spark)
     # required for JiraBatchReader.pushFilters on sessions we didn't build
@@ -220,8 +268,7 @@ def register_all() -> None:
     from ..registry import register
 
     register("quantiles_exact", q_quantiles_exact, QUANTILES_SQL)
-    register("approx_distinct_parts", q_approx_distinct_parts, None)
+    register("approx_distinct_parts", q_approx_distinct_parts, APPROX_DISTINCT_SQL)
     register("stream_tumbling_counts", q_stream_tumbling_counts, STREAM_TUMBLING_SQL)
-    register("stream_session_windows", q_stream_session_windows, None)
-    register("stream_dedup", q_stream_dedup, None)
+    register("stream_stateful", q_stream_stateful, None)
     register("jira_rest_ingest", q_jira_rest_ingest, None)

@@ -132,19 +132,61 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     return media.select("doc_id", frames.alias("frames"), F.size(frames).alias("n_frames"))
 
 
-def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling parity query (byte-level slicing of the payload)."""
-    return frame_sample(binary_docs(spark, sf_dir)).orderBy("doc_id")
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined decode gate: Arrow `mapInPandas` feature extraction AND
+    column-algebra frame sampling over the same binary payloads, joined on
+    doc_id. Array results are emitted as scalar digests — md5 of the
+    comma-joined frame list, CSV of the 8-bin feature histogram — because
+    the driver's pandas canonicalizer cannot hash list-typed columns; the
+    array-returning library functions (`decode_features`, `frame_sample`)
+    stay available for programmatic use. Plan: two narrow passes over one
+    scan side + a single doc_id sort-merge; at scale the join is co-
+    partitioned (both sides derive from the same source partitioning)."""
+    media = binary_docs(spark, sf_dir)
+    feats = decode_features(media).select(
+        "doc_id",
+        F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))).alias(
+            "features_csv"
+        ),
+        "n_bytes",
+    )
+    frames = frame_sample(media).select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform("frames", lambda x: x.cast("string")))).alias(
+            "frames_md5"
+        ),
+        "n_frames",
+    )
+    return feats.join(frames, "doc_id").orderBy("doc_id")
 
 
-FRAME_SAMPLE_SQL = f"""
-WITH t AS (
+MULTIMODAL_DECODE_SQL = f"""
+WITH bytes AS (
   SELECT doc_id,
-         list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
-                        i -> ascii(substr(text, i, 1))) AS frames
+         list_transform(generate_series(1, length(text), 1),
+                        i -> ascii(substr(text, i, 1))) AS bl
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(generate_series(0, 7),
+                          b -> len(list_filter(bl, x -> x // 32 = b))),
+           ',') AS features_csv,
+         len(bl) AS n_bytes
+  FROM bytes
+), fr AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
+                          i -> ascii(substr(text, i, 1))),
+           ',')) AS frames_md5,
+         len(generate_series(1, length(text), {FRAME_STRIDE})) AS n_frames
   FROM documents
 )
-SELECT doc_id, frames, len(frames) AS n_frames FROM t ORDER BY doc_id
+SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
+       frames_md5, CAST(n_frames AS INT) AS n_frames
+FROM feat JOIN fr ON feat.doc_id = fr.doc_id
+ORDER BY feat.doc_id
 """
 
 
@@ -152,10 +194,4 @@ def register_all() -> None:
     from ..registry import register
 
     register("multimodal_meta", q_multimodal_meta, MULTIMODAL_META_SQL)
-    register("multimodal_frame_sample", q_frame_sample, FRAME_SAMPLE_SQL)
-    # decode_features is mapInPandas (not SQL-expressible) -> rows-only check
-    register(
-        "multimodal_decode_features",
-        lambda spark, sf_dir: decode_features(binary_docs(spark, sf_dir)).orderBy("doc_id"),
-        None,
-    )
+    register("multimodal_decode", q_multimodal_decode, MULTIMODAL_DECODE_SQL)

@@ -209,14 +209,22 @@ _RAW_BODY = "substr(d.text, 1 + 13 * l_linenumber, 90)"
 
 _ISSUES_CTE = f"""
 WITH nd AS (SELECT count(*) AS n FROM documents),
+kept0 AS MATERIALIZED (
+  -- MATERIALIZED: with the regex-cleaned body inside the join's WHERE,
+  -- DuckDB's optimizer folds the predicate into the join and degrades to a
+  -- nested loop (~170x slower at sf0.01); materializing the projection
+  -- first keeps the hash join and filters afterwards.
+  SELECT l_orderkey, l_linenumber, {_CLEAN.format(x=_RAW_BODY)} AS body
+  FROM lineitem l
+  JOIN documents d ON d.doc_id = (l.l_orderkey + 7919 * l.l_linenumber) % (SELECT n FROM nd)
+  WHERE l_linenumber <= 5
+),
 kept AS (
   SELECT l_orderkey,
          row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn,
          count(*) OVER (PARTITION BY l_orderkey) AS nk,
-         {_CLEAN.format(x=_RAW_BODY)} AS body
-  FROM lineitem l
-  JOIN documents d ON d.doc_id = (l.l_orderkey + 7919 * l.l_linenumber) % (SELECT n FROM nd)
-  WHERE l_linenumber <= 5 AND {_CLEAN.format(x=_RAW_BODY)} <> ''
+         body
+  FROM kept0 WHERE body <> ''
 ),
 cagg AS (
   SELECT l_orderkey,
@@ -226,7 +234,7 @@ cagg AS (
          string_agg(CASE WHEN rn > nk - 2 THEN body END, chr(10) ORDER BY rn) AS last2
   FROM kept GROUP BY l_orderkey
 ),
-issues AS (
+issues AS MATERIALIZED (
   SELECT
     'ORD-' || CAST(o_orderkey AS VARCHAR) AS issue_key,
     CAST(o_orderkey AS VARCHAR) AS issue_id,
@@ -253,7 +261,7 @@ issues AS (
   JOIN documents d ON d.doc_id = o.o_orderkey % (SELECT n FROM nd)
   LEFT JOIN cagg c ON c.l_orderkey = o.o_orderkey
 ),
-ex AS (
+ex AS MATERIALIZED (
   SELECT 'summarization' AS task_type,
          'Summarize the following software issue and its discussion:' AS instruction,
          concat_ws(chr(10) || chr(10),
@@ -427,6 +435,47 @@ def q_jira_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jira_corpus_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference entry point 3 (example_usage.py:196-212): the corpus-query
+    workload over the merged corpus — per-filter counts (task_type,
+    metadata.project, metadata.priority — '1-URGENT' stands in for the
+    reference's 'Critical', which the synthetic corpus never emits) plus the first-100 summarization
+    subset, in one gate.
+
+    Spark-first shape: the three counts are one conditional aggregate over a
+    single scan (not three passes like the reference's list comprehensions),
+    and the LIMIT-100 subset is a deterministic ORDER BY issue_key LIMIT —
+    at 100 TB both are a narrow scan + a tiny final aggregate / top-k.
+    Legs are union-ALL'd with a tag; counts carry NULL keys."""
+    ex = _examples(spark, sf_dir, include_content=False)
+    m = F.col("metadata")
+    counts = ex.agg(
+        F.count(F.when(F.col("task_type") == "summarization", 1)).alias("n_summ"),
+        F.count(F.when(m.getField("project") == "KAFKA", 1)).alias("n_kafka"),
+        F.count(F.when(m.getField("priority") == "1-URGENT", 1)).alias("n_critical"),
+    ).select(
+        F.lit("counts").alias("leg"),
+        F.lit(None).cast("string").alias("issue_key"),
+        "n_summ",
+        "n_kafka",
+        "n_critical",
+    )
+    subset = (
+        ex.filter(F.col("task_type") == "summarization")
+        .select(m.getField("issue_key").alias("issue_key"))
+        .orderBy("issue_key")
+        .limit(100)
+        .select(
+            F.lit("subset").alias("leg"),
+            "issue_key",
+            F.lit(None).cast("bigint").alias("n_summ"),
+            F.lit(None).cast("bigint").alias("n_kafka"),
+            F.lit(None).cast("bigint").alias("n_critical"),
+        )
+    )
+    return counts.unionAll(subset).orderBy("leg", "issue_key")
+
+
 ORACLES = {
     "jira_issue_extract": _ISSUES_CTE
     + """
@@ -455,6 +504,21 @@ FROM ex
 SELECT coalesce(project, 'ALL') AS project, count(*) AS total_examples
 FROM ex GROUP BY ROLLUP(project) ORDER BY project
 """,
+    "jira_corpus_query": _ISSUES_CTE
+    + """
+SELECT * FROM (
+  SELECT 'counts' AS leg, CAST(NULL AS VARCHAR) AS issue_key,
+         CAST(count(CASE WHEN task_type = 'summarization' THEN 1 END) AS BIGINT) AS n_summ,
+         CAST(count(CASE WHEN project = 'KAFKA' THEN 1 END) AS BIGINT) AS n_kafka,
+         CAST(count(CASE WHEN priority = '1-URGENT' THEN 1 END) AS BIGINT) AS n_critical
+  FROM ex
+  UNION ALL
+  SELECT 'subset', issue_key, NULL, NULL, NULL
+  FROM (SELECT issue_key FROM ex WHERE task_type = 'summarization'
+        ORDER BY issue_key LIMIT 100) s
+) t
+ORDER BY leg, issue_key
+""",
 }
 
 
@@ -473,4 +537,7 @@ def register_all() -> None:
     )
     registry.register(
         "jira_corpus_rollup", q_jira_corpus_rollup, ORACLES["jira_corpus_rollup"]
+    )
+    registry.register(
+        "jira_corpus_query", q_jira_corpus_query, ORACLES["jira_corpus_query"]
     )

@@ -13,6 +13,15 @@ Spark's partial/final aggregation over arbitrary partitionings produces
 bit-identical results to DuckDB's single-threaded sum — double summation
 would not. Averages divide the exact decimal sum (cast to double) by the
 exact count: one IEEE division, deterministic on both engines.
+
+Canonical OUTPUT encoding (the round-2 gate fix): final columns are never
+DECIMAL. The driver's harness moves both results across the pandas bridge,
+where DuckDB renders DECIMAL as float64 while Spark yields decimal.Decimal
+objects — equal values, different value-hashes. So every money/quantity
+aggregate is emitted as fixed-point BIGINT (`_fx`: value × 10^k, exact —
+the source data is 2-decimal, so the scaled decimal is integral and the
+final integer cast is lossless on both engines). Column names carry the
+scale (`*_cents`, `*_e4`, …).
 """
 
 from __future__ import annotations
@@ -23,12 +32,21 @@ from pyspark.sql import functions as F
 from ..io import load_table, load_table_parallel
 
 
-def _dec(col: str, typ: str = "decimal(14,4)") -> Column:
+def _dec(col: str, typ: str = "decimal(15,2)") -> Column:
+    # Scale 2 is the source data's NATURAL scale (all money/qty columns are
+    # 2-decimal doubles) — the double→decimal cast recovers the exact value.
     return F.col(col).cast(typ)
 
 
 def _avg(sum_col: Column, count_col: Column) -> Column:
     return F.round(sum_col.cast("double") / count_col, 6)
+
+
+def _fx(dec_col: Column, k: int) -> Column:
+    """Exact fixed-point BIGINT: decimal × 10^k, integral by construction
+    (k >= the decimal's scale), so Spark's truncating and DuckDB's rounding
+    int-casts agree bit-for-bit."""
+    return (dec_col * F.lit(10**k)).cast("bigint")
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,23 +58,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) then final — no extra shuffle beyond the single groupBy.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    one = F.lit(1).cast("decimal(7,4)")
-    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(7,4)"))
-    charge = disc_price * (one + _dec("l_tax", "decimal(7,4)"))
+    one = F.lit(1).cast("decimal(7,2)")
+    disc_price = _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(7,2)"))
+    charge = disc_price * (one + _dec("l_tax", "decimal(7,2)"))
     out = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            # Scale of each cast matches the summand's natural scale, so the
-            # cast is exact (no rounding) — required for bit-parity with the
-            # oracle, whose DECIMAL rounding mode differs from Spark's.
-            F.sum(_dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("decimal(38,4)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,8)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,12)").alias("sum_charge"),
+            # Sums stay exact decimal internally (scale 2/4/6 = the natural
+            # scale of each product); the OUTPUT is fixed-point BIGINT so the
+            # driver's pandas-bridge hash is engine-stable.
+            _fx(F.sum(_dec("l_quantity")), 0).alias("sum_qty"),
+            _fx(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price_cents"),
+            _fx(F.sum(disc_price), 4).alias("sum_disc_price_e4"),
+            _fx(F.sum(charge), 6).alias("sum_charge_e6"),
             _avg(F.sum(_dec("l_quantity")), F.count(F.lit(1))).alias("avg_qty"),
             _avg(F.sum(_dec("l_extendedprice")), F.count(F.lit(1))).alias("avg_price"),
-            _avg(F.sum(_dec("l_discount", "decimal(7,4)")), F.count(F.lit(1))).alias("avg_disc"),
+            _avg(F.sum(_dec("l_discount", "decimal(7,2)")), F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -68,16 +86,16 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,4)) AS sum_qty,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DECIMAL(38,4)) AS sum_base_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
-           * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))) AS DECIMAL(38,8)) AS sum_disc_price,
-  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
-           * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))
-           * (CAST(1 AS DECIMAL(7,4)) + CAST(l_tax AS DECIMAL(7,4)))) AS DECIMAL(38,12)) AS sum_charge,
-  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(1), 6) AS avg_qty,
-  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(1), 6) AS avg_price,
-  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(7,4))) AS DOUBLE) / COUNT(1), 6) AS avg_disc,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) * 100 AS BIGINT) AS sum_base_price_cents,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+           * (CAST(1 AS DECIMAL(7,2)) - CAST(l_discount AS DECIMAL(7,2)))) * 10000 AS BIGINT) AS sum_disc_price_e4,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
+           * (CAST(1 AS DECIMAL(7,2)) - CAST(l_discount AS DECIMAL(7,2)))
+           * (CAST(1 AS DECIMAL(7,2)) + CAST(l_tax AS DECIMAL(7,2)))) * 1000000 AS BIGINT) AS sum_charge_e6,
+  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS DOUBLE) / COUNT(1), 6) AS avg_qty,
+  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) AS DOUBLE) / COUNT(1), 6) AS avg_price,
+  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(7,2))) AS DOUBLE) / COUNT(1), 6) AS avg_disc,
   COUNT(1) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -87,13 +105,13 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def _revenue() -> Column:
-    one = F.lit(1).cast("decimal(7,4)")
-    return _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(7,4)"))
+    one = F.lit(1).cast("decimal(7,2)")
+    return _dec("l_extendedprice") * (one - _dec("l_discount", "decimal(7,2)"))
 
 
 _REV_SQL = (
-    "CAST(l_extendedprice AS DECIMAL(14,4))"
-    " * (CAST(1 AS DECIMAL(7,4)) - CAST(l_discount AS DECIMAL(7,4)))"
+    "CAST(l_extendedprice AS DECIMAL(15,2))"
+    " * (CAST(1 AS DECIMAL(7,2)) - CAST(l_discount AS DECIMAL(7,2)))"
 )
 
 
@@ -115,15 +133,15 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_revenue()).cast("decimal(38,8)").alias("revenue"))
-        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .agg(_fx(F.sum(_revenue()), 4).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
 
 
 Q3_SQL = f"""
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS revenue
+       CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -131,7 +149,7 @@ WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < DATE '1998-01-01'
   AND l_shipdate > DATE '1998-01-01'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, o_orderdate, l_orderkey
+ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
 LIMIT 10
 """
 
@@ -162,13 +180,13 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("decimal(38,8)").alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .agg(_fx(F.sum(_revenue()), 4).alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "n_name")
     )
 
 
 Q5_SQL = f"""
-SELECT n_name, CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS revenue
+SELECT n_name, CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS revenue_e4
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -178,7 +196,7 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE r_name = 'ASIA'
   AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
 GROUP BY n_name
-ORDER BY revenue DESC, n_name
+ORDER BY revenue_e4 DESC, n_name
 """
 
 
@@ -190,23 +208,23 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy("o_custkey")
         .agg(
-            F.sum(_dec("o_totalprice", "decimal(18,4)")).cast("decimal(38,4)").alias("total_spent"),
+            _fx(F.sum(_dec("o_totalprice", "decimal(18,2)")), 2).alias("total_spent_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
         .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
-        .select("c_custkey", "c_name", "total_spent", "n_orders")
-        .orderBy(F.desc("total_spent"), "c_custkey")
+        .select("c_custkey", "c_name", "total_spent_cents", "n_orders")
+        .orderBy(F.desc("total_spent_cents"), "c_custkey")
         .limit(10)
     )
 
 
 TOP_CUSTOMERS_SQL = """
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total_spent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS total_spent_cents,
        COUNT(1) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
-ORDER BY total_spent DESC, c_custkey
+ORDER BY total_spent_cents DESC, c_custkey
 LIMIT 10
 """
 
@@ -274,6 +292,46 @@ def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4's two flavors in one gate: the left_semi (EXISTS) and left_anti
+    (NOT EXISTS) legs tagged and union-ALL'd so both physical join shapes
+    are hash-checked in a single driver slot. The per-leg builders
+    q_semi_join / q_anti_join remain the library API. Leg detail columns
+    are string-encoded (acctbal as exact cents) so the legs union cleanly."""
+    semi = q_semi_join(spark, sf_dir).select(
+        F.lit("semi").alias("op"),
+        "c_custkey",
+        "c_name",
+        (F.col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .cast("string")
+        .alias("detail"),
+    )
+    anti = q_anti_join(spark, sf_dir).select(
+        F.lit("anti").alias("op"), "c_custkey", "c_name", F.col("c_mktsegment").alias("detail")
+    )
+    return semi.unionAll(anti).orderBy("op", "c_custkey")
+
+
+SEMI_ANTI_SQL = """
+SELECT * FROM (
+  SELECT 'semi' AS op, c_custkey, c_name,
+         CAST(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS VARCHAR) AS detail
+  FROM customer
+  WHERE c_acctbal > 9000
+    AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT 'anti' AS op, c_custkey, c_name, c_mktsegment AS detail
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2001-01-01'
+                      AND o_orderpriority = '1-URGENT')
+) t
+ORDER BY op, c_custkey
+"""
+
+
 ANTI_JOIN_SQL = """
 SELECT c_custkey, c_name, c_mktsegment
 FROM customer
@@ -285,75 +343,93 @@ ORDER BY c_custkey
 """
 
 
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (§2.4 extension)."""
+def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets family in ONE gate (§2.4 extension): ROLLUP hierarchy
+    totals over lineitem + CUBE over order status × priority, tagged and
+    union-ALL'd so both plan shapes (Expand → partial agg → final agg) are
+    hash-checked in a single driver slot."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
+    rolled = (
         li.rollup("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("l_quantity")).cast("decimal(38,4)").alias("sum_qty"),
+            _fx(F.sum(_dec("l_quantity")), 2).alias("measure_e2"),
         )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        .select(
+            F.lit("rollup_lineitem").alias("gs"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+            "measure_e2",
         )
     )
-
-
-ROLLUP_SQL = """
-SELECT l_returnflag, l_linestatus, COUNT(1) AS n,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DECIMAL(38,4)) AS sum_qty
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
-"""
-
-
-def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over order status × priority (§2.4 extension)."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
+    cubed = (
         orders.cube("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_dec("o_totalprice", "decimal(18,4)")).cast("decimal(38,4)").alias("total"),
+            _fx(F.sum(_dec("o_totalprice", "decimal(18,2)")), 2).alias("measure_e2"),
         )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
+        .select(
+            F.lit("cube_orders").alias("gs"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+            "measure_e2",
         )
+    )
+    return rolled.unionAll(cubed).orderBy(
+        "gs", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first()
     )
 
 
-CUBE_SQL = """
-SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS total
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
-ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+ROLLUP_CUBE_SQL = """
+SELECT * FROM (
+  SELECT 'rollup_lineitem' AS gs, l_returnflag AS k1, l_linestatus AS k2,
+         COUNT(1) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) * 100 AS BIGINT) AS measure_e2
+  FROM lineitem
+  GROUP BY ROLLUP (l_returnflag, l_linestatus)
+  UNION ALL
+  SELECT 'cube_orders' AS gs, o_orderstatus AS k1, o_orderpriority AS k2,
+         COUNT(1) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS measure_e2
+  FROM orders
+  GROUP BY CUBE (o_orderstatus, o_orderpriority)
+) t
+ORDER BY gs, k1 ASC NULLS FIRST, k2 ASC NULLS FIRST
 """
 
 
 def q_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-total (A6; example_usage.py:105's percentage) via an
-    empty-frame window over the tiny aggregate result."""
+    empty-frame window over the tiny aggregate result. The percentage is
+    integer ppm over whole-unit revenues — exact integer arithmetic on both
+    engines, no float division anywhere."""
     li = load_table(spark, sf_dir, "lineitem")
     agg = li.groupBy("l_returnflag").agg(
-        F.sum(_revenue()).cast("decimal(38,8)").alias("revenue")
+        _fx(F.sum(_revenue()), 4).alias("revenue_e4")
     )
-    total = F.sum("revenue").over(Window.partitionBy())
-    return agg.select(
-        "l_returnflag",
-        "revenue",
-        F.round(F.col("revenue").cast("double") / total.cast("double") * 100.0, 6).alias("pct"),
-    ).orderBy("l_returnflag")
+    rev_u = F.expr("revenue_e4 DIV 10000")
+    total_u = F.sum(rev_u).over(Window.partitionBy())
+    return (
+        agg.select(
+            "l_returnflag",
+            "revenue_e4",
+            (rev_u * F.lit(100000000)).alias("_num"),
+            total_u.alias("_tot"),
+        )
+        .select("l_returnflag", "revenue_e4", F.expr("_num DIV _tot").alias("pct_ppm"))
+        .orderBy("l_returnflag")
+    )
 
 
 RATIO_SQL = f"""
-SELECT l_returnflag, revenue,
-       ROUND(CAST(revenue AS DOUBLE) / CAST(SUM(revenue) OVER () AS DOUBLE) * 100.0, 6) AS pct
+SELECT l_returnflag, revenue_e4,
+       CAST((revenue_e4 // 10000) * 100000000
+            // (SUM(revenue_e4 // 10000) OVER ()) AS BIGINT) AS pct_ppm
 FROM (
-  SELECT l_returnflag, CAST(SUM({_REV_SQL}) AS DECIMAL(38,8)) AS revenue
+  SELECT l_returnflag, CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS revenue_e4
   FROM lineitem GROUP BY l_returnflag
 ) t
 ORDER BY l_returnflag
@@ -385,8 +461,12 @@ ORDER BY l_returnflag
 """
 
 
-def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (distinct set semantics, §2.7 extension)."""
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole §2.7 set-operation family — INTERSECT, EXCEPT, UNION
+    (distinct) — over the same two customer-key sets, tagged and unioned
+    into one gate query. Each leg keeps its native Spark operator so all
+    three physical shapes (left-semi agg, left-anti agg, union-distinct)
+    are exercised and hash-checked."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
@@ -395,35 +475,34 @@ def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")).select(
         F.col("o_custkey").alias("custkey")
     )
-    return building.intersect(recent).orderBy("custkey")
+    legs = [
+        building.intersect(recent).select(F.lit("intersect").alias("op"), "custkey"),
+        building.exceptAll(recent.distinct())
+        .distinct()
+        .select(F.lit("except").alias("op"), "custkey"),
+        building.union(recent).distinct().select(F.lit("union").alias("op"), "custkey"),
+    ]
+    return legs[0].unionAll(legs[1]).unionAll(legs[2]).orderBy("op", "custkey")
 
 
-INTERSECT_SQL = """
-SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-INTERSECT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'
-ORDER BY custkey
-"""
-
-
-def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct set semantics, §2.7 extension)."""
-    cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("custkey")
-    )
-    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date")).select(
-        F.col("o_custkey").alias("custkey")
-    )
-    return building.exceptAll(recent.distinct()).distinct().orderBy("custkey")
-
-
-EXCEPT_SQL = """
-SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-EXCEPT
-SELECT o_custkey AS custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01'
-ORDER BY custkey
+SET_OPS_SQL = """
+SELECT * FROM (
+  SELECT 'intersect' AS op, custkey FROM (
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01')
+  UNION ALL
+  SELECT 'except' AS op, custkey FROM (
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01')
+  UNION ALL
+  SELECT 'union' AS op, custkey FROM (
+    SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '2000-01-01')
+) t
+ORDER BY op, custkey
 """
 
 
@@ -455,19 +534,38 @@ ORDER BY o_orderpriority
 """
 
 
-def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theta/range join (J3): events bucketed by value against a tiny
-    broadcast bucket dimension → BroadcastNestedLoopJoin, no shuffle."""
-    events = load_table_parallel(spark, sf_dir, "events")
-    buckets = spark.createDataFrame(
-        [("small", 0.0, 50.0), ("mid", 50.0, 150.0), ("large", 150.0, 1e9)],
-        "label string, lo double, hi double",
+RANGE_BUCKETS = (("small", 0.0, 50.0), ("mid", 50.0, 150.0), ("large", 150.0, 1e9))
+
+
+def range_join_generic(events: DataFrame, buckets: DataFrame) -> DataFrame:
+    """Generic theta/range join (J3) for a NON-literal bucket dimension:
+    broadcast the small side, evaluate the range predicate per (row ×
+    bucket) in a BroadcastNestedLoopJoin. Use only when the dimension is a
+    runtime table; for a static literal bucket list use the CASE-expression
+    bucketing in q_range_join — a narrow codegen map, ~10× cheaper (the
+    BNLJ predicate cost scales with bucket count at 100 TB).
+    """
+    return events.join(
+        F.broadcast(buckets),
+        (events.value >= buckets.lo) & (events.value < buckets.hi),
     )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range bucketing (J3's static-dimension form): the literal bucket list
+    folds into a CASE WHEN chain — a narrow whole-stage-codegen map with NO
+    join node at all, the scale-correct plan for a constant dimension. The
+    BroadcastNestedLoopJoin variant survives as `range_join_generic` for
+    genuinely dynamic bucket tables (plan-shape pinned in tests).
+    """
+    events = load_table(spark, sf_dir, "events")
+    label = F.lit(None).cast("string")
+    for name, lo, hi in reversed(RANGE_BUCKETS):
+        cond = (F.col("value") >= lo) & (F.col("value") < hi)
+        label = F.when(cond, name).otherwise(label)
     return (
-        events.join(
-            F.broadcast(buckets),
-            (events.value >= buckets.lo) & (events.value < buckets.hi),
-        )
+        events.withColumn("label", label)
+        .filter(F.col("label").isNotNull())
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -480,10 +578,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RANGE_JOIN_SQL = """
 SELECT label, COUNT(1) AS n, MIN(value) AS min_v, MAX(value) AS max_v
-FROM events
-JOIN (VALUES ('small', 0.0, 50.0), ('mid', 50.0, 150.0), ('large', 150.0, 1e9))
-     AS buckets(label, lo, hi)
-  ON value >= lo AND value < hi
+FROM (
+  SELECT CASE WHEN value >= 0.0 AND value < 50.0 THEN 'small'
+              WHEN value >= 50.0 AND value < 150.0 THEN 'mid'
+              WHEN value >= 150.0 AND value < 1e9 THEN 'large'
+         END AS label, value
+  FROM events
+) t
+WHERE label IS NOT NULL
 GROUP BY label
 ORDER BY label
 """
@@ -494,41 +596,38 @@ def q_order_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     array of gated structs + explode, the same native pattern as
     operators.tasks — oracle is the equivalent UNION ALL."""
     orders = load_table(spark, sf_dir, "orders")
-    total = _dec("o_totalprice", "decimal(18,4)")
+    cents = _fx(_dec("o_totalprice", "decimal(18,2)"), 2)
     candidates = F.array(
-        F.struct(F.lit("base").alias("kind"), total.cast("decimal(19,4)").alias("val")),
+        F.struct(F.lit("base").alias("kind"), cents.alias("val_cents")),
         F.when(
             F.col("o_orderpriority") == "1-URGENT",
-            F.struct(
-                F.lit("urgent").alias("kind"),
-                (total * F.lit(2).cast("decimal(2,0)")).cast("decimal(19,4)").alias("val"),
-            ),
+            F.struct(F.lit("urgent").alias("kind"), (cents * 2).alias("val_cents")),
         ),
         F.when(
             F.col("o_orderstatus") == "O",
-            F.struct(
-                F.lit("open").alias("kind"), F.lit(0).cast("decimal(19,4)").alias("val")
-            ),
+            F.struct(F.lit("open").alias("kind"), F.lit(0).cast("bigint").alias("val_cents")),
         ),
     )
     return (
         orders.select(F.col("o_orderkey"), F.explode(candidates).alias("t"))
         .filter(F.col("t").isNotNull())
-        .select("o_orderkey", F.col("t.kind").alias("kind"), F.col("t.val").alias("val"))
+        .select(
+            "o_orderkey", F.col("t.kind").alias("kind"), F.col("t.val_cents").alias("val_cents")
+        )
         .orderBy("o_orderkey", "kind")
     )
 
 
 ORDER_FANOUT_SQL = """
 SELECT o_orderkey, 'base' AS kind,
-       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DECIMAL(19,4)) AS val
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS val_cents
 FROM orders
 UNION ALL
 SELECT o_orderkey, 'urgent' AS kind,
-       CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DECIMAL(19,4)) AS val
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 2 AS val_cents
 FROM orders WHERE o_orderpriority = '1-URGENT'
 UNION ALL
-SELECT o_orderkey, 'open' AS kind, CAST(0 AS DECIMAL(19,4)) AS val
+SELECT o_orderkey, 'open' AS kind, CAST(0 AS BIGINT) AS val_cents
 FROM orders WHERE o_orderstatus = 'O'
 ORDER BY o_orderkey, kind
 """
@@ -583,14 +682,11 @@ def register_all() -> None:
     register("q5_local_supplier_volume", q5_local_supplier_volume, Q5_SQL)
     register("top_customers", q_top_customers, TOP_CUSTOMERS_SQL)
     register("topk_per_group", q_topk_per_group, TOPK_PER_GROUP_SQL)
-    register("semi_join", q_semi_join, SEMI_JOIN_SQL)
-    register("anti_join", q_anti_join, ANTI_JOIN_SQL)
-    register("rollup_returnflag", q_rollup, ROLLUP_SQL)
-    register("cube_orders", q_cube, CUBE_SQL)
+    register("semi_anti_join", q_semi_anti_join, SEMI_ANTI_SQL)
+    register("rollup_cube", q_rollup_cube, ROLLUP_CUBE_SQL)
     register("ratio_to_total", q_ratio_to_total, RATIO_SQL)
     register("distinct_agg", q_distinct_agg, DISTINCT_AGG_SQL)
-    register("set_intersect", q_intersect, INTERSECT_SQL)
-    register("set_except", q_except, EXCEPT_SQL)
+    register("set_ops", q_set_ops, SET_OPS_SQL)
     register("pivot_orders", q_pivot, PIVOT_SQL)
     register("range_join", q_range_join, RANGE_JOIN_SQL)
     register("order_fanout", q_order_fanout, ORDER_FANOUT_SQL)

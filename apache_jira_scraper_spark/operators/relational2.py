@@ -5,8 +5,6 @@ SURVEY.md §2.3/2.7/2.8/2.4.
   outer_join_balance   J1's left/full-outer flavors: customers without
                        orders and orders-per-customer via a full outer join
                        (null-extension semantics hash-checked)
-  set_union_distinct   §2.7's UNION (distinct) over supplier/customer nation
-                       memberships
   date_arithmetic      §2.8 [X] date fns: interval arithmetic, datediff,
                        unix_timestamp, date_trunc('month')
   udaf_geomean         §2.4 [X] UDAF: grouped-agg Pandas UDF (Arrow batch)
@@ -59,26 +57,6 @@ FROM (SELECT c_custkey, c_nationkey FROM customer) c
 FULL OUTER JOIN (SELECT o_custkey, COUNT(1) AS n_orders FROM orders GROUP BY o_custkey) o
   ON c.c_custkey = o.o_custkey
 ORDER BY custkey
-"""
-
-
-def q_set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of the nations having suppliers with those having
-    customers — completes the §2.7 set-operation family."""
-    sup = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    cust = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
-    )
-    return sup.union(cust).distinct().orderBy("nationkey")
-
-
-SET_UNION_SQL = """
-SELECT s_nationkey AS nationkey FROM supplier
-UNION
-SELECT c_nationkey FROM customer
-ORDER BY nationkey
 """
 
 
@@ -218,7 +196,6 @@ def register_all() -> None:
     from ..registry import register
 
     register("outer_join_balance", q_outer_join_balance, OUTER_JOIN_SQL)
-    register("set_union_distinct", q_set_union_distinct, SET_UNION_SQL)
     register("date_arithmetic", q_date_arithmetic, DATE_ARITH_SQL)
     register("udaf_geomean", q_udaf_geomean, UDAF_GEOMEAN_SQL)
     register("above_avg_orders", q_above_avg_orders, ABOVE_AVG_SQL)

@@ -301,12 +301,89 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined per-document stats gate: token counts, quality score, and
+    fingerprints in ONE narrow map over the corpus — the shape a real
+    pipeline uses (one scan, many derived columns) and one driver slot
+    instead of three. The standalone q_token_stats / q_quality_score /
+    q_fingerprint remain the library API (pinned by tests)."""
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    toks = tokens_col()
+    n = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    score_bp = (
+        F.when(len_ok, F.lit(4000)).otherwise(F.lit(0))
+        + F.floor(n_stop * 3000 / n).cast("bigint")
+        + F.floor(n_dist * 3000 / n).cast("bigint")
+    )
+    shingles = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+            )
+        ),
+    )
+    full_fp = F.md5(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        n_dist.alias("n_distinct"),
+        F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
+        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(n_dist.cast("double") / n, 6).alias("type_token_ratio"),
+        score_bp.alias("quality_score_bp"),
+        full_fp.alias("content_fp"),
+        F.coalesce(F.array_min(shingles), full_fp).alias("shingle_fp"),
+    ).orderBy("doc_id")
+
+
+DOC_STATS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks FROM documents
+), m AS (
+  SELECT doc_id, text, n_chars, toks, len(toks) AS n,
+         len(list_distinct(toks)) AS n_dist,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       n AS n_tokens,
+       n_dist AS n_distinct,
+       ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / n, 6)
+         AS avg_token_len,
+       ROUND(CAST(n_stop AS DOUBLE) / n, 6) AS stopword_ratio,
+       ROUND(CAST(n_dist AS DOUBLE) / n, 6) AS type_token_ratio,
+       CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 4000 ELSE 0 END
+         + CAST(FLOOR(n_stop * 3000 / n) AS BIGINT)
+         + CAST(FLOOR(n_dist * 3000 / n) AS BIGINT) AS quality_score_bp,
+       md5(text) AS content_fp,
+       COALESCE(
+         list_aggregate(
+           list_transform(
+             generate_series(1, n - 2),
+             i -> md5(concat_ws(' ', list_extract(toks, i),
+                                list_extract(toks, i + 1),
+                                list_extract(toks, i + 2)))
+           ), 'min'),
+         md5(text)) AS shingle_fp
+FROM m ORDER BY doc_id
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
     register("doc_clean_text", q_doc_clean, DOC_CLEAN_SQL)
-    register("doc_token_stats", q_token_stats, TOKEN_STATS_SQL)
-    register("doc_quality_score", q_quality_score, QUALITY_SQL)
+    register("doc_stats", q_doc_stats, DOC_STATS_SQL)
     register("doc_lang_id", q_lang_id, LANG_ID_SQL)
-    register("doc_fingerprint", q_fingerprint, FINGERPRINT_SQL)
     register("doc_bpe_token_count", q_bpe_token_count, BPE_TOKEN_SQL)

