@@ -11,8 +11,9 @@ shuffle-based distributed algorithm — no driver-side loops:
                  (pigeonhole-blocked: 4×15-bit blocks, join on equal block)
   n-gram jaccard exact set-similarity join via shared-shingle equi-join
                  (inverted-index style: |A∩B| from a groupBy on shingle)
-  embedding      cosine-threshold near-dup pairs (blocked all-pairs; the
-                 LSH-bucketed variant lives in similarity.py)
+  embedding      cosine-threshold near-dup pairs, blocked on
+                 (label, sign-LSH bucket) — the same deterministic bucket
+                 the ANN path in similarity.py joins on
 
 Hashing is portable-by-construction (md5 hex → BIGINT, see
 text.token_hash60) so every stage is replicated by the DuckDB oracle —

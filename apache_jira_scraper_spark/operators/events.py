@@ -7,9 +7,11 @@ Determinism contract with the DuckDB oracle:
     microseconds, so ts-ties differ between engines.
   - Raw `ts` is never emitted — always unix seconds (floor) or date_trunc,
     both invariant under the ns→µs truncation.
-  - Running double sums use DECIMAL(14,4) casts (exact, association-free);
-    plain doubles would differ because DuckDB's segment-tree window
-    aggregation associates differently than Spark's running accumulator.
+  - Running double sums use DECIMAL(14,2) casts internally (exact,
+    association-free — plain doubles would differ because DuckDB's
+    segment-tree window aggregation associates differently than Spark's
+    running accumulator) and are EMITTED as fixed-point BIGINT cents: the
+    driver's pandas bridge hashes DECIMAL differently per engine.
 """
 
 from __future__ import annotations

@@ -1,17 +1,18 @@
 """Extended coverage queries: approximate aggregates, streaming pipelines
 under the driver gate, and the REST DataSource end-to-end ingest.
 
-  quantiles_exact       exact interpolated percentiles (SURVEY §2.11
-                        "approximate distinct/quantiles" — the exact twin;
-                        DuckDB quantile_cont oracle)
-  approx_distinct_parts approx_count_distinct (HLL++) next to the exact
-                        count — rows-only (sketches are engine-specific)
+  quantiles_exact       exact interpolated percentiles (SURVEY §2.11) plus
+                        an approx_percentile error-envelope verdict — the
+                        sketch value is engine-specific, the envelope
+                        boolean is hash-checked (oracle emits TRUE)
+  approx_distinct_parts exact distinct + HLL++ error-envelope verdict,
+                        hash-checked the same way
   stream_tumbling_counts  Structured Streaming watermark + tumbling window
                         over a file-source stream of events, complete-mode
                         memory sink — bounded input makes the result equal
                         to the batch group-by, so it IS oracle-checkable
-  stream_session_windows  session_window streaming agg (rows-only)
-  stream_dedup          dropDuplicatesWithinWatermark (rows-only)
+  stream_stateful       session_window agg + dropDuplicatesWithinWatermark
+                        legs in one gate (rows-only: true streaming state)
   jira_rest_ingest      full S1 path: in-process mock Jira REST server →
                         custom DataSource (paginated scan, JQL pushdown) →
                         from_json → extract_issues silver rows (rows-only)

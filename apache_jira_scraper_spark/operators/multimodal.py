@@ -85,18 +85,25 @@ def _fake_decode(payload: bytes, width: int, height: int) -> list[int]:
     return hist
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def decode_features(media: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
     """Arrow-batched decode + feature extraction over the binary column.
 
     mapInPandas: each batch arrives as a pandas DataFrame (zero-copy Arrow
     for the binary payload); output is a typed feature table. This is the
     UDF shape that scales — per-batch vectorizable, no per-row pickling.
+    `passthrough` columns of `media` are forwarded unchanged, so upstream
+    column-algebra results survive the Python stage without a re-join.
     """
 
     # NOTE: the closure must be self-contained (no module-global references):
     # cloudpickle serializes globals by module reference, and executor Python
     # workers launched from a foreign CWD cannot import this package.
     real_decode = _REAL_DECODE_AVAILABLE
+    passthrough = list(passthrough or [])
+    pass_schema = "".join(
+        f", {c} {t}"
+        for c, t in ((c, dict(media.dtypes)[c]) for c in passthrough)
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -109,16 +116,17 @@ def decode_features(media: DataFrame) -> DataFrame:
 
         for pdf in batches:
             feats = [fake_decode(payload) for payload in pdf["content"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "features": feats,
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "features": feats,
+                "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return media.mapInPandas(
-        extract, schema="doc_id long, features array<int>, n_bytes int"
+        extract, schema="doc_id long, features array<int>, n_bytes int" + pass_schema
     )
 
 
@@ -143,21 +151,34 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan side + a single doc_id sort-merge; at scale the join is co-
     partitioned (both sides derive from the same source partitioning)."""
     media = binary_docs(spark, sf_dir)
-    feats = decode_features(media).select(
+    # Frame sampling is column algebra, so it rides along in the SAME
+    # projection that feeds the single mapInPandas pass — one scan of the
+    # binary payload, no self-join (a frame_sample(media) ⋈ decode branch
+    # would read the payload twice and shuffle on doc_id).
+    n = F.octet_length("content")
+    idx = F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE))
+    frames = F.transform(
+        idx, lambda i: F.ascii(F.substring(F.col("content").cast("string"), i, 1))
+    )
+    enriched = media.select(
+        "doc_id",
+        "content",
+        "meta",
+        F.md5(F.concat_ws(",", F.transform(frames, lambda x: x.cast("string")))).alias(
+            "frames_md5"
+        ),
+        F.size(frames).alias("n_frames"),
+    )
+    feats = decode_features(enriched, passthrough=["frames_md5", "n_frames"])
+    return feats.select(
         "doc_id",
         F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))).alias(
             "features_csv"
         ),
         "n_bytes",
-    )
-    frames = frame_sample(media).select(
-        "doc_id",
-        F.md5(F.concat_ws(",", F.transform("frames", lambda x: x.cast("string")))).alias(
-            "frames_md5"
-        ),
+        "frames_md5",
         "n_frames",
-    )
-    return feats.join(frames, "doc_id").orderBy("doc_id")
+    ).orderBy("doc_id")
 
 
 MULTIMODAL_DECODE_SQL = f"""
