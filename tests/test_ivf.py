@@ -1,0 +1,72 @@
+"""IVF ANN index: determinism, plan shape, and recall against the exact
+top-k oracle (operators/ivf.py — the coarse-quantizer scale path beside the
+sign-LSH bucketing)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_jira_scraper_spark.operators.ivf import ivf_assign, ivf_build, ivf_search
+from apache_jira_scraper_spark.operators.similarity import _emb, q_cosine_topk
+from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return _emb(spark, sf_dir).persist()
+
+
+@pytest.fixture(scope="module")
+def centroids(emb):
+    return ivf_build(emb, k=8, n_iter=3)
+
+
+def test_build_is_deterministic(emb):
+    a = {r["cid"]: r["centroid"] for r in ivf_build(emb, k=8, n_iter=3).collect()}
+    b = {r["cid"]: r["centroid"] for r in ivf_build(emb, k=8, n_iter=3).collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert a[cid] == pytest.approx(b[cid])
+
+
+def test_assign_partitions_corpus(emb, centroids):
+    n = emb.count()
+    assigned = ivf_assign(emb, centroids, nprobe=1)
+    assert assigned.count() == n  # exactly one cell per vector
+    sizes = assigned.groupBy("cid").count().collect()
+    assert 1 < len(sizes) <= 8  # the quantizer actually splits the space
+    assert sum(r["count"] for r in sizes) == n
+
+
+def test_probe_fanout(emb, centroids):
+    probes = ivf_assign(emb.filter(F.col("vec_id") < 5), centroids, nprobe=3)
+    per_q = {r["vec_id"]: r["count"] for r in probes.groupBy("vec_id").count().collect()}
+    assert set(per_q) == {0, 1, 2, 3, 4}
+    assert all(c == 3 for c in per_q.values())
+
+
+def test_search_recall_vs_exact(spark, sf_dir, emb, centroids):
+    """nprobe=3 of 8 cells must recover most of the exact top-5 — the
+    standard IVF recall check (threshold loose enough to be stable across
+    the deterministic quantizer, tight enough to catch a broken probe)."""
+    exact = q_cosine_topk(spark, sf_dir)
+    truth = {(r["qid"], r["nid"]) for r in exact.collect()}
+    got = {
+        (r["qid"], r["nid"])
+        for r in ivf_search(emb, centroids, n_queries=10, top_k=5, nprobe=3).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"recall@5 = {recall:.2f}"
+
+
+def test_search_plan_is_equi_join(emb, centroids):
+    """Candidate generation must be the cid equi-join. The
+    BroadcastNestedLoopJoins in the plan are the vector×centroid assignment
+    scans — O(n·k) against a k-row broadcast table, the intended shape —
+    but nothing may fall to a real CartesianProduct, and the probe→corpus
+    join must hash on cid."""
+    df = ivf_search(emb, centroids, n_queries=10, top_k=5, nprobe=2)
+    ops = operator_counts(df)
+    assert "CartesianProduct" not in ops, ops
+    assert ops.get("BroadcastHashJoin", 0) >= 1, ops
