@@ -65,6 +65,27 @@ def test_tumbling_counts_match_batch(spark, events_batch, events_stream):
     assert len(got) >= len(exp) * 0.8
 
 
+def test_sliding_windows_match_batch(spark, events_batch, events_stream):
+    """Every emitted sliding frame must equal the batch twin; each event
+    lands in window/slide = 2 overlapping frames."""
+    out = _run(spark, pipelines.sliding_avg(events_stream), "t_sliding", "append")
+    got = {
+        (r["window_start"], r["user_id"]): r["n"] for r in out.collect()
+    }
+    exp = {
+        (r["window_start"], r["user_id"]): r["n"]
+        for r in (
+            events_batch.groupBy(F.window("ts", "10 minutes", "5 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"), "user_id", "n")
+        ).collect()
+    }
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v, k
+    assert len(got) >= len(exp) * 0.8
+
+
 def test_session_windows_close(spark, events_stream, events_batch):
     out = _run(spark, pipelines.session_counts(events_stream), "t_sessions", "append")
     rows = out.collect()
