@@ -280,16 +280,35 @@ ORDER BY d1, d2
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_doc_freq: int | None = None
+) -> DataFrame:
     """Exact n-gram set-similarity join: inverted-index equi-join on the
     shared shingle, |A∩B| by groupBy, jaccard ≥ 0.8.
 
     The scale caveat vs LSH: the shingle join explodes on hot shingles;
-    at 100 TB you run minhash-LSH first and reserve this for verification.
+    at 100 TB you run minhash-LSH first and reserve this for verification —
+    or pass `max_doc_freq` to drop shingles appearing in more than that
+    many documents from the index (the standard df-cutoff): the self-join's
+    worst key fans out max_doc_freq², independent of corpus size. Recall
+    contract: a pair overlapping ONLY in dropped hot shingles is missed and
+    jaccard is computed over the surviving shingles, so this is the
+    approximate scale twin (default None = exact, the oracle-checked gate).
     """
     # One shingle pass: persist the hashed index; the self-join's two sides
     # and the size table otherwise each re-run the whole shingle pipeline.
     sh = _doc_shingle_hashed(spark, sf_dir).persist()
+    if max_doc_freq is not None:
+        # df-cutoff: one extra agg on the persisted index + a semi-join that
+        # keeps only cold shingles; sizes are recomputed over the pruned
+        # index so the jaccard denominator matches the pruned universe.
+        cold = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_doc_freq)
+            .select("sh")
+        )
+        sh = sh.join(cold, "sh", "left_semi").persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     # Lossless size-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
     # so pairs outside the [4/5, 5/4] size band can never reach 0.8 — prune
