@@ -56,24 +56,32 @@ def q_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
 
-    def cents(q: float) -> F.Column:
-        return F.round(F.expr(f"percentile(CAST(l_extendedprice AS DOUBLE), {q})") * 100).cast(
-            "bigint"
-        )
-
+    # ONE sort-based percentile aggregate for all three quantiles (array
+    # argument), not one per column — the group's values are materialized
+    # and sorted once.
+    pcts = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.75))")
     approx_p50 = F.round(
         F.expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)") * 100
     ).cast("bigint")
+
+    def cents(i: int) -> F.Column:
+        return F.round(F.element_at(F.col("_pcts"), i) * 100).cast("bigint")
+
     return (
         li.groupBy("l_returnflag")
         .agg(
-            cents(0.25).alias("p25_cents"),
-            cents(0.5).alias("p50_cents"),
-            cents(0.75).alias("p75_cents"),
+            pcts.alias("_pcts"),
             F.count(F.lit(1)).alias("n"),
+            approx_p50.alias("_ap50"),
+        )
+        .select(
+            "l_returnflag",
+            cents(1).alias("p25_cents"),
+            cents(2).alias("p50_cents"),
+            cents(3).alias("p75_cents"),
+            "n",
             (
-                F.abs(approx_p50 - cents(0.5))
-                <= F.greatest(cents(0.5) / 100, F.lit(100))
+                F.abs(F.col("_ap50") - cents(2)) <= F.greatest(cents(2) / 100, F.lit(100))
             ).alias("approx_p50_ok"),
         )
         .orderBy("l_returnflag")
