@@ -130,6 +130,61 @@ def decode_features(media: DataFrame, passthrough: list[str] | None = None) -> D
     )
 
 
+def resize(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFrame:
+    """Resize stage for "image" payloads: nearest-neighbor subsample of the
+    byte grid down to target_w×target_h, as an Arrow-batched mapInPandas
+    stage (the real PIL/libvips resize drops in behind
+    _REAL_DECODE_AVAILABLE; the fake treats the payload as a row-major
+    width×height byte image and keeps every (w/target_w, h/target_h)-th
+    byte — deterministic, so tests can pin exact output).
+
+    Output schema mirrors the input media shape (binary payload + updated
+    meta), so resize composes with decode_features/frame_sample downstream.
+    """
+    real_decode = _REAL_DECODE_AVAILABLE
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def one(payload: bytes, w: int, h: int) -> bytes:
+            if real_decode:  # pragma: no cover
+                raise NotImplementedError("real codec path not wired here")
+            w, h = max(w, 1), max(h, 1)
+            grid = np.frombuffer(payload, dtype=np.uint8)
+            grid = np.resize(grid, (h, w))  # pad-by-repeat to the declared dims
+            ys = (np.arange(target_h) * h) // target_h
+            xs = (np.arange(target_w) * w) // target_w
+            return grid[np.ix_(ys, xs)].tobytes()
+
+        for pdf in batches:
+            out_payload = [
+                one(p, m["width"], m["height"])
+                for p, m in zip(pdf["content"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": out_payload,
+                    "media_type": pdf["media_type"],
+                    "width": target_w,
+                    "height": target_h,
+                    "n_bytes": [len(p) for p in out_payload],
+                }
+            )
+
+    flat = media.mapInPandas(
+        _resize,
+        schema="doc_id long, content binary, media_type string, "
+        "width int, height int, n_bytes int",
+    )
+    return flat.select(
+        "doc_id",
+        "content",
+        "media_type",
+        F.struct("width", "height", "n_bytes").alias("meta"),
+    )
+
+
 def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame sampling for "video" payloads: every stride-th byte, as the
     stand-in for keyframe selection. Pure column algebra (no UDF needed) —

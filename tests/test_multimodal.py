@@ -44,3 +44,20 @@ def test_frame_sample_stride(spark, sf_dir):
     expected = list(src["content"][::16])
     assert out["frames"] == expected
     assert out["n_frames"] == len(expected)
+
+
+def test_resize_composes_with_decode(spark, sf_dir):
+    """resize → fixed-dim media whose payload is target_w*target_h bytes;
+    deterministic under repartition, and decode_features still runs on the
+    resized payload (the stages compose)."""
+    from apache_jira_scraper_spark.operators.multimodal import binary_docs, resize
+
+    media = binary_docs(spark, sf_dir)
+    small = resize(media, target_w=16, target_h=8)
+    rows = {r["doc_id"]: r for r in small.collect()}
+    assert all(r["meta"]["width"] == 16 and r["meta"]["height"] == 8 for r in rows.values())
+    assert all(len(r["content"]) == 16 * 8 for r in rows.values())
+    again = {r["doc_id"]: r["content"] for r in resize(media.repartition(7), 16, 8).collect()}
+    assert {k: v["content"] for k, v in rows.items()} == again
+    feats = decode_features(small).collect()
+    assert all(sum(r["features"]) == 16 * 8 for r in feats)
