@@ -83,6 +83,68 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def stateful_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (T4/T5 extension):
+    per-user lifetime counters (events seen, value sum in cents, last event
+    second) carried in explicit GroupState across micro-batches — the shape
+    for stateful logic the built-in window/dedup operators can't express.
+
+    State is three scalars per user (bounded), updated from Arrow batches;
+    update mode emits one row per user per batch the user appears in. The
+    watermark bounds how late input can perturb state, exactly as for the
+    built-in stateful operators.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value_cents", LongType()),
+            StructField("last_seen_s", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("cents", LongType()),
+            StructField("last_s", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, cents, last_s = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # round-then-sum in int space: same cents every replay
+            cents += int(round(pdf["value"], 2).mul(100).astype("int64").sum())
+            last_s = max(last_s, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
+        state.update((n, cents, last_s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value_cents": [cents],
+                "last_seen_s": [last_s],
+            }
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def write_idempotent_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str):
     """foreachBatch + overwrite-by-batch-id: an idempotent sink. If a batch
     is replayed after a crash, the same batch_id overwrite lands the same
