@@ -57,7 +57,12 @@ def write_zones(result: PipelineResult, base_dir: str) -> None:
     result.issues.write.mode("overwrite").partitionBy("project").parquet(
         f"{base_dir}/silver/issues"
     )
-    result.examples.write.mode("overwrite").json(f"{base_dir}/gold/examples")
+    # gold is partitioned by task_type: the reference's own downstream
+    # workload (example_usage.py:196-212) filters by task type, so the scan
+    # prunes to one directory instead of reading the whole corpus.
+    result.examples.write.mode("overwrite").partitionBy("task_type").json(
+        f"{base_dir}/gold/examples"
+    )
     result.summary.coalesce(1).write.mode("overwrite").json(f"{base_dir}/stats/summary")
     result.distribution.coalesce(1).write.mode("overwrite").json(
         f"{base_dir}/stats/distribution"

@@ -54,3 +54,8 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert issues_back.count() == 2
     examples_back = spark.read.json(str(out / "gold/examples"))
     assert examples_back.count() == 13
+    # task_type is a partition column: filtering prunes to one directory
+    assert examples_back.filter("task_type = 'summarization'").count() == 2
+    assert sorted(examples_back.columns) == sorted(
+        res_b.examples.columns
+    )
