@@ -57,7 +57,7 @@ TOKEN_HASH60_SQL = "CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT)"
 def q_doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_text (F1) semantics applied at corpus scale: whitespace
     normalization + truncate-with-ellipsis (the reference's +3 contract)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         clean_text(F.col("text"), max_length=100).alias("cleaned"),
@@ -159,7 +159,7 @@ FROM m ORDER BY doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword/n-gram language-ID heuristic: per-language marker counts,
     argmax with fixed precedence; compared against the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = tokens_col()
     scores = {}
     for lang, markers in LANG_MARKERS:
@@ -277,7 +277,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-pretokenizer flavor: pieces per document and the
     pieces-per-whitespace-word ratio (integer ppm) — the standard proxy for
     LLM token cost of a corpus (whitespace flavor: doc_token_stats)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     pieces = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
     words = F.size(tokens_col())
     return docs.select(
