@@ -205,11 +205,12 @@ ORDER BY window_start, event_type
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+T5 stateful streaming in one gate: gap-based session_window
-    aggregation and dropDuplicatesWithinWatermark dedup, tagged and
-    union-ALL'd (rows-only: true streaming state has no SQL twin). Legs are
-    normalized to a common (op, id, aux, n) shape; sessions keyed by user
-    with the start second as aux, dedup rows keyed by event with the
-    event_type as aux."""
+    aggregation, dropDuplicatesWithinWatermark dedup, AND the custom
+    applyInPandasWithState lifetime counters, tagged and union-ALL'd
+    (rows-only: true streaming state has no SQL twin). Legs are normalized
+    to a common (op, id, aux, n) shape; sessions keyed by user with the
+    start second as aux, dedup rows keyed by event with the event_type as
+    aux, lifetime rows keyed by user with the value-cents sum as aux."""
     sessions = _run_to_memory(
         pipelines.session_counts(_events_stream(spark, sf_dir)), spark, "complete"
     ).select(
@@ -230,7 +231,17 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("aux"),
         F.col("user_id").alias("n"),
     )
-    return sessions.unionAll(dedup).orderBy("op", "id", "aux")
+    # single landing file -> one micro-batch -> exactly one emitted row per
+    # user, equal to the batch aggregate (pinned by tests/test_streaming.py)
+    lifetime = _run_to_memory(
+        pipelines.stateful_user_stats(_events_stream(spark, sf_dir)), spark, "update"
+    ).select(
+        F.lit("lifetime").alias("op"),
+        F.col("user_id").alias("id"),
+        F.col("total_value_cents").cast("string").alias("aux"),
+        F.col("n_events").alias("n"),
+    )
+    return sessions.unionAll(dedup).unionAll(lifetime).orderBy("op", "id", "aux")
 
 
 # ---------------------------------------------------------------------------
