@@ -1,6 +1,7 @@
 from .core import (
     backoff_sleep_time,
     clean_text,
+    has_required_fields,
     parse_jira_timestamp,
     sanitize_filename,
     user_display_name,
@@ -9,6 +10,7 @@ from .core import (
 __all__ = [
     "backoff_sleep_time",
     "clean_text",
+    "has_required_fields",
     "parse_jira_timestamp",
     "sanitize_filename",
     "user_display_name",

@@ -59,6 +59,22 @@ def sanitize_filename(col: Column | str) -> Column:
     return F.translate(c, '<>:"/\\|?*', "_________")
 
 
+def has_required_fields(col: Column | str, required: list[str]) -> Column:
+    """Struct-field presence check — the Spark form of the reference's
+    validate_json_structure (utils.py:201-213).
+
+    Under a declared read schema an absent JSON field surfaces as NULL, so
+    `all(field in data)` becomes an AND of per-field isNotNull on the
+    struct. Row-level: malformed envelopes filter out instead of aborting
+    the job (the distributed analog of the reference's per-issue skip).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    cond = F.lit(True)
+    for f in required:
+        cond = cond & c.getField(f).isNotNull()
+    return cond
+
+
 def backoff_sleep_time(col: Column | str, backoff_factor: int = 2) -> Column:
     """Exponential backoff capped at 60s: min(factor**n, 60).
 

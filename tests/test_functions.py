@@ -76,3 +76,19 @@ def test_parse_jira_timestamp(spark):
         spark, parse_jira_timestamp("x"), "2024-01-01T00:00:00.000+0000", "x: string"
     )
     assert out is not None and out.year == 2024 and out.month == 1
+
+
+def test_has_required_fields(spark):
+    from apache_jira_scraper_spark.functions import has_required_fields
+
+    df = spark.createDataFrame(
+        [(("k", "s"),), (("k", None),), ((None, None),)],
+        "u: struct<key: string, summary: string>",
+    )
+    got = [
+        r["ok"]
+        for r in df.select(
+            has_required_fields("u", ["key", "summary"]).alias("ok")
+        ).collect()
+    ]
+    assert got == [True, False, False]
