@@ -308,7 +308,12 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of three. The standalone q_token_stats / q_quality_score /
     q_fingerprint remain the library API (pinned by tests)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    toks = tokens_col()
+    # Two-phase projection (same trick as dedup._doc_shingle_df): alias the
+    # token array once so split(text) runs once per row — the nine derived
+    # expressions below all reference `toks`, and CollapseProject would
+    # otherwise inline the split into each of them.
+    docs = docs.select("doc_id", "text", "n_chars", tokens_col().alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     n_dist = F.size(F.array_distinct(toks))
     total_len = F.aggregate(
