@@ -160,32 +160,42 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword/n-gram language-ID heuristic: per-language marker counts,
     argmax with fixed precedence; compared against the labeled lang column."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    toks = tokens_col()
-    scores = {}
+    # staged projections: split once, score each language once, decide once
+    # — referencing the marker-count expressions through aliases keeps every
+    # list_filter to a single evaluation per row (CollapseProject would
+    # otherwise inline the 5 scores into each branch of the argmax).
+    toked = docs.select("doc_id", "lang", tokens_col().alias("toks"))
+    score_cols = []
     for lang, markers in LANG_MARKERS:
         arr = F.array(*[F.lit(m) for m in markers])
-        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        score_cols.append(
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))).alias(
+                f"s_{lang}"
+            )
+        )
+    scored = toked.select("doc_id", "lang", *score_cols)
+    s = {lang: F.col(f"s_{lang}") for lang, _ in LANG_MARKERS}
     pred = (
         F.when(
-            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"])
-            & (scores["en"] >= scores["fr"]) & (scores["en"] >= scores["zh"]),
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
             "en",
         )
-        .when(
-            (scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"])
-            & (scores["de"] >= scores["zh"]),
-            "de",
-        )
-        .when((scores["es"] >= scores["fr"]) & (scores["es"] >= scores["zh"]), "es")
-        .when(scores["fr"] >= scores["zh"], "fr")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
         .otherwise("zh")
     )
-    return docs.select(
-        "doc_id",
-        "lang",
-        pred.alias("pred_lang"),
-        (pred == F.col("lang")).alias("correct"),
-    ).orderBy("doc_id")
+    return (
+        scored.select("doc_id", "lang", pred.alias("pred_lang"))
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def _marker_sql(markers: tuple[str, ...]) -> str:
