@@ -58,11 +58,11 @@ def q_doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_text (F1) semantics applied at corpus scale: whitespace
     normalization + truncate-with-ellipsis (the reference's +3 contract)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        clean_text(F.col("text"), max_length=100).alias("cleaned"),
-        F.length(clean_text(F.col("text"), max_length=100)).alias("cleaned_len"),
-    ).orderBy("doc_id")
+    return (
+        docs.select("doc_id", clean_text(F.col("text"), max_length=100).alias("cleaned"))
+        .select("doc_id", "cleaned", F.length("cleaned").alias("cleaned_len"))
+        .orderBy("doc_id")
+    )
 
 
 DOC_CLEAN_SQL = """
@@ -290,15 +290,20 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     pieces = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
     words = F.size(tokens_col())
-    return docs.select(
-        "doc_id",
-        pieces.alias("n_pieces"),
-        words.alias("n_words"),
-        F.expr(
-            f"CAST(size(regexp_extract_all(text, '{BPE_PATTERN}', 0)) AS BIGINT)"
-            " * 1000000 DIV size(split(text, ' '))"
-        ).alias("pieces_per_word_ppm"),
-    ).orderBy("doc_id")
+    # staged: the regex pretokenizer runs once per row; the ppm ratio reads
+    # the aliased counts instead of re-running regex + split
+    return (
+        docs.select("doc_id", pieces.alias("n_pieces"), words.alias("n_words"))
+        .select(
+            "doc_id",
+            "n_pieces",
+            "n_words",
+            F.expr("CAST(n_pieces AS BIGINT) * 1000000 DIV n_words").alias(
+                "pieces_per_word_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
 
 
 BPE_TOKEN_SQL = f"""
