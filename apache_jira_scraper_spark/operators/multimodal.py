@@ -215,14 +215,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = F.transform(
         idx, lambda i: F.ascii(F.substring(F.col("content").cast("string"), i, 1))
     )
-    enriched = media.select(
+    # stage the frame array once; md5 and size then read the alias instead
+    # of re-materializing the byte-slicing transform per output column
+    enriched = media.select("doc_id", "content", "meta", frames.alias("frames")).select(
         "doc_id",
         "content",
         "meta",
-        F.md5(F.concat_ws(",", F.transform(frames, lambda x: x.cast("string")))).alias(
+        F.md5(F.concat_ws(",", F.transform("frames", lambda x: x.cast("string")))).alias(
             "frames_md5"
         ),
-        F.size(frames).alias("n_frames"),
+        F.size("frames").alias("n_frames"),
     )
     feats = decode_features(enriched, passthrough=["frames_md5", "n_frames"])
     return feats.select(
