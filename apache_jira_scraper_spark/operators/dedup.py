@@ -384,16 +384,18 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("x"),
     )
     x = F.col("x")
+    # votes as plain bit-count sums: v_i = 2*s_i - n, and v_i > 0 ⟺ 2*s_i > n,
+    # so summing the raw bit (no CASE branch) + one shared COUNT gives the
+    # identical simhash with a cheaper aggregate expression per bit.
     votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nt"),
         *[
-            F.sum(
-                F.when(F.shiftright(x, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.shiftright(x, i).bitwiseAND(F.lit(1))).alias(f"s{i}")
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
     bits = [
-        F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        F.when(F.col(f"s{i}") * 2 > F.col("nt"), F.lit(1 << i)).otherwise(F.lit(0))
         for i in range(SIMHASH_BITS)
     ]
     sim = bits[0]
