@@ -163,7 +163,10 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
-def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+def _start_to_memory(df: DataFrame, mode: str):
+    """Start a memory-sink streaming query; returns (query, table_name) so
+    callers can run several queries CONCURRENTLY and await them together —
+    gate wall-time is then the max leg, not the sum."""
     name = f"ext_sink_{next(_MEM_SINK_IDS)}"
     q = (
         df.writeStream.format("memory")
@@ -172,6 +175,11 @@ def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
+    return q, name
+
+
+def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    q, name = _start_to_memory(df, mode)
     q.awaitTermination()
     return df.sparkSession.table(name)
 
@@ -210,32 +218,39 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     (rows-only: true streaming state has no SQL twin). Legs are normalized
     to a common (op, id, aux, n) shape; sessions keyed by user with the
     start second as aux, dedup rows keyed by event with the event_type as
-    aux, lifetime rows keyed by user with the value-cents sum as aux."""
-    sessions = _run_to_memory(
-        pipelines.session_counts(_events_stream(spark, sf_dir)), spark, "complete"
-    ).select(
+    aux, lifetime rows keyed by user with the value-cents sum as aux.
+
+    The three legs START concurrently and are awaited together, so the gate
+    pays the slowest streaming query once instead of all three in series."""
+    q_sess, t_sess = _start_to_memory(
+        pipelines.session_counts(_events_stream(spark, sf_dir)), "complete"
+    )
+    q_dedup, t_dedup = _start_to_memory(
+        pipelines.stream_dedup(_events_stream(spark, sf_dir)).select(
+            "event_id", "user_id", "event_type"
+        ),
+        "append",
+    )
+    # single landing file -> one micro-batch -> exactly one emitted row per
+    # user, equal to the batch aggregate (pinned by tests/test_streaming.py)
+    q_life, t_life = _start_to_memory(
+        pipelines.stateful_user_stats(_events_stream(spark, sf_dir)), "update"
+    )
+    for q in (q_sess, q_dedup, q_life):
+        q.awaitTermination()
+    sessions = spark.table(t_sess).select(
         F.lit("session").alias("op"),
         F.col("user_id").alias("id"),
         F.unix_timestamp("session_start").cast("string").alias("aux"),
         F.col("n_events").alias("n"),
     )
-    dedup = _run_to_memory(
-        pipelines.stream_dedup(_events_stream(spark, sf_dir)).select(
-            "event_id", "user_id", "event_type"
-        ),
-        spark,
-        "append",
-    ).select(
+    dedup = spark.table(t_dedup).select(
         F.lit("dedup").alias("op"),
         F.col("event_id").alias("id"),
         F.col("event_type").alias("aux"),
         F.col("user_id").alias("n"),
     )
-    # single landing file -> one micro-batch -> exactly one emitted row per
-    # user, equal to the batch aggregate (pinned by tests/test_streaming.py)
-    lifetime = _run_to_memory(
-        pipelines.stateful_user_stats(_events_stream(spark, sf_dir)), spark, "update"
-    ).select(
+    lifetime = spark.table(t_life).select(
         F.lit("lifetime").alias("op"),
         F.col("user_id").alias("id"),
         F.col("total_value_cents").cast("string").alias("aux"),
