@@ -63,12 +63,17 @@ ORDER BY custkey
 def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/interval function family over orders: month bucketing, interval
     shift, day difference from a fixed epoch, unix seconds."""
+    # Date-typed finals are rendered as ISO strings: Spark's toPandas yields
+    # datetime.date objects where DuckDB's .df() yields midnight Timestamps,
+    # so the raw types hash differently across the driver's pandas bridge.
     o = load_table(spark, sf_dir, "orders")
     return (
-        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        o.groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").cast("string").alias("month")
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.min(F.date_add("o_orderdate", 90)).alias("earliest_due"),
+            F.min(F.date_add("o_orderdate", 90)).cast("string").alias("earliest_due"),
             F.max(F.datediff("o_orderdate", F.lit("1992-01-01"))).alias("max_day_offset"),
             F.min(F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))).alias(
                 "min_unix"
@@ -79,9 +84,9 @@ def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DATE_ARITH_SQL = """
-SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+SELECT CAST(CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS VARCHAR) AS month,
        COUNT(1) AS n,
-       MIN(CAST(o_orderdate + INTERVAL 90 DAY AS DATE)) AS earliest_due,
+       CAST(MIN(CAST(o_orderdate + INTERVAL 90 DAY AS DATE)) AS VARCHAR) AS earliest_due,
        MAX(datediff('day', DATE '1992-01-01', o_orderdate)) AS max_day_offset,
        MIN(CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)) AS min_unix
 FROM orders
