@@ -383,25 +383,40 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("x"),
     )
-    x = F.col("x")
-    # votes as plain bit-count sums: v_i = 2*s_i - n, and v_i > 0 ⟺ 2*s_i > n,
-    # so summing the raw bit (no CASE branch) + one shared COUNT gives the
-    # identical simhash with a cheaper aggregate expression per bit.
-    votes = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("nt"),
-        *[
-            F.sum(F.shiftright(x, i).bitwiseAND(F.lit(1))).alias(f"s{i}")
-            for i in range(SIMHASH_BITS)
-        ],
-    )
-    bits = [
-        F.when(F.col(f"s{i}") * 2 > F.col("nt"), F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(SIMHASH_BITS)
+    # Packed bit-counter aggregation: 60 per-bit SUMs generate a pathological
+    # whole-stage-codegen method (~17 s of Janino compile at first run), so
+    # pack 3 counters per BIGINT in 20-bit fields — 20 SUMs carry all 60
+    # counts. Field width bounds the votes at 2^20-1 token occurrences per
+    # document (and the packed row sum stays < 2^63 for n < 8M tokens), far
+    # above any real document. v_i > 0 ⟺ 2*s_i > n as before, so the
+    # resulting simhash is bit-identical to the unpacked form and the oracle
+    # SQL needs no change.
+    groups = SIMHASH_BITS // 3
+    packed = [
+        F.expr(
+            f"CAST(((x >> {3 * g}) & 1) + (((x >> {3 * g + 1}) & 1) << 20)"
+            f" + (((x >> {3 * g + 2}) & 1) << 40) AS BIGINT)"
+        ).alias(f"p{g}")
+        for g in range(groups)
     ]
-    sim = bits[0]
-    for b in bits[1:]:
-        sim = sim + b
-    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+    votes = (
+        tok.select("doc_id", *packed)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("nt"),
+            *[F.sum(f"p{g}").alias(f"S{g}") for g in range(groups)],
+        )
+    )
+    sim = F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * ((S{i // 3} >> {20 * (i % 3)}) & 1048575) > nt"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(SIMHASH_BITS)
+        )
+        + " AS BIGINT)"
+    )
+    return votes.select("doc_id", sim.alias("simhash"))
 
 
 _XT_SQL = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"

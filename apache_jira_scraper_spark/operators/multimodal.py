@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table, load_table_parallel
+from ..io import load_table
 
 # Set True only in an environment with real codecs (PIL etc.); the container
 # deliberately has none, so the deterministic fake below is the active path.
@@ -32,7 +32,7 @@ FRAME_STRIDE = 16
 
 def binary_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> media table: binary payload + typed metadata struct."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     content = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, load_table_parallel
+from ..io import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -35,7 +35,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer then does one fold per pair instead of three. Same arithmetic as
     DuckDB's list_cosine_similarity (sequential double fold), so rounding
     at 6 decimals is engine-stable."""
-    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     sq = F.aggregate(

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import clean_text
-from ..io import load_table, load_table_parallel
+from ..io import load_table
 
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
 
@@ -57,7 +57,7 @@ TOKEN_HASH60_SQL = "CAST(concat('0x', substr(md5({t}), 1, 15)) AS BIGINT)"
 def q_doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clean_text (F1) semantics applied at corpus scale: whitespace
     normalization + truncate-with-ellipsis (the reference's +3 contract)."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select("doc_id", clean_text(F.col("text"), max_length=100).alias("cleaned"))
         .select("doc_id", "cleaned", F.length("cleaned").alias("cleaned_len"))
@@ -159,7 +159,7 @@ FROM m ORDER BY doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword/n-gram language-ID heuristic: per-language marker counts,
     argmax with fixed precedence; compared against the labeled lang column."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     # staged projections: split once, score each language once, decide once
     # — referencing the marker-count expressions through aliases keeps every
     # list_filter to a single evaluation per row (CollapseProject would
@@ -236,7 +236,7 @@ FROM s ORDER BY doc_id
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5 + min word-3-gram shingle
     fingerprint (the content-defined analog of a rolling hash)."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     toks = tokens_col()
     n = F.size(toks)
     shingles = F.transform(
@@ -287,7 +287,7 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting, BPE-pretokenizer flavor: pieces per document and the
     pieces-per-whitespace-word ratio (integer ppm) — the standard proxy for
     LLM token cost of a corpus (whitespace flavor: doc_token_stats)."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     pieces = F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)))
     words = F.size(tokens_col())
     # staged: the regex pretokenizer runs once per row; the ppm ratio reads
@@ -322,7 +322,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses (one scan, many derived columns) and one driver slot
     instead of three. The standalone q_token_stats / q_quality_score /
     q_fingerprint remain the library API (pinned by tests)."""
-    docs = load_table_parallel(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents")
     # Two-phase projection (same trick as dedup._doc_shingle_df): alias the
     # token array once so split(text) runs once per row — the nine derived
     # expressions below all reference `toks`, and CollapseProject would
