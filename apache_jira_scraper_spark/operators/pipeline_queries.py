@@ -187,9 +187,15 @@ def _issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _ISSUES_CACHE.get(key)
     if df is None:
         df = extract_issues(synthetic_raw_issues(spark, sf_dir))
+        # localCheckpoint, not persist(): the issues row carries
+        # comments:array<struct<...>>, and InMemoryRelation's columnar cache
+        # builder takes ~5x the cost of computing the rows on that nested
+        # type (30 s vs 6 s at sf0.1). Checkpointing stores the UnsafeRow
+        # blocks directly. On a multi-executor cluster the production analog
+        # is a silver parquet table (or reliable checkpoint()); local-mode
+        # block storage is exactly that materialization without the FS trip.
+        df = df.localCheckpoint(eager=True)
         _ISSUES_CACHE[key] = df
-    if not df.storageLevel.useMemory:  # (re-)persist; survives clearCache
-        df.persist()
     return df
 
 
