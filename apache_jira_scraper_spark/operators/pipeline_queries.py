@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from .extract import extract_issues
-from .tasks import issues_to_examples
+from .tasks import comment_digests, issues_to_examples
 
 
 # ---------------------------------------------------------------------------
@@ -187,13 +187,20 @@ def _issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _ISSUES_CACHE.get(key)
     if df is None:
         df = extract_issues(synthetic_raw_issues(spark, sf_dir))
-        # localCheckpoint, not persist(): the issues row carries
-        # comments:array<struct<...>>, and InMemoryRelation's columnar cache
-        # builder takes ~5x the cost of computing the rows on that nested
-        # type (30 s vs 6 s at sf0.1). Checkpointing stores the UnsafeRow
-        # blocks directly. On a multi-executor cluster the production analog
-        # is a silver parquet table (or reliable checkpoint()); local-mode
-        # block storage is exactly that materialization without the FS trip.
+        # Silver form: the example flatMap only ever reads the comments
+        # array through two scalar digests (first-3 block / last-2 block),
+        # so materialize those and DROP the array — the digests are short
+        # strings, the array is every comment body duplicated. At 100 TB
+        # the silver table stores the strings; the bronze zone keeps the
+        # array for replays.
+        df = comment_digests(df).drop("comments")
+        # localCheckpoint, not persist(): InMemoryRelation's columnar cache
+        # builder is ~5x the row-compute cost on nested types (30 s vs 6 s
+        # at sf0.1 with the array still present). Checkpointing stores the
+        # UnsafeRow blocks directly. On a multi-executor cluster the
+        # production analog is a silver parquet table (or reliable
+        # checkpoint()); local-mode block storage is exactly that
+        # materialization without the FS trip.
         df = df.localCheckpoint(eager=True)
         _ISSUES_CACHE[key] = df
     return df

@@ -82,6 +82,36 @@ def _gated(gate: Column, example: Column) -> Column:
     return F.when(gate, example)
 
 
+def comment_digests(issues: DataFrame) -> DataFrame:
+    """Scalar digests of the `comments` array — the ONLY projections the
+    example flatMap reads (first-3 formatted block, last-2 body block).
+
+    Precomputing these lets a silver/materialized issues table drop the
+    nested array<struct> column entirely: the digests are plain strings,
+    far cheaper to materialize and scan than the array, and at 100 TB the
+    silver parquet then stores two short strings instead of every comment
+    body twice. NULL (not '') when an issue has no comments, so a
+    downstream concat_ws skips the block exactly like the absent-array
+    case (and like SQL string_agg over zero rows)."""
+    has = F.size("comments") > 0
+    first3 = F.concat_ws(
+        "\n\n",
+        F.transform(
+            F.slice("comments", 1, 3),
+            lambda c, i: F.concat(
+                F.lit("Comment "), (i + 1).cast("string"), F.lit(": "), c.getField("body")
+            ),
+        ),
+    )
+    last2_arr = F.when(F.size("comments") <= 2, F.col("comments")).otherwise(
+        F.slice("comments", -2, 2)
+    )
+    last2 = F.concat_ws("\n", F.transform(last2_arr, lambda c: c.getField("body")))
+    return issues.withColumn("first3_block", F.when(has, first3)).withColumn(
+        "last2_block", F.when(has, last2)
+    )
+
+
 def issues_to_examples(issues: DataFrame, include_content: bool = True) -> DataFrame:
     """Transform an ISSUE DataFrame into an EXAMPLE DataFrame (the flatMap).
 
@@ -91,28 +121,29 @@ def issues_to_examples(issues: DataFrame, include_content: bool = True) -> DataF
     def _ex(task_type, input_col, output_col, question_type=None):
         return _example(task_type, input_col, output_col, question_type, include_content)
 
+    if "first3_block" not in issues.columns:
+        # library callers hand raw issues with the comments array; gate
+        # queries hand the silver form with the digests already materialized
+        issues = comment_digests(issues)
     desc = F.col("description")
     has_desc = _truthy(desc)
-    has_comments = F.size("comments") > 0
+    has_comments = (
+        F.size("comments") > 0
+        if "comments" in issues.columns
+        else F.col("comment_count") > 0
+    )
     desc500 = F.substring(desc, 1, 500)
 
     # -- summarization (transformer.py:32-64): description + first 3 comments
-    context_parts = F.concat(
-        F.when(has_desc, F.array(F.concat(F.lit("Description: "), desc))).otherwise(
-            F.array().cast("array<string>")
-        ),
-        F.transform(
-            F.slice("comments", 1, 3),
-            lambda c, i: F.concat(
-                F.lit("Comment "), (i + 1).cast("string"), F.lit(": "), c.getField("body")
-            ),
-        ),
-    )
     summarization = _gated(
         has_desc | has_comments,
         _ex(
             "summarization",
-            F.concat_ws("\n\n", context_parts),
+            F.concat_ws(
+                "\n\n",
+                F.when(has_desc, F.concat(F.lit("Description: "), desc)),
+                F.col("first3_block"),
+            ),
             F.concat(
                 F.col("title"), F.lit(" (Status: "), F.col("status"),
                 F.lit(", Priority: "), F.col("priority"), F.lit(")"),
@@ -186,12 +217,7 @@ def issues_to_examples(issues: DataFrame, include_content: bool = True) -> DataF
 
     # -- issue resolution (transformer.py:179-212): last 2 comment bodies,
     # joined by '\n', sliced to 500 chars (plain slice)
-    last2 = F.when(F.size("comments") <= 2, F.col("comments")).otherwise(
-        F.slice("comments", -2, 2)
-    )
-    resolution_context = F.concat_ws(
-        "\n", F.transform(last2, lambda c: c.getField("body"))
-    )
+    resolution_context = F.coalesce(F.col("last2_block"), F.lit(""))
     issue_resolution = _gated(
         has_comments & F.col("status").isin("Resolved", "Closed"),
         _ex(
