@@ -43,13 +43,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # ts arrives as raw nanos (see session.py nanosAsLong); convert to a
-        # µs TimestampType. `DIV 1000` truncates exactly like Spark's own
-        # ns→µs handling would; DuckDB-oracle queries never compare sub-second.
+        # Normalize ts to a plain µs TimestampType whatever the file stores:
+        #   - legacy testdata: TIMESTAMP(NANOS) read as raw nanos via
+        #     nanosAsLong → DIV 1000 truncates exactly like Spark's own
+        #     ns→µs handling would
+        #   - current testdata: TIMESTAMP(MICROS) without timezone → Spark
+        #     reads TIMESTAMP_NTZ, which watermarks/windows reject; cast to
+        #     TIMESTAMP under a UTC session so the wall-clock values the
+        #     DuckDB oracle sees in the naive column are preserved
+        # DuckDB-oracle queries never compare sub-second.
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif dt == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -160,7 +160,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_DIRS[sf_dir] = d
     raw_schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(raw_schema).parquet(_STREAM_DIRS[sf_dir])
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Newer testdata writes ts as TIMESTAMP(MICROS) natively; only legacy
+    # nanos-as-long files need the explicit conversion (mirrors io.load_table).
+    if raw_schema["ts"].dataType.simpleString() == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif raw_schema["ts"].dataType.simpleString() == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with local tz). The session runs in
+        # UTC (pinned below, runtime-settable), so the cast preserves the
+        # wall-clock values the DuckDB oracle sees in the naive column.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def _start_to_memory(df: DataFrame, mode: str):

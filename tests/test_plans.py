@@ -40,9 +40,19 @@ def test_q5_broadcasts_every_dim(spark, sf_dir):
 
 
 def test_flatmap_pipeline_joins(spark, sf_dir):
-    df = _QS["jira_flatmap_examples"](spark, sf_dir)
+    # The broadcast-dim joins live in the issues-synthesis subtree, which
+    # the gate query consumes through a localCheckpoint (silver-table
+    # materialization) — so assert the join shape on the subtree itself.
+    from apache_jira_scraper_spark.operators.pipeline_queries import (
+        synthetic_raw_issues,
+    )
+
+    src = synthetic_raw_issues(spark, sf_dir)
     # docs dim broadcast twice (orders text + comment text)
-    assert_broadcast_joins(df, 2)
+    assert_broadcast_joins(src, 2)
+    assert_no_cartesian(src)
+
+    df = _QS["jira_flatmap_examples"](spark, sf_dir)
     assert_no_cartesian(df)
     ops = operator_counts(df)
     assert ops.get("Generate", 0) == 1  # the explode — exactly one
