@@ -175,8 +175,14 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_SIG_SQL = f"SELECT * FROM ({_SIG_SQL}) s ORDER BY doc_id"
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup pairs, exact-verified.
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified MinHash-LSH near-dup pairs (unordered), materialized once
+    per (session, sf_dir): the pair gate and the clusters gate both consume
+    this subtree, and a production pipeline would likewise land the pair
+    table once between its dedup stages.
 
     Banding: 4 bands × 2 rows; a pair collides if any band's packed key is
     equal → candidate generation is 4 self-equi-joins on a single BIGINT
@@ -184,6 +190,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact jaccard via the shared-shingle inverted index and
     filtered at 0.5.
     """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIRS_CACHE.get(key)
+    if cached is None:
+        cached = _minhash_pairs_uncached(spark, sf_dir).localCheckpoint(eager=True)
+        _PAIRS_CACHE[key] = cached
+    return cached
+
+
+def _minhash_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE shingle+md5 pass, persisted: signatures (via the top-32-bits trick
     # in _signatures), sizes, and the verification inverted index all read
     # the same cached (doc_id, sh) table instead of re-running the pipeline.
@@ -248,7 +263,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
     )
-    return jac.orderBy("d1", "d2")
+    return jac
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified (see minhash_pairs)."""
+    return minhash_pairs(spark, sf_dir).orderBy("d1", "d2")
 
 
 _BANDS_SQL = f"""
@@ -570,6 +590,106 @@ ORDER BY v1, v2
 """
 
 
+def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Connected components over an undirected pair graph by iterative
+    min-label propagation (hash-to-min): each node's label starts as its own
+    id; every round each node takes the min of its own label and its
+    neighbors' labels; converged when no label changes.
+
+    Input: (d1, d2) pairs. Output: (doc_id, cluster_id) for every node that
+    appears in an edge — cluster_id is the minimum doc_id reachable in the
+    component.
+
+    Scale shape: each round is ONE shuffle join (edges ⋈ labels on the
+    neighbor key) + ONE min-aggregate — no driver-side data, only a scalar
+    convergence count per round. Rounds needed = component diameter; dedup
+    graphs are piles of near-cliques (diameter 2-3), so 3-4 rounds cover a
+    real corpus. For adversarial long-chain graphs, the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce and Beyond") drops rounds to O(log n) — same join+agg
+    primitives, swap in if the edge set ever carries long chains. Lineage is
+    truncated each round with localCheckpoint (cluster analog: reliable
+    checkpoint / intermediate table), or the plan tree doubles per round.
+    """
+    # Materialize the edge list ONCE up front: every union branch / round
+    # below re-reads stored blocks instead of re-running the (potentially
+    # expensive) pair-generation subtree per reference.
+    edges = edges.localCheckpoint(eager=True)
+    sym = edges.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")).unionByName(
+        edges.select(F.col("d2").alias("node"), F.col("d1").alias("nbr"))
+    )
+    labels = (
+        sym.select("node").distinct().withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_lbl = (
+            sym.join(labels.withColumnRenamed("node", "nbr"), "nbr")
+            .select("node", "lbl")
+        )
+        new_labels = (
+            nbr_lbl.unionByName(labels.select("node", "lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("lbl", "old"), "node"
+            )
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the verified
+    MinHash-LSH pair graph, plus per-cluster size — the step a training-data
+    pipeline runs after pair generation to keep ONE canonical document per
+    duplicate cluster (cluster_id doubles as the keeper's doc_id).
+
+    The DuckDB oracle computes the same closure with a recursive CTE over
+    the identical pair SQL, so the check is exact end-to-end: shingles →
+    signatures → LSH candidates → verified pairs → components.
+    """
+    edges = minhash_pairs(spark, sf_dir).select("d1", "d2")
+    labels = connected_components(edges)
+    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(F.broadcast(sizes), "cluster_id")
+        .select("cluster_id", "doc_id", "cluster_size")
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS (
+  SELECT d1, d2 FROM ({DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")}) p
+),
+e AS (
+  SELECT d1 AS node, d2 AS nbr FROM pairs
+  UNION
+  SELECT d2 AS node, d1 AS nbr FROM pairs
+),
+reach(node, nbr) AS (
+  SELECT node, nbr FROM e
+  UNION
+  SELECT r.node, e.nbr FROM reach r JOIN e ON r.nbr = e.node
+),
+lbl AS (
+  SELECT node AS doc_id, LEAST(node, MIN(nbr)) AS cluster_id
+  FROM reach GROUP BY node
+)
+SELECT cluster_id, doc_id,
+       COUNT(1) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lbl
+ORDER BY cluster_id, doc_id
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
@@ -582,3 +702,4 @@ def register_all() -> None:
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_embedding_cosine", q_dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)
+    register("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_SQL)

@@ -209,7 +209,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Frame sampling is column algebra, so it rides along in the SAME
     # projection that feeds the single mapInPandas pass — one scan of the
     # binary payload, no self-join (a frame_sample(media) ⋈ decode branch
-    # would read the payload twice and shuffle on doc_id).
+    # would read the payload twice and shuffle on doc_id). The metadata
+    # columns (content digest, typed width/height — formerly the separate
+    # multimodal_meta gate) ride along the same way.
     n = F.octet_length("content")
     idx = F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE))
     frames = F.transform(
@@ -225,8 +227,14 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frames_md5"
         ),
         F.size("frames").alias("n_frames"),
+        F.md5("content").alias("content_md5"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
     )
-    feats = decode_features(enriched, passthrough=["frames_md5", "n_frames"])
+    feats = decode_features(
+        enriched,
+        passthrough=["frames_md5", "n_frames", "content_md5", "width", "height"],
+    )
     return feats.select(
         "doc_id",
         F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))).alias(
@@ -235,6 +243,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "frames_md5",
         "n_frames",
+        "content_md5",
+        "width",
+        "height",
     ).orderBy("doc_id")
 
 
@@ -258,11 +269,15 @@ WITH bytes AS (
            list_transform(generate_series(1, length(text), {FRAME_STRIDE}),
                           i -> ascii(substr(text, i, 1))),
            ',')) AS frames_md5,
-         len(generate_series(1, length(text), {FRAME_STRIDE})) AS n_frames
+         len(generate_series(1, length(text), {FRAME_STRIDE})) AS n_frames,
+         md5(text) AS content_md5,
+         CAST(n_chars % 640 AS INT) AS width,
+         CAST((n_chars * 7) % 480 AS INT) AS height
   FROM documents
 )
 SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
-       frames_md5, CAST(n_frames AS INT) AS n_frames
+       frames_md5, CAST(n_frames AS INT) AS n_frames,
+       content_md5, width, height
 FROM feat JOIN fr ON feat.doc_id = fr.doc_id
 ORDER BY feat.doc_id
 """
@@ -271,5 +286,9 @@ ORDER BY feat.doc_id
 def register_all() -> None:
     from ..registry import register
 
-    register("multimodal_meta", q_multimodal_meta, MULTIMODAL_META_SQL)
+    # multimodal_meta is subsumed by multimodal_decode (content digest +
+    # typed width/height now ride the decode gate's passthrough columns);
+    # q_multimodal_meta stays available as a library function. The freed
+    # registry slot keeps the hash-checked surface at the driver's 50-query
+    # cap while dedup_clusters joins the gate list.
     register("multimodal_decode", q_multimodal_decode, MULTIMODAL_DECODE_SQL)

@@ -48,3 +48,23 @@ def test_ngram_df_cutoff_prunes_and_converges(spark, sf_dir):
     assert loose == exact
     strict = q_dedup_ngram_jaccard(spark, sf_dir, max_doc_freq=1).collect()
     assert strict == []
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 4-node chain (worst-case diameter) and a disjoint triangle must
+    both collapse to their min node id; a pair component keeps its own min."""
+    from apache_jira_scraper_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "d1 long, d2 long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    }
