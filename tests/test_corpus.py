@@ -1,0 +1,82 @@
+"""Corpus-assembly operators (split / packing): DuckDB-oracle parity plus
+the semantic properties that make them safe at scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apache_jira_scraper_spark.io import load_table
+from apache_jira_scraper_spark.operators.corpus import (
+    PACK_SUMMARY_SQL,
+    SEQ_BUDGET_TOKENS,
+    SPLIT_COUNTS_SQL,
+    deterministic_split,
+    pack_sequences,
+    pack_summary,
+    split_counts,
+)
+from tests.oracle_utils import assert_matches_oracle
+
+
+def test_split_counts_match_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert_matches_oracle(split_counts(docs), SPLIT_COUNTS_SQL, sf_dir, name="split_counts")
+
+
+def test_split_is_stable_under_corpus_growth(spark, sf_dir):
+    """A document's split must not change when other documents disappear —
+    the contamination-control property hash assignment buys."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in deterministic_split(docs).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in deterministic_split(docs.filter(F.col("doc_id") % 2 == 0)).collect()
+    }
+    assert half == {k: v for k, v in full.items() if k % 2 == 0}
+
+
+def test_split_covers_and_partitions(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_split(docs)
+    assert out.count() == docs.count()
+    assert set(r["split"] for r in out.select("split").distinct().collect()) <= {
+        "train",
+        "val",
+        "test",
+    }
+
+
+def test_pack_summary_matches_oracle(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    assert_matches_oracle(pack_summary(docs), PACK_SUMMARY_SQL, sf_dir, name="pack_summary")
+
+
+def test_packing_fills_sequences(spark, sf_dir):
+    """Every sequence except each shard's tail must start at least a full
+    budget's worth of tokens minus one straddling document; equivalently,
+    a doc starts in seq k+1 only once seq k's cumulative fill passed the
+    budget. Check the per-shard invariant: token starts are monotone in
+    seq order and each non-tail sequence's cumulative fill >= budget."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = pack_summary(docs).collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["seq_id"] >> 40, []).append(r)
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r["seq_id"])
+        for r in seqs[:-1]:
+            assert r["tokens_started"] >= 1
+        # non-tail sequences: the NEXT sequence exists, so the cut fired —
+        # cumulative fill through this sequence reached its budget boundary
+        total = 0
+        for i, r in enumerate(seqs):
+            total += r["tokens_started"]
+            if i < len(seqs) - 1:
+                assert total >= (r["seq_id"] & ((1 << 40) - 1)) * SEQ_BUDGET_TOKENS
+
+
+def test_pack_ids_unique_per_doc(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
