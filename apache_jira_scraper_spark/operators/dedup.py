@@ -175,6 +175,23 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 MINHASH_SIG_SQL = f"SELECT * FROM ({_SIG_SQL}) s ORDER BY doc_id"
 
 
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed shingle inverted index (doc_id, sh), materialized once per
+    (session, sf_dir) and shared by every consumer — minhash signatures,
+    LSH verification, and the exact n-gram jaccard join all read the same
+    blocks. The production analog is landing the shingle table once between
+    pipeline stages rather than re-tokenizing the corpus per operator."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is None:
+        cached = _doc_shingle_hashed(spark, sf_dir).localCheckpoint(eager=True)
+        _SHINGLE_CACHE[key] = cached
+    return cached
+
+
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
@@ -193,16 +210,25 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIRS_CACHE.get(key)
     if cached is None:
-        cached = _minhash_pairs_uncached(spark, sf_dir).localCheckpoint(eager=True)
+        jac, scratch = _minhash_pairs_uncached(spark, sf_dir)
+        cached = jac.localCheckpoint(eager=True)
+        # The checkpoint holds the final pair blocks; the build-time caches
+        # (shingle index, candidate set) would otherwise sit in executor
+        # memory for the rest of the session pressuring every later query.
+        for df in scratch:
+            df.unpersist()
         _PAIRS_CACHE[key] = cached
     return cached
 
 
-def _minhash_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # ONE shingle+md5 pass, persisted: signatures (via the top-32-bits trick
-    # in _signatures), sizes, and the verification inverted index all read
-    # the same cached (doc_id, sh) table instead of re-running the pipeline.
-    sh = _doc_shingle_hashed(spark, sf_dir).persist()
+def _minhash_pairs_uncached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[DataFrame]]:
+    # ONE shingle+md5 pass (shared session cache): signatures (via the
+    # top-32-bits trick in _signatures), sizes, and the verification
+    # inverted index all read the same materialized (doc_id, sh) table
+    # instead of re-running the pipeline.
+    sh = shingle_index(spark, sf_dir)
     sig = _signatures(spark, sf_dir, sh_hashed=sh)
     two31 = F.lit(2_147_483_648)
     # One exploded (band_idx, band_key) table + a single self-equi-join —
@@ -263,7 +289,7 @@ def _minhash_pairs_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
     )
-    return jac
+    return jac, [cand, sh_cand]
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,9 +341,9 @@ def q_dedup_ngram_jaccard(
     jaccard is computed over the surviving shingles, so this is the
     approximate scale twin (default None = exact, the oracle-checked gate).
     """
-    # One shingle pass: persist the hashed index; the self-join's two sides
-    # and the size table otherwise each re-run the whole shingle pipeline.
-    sh = _doc_shingle_hashed(spark, sf_dir).persist()
+    # One shingle pass: the shared session-materialized index; the
+    # self-join's two sides and the size table all read the same blocks.
+    sh = shingle_index(spark, sf_dir)
     if max_doc_freq is not None:
         # df-cutoff: one extra agg on the persisted index + a semi-join that
         # keeps only cold shingles; sizes are recomputed over the pruned
