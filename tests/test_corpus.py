@@ -80,3 +80,23 @@ def test_pack_ids_unique_per_doc(spark, sf_dir):
     packed = pack_sequences(docs)
     assert packed.count() == docs.count()
     assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_split_plan_is_narrow(spark, sf_dir):
+    """Zero exchanges: the split must never shuffle."""
+    from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    ops = operator_counts(deterministic_split(docs))
+    assert ops.get("Exchange", 0) == 0, ops
+
+
+def test_pack_plan_single_shard_exchange(spark, sf_dir):
+    """Exactly ONE exchange (the hash-shard partitioning for the window) —
+    a global-order window would show a single-partition sort instead."""
+    from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    ops = operator_counts(pack_sequences(docs))
+    assert ops.get("Exchange", 0) == 1, ops
+    assert ops.get("Window", 0) == 1, ops

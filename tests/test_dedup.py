@@ -68,3 +68,10 @@ def test_connected_components_chain_and_clique(spark):
         (10, 10), (11, 10), (12, 10),
         (20, 20), (21, 20),
     }
+
+
+def test_connected_components_empty_edges(spark):
+    from apache_jira_scraper_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "d1 long, d2 long")
+    assert connected_components(edges).count() == 0
