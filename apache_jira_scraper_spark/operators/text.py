@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import clean_text
-from ..io import load_table
+from ..io import load_table, load_table_parallel
 
 STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "for")
 
@@ -81,7 +81,7 @@ FROM t ORDER BY doc_id
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, avg token length."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = tokens_col()
     total_len = F.aggregate(
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda acc, x: acc + x
@@ -108,7 +108,7 @@ FROM documents ORDER BY doc_id
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length band + stopword ratio + type/token ratio,
     combined into one deterministic [0,1] score."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = tokens_col()
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -159,7 +159,7 @@ FROM m ORDER BY doc_id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyword/n-gram language-ID heuristic: per-language marker counts,
     argmax with fixed precedence; compared against the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     # staged projections: split once, score each language once, decide once
     # — referencing the marker-count expressions through aliases keeps every
     # list_filter to a single evaluation per row (CollapseProject would
@@ -236,7 +236,7 @@ FROM s ORDER BY doc_id
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5 + min word-3-gram shingle
     fingerprint (the content-defined analog of a rolling hash)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     toks = tokens_col()
     n = F.size(toks)
     shingles = F.transform(
@@ -322,7 +322,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline uses (one scan, many derived columns) and one driver slot
     instead of three. The standalone q_token_stats / q_quality_score /
     q_fingerprint remain the library API (pinned by tests)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table_parallel(spark, sf_dir, "documents")
     # Two-phase projection (same trick as dedup._doc_shingle_df): alias the
     # token array once so split(text) runs once per row — the nine derived
     # expressions below all reference `toks`, and CollapseProject would
