@@ -16,6 +16,12 @@ discipline is identical.
                        fixed-token-budget training sequences, sharded so
                        the cumulative-sum window never collapses to a
                        single partition
+  cross_split_contamination  near-dup pairs straddling splits — the
+                       post-split eval-integrity check, composed from the
+                       session-shared LSH pair table + the split projection
+  remove_boilerplate   drop sentences repeated across > max_df documents
+                       and reassemble docs in original order (CCNet-style
+                       header/footer/license stripping)
 """
 
 from __future__ import annotations
@@ -175,4 +181,126 @@ SELECT shard * {1 << 40} + CAST(FLOOR(CAST(c - n_tokens AS DOUBLE) / {SEQ_BUDGET
 FROM cum
 GROUP BY 1
 ORDER BY seq_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Contamination check and boilerplate removal
+# ---------------------------------------------------------------------------
+
+
+def cross_split_contamination(spark, sf_dir: str) -> DataFrame:
+    """Train/test contamination report: near-dup pairs (verified MinHash-LSH)
+    whose two documents landed in DIFFERENT splits — the check a training
+    pipeline runs after splitting, since a test doc with a train near-dup
+    invalidates the eval.
+
+    Composes the session-shared pair table with the zero-shuffle split
+    assignment: two broadcast-ready joins of a tiny pair set against a
+    narrow projection — nothing here rescans the corpus.
+    """
+    from ..io import load_table
+    from .dedup import minhash_pairs
+
+    pairs = minhash_pairs(spark, sf_dir)
+    splits = deterministic_split(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    )
+    s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split_1"))
+    s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split_2"))
+    return (
+        pairs.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(F.col("split_1") != F.col("split_2"))
+        .select("d1", "d2", "split_1", "split_2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+_SPLIT_CASE = """CASE
+  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 900000 THEN 'train'
+  WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 950000 THEN 'val'
+  ELSE 'test'
+END"""
+
+
+def contamination_sql() -> str:
+    from .dedup import DEDUP_MINHASH_SQL
+
+    return f"""
+WITH pairs AS (SELECT * FROM ({DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")}) p),
+splits AS (SELECT doc_id, {_SPLIT_CASE} AS split FROM documents)
+SELECT d1, d2, s1.split AS split_1, s2.split AS split_2, jaccard
+FROM pairs JOIN splits s1 ON d1 = s1.doc_id JOIN splits s2 ON d2 = s2.doc_id
+WHERE s1.split <> s2.split
+ORDER BY d1, d2
+"""
+
+
+BOILERPLATE_MAX_DF = 5
+
+
+def remove_boilerplate(
+    docs: DataFrame, max_df: int = BOILERPLATE_MAX_DF
+) -> DataFrame:
+    """Boilerplate removal: drop every sentence that appears (exactly) in
+    more than `max_df` distinct documents, then reassemble each document
+    from its surviving sentences in original order — the CCNet-style
+    cleaning pass that strips headers/footers/license blocks before
+    training.
+
+    Scale shape: sentence explode → df-count on the sentence hash (one
+    shuffle with map-side partial agg) → broadcast-friendly semi-join of
+    hot sentences → windowless re-assembly via sort_array over
+    (pos, sentence) structs (groupBy shuffle, no global sort). Hashes are
+    md5-derived so the DuckDB oracle replicates them exactly.
+    """
+    sent = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", "\\. ")).alias("pos", "sentence"),
+    )
+    sent = sent.withColumn(
+        "sh", F.conv(F.substring(F.md5("sentence"), 1, 15), 16, 10).cast("bigint")
+    )
+    hot = (
+        sent.groupBy("sh")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh")
+    )
+    kept = sent.join(hot, "sh", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "sentence"))
+                    ),
+                    lambda s: s["sentence"],
+                ),
+                ". ",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_sentences_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REMOVE_BOILERPLATE_SQL = f"""
+WITH sent AS (
+  SELECT doc_id, i - 1 AS pos, ss[i] AS sentence,
+         CAST(concat('0x', substr(md5(ss[i]), 1, 15)) AS BIGINT) AS sh
+  FROM (SELECT doc_id, string_split(text, '. ') AS ss FROM documents) t,
+       unnest(generate_series(1, len(ss))) AS u(i)
+),
+hot AS (
+  SELECT sh FROM sent GROUP BY sh HAVING COUNT(DISTINCT doc_id) > {BOILERPLATE_MAX_DF}
+)
+SELECT doc_id,
+       string_agg(sentence, '. ' ORDER BY pos) AS clean_text,
+       COUNT(1) AS n_sentences_kept
+FROM sent WHERE sh NOT IN (SELECT sh FROM hot)
+GROUP BY doc_id
+ORDER BY doc_id
 """

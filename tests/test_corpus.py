@@ -100,3 +100,41 @@ def test_pack_plan_single_shard_exchange(spark, sf_dir):
     ops = operator_counts(pack_sequences(docs))
     assert ops.get("Exchange", 0) == 1, ops
     assert ops.get("Window", 0) == 1, ops
+
+
+def test_contamination_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.operators.corpus import (
+        contamination_sql,
+        cross_split_contamination,
+    )
+
+    assert_matches_oracle(
+        cross_split_contamination(spark, sf_dir),
+        contamination_sql(),
+        sf_dir,
+        name="cross_split_contamination",
+    )
+
+
+def test_remove_boilerplate_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.operators.corpus import (
+        REMOVE_BOILERPLATE_SQL,
+        remove_boilerplate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert_matches_oracle(
+        remove_boilerplate(docs), REMOVE_BOILERPLATE_SQL, sf_dir,
+        name="remove_boilerplate",
+    )
+
+
+def test_remove_boilerplate_drops_hot_sentences(spark):
+    """A sentence repeated across >max_df docs disappears everywhere;
+    unique sentences survive in original order."""
+    from apache_jira_scraper_spark.operators.corpus import remove_boilerplate
+
+    rows = [(i, f"unique {i}. SHARED FOOTER. tail {i}") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["clean_text"] for r in remove_boilerplate(docs, max_df=3).collect()}
+    assert out == {i: f"unique {i}. tail {i}" for i in range(4)}
