@@ -163,3 +163,56 @@ def write_idempotent_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: st
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_interval_join(
+    events: DataFrame,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    within: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition: each
+    `left_type` event joins the same user's `right_type` events that happen
+    within `within` AFTER it (view → purchase attribution).
+
+    The canonical Structured Streaming two-stream join: BOTH sides carry a
+    watermark and the join predicate bounds event time in both directions,
+    so each side's buffered state is evictable once the watermark passes —
+    without the time bound the state would grow forever. On bounded input
+    the result equals the identical batch self-join (pinned by
+    tests/test_streaming.py), while the unbounded deployment gets state
+    cleanup for free.
+    """
+    l = (
+        events.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("l_id"),
+            F.col("user_id").alias("l_user"),
+            F.col("ts").alias("l_ts"),
+        )
+        .withWatermark("l_ts", watermark)
+    )
+    r = (
+        events.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("r_id"),
+            F.col("user_id").alias("r_user"),
+            F.col("ts").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_ts", watermark)
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    ).select(
+        "l_id",
+        "r_id",
+        F.col("l_user").alias("user_id"),
+        "l_ts",
+        "r_ts",
+        (F.round("r_value", 2) * 100).cast("bigint").alias("purchase_cents"),
+    )

@@ -194,3 +194,30 @@ def test_watermark_drops_late_rows(spark, events_batch, tmp_path):
     min_early_year = 2000  # sanity floor; real data is recent
     assert emitted.count() > 0
     assert year_ago.count() == 0
+
+
+def test_stream_interval_join_matches_batch(spark, events_batch, events_stream):
+    """Stream-stream interval join on bounded input == batch self-join with
+    the same predicate (single replay, nothing droppable by watermark)."""
+    out = _run(
+        spark,
+        pipelines.stream_interval_join(events_stream),
+        "t_ssjoin",
+        "append",
+    )
+    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+
+    l = events_batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("l_id"), F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
+    )
+    r = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+    )
+    exp = {
+        (row["l_id"], row["r_id"])
+        for row in l.join(
+            r,
+            F.expr("l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 30 minutes"),
+        ).collect()
+    }
+    assert got == exp and len(got) > 0
