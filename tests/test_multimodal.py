@@ -61,3 +61,18 @@ def test_resize_composes_with_decode(spark, sf_dir):
     assert {k: v["content"] for k, v in rows.items()} == again
     feats = decode_features(small).collect()
     assert all(sum(r["features"]) == 16 * 8 for r in feats)
+
+
+def test_multimodal_meta_matches_oracle(spark, sf_dir):
+    """q_multimodal_meta left the 50-gate registry (subsumed by the decode
+    gate) but stays a library function — keep its oracle parity pinned."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        MULTIMODAL_META_SQL,
+        q_multimodal_meta,
+    )
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_multimodal_meta(spark, sf_dir), MULTIMODAL_META_SQL, sf_dir,
+        name="multimodal_meta",
+    )
