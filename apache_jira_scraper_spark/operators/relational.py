@@ -534,6 +534,39 @@ ORDER BY o_orderpriority
 """
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (the inverse of q_pivot): the pivoted wide table back to
+    (priority, status, n) long form via the native `unpivot`/stack — a
+    narrow per-row expansion, no shuffle beyond the pivot's own aggregate.
+    Library twin of the pivot gate (oracle parity in
+    tests/test_relational_extra.py); zero-count cells are dropped to keep
+    the long form sparse, matching the oracle's grouped counts."""
+    wide = q_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["o_orderpriority"],
+            ["n_f", "n_o", "n_p"],
+            "status_col",
+            "n",
+        )
+        .withColumn(
+            "o_orderstatus", F.upper(F.substring("status_col", 3, 1))
+        )
+        .filter(F.col("n") > 0)
+        .select("o_orderpriority", "o_orderstatus", "n")
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )
+
+
+UNPIVOT_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(1) AS n
+FROM orders
+WHERE o_orderstatus IN ('F', 'O', 'P')
+GROUP BY o_orderpriority, o_orderstatus
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 RANGE_BUCKETS = (("small", 0.0, 50.0), ("mid", 50.0, 150.0), ("large", 150.0, 1e9))
 
 
