@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, load_table_parallel
+from ..io import load_table
 
 
 def _dec(col: str, typ: str = "decimal(15,2)") -> Column:
