@@ -22,6 +22,9 @@ discipline is identical.
   remove_boilerplate   drop sentences repeated across > max_df documents
                        and reassemble docs in original order (CCNet-style
                        header/footer/license stripping)
+  build_training_corpus  the whole flow composed end-to-end: quality gate →
+                       exact dedup → near-dup cluster canonicalization →
+                       split → pack, as one DataFrame program
 """
 
 from __future__ import annotations
@@ -304,3 +307,70 @@ FROM sent WHERE sh NOT IN (SELECT sh FROM hot)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus build
+# ---------------------------------------------------------------------------
+
+
+def build_training_corpus(
+    spark,
+    sf_dir: str,
+    min_quality_bp: int = 5000,
+    budget_tokens: int = SEQ_BUDGET_TOKENS,
+) -> DataFrame:
+    """The whole training-data flow as ONE composed DataFrame program:
+
+        quality filter → exact dedup → near-dup removal (keep each LSH
+        cluster's canonical doc) → deterministic split → sequence packing
+
+    Returns one row per surviving document with its split and packed
+    sequence assignment. Every stage is the library operator the individual
+    gates already verify; the composition adds only semi-/anti-joins on
+    doc_id, so the plan stays a chain of equi-joins over one corpus scan
+    plus the (session-shared) dedup subtrees — nothing quadratic, nothing
+    driver-side.
+    """
+    from .dedup import q_dedup_clusters
+    from .text import q_quality_score
+
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # 1. quality gate (integer basis points — engine-exact)
+    quality = q_quality_score(spark, sf_dir).filter(
+        F.col("quality_score_bp") >= min_quality_bp
+    ).select("doc_id")
+
+    # 2. exact dedup: keep the lowest doc_id per identical text
+    exact_keep = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    # 3. near-dup removal: inside every LSH cluster keep only the canonical
+    #    doc (cluster_id IS the keeper's doc_id)
+    clusters = q_dedup_clusters(spark, sf_dir)
+    near_dup_losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+
+    kept = (
+        docs.join(F.broadcast(quality), "doc_id", "left_semi")
+        .join(F.broadcast(exact_keep), "doc_id", "left_semi")
+        .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
+    )
+
+    # 4-5. split + pack the surviving corpus
+    packed = pack_sequences(kept, budget_tokens=budget_tokens).select(
+        "doc_id", "seq_id", "n_tokens"
+    )
+    return (
+        deterministic_split(kept)
+        .select("doc_id", "split")
+        .join(packed, "doc_id")
+        .orderBy("doc_id")
+    )

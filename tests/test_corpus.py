@@ -138,3 +138,36 @@ def test_remove_boilerplate_drops_hot_sentences(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["clean_text"] for r in remove_boilerplate(docs, max_df=3).collect()}
     assert out == {i: f"unique {i}. tail {i}" for i in range(4)}
+
+
+def test_build_training_corpus_end_to_end(spark, sf_dir):
+    """The composed pipeline: output is a subset of the corpus, free of
+    exact duplicates and of non-canonical near-dup cluster members, with
+    every surviving doc carrying a split and a packed sequence id."""
+    from pyspark.sql import functions as F
+
+    from apache_jira_scraper_spark.operators.corpus import build_training_corpus
+    from apache_jira_scraper_spark.operators.dedup import q_dedup_clusters
+    from apache_jira_scraper_spark.operators.text import q_quality_score
+
+    out = build_training_corpus(spark, sf_dir).collect()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids)) > 0
+
+    # no non-canonical near-dup member survives
+    losers = {
+        r["doc_id"]
+        for r in q_dedup_clusters(spark, sf_dir).collect()
+        if r["doc_id"] != r["cluster_id"]
+    }
+    assert not losers & set(ids)
+
+    # every survivor meets the quality bar
+    q = {
+        r["doc_id"]: r["quality_score_bp"]
+        for r in q_quality_score(spark, sf_dir).collect()
+    }
+    assert all(q[i] >= 5000 for i in ids)
+
+    # split and packing are total over the output
+    assert all(r["split"] in ("train", "val", "test") and r["seq_id"] >= 0 for r in out)
