@@ -75,3 +75,16 @@ def test_connected_components_empty_edges(spark):
 
     edges = spark.createDataFrame([], "d1 long, d2 long")
     assert connected_components(edges).count() == 0
+
+
+def test_connected_components_long_chain(spark):
+    """A 20-node path graph is the adversarial diameter case for
+    min-label propagation — the loop must iterate to full convergence,
+    not stop at a fixed small round count."""
+    from apache_jira_scraper_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 119)], "d1 long, d2 long"
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in connected_components(edges).collect()}
+    assert got == {(i, 100) for i in range(100, 120)}
