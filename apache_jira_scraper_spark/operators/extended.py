@@ -223,15 +223,17 @@ ORDER BY window_start, event_type
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+T5 stateful streaming in one gate: gap-based session_window
-    aggregation, dropDuplicatesWithinWatermark dedup, AND the custom
-    applyInPandasWithState lifetime counters, tagged and union-ALL'd
-    (rows-only: true streaming state has no SQL twin). Legs are normalized
-    to a common (op, id, aux, n) shape; sessions keyed by user with the
-    start second as aux, dedup rows keyed by event with the event_type as
-    aux, lifetime rows keyed by user with the value-cents sum as aux.
+    aggregation, dropDuplicatesWithinWatermark dedup, the custom
+    applyInPandasWithState lifetime counters, AND the two-watermark
+    stream-stream interval join, tagged and union-ALL'd (rows-only: true
+    streaming state has no SQL twin). Legs are normalized to a common
+    (op, id, aux, n) shape; sessions keyed by user with the start second as
+    aux, dedup rows keyed by event with the event_type as aux, lifetime
+    rows keyed by user with the value-cents sum as aux, attribution rows
+    keyed by the view event with the purchase event as aux.
 
-    The three legs START concurrently and are awaited together, so the gate
-    pays the slowest streaming query once instead of all three in series."""
+    The four legs START concurrently and are awaited together, so the gate
+    pays the slowest streaming query once instead of all four in series."""
     q_sess, t_sess = _start_to_memory(
         pipelines.session_counts(_events_stream(spark, sf_dir)), "complete"
     )
@@ -246,7 +248,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_life, t_life = _start_to_memory(
         pipelines.stateful_user_stats(_events_stream(spark, sf_dir)), "update"
     )
-    for q in (q_sess, q_dedup, q_life):
+    q_join, t_join = _start_to_memory(
+        pipelines.stream_interval_join(_events_stream(spark, sf_dir)), "append"
+    )
+    for q in (q_sess, q_dedup, q_life, q_join):
         q.awaitTermination()
     sessions = spark.table(t_sess).select(
         F.lit("session").alias("op"),
@@ -266,7 +271,18 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_value_cents").cast("string").alias("aux"),
         F.col("n_events").alias("n"),
     )
-    return sessions.unionAll(dedup).unionAll(lifetime).orderBy("op", "id", "aux")
+    attrib = spark.table(t_join).select(
+        F.lit("attrib").alias("op"),
+        F.col("l_id").alias("id"),
+        F.col("r_id").cast("string").alias("aux"),
+        F.col("purchase_cents").alias("n"),
+    )
+    return (
+        sessions.unionAll(dedup)
+        .unionAll(lifetime)
+        .unionAll(attrib)
+        .orderBy("op", "id", "aux")
+    )
 
 
 # ---------------------------------------------------------------------------
