@@ -88,3 +88,54 @@ def test_connected_components_long_chain(spark):
     )
     got = {(r["doc_id"], r["cluster_id"]) for r in connected_components(edges).collect()}
     assert got == {(i, 100) for i in range(100, 120)}
+
+
+def test_signatures_partitioning_invariant(spark, sf_dir):
+    """Aggregation results must be independent of the physical partition
+    layout — the property that makes the pipeline's answers stable across
+    cluster sizes and AQE re-plans. Compute minhash signatures and simhash
+    sketches from a 1-partition and a 32-partition copy of the shingle/token
+    input and require bit-identical results."""
+    from pyspark.sql import functions as F
+
+    from apache_jira_scraper_spark.operators import dedup
+
+    sh = dedup._doc_shingle_hashed(spark, sf_dir)
+    one = dedup._signatures(spark, sf_dir, sh_hashed=sh.coalesce(1))
+    many = dedup._signatures(spark, sf_dir, sh_hashed=sh.repartition(32))
+    assert sorted(map(tuple, one.collect())) == sorted(map(tuple, many.collect()))
+
+    sim = {r["doc_id"]: r["simhash"] for r in dedup._simhash_df(spark, sf_dir).collect()}
+    # simhash over a shuffled layout: force a different partitioning of docs
+    docs = dedup.load_table(spark, sf_dir, "documents").repartition(7, "lang")
+    docs.createOrReplaceTempView("_sim_docs_tmp")
+    tok = docs.select("doc_id", F.explode(dedup._toks()).alias("t")).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("x"),
+    )
+    votes = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nt"),
+        *[
+            F.sum(
+                F.expr(
+                    f"CAST(((x >> {3 * g}) & 1) + (((x >> {3 * g + 1}) & 1) << 20)"
+                    f" + (((x >> {3 * g + 2}) & 1) << 40) AS BIGINT)"
+                )
+            ).alias(f"S{g}")
+            for g in range(20)
+        ],
+    )
+    sim_expr = F.expr(
+        "CAST("
+        + " + ".join(
+            f"(CASE WHEN 2 * ((S{i // 3} >> {20 * (i % 3)}) & 1048575) > nt"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(60)
+        )
+        + " AS BIGINT)"
+    )
+    sim2 = {
+        r["doc_id"]: r["sh"]
+        for r in votes.select("doc_id", sim_expr.alias("sh")).collect()
+    }
+    assert sim == sim2
