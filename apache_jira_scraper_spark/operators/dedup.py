@@ -632,8 +632,9 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     graphs are piles of near-cliques (diameter 2-3), so 3-4 rounds cover a
     real corpus. For adversarial long-chain graphs, the alternating
     large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce and Beyond") drops rounds to O(log n) — same join+agg
-    primitives, swap in if the edge set ever carries long chains. Lineage is
+    in MapReduce and Beyond") drops rounds to O(log n) — implemented as
+    `connected_components_twophase` (equivalence pinned in tests), swap in
+    if the edge set ever carries long chains. Lineage is
     truncated each round with localCheckpoint (cluster analog: reliable
     checkpoint / intermediate table), or the plan tree doubles per round.
     """
@@ -729,3 +730,68 @@ def register_all() -> None:
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_embedding_cosine", q_dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)
     register("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_SQL)
+
+
+def connected_components_twophase(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Connected components by the alternating large-star / small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): same join+min-aggregate primitives as `connected_components`,
+    but converges in O(log n) rounds even on long-chain graphs where plain
+    min-label propagation needs O(diameter) rounds — the swap-in for edge
+    sets that may carry adversarial topology.
+
+    large-star: every neighbor LARGER than u re-attaches to
+    m(u) = min(N(u) ∪ {u}); small-star: every neighbor ≤ u (and u itself)
+    attaches to m(u). Both preserve connectivity; alternating them
+    contracts every component to a star on its minimum node. Output:
+    (doc_id, cluster_id) for every non-isolated node, identical to
+    `connected_components`.
+    """
+
+    def _with_min(sym: DataFrame) -> DataFrame:
+        m = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        return sym.join(m, "u").withColumn("m", F.least("mv", F.col("u"))).drop("mv")
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+
+    e = (
+        edges.select(F.col("d1").alias("a"), F.col("d2").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star
+        ls = _with_min(_sym(e))
+        e1 = (
+            ls.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # small-star over the large-star output
+        ss = _with_min(_sym(e1))
+        e2 = (
+            ss.filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(ss.select(F.col("u").alias("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # converged when the edge set is stable (scalar-only check)
+        changed = e2.exceptAll(e).count() + e.exceptAll(e2).count()
+        e = e2
+        if changed == 0:
+            break
+    # final star edges point child -> root; roots label themselves
+    child = e.select(
+        F.greatest("a", "b").alias("doc_id"), F.least("a", "b").alias("cluster_id")
+    )
+    roots = child.select(F.col("cluster_id").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    return child.unionByName(roots).distinct()

@@ -139,3 +139,27 @@ def test_signatures_partitioning_invariant(spark, sf_dir):
         for r in votes.select("doc_id", sim_expr.alias("sh")).collect()
     }
     assert sim == sim2
+
+
+def test_twophase_components_match_hash_to_min(spark, sf_dir):
+    """Large-star/small-star must produce the identical labeling as
+    hash-to-min on the chain, the clique, the long path, AND the real
+    corpus near-dup graph."""
+    from apache_jira_scraper_spark.operators.dedup import (
+        connected_components,
+        connected_components_twophase,
+        minhash_pairs,
+    )
+
+    synth = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+        + [(i, i + 1) for i in range(100, 119)],
+        "d1 long, d2 long",
+    )
+    for edges in (synth, minhash_pairs(spark, sf_dir).select("d1", "d2")):
+        a = {(r["doc_id"], r["cluster_id"]) for r in connected_components(edges).collect()}
+        b = {
+            (r["doc_id"], r["cluster_id"])
+            for r in connected_components_twophase(edges).collect()
+        }
+        assert a == b and len(a) > 0
