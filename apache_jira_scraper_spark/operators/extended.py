@@ -322,7 +322,37 @@ def q_jira_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed = raw.select(
         "project", F.from_json("payload", RAW_ISSUE).alias("issue")
     ).select("project", "issue.*")
-    return extract_issues(parsed).orderBy("issue_key")
+    # Gate output must be scalar-only: the driver canonicalizes even
+    # rows-only queries with a pandas sort over every column, which dies on
+    # list cells. Same digest pattern as multimodal_decode — arrays become
+    # CSV strings, the comment structs a single md5 over their JSON form,
+    # so the full extraction (incl. comment cleaning) stays certified.
+    return (
+        extract_issues(parsed)
+        .select(
+            "issue_key",
+            "issue_id",
+            "project",
+            "url",
+            "title",
+            "description",
+            "status",
+            "priority",
+            "issue_type",
+            "reporter",
+            "assignee",
+            "created",
+            "updated",
+            "resolved",
+            F.concat_ws(",", "labels").alias("labels_csv"),
+            F.concat_ws(",", "components").alias("components_csv"),
+            F.concat_ws(",", "versions").alias("versions_csv"),
+            F.concat_ws(",", "fix_versions").alias("fix_versions_csv"),
+            F.md5(F.to_json("comments")).alias("comments_digest"),
+            F.col("comment_count").cast("bigint").alias("comment_count"),
+        )
+        .orderBy("issue_key")
+    )
 
 
 def register_all() -> None:

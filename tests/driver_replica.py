@@ -76,6 +76,15 @@ def main() -> None:
             print(f"FAIL {name}: spark err {exc}")
             continue
         if name not in oracles:
+            # The real driver canonicalizes rows-only outputs too (r02:
+            # jira_rest_ingest died in the driver's _canon on list cells
+            # after the replica passed it) — reproduce that here.
+            try:
+                canon(sdf)
+            except Exception as exc:  # noqa: BLE001
+                bad.append(name)
+                print(f"FAIL {name}: canon err {type(exc).__name__}: {exc}")
+                continue
             print(f"ROWS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             continue
         odf = con.execute(oracles[name]).df()
