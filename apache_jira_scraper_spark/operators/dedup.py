@@ -38,7 +38,7 @@ HASH_PARAMS = [(999_983 - 7 * i, 7_919 * (i + 1) + 13) for i in range(NUM_HASHES
 JACCARD_THRESHOLD = 0.8
 LSH_VERIFY_THRESHOLD = 0.5
 HAMMING_MAX = 3
-COSINE_DUP_THRESHOLD = 0.45
+COSINE_DUP_THRESHOLD = 0.25  # tuned to the synthetic embeddings; see gate docstring
 
 
 def _toks() -> Column:
@@ -551,26 +551,34 @@ ORDER BY d1, d2
 """
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above threshold, blocked on
-    (label, sign-LSH bucket) — the same deterministic 4-bit bucket the ANN
-    path uses (similarity._bucket), so each label block is subdivided 16
-    ways and the pair space within a block stays linear-ish at corpus scale
-    (label alone is quadratic within a block).
+EMB_N_BITS = 5  # 32 buckets at the gate corpus; size with similarity.lsh_n_bits
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = COSINE_DUP_THRESHOLD,
+    n_bits: int = EMB_N_BITS,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold``, blocked on
+    (label, sign-LSH bucket) — the same deterministic bucket family the ANN
+    path uses (similarity._bucket), so each label block is subdivided
+    2**n_bits ways and the within-block pair join stays linear-ish at
+    corpus scale (label alone is quadratic within a block). Size n_bits
+    with similarity.lsh_n_bits(corpus_rows) in a deployment.
 
     Recall contract: a near-dup pair whose vectors land in different LSH
     buckets is NOT emitted — the standard LSH trade; add more bucket tables
-    (OR-amplification) to raise recall. The DuckDB oracle replicates the
-    identical bucket function, so the check is exact for this contract.
+    (OR-amplification) to raise recall, or use operators/ivf.py for
+    trained-centroid blocking. Input needs (vec_id, label, embedding).
     """
     from .similarity import _bucket
 
-    emb = load_table_parallel(spark, sf_dir, "embeddings").select(
+    emb = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
     # precompute norm and bucket once per vector (not once per pair)
     sq = F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    emb = emb.withColumn("nrm", F.sqrt(sq)).withColumn("bucket", _bucket(F.col("e")))
+    emb = emb.withColumn("nrm", F.sqrt(sq)).withColumn("bucket", _bucket(F.col("e"), n_bits))
     a = emb.select(
         F.col("vec_id").alias("v1"), "label", "bucket", F.col("e").alias("e1"),
         F.col("nrm").alias("n1"),
@@ -586,27 +594,34 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["label", "bucket"])
         .filter(F.col("v1") < F.col("v2"))
         .withColumn("cosine", F.round(dot / (F.col("n1") * F.col("n2")), 4))
-        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .filter(F.col("cosine") >= threshold)
         .select("v1", "v2", "label", "cosine")
         .orderBy("v1", "v2")
     )
 
 
-_EMB_BUCKET_SQL = """
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate wrapper over embedding_cosine_pairs. The 0.25 threshold is tuned
+    to the synthetic embeddings' cosine distribution (sf0.01 within-label
+    max ≈ 0.475, 99.9th pct ≈ 0.373) so the gate emits a NON-EMPTY
+    hash-checked pair set — an r02 lesson: at 0.45 both engines emitted
+    zero rows and the gate certified only that 0 == 0."""
+    emb = load_table_parallel(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb)
+
+
+def _emb_bucket_sql(n_bits: int) -> str:
+    from .similarity import _bucket_sql
+
+    return f"""
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ce,
-         (CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 1)
-                  > list_extract(CAST(embedding AS DOUBLE[]), 33) THEN 1 ELSE 0 END
-          + CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 2)
-                  > list_extract(CAST(embedding AS DOUBLE[]), 34) THEN 2 ELSE 0 END
-          + CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 3)
-                  > list_extract(CAST(embedding AS DOUBLE[]), 35) THEN 4 ELSE 0 END
-          + CASE WHEN list_extract(CAST(embedding AS DOUBLE[]), 4)
-                  > list_extract(CAST(embedding AS DOUBLE[]), 36) THEN 8 ELSE 0 END) AS bucket
+         {_bucket_sql(n_bits, col="CAST(embedding AS DOUBLE[])")} AS bucket
   FROM embeddings
 """
 
+
 DEDUP_EMBEDDING_SQL = f"""
-WITH e AS ({_EMB_BUCKET_SQL})
+WITH e AS ({_emb_bucket_sql(EMB_N_BITS)})
 SELECT a.vec_id AS v1, b.vec_id AS v2, a.label,
        ROUND(list_cosine_similarity(a.ce, b.ce), 4) AS cosine
 FROM e a

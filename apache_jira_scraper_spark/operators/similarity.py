@@ -8,8 +8,9 @@ Three tiers:
                     broadcast.
   ann_lsh_topk      sign-bit LSH buckets (random-projection flavor with
                     deterministic coordinate-pair projections): candidates
-                    come from a bucket equi-join, so the pair space is
-                    ~1/16th — the scale path.
+                    come from a bucket equi-join, shrinking the pair space
+                    by 2**n_bits — n_bits sized from corpus cardinality via
+                    lsh_n_bits so the within-bucket join stays linear-ish.
   knn_label_vote    k-NN classification on top of the exact top-k.
 
 Cosine is computed over array<double> with a sequential fold (zip_with +
@@ -102,30 +103,57 @@ ORDER BY qid, rank
 """
 
 
-def _bucket(e: Column) -> Column:
-    """Deterministic 4-bit sign-LSH bucket from coordinate-pair comparisons."""
-    bits = [
-        F.when(F.element_at(e, 1) > F.element_at(e, 33), 1).otherwise(0),
-        F.when(F.element_at(e, 2) > F.element_at(e, 34), 2).otherwise(0),
-        F.when(F.element_at(e, 3) > F.element_at(e, 35), 4).otherwise(0),
-        F.when(F.element_at(e, 4) > F.element_at(e, 36), 8).otherwise(0),
-    ]
-    return (bits[0] + bits[1] + bits[2] + bits[3]).alias("bucket")
+ANN_N_BITS = 6  # 64 buckets at the gate's corpus size; see lsh_n_bits
 
 
-_BUCKET_SQL = """
-  (CASE WHEN list_extract(ce, 1) > list_extract(ce, 33) THEN 1 ELSE 0 END
-   + CASE WHEN list_extract(ce, 2) > list_extract(ce, 34) THEN 2 ELSE 0 END
-   + CASE WHEN list_extract(ce, 3) > list_extract(ce, 35) THEN 4 ELSE 0 END
-   + CASE WHEN list_extract(ce, 4) > list_extract(ce, 36) THEN 8 ELSE 0 END)
-"""
+def lsh_n_bits(corpus_rows: int, target_bucket_rows: int = 4096) -> int:
+    """Bucket-width contract: the bucket COUNT must grow with the corpus so
+    the within-bucket candidate join stays linear-ish. n_bits such that
+    corpus_rows / 2**n_bits <= target_bucket_rows (min 1, max 32 — limited
+    by the 64-dim coordinate-pair projection below). At 100 TB you size
+    target_bucket_rows to what one executor can pair-score; for exact-recall
+    ANN at that scale use operators/ivf.py instead (probe-cell join, trained
+    centroids)."""
+    import math
+
+    return max(1, min(32, math.ceil(math.log2(max(2, corpus_rows) / target_bucket_rows))))
+
+
+def _bucket(e: Column, n_bits: int = ANN_N_BITS) -> Column:
+    """Deterministic n_bits-wide sign-LSH bucket. Bit i is the sign of the
+    (fixed, data-independent) projection e[i] - e[32+i] — the coordinate-pair
+    flavor of random-projection LSH, chosen so the DuckDB oracle can
+    replicate it bit-for-bit (see _bucket_sql). Requires dim >= 33 + n_bits."""
+    total = F.lit(0)
+    for i in range(n_bits):
+        total = total + F.when(
+            F.element_at(e, i + 1) > F.element_at(e, 33 + i), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return total.alias("bucket")
+
+
+def _bucket_sql(n_bits: int = ANN_N_BITS, col: str = "ce") -> str:
+    """DuckDB twin of _bucket — generated from the same n_bits so the two
+    engines can never drift apart on bucket width."""
+    terms = "\n   + ".join(
+        f"CASE WHEN list_extract({col}, {i + 1}) > list_extract({col}, {33 + i})"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(n_bits)
+    )
+    return f"({terms})"
+
+
+_BUCKET_SQL = _bucket_sql()
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH bucket.
 
-    The bucket equi-join replaces the cross join — this is the plan shape
-    that survives scale-up (bucket count grows with corpus size).
+    The bucket equi-join replaces the cross join — the plan shape that
+    survives scale-up PROVIDED bucket count grows with corpus size: size
+    n_bits with lsh_n_bits(corpus_rows) in a deployment (the gate pins
+    ANN_N_BITS=6 so the oracle SQL is a fixed string). Recall is the
+    standard LSH trade; the exact-recall scale path is operators/ivf.py.
     """
     emb = _emb(spark, sf_dir).withColumn("bucket", _bucket(F.col("e")))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(

@@ -163,3 +163,42 @@ def test_twophase_components_match_hash_to_min(spark, sf_dir):
             for r in connected_components_twophase(edges).collect()
         }
         assert a == b and len(a) > 0
+
+
+def test_embedding_cosine_pairs_exact_values(spark):
+    """Value-level check of the embedding near-dup scorer on constructed
+    vectors (r02 lesson: the gate passed on 0 rows, so a sign flip in the
+    dot product was unobservable). Four 64-dim vectors sharing a label and
+    an LSH bucket: base, a near-duplicate (cosine ~1), an orthogonal vector
+    (cosine 0), and an anti-correlated vector engineered to KEEP the bucket
+    bits while flipping the dot sign — only (base, near) may be emitted,
+    with the numpy-computed cosine."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.dedup import embedding_cosine_pairs
+
+    base = np.array([1.0] * 32 + [0.0] * 32)
+    near = base.copy()
+    near[10] = 1.05  # tiny perturbation: cosine ~0.9995, same sign bits
+    orth = np.array([0.0] * 32 + [1.0] * 32)
+    orth[:5] = 0.1  # keep e[i] > e[32+i] for the five bucket bits...
+    orth[32:37] = 0.0  # ...so exclusion is by the cosine threshold alone
+    anti = np.array([0.1] * 5 + [-10.0] * 27 + [0.0] * 32)  # bucket bits kept, dot < 0
+
+    def cos(a, b):
+        return round(float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b))), 4)
+
+    emb = spark.createDataFrame(
+        [(1, "x", base.tolist()), (2, "x", near.tolist()),
+         (3, "x", orth.tolist()), (4, "x", anti.tolist())],
+        "vec_id long, label string, embedding array<double>",
+    )
+    got = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in embedding_cosine_pairs(emb, threshold=0.25, n_bits=5).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == cos(base, near) > 0.99
+    # the anti vector shares base's bucket, so only the negative cosine
+    # keeps it out — a sign/abs bug in the fold would emit (1, 4)
+    assert cos(base, anti) < -0.5
