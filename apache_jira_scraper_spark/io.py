@@ -32,6 +32,26 @@ def sf_dir_from_env(default: str = "/root/testdata/sf0.1") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+def pin_utc_session(spark: SparkSession, why: str) -> None:
+    """The engine's timestamp contract: gate outputs are compared against a
+    DuckDB oracle that sees NAIVE wall-clock values, and Spark renders
+    TIMESTAMP through the session time zone (toPandas, date_trunc, window
+    all consult it) — so correctness REQUIRES a UTC session wherever an NTZ
+    source column is cast to TIMESTAMP. The driver builds its own session,
+    hence this runtime pin; it is deliberately loud (a warning, not a
+    silent config rewrite) when it actually changes a non-UTC session."""
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz != "UTC":
+        import warnings
+
+        warnings.warn(
+            f"pinning spark.sql.session.timeZone=UTC (was {tz!r}): {why}; "
+            "all query outputs assume a UTC session",
+            stacklevel=3,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -58,7 +78,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if dt == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         elif dt == "timestamp_ntz":
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            pin_utc_session(spark, "events.ts is TIMESTAMP_NTZ and must keep "
+                            "its wall-clock values through the TIMESTAMP cast")
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 

@@ -358,9 +358,13 @@ def build_training_corpus(
         "doc_id"
     )
 
+    # quality and exact_keep are CORPUS-cardinality doc_id sets (one row per
+    # passing / per distinct doc) — broadcasting them would OOM at scale, so
+    # they stay plain shuffle semi-joins on doc_id. Only near_dup_losers is
+    # provably small (bounded by the near-dup pair count) and broadcastable.
     kept = (
-        docs.join(F.broadcast(quality), "doc_id", "left_semi")
-        .join(F.broadcast(exact_keep), "doc_id", "left_semi")
+        docs.join(quality, "doc_id", "left_semi")
+        .join(exact_keep, "doc_id", "left_semi")
         .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
     )
 

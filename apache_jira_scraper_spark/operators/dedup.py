@@ -684,6 +684,14 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would masquerade as a valid clustering —
+        # labels are only partial fixpoints after max_iter rounds.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds the round budget); raise max_iter "
+            "or use connected_components_twophase (O(log n) rounds)"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -802,6 +810,12 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 32) -> DataF
         e = e2
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_twophase did not converge in {max_iter} "
+            "rounds — O(log n) contraction should need far fewer; the edge "
+            "set is pathological or max_iter is set unrealistically low"
+        )
     # final star edges point child -> root; roots label themselves
     child = e.select(
         F.greatest("a", "b").alias("doc_id"), F.least("a", "b").alias("cluster_id")

@@ -165,10 +165,11 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if raw_schema["ts"].dataType.simpleString() == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     elif raw_schema["ts"].dataType.simpleString() == "timestamp_ntz":
-        # Watermarks require TIMESTAMP (with local tz). The session runs in
-        # UTC (pinned below, runtime-settable), so the cast preserves the
-        # wall-clock values the DuckDB oracle sees in the naive column.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Watermarks require TIMESTAMP (with local tz); the UTC pin keeps
+        # the cast wall-clock-preserving (see io.pin_utc_session).
+        from ..io import pin_utc_session
+
+        pin_utc_session(spark, "streaming events.ts is TIMESTAMP_NTZ")
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 

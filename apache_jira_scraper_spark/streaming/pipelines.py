@@ -214,5 +214,7 @@ def stream_interval_join(
         F.col("l_user").alias("user_id"),
         "l_ts",
         "r_ts",
-        (F.round("r_value", 2) * 100).cast("bigint").alias("purchase_cents"),
+        # fixed-point, not round(double)*100: the double product truncates
+        # under the bigint cast (0.29 -> 28.999... -> 28)
+        (F.col("r_value").cast("decimal(14,2)") * 100).cast("bigint").alias("purchase_cents"),
     )

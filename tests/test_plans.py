@@ -120,3 +120,25 @@ def test_semi_anti_join_shapes(spark, sf_dir):
     ).physical_plan(_QS["semi_anti_join"](spark, sf_dir))
     assert "LeftSemi" in plan, plan[:800]
     assert "LeftAnti" in plan, plan[:800]
+
+
+def test_corpus_build_does_not_broadcast_corpus_sized_sides(spark, sf_dir):
+    """quality/exact_keep are corpus-cardinality doc_id sets: with the
+    auto-broadcast threshold disabled, their semi-joins must plan as shuffle
+    joins (no forced F.broadcast hint — that would OOM at 100 TB). Only the
+    provably-small near_dup_losers side keeps an explicit broadcast, so the
+    one LeftAnti join is the only broadcast allowed."""
+    from apache_jira_scraper_spark.operators.corpus import build_training_corpus
+    from apache_jira_scraper_spark.plans.inspect import physical_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = physical_plan(build_training_corpus(spark, sf_dir), "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    for line in plan.splitlines():
+        if "LeftSemi" in line:
+            assert "BroadcastHashJoin" not in line, line
+    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert anti and all("Broadcast" in l for l in anti), anti

@@ -205,19 +205,27 @@ def test_stream_interval_join_matches_batch(spark, events_batch, events_stream):
         "t_ssjoin",
         "append",
     )
-    got = {(r["l_id"], r["r_id"]) for r in out.collect()}
+    got = {(r["l_id"], r["r_id"]): r["purchase_cents"] for r in out.collect()}
 
     l = events_batch.filter(F.col("event_type") == "view").select(
         F.col("event_id").alias("l_id"), F.col("user_id").alias("l_user"), F.col("ts").alias("l_ts")
     )
     r = events_batch.filter(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("r_id"), F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+        F.col("event_id").alias("r_id"), F.col("user_id").alias("r_user"),
+        F.col("ts").alias("r_ts"), F.col("value").alias("r_value"),
     )
     exp = {
-        (row["l_id"], row["r_id"])
+        (row["l_id"], row["r_id"]): row["cents"]
         for row in l.join(
             r,
             F.expr("l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 30 minutes"),
-        ).collect()
+        )
+        .select(
+            "l_id", "r_id",
+            # decimal-exact cents, independent of the pipeline's expression —
+            # catches the round(double)*100 truncation class (0.29 -> 28)
+            (F.col("r_value").cast("decimal(14,2)") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
     }
     assert got == exp and len(got) > 0
