@@ -4,9 +4,10 @@ training data at 100 TB.
 
 Both are pure column algebra (no UDFs, no shuffles beyond the one window
 partitioning), with DuckDB-oracle parity pinned in tests/test_corpus.py via
-the same comparison the driver gate uses. They are not in the 50-gate
-registry only because the driver hash-checks at most 50 queries; the oracle
-discipline is identical.
+the same comparison the driver gate uses. Since round 3 the family also
+holds a driver slot: `corpus_assembly` union-tags the split/pack/
+contamination reports into one hash-checked gate (doc_clean_text was folded
+into doc_stats to stay at the 50-query cap).
 
   deterministic_split  hash-based train/val/test assignment — reproducible,
                        stable under corpus growth (a doc's split never
@@ -307,6 +308,78 @@ FROM sent WHERE sh NOT IN (SELECT sh FROM hot)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Driver gate: the three corpus reports in one hash-checked row set
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_assembly(spark, sf_dir: str) -> DataFrame:
+    """The corpus-assembly family's driver gate: split counts + packing
+    summary + cross-split contamination, union-tagged into one frame with a
+    common (leg, k1, k2, n1, n2) shape. Every leg is the library operator
+    tests/test_corpus.py already value-checks; the union just buys the
+    family a hash-checked CORRECTNESS row inside the driver's 50-query cap.
+    Jaccard crosses the oracle as integer ppm so the comparison is exact.
+    """
+    from ..io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    split_leg = split_counts(docs).select(
+        F.lit("split").alias("leg"),
+        F.col("split").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        F.col("n_chars").cast("bigint").alias("n2"),
+    )
+    pack_leg = pack_summary(docs).select(
+        F.lit("pack").alias("leg"),
+        F.col("seq_id").cast("string").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        F.col("tokens_started").cast("bigint").alias("n2"),
+    )
+    contam_leg = cross_split_contamination(spark, sf_dir).select(
+        F.lit("contam").alias("leg"),
+        F.col("d1").cast("string").alias("k1"),
+        F.concat_ws(">", F.col("d2").cast("string"), "split_1", "split_2").alias("k2"),
+        F.round(F.col("jaccard") * 1_000_000).cast("bigint").alias("n1"),
+        F.lit(0).cast("bigint").alias("n2"),
+    )
+    return (
+        split_leg.unionByName(pack_leg)
+        .unionByName(contam_leg)
+        .orderBy("leg", "k1", "k2")
+    )
+
+
+def corpus_assembly_sql() -> str:
+    return f"""
+WITH split_leg AS ({SPLIT_COUNTS_SQL.replace("ORDER BY split", "")}),
+pack_leg AS ({PACK_SUMMARY_SQL.replace("ORDER BY seq_id", "")}),
+contam_leg AS ({contamination_sql().replace("ORDER BY d1, d2", "")})
+SELECT * FROM (
+  SELECT 'split' AS leg, split AS k1, '' AS k2,
+         CAST(n_docs AS BIGINT) AS n1, CAST(n_chars AS BIGINT) AS n2
+  FROM split_leg
+  UNION ALL
+  SELECT 'pack', CAST(seq_id AS VARCHAR), '',
+         CAST(n_docs AS BIGINT), CAST(tokens_started AS BIGINT)
+  FROM pack_leg
+  UNION ALL
+  SELECT 'contam', CAST(d1 AS VARCHAR),
+         CAST(d2 AS VARCHAR) || '>' || split_1 || '>' || split_2,
+         CAST(ROUND(jaccard * 1000000) AS BIGINT), CAST(0 AS BIGINT)
+  FROM contam_leg
+) ORDER BY leg, k1, k2
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("corpus_assembly", q_corpus_assembly, corpus_assembly_sql())
 
 
 # ---------------------------------------------------------------------------

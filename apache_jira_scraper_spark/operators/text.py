@@ -354,26 +354,38 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     full_fp = F.md5(F.col("text"))
-    return docs.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        n_dist.alias("n_distinct"),
-        F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
-        F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
-        F.round(n_dist.cast("double") / n, 6).alias("type_token_ratio"),
-        score_bp.alias("quality_score_bp"),
-        full_fp.alias("content_fp"),
-        F.coalesce(F.array_min(shingles), full_fp).alias("shingle_fp"),
-    ).orderBy("doc_id")
+    # doc_clean_text's F1 leg (whitespace-normalize + truncate-with-ellipsis)
+    # folded in since round 3 — same scan, one driver slot freed for the
+    # corpus_assembly gate; the standalone q_doc_clean stays the library API.
+    cleaned = clean_text(F.col("text"), max_length=100)
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            n_dist.alias("n_distinct"),
+            F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
+            F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
+            F.round(n_dist.cast("double") / n, 6).alias("type_token_ratio"),
+            score_bp.alias("quality_score_bp"),
+            full_fp.alias("content_fp"),
+            F.coalesce(F.array_min(shingles), full_fp).alias("shingle_fp"),
+            cleaned.alias("cleaned"),
+        )
+        .withColumn("cleaned_len", F.length("cleaned"))
+        .orderBy("doc_id")
+    )
 
 
 DOC_STATS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks FROM documents
+  SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks,
+         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct
+  FROM documents
 ), m AS (
   SELECT doc_id, text, n_chars, toks, len(toks) AS n,
          len(list_distinct(toks)) AS n_dist,
-         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         CASE WHEN length(ct) > 100 THEN substr(ct, 1, 100) || '...' ELSE ct END AS cleaned
   FROM t
 )
 SELECT doc_id,
@@ -395,7 +407,9 @@ SELECT doc_id,
                                 list_extract(toks, i + 1),
                                 list_extract(toks, i + 2)))
            ), 'min'),
-         md5(text)) AS shingle_fp
+         md5(text)) AS shingle_fp,
+       cleaned,
+       length(cleaned) AS cleaned_len
 FROM m ORDER BY doc_id
 """
 
@@ -403,7 +417,8 @@ FROM m ORDER BY doc_id
 def register_all() -> None:
     from ..registry import register
 
-    register("doc_clean_text", q_doc_clean, DOC_CLEAN_SQL)
+    # doc_clean_text is folded into doc_stats (one scan, one slot) — the
+    # freed slot goes to corpus.register_all's corpus_assembly gate.
     register("doc_stats", q_doc_stats, DOC_STATS_SQL)
     register("doc_lang_id", q_lang_id, LANG_ID_SQL)
     register("doc_bpe_token_count", q_bpe_token_count, BPE_TOKEN_SQL)

@@ -51,6 +51,7 @@ def _load() -> None:
     if _LOADED:
         return
     from .operators import (
+        corpus,
         dedup,
         events,
         extended,
@@ -72,6 +73,7 @@ def _load() -> None:
     relational2.register_all()
     events.register_all()
     text.register_all()
+    corpus.register_all()
     dedup.register_all()
     similarity.register_all()
     multimodal.register_all()
