@@ -17,6 +17,9 @@ over data — only over the fixed, small iteration/centroid counts):
   search  queries probe their `nprobe` nearest centroids; candidates come
           from an equi-join on centroid id (never a cross join), then exact
           cosine top-k within the candidate set.
+  pairs   `ivf_near_dup_pairs` — near-dup pair generation blocked on IVF
+          cells (nprobe-way assignment for boundary recall), the trained
+          alternative to dedup.embedding_cosine_pairs' sign-LSH blocking.
 
 At 100 TB: centroid count grows ~sqrt(n) (stays broadcastable — 64-dim
 doubles at 65k centroids is ~33 MB); the corpus is hash-partitioned by
@@ -173,4 +176,50 @@ def ivf_search(
         .filter(F.col("rank") <= top_k)
         .select("qid", "rank", "nid", "label", "cosine")
         .orderBy("qid", "rank")
+    )
+
+
+def ivf_near_dup_pairs(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Embedding near-dup pairs blocked on IVF cells — the trained-centroid
+    alternative to dedup.embedding_cosine_pairs' sign-LSH blocking, and the
+    preferred 100 TB shape when a training pass is affordable: cells adapt
+    to the data distribution (hot regions split across many centroids)
+    where sign-LSH buckets are data-oblivious.
+
+    Every vector is assigned its `nprobe` nearest cells, so a pair whose
+    members straddle one cell boundary still meets in the second-choice
+    cell — the recall knob, at ≤ nprobe² candidate duplication (collapsed
+    before thresholding). Candidate generation stays an equi-join on cid;
+    no cross join at any scale. Expects (vec_id, e, nrm) as produced by
+    similarity._emb; returns (v1, v2, cosine).
+    """
+    assigned = ivf_assign(emb, centroids, nprobe=nprobe)
+    a = assigned.select(
+        F.col("vec_id").alias("v1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"),
+        "cid",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("v2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"),
+        "cid",
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.round(
+                _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 4
+            ).alias("cosine"),
+        )
+        # the same pair can meet in up to nprobe² shared cells — collapse
+        .groupBy("v1", "v2")
+        .agg(F.first("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("v1", "v2")
     )

@@ -70,3 +70,39 @@ def test_search_plan_is_equi_join(emb, centroids):
     ops = operator_counts(df)
     assert "CartesianProduct" not in ops, ops
     assert ops.get("BroadcastHashJoin", 0) >= 1, ops
+
+
+def test_ivf_near_dup_pairs_exact_subset_with_recall(spark, emb, centroids):
+    """The IVF-blocked near-dup generator must emit ONLY true pairs (exact
+    cosine, precision 1 by construction) and, with nprobe=2, recover a
+    solid fraction of all >=threshold pairs; nprobe=1 recall must not
+    exceed nprobe=2 (the probe knob monotonicity)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.ivf import ivf_near_dup_pairs
+
+    rows = emb.select("vec_id", "e").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    M = np.array([r["e"] for r in rows])
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = M @ M.T
+    iu = np.triu_indices(len(ids), k=1)
+    true_pairs = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))): round(float(C[i, j]), 4)
+        for i, j in zip(*iu)
+        if round(float(C[i, j]), 4) >= 0.25
+    }
+    assert len(true_pairs) > 100  # the fixture corpus has a real pair tail
+
+    got = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in ivf_near_dup_pairs(emb, centroids, threshold=0.25, nprobe=2).collect()
+    }
+    assert set(got) <= set(true_pairs)
+    for p, c in got.items():
+        assert c == pytest.approx(true_pairs[p], abs=1e-4)
+    recall2 = len(got) / len(true_pairs)
+
+    got1 = ivf_near_dup_pairs(emb, centroids, threshold=0.25, nprobe=1).count()
+    assert got1 / len(true_pairs) <= recall2 + 1e-9
+    assert recall2 >= 0.3, recall2
