@@ -69,18 +69,21 @@ def deterministic_split(
     )
 
 
-def split_counts(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+def split_counts(docs: DataFrame, key: str = "doc_id", ordered: bool = True) -> DataFrame:
     """Per-split document and character counts — the sanity check run after
-    every split assignment."""
-    return (
+    every split assignment. ``ordered=False`` skips the final sort for
+    callers that re-sort anyway (the union gate) — Catalyst does not
+    eliminate a sort under Union, so leaving it in costs a redundant
+    range exchange per leg."""
+    out = (
         deterministic_split(docs, key=key)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
         )
-        .orderBy("split")
     )
+    return out.orderBy("split") if ordered else out
 
 
 SPLIT_COUNTS_SQL = """
@@ -151,19 +154,17 @@ def pack_summary(
     docs: DataFrame,
     budget_tokens: int = SEQ_BUDGET_TOKENS,
     n_shards: int = N_SHARDS,
+    ordered: bool = True,
 ) -> DataFrame:
     """Per-sequence fill report: docs per sequence and tokens STARTING in
     each sequence — the packing-efficiency metric (tokens_started ≈ budget
     everywhere except each shard's tail sequence)."""
     packed = pack_sequences(docs, budget_tokens=budget_tokens, n_shards=n_shards)
-    return (
-        packed.groupBy("seq_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("tokens_started"),
-        )
-        .orderBy("seq_id")
+    out = packed.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_started"),
     )
+    return out.orderBy("seq_id") if ordered else out
 
 
 PACK_SUMMARY_SQL = f"""
@@ -193,7 +194,7 @@ ORDER BY seq_id
 # ---------------------------------------------------------------------------
 
 
-def cross_split_contamination(spark, sf_dir: str) -> DataFrame:
+def cross_split_contamination(spark, sf_dir: str, ordered: bool = True) -> DataFrame:
     """Train/test contamination report: near-dup pairs (verified MinHash-LSH)
     whose two documents landed in DIFFERENT splits — the check a training
     pipeline runs after splitting, since a test doc with a train near-dup
@@ -212,13 +213,13 @@ def cross_split_contamination(spark, sf_dir: str) -> DataFrame:
     )
     s1 = splits.select(F.col("doc_id").alias("d1"), F.col("split").alias("split_1"))
     s2 = splits.select(F.col("doc_id").alias("d2"), F.col("split").alias("split_2"))
-    return (
+    out = (
         pairs.join(s1, "d1")
         .join(s2, "d2")
         .filter(F.col("split_1") != F.col("split_2"))
         .select("d1", "d2", "split_1", "split_2", "jaccard")
-        .orderBy("d1", "d2")
     )
+    return out.orderBy("d1", "d2") if ordered else out
 
 
 _SPLIT_CASE = """CASE
@@ -326,21 +327,21 @@ def q_corpus_assembly(spark, sf_dir: str) -> DataFrame:
     from ..io import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    split_leg = split_counts(docs).select(
+    split_leg = split_counts(docs, ordered=False).select(
         F.lit("split").alias("leg"),
         F.col("split").alias("k1"),
         F.lit("").alias("k2"),
         F.col("n_docs").cast("bigint").alias("n1"),
         F.col("n_chars").cast("bigint").alias("n2"),
     )
-    pack_leg = pack_summary(docs).select(
+    pack_leg = pack_summary(docs, ordered=False).select(
         F.lit("pack").alias("leg"),
         F.col("seq_id").cast("string").alias("k1"),
         F.lit("").alias("k2"),
         F.col("n_docs").cast("bigint").alias("n1"),
         F.col("tokens_started").cast("bigint").alias("n2"),
     )
-    contam_leg = cross_split_contamination(spark, sf_dir).select(
+    contam_leg = cross_split_contamination(spark, sf_dir, ordered=False).select(
         F.lit("contam").alias("leg"),
         F.col("d1").cast("string").alias("k1"),
         F.concat_ws(">", F.col("d2").cast("string"), "split_1", "split_2").alias("k2"),
