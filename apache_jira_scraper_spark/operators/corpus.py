@@ -13,6 +13,11 @@ into doc_stats to stay at the 50-query cap).
                        stable under corpus growth (a doc's split never
                        changes when other docs are added/removed, unlike
                        row_number()-based splits), no shuffle at all
+  deterministic_sample / stratified_sample  hash-gated row sampling with
+                       the same stability guarantees plus nesting (the 1%
+                       sample is a subset of the 10% sample) and per-stratum
+                       rates — the corpus-mixing primitive; df.sample has
+                       none of these properties
   pack_sequences       contiguous-fill packing of documents into
                        fixed-token-budget training sequences, sharded so
                        the cumulative-sum window never collapses to a
@@ -67,6 +72,51 @@ def deterministic_split(
         .when(h < train_ppm + val_ppm, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def deterministic_sample(
+    docs: DataFrame, rate_ppm: int, key: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep each row iff hash_ppm(salt || key) < rate_ppm — the sampling
+    analog of deterministic_split. Zero shuffle, no RNG seed to coordinate
+    across executors, and STABLE: a row's membership never changes when
+    other rows are added/removed (Spark's df.sample has neither property —
+    its per-partition RNG reshuffles membership on any repartition), and
+    two samples at rates r1 < r2 are NESTED (the r1 sample is a subset of
+    the r2 sample), which makes scaling-law subset chains consistent.
+    ``salt`` decorrelates independent samples drawn at the same rate."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % SPLIT_PPM
+    )
+    return docs.filter(h < rate_ppm)
+
+
+def stratified_sample(
+    docs: DataFrame, rates_ppm: dict[str, int], strata_col: str,
+    key: str = "doc_id", salt: str = "", default_ppm: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing primitive
+    (e.g. upweight code, downweight crawl): rate_ppm chosen by the value of
+    ``strata_col``. The rate table is a literal CASE chain (strata counts
+    are human-scale), so the filter stays a zero-shuffle narrow map with
+    every deterministic_sample guarantee per stratum."""
+    rate = F.lit(default_ppm)
+    for value, ppm in sorted(rates_ppm.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(ppm)).otherwise(rate)
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % SPLIT_PPM
+    )
+    return docs.filter(h < rate)
 
 
 def split_counts(docs: DataFrame, key: str = "doc_id", ordered: bool = True) -> DataFrame:

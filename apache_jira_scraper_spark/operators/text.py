@@ -414,11 +414,101 @@ FROM m ORDER BY doc_id
 """
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1.2, public):
+    the quality signals a pretraining pipeline cuts on beyond simple
+    length/stopword ratios. All integer ppm so the DuckDB oracle compares
+    exactly.
+
+      dup_sent_ppm      fraction of '. '-sentences that are duplicates of an
+                        earlier sentence in the SAME doc — pure array
+                        algebra (size - size(array_distinct)), no shuffle
+      dup_token_ppm     same for whitespace tokens
+      top_bigram_ppm    occurrences of the doc's most frequent word bigram
+                        over total bigrams — the "top 2-gram fraction" cut.
+                        Needs a per-(doc, bigram) count: explode + two-level
+                        aggregation, partial-agg friendly, one shuffle keyed
+                        by (doc_id, bigram) then (doc_id) — scale shape, not
+                        a per-doc Python loop
+
+    Emits one row per doc: repetitive docs (boilerplate, keyword stuffing,
+    template spam) score high and get cut by thresholding downstream.
+    """
+    sents = F.split("text", "\\. ")
+    toks = tokens_col()
+    base = docs.select(
+        "doc_id",
+        sents.alias("sents"),
+        toks.alias("toks"),
+    ).select(
+        "doc_id",
+        F.size("sents").alias("n_sents"),
+        F.size(F.array_distinct("sents")).alias("n_sents_d"),
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_toks_d"),
+        # guarded: Spark's sequence(1, 0) is DESCENDING [1, 0] (DuckDB's
+        # generate_series is empty), so a 1-token doc needs the CASE
+        F.expr(
+            "CASE WHEN size(toks) > 1 THEN transform(sequence(1, size(toks) - 1),"
+            " i -> concat_ws(' ', toks[i - 1], toks[i]))"
+            " ELSE CAST(array() AS array<string>) END"
+        ).alias("bigrams"),
+    )
+    grams = base.select("doc_id", F.explode("bigrams").alias("g"))
+    top = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_grams"))
+    )
+    return (
+        base.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("(n_sents - n_sents_d) * 1000000 DIV n_sents").alias("dup_sent_ppm"),
+            F.expr("(n_toks - n_toks_d) * 1000000 DIV n_toks").alias("dup_token_ppm"),
+            F.coalesce(
+                F.expr("top_c * 1000000 DIV n_grams"), F.lit(0).cast("bigint")
+            ).alias("top_bigram_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(text, '. ') AS sents, string_split(text, ' ') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(sents) AS n_sents, len(list_distinct(sents)) AS n_sents_d,
+         len(toks) AS n_toks, len(list_distinct(toks)) AS n_toks_d,
+         list_transform(generate_series(1, greatest(len(toks) - 1, 0)),
+                        i -> concat_ws(' ', toks[i], toks[i + 1])) AS bigrams
+  FROM base
+), grams AS (
+  SELECT doc_id, g FROM m, unnest(bigrams) AS u(g)
+), per AS (
+  SELECT doc_id, g, COUNT(1) AS c FROM grams GROUP BY doc_id, g
+), top AS (
+  SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n_grams FROM per GROUP BY doc_id
+)
+SELECT m.doc_id,
+       (n_sents - n_sents_d) * 1000000 // n_sents AS dup_sent_ppm,
+       (n_toks - n_toks_d) * 1000000 // n_toks AS dup_token_ppm,
+       CAST(COALESCE(top_c * 1000000 // n_grams, 0) AS BIGINT) AS top_bigram_ppm
+FROM m LEFT JOIN top ON m.doc_id = top.doc_id
+ORDER BY m.doc_id
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
     # doc_clean_text is folded into doc_stats (one scan, one slot) — the
     # freed slot goes to corpus.register_all's corpus_assembly gate.
+    # repetition_signals stays a library API (oracle parity in
+    # tests/test_text.py) — the registry is at the driver's 50-query cap.
     register("doc_stats", q_doc_stats, DOC_STATS_SQL)
     register("doc_lang_id", q_lang_id, LANG_ID_SQL)
     register("doc_bpe_token_count", q_bpe_token_count, BPE_TOKEN_SQL)

@@ -171,3 +171,71 @@ def test_build_training_corpus_end_to_end(spark, sf_dir):
 
     # split and packing are total over the output
     assert all(r["split"] in ("train", "val", "test") and r["seq_id"] >= 0 for r in out)
+
+
+def test_deterministic_sample_stable_nested_and_oracle(spark, sf_dir):
+    """Membership must be a pure function of the key (stable under corpus
+    growth), samples at increasing rates must be NESTED, and the hash gate
+    must replicate exactly in DuckDB SQL."""
+    from pyspark.sql import functions as F
+
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.corpus import deterministic_sample
+    from tests.oracle_utils import assert_matches_oracle
+
+    docs = load_table(spark, sf_dir, "documents")
+    s10 = {r["doc_id"] for r in deterministic_sample(docs, 100_000).select("doc_id").collect()}
+    s50 = {r["doc_id"] for r in deterministic_sample(docs, 500_000).select("doc_id").collect()}
+    assert s10 < s50  # nested and strictly growing
+    n = docs.count()
+    assert 0 < len(s10) < len(s50) < n
+    # stability: sampling a half-corpus yields exactly the intersection
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    s10_half = {
+        r["doc_id"] for r in deterministic_sample(half, 100_000).select("doc_id").collect()
+    }
+    assert s10_half == {d for d in s10 if d % 2 == 0}
+    # decorrelation: a salted draw at the same rate is a different set
+    salted = {
+        r["doc_id"]
+        for r in deterministic_sample(docs, 100_000, salt="v2").select("doc_id").collect()
+    }
+    assert salted != s10
+    assert_matches_oracle(
+        deterministic_sample(docs, 100_000).select("doc_id").orderBy("doc_id"),
+        """
+        SELECT doc_id FROM documents
+        WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 < 100000
+        ORDER BY doc_id
+        """,
+        sf_dir,
+        name="deterministic_sample",
+    )
+
+
+def test_stratified_sample_respects_per_stratum_rates(spark, sf_dir):
+    """Each language stratum is sampled at its own rate; unlisted strata
+    fall to default_ppm (drop)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.corpus import (
+        deterministic_sample,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": 1_000_000, "de": 250_000}
+    out = stratified_sample(docs, rates, strata_col="lang")
+    got = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert got <= {"en", "de"}
+    n_en = docs.filter("lang = 'en'").count()
+    assert out.filter("lang = 'en'").count() == n_en  # rate 1.0 keeps all
+    # the de stratum must equal the plain deterministic sample of that stratum
+    de_direct = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.filter("lang = 'de'"), 250_000)
+        .select("doc_id")
+        .collect()
+    }
+    de_strat = {r["doc_id"] for r in out.filter("lang = 'de'").select("doc_id").collect()}
+    assert de_strat == de_direct

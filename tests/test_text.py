@@ -15,3 +15,41 @@ def test_doc_clean_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         q_doc_clean(spark, sf_dir), DOC_CLEAN_SQL, sf_dir, name="doc_clean"
     )
+
+
+def test_repetition_signals_match_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        REPETITION_SQL,
+        repetition_signals,
+    )
+
+    assert_matches_oracle(
+        repetition_signals(load_table(spark, sf_dir, "documents")),
+        REPETITION_SQL,
+        sf_dir,
+        name="repetition_signals",
+    )
+
+
+def test_repetition_signals_constructed_values(spark):
+    """A maximally repetitive doc vs a fully distinct one, plus the 1-token
+    edge where Spark's sequence(1, 0) would emit a bogus descending range."""
+    from apache_jira_scraper_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one bigram repeated 3x
+            (2, "all words fully distinct here"),
+            (3, "x"),                             # no bigrams at all
+            (4, "a b. a b. c d"),                 # duplicate sentence
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_signals(docs).collect()}
+    assert got[1]["dup_token_ppm"] == (4 - 1) * 1_000_000 // 4
+    assert got[1]["top_bigram_ppm"] == 1_000_000  # every bigram is "spam spam"
+    assert got[2]["dup_token_ppm"] == 0
+    assert got[2]["top_bigram_ppm"] == 1_000_000 // 4
+    assert got[3]["top_bigram_ppm"] == 0 and got[3]["dup_token_ppm"] == 0
+    assert got[4]["dup_sent_ppm"] == (3 - 2) * 1_000_000 // 3
