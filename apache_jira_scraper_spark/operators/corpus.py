@@ -25,6 +25,9 @@ into doc_stats to stay at the 50-query cap).
   cross_split_contamination  near-dup pairs straddling splits — the
                        post-split eval-integrity check, composed from the
                        session-shared LSH pair table + the split projection
+  eval_decontamination n-gram-overlap check of the corpus against an
+                       EXTERNAL eval/benchmark set (broadcast eval shingle
+                       table; the corpus side never shuffles by shingle)
   remove_boilerplate   drop sentences repeated across > max_df documents
                        and reassemble docs in original order (CCNet-style
                        header/footer/license stripping)
@@ -359,6 +362,45 @@ FROM sent WHERE sh NOT IN (SELECT sh FROM hot)
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+def eval_decontamination(
+    docs: DataFrame, eval_docs: DataFrame, min_shared: int = 1
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    ``min_shared`` distinct word-3-gram shingles with ANY eval/benchmark
+    document — the standard pretraining hygiene pass (the n-gram-overlap
+    flavor used by GPT-3/PaLM-style dedup-against-eval, public method).
+    Distinct from cross_split_contamination, which finds near-dups INSIDE
+    the corpus across splits; this checks against an external eval set.
+
+    Inputs: docs(doc_id, text), eval_docs(eval_id, text). Output one row
+    per contaminated training doc: (doc_id, n_shared_shingles,
+    n_eval_docs_hit).
+
+    Scale shape: eval sets are benchmark-sized (MBs) while the corpus is
+    the 100 TB side — so the eval shingle table is exploded, deduped, and
+    BROADCAST; the corpus side stays a narrow shingle explode feeding one
+    broadcast equi-join on the shingle plus one doc_id aggregation. The
+    corpus is never shuffled by shingle.
+    """
+    from .dedup import _shingles
+
+    doc_sh = docs.select("doc_id", F.explode(_shingles()).alias("s"))
+    eval_sh = (
+        eval_docs.select("eval_id", F.explode(_shingles()).alias("s"))
+        .distinct()
+    )
+    return (
+        doc_sh.join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("s").alias("n_shared_shingles"),
+            F.count_distinct("eval_id").alias("n_eval_docs_hit"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

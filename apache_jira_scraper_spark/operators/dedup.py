@@ -46,19 +46,26 @@ def _toks() -> Column:
 
 
 def _shingles() -> Column:
-    """Distinct word-3-gram shingles; [] for docs under 3 tokens."""
+    """Distinct word-3-gram shingles; [] for docs under 3 tokens.
+
+    The short-doc case needs an explicit CASE: Spark's sequence(1, 0) is a
+    DESCENDING [1, 0] (not empty like DuckDB's generate_series), so without
+    the guard a 2-token doc asks element_at for index 3 and the query
+    errors out.
+    """
     toks = _toks()
     n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            ),
-        )
+        F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -88,16 +95,18 @@ def _doc_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (CollapseProject keeps multi-referenced non-cheap aliases separate).
     toks = docs.select("doc_id", _toks().alias("toks"))
     n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    # n >= 3 guard — see _shingles: Spark's sequence(1, 0) is descending
     shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.col("toks"), i),
-                F.element_at(F.col("toks"), i + 1),
-                F.element_at(F.col("toks"), i + 2),
-            ),
-        )
+        F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
     )
     return toks.select("doc_id", F.explode(shingles).alias("s"))
 

@@ -239,17 +239,22 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table_parallel(spark, sf_dir, "documents")
     toks = tokens_col()
     n = F.size(toks)
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            )
+    # n >= 3 guard: Spark's sequence(1, 0) is descending [1, 0], so a short
+    # doc would index past the token array (see dedup._shingles)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     full_fp = F.md5(F.col("text"))
     return docs.select(
         "doc_id",
@@ -342,17 +347,20 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.floor(n_stop * 3000 / n).cast("bigint")
         + F.floor(n_dist * 3000 / n).cast("bigint")
     )
-    shingles = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-            )
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     full_fp = F.md5(F.col("text"))
     # doc_clean_text's F1 leg (whitespace-normalize + truncate-with-ellipsis)
     # folded in since round 3 — same scan, one driver slot freed for the

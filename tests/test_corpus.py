@@ -239,3 +239,46 @@ def test_stratified_sample_respects_per_stratum_rates(spark, sf_dir):
     }
     de_strat = {r["doc_id"] for r in out.filter("lang = 'de'").select("doc_id").collect()}
     assert de_strat == de_direct
+
+
+def test_eval_decontamination_exact_counts(spark):
+    """Constructed corpus/eval overlap: shared-shingle and eval-doc-hit
+    counts computed independently in Python must match exactly; clean docs
+    and sub-3-token docs never surface."""
+    from apache_jira_scraper_spark.operators.corpus import eval_decontamination
+
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    docs_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated training text with no overlap at all"),
+        (3, "the quick brown cat sits still"),
+        (4, "too short"),
+    ]
+    eval_rows = [
+        (100, "the quick brown fox runs"),
+        (101, "fox jumps over the lazy dog today"),
+    ]
+    docs = spark.createDataFrame(docs_rows, "doc_id long, text string")
+    evals = spark.createDataFrame(eval_rows, "eval_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_shared_shingles"], r["n_eval_docs_hit"])
+        for r in eval_decontamination(docs, evals).collect()
+    }
+    eval_sh = {eid: sh(t) for eid, t in eval_rows}
+    exp = {}
+    for did, t in docs_rows:
+        shared = {s for s in sh(t) if any(s in es for es in eval_sh.values())}
+        hits = sum(1 for es in eval_sh.values() if es & sh(t))
+        if shared:
+            exp[did] = (len(shared), hits)
+    assert got == exp
+    assert 1 in got and 3 in got and 2 not in got and 4 not in got
+    # min_shared thresholding prunes the weak hit
+    strict = {
+        r["doc_id"]
+        for r in eval_decontamination(docs, evals, min_shared=got[1][0]).collect()
+    }
+    assert strict == {1}
