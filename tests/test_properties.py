@@ -164,3 +164,62 @@ def test_flatmap_multiplicity_matches_gate_model(spark, issues):
     for i, (title, desc, status, priority, assignee, n_comments) in enumerate(issues):
         want = _expected_task_count(title, desc, status, priority, assignee, n_comments)
         assert got_counts.get(f"K-{i}", 0) == want, (i, issues[i])
+
+
+def _py_shingles(text: str) -> set[str]:
+    t = text.split(" ")  # exact split-on-space, NOT str.split()
+    return {" ".join(t[i : i + 3]) for i in range(max(len(t) - 2, 0))}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+            min_size=0,
+            max_size=8,
+        ).map(lambda w: w or "x"),
+        min_size=0,
+        max_size=12,
+    )
+)
+def test_shingles_match_python_model(spark, words):
+    """dedup._shingles over arbitrary token lists — including the 0/1/2-token
+    docs where Spark's descending sequence(1, 0) used to crash the
+    generator (round-3 guard)."""
+    from apache_jira_scraper_spark.operators.dedup import _shingles
+
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "text string")
+    got = set(df.select(_shingles().alias("s")).first()["s"])
+    assert got == _py_shingles(text)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**12), min_size=1, max_size=50, unique=True),
+    st.integers(min_value=0, max_value=1_000_000),
+    st.integers(min_value=0, max_value=1_000_000),
+)
+def test_deterministic_sample_pure_function_of_key(spark, keys, r1, r2):
+    """Membership is a pure per-key hash gate: python-side md5 replication
+    predicts the exact sample, and rate-nesting holds for ANY rate pair."""
+    import hashlib
+
+    from apache_jira_scraper_spark.operators.corpus import deterministic_sample
+
+    lo, hi = sorted((r1, r2))
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+
+    def model(rate):
+        return {
+            k
+            for k in keys
+            if int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 1_000_000 < rate
+        }
+
+    got_lo = {r["doc_id"] for r in deterministic_sample(df, lo).collect()}
+    got_hi = {r["doc_id"] for r in deterministic_sample(df, hi).collect()}
+    assert got_lo == model(lo)
+    assert got_hi == model(hi)
+    assert got_lo <= got_hi
