@@ -142,3 +142,32 @@ def test_corpus_build_does_not_broadcast_corpus_sized_sides(spark, sf_dir):
             assert "BroadcastHashJoin" not in line, line
     anti = [l for l in plan.splitlines() if "LeftAnti" in l]
     assert anti and all("Broadcast" in l for l in anti), anti
+
+
+def test_eval_decontamination_broadcasts_eval_side_only(spark, sf_dir):
+    """The corpus side must never shuffle by shingle: the eval shingle
+    table broadcasts, the only Exchange is the doc_id aggregation."""
+    from pyspark.sql import functions as F
+
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.corpus import eval_decontamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    evals = docs.limit(5).select(F.col("doc_id").alias("eval_id"), "text")
+    df = eval_decontamination(docs, evals)
+    ops = operator_counts(df)
+    assert ops.get("BroadcastHashJoin", 0) == 1, ops
+    assert "SortMergeJoin" not in ops and "CartesianProduct" not in ops, ops
+
+
+def test_repetition_signals_shape(spark, sf_dir):
+    """One Generate (the bigram explode), partial-agg-friendly aggregation,
+    no cartesian; the doc-side join back is an equi-join on doc_id."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import repetition_signals
+
+    df = repetition_signals(load_table(spark, sf_dir, "documents"))
+    ops = operator_counts(df)
+    assert ops.get("Generate", 0) == 1, ops
+    assert "CartesianProduct" not in ops, ops
+    assert ops.get("HashAggregate", 0) >= 4, ops  # two partial/final pairs
