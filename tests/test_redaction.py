@@ -1,0 +1,121 @@
+"""PII redaction + URL/domain filtering (operators/redaction.py).
+
+Two evidence layers, mirroring the dedup_embedding_cosine lesson (a parity
+check over data with zero matches certifies nothing):
+  1. constructed-fixture value tests with REAL PII/URLs — exact redacted
+     strings, counts, and blocklist verdicts, and a DuckDB parity run over
+     the very same parquet so the generated SQL twins are checked against
+     non-trivial matches;
+  2. parity over the synthetic documents table (exact 500-row string
+     compare — proves the regex subset behaves identically in Java regex
+     and RE2 at corpus scale, even where match count is zero).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from apache_jira_scraper_spark.operators.redaction import (
+    pii_redact,
+    pii_redact_sql,
+    url_filter,
+    url_filter_sql,
+)
+from tests.oracle_utils import canonical, run_spark
+
+PII_ROWS = [
+    (1, "contact bob.smith+x@corp.example.com or 192.168.10.7 today"),
+    (2, "ssn 123-45-6789 phone +1 (555) 123-4567 end"),
+    (3, "no pii here at all"),
+    (4, "two mails a@b.io c@d.org and ip 10.0.0.1"),
+]
+
+URL_ROWS = [
+    (1, "see https://spam.example/path and http://ok.example/x"),
+    (2, "plain text no links"),
+    (3, "dup https://ok.example/a https://ok.example/b"),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("pii") / "docs.parquet")
+    spark.createDataFrame(PII_ROWS, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+@pytest.fixture(scope="module")
+def url_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("url") / "docs.parquet")
+    spark.createDataFrame(URL_ROWS, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def _assert_parity(df, sql: str) -> None:
+    cur = duckdb.sql(sql)
+    o_cols, o_rows = [d[0] for d in cur.description], cur.fetchall()
+    s_cols, s_rows = run_spark(df)
+    sc, sl = canonical(s_cols, s_rows)
+    oc, ol = canonical(o_cols, o_rows)
+    assert sc == oc
+    assert sl == ol
+
+
+def test_pii_redact_constructed_values(spark):
+    docs = spark.createDataFrame(PII_ROWS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_ip"] == 1
+    assert got[1]["redacted"] == "contact <EMAIL> or <IP> today"
+    assert got[2]["n_ssn"] == 1 and got[2]["n_phone"] == 1
+    assert got[2]["redacted"] == "ssn <SSN> phone <PHONE> end"
+    assert got[3] == {
+        "doc_id": 3, "n_email": 0, "n_ssn": 0, "n_phone": 0, "n_ip": 0,
+        "redacted": "no pii here at all",
+    }
+    assert got[4]["n_email"] == 2 and got[4]["redacted"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+
+
+def test_pii_redact_duckdb_parity_on_pii_fixture(spark, pii_parquet):
+    docs = spark.read.parquet(pii_parquet)
+    sql = pii_redact_sql(table=f"read_parquet('{pii_parquet}/*.parquet')")
+    _assert_parity(pii_redact(docs), sql)
+
+
+def test_url_filter_constructed_values(spark):
+    docs = spark.createDataFrame(URL_ROWS, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in url_filter(docs).collect()}
+    assert got[1] == {
+        "doc_id": 1, "n_urls": 2, "domains_csv": "ok.example,spam.example",
+        "blocked": True,
+    }
+    assert got[2] == {"doc_id": 2, "n_urls": 0, "domains_csv": "", "blocked": False}
+    assert got[3] == {
+        "doc_id": 3, "n_urls": 2, "domains_csv": "ok.example", "blocked": False
+    }
+
+
+def test_url_filter_duckdb_parity_on_url_fixture(spark, url_parquet):
+    docs = spark.read.parquet(url_parquet)
+    sql = url_filter_sql(table=f"read_parquet('{url_parquet}/*.parquet')")
+    _assert_parity(url_filter(docs), sql)
+
+
+def test_pii_and_url_parity_on_documents(spark, sf_dir):
+    """Corpus-scale regex-compat check over the synthetic documents table
+    (an exact per-row string comparison even when match counts are zero)."""
+    from apache_jira_scraper_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    _assert_parity(
+        pii_redact(docs),
+        pii_redact_sql(table=f"read_parquet('{sf_dir}/documents.parquet')"),
+    )
+    _assert_parity(
+        url_filter(docs),
+        url_filter_sql(table=f"read_parquet('{sf_dir}/documents.parquet')"),
+    )
