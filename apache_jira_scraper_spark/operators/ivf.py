@@ -2,18 +2,25 @@
 quantizer scale path for similarity search (SURVEY.md §2.11; complements the
 sign-LSH bucketing in similarity.py / dedup.py).
 
-Design (all DataFrame algebra, no MLlib dependency, no driver-side loops
-over data — only over the fixed, small iteration/centroid counts):
+Design (all DataFrame algebra; the only driver-side state is the centroid
+model itself, which is O(k*dim) — driver-sized BY CONSTRUCTION, exactly like
+every distributed k-means implementation):
 
-  build   k-means coarse quantizer trained with Lloyd's iterations expressed
-          as DataFrame ops: assignment is a broadcast join of the corpus
-          against the (tiny) centroid table with an argmin over a
-          struct-min; the update step is per-dimension F.avg over the
-          cluster — `F.array(avg(e[0]), …, avg(e[d-1]))`, one shuffle per
-          iteration. Init is deterministic (first k vectors by id), so the
-          index is reproducible run-to-run.
-  assign  each corpus vector gets its nearest centroid id → the inverted
-          list key. One narrow map against broadcast centroids.
+  build   Lloyd's iterations: assignment is a NARROW MAP (argmin over the k
+          centroid literals via array_min of distance structs — no join, no
+          shuffle of the sample), update is one groupBy(cid) per-dimension
+          avg — ONE shuffle per iteration over the bounded training sample.
+          Each round lands the k centroids on the driver and re-emits them
+          as literals, keeping every iteration's plan flat (a lineage-chained
+          formulation made Catalyst re-optimize an n_iter-deep aggregation
+          tree: 147 s vs ~2 s for the same data). Init is deterministic
+          (first k vectors by id), so the index is reproducible run-to-run.
+  assign  nearest-centroid ids via the same argmin literal expression —
+          zero-shuffle narrow map over the corpus for k up to
+          _LITERAL_K_MAX; beyond that (centroid count grows ~sqrt(n), e.g.
+          65k cells at 100 TB) the same argmin runs as a broadcast join +
+          min-struct aggregation keyed by the row id (the 33 MB centroid
+          table broadcasts; the corpus still never shuffles).
   search  queries probe their `nprobe` nearest centroids; candidates come
           from an equi-join on centroid id (never a cross join), then exact
           cosine top-k within the candidate set.
@@ -21,22 +28,26 @@ over data — only over the fixed, small iteration/centroid counts):
           cells (nprobe-way assignment for boundary recall), the trained
           alternative to dedup.embedding_cosine_pairs' sign-LSH blocking.
 
-At 100 TB: centroid count grows ~sqrt(n) (stays broadcastable — 64-dim
-doubles at 65k centroids is ~33 MB); the corpus is hash-partitioned by
-centroid id so each probe touches `nprobe/k` of the data. Training runs on
-a bounded sample (`train_sample`), the standard IVF practice — Lloyd's on
-the full corpus would be k full-scan shuffles per iteration for no recall
-benefit.
+At 100 TB: the corpus is hash-partitioned by centroid id so each probe
+touches `nprobe/k` of the data. Training runs on a bounded sample
+(`train_sample`), the standard IVF practice — Lloyd's on the full corpus
+would be k full-scan shuffles per iteration for no recall benefit.
 
 Recall contract: a true neighbor in an unprobed cell is missed; raise
 `nprobe` (or centroid overlap) to trade cost for recall —
-tests/test_ivf.py pins recall@k against the exact top-k oracle.
+tests/test_ivf.py pins recall@k against the exact top-k oracle, and the
+`ivf_ann_topk` driver gate hash-checks a recall envelope.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+# Above this k the argmin literal expression (k zip_with/aggregate folds in
+# one projection) stops being codegen-friendly; assignment switches to the
+# broadcast-join form.
+_LITERAL_K_MAX = 128
 
 
 def _sqdist(a: Column, b: Column) -> Column:
@@ -52,6 +63,31 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """Land the model on the driver — bounded at O(k*dim) by construction."""
+    return [(int(r["cid"]), list(r["centroid"])) for r in centroids.collect()]
+
+
+def _arr_sql(c: list[float]) -> str:
+    return "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+
+
+def _dist_structs(vec_col: str, rows: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d,cid>> of distances to every centroid literal — the
+    narrow-map argmin/argsort kernel shared by build, assign, and probe.
+
+    Built as ONE SQL expression string: the per-element F.lit form costs
+    thousands of py4j round trips per call (measured ~2 s of driver-side
+    plan construction per Lloyd's round at k=16, dim=64); a single parsed
+    string is one round trip."""
+    structs = ",".join(
+        f"named_struct('d', aggregate(zip_with({vec_col}, {_arr_sql(c)},"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v), 'cid', {cid})"
+        for cid, c in rows
+    )
+    return F.expr(f"array({structs})")
+
+
 def ivf_build(
     emb: DataFrame,
     k: int = 16,
@@ -64,9 +100,12 @@ def ivf_build(
 
     Lloyd's iterations over a deterministic bounded training sample (first
     `train_sample` vectors by id — reproducible, unlike rand() sampling).
-    The centroid table stays on the driver side of a broadcast at every
-    step; the sample is the only distributed operand.
+    Per round: narrow-map argmin against the k centroid literals, then ONE
+    groupBy(cid) shuffle for the per-dimension means, collected back to the
+    driver (k rows). A cid that captures no sample points keeps its previous
+    centroid.
     """
+    spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
     sample = (
         emb.select(id_col, vec_col)
@@ -74,60 +113,76 @@ def ivf_build(
         .limit(train_sample)
         .persist()
     )
-    # deterministic init: the first k sample vectors (row_number over the
-    # k-row subset — a single-partition window over k rows, not the corpus)
-    centroids = (
-        sample.orderBy(id_col)
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cid"),
-            F.col(vec_col).alias("centroid"),
-        )
-    )
+
+    def _literal(rows: list[tuple[int, list[float]]]) -> DataFrame:
+        return spark.createDataFrame(rows, "cid int, centroid array<double>")
+
+    cur = [
+        (i, list(r[0]))
+        for i, r in enumerate(sample.orderBy(id_col).limit(k).select(vec_col).collect())
+    ]
     for _ in range(n_iter):
-        assigned = (
-            sample.join(F.broadcast(centroids))
-            .select(
-                id_col,
+        avg_arr = F.expr(
+            "array(" + ",".join(f"avg({vec_col}[{i}])" for i in range(dim)) + ")"
+        )
+        updated = (
+            sample.select(
+                F.array_min(_dist_structs(vec_col, cur))["cid"].alias("cid"),
                 vec_col,
-                F.struct(
-                    _sqdist(F.col(vec_col), F.col("centroid")).alias("d"),
-                    F.col("cid").alias("cid"),
-                ).alias("dc"),
             )
-            .groupBy(id_col, vec_col)
-            .agg(F.min("dc").alias("dc"))
-            .select(vec_col, F.col("dc.cid").alias("cid"))
+            .groupBy("cid")
+            .agg(avg_arr.alias("centroid"))
+            .collect()
         )
-        centroids = assigned.groupBy("cid").agg(
-            F.array(*[F.avg(F.col(vec_col)[i]) for i in range(dim)]).alias("centroid")
-        )
-    out = centroids.persist()
+        new = {r["cid"]: list(r["centroid"]) for r in updated}
+        cur = [(cid, new.get(cid, c)) for cid, c in cur]
     sample.unpersist()
-    return out
+    return _literal(cur)
 
 
 def ivf_assign(
-    emb: DataFrame, centroids: DataFrame, vec_col: str = "e", nprobe: int = 1
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "e",
+    nprobe: int = 1,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Attach the `nprobe` nearest centroid ids to every row of `emb`
     (nprobe=1 → the inverted-list assignment; >1 → the query-side probe
-    set). One broadcast join + per-row top-nprobe via struct sort — narrow,
-    no shuffle of the big side."""
-    pairs = emb.join(F.broadcast(centroids)).withColumn(
-        "dc",
+    set).
+
+    Small k (<= _LITERAL_K_MAX): a zero-shuffle narrow map — argsort of the
+    k distance structs per row, slice nprobe, explode. Large k: the same
+    argmin as a broadcast join + min-struct aggregation keyed by `id_col`
+    (the corpus side still never shuffles on data; the agg is keyed by the
+    row id, with the remaining columns carried inside the min struct).
+    """
+    rows = _centroid_rows(centroids)
+    keys = list(emb.columns)
+    if len(rows) <= _LITERAL_K_MAX:
+        probes = emb.select(
+            *keys,
+            F.slice(F.array_sort(_dist_structs(vec_col, rows)), 1, nprobe).alias(
+                "_probes"
+            ),
+        )
+        return probes.select(*keys, F.explode(F.col("_probes.cid")).alias("cid"))
+    payload = F.struct(*[F.col(c) for c in keys if c != id_col]).alias("p")
+    pairs = emb.join(F.broadcast(centroids)).select(
+        id_col,
         F.struct(
             _sqdist(F.col(vec_col), F.col("centroid")).alias("d"),
             F.col("cid").alias("cid"),
-        ),
+            payload,
+        ).alias("dc"),
     )
-    keys = [c for c in emb.columns]
-    probes = (
-        pairs.groupBy(*keys)
-        .agg(F.slice(F.sort_array(F.collect_list("dc")), 1, nprobe).alias("probes"))
-        .select(*keys, F.explode(F.col("probes.cid")).alias("cid"))
+    return (
+        pairs.groupBy(id_col)
+        .agg(F.slice(F.sort_array(F.collect_list("dc")), 1, nprobe).alias("_probes"))
+        .select(id_col, F.explode("_probes").alias("dc"))
+        .select(id_col, "dc.p.*", F.col("dc.cid").alias("cid"))
+        .select(*keys, "cid")
     )
-    return probes
 
 
 def ivf_search(
