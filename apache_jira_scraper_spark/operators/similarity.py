@@ -63,8 +63,20 @@ _COS_SQL = (
 )
 
 
+_EXACT_TOPK_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force top-k cosine neighbors for the query vectors."""
+    """Exact brute-force top-k cosine neighbors for the query vectors.
+
+    Three gates consume this subtree (similarity_topk's exact leg, the
+    knn vote, and ivf_ann_topk's recall reference), so the N_QUERIES*TOP_K
+    result rows are localCheckpoint-materialized once per (session, sf) —
+    the same silver-table amortization as the jira family's _issues."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EXACT_TOPK_CACHE.get(key)
+    if cached is not None:
+        return cached
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -84,12 +96,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "rank", "nid", "label", "cosine")
         .orderBy("qid", "rank")
+        .localCheckpoint(eager=True)
     )
+    _EXACT_TOPK_CACHE[key] = out
+    return out
 
 
 COSINE_TOPK_SQL = f"""
