@@ -18,10 +18,15 @@ into doc_stats to stay at the 50-query cap).
                        sample is a subset of the 10% sample) and per-stratum
                        rates — the corpus-mixing primitive; df.sample has
                        none of these properties
+  mix_corpus / mix_summary  data mixing: per-source rates derived from
+                       target weights and a token budget, applied through
+                       the same hash gate (stable, nested across budgets)
   pack_sequences       contiguous-fill packing of documents into
                        fixed-token-budget training sequences, sharded so
                        the cumulative-sum window never collapses to a
                        single partition
+  chunk_documents      fixed-token windows with overlap per document
+                       (chunk-to-max_seq_len) — zero-shuffle explode
   cross_split_contamination  near-dup pairs straddling splits — the
                        post-split eval-integrity check, composed from the
                        session-shared LSH pair table + the split projection
@@ -120,6 +125,121 @@ def stratified_sample(
         % SPLIT_PPM
     )
     return docs.filter(h < rate)
+
+
+def mix_corpus(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Data mixing: sample each source down so the mixture approaches the
+    target weights within a total token budget (e.g. 60% web / 30% code /
+    10% reference at 10B tokens). The per-source rate is DERIVED FROM THE
+    DATA — rate_s = min(1, budget * weight_s / total_tokens_s) — then
+    applied with the deterministic hash gate, inheriting every
+    deterministic_sample guarantee (stability under growth, nesting across
+    budgets: a 1B-token mix is a subset of the 10B mix of the same weights).
+
+    All integer arithmetic (weights as ppm, rates as ppm via integer
+    division) so the DuckDB twin reproduces membership bit-for-bit. Plan
+    shape: one partial-agg groupBy(source) over (source, n_tokens) for the
+    totals — a sources-cardinality result — broadcast-joined back, then the
+    narrow hash-gate filter; the corpus itself never shuffles.
+
+    A source absent from weights_ppm gets rate 0 (dropped). An over-asked
+    source (budget*weight > available tokens) caps at 1.0 — the mixture
+    then undershoots that weight, which `mix_summary`-style reporting makes
+    visible rather than silently re-normalizing.
+    """
+    toks = F.size(F.split("text", " "))
+    totals = (
+        docs.select(F.col(source_col).alias("_src"), toks.alias("_nt"))
+        .groupBy("_src")
+        .agg(F.sum("_nt").alias("_total"))
+    )
+    w = F.lit(0)
+    for value, ppm in sorted(weights_ppm.items()):
+        w = F.when(F.col("_src") == value, F.lit(ppm)).otherwise(w)
+    rates = totals.select(
+        "_src",
+        F.least(
+            F.lit(SPLIT_PPM).cast("bigint"),
+            # floor, not cast: Spark's double->bigint cast truncates while
+            # DuckDB's rounds — an explicit FLOOR on both sides is exact
+            F.floor(F.lit(budget_tokens).cast("bigint") * w / F.col("_total")).cast(
+                "bigint"
+            ),
+        ).alias("_rate_ppm"),
+    )
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % SPLIT_PPM
+    )
+    return (
+        docs.join(F.broadcast(rates), docs[source_col] == rates["_src"])
+        .filter(h < F.col("_rate_ppm"))
+        .drop("_src", "_rate_ppm")
+    )
+
+
+def mix_summary(
+    docs: DataFrame,
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-source report of a mix_corpus run: kept docs and kept tokens —
+    the oracle-checkable face of the mixing operator (kept token mass per
+    source ≈ budget * weight, capped by availability)."""
+    kept = mix_corpus(docs, weights_ppm, budget_tokens, source_col, key, salt)
+    return (
+        kept.select(F.col(source_col).alias("source"), F.size(F.split("text", " ")).alias("_nt"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+        .orderBy("source")
+    )
+
+
+def mix_summary_sql(
+    weights_ppm: dict[str, int],
+    budget_tokens: int,
+    table: str = "documents",
+    salt: str = "",
+) -> str:
+    """DuckDB twin of mix_summary, generated from the same weights/budget."""
+    wcase = (
+        "CASE "
+        + " ".join(
+            f"WHEN source = '{v}' THEN {ppm}" for v, ppm in sorted(weights_ppm.items())
+        )
+        + " ELSE 0 END"
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS nt,
+         CAST(concat('0x', substr(md5('{salt}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {SPLIT_PPM} AS h
+  FROM {table}
+), rates AS (
+  SELECT source,
+         LEAST({SPLIT_PPM},
+               CAST(FLOOR(CAST({budget_tokens} AS BIGINT) * ({wcase}) / SUM(nt)) AS BIGINT)) AS rate_ppm
+  FROM t GROUP BY source
+)
+SELECT t.source, COUNT(1) AS n_docs, SUM(nt) AS n_tokens
+FROM t JOIN rates ON t.source = rates.source
+WHERE h < rate_ppm
+GROUP BY t.source ORDER BY t.source
+"""
 
 
 def split_counts(docs: DataFrame, key: str = "doc_id", ordered: bool = True) -> DataFrame:
@@ -245,6 +365,82 @@ ORDER BY seq_id
 # ---------------------------------------------------------------------------
 # Contamination check and boilerplate removal
 # ---------------------------------------------------------------------------
+
+
+CHUNK_TOKENS = 128
+CHUNK_OVERLAP = 16
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split every document into fixed-token-window chunks with `overlap`
+    tokens of context between consecutive windows — the per-document
+    complement to pack_sequences (chunking long docs to max_seq_len vs
+    packing short docs up to it; real pipelines run chunk-then-pack).
+
+    Pure narrow map + explode: tokenize once, compute the chunk count with
+    integer arithmetic, explode a sequence of window indices, slice the
+    token array per index. Zero shuffle at any scale; a doc shorter than
+    one window emits exactly one (short) chunk. Chunk starts advance by
+    stride = chunk_tokens - overlap; the final window is the only one
+    allowed to be short, and every token is covered.
+
+    Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    toked = docs.select("doc_id", F.split(text_col, " ").alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    n_chunks = F.when(F.col("n") <= chunk_tokens, F.lit(1)).otherwise(
+        (F.col("n") - chunk_tokens + stride - 1) / stride + 1
+    ).cast("int")
+    exploded = toked.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    piece = F.slice(F.col("toks"), start, F.lit(chunk_tokens))
+    return exploded.select(
+        "doc_id",
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    chunk_tokens: int = CHUNK_TOKENS,
+    overlap: int = CHUNK_OVERLAP,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of chunk_documents, generated from the same constants."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split({text_col}, ' ') AS toks,
+         len(string_split({text_col}, ' ')) AS n
+  FROM {table}
+), e AS (
+  SELECT doc_id, toks, u.chunk_id
+  FROM t, unnest(generate_series(0,
+         CASE WHEN n <= {chunk_tokens} THEN 0
+              ELSE (n - {chunk_tokens} + {stride} - 1) // {stride} END)) AS u(chunk_id)
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       len(list_slice(toks, chunk_id * {stride} + 1,
+                      chunk_id * {stride} + {chunk_tokens})) AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id * {stride} + 1,
+                                  chunk_id * {stride} + {chunk_tokens}), ' ') AS chunk_text
+FROM e ORDER BY doc_id, chunk_id
+"""
 
 
 def cross_split_contamination(spark, sf_dir: str, ordered: bool = True) -> DataFrame:

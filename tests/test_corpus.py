@@ -282,3 +282,99 @@ def test_eval_decontamination_exact_counts(spark):
         for r in eval_decontamination(docs, evals, min_shared=got[1][0]).collect()
     }
     assert strict == {1}
+
+
+def test_chunk_documents_constructed_values(spark):
+    """Window arithmetic on hand-sized docs: short doc -> one chunk; exact
+    boundary -> one chunk; one-past-boundary -> short tail window; overlap
+    tokens repeat between consecutive chunks."""
+    from apache_jira_scraper_spark.operators.corpus import chunk_documents
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))  # noqa: E731
+    docs = spark.createDataFrame(
+        [(1, words(3)), (2, words(4)), (3, words(5)), (4, words(10))],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [r["n_chunk_tokens"] for r in by_doc[1]] == [3]
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [4]
+    # n=5, stride=3: [w0..w3], [w3, w4]
+    assert [r["chunk_text"] for r in by_doc[3]] == ["w0 w1 w2 w3", "w3 w4"]
+    # n=10: starts 0,3,6 -> windows [0..3],[3..6],[6..9]; last token covered
+    assert [r["chunk_text"] for r in by_doc[4]] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9",
+    ]
+    # overlap: last token of chunk k == first token of chunk k+1
+    for rows in by_doc.values():
+        for a, b in zip(rows, rows[1:]):
+            assert a["chunk_text"].split()[-1] == b["chunk_text"].split()[0]
+
+
+def test_chunk_documents_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.operators.corpus import (
+        chunk_documents,
+        chunk_documents_sql,
+    )
+
+    assert_matches_oracle(
+        chunk_documents(load_table(spark, sf_dir, "documents")),
+        chunk_documents_sql(),
+        sf_dir,
+        name="chunk_documents",
+    )
+
+
+def test_chunk_documents_plan_is_narrow(spark, sf_dir):
+    """Chunking must stay a zero-shuffle explode: no Exchange below the
+    final presentation sort."""
+    from apache_jira_scraper_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        chunk_documents(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    body = plan.split("Sort", 1)[-1]
+    assert "Exchange" not in body and "Repartition" not in body
+
+
+MIX_WEIGHTS = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+MIX_BUDGET = 20_000
+
+
+def test_mix_summary_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.operators.corpus import mix_summary, mix_summary_sql
+
+    assert_matches_oracle(
+        mix_summary(load_table(spark, sf_dir, "documents"), MIX_WEIGHTS, MIX_BUDGET),
+        mix_summary_sql(MIX_WEIGHTS, MIX_BUDGET),
+        sf_dir,
+        name="mix_summary",
+    )
+
+
+def test_mix_corpus_semantics(spark, sf_dir):
+    """Kept token mass per source tracks budget*weight (within one doc's
+    tokens of the target at the hash gate's resolution); unlisted sources
+    are dropped entirely; mixes are NESTED across budgets."""
+    from apache_jira_scraper_spark.operators.corpus import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    small = mix_corpus(docs, MIX_WEIGHTS, MIX_BUDGET)
+    kept_sources = {r["source"] for r in small.select("source").distinct().collect()}
+    assert kept_sources <= set(MIX_WEIGHTS)
+
+    big = mix_corpus(docs, MIX_WEIGHTS, MIX_BUDGET * 5)
+    small_ids = {r["doc_id"] for r in small.select("doc_id").collect()}
+    big_ids = {r["doc_id"] for r in big.select("doc_id").collect()}
+    assert small_ids <= big_ids
+
+    # an over-asked source caps at keeping everything rather than renormalizing
+    all_src0 = docs.filter(F.col("source") == "src0").count()
+    huge = mix_corpus(docs, {"src0": 1_000_000}, 10**9)
+    assert huge.count() == all_src0
