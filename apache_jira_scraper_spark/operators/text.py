@@ -18,7 +18,7 @@ Portability notes for the DuckDB oracle:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import clean_text
@@ -507,6 +507,46 @@ SELECT m.doc_id,
        CAST(COALESCE(top_c * 1000000 // n_grams, 0) AS BIGINT) AS top_bigram_ppm
 FROM m LEFT JOIN top ON m.doc_id = top.doc_id
 ORDER BY m.doc_id
+"""
+
+
+def build_vocab(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
+    """Tokenizer-vocabulary induction: the `vocab_size` most frequent
+    BPE-pretokenizer pieces across the corpus, ranked by (count DESC,
+    piece ASC) so the vocabulary is fully deterministic.
+
+    Scale shape: explode pieces → ONE partial-agg shuffle keyed by piece
+    (map-side combine collapses each partition to its distinct pieces —
+    vocabulary cardinality, not token cardinality, crosses the wire) →
+    global top-k as orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (no full sort). Returns (rank, piece, n_occ).
+    """
+    pieces = docs.select(
+        F.explode(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "piece"
+        )
+    )
+    counted = pieces.groupBy("piece").agg(F.count(F.lit(1)).alias("n_occ"))
+    top = counted.orderBy(F.desc("n_occ"), F.asc("piece")).limit(vocab_size)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("piece"))
+    # the window runs over vocab_size rows only (post-limit) — single tiny
+    # partition by construction, not a corpus-wide global window
+    return top.select(
+        F.row_number().over(w).alias("rank"), "piece", "n_occ"
+    ).orderBy("rank")
+
+
+def build_vocab_sql(vocab_size: int = 100, table: str = "documents") -> str:
+    """DuckDB twin of build_vocab (same BPE_PATTERN, same tie-break)."""
+    return f"""
+WITH p AS (
+  SELECT u.piece FROM {table}, unnest(regexp_extract_all(text, '{BPE_PATTERN}')) AS u(piece)
+), c AS (
+  SELECT piece, COUNT(1) AS n_occ FROM p GROUP BY piece
+  ORDER BY n_occ DESC, piece ASC LIMIT {vocab_size}
+)
+SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, piece ASC) AS rank, piece, n_occ
+FROM c ORDER BY rank
 """
 
 

@@ -106,3 +106,33 @@ def test_ivf_near_dup_pairs_exact_subset_with_recall(spark, emb, centroids):
     got1 = ivf_near_dup_pairs(emb, centroids, threshold=0.25, nprobe=1).count()
     assert got1 / len(true_pairs) <= recall2 + 1e-9
     assert recall2 >= 0.3, recall2
+
+
+def test_assign_literal_path_is_zero_shuffle(emb, centroids):
+    """For k <= _LITERAL_K_MAX the inverted-list assignment must be a pure
+    narrow map (argmin over centroid literals): no Exchange, no Join."""
+    plan = (
+        ivf_assign(emb, centroids, nprobe=1)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_assign_large_k_join_path_equivalent(emb, centroids):
+    """The broadcast-join form (forced via _LITERAL_K_MAX) must assign
+    exactly the same cells as the literal-expression form."""
+    from apache_jira_scraper_spark.operators import ivf as ivf_mod
+
+    lit = {(r["vec_id"], r["cid"]) for r in ivf_assign(emb, centroids, nprobe=2).collect()}
+    old = ivf_mod._LITERAL_K_MAX
+    ivf_mod._LITERAL_K_MAX = 0
+    try:
+        join = {
+            (r["vec_id"], r["cid"])
+            for r in ivf_assign(emb, centroids, nprobe=2).collect()
+        }
+    finally:
+        ivf_mod._LITERAL_K_MAX = old
+    assert lit == join

@@ -223,3 +223,40 @@ def test_deterministic_sample_pure_function_of_key(spark, keys, r1, r2):
     assert got_lo == model(lo)
     assert got_hi == model(hi)
     assert got_lo <= got_hi
+
+
+def _py_chunks(words: list[str], chunk: int, overlap: int) -> list[list[str]]:
+    """Pure-Python model of chunk_documents' window arithmetic."""
+    stride = chunk - overlap
+    n = len(words)
+    if n <= chunk:
+        return [words]
+    n_chunks = -((n - chunk) // -stride) + 1
+    return [words[i * stride : i * stride + chunk] for i in range(n_chunks)]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=1, max_value=40), min_size=1, max_size=25),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=6),
+)
+def test_chunk_documents_matches_python_model(spark, doc_lens, chunk, overlap):
+    """Every doc length x (chunk, overlap) combo: same windows as the model,
+    full coverage (every token appears), and only the final window short."""
+    from apache_jira_scraper_spark.operators.corpus import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    rows = [(i, " ".join(f"t{j}" for j in range(n))) for i, n in enumerate(doc_lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got: dict[int, list[tuple[int, str]]] = {}
+    for r in chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for i, n in enumerate(doc_lens):
+        words = [f"t{j}" for j in range(n)]
+        expect = _py_chunks(words, chunk, overlap)
+        chunks = [t.split(" ") for _, t in sorted(got[i])]
+        assert chunks == expect, (n, chunk, overlap)
+        assert set().union(*map(set, chunks)) == set(words)
+        assert all(len(c) == chunk for c in chunks[:-1]) or n <= chunk

@@ -53,3 +53,39 @@ def test_repetition_signals_constructed_values(spark):
     assert got[2]["top_bigram_ppm"] == 1_000_000 // 4
     assert got[3]["top_bigram_ppm"] == 0 and got[3]["dup_token_ppm"] == 0
     assert got[4]["dup_sent_ppm"] == (3 - 2) * 1_000_000 // 3
+
+
+def test_build_vocab_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import build_vocab, build_vocab_sql
+
+    assert_matches_oracle(
+        build_vocab(load_table(spark, sf_dir, "documents"), vocab_size=50),
+        build_vocab_sql(vocab_size=50),
+        sf_dir,
+        name="build_vocab",
+    )
+
+
+def test_build_vocab_constructed_values(spark):
+    from apache_jira_scraper_spark.operators.text import build_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "aa cc7 bb")], "doc_id long, text string"
+    )
+    got = [(r["rank"], r["piece"], r["n_occ"]) for r in build_vocab(docs, 10).collect()]
+    # pieces: "aa", " bb", " aa", "aa", " cc", "7", " bb" -> counts:
+    # " bb":2, "aa":2, " aa":1, " cc":1, "7":1 (count desc, piece asc)
+    assert got == [
+        (1, " bb", 2), (2, "aa", 2), (3, " aa", 1), (4, " cc", 1), (5, "7", 1),
+    ]
+
+
+def test_build_vocab_plan_top_k(spark, sf_dir):
+    """Global top-k must plan as TakeOrderedAndProject, not a full sort."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = build_vocab(docs, 50)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
