@@ -301,6 +301,152 @@ def _minhash_pairs_uncached(
     return jac, [cand, sh_cand]
 
 
+def build_dedup_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The persistable MinHash dedup index for an arbitrary (doc_id, text)
+    corpus: the hashed-shingle inverted table (doc_id, sh) and the k=8
+    signature table. A production pipeline lands both between crawl
+    batches; the signature table is the small one (one row per doc), the
+    shingle table is read only for candidate verification."""
+    toked = docs.select("doc_id", _toks().alias("toks"))
+    n = F.size("toks")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+            F.element_at(F.col("toks"), i + 2),
+        ),
+    )
+    shingles = F.array_distinct(
+        F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
+    )
+    sh = toked.select("doc_id", F.explode(shingles).alias("s")).select(
+        "doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("sh")
+    )
+    sig = _signatures(docs.sparkSession, "", sh_hashed=sh)
+    return sh, sig
+
+
+def _band_rows(sig: DataFrame) -> DataFrame:
+    """(doc_id, bidx, bk): one exploded row per band with the packed BIGINT
+    band key — the LSH candidate-join key (see _minhash_pairs_uncached)."""
+    two31 = F.lit(2_147_483_648)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("bidx"),
+                        (F.col(f"m{2 * j}") * two31 + F.col(f"m{2 * j + 1}")).alias("bk"),
+                    )
+                    for j in range(BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bidx", "b.bk")
+
+
+def _verify_jaccard(sh_all: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact-jaccard verification of (d1, d2) candidates against a hashed
+    shingle table, restricted to candidate docs via semi-joins — identical
+    math to _minhash_pairs_uncached's verification stage."""
+    cand_docs = (
+        cand.select(F.col("d1").alias("doc_id"))
+        .unionByName(cand.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh_all.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        sh_cand.select(F.col("doc_id").alias("d1"), "sh")
+        .join(sh_cand.select(F.col("doc_id").alias("d2"), "sh"), "sh")
+        .filter(F.col("d1") != F.col("d2"))
+        .join(F.broadcast(cand), ["d1", "d2"], "left_semi")
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
+        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: tuple[DataFrame, DataFrame] | None = None,
+) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
+    """Dedupe a NEW crawl batch against the already-kept corpus without
+    recomputing anything over the old data — the operational 100 TB shape
+    (a daily crawl lands against a multi-petabyte index; re-running global
+    dedup per batch is a non-starter).
+
+    ``index`` is (shingles, signatures) over the KEPT corpus as returned by
+    build_dedup_index / a previous incremental_dedup; None bootstraps the
+    first batch. Candidate generation is two band equi-joins — new×index
+    and new×new — so the index side is touched only at its band keys and
+    the verification semi-joins; the full old corpus is never re-shingled.
+    Verification is exact jaccard at LSH_VERIFY_THRESHOLD.
+
+    Drop policy (greedy, order-stable): a new doc is dropped iff it
+    verified-matches ANY indexed doc, or a smaller-doc_id doc of its own
+    batch. Equal to global min-id-per-component dedup whenever duplicate
+    relations don't chain through dropped docs (a doc matching only a
+    dropped doc is kept here, dropped by the global form) — the standard
+    incremental-dedup approximation; sub-3-token docs have no shingles and
+    are always kept.
+
+    Returns (kept_new_docs, updated_index).
+    """
+    sh_new, sig_new = build_dedup_index(new_docs)
+    bands_new = _band_rows(sig_new)
+    if index is not None:
+        sh_idx, sig_idx = index
+        vs_index = (
+            bands_new.select(F.col("doc_id").alias("d2"), "bidx", "bk")
+            .join(_band_rows(sig_idx).select(F.col("doc_id").alias("d1"), "bidx", "bk"),
+                  ["bidx", "bk"])
+            .select("d1", "d2")
+            .distinct()
+        )
+        sh_all = sh_idx.unionByName(sh_new)
+    else:
+        sh_idx, sig_idx = None, None
+        vs_index = None
+        sh_all = sh_new
+    within = (
+        bands_new.select(F.col("doc_id").alias("d1"), "bidx", "bk")
+        .join(bands_new.select(F.col("doc_id").alias("d2"), "bidx", "bk"), ["bidx", "bk"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    cand = within if vs_index is None else within.unionByName(vs_index).distinct()
+    losers = (
+        _verify_jaccard(sh_all, cand)
+        .select(F.col("d2").alias("doc_id"))
+        .distinct()
+    )
+    kept = new_docs.join(losers, "doc_id", "left_anti")
+    sh_kept = sh_new.join(F.broadcast(losers), "doc_id", "left_anti")
+    sig_kept = sig_new.join(F.broadcast(losers), "doc_id", "left_anti")
+    new_index = (
+        (sh_kept, sig_kept)
+        if sig_idx is None
+        else (sh_idx.unionByName(sh_kept), sig_idx.unionByName(sig_kept))
+    )
+    return kept, new_index
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified (see minhash_pairs)."""
     return minhash_pairs(spark, sf_dir).orderBy("d1", "d2")

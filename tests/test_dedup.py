@@ -202,3 +202,85 @@ def test_embedding_cosine_pairs_exact_values(spark):
     # the anti vector shares base's bucket, so only the negative cosine
     # keeps it out — a sign/abs bug in the fold would emit (1, 4)
     assert cos(base, anti) < -0.5
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _base(i: int, n: int = 12) -> str:
+    return " ".join(f"d{i}w{j}" for j in range(n))
+
+
+def test_incremental_dedup_first_batch_and_new_batch(spark):
+    """Batch A: 0/1 near-identical (1 dropped), 2 unique, 9 short (kept —
+    no shingles). Batch B: 10 dupes kept-A 0, 11 dupes dropped-A 1 (kept:
+    1 left the index), 12 dupes B-internal 13, 14 unique."""
+    from apache_jira_scraper_spark.operators.dedup import incremental_dedup
+
+    a_txt = _base(0)
+    docs_a = _mkdocs(
+        spark,
+        [(0, a_txt), (1, a_txt + " tail"), (2, _base(2)), (9, "too short")],
+    )
+    kept_a, idx = incremental_dedup(docs_a)
+    assert {r["doc_id"] for r in kept_a.collect()} == {0, 2, 9}
+    assert {r["doc_id"] for r in idx[1].select("doc_id").collect()} == {0, 2}
+
+    b13 = _base(13)
+    docs_b = _mkdocs(
+        spark,
+        [
+            (10, a_txt + " x"),           # near-dup of kept 0 -> dropped
+            (11, a_txt + " tail y"),      # near-dup of DROPPED 1 only… and of 0? same base -> dropped
+            (12, b13 + " z"),             # near-dup of 13 (same batch, larger id) -> kept? 12 < 13
+            (13, b13),                    # larger id of the in-batch pair -> dropped
+            (14, _base(14)),              # unique -> kept
+        ],
+    )
+    kept_b, idx2 = incremental_dedup(docs_b, idx)
+    got = {r["doc_id"] for r in kept_b.collect()}
+    assert 10 not in got and 14 in got and 12 in got and 13 not in got
+    # the updated index holds exactly the kept docs of both batches
+    assert {r["doc_id"] for r in idx2[1].select("doc_id").collect()} == (
+        {0, 2} | (got - {9})
+    ) - {9}
+
+
+def test_incremental_equals_single_batch_when_chain_free(spark):
+    """For chain-free duplicate relations, incremental over two batches
+    keeps exactly the docs a single-batch run over the union keeps."""
+    from apache_jira_scraper_spark.operators.dedup import incremental_dedup
+
+    rows = [(i, _base(i)) for i in range(6)]
+    rows += [(10, _base(0) + " q"), (11, _base(3) + " r"), (12, _base(20))]
+    all_docs = _mkdocs(spark, rows)
+    kept_all, _ = incremental_dedup(all_docs)
+
+    first = _mkdocs(spark, rows[:6])
+    second = _mkdocs(spark, rows[6:])
+    k1, idx = incremental_dedup(first)
+    k2, _ = incremental_dedup(second, idx)
+    inc = {r["doc_id"] for r in k1.collect()} | {r["doc_id"] for r in k2.collect()}
+    assert inc == {r["doc_id"] for r in kept_all.collect()}
+
+
+def test_incremental_dedup_index_side_never_reshingled(spark):
+    """The candidate plan must read the index's SIGNATURE table, not
+    re-derive it: no md5/split over the index docs appears in the new-batch
+    dedup plan (the index tables stand alone as leaves)."""
+    from apache_jira_scraper_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    idx_docs = _mkdocs(spark, [(i, _base(i)) for i in range(4)])
+    sh, sig = build_dedup_index(idx_docs)
+    idx = (sh.localCheckpoint(eager=True), sig.localCheckpoint(eager=True))
+    new_docs = _mkdocs(spark, [(50, _base(0) + " v"), (51, _base(30))])
+    kept, _ = incremental_dedup(new_docs, idx)
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    # checkpointed index = LogicalRDD leaves; the only parquet/json scans
+    # or shingle derivations allowed are over the 2-row new batch
+    assert plan.count("LogicalRDD") >= 2
+    assert {r["doc_id"] for r in kept.collect()} == {51}
