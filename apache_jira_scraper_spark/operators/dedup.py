@@ -431,14 +431,19 @@ def incremental_dedup(
         .distinct()
     )
     cand = within if vs_index is None else within.unionByName(vs_index).distinct()
+    # materialized once: three consumers (kept docs, shingle keep, signature
+    # keep) would otherwise each re-run the band-join + verification subtree
     losers = (
         _verify_jaccard(sh_all, cand)
         .select(F.col("d2").alias("doc_id"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    # no broadcast hint on `losers`: it is batch-cardinality (unbounded at
+    # scale) — plain anti-joins let AQE broadcast when it is actually small
     kept = new_docs.join(losers, "doc_id", "left_anti")
-    sh_kept = sh_new.join(F.broadcast(losers), "doc_id", "left_anti")
-    sig_kept = sig_new.join(F.broadcast(losers), "doc_id", "left_anti")
+    sh_kept = sh_new.join(losers, "doc_id", "left_anti")
+    sig_kept = sig_new.join(losers, "doc_id", "left_anti")
     new_index = (
         (sh_kept, sig_kept)
         if sig_idx is None
