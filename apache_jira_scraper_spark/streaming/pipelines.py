@@ -165,6 +165,54 @@ def write_idempotent_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: st
     )
 
 
+def streaming_dedup_ingest(
+    doc_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    initial_index=None,
+):
+    """Streaming corpus ingestion with CROSS-BATCH near-dup state: each
+    micro-batch of (doc_id, text) rows is deduped against the index of
+    every previously kept document via operators.dedup.incremental_dedup,
+    the survivors land idempotently (overwrite-by-batch-id, same contract
+    as write_idempotent_parquet), and the index advances only after the
+    write succeeds.
+
+    The index is (shingles, signatures) — the custom streaming state that
+    dropDuplicatesWithinWatermark cannot express (near-dup, unbounded
+    horizon). Both tables are localCheckpoint'ed per batch so batch N's
+    plan never chains N lineages deep (the classic iterative-state bug).
+    State lives driver-side between batches; on restart, rebuild it with
+    build_dedup_index over the kept output (or pass ``initial_index``) —
+    the production analog persists the two index tables per commit, which
+    stays correct under replay because a replayed batch re-dedupes against
+    the pre-batch index and overwrites the same batch directory.
+    """
+    state = {"index": initial_index}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import incremental_dedup
+
+        kept, (sh, sig) = incremental_dedup(batch_df, state["index"])
+        kept = kept.localCheckpoint(eager=True)
+        (
+            kept.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+        state["index"] = (
+            sh.localCheckpoint(eager=True),
+            sig.localCheckpoint(eager=True),
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_interval_join(
     events: DataFrame,
     left_type: str = "view",

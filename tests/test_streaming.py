@@ -229,3 +229,52 @@ def test_stream_interval_join_matches_batch(spark, events_batch, events_stream):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_streaming_dedup_ingest_cross_batch_state(spark, tmp_path):
+    """Two micro-batches of documents through streaming_dedup_ingest: the
+    second batch must dedupe against the FIRST batch's kept index (custom
+    cross-batch state), and the landed output must equal the two-call
+    incremental_dedup result."""
+    import os
+    import time
+
+    from apache_jira_scraper_spark.operators.dedup import incremental_dedup
+    from apache_jira_scraper_spark.streaming.pipelines import streaming_dedup_ingest
+
+    base = lambda i: " ".join(f"d{i}w{j}" for j in range(12))  # noqa: E731
+    batch_a = [(0, base(0)), (1, base(0) + " tail"), (2, base(2))]
+    batch_b = [(10, base(0) + " x"), (11, base(11)), (12, base(2) + " y")]
+
+    landing = str(tmp_path / "docs")
+    os.makedirs(landing)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.parquet(f"{landing}/a")
+    time.sleep(1.1)  # distinct mtimes -> deterministic micro-batch order
+    spark.createDataFrame(batch_b, schema).coalesce(1).write.parquet(f"{landing}/b")
+    for d, ts in (("a", 1_000), ("b", 2_000)):
+        for f in os.listdir(f"{landing}/{d}"):
+            os.utime(f"{landing}/{d}/{f}", (ts, ts))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/*")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = streaming_dedup_ingest(stream, out_dir, ckpt)
+    q.awaitTermination()
+
+    landed = {
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(out_dir).collect()
+    }
+    landed_ids = {d for d, _ in landed}
+
+    ka, idx = incremental_dedup(spark.createDataFrame(batch_a, schema))
+    kb, _ = incremental_dedup(spark.createDataFrame(batch_b, schema), idx)
+    expect = {r["doc_id"] for r in ka.collect()} | {r["doc_id"] for r in kb.collect()}
+    assert landed_ids == expect
+    # 10 dupes batch-A doc 0 and 12 dupes doc 2 — dropped ONLY if the index
+    # actually crossed the batch boundary
+    assert 10 not in landed_ids and 12 not in landed_ids and 11 in landed_ids
+    assert {b for _, b in landed} == {0, 1}
