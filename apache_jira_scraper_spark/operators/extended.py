@@ -226,12 +226,22 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+T5 stateful streaming in one gate: gap-based session_window
     aggregation, dropDuplicatesWithinWatermark dedup, the custom
     applyInPandasWithState lifetime counters, AND the two-watermark
-    stream-stream interval join, tagged and union-ALL'd (rows-only: true
-    streaming state has no SQL twin). Legs are normalized to a common
-    (op, id, aux, n) shape; sessions keyed by user with the start second as
-    aux, dedup rows keyed by event with the event_type as aux, lifetime
-    rows keyed by user with the value-cents sum as aux, attribution rows
-    keyed by the view event with the purchase event as aux.
+    stream-stream interval join, tagged and union-ALL'd. Legs are
+    normalized to a common (op, id, aux, n) shape; sessions keyed by user
+    with the start second as aux, dedup rows keyed by event with the
+    event_type as aux, lifetime rows keyed by user with the value-cents
+    sum as aux, attribution rows keyed by the view event with the purchase
+    event as aux.
+
+    ORACLE-CHECKED since round 3 (was rows-only): with the bounded
+    single-file input every leg provably equals its batch twin (pinned in
+    tests/test_streaming.py), and each batch twin IS ANSI-SQL-expressible —
+    sessions as gaps-and-islands (strict `< gap` merge, matching
+    session_window's exclusive end), dedup as identity on the unique
+    event_id, lifetime as a per-user aggregate with decimal-exact cents,
+    attribution as the interval self-join. The oracle restates exactly
+    that; the streaming machinery (watermarks, state eviction) still runs
+    for real on the Spark side.
 
     The four legs START concurrently and are awaited together, so the gate
     pays the slowest streaming query once instead of all four in series."""
@@ -284,6 +294,46 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(attrib)
         .orderBy("op", "id", "aux")
     )
+
+
+STREAM_STATEFUL_SQL = """
+WITH sess_base AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   < INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_s
+  FROM events
+), sess_id AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM sess_base
+), sessions AS (
+  SELECT 'session' AS op, user_id AS id,
+         CAST(CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS VARCHAR) AS aux,
+         COUNT(1) AS n
+  FROM sess_id GROUP BY user_id, sid
+), dedup AS (
+  SELECT 'dedup' AS op, event_id AS id, event_type AS aux, user_id AS n
+  FROM events
+), lifetime AS (
+  SELECT 'lifetime' AS op, user_id AS id,
+         CAST(CAST(SUM(CAST(value AS DECIMAL(14,2)) * 100) AS BIGINT) AS VARCHAR) AS aux,
+         COUNT(1) AS n
+  FROM events GROUP BY user_id
+), attrib AS (
+  SELECT 'attrib' AS op, l.event_id AS id, CAST(r.event_id AS VARCHAR) AS aux,
+         CAST(CAST(r.value AS DECIMAL(14,2)) * 100 AS BIGINT) AS n
+  FROM events l JOIN events r
+    ON l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+  WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+)
+SELECT * FROM sessions
+UNION ALL SELECT * FROM dedup
+UNION ALL SELECT * FROM lifetime
+UNION ALL SELECT * FROM attrib
+ORDER BY op, id, aux
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -362,5 +412,5 @@ def register_all() -> None:
     register("quantiles_exact", q_quantiles_exact, QUANTILES_SQL)
     register("approx_distinct_parts", q_approx_distinct_parts, APPROX_DISTINCT_SQL)
     register("stream_tumbling_counts", q_stream_tumbling_counts, STREAM_TUMBLING_SQL)
-    register("stream_stateful", q_stream_stateful, None)
+    register("stream_stateful", q_stream_stateful, STREAM_STATEFUL_SQL)
     register("jira_rest_ingest", q_jira_rest_ingest, None)

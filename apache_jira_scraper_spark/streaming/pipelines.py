@@ -123,8 +123,10 @@ def stateful_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFra
         n, cents, last_s = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # round-then-sum in int space: same cents every replay
-            cents += int(round(pdf["value"], 2).mul(100).astype("int64").sum())
+            # nearest-cent per row, summed in int space: equals the
+            # DECIMAL(14,2)*100 convention (a bare astype-int64 truncates
+            # 0.29*100 = 28.999... down a cent — the purchase_cents bug)
+            cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
             last_s = max(last_s, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
         state.update((n, cents, last_s))
         yield pd.DataFrame(

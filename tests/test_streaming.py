@@ -141,7 +141,9 @@ def test_stateful_user_stats_match_batch(spark, events_batch, events_stream):
             events_batch.groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
-                F.sum((F.round("value", 2) * 100).cast("bigint")).alias("total_value_cents"),
+                F.sum((F.col("value").cast("decimal(14,2)") * 100).cast("bigint")).alias(
+                    "total_value_cents"
+                ),
                 F.max(F.unix_timestamp("ts")).alias("last_seen_s"),
             )
         ).collect()
