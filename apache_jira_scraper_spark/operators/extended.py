@@ -342,6 +342,67 @@ ORDER BY op, id, aux
 
 _MOCK = {}
 
+# Shared by the gate's MockJira instance AND the oracle generator below, so
+# the two sides can never drift on corpus size.
+MOCK_TOTALS = {"KAFKA": 120, "SPARK": 80}
+
+
+def _mock_ingest_sql() -> str:
+    """DuckDB oracle for jira_rest_ingest: regenerate MockJira's
+    deterministic corpus (sources/mock_jira.py make_issue — pure formulas
+    of (project, i)) with generate_series and restate the extraction
+    semantics (clean_text collapse, Unknown defaults, comment filter,
+    to_json digest) in SQL. Independent of every Spark-side moving part:
+    HTTP pagination, JQL/fields pushdown, from_json, extract_issues — a
+    dropped page, a mis-parsed field, or a broken digest all hash-mismatch.
+    """
+    base_union = " UNION ALL ".join(
+        f"SELECT '{p}' AS project, i FROM generate_series(0, {n - 1}) AS t(i)"
+        for p, n in sorted(MOCK_TOTALS.items())
+    )
+    comment_obj = (
+        "'{\"author\":\"Commenter ' || CAST(j AS VARCHAR) || "
+        "'\",\"created\":\"2024-04-' || printf('%02d', (j % 28) + 1) || "
+        "'T00:00:00.000+0000\",\"body\":\"Comment ' || CAST(j AS VARCHAR) || "
+        "' on ' || issue_key || '\"}'"
+    )
+    return f"""
+WITH base AS (
+  {base_union}
+), m AS (
+  SELECT project, i, project || '-' || CAST(i AS VARCHAR) AS issue_key
+  FROM base
+)
+SELECT issue_key,
+       CAST(10000 + i AS VARCHAR) AS issue_id,
+       project,
+       'https://issues.apache.org/jira/browse/' || issue_key AS url,
+       'Issue ' || CAST(i AS VARCHAR) || ' of ' || project AS title,
+       CASE WHEN i % 7 = 0 THEN ''
+            ELSE 'Description body ' || CAST(i AS VARCHAR) END AS description,
+       CASE WHEN i % 3 = 0 THEN 'Resolved' ELSE 'Open' END AS status,
+       (['Blocker', 'Critical', 'Major', 'Minor', 'Trivial'])[(i % 5) + 1] AS priority,
+       (['Bug', 'Task', 'Improvement'])[(i % 3) + 1] AS issue_type,
+       'Reporter ' || CAST(i % 10 AS VARCHAR) AS reporter,
+       CASE WHEN i % 5 = 0 THEN 'Unknown'
+            ELSE 'Assignee ' || CAST(i % 7 AS VARCHAR) END AS assignee,
+       '2024-01-' || printf('%02d', (i % 28) + 1) || 'T00:00:00.000+0000' AS created,
+       '2024-02-' || printf('%02d', (i % 28) + 1) || 'T00:00:00.000+0000' AS updated,
+       CASE WHEN i % 3 = 0
+            THEN '2024-03-' || printf('%02d', (i % 28) + 1) || 'T00:00:00.000+0000'
+            ELSE '' END AS resolved,
+       'label' || CAST(i % 4 AS VARCHAR) AS labels_csv,
+       'comp' || CAST(i % 3 AS VARCHAR) AS components_csv,
+       '' AS versions_csv,
+       '' AS fix_versions_csv,
+       md5('[' || COALESCE(array_to_string(
+             list_transform(generate_series(0, (i % 4) - 1), j -> {comment_obj}),
+             ','), '') || ']') AS comments_digest,
+       CAST(i % 4 AS BIGINT) AS comment_count
+FROM m
+ORDER BY issue_key
+"""
+
 
 def q_jira_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Paginated REST scan through the custom DataSource against an
@@ -349,8 +410,11 @@ def q_jira_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exercises: partition-per-page parallel fetch, projection/filter pushdown
     into the JQL request, retry envelope, and the P1-P5 projection — the
-    whole reference ingest path as ONE Spark plan. Rows-only (no SQL oracle:
-    the source is a live HTTP endpoint)."""
+    whole reference ingest path as ONE Spark plan. ORACLE-CHECKED since
+    round 3: the mock corpus is a pure formula of (project, i), so
+    _mock_ingest_sql regenerates the expected silver rows independently in
+    DuckDB (generate_series + the extraction semantics restated) — a
+    dropped page or mis-parsed field hash-mismatches."""
     from ..sources import jira_source
     from ..sources.mock_jira import MockJira
 
@@ -358,7 +422,7 @@ def q_jira_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # required for JiraBatchReader.pushFilters on sessions we didn't build
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     if "srv" not in _MOCK:
-        srv = MockJira({"KAFKA": 120, "SPARK": 80})
+        srv = MockJira(dict(MOCK_TOTALS))
         srv.thread.start()  # daemon; lives for the session so the lazy
         _MOCK["srv"] = srv  # DataFrame stays collectable
     srv = _MOCK["srv"]
@@ -413,4 +477,4 @@ def register_all() -> None:
     register("approx_distinct_parts", q_approx_distinct_parts, APPROX_DISTINCT_SQL)
     register("stream_tumbling_counts", q_stream_tumbling_counts, STREAM_TUMBLING_SQL)
     register("stream_stateful", q_stream_stateful, STREAM_STATEFUL_SQL)
-    register("jira_rest_ingest", q_jira_rest_ingest, None)
+    register("jira_rest_ingest", q_jira_rest_ingest, _mock_ingest_sql())
