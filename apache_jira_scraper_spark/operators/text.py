@@ -550,6 +550,75 @@ FROM c ORDER BY rank
 """
 
 
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained unigram log-probability score per document — the
+    perplexity-filter analog of a pretraining pipeline (docs whose tokens
+    are improbable under the corpus's own unigram model are gibberish/
+    boilerplate candidates; cut on avg_logprob downstream).
+
+    Model: Laplace-smoothed p(t) = (count(t) + 1) / (N + V) trained on the
+    same corpus. Per-token log-probs are rounded to integer 1e-4 nats
+    BEFORE summing, so the per-doc aggregate is order-independent integer
+    math — a raw double SUM would hash differently across partition orders
+    (float addition is not associative), and the 1e-4 grid leaves ~100 ulp
+    of margin against libm last-digit differences between engines.
+
+    Plan shape: token counts are one partial-agg shuffle (vocabulary
+    cardinality crosses the wire); scoring joins the exploded corpus to
+    the count table on the token (shuffle join — the vocabulary is NOT
+    assumed broadcastable at 100 TB) and re-aggregates per doc.
+
+    Returns (doc_id, n_tokens, sum_logprob_en4, avg_logprob_en4).
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+    counts = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum("c").alias("N"), F.count(F.lit(1)).alias("V")
+    )
+    scored = (
+        toks.join(counts, "t")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c") + 1).cast("double") / (F.col("N") + F.col("V")))
+                * 10_000
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("lp").alias("sum_logprob_en4"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_logprob_en4",
+            F.expr("sum_logprob_en4 DIV n_tokens").alias("avg_logprob_en4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+UNIGRAM_LOGPROB_SQL = """
+WITH toks AS (
+  SELECT doc_id, u.t FROM documents, unnest(string_split(text, ' ')) AS u(t)
+), counts AS (
+  SELECT t, COUNT(1) AS c FROM toks GROUP BY t
+), totals AS (
+  SELECT SUM(c) AS N, COUNT(1) AS V FROM counts
+), scored AS (
+  SELECT doc_id,
+         CAST(ROUND(ln(CAST(c + 1 AS DOUBLE) / (N + V)) * 10000) AS BIGINT) AS lp
+  FROM toks JOIN counts USING (t) CROSS JOIN totals
+)
+SELECT doc_id, COUNT(1) AS n_tokens, SUM(lp) AS sum_logprob_en4,
+       SUM(lp) // COUNT(1) AS avg_logprob_en4
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 

@@ -89,3 +89,34 @@ def test_build_vocab_plan_top_k(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     plan = build_vocab(docs, 50)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_unigram_logprob_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        UNIGRAM_LOGPROB_SQL,
+        unigram_logprob,
+    )
+
+    assert_matches_oracle(
+        unigram_logprob(load_table(spark, sf_dir, "documents")),
+        UNIGRAM_LOGPROB_SQL,
+        sf_dir,
+        name="unigram_logprob",
+    )
+
+
+def test_unigram_logprob_ranks_gibberish_low(spark):
+    """A doc of corpus-frequent tokens must outscore a doc of hapaxes."""
+    import math
+
+    from apache_jira_scraper_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zq1 zq2 zq3 zq4"), (3, "the the zq5 zq6")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_logprob_en4"] for r in unigram_logprob(docs).collect()}
+    assert got[1] > got[3] > got[2]
+    # exact check for doc 1: p(the) = (6+1)/(12+7) -> round(ln(7/19)*1e4)
+    assert got[1] == round(math.log(7 / 19) * 10_000)
