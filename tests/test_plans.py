@@ -171,3 +171,20 @@ def test_repetition_signals_shape(spark, sf_dir):
     assert ops.get("Generate", 0) == 1, ops
     assert "CartesianProduct" not in ops, ops
     assert ops.get("HashAggregate", 0) >= 4, ops  # two partial/final pairs
+
+
+def test_no_cartesian_product_in_any_gate(spark, sf_dir):
+    """Sweep every registry query's optimized plan for CartesianProduct /
+    unconditioned Join — the class of plan that silently appears when a
+    join condition is lost in a refactor. Streaming gates and the live
+    REST ingest are excluded (building them EXECUTES streaming queries /
+    spins HTTP workers); their shapes are pinned by their own tests.
+    BroadcastNestedLoopJoin is allowed only for the documented
+    range_join_generic pattern, which is not a registered gate."""
+    skip = {"stream_tumbling_counts", "stream_stateful", "jira_rest_ingest"}
+    for name, fn in _QS.items():
+        if name in skip:
+            continue
+        plan = fn(spark, sf_dir)._jdf.queryExecution().optimizedPlan().toString()
+        assert "Cartesian" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
