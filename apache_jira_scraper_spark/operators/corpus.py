@@ -681,11 +681,20 @@ def build_training_corpus(
     sf_dir: str,
     min_quality_bp: int = 5000,
     budget_tokens: int = SEQ_BUDGET_TOKENS,
+    redact_pii: bool = False,
+    mix_weights_ppm: dict[str, int] | None = None,
+    mix_budget_tokens: int | None = None,
 ) -> DataFrame:
     """The whole training-data flow as ONE composed DataFrame program:
 
         quality filter → exact dedup → near-dup removal (keep each LSH
-        cluster's canonical doc) → deterministic split → sequence packing
+        cluster's canonical doc) → [PII redaction] → [source mixing]
+        → deterministic split → sequence packing
+
+    ``redact_pii`` swaps each surviving doc's text for its redacted form
+    (redaction.pii_redact) BEFORE packing, since redaction changes token
+    counts; ``mix_weights_ppm``/``mix_budget_tokens`` insert a mix_corpus
+    stage after dedup so the mixture is computed over deduped token mass.
 
     Returns one row per surviving document with its split and packed
     sequence assignment. Every stage is the library operator the individual
@@ -729,6 +738,21 @@ def build_training_corpus(
         .join(exact_keep, "doc_id", "left_semi")
         .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
     )
+
+    # 3b. optional PII redaction — a narrow map over survivors only
+    if redact_pii:
+        from .redaction import pii_redact
+
+        red = pii_redact(kept.select("doc_id", "text"), ordered=False).select(
+            "doc_id", F.col("redacted").alias("text")
+        )
+        kept = kept.drop("text").join(red, "doc_id")
+
+    # 3c. optional source mixing over the deduped token mass
+    if mix_weights_ppm is not None:
+        if mix_budget_tokens is None:
+            raise ValueError("mix_weights_ppm requires mix_budget_tokens")
+        kept = mix_corpus(kept, mix_weights_ppm, mix_budget_tokens)
 
     # 4-5. split + pack the surviving corpus
     packed = pack_sequences(kept, budget_tokens=budget_tokens).select(

@@ -41,7 +41,7 @@ DOMAIN_PATTERN = r"https?://([^/ ]+)"
 DEFAULT_BLOCKLIST: tuple[str, ...] = ("spam.example", "tracker.example")
 
 
-def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def pii_redact(docs: DataFrame, text_col: str = "text", ordered: bool = True) -> DataFrame:
     """Per-document PII scrub: one count column per PII class (taken BEFORE
     redaction) plus the fully redacted text after the ordered replacement
     chain. One projection — counts and redaction share the single scan.
@@ -55,7 +55,8 @@ def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     red = c
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
-    return docs.select("doc_id", *counts, red.alias("redacted")).orderBy("doc_id")
+    out = docs.select("doc_id", *counts, red.alias("redacted"))
+    return out.orderBy("doc_id") if ordered else out
 
 
 def pii_redact_sql(table: str = "documents", text_col: str = "text") -> str:

@@ -378,3 +378,23 @@ def test_mix_corpus_semantics(spark, sf_dir):
     all_src0 = docs.filter(F.col("source") == "src0").count()
     huge = mix_corpus(docs, {"src0": 1_000_000}, 10**9)
     assert huge.count() == all_src0
+
+
+def test_build_training_corpus_optional_stages(spark, sf_dir):
+    """redact_pii must not change WHICH docs survive (only their text);
+    mixing must drop unlisted sources and subset the unmixed survivors."""
+    from apache_jira_scraper_spark.operators.corpus import build_training_corpus
+
+    plain = build_training_corpus(spark, sf_dir)
+    plain_ids = {r["doc_id"] for r in plain.select("doc_id").collect()}
+
+    red = build_training_corpus(spark, sf_dir, redact_pii=True)
+    assert {r["doc_id"] for r in red.select("doc_id").collect()} == plain_ids
+
+    mixed = build_training_corpus(
+        spark, sf_dir,
+        mix_weights_ppm={"src0": 600_000, "src1": 400_000},
+        mix_budget_tokens=5_000,
+    )
+    mixed_ids = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    assert mixed_ids <= plain_ids and len(mixed_ids) < len(plain_ids)
