@@ -452,6 +452,113 @@ def incremental_dedup(
     return kept, new_index
 
 
+def exact_substring_dedup(docs: DataFrame, span: int = 50) -> DataFrame:
+    """Exact substring deduplication: remove every token run of length
+    >= `span` that occurs more than once ANYWHERE in the corpus (the
+    token-level complement to document-level dedup — boilerplate headers,
+    license blocks, and templated passages survive document dedup because
+    their host documents differ).
+
+    Mechanics: hash every `span`-token window (60-bit md5-derived, same
+    portability trick as the shingle index), find hashes with >= 2
+    occurrences corpus-wide (one partial-agg shuffle keyed by the gram
+    hash), semi-join the hot windows back (second shuffle), collect each
+    doc's hot window starts (doc-keyed shuffle), then a narrow map marks
+    covered token indices and reassembles the text. REMOVE-ALL semantics:
+    every occurrence of a duplicated span goes, including the first — the
+    order-independent contract (keep-first would make output depend on a
+    global occurrence ordering); callers wanting one surviving copy keep a
+    canonical doc via document-level dedup first.
+
+    Returns (doc_id, n_tokens, n_removed, cleaned_text); docs shorter than
+    `span` pass through unchanged.
+    """
+    toked = docs.select("doc_id", _toks().alias("toks")).select(
+        "doc_id", "toks", F.size("toks").alias("n")
+    )
+    starts = F.when(
+        F.col("n") >= span, F.sequence(F.lit(1), F.col("n") - span + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = toked.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        "toks",
+    ).select(
+        "doc_id",
+        "s",
+        F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("toks", F.col("s"), span))), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("gh"),
+    )
+    hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    hot_occ = (
+        grams.join(hot.select("gh"), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_list("s").alias("starts"))
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + span - 1),
+            )
+        )
+    )
+    return (
+        toked.join(hot_occ, "doc_id", "left")
+        .select("doc_id", "toks", F.col("n").alias("n_tokens"), covered.alias("cov"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.size("cov").alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.filter(F.col("toks"), lambda t, i: ~F.array_contains(F.col("cov"), i + 1)),
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def exact_substring_dedup_sql(span: int = 50, table: str = "documents") -> str:
+    """DuckDB twin of exact_substring_dedup (same hash, same indices)."""
+    return f"""
+WITH toked AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM {table}
+), grams AS (
+  SELECT doc_id, u.s,
+         CAST(concat('0x', substr(md5(array_to_string(
+           list_slice(toks, u.s, u.s + {span} - 1), ' ')), 1, 15)) AS BIGINT) AS gh
+  FROM toked, unnest(generate_series(1, n - {span} + 1)) AS u(s)
+  WHERE n >= {span}
+), hot AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(1) >= 2
+), hot_occ AS (
+  SELECT doc_id, list(s) AS starts
+  FROM grams SEMI JOIN hot USING (gh)
+  GROUP BY doc_id
+), marked AS (
+  SELECT t.doc_id, t.toks, t.n,
+         list_distinct(flatten(list_transform(
+           COALESCE(h.starts, []), s -> generate_series(s, s + {span} - 1)
+         ))) AS cov
+  FROM toked t LEFT JOIN hot_occ h ON t.doc_id = h.doc_id
+)
+SELECT doc_id, n AS n_tokens,
+       len(cov) AS n_removed,
+       COALESCE(array_to_string(
+         list_filter(toks, (t, i) -> NOT list_contains(cov, i)), ' '), '')
+         AS cleaned_text
+FROM marked ORDER BY doc_id
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified (see minhash_pairs)."""
     return minhash_pairs(spark, sf_dir).orderBy("d1", "d2")

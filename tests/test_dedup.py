@@ -284,3 +284,58 @@ def test_incremental_dedup_index_side_never_reshingled(spark):
     # or shingle derivations allowed are over the 2-row new batch
     assert plan.count("LogicalRDD") >= 2
     assert {r["doc_id"] for r in kept.collect()} == {51}
+
+
+def test_exact_substring_dedup_constructed_values(spark):
+    """A 5-token run shared by docs 1 and 2 vanishes from BOTH (remove-all);
+    doc 3's self-repeated run vanishes too; unique text untouched; short
+    docs pass through."""
+    from apache_jira_scraper_spark.operators.dedup import exact_substring_dedup
+
+    shared = "p q r s t"
+    docs = _mkdocs(
+        spark,
+        [
+            (1, f"a b {shared} c d"),
+            (2, f"x {shared} y z"),
+            (3, f"{shared} {shared}"),     # duplicated within one doc
+            (4, "all unique tokens here e f"),
+            (5, "tiny doc"),
+        ],
+    )
+    got = {r["doc_id"]: r.asDict() for r in exact_substring_dedup(docs, span=5).collect()}
+    assert got[1]["cleaned_text"] == "a b c d" and got[1]["n_removed"] == 5
+    assert got[2]["cleaned_text"] == "x y z"
+    assert got[3]["cleaned_text"] == "" and got[3]["n_removed"] == 10
+    assert got[4]["cleaned_text"] == "all unique tokens here e f"
+    assert got[5] == {
+        "doc_id": 5, "n_tokens": 2, "n_removed": 0, "cleaned_text": "tiny doc"
+    }
+
+
+def test_exact_substring_dedup_overlapping_runs(spark):
+    """A 6-token duplicated run = two overlapping hot 5-windows; coverage
+    must merge them (6 tokens removed, not 10)."""
+    from apache_jira_scraper_spark.operators.dedup import exact_substring_dedup
+
+    run6 = "p q r s t u"
+    docs = _mkdocs(spark, [(1, f"a {run6} b"), (2, f"c {run6} d")])
+    got = {r["doc_id"]: r.asDict() for r in exact_substring_dedup(docs, span=5).collect()}
+    assert got[1]["n_removed"] == 6 and got[1]["cleaned_text"] == "a b"
+    assert got[2]["cleaned_text"] == "c d"
+
+
+def test_exact_substring_dedup_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.operators.dedup import (
+        exact_substring_dedup,
+        exact_substring_dedup_sql,
+    )
+    from apache_jira_scraper_spark.io import load_table
+    from tests.oracle_utils import assert_matches_oracle
+
+    assert_matches_oracle(
+        exact_substring_dedup(load_table(spark, sf_dir, "documents"), span=10),
+        exact_substring_dedup_sql(span=10),
+        sf_dir,
+        name="exact_substring_dedup",
+    )
