@@ -684,17 +684,22 @@ def build_training_corpus(
     redact_pii: bool = False,
     mix_weights_ppm: dict[str, int] | None = None,
     mix_budget_tokens: int | None = None,
+    substring_span: int | None = None,
 ) -> DataFrame:
     """The whole training-data flow as ONE composed DataFrame program:
 
         quality filter → exact dedup → near-dup removal (keep each LSH
-        cluster's canonical doc) → [PII redaction] → [source mixing]
-        → deterministic split → sequence packing
+        cluster's canonical doc) → [exact substring dedup] →
+        [PII redaction] → [source mixing] → deterministic split →
+        sequence packing
 
-    ``redact_pii`` swaps each surviving doc's text for its redacted form
-    (redaction.pii_redact) BEFORE packing, since redaction changes token
-    counts; ``mix_weights_ppm``/``mix_budget_tokens`` insert a mix_corpus
-    stage after dedup so the mixture is computed over deduped token mass.
+    ``substring_span`` inserts dedup.exact_substring_dedup over the
+    survivors (duplicated runs shared only with DROPPED docs stay, by
+    design — the canonical copy keeps its text); ``redact_pii`` swaps each
+    surviving doc's text for its redacted form (redaction.pii_redact)
+    BEFORE packing, since both rewrites change token counts;
+    ``mix_weights_ppm``/``mix_budget_tokens`` insert a mix_corpus stage
+    after dedup so the mixture is computed over deduped token mass.
 
     Returns one row per surviving document with its split and packed
     sequence assignment. Every stage is the library operator the individual
@@ -738,6 +743,15 @@ def build_training_corpus(
         .join(exact_keep, "doc_id", "left_semi")
         .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
     )
+
+    # 3a2. optional token-level substring dedup over the survivors
+    if substring_span is not None:
+        from .dedup import exact_substring_dedup
+
+        cleaned = exact_substring_dedup(
+            kept.select("doc_id", "text"), span=substring_span, ordered=False
+        ).select("doc_id", F.col("cleaned_text").alias("text"))
+        kept = kept.drop("text").join(cleaned, "doc_id")
 
     # 3b. optional PII redaction — a narrow map over survivors only
     if redact_pii:

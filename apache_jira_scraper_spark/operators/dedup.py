@@ -452,7 +452,9 @@ def incremental_dedup(
     return kept, new_index
 
 
-def exact_substring_dedup(docs: DataFrame, span: int = 50) -> DataFrame:
+def exact_substring_dedup(
+    docs: DataFrame, span: int = 50, ordered: bool = True
+) -> DataFrame:
     """Exact substring deduplication: remove every token run of length
     >= `span` that occurs more than once ANYWHERE in the corpus (the
     token-level complement to document-level dedup — boilerplate headers,
@@ -508,7 +510,7 @@ def exact_substring_dedup(docs: DataFrame, span: int = 50) -> DataFrame:
             )
         )
     )
-    return (
+    out = (
         toked.join(hot_occ, "doc_id", "left")
         .select("doc_id", "toks", F.col("n").alias("n_tokens"), covered.alias("cov"))
         .select(
@@ -520,8 +522,8 @@ def exact_substring_dedup(docs: DataFrame, span: int = 50) -> DataFrame:
                 F.filter(F.col("toks"), lambda t, i: ~F.array_contains(F.col("cov"), i + 1)),
             ).alias("cleaned_text"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def exact_substring_dedup_sql(span: int = 50, table: str = "documents") -> str:

@@ -260,3 +260,47 @@ def test_chunk_documents_matches_python_model(spark, doc_lens, chunk, overlap):
         assert chunks == expect, (n, chunk, overlap)
         assert set().union(*map(set, chunks)) == set(words)
         assert all(len(c) == chunk for c in chunks[:-1]) or n <= chunk
+
+
+def _py_substring_dedup(docs: dict[int, list[str]], span: int) -> dict[int, list[str]]:
+    """Pure-Python model of exact_substring_dedup's remove-all semantics."""
+    from collections import Counter
+
+    grams = Counter()
+    for words in docs.values():
+        for s in range(len(words) - span + 1):
+            grams[tuple(words[s : s + span])] += 1
+    out = {}
+    for d, words in docs.items():
+        cov = set()
+        for s in range(len(words) - span + 1):
+            if grams[tuple(words[s : s + span])] >= 2:
+                cov.update(range(s, s + span))
+        out[d] = [w for i, w in enumerate(words) if i not in cov]
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=14),
+        min_size=2,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_exact_substring_dedup_matches_python_model(spark, token_lists, span):
+    """Tiny alphabet forces frequent shared spans; every doc's cleaned
+    token sequence must equal the remove-all model's."""
+    from apache_jira_scraper_spark.operators.dedup import exact_substring_dedup
+
+    docs = {i: words for i, words in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(w)) for i, w in docs.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["cleaned_text"].split(" ") if r["cleaned_text"] else [])
+        for r in exact_substring_dedup(df, span=span).collect()
+    }
+    expect = _py_substring_dedup(docs, span)
+    assert got == expect, (token_lists, span)
