@@ -676,6 +676,43 @@ def register_all() -> None:
 # ---------------------------------------------------------------------------
 
 
+def write_corpus(
+    corpus: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = ("split",),
+    sort_within: tuple[str, ...] = ("seq_id", "doc_id"),
+    max_records_per_file: int = 500_000,
+) -> None:
+    """Land a built corpus with the layout a 100 TB training job wants to
+    READ, not just what is cheapest to write:
+
+      - `partitionBy(split)` → training readers scan only their split
+        directory (partition pruning at the source);
+      - `sortWithinPartitions(seq_id, doc_id)` → documents of the same
+        packed sequence are physically adjacent, so sequence assembly at
+        read time is a streaming merge, not a shuffle — and parquet
+        min/max stats on seq_id enable row-group skipping for
+        sequence-range reads;
+      - `maxRecordsPerFile` bounds file size so a skewed split can't emit
+        one giant file (the small-files/giant-file balance knob; tune to
+        the target file size for the reader's block size).
+
+    One exchange (the hash partitioning for partitionBy) + a per-task
+    sort; no global sort anywhere. The task sort leads with the partition
+    columns ON PURPOSE: the dynamic-partition writer requires its input
+    sorted by them and would otherwise insert its own (unstable) sort,
+    destroying the (seq_id, doc_id) order.
+    """
+    (
+        corpus.repartition(*[F.col(c) for c in partition_by])
+        .sortWithinPartitions(*partition_by, *sort_within)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
 def build_training_corpus(
     spark,
     sf_dir: str,

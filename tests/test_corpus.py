@@ -398,3 +398,36 @@ def test_build_training_corpus_optional_stages(spark, sf_dir):
     )
     mixed_ids = {r["doc_id"] for r in mixed.select("doc_id").collect()}
     assert mixed_ids <= plain_ids and len(mixed_ids) < len(plain_ids)
+
+
+def test_write_corpus_layout(spark, sf_dir, tmp_path):
+    """Partition dirs per split; rows within each file sorted by
+    (seq_id, doc_id); full round-trip equality."""
+    import os
+
+    from apache_jira_scraper_spark.operators.corpus import (
+        build_training_corpus,
+        write_corpus,
+    )
+
+    corpus = build_training_corpus(spark, sf_dir)
+    out = str(tmp_path / "corpus")
+    write_corpus(corpus, out)
+
+    dirs = {d for d in os.listdir(out) if d.startswith("split=")}
+    assert dirs == {"split=train", "split=val", "split=test"}
+
+    back = spark.read.parquet(out)
+    orig = {tuple(r) for r in corpus.collect()}
+    got = {tuple(r) for r in back.select(*corpus.columns).collect()}
+    assert got == orig
+
+    import pyarrow.parquet as pq
+
+    for d in dirs:
+        for f in os.listdir(f"{out}/{d}"):
+            if not f.endswith(".parquet"):
+                continue
+            t = pq.read_table(f"{out}/{d}/{f}", columns=["seq_id", "doc_id"])
+            rows = list(zip(t["seq_id"].to_pylist(), t["doc_id"].to_pylist()))
+            assert rows == sorted(rows), f"{d}/{f} not sorted"
