@@ -281,6 +281,7 @@ def pack_sequences(
     docs: DataFrame,
     budget_tokens: int = SEQ_BUDGET_TOKENS,
     n_shards: int = N_SHARDS,
+    extra_keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Contiguous-fill sequence packing: concatenate documents in a
     deterministic order and cut at every `budget_tokens` boundary; a
@@ -304,17 +305,24 @@ def pack_sequences(
         F.lit(n_shards),
     )
     toks = F.size(F.split("text", " "))
-    staged = docs.select("doc_id", shard.alias("shard"), toks.alias("n_tokens"))
+    staged = docs.select(
+        "doc_id", *extra_keys, shard.alias("shard"), toks.alias("n_tokens")
+    )
     from pyspark.sql import Window
 
+    # extra_keys join the window partitioning (e.g. pack WITHIN each split:
+    # a sequence must never straddle train/test) — seq_id stays unique only
+    # within an extra_keys value; the sequence identity is (*extra_keys,
+    # seq_id).
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*extra_keys, "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum = F.sum("n_tokens").over(w)
     return staged.select(
         "doc_id",
+        *extra_keys,
         "shard",
         "n_tokens",
         (F.col("shard") * F.lit(1 << 40) + F.floor((cum - F.col("n_tokens")) / budget_tokens)).alias(
@@ -713,6 +721,42 @@ def write_corpus(
     )
 
 
+def read_training_sequences(spark, path: str, text_source: DataFrame | None = None) -> DataFrame:
+    """Read a write_corpus layout back as model-ready sequences: one row
+    per seq_id with its documents concatenated in doc_id order.
+
+    The assembly is one aggregation keyed by seq_id over data that
+    write_corpus stored partition-pruned and sequence-adjacent — on a
+    cluster the scan feeds the agg near-sorted, and parquet min/max stats
+    on seq_id prune sequence-range reads. Per-sequence order is enforced
+    logically (sort_array over (doc_id, text) structs), never via a global
+    sort. ``text_source`` joins the text back in when the landed corpus
+    stores only assignments (the default build_training_corpus output).
+
+    Returns (split, seq_id, n_docs, seq_tokens, text).
+    """
+    corpus = spark.read.parquet(path)
+    if text_source is not None:
+        corpus = corpus.join(text_source.select("doc_id", "text"), "doc_id")
+    return (
+        corpus.groupBy("split", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+            ).alias("_docs"),
+        )
+        .select(
+            "split",
+            "seq_id",
+            "n_docs",
+            "seq_tokens",
+            F.concat_ws(" ", F.expr("transform(_docs, d -> d.text)")).alias("text"),
+        )
+    )
+
+
 def build_training_corpus(
     spark,
     sf_dir: str,
@@ -805,13 +849,15 @@ def build_training_corpus(
             raise ValueError("mix_weights_ppm requires mix_budget_tokens")
         kept = mix_corpus(kept, mix_weights_ppm, mix_budget_tokens)
 
-    # 4-5. split + pack the surviving corpus
-    packed = pack_sequences(kept, budget_tokens=budget_tokens).select(
-        "doc_id", "seq_id", "n_tokens"
-    )
+    # 4-5. split FIRST, then pack WITHIN each split — a packed sequence
+    # must never straddle train/test (it would leak eval text into
+    # training sequences). Sequence identity is therefore (split, seq_id).
     return (
-        deterministic_split(kept)
-        .select("doc_id", "split")
-        .join(packed, "doc_id")
+        pack_sequences(
+            deterministic_split(kept),
+            budget_tokens=budget_tokens,
+            extra_keys=("split",),
+        )
+        .select("doc_id", "split", "seq_id", "n_tokens")
         .orderBy("doc_id")
     )

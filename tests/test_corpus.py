@@ -431,3 +431,61 @@ def test_write_corpus_layout(spark, sf_dir, tmp_path):
             t = pq.read_table(f"{out}/{d}/{f}", columns=["seq_id", "doc_id"])
             rows = list(zip(t["seq_id"].to_pylist(), t["doc_id"].to_pylist()))
             assert rows == sorted(rows), f"{d}/{f} not sorted"
+
+
+def test_read_training_sequences_round_trip(spark, sf_dir, tmp_path):
+    """write_corpus -> read_training_sequences closes the loop: every
+    sequence reassembles its docs in doc_id order with the right token
+    mass, and the concatenated text matches a driver-side reconstruction."""
+    from apache_jira_scraper_spark.operators.corpus import (
+        build_training_corpus,
+        read_training_sequences,
+        write_corpus,
+    )
+
+    corpus = build_training_corpus(spark, sf_dir)
+    out = str(tmp_path / "corpus_rt")
+    write_corpus(corpus, out)
+
+    docs = load_table(spark, sf_dir, "documents")
+    seqs = read_training_sequences(spark, out, text_source=docs)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assign = {}
+    for r in corpus.collect():
+        assign.setdefault((r["split"], r["seq_id"]), []).append(
+            (r["doc_id"], r["n_tokens"])
+        )
+    got = {(r["split"], r["seq_id"]): r for r in seqs.collect()}
+    assert set(got) == set(assign)
+    for key, members in assign.items():
+        members.sort()
+        r = got[key]
+        assert r["n_docs"] == len(members)
+        assert r["seq_tokens"] == sum(n for _, n in members)
+        assert r["text"] == " ".join(texts[d] for d, _ in members)
+
+
+def test_packed_sequences_pack_within_split(spark, sf_dir):
+    """Pack-within-split invariant, recomputed independently: for every
+    (split, shard) the cut index of each doc must equal the cumsum formula
+    over THAT SPLIT's docs alone — the pre-fix pack-then-join layout
+    (sequences straddling train/test, leaking eval text into training
+    sequences) fails this reconstruction."""
+    from apache_jira_scraper_spark.operators.corpus import (
+        SEQ_BUDGET_TOKENS,
+        build_training_corpus,
+    )
+
+    rows = build_training_corpus(spark, sf_dir).collect()
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        shard = r["seq_id"] >> 40
+        by_group.setdefault((r["split"], shard), []).append(r)
+    assert len(by_group) > 1
+    for (split, shard), members in by_group.items():
+        members.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in members:
+            cum += r["n_tokens"]
+            expect_cut = (cum - r["n_tokens"]) // SEQ_BUDGET_TOKENS
+            assert r["seq_id"] == (shard << 40) + expect_cut, (split, shard, r)
