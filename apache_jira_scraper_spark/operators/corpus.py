@@ -690,6 +690,7 @@ def write_corpus(
     partition_by: tuple[str, ...] = ("split",),
     sort_within: tuple[str, ...] = ("seq_id", "doc_id"),
     max_records_per_file: int = 500_000,
+    files_per_split: int = 16,
 ) -> None:
     """Land a built corpus with the layout a 100 TB training job wants to
     READ, not just what is cheapest to write:
@@ -705,14 +706,21 @@ def write_corpus(
         one giant file (the small-files/giant-file balance knob; tune to
         the target file size for the reader's block size).
 
-    One exchange (the hash partitioning for partitionBy) + a per-task
-    sort; no global sort anywhere. The task sort leads with the partition
-    columns ON PURPOSE: the dynamic-partition writer requires its input
-    sorted by them and would otherwise insert its own (unstable) sort,
-    destroying the (seq_id, doc_id) order.
+    One exchange + a per-task sort; no global sort anywhere. The task sort
+    leads with the partition columns ON PURPOSE: the dynamic-partition
+    writer requires its input sorted by them and would otherwise insert
+    its own (unstable) sort, destroying the (seq_id, doc_id) order.
+
+    The exchange keys on (partition cols, seq-salt), NOT the partition
+    cols alone: a low-cardinality column like split hashes each value onto
+    ONE task — a 100 TB write on 3 tasks. `files_per_split` salts the
+    distribution by the LEADING sort key only (seq_id), so an entire
+    packed sequence still lands in one task/file while the split's data
+    spreads over files_per_split tasks.
     """
+    salt = F.pmod(F.xxhash64(F.col(sort_within[0])), F.lit(files_per_split))
     (
-        corpus.repartition(*[F.col(c) for c in partition_by])
+        corpus.repartition(*[F.col(c) for c in partition_by], salt)
         .sortWithinPartitions(*partition_by, *sort_within)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
