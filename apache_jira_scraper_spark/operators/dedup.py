@@ -405,12 +405,23 @@ def incremental_dedup(
     incremental-dedup approximation; sub-3-token docs have no shingles and
     are always kept.
 
+    A new doc whose doc_id ALREADY EXISTS in the index is dropped outright
+    before the LSH path — that is a replay (at-least-once sources re-deliver
+    whole batches), and the near-dup machinery cannot see it (its pair
+    would be (i, i), which verification rightly ignores). Content dupes
+    arriving under NEW ids go through LSH as usual.
+
     Returns (kept_new_docs, updated_index).
     """
-    sh_new, sig_new = build_dedup_index(new_docs)
-    bands_new = _band_rows(sig_new)
     if index is not None:
         sh_idx, sig_idx = index
+        fresh = new_docs.join(sig_idx.select("doc_id"), "doc_id", "left_anti")
+    else:
+        sh_idx, sig_idx = None, None
+        fresh = new_docs
+    sh_new, sig_new = build_dedup_index(fresh)
+    bands_new = _band_rows(sig_new)
+    if sig_idx is not None:
         vs_index = (
             bands_new.select(F.col("doc_id").alias("d2"), "bidx", "bk")
             .join(_band_rows(sig_idx).select(F.col("doc_id").alias("d1"), "bidx", "bk"),
@@ -420,7 +431,6 @@ def incremental_dedup(
         )
         sh_all = sh_idx.unionByName(sh_new)
     else:
-        sh_idx, sig_idx = None, None
         vs_index = None
         sh_all = sh_new
     within = (
@@ -441,7 +451,7 @@ def incremental_dedup(
     )
     # no broadcast hint on `losers`: it is batch-cardinality (unbounded at
     # scale) — plain anti-joins let AQE broadcast when it is actually small
-    kept = new_docs.join(losers, "doc_id", "left_anti")
+    kept = fresh.join(losers, "doc_id", "left_anti")
     sh_kept = sh_new.join(losers, "doc_id", "left_anti")
     sig_kept = sig_new.join(losers, "doc_id", "left_anti")
     new_index = (

@@ -339,3 +339,18 @@ def test_exact_substring_dedup_matches_oracle(spark, sf_dir):
         sf_dir,
         name="exact_substring_dedup",
     )
+
+
+def test_incremental_dedup_replayed_batch_drops_everything(spark):
+    """Replay safety: feeding the SAME batch against the post-batch index
+    keeps nothing (every doc is an exact dup of its indexed self), and the
+    index is unchanged in cardinality — the property streaming_dedup_ingest
+    relies on for at-least-once sources."""
+    from apache_jira_scraper_spark.operators.dedup import incremental_dedup
+
+    docs = _mkdocs(spark, [(i, _base(i)) for i in range(5)])
+    kept1, idx1 = incremental_dedup(docs)
+    n_index = idx1[1].count()
+    kept2, idx2 = incremental_dedup(docs, idx1)
+    assert kept2.count() == 0
+    assert idx2[1].count() == n_index
