@@ -146,8 +146,13 @@ def mix_corpus(
     All integer arithmetic (weights as ppm, rates as ppm via integer
     division) so the DuckDB twin reproduces membership bit-for-bit. Plan
     shape: one partial-agg groupBy(source) over (source, n_tokens) for the
-    totals — a sources-cardinality result — broadcast-joined back, then the
-    narrow hash-gate filter; the corpus itself never shuffles.
+    totals — a SOURCES-cardinality result, collected to the driver (the
+    model step, bounded by construction like the IVF centroids) where the
+    rates are computed with Python arbitrary-precision ints; the filter is
+    then a literal CASE + hash gate, a pure narrow map. The corpus never
+    shuffles — and budget*weight can't overflow BIGINT the way an
+    engine-side product would at frontier budgets (9e12 tokens * 1e6 ppm
+    exceeds 2^63; Spark with ANSI off would WRAP silently).
 
     A source absent from weights_ppm gets rate 0 (dropped). An over-asked
     source (budget*weight > available tokens) caps at 1.0 — the mixture
@@ -155,25 +160,22 @@ def mix_corpus(
     visible rather than silently re-normalizing.
     """
     toks = F.size(F.split("text", " "))
-    totals = (
-        docs.select(F.col(source_col).alias("_src"), toks.alias("_nt"))
-        .groupBy("_src")
-        .agg(F.sum("_nt").alias("_total"))
-    )
-    w = F.lit(0)
-    for value, ppm in sorted(weights_ppm.items()):
-        w = F.when(F.col("_src") == value, F.lit(ppm)).otherwise(w)
-    rates = totals.select(
-        "_src",
-        F.least(
-            F.lit(SPLIT_PPM).cast("bigint"),
-            # floor, not cast: Spark's double->bigint cast truncates while
-            # DuckDB's rounds — an explicit FLOOR on both sides is exact
-            F.floor(F.lit(budget_tokens).cast("bigint") * w / F.col("_total")).cast(
-                "bigint"
-            ),
-        ).alias("_rate_ppm"),
-    )
+    totals = {
+        r["_src"]: r["_total"]
+        for r in (
+            docs.select(F.col(source_col).alias("_src"), toks.alias("_nt"))
+            .groupBy("_src")
+            .agg(F.sum("_nt").alias("_total"))
+            .collect()
+        )
+    }
+    rates = {
+        src: min(SPLIT_PPM, (budget_tokens * weights_ppm.get(src, 0)) // total)
+        for src, total in totals.items()
+    }
+    rate = F.lit(0)
+    for src, ppm in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src, F.lit(ppm)).otherwise(rate)
     h = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
@@ -182,11 +184,7 @@ def mix_corpus(
         ).cast("bigint")
         % SPLIT_PPM
     )
-    return (
-        docs.join(F.broadcast(rates), docs[source_col] == rates["_src"])
-        .filter(h < F.col("_rate_ppm"))
-        .drop("_src", "_rate_ppm")
-    )
+    return docs.filter(h < rate)
 
 
 def mix_summary(

@@ -304,3 +304,37 @@ def test_exact_substring_dedup_matches_python_model(spark, token_lists, span):
     }
     expect = _py_substring_dedup(docs, span)
     assert got == expect, (token_lists, span)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(2, 20)),
+        min_size=4,
+        max_size=30,
+    ),
+    st.integers(min_value=10, max_value=400),
+)
+def test_mix_corpus_matches_python_model(spark, rows, budget):
+    """mix_corpus membership equals the Python restatement of the rate
+    formula + hash gate for every (source, doc-size) corpus shape."""
+    import hashlib
+
+    from apache_jira_scraper_spark.operators.corpus import mix_corpus
+
+    weights = {"a": 500_000, "b": 300_000}  # c unlisted -> dropped
+    docs = [(i, src, " ".join(f"w{j}" for j in range(n))) for i, (src, n) in enumerate(rows)]
+    df = spark.createDataFrame(docs, "doc_id long, source string, text string")
+    got = {r["doc_id"] for r in mix_corpus(df, weights, budget).collect()}
+
+    totals: dict[str, int] = {}
+    for _, src, text in docs:
+        totals[src] = totals.get(src, 0) + len(text.split(" "))
+    expect = set()
+    for i, src, text in docs:
+        w = weights.get(src, 0)
+        rate = min(1_000_000, (budget * w) // totals[src])
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+        if h < rate:
+            expect.add(i)
+    assert got == expect, (rows, budget)
