@@ -134,6 +134,7 @@ def mix_corpus(
     source_col: str = "source",
     key: str = "doc_id",
     salt: str = "",
+    totals: dict[str, int] | None = None,
 ) -> DataFrame:
     """Data mixing: sample each source down so the mixture approaches the
     target weights within a total token budget (e.g. 60% web / 30% code /
@@ -159,16 +160,8 @@ def mix_corpus(
     then undershoots that weight, which `mix_summary`-style reporting makes
     visible rather than silently re-normalizing.
     """
-    toks = F.size(F.split("text", " "))
-    totals = {
-        r["_src"]: r["_total"]
-        for r in (
-            docs.select(F.col(source_col).alias("_src"), toks.alias("_nt"))
-            .groupBy("_src")
-            .agg(F.sum("_nt").alias("_total"))
-            .collect()
-        )
-    }
+    if totals is None:
+        totals = source_token_totals(docs, source_col)
     rates = {
         src: min(SPLIT_PPM, (budget_tokens * weights_ppm.get(src, 0)) // total)
         for src, total in totals.items()
@@ -238,6 +231,74 @@ FROM t JOIN rates ON t.source = rates.source
 WHERE h < rate_ppm
 GROUP BY t.source ORDER BY t.source
 """
+
+
+def source_token_totals(docs: DataFrame, source_col: str = "source") -> dict[str, int]:
+    """Per-source whitespace-token totals — ONE partial-agg groupBy over
+    (source, n_tokens), collected as a SOURCES-cardinality dict (the model
+    step, bounded by construction like the IVF centroids)."""
+    toks = F.size(F.split("text", " "))
+    return {
+        r["_src"]: r["_total"]
+        for r in (
+            docs.select(F.col(source_col).alias("_src"), toks.alias("_nt"))
+            .groupBy("_src")
+            .agg(F.sum("_nt").alias("_total"))
+            .collect()
+        )
+    }
+
+
+def temperature_weights(token_totals: dict[str, int], alpha: float = 0.3) -> dict[str, int]:
+    """Temperature-based mixture weights, the multilingual-LM sampling rule
+    (w_s proportional to p_s^alpha, where p_s is the source's natural token
+    share): alpha=1 keeps natural proportions, alpha=0 is uniform, values
+    between up-sample the tail sources — the standard knob for keeping
+    low-resource sources represented without letting the head dominate.
+
+    Driver-side arithmetic on a SOURCES-cardinality dict (no data pass).
+    Returns ppm weights that sum to EXACTLY SPLIT_PPM via largest-remainder
+    rounding with a deterministic (remainder, name) tie-break, so a
+    downstream mix_corpus/mix_summary_sql twin sees identical integers on
+    both engines.
+    """
+    if not token_totals:
+        return {}
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(token_totals.values())
+    raw = {s: (t / total) ** alpha for s, t in token_totals.items()}
+    z = sum(raw.values())
+    shares = {s: v / z * SPLIT_PPM for s, v in raw.items()}
+    floors = {s: int(v) for s, v in shares.items()}
+    leftover = SPLIT_PPM - sum(floors.values())
+    by_remainder = sorted(
+        token_totals, key=lambda s: (-(shares[s] - floors[s]), s)
+    )
+    for s in by_remainder[:leftover]:
+        floors[s] += 1
+    return floors
+
+
+def mix_corpus_temperature(
+    docs: DataFrame,
+    alpha: float,
+    budget_tokens: int,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "",
+) -> tuple[DataFrame, dict[str, int]]:
+    """mix_corpus with weights DERIVED from the data via temperature
+    sampling instead of hand-specified targets. Returns (mixed, weights_ppm)
+    so callers can feed the derived weights to mix_summary_sql for the
+    DuckDB twin. The source-totals aggregation runs ONCE and is shared with
+    mix_corpus via its `totals` parameter — one data pass, not two."""
+    totals = source_token_totals(docs, source_col)
+    weights = temperature_weights(totals, alpha)
+    mixed = mix_corpus(
+        docs, weights, budget_tokens, source_col, key, salt, totals=totals
+    )
+    return mixed, weights
 
 
 def split_counts(docs: DataFrame, key: str = "doc_id", ordered: bool = True) -> DataFrame:

@@ -1,0 +1,133 @@
+"""Int8 embedding quantization — the storage/bandwidth path for the
+embedding family at 100 TB (SURVEY.md §2.11 [X] extension; no reference
+counterpart — the reference has no embedding surface at all).
+
+Why this exists: every embedding operator in this repo (cosine top-k,
+sign-LSH buckets, IVF probe search, embedding-cosine dedup) scans the
+`embedding` column. At 100 TB corpus scale the embedding table is itself
+multi-TB; storing `array<float>` (4 B/dim) or computing in `array<double>`
+(8 B/dim) makes every scan IO-bound. Symmetric per-vector max-abs int8
+quantization cuts the scan 4x (vs float32) / 8x (vs float64) and keeps the
+dot-product kernel in integer arithmetic, at a bounded cosine error
+(~0.5/127 per-coordinate relative rounding; < 0.02 absolute cosine error
+observed on the test embeddings, pinned in tests/test_quantize.py).
+
+Design (all JVM-side column algebra, zero shuffles, zero UDFs):
+
+  quantize   one narrow map per row: scale = max|x|/127, then
+             q[i] = floor(x[i]/scale + 0.5)  (floor(+0.5) instead of
+             round() so the definition is engine-exact — Spark rounds
+             HALF_UP, Python half-even; floor is identical everywhere).
+             Emitted as array<tinyint> — the honest 1-byte storage type in
+             parquet — plus the double `scale` for dequantization.
+  cosine     scales CANCEL in cosine: cos_q = dot(q1,q2) /
+             sqrt(dot(q1,q1)*dot(q2,q2)) — the whole kernel runs on
+             integers promoted to bigint (no overflow until dim*127^2 >
+             2^63, i.e. dim ~5.7e14) and never touches the stored scale.
+  dequantize x~[i] = q[i]*scale for operators that need approximate
+             raw coordinates (e.g. feeding the IVF trainer).
+
+At scale the quantized table is written once (columnar, partitioned like
+the source) and every downstream similarity/dedup pass reads 1/4 the
+bytes; exact re-scoring of the final candidate set against the full-
+precision column is the standard two-stage retrieval shape and composes
+directly with ivf_search / cosine top-k (quantized pass for candidates,
+float pass for the final ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+Q_LEVELS = 127  # symmetric int8: values in [-127, 127]
+
+
+def _maxabs(vec: Column) -> Column:
+    return F.array_max(F.transform(vec, lambda x: F.abs(x)))
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "e", keep: tuple[str, ...] = ("vec_id", "label")
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization.
+
+    Returns `keep` columns plus `qv array<tinyint>` and `scale double`
+    (scale = max|x|/127; the all-zero vector gets scale 0 and an all-zero
+    qv — guarded so the division never produces NaN columns).
+    """
+    scale = _maxabs(F.col(vec_col)) / F.lit(float(Q_LEVELS))
+    q = F.when(
+        scale == 0.0,
+        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"),
+        )
+    )
+    return emb.select(*keep, q.alias("qv"), scale.alias("scale"))
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Integer dot product — tinyint inputs promoted to bigint before the
+    fold so dim*127^2 can never wrap."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("bigint") * y.cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def quantized_cosine(q1: Column, q2: Column) -> Column:
+    """Cosine from the int8 codes alone — per-vector scales cancel."""
+    return _idot(q1, q2) / F.sqrt(
+        _idot(q1, q1).cast("double") * _idot(q2, q2).cast("double")
+    )
+
+
+def dequantize(qv: Column, scale: Column) -> Column:
+    """Approximate raw coordinates: q[i]*scale (array<double>)."""
+    return F.transform(qv, lambda x: x.cast("double") * scale)
+
+
+def quantized_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force top-k neighbors scored ENTIRELY on int8 codes — the
+    quantized twin of similarity.q_cosine_topk (same broadcast-query join
+    shape, 1/4 the scan bytes at scale). Returns (qid, rank, nid, qcosine).
+    """
+    qt = quantize_embeddings(emb, vec_col=vec_col, keep=(id_col,))
+    q = qt.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col("qv").alias("q1")
+    )
+    c = qt.select(F.col(id_col).alias("nid"), F.col("qv").alias("q2"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(quantized_cosine(F.col("q1"), F.col("q2")), 6).alias("qcosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "nid", "qcosine")
+        .orderBy("qid", "rank")
+    )
+
+
+def quantize_model(vec: list[float]) -> tuple[list[int], float]:
+    """Pure-Python model of the quantizer (test oracle): must match the
+    Spark column algebra bit-for-bit on finite inputs."""
+    import math
+
+    m = max((abs(x) for x in vec), default=0.0)
+    scale = m / Q_LEVELS
+    if scale == 0.0:
+        return [0] * len(vec), 0.0
+    return [int(math.floor(x / scale + 0.5)) for x in vec], scale

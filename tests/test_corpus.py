@@ -380,6 +380,62 @@ def test_mix_corpus_semantics(spark, sf_dir):
     assert huge.count() == all_src0
 
 
+def test_temperature_weights_math():
+    """alpha=1 -> natural token proportions; alpha=0 -> uniform; alpha in
+    between up-samples the tail; ppm weights sum EXACTLY to 1e6."""
+    from apache_jira_scraper_spark.operators.corpus import temperature_weights
+
+    totals = {"web": 800_000, "code": 150_000, "ref": 50_000}
+    nat = temperature_weights(totals, alpha=1.0)
+    assert sum(nat.values()) == 1_000_000
+    assert nat["web"] == 800_000 and nat["ref"] == 50_000
+
+    uni = temperature_weights(totals, alpha=0.0)
+    assert sum(uni.values()) == 1_000_000
+    assert max(uni.values()) - min(uni.values()) <= 1  # largest-remainder split
+
+    mid = temperature_weights(totals, alpha=0.5)
+    assert sum(mid.values()) == 1_000_000
+    # tail source gains weight as alpha drops, head loses it
+    assert nat["ref"] < mid["ref"] < uni["ref"]
+    assert uni["web"] < mid["web"] < nat["web"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_weights(totals, alpha=-0.1)
+    assert temperature_weights({}, alpha=0.5) == {}
+
+
+def test_mix_corpus_temperature_membership(spark, sf_dir):
+    """The temperature path is EXACTLY mix_corpus under the derived
+    weights (one shared totals pass, same hash gate), and the derived
+    weights feed mix_summary_sql for a DuckDB-checked summary."""
+    from apache_jira_scraper_spark.operators.corpus import (
+        mix_corpus,
+        mix_corpus_temperature,
+        mix_summary,
+        mix_summary_sql,
+        source_token_totals,
+        temperature_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mixed, weights = mix_corpus_temperature(docs, alpha=0.5, budget_tokens=MIX_BUDGET)
+    assert weights == temperature_weights(source_token_totals(docs), 0.5)
+    direct = mix_corpus(docs, weights, MIX_BUDGET)
+    got = {r["doc_id"] for r in mixed.select("doc_id").collect()}
+    want = {r["doc_id"] for r in direct.select("doc_id").collect()}
+    assert got == want and got
+
+    assert_matches_oracle(
+        mix_summary(docs, weights, MIX_BUDGET),
+        mix_summary_sql(weights, MIX_BUDGET),
+        sf_dir,
+        name="mix_summary_temperature",
+    )
+
+
 def test_build_training_corpus_optional_stages(spark, sf_dir):
     """redact_pii must not change WHICH docs survive (only their text);
     mixing must drop unlisted sources and subset the unmixed survivors."""
