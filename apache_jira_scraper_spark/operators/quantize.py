@@ -121,6 +121,58 @@ def quantized_topk(
     )
 
 
+def two_stage_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    shortlist_k: int = 20,
+    vec_col: str = "e",
+    nrm_col: str = "nrm",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage retrieval: int8 candidate pass -> exact float re-score.
+
+    Stage 1 scans ONLY the quantized codes (1/4 the bytes) and keeps a
+    `shortlist_k` candidate set per query; stage 2 joins the shortlist —
+    n_queries*shortlist_k rows, tiny by construction — back to the full-
+    precision vectors and re-ranks exactly. At 100 TB the expensive
+    brute-force pass never touches the float column; only the shortlist
+    does. With shortlist_k a few multiples of top_k the quantization
+    error (<0.02 cosine) is absorbed by the re-rank: a true top-k
+    neighbor is only lost if quantization pushes it below rank
+    shortlist_k, pinned in tests/test_quantize.py.
+
+    Expects (vec_id, e, nrm) as produced by similarity._emb; returns the
+    same (qid, rank, nid, cosine) shape as the exact operator so the two
+    are drop-in interchangeable.
+    """
+    shortlist = quantized_topk(
+        emb, n_queries=n_queries, top_k=shortlist_k, vec_col=vec_col, id_col=id_col
+    ).select("qid", "nid")
+    full = emb.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("ce"), F.col(nrm_col).alias("cn")
+    )
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"), F.col(nrm_col).alias("qn")
+    )
+    dot = F.aggregate(
+        F.zip_with("qe", "ce", lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
+    )
+    rescored = (
+        F.broadcast(shortlist)
+        .join(full, "nid")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "nid", F.round(dot / (F.col("qn") * F.col("cn")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
 def quantize_model(vec: list[float]) -> tuple[list[int], float]:
     """Pure-Python model of the quantizer (test oracle): must match the
     Spark column algebra bit-for-bit on finite inputs."""

@@ -140,6 +140,27 @@ def test_quantized_topk_recall(emb, sf_dir):
     assert hits / total >= 0.8, f"recall {hits}/{total}"
 
 
+def test_two_stage_equals_exact(emb, sf_dir):
+    """With a 4x shortlist, the exact re-rank recovers the float top-k
+    order: (qid, rank, nid) must match the exact operator row-for-row
+    (cosine re-scored at full precision, so values match too)."""
+    from apache_jira_scraper_spark.operators.quantize import two_stage_topk
+
+    exact = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in q_cosine_topk(emb.sparkSession, sf_dir).collect()
+    }
+    got = {
+        (r["qid"], r["rank"]): (r["nid"], r["cosine"])
+        for r in two_stage_topk(emb, n_queries=10, top_k=5, shortlist_k=20).collect()
+    }
+    assert got.keys() == exact.keys()
+    mismatches = {k for k in exact if got[k] != exact[k]}
+    # a true neighbor is lost only if quantization pushes it below the
+    # shortlist — allow at most 1 of 50 ranks to differ on the test data
+    assert len(mismatches) <= 1, mismatches
+
+
 def test_quantize_plan_is_narrow(emb):
     """Quantization itself must be a zero-shuffle narrow map."""
     plan = quantize_embeddings(emb)._jdf.queryExecution().optimizedPlan().toString()
