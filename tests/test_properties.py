@@ -338,3 +338,47 @@ def test_mix_corpus_matches_python_model(spark, rows, budget):
         if h < rate:
             expect.add(i)
     assert got == expect, (rows, budget)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e3,
+                max_value=1e3,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=1,
+            max_size=16,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_quantize_matches_python_model(spark, vecs):
+    """quantize_embeddings equals the pure-Python floor(+0.5) model
+    code-for-code over arbitrary finite float32 vectors (the engine-exact
+    rounding contract the module docstring claims)."""
+    from apache_jira_scraper_spark.operators.quantize import (
+        quantize_embeddings,
+        quantize_model,
+    )
+
+    # pad to one shared dim: Spark columns are rectangular per-row arrays
+    dim = max(len(v) for v in vecs)
+    vecs = [v + [0.0] * (dim - len(v)) for v in vecs]
+    df = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)],
+        "vec_id bigint, e array<double>, label int",
+    )
+    got = {
+        r["vec_id"]: (list(r["qv"]), r["scale"])
+        for r in quantize_embeddings(df).collect()
+    }
+    for i, v in enumerate(vecs):
+        codes, scale = quantize_model(v)
+        assert got[i][0] == codes, f"vec {i}: {v}"
+        assert got[i][1] == pytest.approx(scale, rel=1e-12)

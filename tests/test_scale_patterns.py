@@ -62,3 +62,35 @@ def test_salted_agg_matches_direct(spark, sf_dir):
         )
     }
     assert got == want
+
+
+def test_skew_report_values(spark):
+    """Constructed skew: one hot key with 900 rows over 9 cold keys of 10.
+    The report must surface the hot key first with exact count, exact ppm
+    share, and the hot/median skew factor."""
+    from apache_jira_scraper_spark.operators.scale_patterns import skew_report
+
+    rows = [("hot",)] * 900 + [(f"cold{i}",) for i in range(9) for _ in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    rep = skew_report(df, "k", top_n=3).collect()
+    assert [r["key_value"] for r in rep][0] == "hot"
+    top = rep[0]
+    assert top["cnt"] == 900
+    assert top["share_ppm"] == 900 * 1_000_000 // 990
+    # median per-key count is 10 (9 cold keys of 10 vs 1 hot of 900)
+    assert top["p50"] == 10
+    assert top["max_over_p50"] == pytest.approx(90.0)
+    # cold keys tie at 10 and break deterministically by key name
+    assert [r["key_value"] for r in rep[1:]] == ["cold0", "cold1"]
+
+
+def test_skew_report_topn_plan(spark, sf_dir):
+    """The hot-key ranking must plan as TakeOrderedAndProject (driver-bounded
+    top-N), never a global sort of the per-key count table."""
+    from apache_jira_scraper_spark.operators.scale_patterns import skew_report
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rep = skew_report(li, "l_orderkey", top_n=5)
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert len(rep.collect()) == 5
