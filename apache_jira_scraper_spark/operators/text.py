@@ -105,6 +105,26 @@ FROM documents ORDER BY doc_id
 """
 
 
+def quality_score_bp_col() -> Column:
+    """Integer basis-point quality score (0..10000) over the `text` /
+    `n_chars` columns: length band + stopword ratio + type/token ratio.
+    Shared by the q_quality_score gate and quality_threshold_sweep so the
+    two can't drift. Floor over exact integer ratios — a float composite
+    (0.4*x + 0.3*y …) lands on round-half boundaries where Spark (HALF_UP)
+    and DuckDB disagree in the last digit; integer math can't."""
+    toks = tokens_col()
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_dist = F.size(F.array_distinct(toks))
+    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
+    return (
+        F.when(len_ok, F.lit(4000)).otherwise(F.lit(0))
+        + F.floor(n_stop * 3000 / n).cast("bigint")
+        + F.floor(n_dist * 3000 / n).cast("bigint")
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length band + stopword ratio + type/token ratio,
     combined into one deterministic [0,1] score."""
@@ -115,17 +135,7 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
     stop_ratio = F.round(n_stop.cast("double") / n, 6)
     ttr = F.round(F.size(F.array_distinct(toks)).cast("double") / n, 6)
-    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
-    # Integer basis-point score (0..10000): floor over exact integer ratios.
-    # A float composite (0.4*x + 0.3*y …) lands on round-half boundaries where
-    # Spark (HALF_UP) and DuckDB disagree in the last digit; integer math
-    # can't.
-    n_dist = F.size(F.array_distinct(toks))
-    score_bp = (
-        F.when(len_ok, F.lit(4000)).otherwise(F.lit(0))
-        + F.floor(n_stop * 3000 / n).cast("bigint")
-        + F.floor(n_dist * 3000 / n).cast("bigint")
-    )
+    score_bp = quality_score_bp_col()
     return docs.select(
         "doc_id",
         n.alias("n_tokens"),
@@ -153,6 +163,84 @@ SELECT doc_id, n AS n_tokens,
          + CAST(FLOOR(n_stop * 3000 / n) AS BIGINT)
          + CAST(FLOOR(n_dist * 3000 / n) AS BIGINT) AS quality_score_bp
 FROM m ORDER BY doc_id
+"""
+
+
+def quality_threshold_sweep(docs: DataFrame, bucket_bp: int = 500) -> DataFrame:
+    """Filter-tuning curve: for each quality-score cutoff, how many docs
+    and tokens survive — the table a practitioner reads before choosing
+    the quality gate for a training corpus (too strict starves the token
+    budget, too loose admits garbage; this shows the whole trade-off in
+    one pass instead of re-running the filter per candidate threshold).
+
+    One shuffle: scores bucket to `bucket_bp`-wide bands and aggregate
+    per band (<= 10000/bucket_bp + 1 groups). The cumulative legs then
+    run as windows over that band table — ~21 rows, so the single-
+    partition window is driver-trivial BY CONSTRUCTION (the unbounded
+    window never sees doc cardinality; at 100 TB the band table is still
+    21 rows). token share is exact integer ppm (bigint `div`) so the
+    DuckDB twin reproduces it bit-for-bit.
+
+    Output per band lower-edge T: n_docs_kept / n_tokens_kept /
+    token_share_ppm for the filter `score_bp >= T`.
+    """
+    n = F.size(tokens_col())
+    per_doc = docs.select(
+        quality_score_bp_col().alias("score_bp"), n.alias("_nt")
+    )
+    band = (F.floor(F.col("score_bp") / bucket_bp) * bucket_bp).cast("bigint")
+    per_band = per_doc.groupBy(band.alias("threshold_bp")).agg(
+        F.count(F.lit(1)).alias("_docs"), F.sum("_nt").alias("_tokens")
+    )
+    w_cum = Window.orderBy(F.desc("threshold_bp")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("threshold_bp")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_band.select(
+            "threshold_bp",
+            F.sum("_docs").over(w_cum).alias("n_docs_kept"),
+            F.sum("_tokens").over(w_cum).alias("n_tokens_kept"),
+            F.sum("_tokens").over(w_all).alias("_all_tokens"),
+        )
+        .select(
+            "threshold_bp",
+            "n_docs_kept",
+            "n_tokens_kept",
+            F.expr("n_tokens_kept * 1000000 div _all_tokens").alias("token_share_ppm"),
+        )
+        .orderBy("threshold_bp")
+    )
+
+
+def quality_threshold_sweep_sql(bucket_bp: int = 500, table: str = "documents") -> str:
+    """DuckDB twin of quality_threshold_sweep (same integer band/cumsum
+    arithmetic, generated from the same bucket width)."""
+    return f"""
+WITH m AS (
+  SELECT doc_id, n_chars, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         len(list_distinct(toks)) AS n_dist
+  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM {table}) t
+), s AS (
+  SELECT CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 4000 ELSE 0 END
+           + CAST(FLOOR(n_stop * 3000 / n) AS BIGINT)
+           + CAST(FLOOR(n_dist * 3000 / n) AS BIGINT) AS score_bp,
+         n
+  FROM m
+), b AS (
+  SELECT CAST(FLOOR(score_bp / {bucket_bp}) AS BIGINT) * {bucket_bp} AS threshold_bp,
+         COUNT(1) AS b_docs, SUM(n) AS b_tokens
+  FROM s GROUP BY 1
+)
+SELECT threshold_bp,
+       SUM(b_docs) OVER (ORDER BY threshold_bp DESC) AS n_docs_kept,
+       SUM(b_tokens) OVER (ORDER BY threshold_bp DESC) AS n_tokens_kept,
+       (SUM(b_tokens) OVER (ORDER BY threshold_bp DESC)) * 1000000
+         // (SUM(b_tokens) OVER ()) AS token_share_ppm
+FROM b ORDER BY threshold_bp
 """
 
 

@@ -120,3 +120,36 @@ def test_unigram_logprob_ranks_gibberish_low(spark):
     assert got[1] > got[3] > got[2]
     # exact check for doc 1: p(the) = (6+1)/(12+7) -> round(ln(7/19)*1e4)
     assert got[1] == round(math.log(7 / 19) * 10_000)
+
+
+def test_quality_threshold_sweep_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        quality_threshold_sweep,
+        quality_threshold_sweep_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert_matches_oracle(
+        quality_threshold_sweep(docs),
+        quality_threshold_sweep_sql(),
+        sf_dir,
+        name="quality_threshold_sweep",
+    )
+
+
+def test_quality_threshold_sweep_semantics(spark, sf_dir):
+    """Cumulative curve: monotone non-increasing in the threshold; the
+    loosest band keeps EVERY doc and 100% of tokens (ppm = 1e6)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import quality_threshold_sweep
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = quality_threshold_sweep(docs).collect()
+    assert rows
+    assert rows[0]["n_docs_kept"] == docs.count()
+    assert rows[0]["token_share_ppm"] == 1_000_000
+    docs_kept = [r["n_docs_kept"] for r in rows]
+    toks_kept = [r["n_tokens_kept"] for r in rows]
+    assert docs_kept == sorted(docs_kept, reverse=True)
+    assert toks_kept == sorted(toks_kept, reverse=True)
