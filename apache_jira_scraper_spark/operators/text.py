@@ -638,6 +638,89 @@ FROM c ORDER BY rank
 """
 
 
+def encode_with_vocab(
+    docs: DataFrame, vocab: DataFrame, unk_id: int = 0
+) -> DataFrame:
+    """Corpus encoding: text -> integer token-id arrays under the induced
+    vocabulary (the production step AFTER build_vocab — what actually
+    turns a filtered corpus into training-ready sequences). Pieces come
+    from the same BPE pretokenizer as build_vocab; in-vocab pieces map to
+    their vocabulary rank (1..V), OOV pieces to `unk_id`.
+
+    Scale shape: posexplode the piece arrays, BROADCAST-join the
+    vocabulary (top-k bounded by construction — unlike unigram_logprob's
+    unbounded token-count table, a tokenizer vocab is 32k-256k rows and
+    always broadcastable), then ONE doc-keyed shuffle reassembles ids in
+    piece order via sort_array(collect_list(struct(pos, id))). Docs whose
+    text yields zero pieces are preserved with an empty id array (left
+    join back to the doc spine), so encode output stays row-aligned with
+    the corpus.
+
+    Returns (doc_id, n_pieces, ids array<int>).
+    """
+    pieces = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0)).alias("pieces"),
+    )
+    pos = pieces.select("doc_id", F.posexplode("pieces").alias("pos", "piece"))
+    vid = vocab.select("piece", F.col("rank").cast("int").alias("_vid"))
+    encoded = (
+        pos.join(F.broadcast(vid), "piece", "left")
+        .select(
+            "doc_id",
+            F.struct(
+                F.col("pos"), F.coalesce("_vid", F.lit(unk_id).cast("int")).alias("id")
+            ).alias("pi"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.transform(F.array_sort(F.collect_list("pi")), lambda s: s["id"]).alias(
+                "ids"
+            )
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(encoded, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+        )
+        .select("doc_id", F.size("ids").alias("n_pieces"), "ids")
+        .orderBy("doc_id")
+    )
+
+
+def encode_with_vocab_sql(
+    vocab_size: int = 100, unk_id: int = 0, table: str = "documents"
+) -> str:
+    """DuckDB twin of encode_with_vocab over build_vocab_sql's vocabulary
+    (same pretokenizer, same rank ids, same OOV/empty-doc semantics)."""
+    return f"""
+WITH c AS (
+  SELECT piece, COUNT(1) AS n_occ
+  FROM (SELECT u.piece FROM {table}, unnest(regexp_extract_all(text, '{BPE_PATTERN}')) AS u(piece))
+  GROUP BY piece ORDER BY n_occ DESC, piece ASC LIMIT {vocab_size}
+), v AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY n_occ DESC, piece ASC) AS rank, piece FROM c
+), p AS (
+  SELECT doc_id, i AS pos, pieces[i] AS piece
+  FROM (SELECT doc_id, regexp_extract_all(text, '{BPE_PATTERN}') AS pieces FROM {table}) t,
+       unnest(generate_series(1, len(pieces))) AS g(i)
+), e AS (
+  SELECT p.doc_id,
+         list(CAST(COALESCE(v.rank, {unk_id}) AS INT) ORDER BY p.pos) AS ids
+  FROM p LEFT JOIN v ON p.piece = v.piece
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(len(e.ids), 0) AS n_pieces,
+       COALESCE(e.ids, CAST([] AS INT[])) AS ids
+FROM {table} d LEFT JOIN e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id
+"""
+
+
 def unigram_logprob(docs: DataFrame) -> DataFrame:
     """Corpus-trained unigram log-probability score per document — the
     perplexity-filter analog of a pretraining pipeline (docs whose tokens

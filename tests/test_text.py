@@ -153,3 +153,39 @@ def test_quality_threshold_sweep_semantics(spark, sf_dir):
     toks_kept = [r["n_tokens_kept"] for r in rows]
     assert docs_kept == sorted(docs_kept, reverse=True)
     assert toks_kept == sorted(toks_kept, reverse=True)
+
+
+def test_encode_with_vocab_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        build_vocab,
+        encode_with_vocab,
+        encode_with_vocab_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=100)
+    assert_matches_oracle(
+        encode_with_vocab(docs, vocab),
+        encode_with_vocab_sql(vocab_size=100),
+        sf_dir,
+        name="encode_with_vocab",
+    )
+
+
+def test_encode_with_vocab_semantics(spark):
+    """Known text, constructed vocab: in-vocab pieces map to their rank in
+    piece order, OOV pieces to unk, empty docs survive with []."""
+    from apache_jira_scraper_spark.operators.text import encode_with_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa zz"), (2, "")], "doc_id bigint, text string"
+    )
+    vocab = spark.createDataFrame(
+        [(1, "aa"), (2, " aa"), (3, " bb"), (4, " zz_not_present")],
+        "rank bigint, piece string",
+    )
+    out = {r["doc_id"]: (r["n_pieces"], list(r["ids"])) for r in encode_with_vocab(docs, vocab).collect()}
+    # pretokenizer pieces of "aa bb aa zz": ["aa", " bb", " aa", " zz"]
+    assert out[1] == (4, [1, 3, 2, 0])
+    assert out[2] == (0, [])
