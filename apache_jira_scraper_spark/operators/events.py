@@ -237,6 +237,105 @@ ORDER BY event_id
 """
 
 
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Ordered-funnel conversion: for each step k, how many users completed
+    steps 1..k IN ORDER — each step strictly after the user's first
+    completion of the previous step (the sequential-min semantics every
+    funnel product uses; a later step-1 event never re-opens the funnel).
+
+    Scale shape: ONE user-keyed shuffle. Events filter to the step types
+    (pushed to the scan), collect per user as a sorted (ts, event_type)
+    array, and a single JVM-side `aggregate` fold walks the array carrying
+    (stage, t_last) — advancing on the next step's first event with
+    ts > t_last, which over a time-sorted array IS the sequential min. The
+    per-step counts then aggregate over USER-cardinality rows, and the
+    cumulative/ppm legs run on the k-row step table. Per-user arrays are
+    bounded by a user's own event count; for adversarial per-user volumes
+    the k-sequential-join form (the oracle's shape) trades k keyed joins
+    for unbounded rows — same result, pinned in tests/test_relational_extra.
+
+    Returns (step_idx, step, n_users, conversion_ppm) with conversion_ppm
+    relative to step 1.
+    """
+    k = len(steps)
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    per_user = (
+        events.filter(F.col("event_type").isin(*steps))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_type")))
+            ).alias("evs")
+        )
+    )
+    init = F.expr("named_struct('stage', 0, 't', CAST(NULL AS TIMESTAMP))")
+    advance = lambda acc, e: F.when(  # noqa: E731
+        (acc["stage"] < k)
+        & (e["event_type"] == F.element_at(steps_arr, acc["stage"] + 1))
+        & (acc["t"].isNull() | (e["ts"] > acc["t"])),
+        F.struct(
+            (acc["stage"] + 1).alias("stage"), e["ts"].alias("t")
+        ),
+    ).otherwise(acc)
+    stages = per_user.select(
+        F.aggregate("evs", init, advance)["stage"].alias("stage")
+    )
+    per_stage = stages.groupBy("stage").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative over the <=k+1-row stage table: users at stage >= idx
+    step_rows = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    joined = step_rows.join(
+        per_stage, per_stage["stage"] >= step_rows["step_idx"], "left"
+    ).groupBy("step_idx", "step").agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_users")
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        joined.withColumn(
+            "_first", F.max(F.when(F.col("step_idx") == 1, F.col("n_users"))).over(w_all)
+        )
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.expr("n_users * 1000000 div _first").alias("conversion_ppm"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS, table: str = "events") -> str:
+    """DuckDB twin of funnel() in the k-sequential-join form (t_k = min ts
+    of step k strictly after t_{k-1}) — provably the same semantics as the
+    fold, so the two formulations check each other."""
+    ctes = [
+        f"u1 AS (SELECT user_id, MIN(ts) AS t FROM {table} "
+        f"WHERE event_type = '{steps[0]}' GROUP BY user_id)"
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"u{i + 1} AS (SELECT e.user_id, MIN(e.ts) AS t FROM {table} e "
+            f"JOIN u{i} USING (user_id) "
+            f"WHERE e.event_type = '{steps[i]}' AND e.ts > u{i}.t GROUP BY e.user_id)"
+        )
+    counts = " UNION ALL ".join(
+        f"SELECT {i + 1} AS step_idx, '{s}' AS step, "
+        f"(SELECT COUNT(1) FROM u{i + 1}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+WITH {", ".join(ctes)}, counts AS ({counts})
+SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
+       n_users * 1000000 // (SELECT n_users FROM counts WHERE step_idx = 1)
+         AS conversion_ppm
+FROM counts ORDER BY step_idx
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 

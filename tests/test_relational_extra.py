@@ -33,3 +33,48 @@ def test_unpivot_inverts_pivot(spark, sf_dir):
         for r in q_unpivot(spark, sf_dir).collect()
     }
     assert got == exp
+
+
+def test_funnel_matches_oracle(spark, sf_dir):
+    """The single-shuffle fold formulation must equal the k-sequential-join
+    SQL form on real events — the two formulations check each other."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.events import funnel, funnel_sql
+
+    assert_matches_oracle(
+        funnel(load_table(spark, sf_dir, "events")),
+        funnel_sql(),
+        sf_dir,
+        name="funnel",
+    )
+
+
+def test_funnel_semantics(spark):
+    """Constructed users: completes-in-order counts; out-of-order does not;
+    an equal-timestamp next step does NOT advance (strictly-after rule);
+    a later step-1 event never re-opens the funnel."""
+    import datetime as dt
+
+    from apache_jira_scraper_spark.operators.events import funnel
+
+    t0 = dt.datetime(2025, 1, 1)
+    s = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # u1: full in-order funnel
+        (1, s(0), "signup"), (1, s(1), "view"), (1, s(2), "click"), (1, s(3), "purchase"),
+        # u2: view BEFORE signup -> stalls at signup
+        (2, s(0), "view"), (2, s(1), "signup"),
+        # u3: click at the SAME ts as its view -> strictly-after excludes it
+        (3, s(0), "signup"), (3, s(1), "view"), (3, s(1), "click"),
+        # u4: signup only
+        (4, s(0), "signup"),
+    ]
+    df = spark.createDataFrame(
+        [(u, ts, et) for u, ts, et in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    got = {r["step"]: (r["n_users"], r["conversion_ppm"]) for r in funnel(df).collect()}
+    assert got["signup"] == (4, 1_000_000)
+    assert got["view"] == (2, 500_000)      # u1, u3
+    assert got["click"] == (1, 250_000)     # u1 only (u3's tie excluded)
+    assert got["purchase"] == (1, 250_000)
