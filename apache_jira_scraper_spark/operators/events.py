@@ -336,6 +336,83 @@ FROM counts ORDER BY step_idx
 """
 
 
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the week of their FIRST
+    `signup` event; for each cohort week and week-age, the share of the
+    cohort active (any event) that many weeks later — the standard
+    retention triangle next to funnel()'s conversion column.
+
+    Engine-exact arithmetic: weeks come from date_trunc (both engines
+    start weeks on Monday) and the age is epoch-second difference of the
+    truncated weeks div 604800 — integer math on aligned boundaries, no
+    engine-specific date_diff('week') semantics. Retention is integer ppm.
+
+    Scale shape: one user-keyed agg for the cohort assignment, one
+    (user, week) distinct for activity, a user-keyed join, then the
+    (cohort, age) agg — all equi-keyed shuffles; nothing driver-sided.
+    Activity strictly before the signup week (age < 0) is excluded.
+
+    Returns (cohort_week date, age_weeks, cohort_size, n_active,
+    retention_ppm) — age 0 rows are the cohort's signup-week activity.
+    """
+    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    cohorts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week(F.col("ts"))).alias("cw"))
+    )
+    activity = events.select("user_id", week(F.col("ts")).alias("aw")).distinct()
+    aged = (
+        activity.join(cohorts, "user_id")
+        .select(
+            "cw",
+            (
+                (F.unix_timestamp("aw") - F.unix_timestamp("cw")) / F.lit(604800)
+            )
+            .cast("bigint")
+            .alias("age_weeks"),
+        )
+        .filter(F.col("age_weeks") >= 0)
+    )
+    per = aged.groupBy("cw", "age_weeks").agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = cohorts.groupBy("cw").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        per.join(sizes, "cw")
+        .select(
+            F.col("cw").cast("date").alias("cohort_week"),
+            "age_weeks",
+            "cohort_size",
+            "n_active",
+            F.expr("n_active * 1000000 div cohort_size").alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )
+
+
+RETENTION_SQL = """
+WITH cohorts AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+), aged AS (
+  SELECT c.cw,
+         (CAST(epoch(a.aw) AS BIGINT) - CAST(epoch(c.cw) AS BIGINT)) // 604800
+           AS age_weeks
+  FROM activity a JOIN cohorts c USING (user_id)
+  WHERE epoch(a.aw) >= epoch(c.cw)
+), per AS (
+  SELECT cw, age_weeks, COUNT(1) AS n_active FROM aged GROUP BY cw, age_weeks
+), sizes AS (
+  SELECT cw, COUNT(1) AS cohort_size FROM cohorts GROUP BY cw
+)
+SELECT CAST(per.cw AS DATE) AS cohort_week, age_weeks, cohort_size, n_active,
+       n_active * 1000000 // cohort_size AS retention_ppm
+FROM per JOIN sizes USING (cw)
+ORDER BY cohort_week, age_weeks
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 

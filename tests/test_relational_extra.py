@@ -78,3 +78,46 @@ def test_funnel_semantics(spark):
     assert got["view"] == (2, 500_000)      # u1, u3
     assert got["click"] == (1, 250_000)     # u1 only (u3's tie excluded)
     assert got["purchase"] == (1, 250_000)
+
+
+def test_retention_cohorts_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.events import (
+        RETENTION_SQL,
+        retention_cohorts,
+    )
+
+    assert_matches_oracle(
+        retention_cohorts(load_table(spark, sf_dir, "events")),
+        RETENTION_SQL,
+        sf_dir,
+        name="retention_cohorts",
+    )
+
+
+def test_retention_cohorts_semantics(spark):
+    """Two users signing up in week 0; one returns in week 1 -> 50% ppm;
+    activity before the signup week is excluded; non-signup users too."""
+    import datetime as dt
+
+    from apache_jira_scraper_spark.operators.events import retention_cohorts
+
+    mon = dt.datetime(2025, 1, 6)  # a Monday
+    d = lambda days: mon + dt.timedelta(days=days)  # noqa: E731
+    rows = [
+        (1, d(0), "signup"), (1, d(8), "view"),      # active week 0 and 1
+        (2, d(1), "signup"),                          # active week 0 only
+        (3, d(-3), "view"),                           # never signs up: excluded
+        (2, d(-7), "view"),                           # before signup week: excluded
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+    got = {
+        (r["cohort_week"].isoformat(), r["age_weeks"]): (
+            r["cohort_size"], r["n_active"], r["retention_ppm"]
+        )
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == {
+        ("2025-01-06", 0): (2, 2, 1_000_000),
+        ("2025-01-06", 1): (2, 1, 500_000),
+    }
