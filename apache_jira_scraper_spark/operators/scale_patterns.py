@@ -60,11 +60,17 @@ def skew_report(
     counts = df.groupBy(F.col(key).cast("string").alias("key_value")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    total = df.count()
+    # total rows and the quantile sketch BOTH derive from the per-key count
+    # table (one 1-row frame) — never a second scan of df; the counts
+    # exchange is shared with the top-N branch via ReusedExchange.
     dist = counts.agg(
-        F.percentile_approx("cnt", [0.5, 0.9, 0.99], int(1.0 / rel_err)).alias("q")
+        F.percentile_approx("cnt", [0.5, 0.9, 0.99], int(1.0 / rel_err)).alias("q"),
+        F.sum("cnt").alias("_total"),
     ).select(
-        F.col("q")[0].alias("p50"), F.col("q")[1].alias("p90"), F.col("q")[2].alias("p99")
+        F.col("q")[0].alias("p50"),
+        F.col("q")[1].alias("p90"),
+        F.col("q")[2].alias("p99"),
+        "_total",
     )
     return (
         counts.orderBy(F.desc("cnt"), F.asc("key_value"))
@@ -73,7 +79,7 @@ def skew_report(
         .select(
             "key_value",
             "cnt",
-            (F.col("cnt") * 1_000_000 / F.lit(total)).cast("bigint").alias("share_ppm"),
+            F.expr("cnt * 1000000 div _total").alias("share_ppm"),
             "p50",
             "p90",
             "p99",
