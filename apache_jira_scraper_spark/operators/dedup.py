@@ -41,6 +41,43 @@ HAMMING_MAX = 3
 COSINE_DUP_THRESHOLD = 0.25  # tuned to the synthetic embeddings; see gate docstring
 
 
+def lsh_collision_prob(s: float, bands: int, rows: int) -> float:
+    """Probability that a pair with jaccard similarity `s` becomes an LSH
+    candidate under (bands × rows) banding: 1 - (1 - s^rows)^bands — the
+    OR-over-bands / AND-within-band amplification S-curve."""
+    return 1.0 - (1.0 - s**rows) ** bands
+
+
+def lsh_plan(threshold: float, n_perm: int) -> tuple[int, int]:
+    """Banding-parameter planning: pick (bands, rows) with bands*rows <=
+    n_perm whose S-curve knee (1/bands)^(1/rows) sits closest to the
+    target jaccard threshold — the standard Leskovec-Rajaraman-Ullman
+    sizing rule, and the minhash twin of similarity.lsh_n_bits's
+    "parameters follow the workload" contract. Driver-side O(n_perm)
+    arithmetic; ties prefer MORE permutations used (sharper curve), then
+    more bands (recall over precision, since every candidate is exactly
+    verified downstream anyway).
+
+    The module's NUM_HASHES=8 / BANDS=4 (rows=2) instance corresponds to
+    lsh_plan(0.5, 8) — the gate's LSH_VERIFY_THRESHOLD — pinned in
+    tests/test_dedup.py so the constants can't drift from the contract.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if n_perm < 1:
+        raise ValueError(f"n_perm must be >= 1, got {n_perm}")
+    best_key: tuple[float, int, int] | None = None
+    choice = (1, 1)
+    for rows in range(1, n_perm + 1):
+        bands = n_perm // rows
+        knee = (1.0 / bands) ** (1.0 / rows)
+        key = (abs(knee - threshold), -(bands * rows), -bands)
+        if best_key is None or key < best_key:
+            best_key = key
+            choice = (bands, rows)
+    return choice
+
+
 def _toks() -> Column:
     return F.split(F.col("text"), " ")
 

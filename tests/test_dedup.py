@@ -354,3 +354,34 @@ def test_incremental_dedup_replayed_batch_drops_everything(spark):
     kept2, idx2 = incremental_dedup(docs, idx1)
     assert kept2.count() == 0
     assert idx2[1].count() == n_index
+
+
+def test_lsh_plan_contract():
+    """The module's NUM_HASHES/BANDS constants ARE lsh_plan's answer at the
+    verify threshold (the sizing contract can't drift); knees land near
+    their targets; the S-curve separates below/above-threshold pairs."""
+    import pytest as _pytest
+
+    from apache_jira_scraper_spark.operators.dedup import (
+        BANDS,
+        LSH_VERIFY_THRESHOLD,
+        NUM_HASHES,
+        lsh_collision_prob,
+        lsh_plan,
+    )
+
+    assert lsh_plan(LSH_VERIFY_THRESHOLD, NUM_HASHES) == (BANDS, NUM_HASHES // BANDS)
+    for threshold, n_perm in [(0.5, 8), (0.8, 128), (0.5, 128), (0.9, 64)]:
+        b, r = lsh_plan(threshold, n_perm)
+        assert b * r <= n_perm
+        knee = (1.0 / b) ** (1.0 / r)
+        assert abs(knee - threshold) < 0.15
+        # amplification: well-above-threshold pairs are near-certain
+        # candidates, well-below pairs are unlikely ones
+        assert lsh_collision_prob(min(threshold + 0.2, 0.99), b, r) > 0.5
+        assert lsh_collision_prob(max(threshold - 0.3, 0.01), b, r) < 0.5
+
+    with _pytest.raises(ValueError):
+        lsh_plan(0.0, 8)
+    with _pytest.raises(ValueError):
+        lsh_plan(0.5, 0)
