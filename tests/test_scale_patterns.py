@@ -94,3 +94,36 @@ def test_skew_report_topn_plan(spark, sf_dir):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert len(rep.collect()) == 5
+
+
+def test_time_partitioned_layout_prunes(spark, sf_dir, tmp_path):
+    """The date filter must land as a partition filter (pruned at planning
+    time, not scanned-and-discarded), and the pruned read must equal the
+    unpartitioned filter row-for-row."""
+    from apache_jira_scraper_spark.operators.scale_patterns import (
+        read_time_range,
+        write_time_partitioned,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    write_time_partitioned(events, path)
+
+    # pick a 2-day range that exists in the data
+    days = sorted(
+        r["d"] for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    start, end = str(days[1]), str(days[3])
+    sliced = read_time_range(spark, path, start, end)
+
+    plan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+
+    want = events.filter(
+        (F.to_date("ts") >= F.lit(start)) & (F.to_date("ts") < F.lit(end))
+    ).count()
+    assert sliced.count() == want and want > 0
+
+    # pruning is physical: only the two matching date directories are read
+    n_parts = sliced.select("event_date").distinct().count()
+    assert n_parts == 2
