@@ -49,11 +49,17 @@ from pyspark.sql import functions as F
 SPLIT_PPM = 1_000_000
 
 
-def _hash_ppm(key) -> "F.Column":
+def _hash_ppm(key, salt: str = "") -> "F.Column":
     """Portable per-row hash in [0, 1e6): first 8 md5 hex chars of the
-    stringified key, mod 1e6. Identical math on the DuckDB side."""
+    (salted) stringified key, mod 1e6. Identical math on the DuckDB side.
+    THE one hash gate — split, both samplers, and the mixer must stay
+    bit-identical or their nesting/stability contracts desynchronize."""
     return (
-        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 8), 16, 10).cast("bigint")
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
         % SPLIT_PPM
     )
 
@@ -93,15 +99,7 @@ def deterministic_sample(
     two samples at rates r1 < r2 are NESTED (the r1 sample is a subset of
     the r2 sample), which makes scaling-law subset chains consistent.
     ``salt`` decorrelates independent samples drawn at the same rate."""
-    h = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % SPLIT_PPM
-    )
-    return docs.filter(h < rate_ppm)
+    return docs.filter(_hash_ppm(key, salt) < rate_ppm)
 
 
 def stratified_sample(
@@ -116,15 +114,7 @@ def stratified_sample(
     rate = F.lit(default_ppm)
     for value, ppm in sorted(rates_ppm.items()):
         rate = F.when(F.col(strata_col) == value, F.lit(ppm)).otherwise(rate)
-    h = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % SPLIT_PPM
-    )
-    return docs.filter(h < rate)
+    return docs.filter(_hash_ppm(key, salt) < rate)
 
 
 def mix_corpus(
@@ -169,15 +159,7 @@ def mix_corpus(
     rate = F.lit(0)
     for src, ppm in sorted(rates.items()):
         rate = F.when(F.col(source_col) == src, F.lit(ppm)).otherwise(rate)
-    h = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % SPLIT_PPM
-    )
-    return docs.filter(h < rate)
+    return docs.filter(_hash_ppm(key, salt) < rate)
 
 
 def mix_summary(
@@ -222,8 +204,9 @@ WITH t AS (
   FROM {table}
 ), rates AS (
   SELECT source,
-         LEAST({SPLIT_PPM},
-               CAST(FLOOR(CAST({budget_tokens} AS BIGINT) * ({wcase}) / SUM(nt)) AS BIGINT)) AS rate_ppm
+         CAST(LEAST(CAST({SPLIT_PPM} AS HUGEINT),
+                    CAST({budget_tokens} AS HUGEINT) * ({wcase}) // SUM(nt))
+              AS BIGINT) AS rate_ppm
   FROM t GROUP BY source
 )
 SELECT t.source, COUNT(1) AS n_docs, SUM(nt) AS n_tokens
@@ -443,6 +426,7 @@ def chunk_documents(
     chunk_tokens: int = CHUNK_TOKENS,
     overlap: int = CHUNK_OVERLAP,
     text_col: str = "text",
+    ordered: bool = True,
 ) -> DataFrame:
     """Split every document into fixed-token-window chunks with `overlap`
     tokens of context between consecutive windows — the per-document
@@ -455,6 +439,12 @@ def chunk_documents(
     one window emits exactly one (short) chunk. Chunk starts advance by
     stride = chunk_tokens - overlap; the final window is the only one
     allowed to be short, and every token is covered.
+
+    ``ordered=False`` skips the presentation sort (same contract as
+    split_counts/pack_summary): the map itself is exchange-free, and a
+    composed chunk-then-pack pipeline re-partitions anyway — the global
+    (doc_id, chunk_id) sort is a corpus-wide range exchange no downstream
+    consumer needs.
 
     Returns (doc_id, chunk_id, n_chunk_tokens, chunk_text).
     """
@@ -474,12 +464,13 @@ def chunk_documents(
     )
     start = F.col("chunk_id") * stride + 1
     piece = F.slice(F.col("toks"), start, F.lit(chunk_tokens))
-    return exploded.select(
+    out = exploded.select(
         "doc_id",
         "chunk_id",
         F.size(piece).alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
-    ).orderBy("doc_id", "chunk_id")
+    )
+    return out.orderBy("doc_id", "chunk_id") if ordered else out
 
 
 def chunk_documents_sql(

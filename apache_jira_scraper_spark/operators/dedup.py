@@ -82,15 +82,18 @@ def _toks() -> Column:
     return F.split(F.col("text"), " ")
 
 
-def _shingles() -> Column:
-    """Distinct word-3-gram shingles; [] for docs under 3 tokens.
+def _gram3(toks: Column) -> Column:
+    """Distinct word-3-gram shingle array over a token-array column; [] for
+    docs under 3 tokens. THE shingle definition — _shingles, _doc_shingle_df,
+    and build_dedup_index all call this one builder, so a shingling change
+    (gram width, guard, separator) cannot desynchronize the batch LSH path
+    from the persisted incremental index.
 
     The short-doc case needs an explicit CASE: Spark's sequence(1, 0) is a
     DESCENDING [1, 0] (not empty like DuckDB's generate_series), so without
     the guard a 2-token doc asks element_at for index 3 and the query
     errors out.
     """
-    toks = _toks()
     n = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), n - 2),
@@ -104,6 +107,11 @@ def _shingles() -> Column:
     return F.array_distinct(
         F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def _shingles() -> Column:
+    """Distinct word-3-gram shingles of the `text` column (see _gram3)."""
+    return _gram3(_toks())
 
 
 _SHINGLES_SQL = """
@@ -131,21 +139,14 @@ def _doc_shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row, not once per element_at reference inside the shingle lambda
     # (CollapseProject keeps multi-referenced non-cheap aliases separate).
     toks = docs.select("doc_id", _toks().alias("toks"))
-    n = F.size("toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), i),
-            F.element_at(F.col("toks"), i + 1),
-            F.element_at(F.col("toks"), i + 2),
-        ),
-    )
-    # n >= 3 guard — see _shingles: Spark's sequence(1, 0) is descending
-    shingles = F.array_distinct(
-        F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
-    )
-    return toks.select("doc_id", F.explode(shingles).alias("s"))
+    return toks.select("doc_id", F.explode(_gram3(F.col("toks"))).alias("s"))
+
+
+def _hash60(col: Column | str) -> Column:
+    """Portable 60-bit content hash: first 15 md5 hex chars -> BIGINT —
+    shared by the shingle index, the incremental index, and substring
+    dedup's gram hashing (the oracle uses the identical derivation)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
 def _doc_shingle_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -153,9 +154,7 @@ def _doc_shingle_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     than on the shingle string; 60 bits keeps collision odds ~1e-8 at 10M
     shingles, and the oracle uses the identical md5-derived hash."""
     sh = _doc_shingle_df(spark, sf_dir)
-    return sh.select(
-        "doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("sh")
-    )
+    return sh.select("doc_id", _hash60("s").alias("sh"))
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,25 +275,11 @@ def _minhash_pairs_uncached(
     # instead of re-running the pipeline.
     sh = shingle_index(spark, sf_dir)
     sig = _signatures(spark, sf_dir, sh_hashed=sh)
-    two31 = F.lit(2_147_483_648)
     # One exploded (band_idx, band_key) table + a single self-equi-join —
     # NOT four separate joins: Spark recomputes the upstream subtree for
     # every union branch, so a 4-way union of band joins costs 8 signature
     # rebuilds.
-    bandrows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("bidx"),
-                        (F.col(f"m{2 * j}") * two31 + F.col(f"m{2 * j + 1}")).alias("bk"),
-                    )
-                    for j in range(BANDS)
-                ]
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.bidx", "b.bk")
+    bandrows = _band_rows(sig)
     cand = (
         bandrows.select(F.col("doc_id").alias("d1"), "bidx", "bk")
         .join(bandrows.select(F.col("doc_id").alias("d2"), "bidx", "bk"), ["bidx", "bk"])
@@ -345,23 +330,18 @@ def build_dedup_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     batches; the signature table is the small one (one row per doc), the
     shingle table is read only for candidate verification."""
     toked = docs.select("doc_id", _toks().alias("toks"))
-    n = F.size("toks")
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(F.col("toks"), i),
-            F.element_at(F.col("toks"), i + 1),
-            F.element_at(F.col("toks"), i + 2),
-        ),
+    sh = toked.select("doc_id", F.explode(_gram3(F.col("toks"))).alias("s")).select(
+        "doc_id", _hash60("s").alias("sh")
     )
-    shingles = F.array_distinct(
-        F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
+    # EVERY doc gets a signature row — shingle-less (< 3 token) docs carry
+    # null minhashes. Their band keys are null, and a null bk can never
+    # equi-join, so they produce no LSH candidates; but their PRESENCE in
+    # the signature table is what lets incremental_dedup's id-replay
+    # anti-join see them (an index of only shingled docs silently re-kept
+    # replayed short docs).
+    sig = docs.select("doc_id").join(
+        _signatures(docs.sparkSession, "", sh_hashed=sh), "doc_id", "left"
     )
-    sh = toked.select("doc_id", F.explode(shingles).alias("s")).select(
-        "doc_id", F.conv(F.substring(F.md5("s"), 1, 15), 16, 10).cast("bigint").alias("sh")
-    )
-    sig = _signatures(docs.sparkSession, "", sh_hashed=sh)
     return sh, sig
 
 
@@ -439,8 +419,10 @@ def incremental_dedup(
     batch. Equal to global min-id-per-component dedup whenever duplicate
     relations don't chain through dropped docs (a doc matching only a
     dropped doc is kept here, dropped by the global form) — the standard
-    incremental-dedup approximation; sub-3-token docs have no shingles and
-    are always kept.
+    incremental-dedup approximation; sub-3-token docs have no shingles, so
+    they are kept on first arrival (and, like every kept doc, replay-
+    dropped on re-delivery — the signature table carries a null-minhash
+    row for them precisely so the id-replay guard can see them).
 
     A new doc whose doc_id ALREADY EXISTS in the index is dropped outright
     before the LSH path — that is a replay (at-least-once sources re-deliver
@@ -535,13 +517,7 @@ def exact_substring_dedup(
     ).select(
         "doc_id",
         "s",
-        F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice("toks", F.col("s"), span))), 1, 15),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("gh"),
+        _hash60(F.concat_ws(" ", F.slice("toks", F.col("s"), span))).alias("gh"),
     )
     hot = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     hot_occ = (
@@ -742,8 +718,7 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash once per token occurrence (separate projection), not once per of
     # the 60 bit-vote expressions
     tok = docs.select("doc_id", F.explode(_toks()).alias("t")).select(
-        "doc_id",
-        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("bigint").alias("x"),
+        "doc_id", _hash60("t").alias("x")
     )
     # Packed bit-counter aggregation: 60 per-bit SUMs generate a pathological
     # whole-stage-codegen method (~17 s of Janino compile at first run), so

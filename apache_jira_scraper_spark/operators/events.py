@@ -343,9 +343,12 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     retention triangle next to funnel()'s conversion column.
 
     Engine-exact arithmetic: weeks come from date_trunc (both engines
-    start weeks on Monday) and the age is epoch-second difference of the
-    truncated weeks div 604800 — integer math on aligned boundaries, no
-    engine-specific date_diff('week') semantics. Retention is integer ppm.
+    start weeks on Monday) and the age is day-difference of the truncated
+    DATES div 7 — integer math on aligned calendar boundaries, immune to
+    both engine-specific date_diff('week') semantics and DST (an
+    epoch-seconds difference under a non-fixed-offset session timezone
+    loses an hour across a transition and truncates a whole week).
+    Retention is integer ppm.
 
     Scale shape: one user-keyed agg for the cohort assignment, one
     (user, week) distinct for activity, a user-keyed join, then the
@@ -355,7 +358,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     Returns (cohort_week date, age_weeks, cohort_size, n_active,
     retention_ppm) — age 0 rows are the cohort's signup-week activity.
     """
-    week = lambda c: F.date_trunc("week", c)  # noqa: E731
+    week = lambda c: F.date_trunc("week", c).cast("date")  # noqa: E731
     cohorts = (
         events.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
@@ -366,11 +369,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         activity.join(cohorts, "user_id")
         .select(
             "cw",
-            (
-                (F.unix_timestamp("aw") - F.unix_timestamp("cw")) / F.lit(604800)
-            )
-            .cast("bigint")
-            .alias("age_weeks"),
+            F.expr("datediff(aw, cw) div 7").cast("bigint").alias("age_weeks"),
         )
         .filter(F.col("age_weeks") >= 0)
     )
@@ -391,22 +390,20 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
 
 RETENTION_SQL = """
 WITH cohorts AS (
-  SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cw
   FROM events WHERE event_type = 'signup' GROUP BY user_id
 ), activity AS (
-  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS aw FROM events
 ), aged AS (
-  SELECT c.cw,
-         (CAST(epoch(a.aw) AS BIGINT) - CAST(epoch(c.cw) AS BIGINT)) // 604800
-           AS age_weeks
+  SELECT c.cw, CAST(date_diff('day', c.cw, a.aw) // 7 AS BIGINT) AS age_weeks
   FROM activity a JOIN cohorts c USING (user_id)
-  WHERE epoch(a.aw) >= epoch(c.cw)
+  WHERE a.aw >= c.cw
 ), per AS (
   SELECT cw, age_weeks, COUNT(1) AS n_active FROM aged GROUP BY cw, age_weeks
 ), sizes AS (
   SELECT cw, COUNT(1) AS cohort_size FROM cohorts GROUP BY cw
 )
-SELECT CAST(per.cw AS DATE) AS cohort_week, age_weeks, cohort_size, n_active,
+SELECT per.cw AS cohort_week, age_weeks, cohort_size, n_active,
        n_active * 1000000 // cohort_size AS retention_ppm
 FROM per JOIN sizes USING (cw)
 ORDER BY cohort_week, age_weeks

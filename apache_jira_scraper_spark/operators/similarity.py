@@ -278,7 +278,7 @@ ORDER BY op, qid, rank
 """
 
 
-_IVF_CENTROIDS: dict[str, DataFrame] = {}
+_IVF_CENTROIDS: dict[tuple[str, str], DataFrame] = {}
 
 IVF_K = 16
 IVF_NPROBE = 2
@@ -302,10 +302,13 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ivf import ivf_build, ivf_search
 
     emb = _emb(spark, sf_dir)
-    if sf_dir not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[sf_dir] = ivf_build(emb, k=IVF_K, n_iter=4)
+    # keyed by (applicationId, sf_dir) like every session cache here — a
+    # recreated session must NOT see a DataFrame bound to the stopped one
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _IVF_CENTROIDS:
+        _IVF_CENTROIDS[key] = ivf_build(emb, k=IVF_K, n_iter=4)
     got = ivf_search(
-        emb, _IVF_CENTROIDS[sf_dir], n_queries=N_QUERIES, top_k=TOP_K, nprobe=IVF_NPROBE
+        emb, _IVF_CENTROIDS[key], n_queries=N_QUERIES, top_k=TOP_K, nprobe=IVF_NPROBE
     )
     exact = q_cosine_topk(spark, sf_dir)
     hits = (

@@ -545,3 +545,39 @@ def test_packed_sequences_pack_within_split(spark, sf_dir):
             cum += r["n_tokens"]
             expect_cut = (cum - r["n_tokens"]) // SEQ_BUDGET_TOKENS
             assert r["seq_id"] == (shard << 40) + expect_cut, (split, shard, r)
+
+
+def test_mix_rate_arithmetic_exact_beyond_double():
+    """The oracle's rate_ppm must use HUGEINT integer division: the old
+    FLOOR(double) form loses integers above 2^53, where budget*weight_ppm
+    lives at frontier token budgets (9e15 tokens * 1e6 ppm)."""
+    import duckdb
+
+    from apache_jira_scraper_spark.operators.corpus import mix_summary_sql
+
+    sql = mix_summary_sql({"src0": 1}, 9007199254740993)
+    rates_leg = sql.split("rates AS", 1)[1]
+    assert "HUGEINT" in rates_leg and "//" in rates_leg
+    # the exact quotient 2^53+1 is unrepresentable as a double; HUGEINT //
+    # preserves it where FLOOR(x/1.0) rounds to 2^53
+    got = duckdb.sql(
+        "SELECT CAST(CAST(9007199254740993 AS HUGEINT) * 1 // 1 AS BIGINT)"
+    ).fetchone()[0]
+    assert got == 9007199254740993
+    lossy = duckdb.sql(
+        "SELECT CAST(FLOOR(CAST(9007199254740993 AS BIGINT) * 1 / 1) AS BIGINT)"
+    ).fetchone()[0]
+    assert lossy != 9007199254740993  # documents why the double form is wrong
+
+
+def test_chunk_documents_unordered_is_exchange_free(spark, sf_dir):
+    """ordered=False must leave ZERO exchanges — the chunker is a pure
+    narrow map, and composed pipelines skip the presentation sort."""
+    from apache_jira_scraper_spark.operators.corpus import chunk_documents
+    from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    ops = operator_counts(chunk_documents(docs, ordered=False))
+    assert ops.get("Exchange", 0) == 0, ops
+    # same rows either way
+    assert chunk_documents(docs, ordered=False).count() == chunk_documents(docs).count()

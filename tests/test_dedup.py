@@ -225,7 +225,10 @@ def test_incremental_dedup_first_batch_and_new_batch(spark):
     )
     kept_a, idx = incremental_dedup(docs_a)
     assert {r["doc_id"] for r in kept_a.collect()} == {0, 2, 9}
-    assert {r["doc_id"] for r in idx[1].select("doc_id").collect()} == {0, 2}
+    # the signature table covers EVERY kept doc — the short doc rides along
+    # with null minhashes (no LSH candidates, but replay-guard-visible)
+    assert {r["doc_id"] for r in idx[1].select("doc_id").collect()} == {0, 2, 9}
+    assert idx[1].filter("doc_id = 9 AND m0 IS NULL").count() == 1
 
     b13 = _base(13)
     docs_b = _mkdocs(
@@ -242,9 +245,7 @@ def test_incremental_dedup_first_batch_and_new_batch(spark):
     got = {r["doc_id"] for r in kept_b.collect()}
     assert 10 not in got and 14 in got and 12 in got and 13 not in got
     # the updated index holds exactly the kept docs of both batches
-    assert {r["doc_id"] for r in idx2[1].select("doc_id").collect()} == (
-        {0, 2} | (got - {9})
-    ) - {9}
+    assert {r["doc_id"] for r in idx2[1].select("doc_id").collect()} == {0, 2, 9} | got
 
 
 def test_incremental_equals_single_batch_when_chain_free(spark):
@@ -348,8 +349,13 @@ def test_incremental_dedup_replayed_batch_drops_everything(spark):
     relies on for at-least-once sources."""
     from apache_jira_scraper_spark.operators.dedup import incremental_dedup
 
-    docs = _mkdocs(spark, [(i, _base(i)) for i in range(5)])
+    # include a sub-3-token doc: it has no shingles, so only the id-replay
+    # guard can drop its re-delivery — the signature table must carry a
+    # null-minhash row for it (regression: an index of shingled docs only
+    # silently re-kept replayed short docs)
+    docs = _mkdocs(spark, [(i, _base(i)) for i in range(5)] + [(9, "too short")])
     kept1, idx1 = incremental_dedup(docs)
+    assert kept1.filter("doc_id = 9").count() == 1  # short doc kept once
     n_index = idx1[1].count()
     kept2, idx2 = incremental_dedup(docs, idx1)
     assert kept2.count() == 0
