@@ -202,6 +202,44 @@ def ivf_assign(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: drop all but one vector from
+    every group of embedding-space near-duplicates — the embedding twin of
+    the text pipeline's near-dup cluster canonicalization, used to prune
+    semantically redundant training examples that text dedup can't see
+    (paraphrases, re-renders, translations into the same embedding region).
+
+    Pure composition of the engine's existing scale parts: IVF-cell
+    blocking (`ivf_near_dup_pairs` — candidate pairs from trained-cell
+    equi-joins, never corpus²) → connected components over the pair graph
+    (hash-to-min rounds) → keep the min-id member per component. Returns
+    (vec_id, cluster_id, kept): every input row labeled, kept = (vec_id ==
+    cluster_id); singletons are their own cluster and always kept.
+    """
+    from .dedup import connected_components
+
+    pairs = ivf_near_dup_pairs(emb, centroids, threshold=threshold, nprobe=nprobe)
+    comp = connected_components(
+        pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(
+            comp.select(F.col("doc_id").alias("vec_id"), "cluster_id"),
+            "vec_id",
+            "left",
+        )
+        .select("vec_id", F.coalesce("cluster_id", "vec_id").alias("cluster_id"))
+        .withColumn("kept", F.col("vec_id") == F.col("cluster_id"))
+        .orderBy("vec_id")
+    )
+
+
 def ivf_search(
     emb: DataFrame,
     centroids: DataFrame,

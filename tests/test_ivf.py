@@ -136,3 +136,32 @@ def test_assign_large_k_join_path_equivalent(emb, centroids):
     finally:
         ivf_mod._LITERAL_K_MAX = old
     assert lit == join
+
+
+def test_semantic_dedup_constructed_clusters(spark):
+    """Two tight clusters + one loner: one survivor per cluster (min id),
+    loner kept, every input row labeled."""
+    from apache_jira_scraper_spark.operators.ivf import ivf_build, semantic_dedup
+
+    base_a = [1.0, 0.0, 0.0, 0.0]
+    base_b = [0.0, 1.0, 0.0, 0.0]
+    rows = [
+        (0, [1.0, 0.01, 0.0, 0.0], 0),
+        (1, [0.99, 0.0, 0.01, 0.0], 0),
+        (2, [1.0, 0.0, 0.0, 0.02], 0),     # cluster A: 0,1,2
+        (10, [0.0, 1.0, 0.01, 0.0], 1),
+        (11, [0.01, 0.99, 0.0, 0.0], 1),   # cluster B: 10,11
+        (20, [0.0, 0.0, 0.0, -1.0], 2),    # loner
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, e array<double>, label int")
+    emb = emb.withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, v: a + v)),
+    )
+    cent = ivf_build(emb, k=3, n_iter=3)
+    got = {r["vec_id"]: (r["cluster_id"], r["kept"]) for r in semantic_dedup(emb, cent, threshold=0.9).collect()}
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        10: (10, True), 11: (10, False),
+        20: (20, True),
+    }
