@@ -39,7 +39,18 @@ def pin_utc_session(spark: SparkSession, why: str) -> None:
     all consult it) — so correctness REQUIRES a UTC session wherever an NTZ
     source column is cast to TIMESTAMP. The driver builds its own session,
     hence this runtime pin; it is deliberately loud (a warning, not a
-    silent config rewrite) when it actually changes a non-UTC session."""
+    silent config rewrite) when it actually changes a non-UTC session.
+
+    Why not a non-mutating per-column conversion instead? There isn't one
+    that satisfies the oracle contract: convert_timezone('UTC', session_tz,
+    ntz) preserves the INSTANT but shifts the wall values date_trunc/window
+    render (diverging from the naive oracle), while reinterpreting the
+    walls in the session zone preserves rendering but corrupts interval
+    arithmetic across DST transitions (an hour vanishes or doubles), and
+    keeping TIMESTAMP_NTZ end-to-end is rejected by watermarks/windows.
+    Computing in a fixed zone — this pin — is the only shape where wall
+    values, interval math, and the naive oracle all agree; the warning
+    makes the one global side effect explicit instead of silent."""
     tz = spark.conf.get("spark.sql.session.timeZone")
     if tz != "UTC":
         import warnings

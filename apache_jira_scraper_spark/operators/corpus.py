@@ -873,14 +873,18 @@ def build_training_corpus(
         "doc_id"
     )
 
-    # quality and exact_keep are CORPUS-cardinality doc_id sets (one row per
-    # passing / per distinct doc) — broadcasting them would OOM at scale, so
-    # they stay plain shuffle semi-joins on doc_id. Only near_dup_losers is
-    # provably small (bounded by the near-dup pair count) and broadcastable.
+    # NO forced broadcast on ANY of these sides. quality and exact_keep are
+    # CORPUS-cardinality doc_id sets — broadcasting them would OOM at scale.
+    # near_dup_losers is small on a lightly-duplicated corpus, but its only
+    # bound is the near-dup loser count, which on a dup-heavy web crawl is
+    # 20-50% OF THE CORPUS — the same OOM class. AQE broadcasts it at
+    # runtime when it measures small, and falls back to a shuffle anti-join
+    # when it doesn't; a hint would force the OOM exactly when dedup
+    # matters most.
     kept = (
         docs.join(quality, "doc_id", "left_semi")
         .join(exact_keep, "doc_id", "left_semi")
-        .join(F.broadcast(near_dup_losers), "doc_id", "left_anti")
+        .join(near_dup_losers, "doc_id", "left_anti")
     )
 
     # 3a2. optional token-level substring dedup over the survivors

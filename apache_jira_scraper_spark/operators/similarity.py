@@ -142,7 +142,9 @@ def _bucket(e: Column, n_bits: int = ANN_N_BITS) -> Column:
     """Deterministic n_bits-wide sign-LSH bucket. Bit i is the sign of the
     (fixed, data-independent) projection e[i] - e[32+i] — the coordinate-pair
     flavor of random-projection LSH, chosen so the DuckDB oracle can
-    replicate it bit-for-bit (see _bucket_sql). Requires dim >= 33 + n_bits."""
+    replicate it bit-for-bit (see _bucket_sql). Requires dim >= 32 + n_bits
+    (the highest 1-based index read is 32 + n_bits, so n_bits=32 —
+    lsh_n_bits's documented maximum — is exactly legal at dim 64)."""
     total = F.lit(0)
     for i in range(n_bits):
         total = total + F.when(

@@ -123,11 +123,13 @@ def test_semi_anti_join_shapes(spark, sf_dir):
 
 
 def test_corpus_build_does_not_broadcast_corpus_sized_sides(spark, sf_dir):
-    """quality/exact_keep are corpus-cardinality doc_id sets: with the
-    auto-broadcast threshold disabled, their semi-joins must plan as shuffle
-    joins (no forced F.broadcast hint — that would OOM at 100 TB). Only the
-    provably-small near_dup_losers side keeps an explicit broadcast, so the
-    one LeftAnti join is the only broadcast allowed."""
+    """With the auto-broadcast threshold disabled, NO join in the corpus
+    build may still broadcast: quality/exact_keep are corpus-cardinality
+    doc_id sets, and near_dup_losers is bounded only by the near-dup loser
+    count — 20-50% of a dup-heavy crawl, the same OOM class. A surviving
+    Broadcast under threshold=-1 means a forced F.broadcast hint snuck
+    back in; at runtime AQE is free to broadcast any side it MEASURES
+    small."""
     from apache_jira_scraper_spark.operators.corpus import build_training_corpus
     from apache_jira_scraper_spark.plans.inspect import physical_plan
 
@@ -138,10 +140,9 @@ def test_corpus_build_does_not_broadcast_corpus_sized_sides(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     for line in plan.splitlines():
-        if "LeftSemi" in line:
-            assert "BroadcastHashJoin" not in line, line
-    anti = [l for l in plan.splitlines() if "LeftAnti" in l]
-    assert anti and all("Broadcast" in l for l in anti), anti
+        if "LeftSemi" in line or "LeftAnti" in line:
+            assert "Broadcast" not in line, line
+    assert any("LeftAnti" in l for l in plan.splitlines())
 
 
 def test_eval_decontamination_broadcasts_eval_side_only(spark, sf_dir):

@@ -216,18 +216,26 @@ def test_stream_interval_join_matches_batch(spark, events_batch, events_stream):
         F.col("event_id").alias("r_id"), F.col("user_id").alias("r_user"),
         F.col("ts").alias("r_ts"), F.col("value").alias("r_value"),
     )
+    # cents computed DRIVER-SIDE with Python Decimal — genuinely independent
+    # of the pipeline's Spark expression (a mirrored Spark expression would
+    # pass even if the shared cents math were wrong; this catches both the
+    # round(double)*100 truncation class (0.29 -> 28) and any future drift
+    # in the engine-side decimal cast)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def py_cents(v: float) -> int:
+        return int(
+            (Decimal(repr(v)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100)
+            .to_integral_value(ROUND_HALF_UP)
+        )
+
     exp = {
-        (row["l_id"], row["r_id"]): row["cents"]
+        (row["l_id"], row["r_id"]): py_cents(row["r_value"])
         for row in l.join(
             r,
             F.expr("l_user = r_user AND r_ts > l_ts AND r_ts <= l_ts + INTERVAL 30 minutes"),
         )
-        .select(
-            "l_id", "r_id",
-            # decimal-exact cents, independent of the pipeline's expression —
-            # catches the round(double)*100 truncation class (0.29 -> 28)
-            (F.col("r_value").cast("decimal(14,2)") * 100).cast("bigint").alias("cents"),
-        )
+        .select("l_id", "r_id", "r_value")
         .collect()
     }
     assert got == exp and len(got) > 0
