@@ -185,6 +185,78 @@ def resize(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFram
     )
 
 
+def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
+    """ViT-style patch extraction: cut each image's byte grid into
+    patch×patch tiles and emit ONE ROW PER PATCH with its grid position,
+    mean intensity, and content digest — the image→patch-token step a
+    multimodal training pipeline runs before embedding (a vision
+    transformer consumes exactly this (doc, py, px, patch) layout).
+
+    Spark plumbing is real and scale-shaped: Arrow-batched mapInPandas
+    resizes the declared grid up to whole patches (pad-by-repeat, same
+    rule as resize) and emits the exploded patch rows directly from the
+    Python stage — no second explode pass, no per-row UDF. The pixel math
+    is the deterministic fake (real PIL decode drops in behind
+    _REAL_DECODE_AVAILABLE). Rows per image = ceil(h/patch)*ceil(w/patch),
+    bounded by the declared dims; digests are md5 of the tile bytes so a
+    downstream exact-dedup over patches (logo/watermark detection) is a
+    plain groupBy(patch_digest).
+    """
+    real_decode = _REAL_DECODE_AVAILABLE
+
+    def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import numpy as np
+
+        def one(payload: bytes, w: int, h: int):
+            if real_decode:  # pragma: no cover
+                raise NotImplementedError("real codec path not wired here")
+            w, h = max(w, 1), max(h, 1)
+            py_n = -(-h // patch)
+            px_n = -(-w // patch)
+            grid = np.resize(
+                np.frombuffer(payload, dtype=np.uint8), (py_n * patch, px_n * patch)
+            )
+            out = []
+            for py in range(py_n):
+                for px in range(px_n):
+                    tile = grid[
+                        py * patch : (py + 1) * patch, px * patch : (px + 1) * patch
+                    ]
+                    out.append(
+                        (
+                            py,
+                            px,
+                            float(tile.mean()),
+                            hashlib.md5(tile.tobytes()).hexdigest(),
+                        )
+                    )
+            return out
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "py": [],
+                "px": [],
+                "patch_mean": [],
+                "patch_digest": [],
+            }
+            for doc_id, payload, m in zip(pdf["doc_id"], pdf["content"], pdf["meta"]):
+                for py, px, mean, dig in one(payload, m["width"], m["height"]):
+                    rows["doc_id"].append(doc_id)
+                    rows["py"].append(py)
+                    rows["px"].append(px)
+                    rows["patch_mean"].append(mean)
+                    rows["patch_digest"].append(dig)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        _patches,
+        schema="doc_id long, py int, px int, patch_mean double, patch_digest string",
+    )
+
+
 def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame sampling for "video" payloads: every stride-th byte, as the
     stand-in for keyframe selection. Pure column algebra (no UDF needed) —

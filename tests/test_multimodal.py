@@ -76,3 +76,34 @@ def test_multimodal_meta_matches_oracle(spark, sf_dir):
         q_multimodal_meta(spark, sf_dir), MULTIMODAL_META_SQL, sf_dir,
         name="multimodal_meta",
     )
+
+
+def test_patch_grid_shapes_and_determinism(spark, sf_dir):
+    """Patch count = ceil(h/16)*ceil(w/16) per image; positions form a full
+    grid; identical payloads yield identical digests (the property the
+    patch-dedup use case needs)."""
+    from apache_jira_scraper_spark.operators.multimodal import binary_docs, patch_grid
+
+    media = binary_docs(spark, sf_dir).limit(20)
+    meta = {r["doc_id"]: (r["meta"]["width"], r["meta"]["height"]) for r in media.collect()}
+    rows = patch_grid(media, patch=16).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(meta)
+    for doc_id, prs in by_doc.items():
+        w, h = meta[doc_id]
+        py_n = -(-max(h, 1) // 16)
+        px_n = -(-max(w, 1) // 16)
+        assert len(prs) == py_n * px_n
+        assert {(r["py"], r["px"]) for r in prs} == {
+            (y, x) for y in range(py_n) for x in range(px_n)
+        }
+        assert all(0.0 <= r["patch_mean"] <= 255.0 for r in prs)
+    # determinism: second run produces identical digests
+    again = {
+        (r["doc_id"], r["py"], r["px"]): r["patch_digest"]
+        for r in patch_grid(media, patch=16).collect()
+    }
+    first = {(r["doc_id"], r["py"], r["px"]): r["patch_digest"] for r in rows}
+    assert first == again
