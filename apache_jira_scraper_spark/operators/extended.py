@@ -244,26 +244,41 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     for real on the Spark side.
 
     The four legs START concurrently and are awaited together, so the gate
-    pays the slowest streaming query once instead of all four in series."""
-    q_sess, t_sess = _start_to_memory(
-        pipelines.session_counts(_events_stream(spark, sf_dir)), "complete"
-    )
-    q_dedup, t_dedup = _start_to_memory(
-        pipelines.stream_dedup(_events_stream(spark, sf_dir)).select(
-            "event_id", "user_id", "event_type"
-        ),
-        "append",
-    )
-    # single landing file -> one micro-batch -> exactly one emitted row per
-    # user, equal to the batch aggregate (pinned by tests/test_streaming.py)
-    q_life, t_life = _start_to_memory(
-        pipelines.stateful_user_stats(_events_stream(spark, sf_dir)), "update"
-    )
-    q_join, t_join = _start_to_memory(
-        pipelines.stream_interval_join(_events_stream(spark, sf_dir)), "append"
-    )
-    for q in (q_sess, q_dedup, q_life, q_join):
-        q.awaitTermination()
+    pays the slowest streaming query once instead of all four in series.
+
+    State partitions are sized to the STREAM'S state volume, not the batch
+    session default: each stateful operator instantiates one state store
+    per shuffle partition per micro-batch, and with ~10 stateful operators
+    across the four legs, 32-partition state stores dominate wall time
+    3-4x over the actual work at this input size (measured 18 s -> 5 s at
+    sf0.1). A streaming query BAKES the number into its checkpoint at
+    start, so this is a per-query sizing decision exactly like choosing
+    shuffle partitions for a batch job — at production volume you'd size
+    it UP the same way. The conf is restored before the batch union runs."""
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q_sess, t_sess = _start_to_memory(
+            pipelines.session_counts(_events_stream(spark, sf_dir)), "complete"
+        )
+        q_dedup, t_dedup = _start_to_memory(
+            pipelines.stream_dedup(_events_stream(spark, sf_dir)).select(
+                "event_id", "user_id", "event_type"
+            ),
+            "append",
+        )
+        # single landing file -> one micro-batch -> exactly one emitted row
+        # per user, equal to the batch aggregate (tests/test_streaming.py)
+        q_life, t_life = _start_to_memory(
+            pipelines.stateful_user_stats(_events_stream(spark, sf_dir)), "update"
+        )
+        q_join, t_join = _start_to_memory(
+            pipelines.stream_interval_join(_events_stream(spark, sf_dir)), "append"
+        )
+        for q in (q_sess, q_dedup, q_life, q_join):
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     sessions = spark.table(t_sess).select(
         F.lit("session").alias("op"),
         F.col("user_id").alias("id"),
