@@ -302,7 +302,10 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
             "step_idx",
             "step",
             "n_users",
-            F.expr("n_users * 1000000 div _first").alias("conversion_ppm"),
+            # nullif: a corpus where NOBODY completed step 1 yields NULL
+            # conversions, not an ANSI divide-by-zero (found by the
+            # hypothesis model test); the SQL twin uses the same NULLIF
+            F.expr("n_users * 1000000 div nullif(_first, 0)").alias("conversion_ppm"),
         )
         .orderBy("step_idx")
     )
@@ -330,7 +333,8 @@ def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS, table: str = "events") -> 
     return f"""
 WITH {", ".join(ctes)}, counts AS ({counts})
 SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
-       n_users * 1000000 // (SELECT n_users FROM counts WHERE step_idx = 1)
+       n_users * 1000000
+         // NULLIF((SELECT n_users FROM counts WHERE step_idx = 1), 0)
          AS conversion_ppm
 FROM counts ORDER BY step_idx
 """

@@ -382,3 +382,52 @@ def test_quantize_matches_python_model(spark, vecs):
         codes, scale = quantize_model(v)
         assert got[i][0] == codes, f"vec {i}: {v}"
         assert got[i][1] == pytest.approx(scale, rel=1e-12)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),      # user_id
+            st.integers(min_value=0, max_value=50),     # minute offset
+            st.sampled_from(["signup", "view", "click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_funnel_matches_python_model(spark, events):
+    """The single-shuffle fold equals a pure-Python sequential-min
+    simulator over arbitrary event sets — including duplicate timestamps,
+    out-of-order arrivals, and steps interleaved across users (the cases
+    the real-data oracle can't systematically cover)."""
+    import datetime as dt
+
+    from apache_jira_scraper_spark.operators.events import FUNNEL_STEPS, funnel
+
+    t0 = dt.datetime(2025, 1, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=m), et) for u, m, et in events
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+
+    # python model: sequential min, strictly-after
+    per_user: dict[int, list] = {}
+    for u, ts, et in rows:
+        per_user.setdefault(u, []).append((ts, et))
+    def stage(evs):
+        t_last, s = None, 0
+        for step in FUNNEL_STEPS:
+            cand = [ts for ts, et in evs if et == step and (t_last is None or ts > t_last)]
+            if not cand:
+                break
+            t_last = min(cand)
+            s += 1
+        return s
+    stages = [stage(evs) for evs in per_user.values()]
+    expected = {
+        i + 1: sum(1 for s in stages if s >= i + 1) for i in range(len(FUNNEL_STEPS))
+    }
+
+    got = {r["step_idx"]: r["n_users"] for r in funnel(df).collect()}
+    assert got == expected
