@@ -431,3 +431,63 @@ def test_funnel_matches_python_model(spark, events):
 
     got = {r["step_idx"]: r["n_users"] for r in funnel(df).collect()}
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),       # user_id
+            st.integers(min_value=-20, max_value=40),    # day offset
+            st.sampled_from(["signup", "view", "purchase"]),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_retention_matches_python_model(spark, events):
+    """retention_cohorts equals a pure-Python cohort simulator over
+    arbitrary event sets — pre-signup activity excluded, never-signed-up
+    users excluded, integer-ppm retention."""
+    import datetime as dt
+
+    from apache_jira_scraper_spark.operators.events import retention_cohorts
+
+    mon = dt.datetime(2025, 1, 6)  # a Monday anchor
+    rows = [(u, mon + dt.timedelta(days=d), et) for u, d, et in events]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string")
+
+    def week_of(ts):
+        d = ts.date()
+        return d - dt.timedelta(days=d.weekday())
+
+    cohort: dict[int, dt.date] = {}
+    for u, ts, et in rows:
+        if et == "signup":
+            w = week_of(ts)
+            if u not in cohort or w < cohort[u]:
+                cohort[u] = w
+    active: set = set()
+    for u, ts, _ in rows:
+        if u in cohort:
+            age = (week_of(ts) - cohort[u]).days // 7
+            if age >= 0:
+                active.add((cohort[u], age, u))
+    sizes: dict = {}
+    for u, cw in cohort.items():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    per: dict = {}
+    for cw, age, _u in active:
+        per[(cw, age)] = per.get((cw, age), 0) + 1
+    expected = {
+        (cw.isoformat(), age): (sizes[cw], n, n * 1_000_000 // sizes[cw])
+        for (cw, age), n in per.items()
+    }
+
+    got = {
+        (r["cohort_week"].isoformat(), r["age_weeks"]): (
+            r["cohort_size"], r["n_active"], r["retention_ppm"]
+        )
+        for r in retention_cohorts(df).collect()
+    }
+    assert got == expected
