@@ -43,7 +43,7 @@ into doc_stats to stay at the 50-query cap).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SPLIT_PPM = 1_000_000
@@ -214,6 +214,77 @@ FROM t JOIN rates ON t.source = rates.source
 WHERE h < rate_ppm
 GROUP BY t.source ORDER BY t.source
 """
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Data-card report: the per-release summary a corpus ships with —
+    doc/token mass by source, by language, by quality band (2000-bp
+    buckets of the shared quality score), plus the grand total, as ONE
+    tagged union (section, key, n_docs, n_tokens).
+
+    Scale shape: one narrow projection computes (source, lang, band,
+    n_tokens) per doc; each leg is a partial-agg groupBy over it (section
+    cardinalities are human-scale, so every shuffle is tiny), and Spark
+    reuses the projected scan across the union branches. Integer token
+    counts make the DuckDB twin (`CORPUS_REPORT_SQL`) exact.
+    """
+    from .text import quality_score_bp_col
+
+    base = docs.select(
+        "source",
+        "lang",
+        (F.floor(quality_score_bp_col() / 2000) * 2000).cast("bigint").alias("band"),
+        F.size(F.split("text", " ")).alias("_nt"),
+    )
+
+    def leg(section: str, key: Column) -> DataFrame:
+        return (
+            base.groupBy(key.alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+            .select(F.lit(section).alias("section"), "key", "n_docs", "n_tokens")
+        )
+
+    return (
+        leg("source", F.col("source"))
+        .unionByName(leg("lang", F.col("lang")))
+        .unionByName(leg("quality_band", F.col("band").cast("string")))
+        .unionByName(leg("total", F.lit("all")))
+        .orderBy("section", "key")
+    )
+
+
+_CORPUS_REPORT_SQL_TPL = """
+WITH m AS (
+  SELECT source, lang, len(toks) AS n,
+         len(list_filter(toks, x -> list_contains({stop}, x))) AS n_stop,
+         len(list_distinct(toks)) AS n_dist, n_chars
+  FROM (SELECT source, lang, n_chars, string_split(text, ' ') AS toks FROM documents) t
+), base AS (
+  SELECT source, lang, n AS nt,
+         CAST(FLOOR((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 4000 ELSE 0 END
+                     + CAST(FLOOR(n_stop * 3000 / n) AS BIGINT)
+                     + CAST(FLOOR(n_dist * 3000 / n) AS BIGINT)) / 2000) * 2000 AS BIGINT)
+           AS band
+  FROM m
+)
+SELECT 'source' AS section, source AS key, COUNT(1) AS n_docs, SUM(nt) AS n_tokens
+FROM base GROUP BY source
+UNION ALL
+SELECT 'lang', lang, COUNT(1), SUM(nt) FROM base GROUP BY lang
+UNION ALL
+SELECT 'quality_band', CAST(band AS VARCHAR), COUNT(1), SUM(nt) FROM base GROUP BY band
+UNION ALL
+SELECT 'total', 'all', COUNT(1), SUM(nt) FROM base
+ORDER BY section, key
+"""
+
+
+def corpus_report_sql() -> str:
+    """DuckDB twin of corpus_report (same quality-score definition via the
+    shared stopword list)."""
+    from .text import _STOP_SQL
+
+    return _CORPUS_REPORT_SQL_TPL.format(stop=_STOP_SQL)
 
 
 def source_token_totals(docs: DataFrame, source_col: str = "source") -> dict[str, int]:

@@ -581,3 +581,30 @@ def test_chunk_documents_unordered_is_exchange_free(spark, sf_dir):
     assert ops.get("Exchange", 0) == 0, ops
     # same rows either way
     assert chunk_documents(docs, ordered=False).count() == chunk_documents(docs).count()
+
+
+def test_corpus_report_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.operators.corpus import (
+        corpus_report,
+        corpus_report_sql,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert_matches_oracle(
+        corpus_report(docs), corpus_report_sql(), sf_dir, name="corpus_report"
+    )
+
+
+def test_corpus_report_internal_consistency(spark, sf_dir):
+    """Every section's doc/token mass must sum to the total leg."""
+    from apache_jira_scraper_spark.operators.corpus import corpus_report
+
+    rows = corpus_report(load_table(spark, sf_dir, "documents")).collect()
+    by_sec: dict[str, tuple[int, int]] = {}
+    for r in rows:
+        d, t = by_sec.get(r["section"], (0, 0))
+        by_sec[r["section"]] = (d + r["n_docs"], t + r["n_tokens"])
+    total = by_sec.pop("total")
+    assert total[0] > 0
+    for sec, sums in by_sec.items():
+        assert sums == total, (sec, sums, total)
