@@ -790,6 +790,122 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """BM25 text retrieval over an inverted index — the lexical similarity
+    tier beside the embedding family (cosine/LSH/IVF): dedup catches
+    near-copies, embeddings catch paraphrases, BM25 catches keyword
+    overlap, and a retrieval-based decontamination or dedup pass needs all
+    three. Queries are the first `n_queries` docs (the similarity family's
+    convention); query terms are binary (standard for short queries).
+
+    Scale shape — the classic sparse-retrieval plan, all equi-joins:
+    per-(doc, term) postings with one doc-keyed and one term-keyed
+    partial-agg shuffle (tf, document frequency); the 1-row (N, avgdl)
+    stats frame broadcasts; per-posting BM25 weight idf·sat(tf) computed
+    in ONE projection; candidates come from the postings ⋈ query-terms
+    join ON THE TERM (docs sharing no term with a query are never
+    touched — this is what the inverted index buys), then one
+    (qid, did) aggregation and a per-query top-k window over candidates.
+    The term join is a shuffle join — a vocabulary is NOT assumed
+    broadcastable at 100 TB (same contract as unigram_logprob); the
+    query-term side IS broadcast (n_queries · distinct-terms rows, tiny).
+
+    Engine-exact scoring: per-posting weights are rounded to integer 1e-4
+    units BEFORE summing (unigram_logprob's trick) so the per-pair SUM is
+    order-independent integer math and the DuckDB twin hashes identically.
+
+    Returns (qid, rank, did, score_en4).
+    """
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("N") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    postings = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(dfreq, "t")
+        .select(
+            "t",
+            F.col("doc_id").alias("did"),
+            F.round(idf * sat * 10_000).cast("bigint").alias("w_en4"),
+        )
+    )
+    qterms = tf.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("qid"), "t"
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "t")
+        .filter(F.col("qid") != F.col("did"))
+        .groupBy("qid", "did")
+        .agg(F.sum("w_en4").alias("score_en4"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_en4"), F.asc("did"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "did", "score_en4")
+        .orderBy("qid", "rank")
+    )
+
+
+def bm25_topk_sql(
+    n_queries: int = 10,
+    top_k: int = 5,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of bm25_topk (same integer-1e-4 weight quantization)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, u.t FROM {table}, unnest(string_split(text, ' ')) AS u(t)
+), tf AS (
+  SELECT doc_id, t, COUNT(1) AS tf FROM toks GROUP BY doc_id, t
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT COUNT(1) AS N, AVG(dl) AS avgdl FROM dl
+), dfreq AS (
+  SELECT t, COUNT(1) AS df FROM tf GROUP BY t
+), postings AS (
+  SELECT tf.t, tf.doc_id AS did,
+         CAST(ROUND(ln((N - df + 0.5) / (df + 0.5) + 1.0)
+                    * (tf * ({k1!r} + 1)) / (tf + {k1!r} * (1 - {b!r} + {b!r} * dl / avgdl))
+                    * 10000) AS BIGINT) AS w_en4
+  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq USING (t)
+), qterms AS (
+  SELECT doc_id AS qid, t FROM tf WHERE doc_id < {n_queries}
+), scored AS (
+  SELECT qid, did, SUM(w_en4) AS score_en4
+  FROM postings JOIN qterms USING (t)
+  WHERE qid != did GROUP BY qid, did
+), ranked AS (
+  SELECT qid, did, score_en4,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score_en4 DESC, did ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, did, score_en4 FROM ranked WHERE rank <= {top_k}
+ORDER BY qid, rank
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 

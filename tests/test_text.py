@@ -189,3 +189,34 @@ def test_encode_with_vocab_semantics(spark):
     # pretokenizer pieces of "aa bb aa zz": ["aa", " bb", " aa", " zz"]
     assert out[1] == (4, [1, 3, 2, 0])
     assert out[2] == (0, [])
+
+
+def test_bm25_topk_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import bm25_topk, bm25_topk_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert_matches_oracle(
+        bm25_topk(docs), bm25_topk_sql(), sf_dir, name="bm25_topk"
+    )
+
+
+def test_bm25_semantics(spark):
+    """A query doc's top hit is the doc sharing its rare term, not the one
+    sharing only a ubiquitous term (the idf property BM25 exists for)."""
+    from apache_jira_scraper_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common zebra common common"),          # query
+            (10, "common zebra other words here"),      # shares rare 'zebra'
+            (11, "common common common filler filler"), # shares only 'common'
+            (12, "entirely different tokens again yes"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = bm25_topk(docs, n_queries=1, top_k=3).collect()
+    assert [r["did"] for r in rows][0] == 10
+    # doc 12 shares no term -> never a candidate
+    assert 12 not in {r["did"] for r in rows}
+    assert all(r["score_en4"] > 0 for r in rows)
