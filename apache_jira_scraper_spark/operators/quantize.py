@@ -173,6 +173,65 @@ def two_stage_topk(
     )
 
 
+def ivf_quantized_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    n_queries: int = 10,
+    top_k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF over int8 codes — the two approximations composed (the shape
+    FAISS ships as IVF+SQ8, the standard production ANN configuration):
+    the coarse quantizer prunes the search to nprobe cells (complexity),
+    the int8 codes shrink what those cells read (bandwidth). The corpus
+    representation after build time is ONLY (cid, qv): cell assignment
+    runs on the DEQUANTIZED codes — honest to the storage story, the
+    float column is never needed at search time — and candidate scoring
+    is the integer-dot quantized cosine within probed cells. Exact
+    float re-scoring of this shortlist (two_stage_topk's stage 2)
+    composes on top when the final ranking must be exact.
+
+    Returns (qid, rank, nid, qcosine).
+    """
+    from .ivf import ivf_assign
+
+    qt = quantize_embeddings(emb, keep=(id_col,))
+    deq = qt.select(
+        id_col, "qv", dequantize(F.col("qv"), F.col("scale")).alias("e")
+    )
+    corpus = ivf_assign(deq, centroids, vec_col="e", nprobe=1, id_col=id_col).select(
+        F.col(id_col).alias("nid"), F.col("qv").alias("q2"), "cid"
+    )
+    queries = ivf_assign(
+        deq.filter(F.col(id_col) < n_queries),
+        centroids,
+        vec_col="e",
+        nprobe=nprobe,
+        id_col=id_col,
+    ).select(F.col(id_col).alias("qid"), F.col("qv").alias("q1"), "cid")
+    scored = (
+        F.broadcast(queries)
+        .join(corpus, "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            F.round(quantized_cosine(F.col("q1"), F.col("q2")), 6).alias("qcosine"),
+        )
+        # a pair can meet in several probed cells — collapse before ranking
+        .groupBy("qid", "nid")
+        .agg(F.first("qcosine").alias("qcosine"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("qcosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "nid", "qcosine")
+        .orderBy("qid", "rank")
+    )
+
+
 def quantize_model(vec: list[float]) -> tuple[list[int], float]:
     """Pure-Python model of the quantizer (test oracle): must match the
     Spark column algebra bit-for-bit on finite inputs."""

@@ -165,3 +165,21 @@ def test_quantize_plan_is_narrow(emb):
     """Quantization itself must be a zero-shuffle narrow map."""
     plan = quantize_embeddings(emb)._jdf.queryExecution().optimizedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_ivf_quantized_topk_recall(emb, sf_dir):
+    """IVF+int8 composed: both approximations stacked must still recover
+    most of the exact float top-k (recall@5 >= 0.6 on the test
+    embeddings — looser than either alone, as expected)."""
+    from apache_jira_scraper_spark.operators.ivf import ivf_build
+    from apache_jira_scraper_spark.operators.quantize import ivf_quantized_topk
+
+    cent = ivf_build(emb, k=8, n_iter=3)
+    got = ivf_quantized_topk(emb, cent, n_queries=10, top_k=5, nprobe=2)
+    exact = q_cosine_topk(emb.sparkSession, sf_dir)
+    hits = exact.join(got.select("qid", "nid"), ["qid", "nid"], "left_semi").count()
+    total = exact.count()
+    assert total > 0
+    assert hits / total >= 0.6, f"recall {hits}/{total}"
+    # all 10 queries produced a ranking
+    assert got.select("qid").distinct().count() == 10
