@@ -223,10 +223,14 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     tagged union (section, key, n_docs, n_tokens).
 
     Scale shape: one narrow projection computes (source, lang, band,
-    n_tokens) per doc; each leg is a partial-agg groupBy over it (section
-    cardinalities are human-scale, so every shuffle is tiny), and Spark
-    reuses the projected scan across the union branches. Integer token
-    counts make the DuckDB twin (`CORPUS_REPORT_SQL`) exact.
+    n_tokens) per doc, and the four sections come from ONE GROUPING SETS
+    aggregation over it — a single scan, a single shuffle (a 4-way union
+    of groupBys would recompute the tokenize/score projection per leg:
+    Spark has no cross-branch subtree reuse, only exchange/subquery
+    reuse). An EMPTY corpus yields an empty report in BOTH engines
+    (grouping sets emit no rows on empty input; the twin's total leg
+    carries a HAVING guard to match). Integer token counts make the
+    DuckDB twin (`corpus_report_sql`) exact.
     """
     from .text import quality_score_bp_col
 
@@ -236,21 +240,38 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         (F.floor(quality_score_bp_col() / 2000) * 2000).cast("bigint").alias("band"),
         F.size(F.split("text", " ")).alias("_nt"),
     )
-
-    def leg(section: str, key: Column) -> DataFrame:
-        return (
-            base.groupBy(key.alias("key"))
-            .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("n_tokens"))
-            .select(F.lit(section).alias("section"), "key", "n_docs", "n_tokens")
-        )
-
-    return (
-        leg("source", F.col("source"))
-        .unionByName(leg("lang", F.col("lang")))
-        .unionByName(leg("quality_band", F.col("band").cast("string")))
-        .unionByName(leg("total", F.lit("all")))
-        .orderBy("section", "key")
+    g = base.groupingSets(
+        [[F.col("source")], [F.col("lang")], [F.col("band")], []],
+        F.col("source"),
+        F.col("lang"),
+        F.col("band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").alias("n_tokens"),
+        # grouping() is only legal inside the aggregation — carry the flags
+        # out as columns for the section/key projection below
+        F.grouping("source").alias("_gs"),
+        F.grouping("lang").alias("_gl"),
+        F.grouping("band").alias("_gb"),
     )
+    section = (
+        F.when(F.col("_gs") == 0, F.lit("source"))
+        .when(F.col("_gl") == 0, F.lit("lang"))
+        .when(F.col("_gb") == 0, F.lit("quality_band"))
+        .otherwise(F.lit("total"))
+    )
+    # key picked BY SECTION (grouping flags), not coalesce: a NULL data
+    # value in source/lang must stay a NULL key, exactly as the twin's
+    # GROUP BY renders it
+    key = (
+        F.when(F.col("_gs") == 0, F.col("source"))
+        .when(F.col("_gl") == 0, F.col("lang"))
+        .when(F.col("_gb") == 0, F.col("band").cast("string"))
+        .otherwise(F.lit("all"))
+    )
+    return g.select(
+        section.alias("section"), key.alias("key"), "n_docs", "n_tokens"
+    ).orderBy("section", "key")
 
 
 _CORPUS_REPORT_SQL_TPL = """
@@ -274,7 +295,7 @@ SELECT 'lang', lang, COUNT(1), SUM(nt) FROM base GROUP BY lang
 UNION ALL
 SELECT 'quality_band', CAST(band AS VARCHAR), COUNT(1), SUM(nt) FROM base GROUP BY band
 UNION ALL
-SELECT 'total', 'all', COUNT(1), SUM(nt) FROM base
+SELECT 'total', 'all', COUNT(1), SUM(nt) FROM base HAVING COUNT(1) > 0
 ORDER BY section, key
 """
 

@@ -259,6 +259,13 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
 
     Returns (step_idx, step, n_users, conversion_ppm) with conversion_ppm
     relative to step 1.
+
+    Resolution contract: the strictly-after comparison runs at Spark's
+    TIMESTAMP resolution (microseconds). Two steps separated only at
+    sub-microsecond precision compare EQUAL and do not advance the
+    funnel — on legacy nanosecond-storage events a naive oracle that
+    sees the ns values would disagree; the twin is only exact on µs (or
+    coarser) sources, which is what load_table normalizes to.
     """
     k = len(steps)
     steps_arr = F.array(*[F.lit(s) for s in steps])

@@ -215,8 +215,17 @@ def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
             w, h = max(w, 1), max(h, 1)
             py_n = -(-h // patch)
             px_n = -(-w // patch)
-            grid = np.resize(
-                np.frombuffer(payload, dtype=np.uint8), (py_n * patch, px_n * patch)
+            # form the DECLARED (h, w) image first (pad-by-repeat, same
+            # rule as resize), THEN pad each axis to whole patches — a
+            # direct reshape to the padded dims would wrap rows at the
+            # padded width, mixing bytes of different image rows into one
+            # tile and breaking the patch↔region correspondence the
+            # digest-dedup use case depends on
+            img = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
+            grid = np.pad(
+                img,
+                ((0, py_n * patch - h), (0, px_n * patch - w)),
+                mode="wrap",
             )
             out = []
             for py in range(py_n):

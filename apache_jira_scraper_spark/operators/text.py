@@ -209,7 +209,14 @@ def quality_threshold_sweep(docs: DataFrame, bucket_bp: int = 500) -> DataFrame:
             "threshold_bp",
             "n_docs_kept",
             "n_tokens_kept",
-            F.expr("n_tokens_kept * 1000000 div _all_tokens").alias("token_share_ppm"),
+            # DECIMAL(38,0) product: cum_tokens * 1e6 overflows BIGINT at
+            # ~9.2e12 tokens — inside this operator's own 100 TB design
+            # point (DuckDB's window SUM promotes to HUGEINT and survives;
+            # the Spark side must widen explicitly)
+            F.expr(
+                "CAST(CAST(n_tokens_kept AS DECIMAL(38,0)) * 1000000"
+                " DIV _all_tokens AS BIGINT)"
+            ).alias("token_share_ppm"),
         )
         .orderBy("threshold_bp")
     )

@@ -147,14 +147,18 @@ class _Options:
 
 
 def _page_rows(opts: _Options, part: JiraPagePartition) -> Iterator[tuple[str, str]]:
+    # Every page of the stripe is fetched unconditionally: a short page is
+    # NOT proof of cursor-end — real Jira servers clamp maxResults below
+    # the requested page size (Jira Cloud caps search at 100) and still
+    # have rows at later offsets, so a break-on-short-page would silently
+    # drop the rest of the stripe. Stripe bounds come from the planner's
+    # total probe, so pages past the cursor end only occur if the total
+    # shrank mid-scan — they return empty and cost one call each.
     for i in range(getattr(part, "n_pages", 1)):
         start = part.start_at + i * part.max_results
         data = opts.fetch(part.project, start, part.max_results)
-        issues = data.get("issues", [])
-        for issue in issues:
+        for issue in data.get("issues", []):
             yield (part.project, json.dumps(issue))
-        if len(issues) < part.max_results:
-            break  # short page = end of the cursor space; don't probe past it
 
 
 class JiraBatchReader(DataSourceReader):

@@ -608,3 +608,21 @@ def test_corpus_report_internal_consistency(spark, sf_dir):
     assert total[0] > 0
     for sec, sums in by_sec.items():
         assert sums == total, (sec, sums, total)
+
+
+def test_corpus_report_single_scan_and_empty_input(spark, sf_dir):
+    """GROUPING SETS form: ONE scan + ONE exchange (the 4-way union of
+    groupBys recomputed the tokenize/score projection per leg); an empty
+    corpus yields an empty report in BOTH engines."""
+    from apache_jira_scraper_spark.operators.corpus import corpus_report
+    from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    ops = operator_counts(corpus_report(docs))
+    assert ops.get("Scan", 0) == 1, ops
+    assert ops.get("Exchange", 0) <= 2, ops  # grouping agg + final sort
+
+    empty = spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    assert corpus_report(empty).collect() == []

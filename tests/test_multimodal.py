@@ -107,3 +107,39 @@ def test_patch_grid_shapes_and_determinism(spark, sf_dir):
     }
     first = {(r["doc_id"], r["py"], r["px"]): r["patch_digest"] for r in rows}
     assert first == again
+
+
+def test_patch_grid_region_alignment(spark):
+    """Tiles must correspond to regions of the DECLARED image: with a
+    20x17 row-major payload and patch=16, tile (0,0) is exactly rows
+    0..15 x cols 0..15 of the image (regression: a direct reshape to the
+    padded dims wrapped rows at the padded width)."""
+    import hashlib
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import patch_grid
+    from pyspark.sql import functions as F
+
+    w, h = 20, 17
+    img = np.arange(w * h, dtype=np.uint8).reshape(h, w)
+    media = spark.createDataFrame(
+        [(1, bytes(img.tobytes()), "image")],
+        "doc_id long, content binary, media_type string",
+    ).select(
+        "doc_id",
+        "content",
+        "media_type",
+        F.struct(
+            F.lit(w).alias("width"), F.lit(h).alias("height"),
+            F.lit(w * h).alias("n_bytes"),
+        ).alias("meta"),
+    )
+    got = {
+        (r["py"], r["px"]): (r["patch_mean"], r["patch_digest"])
+        for r in patch_grid(media, patch=16).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    tile00 = img[0:16, 0:16]
+    assert got[(0, 0)][1] == hashlib.md5(tile00.tobytes()).hexdigest()
+    assert got[(0, 0)][0] == float(tile00.mean())
