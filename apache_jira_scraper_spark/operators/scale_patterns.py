@@ -118,6 +118,29 @@ def skew_report(
     )
 
 
+def salted_join(
+    facts: DataFrame, dim: DataFrame, key: str, salts: int = 8
+) -> DataFrame:
+    """Skew-join: equi-join where a few hot keys would otherwise pile one
+    reducer — the join twin of salted_agg, for when AQE's runtime skew
+    split can't apply (e.g. the skewed side feeds a co-partitioned
+    downstream op, or the engine predates AQE).
+
+    The fact side salts each row into one of `salts` sub-keys (narrow
+    map); the dimension side REPLICATES each row across all `salts`
+    sub-keys (explode — dimension-cardinality × salts, fine for dims,
+    never for fact-fact joins); the join key becomes (key, salt), so a
+    hot key's rows spread over `salts` reducers. Row-for-row equal to the
+    plain join (pinned in tests). AQE's skewedJoin does this at runtime
+    from actual sizes — prefer it when available; this is the explicit
+    form the 100 TB playbook sometimes still needs.
+    """
+    salt = (F.rand(seed=7) * salts).cast("int")
+    f = facts.withColumn("_salt", salt)
+    d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
+    return f.join(d, [key, "_salt"]).drop("_salt")
+
+
 def salted_agg(
     df: DataFrame, key: str, value: str, salts: int = 8
 ) -> DataFrame:

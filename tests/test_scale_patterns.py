@@ -127,3 +127,26 @@ def test_time_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     # pruning is physical: only the two matching date directories are read
     n_parts = sliced.select("event_date").distinct().count()
     assert n_parts == 2
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """Row-for-row (including duplicates) equal to the plain equi-join."""
+    from apache_jira_scraper_spark.operators.scale_patterns import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    got = (
+        salted_join(li, orders, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    want = (
+        li.join(orders, "o_orderkey")
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q"))
+    )
+    g = {r["o_orderkey"]: (r["n"], float(r["q"])) for r in got.collect()}
+    w = {r["o_orderkey"]: (r["n"], float(r["q"])) for r in want.collect()}
+    assert g == w and g
