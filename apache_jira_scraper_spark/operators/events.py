@@ -421,6 +421,90 @@ ORDER BY cohort_week, age_weeks
 """
 
 
+def gap_fill_hourly(events: DataFrame, max_users: int = 50) -> DataFrame:
+    """Time-series resample + gap-fill (the hypertable-style rollup Spark
+    has no native operator for): per user, an hourly grid from their
+    first to their last event, hours with no events carried forward from
+    the last observed hourly aggregate.
+
+    Scale shape: one (user, hour) partial-agg shuffle for the observed
+    buckets; the grid generates per user from their own (min, max) hour
+    span via sequence+explode — grid cardinality is span-hours per user,
+    never a cartesian against a global calendar; the forward fill is
+    last_value IGNORE NULLS over the user's grid (window keyed by the
+    same user partitioning). `max_users` bounds the demo output; pass a
+    large value for the full table.
+
+    Emits unix-second bucket edges (the events determinism contract: no
+    raw timestamps out). Returns (user_id, bucket_ts, n_events,
+    sum_value_cents, filled) where filled marks carried-forward rows.
+    """
+    hour = F.date_trunc("hour", F.col("ts"))
+    observed = (
+        events.filter(F.col("user_id") < max_users)
+        .groupBy("user_id", hour.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("sum_value_cents"),
+        )
+    )
+    spans = observed.groupBy("user_id").agg(
+        F.min("bucket").alias("lo"), F.max("bucket").alias("hi")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(observed, ["user_id", "bucket"], "left")
+    return (
+        joined.select(
+            "user_id",
+            F.unix_timestamp("bucket").alias("bucket_ts"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_value_cents", ignorenulls=True)
+            .over(w)
+            .alias("sum_value_cents"),
+            F.col("n_events").isNull().alias("filled"),
+        )
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
+GAP_FILL_SQL = """
+WITH observed AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket,
+         COUNT(1) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS sum_value_cents
+  FROM events WHERE user_id < 50
+  GROUP BY user_id, date_trunc('hour', ts)
+), spans AS (
+  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM observed GROUP BY user_id
+), grid AS (
+  SELECT s.user_id, g.bucket
+  FROM spans s, unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS g(bucket)
+)
+SELECT g.user_id,
+       CAST(epoch(g.bucket) AS BIGINT) AS bucket_ts,
+       COALESCE(o.n_events, 0) AS n_events,
+       LAST_VALUE(o.sum_value_cents IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS sum_value_cents,
+       o.n_events IS NULL AS filled
+FROM grid g LEFT JOIN observed o USING (user_id, bucket)
+ORDER BY user_id, bucket_ts
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 

@@ -121,3 +121,35 @@ def test_retention_cohorts_semantics(spark):
         ("2025-01-06", 0): (2, 2, 1_000_000),
         ("2025-01-06", 1): (2, 1, 500_000),
     }
+
+
+def test_gap_fill_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.events import GAP_FILL_SQL, gap_fill_hourly
+
+    assert_matches_oracle(
+        gap_fill_hourly(load_table(spark, sf_dir, "events")),
+        GAP_FILL_SQL,
+        sf_dir,
+        name="gap_fill_hourly",
+    )
+
+
+def test_gap_fill_semantics(spark):
+    """Hour gaps appear with n_events=0, filled=true, and carry the last
+    observed cents forward; the grid spans first..last hour inclusive."""
+    import datetime as dt
+
+    from apache_jira_scraper_spark.operators.events import gap_fill_hourly
+
+    t0 = dt.datetime(2025, 1, 1, 10, 15)
+    rows = [
+        (1, t0, "view", 2.0),
+        (1, t0 + dt.timedelta(hours=3), "view", 3.5),  # hours 11,12 are gaps
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp, event_type string, value double")
+    out = gap_fill_hourly(df).collect()
+    assert len(out) == 4  # 10:00..13:00 inclusive
+    assert [r["n_events"] for r in out] == [1, 0, 0, 1]
+    assert [r["filled"] for r in out] == [False, True, True, False]
+    assert [r["sum_value_cents"] for r in out] == [200, 200, 200, 350]
