@@ -584,6 +584,59 @@ def range_join_generic(events: DataFrame, buckets: DataFrame) -> DataFrame:
     )
 
 
+def interval_overlap_join(
+    a: DataFrame, b: DataFrame, bucket_width: int = 3600
+) -> DataFrame:
+    """Two-sided interval overlap join — pairs (a, b) whose [start, end]
+    ranges intersect — as a bucketed EQUI-join, the scale path where both
+    sides are large (range_join_generic's BNLJ needs one side broadcast;
+    a fact-fact interval join at 100 TB needs this form).
+
+    Mechanics: each interval explodes to the `bucket_width`-wide buckets
+    it touches (fan-out = interval span / width, the tuning knob); the
+    candidate join is on the bucket id, then the exact overlap predicate
+    filters. A pair overlapping k shared buckets would emit k times —
+    instead of a distinct() shuffle, each pair is emitted ONLY in the
+    bucket containing max(a.start, b.start) (the first bucket where both
+    are live — computable per-row, so dedup is a filter, not a shuffle).
+
+    Inputs: (id, start, end) with integer/long bounds, end >= start,
+    inclusive. Returns (a_id, b_id, overlap_start, overlap_end).
+    """
+    def tag(df: DataFrame, p: str) -> DataFrame:
+        n_buckets = (
+            F.floor(F.col("end") / bucket_width) - F.floor(F.col("start") / bucket_width)
+        ).cast("int") + 1
+        return df.select(
+            F.col("id").alias(f"{p}_id"),
+            F.col("start").alias(f"{p}_start"),
+            F.col("end").alias(f"{p}_end"),
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_buckets - 1),
+                    lambda i: F.floor(F.col("start") / bucket_width).cast("bigint") + i,
+                )
+            ).alias("bucket"),
+        )
+
+    cand = tag(a, "a").join(tag(b, "b"), "bucket")
+    overlap = (F.col("a_start") <= F.col("b_end")) & (
+        F.col("b_start") <= F.col("a_end")
+    )
+    first_bucket = F.floor(
+        F.greatest("a_start", "b_start") / bucket_width
+    ).cast("bigint")
+    return (
+        cand.filter(overlap & (F.col("bucket") == first_bucket))
+        .select(
+            "a_id",
+            "b_id",
+            F.greatest("a_start", "b_start").alias("overlap_start"),
+            F.least("a_end", "b_end").alias("overlap_end"),
+        )
+    )
+
+
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range bucketing (J3's static-dimension form): the literal bucket list
     folds into a CASE WHEN chain — a narrow whole-stage-codegen map with NO

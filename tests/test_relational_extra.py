@@ -153,3 +153,57 @@ def test_gap_fill_semantics(spark):
     assert [r["n_events"] for r in out] == [1, 0, 0, 1]
     assert [r["filled"] for r in out] == [False, True, True, False]
     assert [r["sum_value_cents"] for r in out] == [200, 200, 200, 350]
+
+
+def test_interval_overlap_join_matches_oracle_and_bnlj(spark, sf_dir):
+    """The bucketed equi-join form equals (1) DuckDB's native inequality
+    join and (2) each pair exactly once even when intervals span many
+    shared buckets — using sessionize's sessions self-joined."""
+    import duckdb
+
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.relational import interval_overlap_join
+    from pyspark.sql import functions as F
+
+    # sessions as intervals (unix secs), users < 40 for a compact pair set
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    iv = (
+        events.groupBy("user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("start"),
+            F.unix_timestamp(F.max("ts")).alias("end"),
+        )
+        .select(F.col("user_id").alias("id"), "start", "end")
+    )
+    got = {
+        (r["a_id"], r["b_id"]): (r["overlap_start"], r["overlap_end"])
+        for r in interval_overlap_join(iv, iv, bucket_width=3600).collect()
+        if r["a_id"] < r["b_id"]
+    }
+    rows = iv.collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE iv (id BIGINT, s BIGINT, e BIGINT)")
+    con.executemany("INSERT INTO iv VALUES (?, ?, ?)", [(r["id"], r["start"], r["end"]) for r in rows])
+    want = {
+        (a, b): (os_, oe)
+        for a, b, os_, oe in con.execute(
+            """SELECT x.id, y.id, GREATEST(x.s, y.s), LEAST(x.e, y.e)
+               FROM iv x JOIN iv y ON x.s <= y.e AND y.s <= x.e AND x.id < y.id"""
+        ).fetchall()
+    }
+    assert got == want and got
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    """Long intervals sharing MANY buckets still emit exactly one row (the
+    max-start-bucket trick replaces a distinct shuffle)."""
+    from apache_jira_scraper_spark.operators.relational import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0, 100_000)], "id bigint, start bigint, end bigint")
+    b = spark.createDataFrame(
+        [(2, 50, 99_000), (3, 200_000, 300_000)], "id bigint, start bigint, end bigint"
+    )
+    out = interval_overlap_join(a, b, bucket_width=100).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a_id"], r["b_id"], r["overlap_start"], r["overlap_end"]) == (1, 2, 50, 99_000)
