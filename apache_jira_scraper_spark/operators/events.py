@@ -479,12 +479,19 @@ def gap_fill_hourly(events: DataFrame, max_users: int = 50) -> DataFrame:
     )
 
 
-GAP_FILL_SQL = """
+def gap_fill_sql(max_users: int = 50) -> str:
+    """DuckDB twin of gap_fill_hourly, generated from the same max_users
+    (the repo's convention for parameterized ops — a hardcoded constant
+    would silently diverge for non-default arguments)."""
+    return _GAP_FILL_SQL_TPL.format(max_users=max_users)
+
+
+_GAP_FILL_SQL_TPL = """
 WITH observed AS (
   SELECT user_id, date_trunc('hour', ts) AS bucket,
          COUNT(1) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(14,2))) * 100 AS BIGINT) AS sum_value_cents
-  FROM events WHERE user_id < 50
+  FROM events WHERE user_id < {max_users}
   GROUP BY user_id, date_trunc('hour', ts)
 ), spans AS (
   SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM observed GROUP BY user_id

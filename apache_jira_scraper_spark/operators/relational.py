@@ -603,29 +603,30 @@ def interval_overlap_join(
     Inputs: (id, start, end) with integer/long bounds, end >= start,
     inclusive. Returns (a_id, b_id, overlap_start, overlap_end).
     """
+
+    def fdiv(expr: str) -> Column:
+        # EXACT integer floor-division: floor(x / w) through doubles loses
+        # precision above 2^53 — nanosecond-epoch bounds (~1.7e18) would
+        # drop or double-emit pairs. x - pmod(x, w) is divisible by w, so
+        # DIV is exact, and pmod keeps floor (not truncate-toward-zero)
+        # semantics for negative coordinates.
+        return F.expr(
+            f"(({expr}) - pmod(({expr}), {bucket_width})) div {bucket_width}"
+        )
+
     def tag(df: DataFrame, p: str) -> DataFrame:
-        n_buckets = (
-            F.floor(F.col("end") / bucket_width) - F.floor(F.col("start") / bucket_width)
-        ).cast("int") + 1
         return df.select(
             F.col("id").alias(f"{p}_id"),
             F.col("start").alias(f"{p}_start"),
             F.col("end").alias(f"{p}_end"),
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), n_buckets - 1),
-                    lambda i: F.floor(F.col("start") / bucket_width).cast("bigint") + i,
-                )
-            ).alias("bucket"),
+            F.explode(F.sequence(fdiv("start"), fdiv("end"))).alias("bucket"),
         )
 
     cand = tag(a, "a").join(tag(b, "b"), "bucket")
     overlap = (F.col("a_start") <= F.col("b_end")) & (
         F.col("b_start") <= F.col("a_end")
     )
-    first_bucket = F.floor(
-        F.greatest("a_start", "b_start") / bucket_width
-    ).cast("bigint")
+    first_bucket = fdiv("greatest(a_start, b_start)")
     return (
         cand.filter(overlap & (F.col("bucket") == first_bucket))
         .select(

@@ -8,7 +8,7 @@ under a salted aggregation).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -118,6 +118,19 @@ def skew_report(
     )
 
 
+def _salt_col(salts: int) -> Column:
+    """THE salt expression — salted_join and salted_agg must share it."""
+    return (F.rand(seed=7) * salts).cast("int")
+
+
+def _guard_salt_free(df: DataFrame, who: str) -> None:
+    if "_salt" in df.columns:
+        raise ValueError(
+            f"{who}: input already has a '_salt' column — the salting "
+            "pattern would silently overwrite and drop it"
+        )
+
+
 def salted_join(
     facts: DataFrame, dim: DataFrame, key: str, salts: int = 8
 ) -> DataFrame:
@@ -135,8 +148,9 @@ def salted_join(
     from actual sizes — prefer it when available; this is the explicit
     form the 100 TB playbook sometimes still needs.
     """
-    salt = (F.rand(seed=7) * salts).cast("int")
-    f = facts.withColumn("_salt", salt)
+    _guard_salt_free(facts, "salted_join")
+    _guard_salt_free(dim, "salted_join")
+    f = facts.withColumn("_salt", _salt_col(salts))
     d = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)])))
     return f.join(d, [key, "_salt"]).drop("_salt")
 
@@ -150,7 +164,8 @@ def salted_agg(
     partitions instead of one; phase 2 combines the `salts` partials per
     key. sum/count compose exactly; avg is reconstructed from them.
     """
-    salt = (F.rand(seed=7) * salts).cast("int")
+    _guard_salt_free(df, "salted_agg")
+    salt = _salt_col(salts)
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")

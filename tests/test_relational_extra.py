@@ -125,11 +125,11 @@ def test_retention_cohorts_semantics(spark):
 
 def test_gap_fill_matches_oracle(spark, sf_dir):
     from apache_jira_scraper_spark.io import load_table
-    from apache_jira_scraper_spark.operators.events import GAP_FILL_SQL, gap_fill_hourly
+    from apache_jira_scraper_spark.operators.events import gap_fill_hourly, gap_fill_sql
 
     assert_matches_oracle(
         gap_fill_hourly(load_table(spark, sf_dir, "events")),
-        GAP_FILL_SQL,
+        gap_fill_sql(),
         sf_dir,
         name="gap_fill_hourly",
     )
@@ -175,11 +175,17 @@ def test_interval_overlap_join_matches_oracle_and_bnlj(spark, sf_dir):
         )
         .select(F.col("user_id").alias("id"), "start", "end")
     )
-    got = {
-        (r["a_id"], r["b_id"]): (r["overlap_start"], r["overlap_end"])
+    raw = [
+        r
         for r in interval_overlap_join(iv, iv, bucket_width=3600).collect()
         if r["a_id"] < r["b_id"]
+    ]
+    got = {
+        (r["a_id"], r["b_id"]): (r["overlap_start"], r["overlap_end"]) for r in raw
     }
+    # exactly-once emission pinned on the REAL data too (a dict would
+    # silently collapse duplicate pair rows)
+    assert len(raw) == len(got)
     rows = iv.collect()
     con = duckdb.connect()
     con.execute("CREATE TABLE iv (id BIGINT, s BIGINT, e BIGINT)")
