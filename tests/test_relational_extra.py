@@ -213,3 +213,44 @@ def test_interval_overlap_join_emits_each_pair_once(spark):
     assert len(out) == 1
     r = out[0]
     assert (r["a_id"], r["b_id"], r["overlap_start"], r["overlap_end"]) == (1, 2, 50, 99_000)
+
+
+def test_fuzzy_string_join_matches_bruteforce(spark):
+    """The tiered-blocking form equals the brute-force O(n²) levenshtein
+    join EXACTLY — including cross-tier pairs (short vs char-tier vs
+    q-gram-tier lengths) that a hard tier boundary would miss."""
+    from apache_jira_scraper_spark.operators.relational import fuzzy_string_join
+    from pyspark.sql import functions as F
+
+    names = [
+        (1, "jonathan smith"), (2, "jonathon smith"),   # q-gram tier pair
+        (3, "smith"), (4, "smyth"),                     # char tier pair
+        (5, "smithx"), (6, "jonathan smithx"),          # unrelated lengths
+        (7, "ab"), (8, "ba"),                           # residual tier pair
+        (9, "ab"), (10, "abcd"),                        # residual x char tier
+        (11, "hamburg"), (12, "hamburgo"),              # char/q-gram straddle
+        (13, "zzzzzzzzzzzz"),                           # loner
+    ]
+    df = spark.createDataFrame(names, "id bigint, s string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_string_join(df, df, max_dist=2).collect()
+        if r["a_id"] < r["b_id"]
+    }
+    brute = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in (
+            df.alias("a")
+            .join(df.alias("b"), F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.levenshtein("a.s", "b.s").alias("dist"),
+            )
+            .filter(F.col("dist") <= 2)
+        ).collect()
+    }
+    assert got == brute
+    # the canonical pairs are present
+    assert got[(1, 2)] == 1 and got[(3, 4)] == 1 and got[(7, 8)] == 2
+    assert (11, 12) in got and (9, 10) in got
