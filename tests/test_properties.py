@@ -491,3 +491,45 @@ def test_retention_matches_python_model(spark, events):
         for r in retention_cohorts(df).collect()
     }
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=12),
+        min_size=2,
+        max_size=14,
+        unique=True,
+    )
+)
+def test_fuzzy_join_matches_python_bruteforce(spark, strings):
+    """fuzzy_string_join equals a pure-Python Levenshtein brute force over
+    random short strings — the regime where the overlapping blocking
+    tiers (q-gram / character / residual) all interact; any recall hole
+    at a tier boundary shows up here."""
+    from apache_jira_scraper_spark.operators.relational import fuzzy_string_join
+
+    def lev(s1: str, s2: str) -> int:
+        prev = list(range(len(s2) + 1))
+        for i, c1 in enumerate(s1, 1):
+            cur = [i]
+            for j, c2 in enumerate(s2, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (c1 != c2))
+                )
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame(list(enumerate(strings)), "id bigint, s string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_string_join(df, df, max_dist=2).collect()
+        if r["a_id"] < r["b_id"]
+    }
+    want = {
+        (i, j): lev(strings[i], strings[j])
+        for i in range(len(strings))
+        for j in range(i + 1, len(strings))
+        if lev(strings[i], strings[j]) <= 2
+    }
+    assert got == want
