@@ -664,6 +664,14 @@ def fuzzy_string_join(
     necessary condition) before the O(len²) levenshtein verify runs —
     Spark's builtin, JVM-side.
 
+    Selectivity caveat: the character tier is low-selectivity on a corpus
+    DOMINATED by short strings (every string containing 'e' shares a
+    block). The q-gram tier carries the real workload — names, titles,
+    addresses are usually >= q*(d+1) chars; if short-string volume ever
+    dominates, the upgrade path is PassJoin-style segment blocking (split
+    into d+1 segments; within d edits one segment survives EXACTLY, so
+    the block key is (segment, index) — selective at every length).
+
     Inputs: (id, s) string tables. Returns (a_id, b_id, dist), each pair
     once (candidates dedupe on the id pair before verification).
     """
