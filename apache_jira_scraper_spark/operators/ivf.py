@@ -250,17 +250,35 @@ def ivf_search(
     """ANN top-k: probe `nprobe` cells per query, exact cosine inside the
     candidate cells. Expects `emb` with (vec_id, label, e, nrm) as produced
     by similarity._emb. The candidate generator is an equi-join on cid —
-    the IVF twin of similarity.q_ann_lsh_topk's sign-LSH bucket join."""
-    corpus = ivf_assign(emb, centroids, nprobe=1).select(
+    the IVF twin of similarity.q_ann_lsh_topk's sign-LSH bucket join.
+
+    ONE assignment pass serves both sides: nprobe-way assignment with the
+    probe rank kept — the corpus side is rank 1 (nearest cell, the
+    inverted-list membership), the query side is every probed rank. Two
+    separate ivf_assign calls would instantiate the k·dim-literal argmin
+    expression twice in one plan; at small SF Catalyst's passes over that
+    tree, not the data, dominate wall time."""
+    rows = _centroid_rows(centroids)
+    assert len(rows) <= _LITERAL_K_MAX, "single-pass search assumes literal form"
+    ranked = emb.select(
+        "vec_id",
+        "label",
+        "e",
+        "nrm",
+        F.posexplode(
+            F.slice(F.array_sort(_dist_structs("e", rows)), 1, nprobe)
+        ).alias("probe_rank", "dc"),
+    ).select(
+        "vec_id", "label", "e", "nrm", "probe_rank", F.col("dc.cid").alias("cid")
+    )
+    corpus = ranked.filter(F.col("probe_rank") == 0).select(
         F.col("vec_id").alias("nid"),
         F.col("label"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
         "cid",
     )
-    queries = ivf_assign(
-        emb.filter(F.col("vec_id") < n_queries), centroids, nprobe=nprobe
-    ).select(
+    queries = ranked.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "cid"
     )
     scored = (
