@@ -259,26 +259,36 @@ def ivf_search(
     expression twice in one plan; at small SF Catalyst's passes over that
     tree, not the data, dominate wall time."""
     rows = _centroid_rows(centroids)
-    assert len(rows) <= _LITERAL_K_MAX, "single-pass search assumes literal form"
-    ranked = emb.select(
-        "vec_id",
-        "label",
-        "e",
-        "nrm",
-        F.posexplode(
-            F.slice(F.array_sort(_dist_structs("e", rows)), 1, nprobe)
-        ).alias("probe_rank", "dc"),
-    ).select(
-        "vec_id", "label", "e", "nrm", "probe_rank", F.col("dc.cid").alias("cid")
-    )
-    corpus = ranked.filter(F.col("probe_rank") == 0).select(
+    if len(rows) <= _LITERAL_K_MAX:
+        ranked = emb.select(
+            "vec_id",
+            "label",
+            "e",
+            "nrm",
+            F.posexplode(
+                F.slice(F.array_sort(_dist_structs("e", rows)), 1, nprobe)
+            ).alias("probe_rank", "dc"),
+        ).select(
+            "vec_id", "label", "e", "nrm", "probe_rank", F.col("dc.cid").alias("cid")
+        )
+        corpus_src = ranked.filter(F.col("probe_rank") == 0)
+        queries_src = ranked.filter(F.col("vec_id") < n_queries)
+    else:
+        # large-k form: the literal expression stops being codegen-friendly,
+        # so fall back to ivf_assign's broadcast-join assignment (two calls
+        # — at this k the data, not the plan, dominates anyway)
+        corpus_src = ivf_assign(emb, centroids, nprobe=1)
+        queries_src = ivf_assign(
+            emb.filter(F.col("vec_id") < n_queries), centroids, nprobe=nprobe
+        )
+    corpus = corpus_src.select(
         F.col("vec_id").alias("nid"),
         F.col("label"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
         "cid",
     )
-    queries = ranked.filter(F.col("vec_id") < n_queries).select(
+    queries = queries_src.select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"), "cid"
     )
     scored = (
