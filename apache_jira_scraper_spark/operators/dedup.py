@@ -24,7 +24,7 @@ either engine.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table, load_table_parallel
@@ -290,21 +290,26 @@ def _minhash_pairs_uncached(
     )
 
     # Exact-jaccard verification ONLY over candidate documents: semi-join the
-    # (tiny) candidate set against the shingle index before the self-join —
-    # the full-corpus shingle self-join explodes on hot shingles and is
-    # exactly what LSH exists to avoid. sizes need only candidate docs too.
+    # candidate set against the shingle index before the self-join — the
+    # full-corpus shingle self-join explodes on hot shingles and is exactly
+    # what LSH exists to avoid. sizes need only candidate docs too. NO
+    # broadcast hint: LSH candidate volume is O(dup_rate * n) — on a
+    # dup-heavy crawl (the workload dedup exists for) this side is
+    # corpus-cardinality, so a forced broadcast OOMs at 100 TB. The shuffle
+    # semi-join is safe at any size, and AQE still demotes it to a broadcast
+    # at runtime when the candidate set actually is small.
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi").persist()
+    sh_cand = sh.join(cand_docs, "doc_id", "left_semi").persist()
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh_cand.select(F.col("doc_id").alias("d1"), "sh")
         .join(sh_cand.select(F.col("doc_id").alias("d2"), "sh"), "sh")
         .filter(F.col("d1") < F.col("d2"))
-        .join(F.broadcast(cand), ["d1", "d2"], "left_semi")
+        .join(cand, ["d1", "d2"], "left_semi")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -368,19 +373,21 @@ def _band_rows(sig: DataFrame) -> DataFrame:
 def _verify_jaccard(sh_all: DataFrame, cand: DataFrame) -> DataFrame:
     """Exact-jaccard verification of (d1, d2) candidates against a hashed
     shingle table, restricted to candidate docs via semi-joins — identical
-    math to _minhash_pairs_uncached's verification stage."""
+    math to _minhash_pairs_uncached's verification stage. Candidate volume
+    is O(dup_rate * n), so no broadcast hints: shuffle semi-joins scale to
+    any candidate count and AQE broadcasts small sets at runtime."""
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh_all.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    sh_cand = sh_all.join(cand_docs, "doc_id", "left_semi")
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh_cand.select(F.col("doc_id").alias("d1"), "sh")
         .join(sh_cand.select(F.col("doc_id").alias("d2"), "sh"), "sh")
         .filter(F.col("d1") != F.col("d2"))
-        .join(F.broadcast(cand), ["d1", "d2"], "left_semi")
+        .join(cand, ["d1", "d2"], "left_semi")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -647,20 +654,30 @@ def q_dedup_ngram_jaccard(
             .select("sh")
         )
         sh = sh.join(cold, "sh", "left_semi").persist()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Per-doc set size via a window over the shingle table itself — the
+    # COUNT lands in the SAME doc_id shuffle that a join against a separate
+    # sizes table would need anyway, but with no second table and no
+    # broadcast. The previous form broadcast a one-row-per-document sizes
+    # table (corpus cardinality — billions of rows at 100 TB, executor OOM,
+    # and AQE cannot demote an explicit hint).
+    sh_sized = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     # Lossless size-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
     # so pairs outside the [4/5, 5/4] size band can never reach 0.8 — prune
     # them inside the join before the pair-count aggregation. Integer-only
     # arithmetic (n*4, n*5) keeps it engine-exact; the oracle omits the
     # filter and still produces identical results because pruned pairs
     # cannot pass the threshold.
-    sh_sized = sh.join(F.broadcast(sizes), "doc_id")
     left = sh_sized.select(
         F.col("doc_id").alias("d1"), "sh", F.col("n").alias("n1")
     )
     right = sh_sized.select(
         F.col("doc_id").alias("d2"), "sh", F.col("n").alias("n2")
     )
+    # n1/n2 ride through the pair aggregation (functionally dependent on
+    # d1/d2, carried via grouping keys) so the jaccard denominator needs NO
+    # re-join against a sizes table afterwards.
     inter = (
         left.join(right, "sh")
         .filter(
@@ -668,13 +685,11 @@ def q_dedup_ngram_jaccard(
             & (F.col("n1") * 5 >= F.col("n2") * 4)
             & (F.col("n2") * 5 >= F.col("n1") * 4)
         )
-        .groupBy("d1", "d2")
+        .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
     )
     return (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .select(
+        inter.select(
             "d1",
             "d2",
             F.round(
@@ -998,9 +1013,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     edges = minhash_pairs(spark, sf_dir).select("d1", "d2")
     labels = connected_components(edges)
-    sizes = labels.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # Per-cluster size via a window — cluster count is O(dup_rate * n)
+    # (corpus cardinality on a dup-heavy crawl), so no broadcast of a sizes
+    # table; the COUNT lands in one cluster_id shuffle of the labels table.
     return (
-        labels.join(F.broadcast(sizes), "cluster_id")
+        labels.withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
         .select("cluster_id", "doc_id", "cluster_size")
         .orderBy("cluster_id", "doc_id")
     )
