@@ -638,89 +638,137 @@ def interval_overlap_join(
     )
 
 
-def fuzzy_string_join(
-    a: DataFrame, b: DataFrame, max_dist: int = 2, qgram: int = 3
-) -> DataFrame:
+def _seg_len(n, k: int, i: int):
+    """Length of segment i (0-based) in the even partition of a length-n
+    string into k segments: the first n%k segments get the extra char."""
+    return F.floor(n / k).cast("int") + F.when(F.lit(i) < n % k, 1).otherwise(0)
+
+
+def _seg_start(n, k: int, i: int):
+    """1-based start of segment i under the same convention as _seg_len."""
+    return (F.lit(i) * F.floor(n / k).cast("int") + F.least(F.lit(i), n % k) + 1).cast(
+        "int"
+    )
+
+
+def _passjoin_segments(df: DataFrame, d: int) -> DataFrame:
+    """One row per (string, segment): the PassJoin index side. Block key is
+    (L, i, g) = (own length, segment index, segment text) — selective at
+    EVERY length because the key embeds the exact length and slot, and
+    segment text grows with the string (len/(d+1) chars)."""
+    k = d + 1
+    s, n = F.col("s"), F.length("s")
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("gi"),
+                F.substr(s, _seg_start(n, k, i), _seg_len(n, k, i)).alias("g"),
+            )
+            for i in range(k)
+        ]
+    )
+    return df.select(
+        F.col("id").alias("a_id"), s.alias("a_s"), n.alias("L"), F.explode(segs).alias("b")
+    ).select("a_id", "a_s", "L", F.col("b.gi").alias("gi"), F.col("b.g").alias("g"))
+
+
+def _passjoin_substrings(df: DataFrame, d: int) -> DataFrame:
+    """One row per (string, target length L, slot i, candidate start): the
+    PassJoin probe side. For each candidate partner length L in
+    [len-d, len+d] and slot i, emits the substrings of this string whose
+    length equals slot i's segment length under the length-L partition and
+    whose start is within ±d of slot i's start (alignment under <= d edits
+    shifts positions by at most d — the PassJoin position window). A
+    zero-length slot (L < d+1) emits a single empty-text row: an empty
+    segment trivially occurs. Fan-out is bounded by (2d+1)^2 * (d+1) rows
+    per string, independent of corpus size and string length."""
+    k = d + 1
+    s, m = F.col("s"), F.length("s")
+    empty = F.array().cast("array<struct<L:int,gi:int,g:string>>")
+
+    def _sub_struct(L, i, li):
+        def inner(j):
+            return F.struct(
+                L.alias("L"), F.lit(i).alias("gi"), F.substr(s, j, li).alias("g")
+            )
+
+        return inner
+
+    pieces = []
+    for delta in range(-d, d + 1):
+        L = (m + delta).cast("int")
+        for i in range(k):
+            li = _seg_len(L, k, i)
+            p = _seg_start(L, k, i)
+            lo = F.greatest(F.lit(1), p - d)
+            hi = F.least(m - li + 1, p + d)
+            window = F.when(
+                (L >= 0) & (li >= 1) & (lo <= hi),
+                F.transform(F.sequence(lo, hi), _sub_struct(L, i, li)),
+            ).otherwise(
+                F.when(
+                    (L >= 0) & (li == 0),
+                    F.array(
+                        F.struct(
+                            L.alias("L"), F.lit(i).alias("gi"), F.lit("").alias("g")
+                        )
+                    ),
+                ).otherwise(empty)
+            )
+            pieces.append(window)
+    subs = F.flatten(F.array(*pieces))
+    return df.select(
+        F.col("id").alias("b_id"), s.alias("b_s"), F.explode(subs).alias("b")
+    ).select(
+        "b_id", "b_s", F.col("b.L").alias("L"), F.col("b.gi").alias("gi"), F.col("b.g").alias("g")
+    )
+
+
+def _passjoin_candidates(a: DataFrame, b: DataFrame, d: int) -> DataFrame:
+    """(a_id, a_s, b_id, b_s) candidate pairs via the PassJoin equi-join:
+    a's segments against b's position-windowed substrings on (L, gi, g).
+    Exact recall per the PassJoin pigeonhole lemma: <= d edits touch at
+    most d of a's d+1 segments, so at least one segment survives verbatim
+    in b within the position window. One direction suffices — every
+    qualifying (a-row, b-row) pair is found through a's own segmentation."""
+    cand = _passjoin_segments(a, d).join(_passjoin_substrings(b, d), ["L", "gi", "g"])
+    if a is b:
+        # Self-join: drop reflexive pairs. Applied ONLY when both inputs
+        # are the same table — two DISTINCT tables may legitimately share
+        # id values (e.g. both auto-increment from 1), and those pairs are
+        # real matches, not self-pairs.
+        cand = cand.filter(F.col("a_id") != F.col("b_id"))
+    return cand.select("a_id", "a_s", "b_id", "b_s").distinct()
+
+
+def fuzzy_string_join(a: DataFrame, b: DataFrame, max_dist: int = 2) -> DataFrame:
     """Edit-distance join (entity resolution / data cleaning): pairs whose
-    strings are within `max_dist` Levenshtein edits — as blocked equi-joins
-    plus exact verification, never the quadratic cross join.
+    strings are within `max_dist` Levenshtein edits — PassJoin-style
+    segment blocking (Li, Deng & Feng, "PassJoin: A Partition-based Method
+    for Similarity Joins", PVLDB 2012) plus exact verification, never the
+    quadratic cross join.
 
-    Blocking uses OVERLAPPING length tiers so recall is EXACT (hard tier
-    boundaries would miss a pair whose two strings block differently;
-    |len1 - len2| <= d is necessary, so a +d overlap closes every
-    straddle):
+    Blocking: partition each a-string into d+1 even segments; within d
+    edits at least one segment appears VERBATIM in the b-string, start
+    position shifted by at most d. The block key (own-length, slot,
+    segment-text) is a pure equi-join key and is selective at every
+    length — long strings get long segments (len/(d+1) chars), short
+    strings get keys pinned to their exact length and slot; there is no
+    low-selectivity single-character tier. The |len(a)-len(b)| <= d
+    length filter is structural (the key embeds a's length; b only emits
+    lengths within ±d of its own).
 
-      - q-gram tier (len >= q*(d+1)): within d edits such strings share
-        >= max(len) - q + 1 - d*q >= 1 common q-grams.
-      - character tier (d < len < q*(d+1) + d): d edits touch at most d
-        characters, so two strings whose shorter side exceeds d share at
-        least one character.
-      - residual tier (len <= 2d): a string of length <= d is within d
-        edits of anything its size; everything short enough to pair with
-        one shares a single residual block — tiny by construction in
-        real text, the price of exactness rather than a recall leak.
-
-    Candidates additionally prune on |len(s1) - len(s2)| <= d (a free
-    necessary condition) before the O(len²) levenshtein verify runs —
-    Spark's builtin, JVM-side.
-
-    Selectivity caveat: the character tier is low-selectivity on a corpus
-    DOMINATED by short strings (every string containing 'e' shares a
-    block). The q-gram tier carries the real workload — names, titles,
-    addresses are usually >= q*(d+1) chars; if short-string volume ever
-    dominates, the upgrade path is PassJoin-style segment blocking (split
-    into d+1 segments; within d edits one segment survives EXACTLY, so
-    the block key is (segment, index) — selective at every length).
+    Verification is Spark's builtin JVM-side levenshtein on the deduped
+    candidate pairs.
 
     Inputs: (id, s) string tables. Returns (a_id, b_id, dist), each pair
-    once (candidates dedupe on the id pair before verification).
+    once. When a and b are the SAME DataFrame (self-join), reflexive
+    a_id == b_id pairs are dropped; for two distinct tables overlapping
+    id spaces are fine and no pair is dropped.
     """
-    full_len = qgram * (max_dist + 1)
-    empty = F.array().cast("array<string>")
-
-    def blocks(df: DataFrame, p: str) -> DataFrame:
-        s = F.col("s")
-        n = F.length(s)
-        tier_q = F.when(
-            n >= full_len,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), n - qgram + 1),
-                    lambda i: F.concat(F.lit("q:"), F.substr(s, i, F.lit(qgram))),
-                )
-            ),
-        ).otherwise(empty)
-        tier_c = F.when(
-            (n > max_dist) & (n < full_len + max_dist),
-            F.array_distinct(
-                F.transform(
-                    F.filter(F.split(s, ""), lambda c: c != ""),
-                    lambda c: F.concat(F.lit("c:"), c),
-                )
-            ),
-        ).otherwise(empty)
-        tier_r = F.when(n <= 2 * max_dist, F.array(F.lit("r:"))).otherwise(empty)
-        grams = F.concat(tier_q, tier_c, tier_r)
-        return df.select(
-            F.col("id").alias(f"{p}_id"),
-            s.alias(f"{p}_s"),
-            F.explode(grams).alias("g"),
-        )
-
-    cand = (
-        blocks(a, "a")
-        .join(blocks(b, "b"), "g")
-        .filter(
-            (F.abs(F.length("a_s") - F.length("b_s")) <= max_dist)
-            & (F.col("a_id") != F.col("b_id"))
-        )
-        .select("a_id", "a_s", "b_id", "b_s")
-        .distinct()
-    )
     return (
-        cand.select(
-            "a_id", "b_id", F.levenshtein("a_s", "b_s").alias("dist")
-        )
+        _passjoin_candidates(a, b, max_dist)
+        .select("a_id", "b_id", F.levenshtein("a_s", "b_s").alias("dist"))
         .filter(F.col("dist") <= max_dist)
     )
 

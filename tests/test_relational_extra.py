@@ -254,3 +254,43 @@ def test_fuzzy_string_join_matches_bruteforce(spark):
     # the canonical pairs are present
     assert got[(1, 2)] == 1 and got[(3, 4)] == 1 and got[(7, 8)] == 2
     assert (11, 12) in got and (9, 10) in got
+
+
+def test_fuzzy_string_join_two_tables_overlapping_ids(spark):
+    """Two DISTINCT tables whose id spaces overlap (both auto-increment
+    from 1): a real cross-table match with a_id == b_id must survive — the
+    reflexive-pair filter applies only to the self-join (a is b)."""
+    from apache_jira_scraper_spark.operators.relational import fuzzy_string_join
+
+    a = spark.createDataFrame([(1, "jonathan"), (2, "maria")], "id bigint, s string")
+    b = spark.createDataFrame([(1, "jonathon"), (2, "xavier")], "id bigint, s string")
+    got = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_string_join(a, b, max_dist=2).collect()
+    }
+    # (1, 1) is a genuine match across the two tables, not a self-pair
+    assert got == {(1, 1): 1}
+
+
+def test_fuzzy_string_join_candidate_fanout_bound(spark):
+    """The PassJoin probe side's fan-out is bounded per string by
+    (2d+1)^2 * (d+1) rows, independent of corpus size and string length —
+    the property that makes the blocking selective at every length (the
+    old single-character tier fanned out with string length AND paired
+    every string sharing one character)."""
+    from apache_jira_scraper_spark.operators.relational import (
+        _passjoin_segments,
+        _passjoin_substrings,
+    )
+
+    d = 2
+    strings = [
+        (1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "abcdef"),
+        (6, "abcdefghijkl"), (7, "x" * 40), (8, "the quick brown fox"),
+    ]
+    df = spark.createDataFrame(strings, "id bigint, s string")
+    n = len(strings)
+    seg_rows = _passjoin_segments(df, d).count()
+    sub_rows = _passjoin_substrings(df, d).count()
+    assert seg_rows == n * (d + 1)  # exactly d+1 segments per string
+    assert sub_rows <= n * (2 * d + 1) ** 2 * (d + 1)
