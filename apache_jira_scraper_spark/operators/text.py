@@ -417,17 +417,42 @@ FROM documents ORDER BY doc_id
 
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Combined per-document stats gate: token counts, quality score, and
-    fingerprints in ONE narrow map over the corpus — the shape a real
-    pipeline uses (one scan, many derived columns) and one driver slot
-    instead of three. The standalone q_token_stats / q_quality_score /
-    q_fingerprint remain the library API (pinned by tests)."""
+    """Combined per-document stats gate: token counts, quality score,
+    fingerprints, AND the language-ID heuristic in ONE narrow map over the
+    corpus — the shape a real pipeline uses (one scan, many derived
+    columns) and one driver slot instead of four. The standalone
+    q_token_stats / q_quality_score / q_fingerprint / q_lang_id remain the
+    library API (pinned by tests); lang-ID merged here per VERDICT r03
+    gate rotation."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     # Two-phase projection (same trick as dedup._doc_shingle_df): alias the
     # token array once so split(text) runs once per row — the nine derived
     # expressions below all reference `toks`, and CollapseProject would
     # otherwise inline the split into each of them.
-    docs = docs.select("doc_id", "text", "n_chars", tokens_col().alias("toks"))
+    docs = docs.select("doc_id", "text", "n_chars", "lang", tokens_col().alias("toks"))
+    # Stage the per-language marker counts behind aliases for the same
+    # reason: the argmax CASE references each score several times.
+    score_cols = []
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        score_cols.append(
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))).alias(
+                f"s_{lang}"
+            )
+        )
+    docs = docs.select("doc_id", "text", "n_chars", "lang", "toks", *score_cols)
+    s = {lang: F.col(f"s_{lang}") for lang, _ in LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
     toks = F.col("toks")
     n = F.size(toks)
     n_dist = F.size(F.array_distinct(toks))
@@ -473,6 +498,9 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             full_fp.alias("content_fp"),
             F.coalesce(F.array_min(shingles), full_fp).alias("shingle_fp"),
             cleaned.alias("cleaned"),
+            "lang",
+            pred.alias("pred_lang"),
+            (pred == F.col("lang")).alias("lang_correct"),
         )
         .withColumn("cleaned_len", F.length("cleaned"))
         .orderBy("doc_id")
@@ -481,15 +509,27 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_STATS_SQL = f"""
 WITH t AS (
-  SELECT doc_id, text, n_chars, string_split(text, ' ') AS toks,
+  SELECT doc_id, text, n_chars, lang, string_split(text, ' ') AS toks,
          trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct
   FROM documents
 ), m AS (
-  SELECT doc_id, text, n_chars, toks, len(toks) AS n,
+  SELECT doc_id, text, n_chars, lang, toks, len(toks) AS n,
          len(list_distinct(toks)) AS n_dist,
          len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+         {_M['en']} AS s_en, {_M['de']} AS s_de, {_M['es']} AS s_es,
+         {_M['fr']} AS s_fr, {_M['zh']} AS s_zh,
          CASE WHEN length(ct) > 100 THEN substr(ct, 1, 100) || '...' ELSE ct END AS cleaned
   FROM t
+), p AS (
+  SELECT *,
+         CASE
+           WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+           WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+           WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh'
+         END AS pred_lang
+  FROM m
 )
 SELECT doc_id,
        n AS n_tokens,
@@ -512,8 +552,11 @@ SELECT doc_id,
            ), 'min'),
          md5(text)) AS shingle_fp,
        cleaned,
+       lang,
+       pred_lang,
+       pred_lang = lang AS lang_correct,
        length(cleaned) AS cleaned_len
-FROM m ORDER BY doc_id
+FROM p ORDER BY doc_id
 """
 
 
@@ -900,7 +943,9 @@ WITH toks AS (
 ), qterms AS (
   SELECT doc_id AS qid, t FROM tf WHERE doc_id < {n_queries}
 ), scored AS (
-  SELECT qid, did, SUM(w_en4) AS score_en4
+  -- CAST: DuckDB's SUM(BIGINT) is HUGEINT, which the pandas bridge
+  -- renders as float64 and the driver hash sees as '61960.0' != '61960'
+  SELECT qid, did, CAST(SUM(w_en4) AS BIGINT) AS score_en4
   FROM postings JOIN qterms USING (t)
   WHERE qid != did GROUP BY qid, did
 ), ranked AS (
@@ -913,13 +958,20 @@ ORDER BY qid, rank
 """
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval gate over the documents table (defaults:
+    first 10 docs as queries, top 5 per query)."""
+    return bm25_topk(load_table_parallel(spark, sf_dir, "documents"))
+
+
 def register_all() -> None:
     from ..registry import register
 
-    # doc_clean_text is folded into doc_stats (one scan, one slot) — the
-    # freed slot goes to corpus.register_all's corpus_assembly gate.
-    # repetition_signals stays a library API (oracle parity in
-    # tests/test_text.py) — the registry is at the driver's 50-query cap.
+    # doc_clean_text AND lang-ID are folded into doc_stats (one scan, one
+    # slot); the freed slots go to corpus_assembly (r03) and bm25_topk /
+    # event_funnel_retention (r04 gate rotation). repetition_signals stays
+    # a library API (oracle parity in tests/test_text.py) — the registry
+    # is at the driver's 50-query cap.
     register("doc_stats", q_doc_stats, DOC_STATS_SQL)
-    register("doc_lang_id", q_lang_id, LANG_ID_SQL)
     register("doc_bpe_token_count", q_bpe_token_count, BPE_TOKEN_SQL)
+    register("bm25_topk", q_bm25_topk, bm25_topk_sql())
