@@ -337,10 +337,17 @@ def temperature_weights(token_totals: dict[str, int], alpha: float = 0.3) -> dic
     downstream mix_corpus/mix_summary_sql twin sees identical integers on
     both engines.
     """
-    if not token_totals:
-        return {}
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    # Zero-token sources get NO budget: p_s = 0 so w_s = 0 for alpha > 0,
+    # and at alpha = 0 Python's 0.0**0 == 1.0 would hand an EMPTY source a
+    # full uniform share, silently diluting the ppm budget of the sources
+    # that actually have data. Dropping them first also makes total == 0
+    # (all sources empty / dict empty) a clean empty-dict return instead of
+    # a ZeroDivisionError.
+    token_totals = {s: t for s, t in token_totals.items() if t > 0}
+    if not token_totals:
+        return {}
     total = sum(token_totals.values())
     raw = {s: (t / total) ** alpha for s, t in token_totals.items()}
     z = sum(raw.values())

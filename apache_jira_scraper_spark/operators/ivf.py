@@ -107,9 +107,13 @@ def ivf_build(
     centroid.
 
     `n_iter` is a BUDGET, not a fixed cost: the loop early-stops once the
-    max squared centroid shift falls below `tol` (the model is already
-    driver-resident each round, so the shift check is free). On the test
-    embeddings the shift collapses ~100x after round 1 (0.63 -> 0.005), so
+    max squared centroid shift falls below `tol` RELATIVE to the centroid
+    scale (max squared centroid norm of the round) — a relative test, so
+    convergence behaves identically for embeddings with tiny or huge
+    coordinate magnitudes (an absolute threshold would stop a small-norm
+    embedding space after one round and never stop a large-norm one). The
+    model is already driver-resident each round, so the check is free. On
+    the test embeddings the shift collapses ~100x after round 1, so
     training typically pays 2 rounds of the 4-5 budgeted — each avoided
     round saves a Catalyst pass over the k*dim-literal argmin expression,
     which dominates wall time at small SF.
@@ -150,8 +154,15 @@ def ivf_build(
             sum((a - b) * (a - b) for a, b in zip(c_old, c_new))
             for (_, c_old), (_, c_new) in zip(cur, nxt)
         )
+        # Relative convergence: normalize by the centroid scale so tol is
+        # magnitude-invariant (an all-zero model degenerates to an absolute
+        # test via the 1.0 floor — nothing left to converge anyway).
+        scale = max(
+            (sum(a * a for a in c) for _, c in nxt),
+            default=1.0,
+        )
         cur = nxt
-        if shift < tol:
+        if shift < tol * max(scale, 1e-30):
             break
     sample.unpersist()
     return _literal(cur)

@@ -407,6 +407,23 @@ def test_temperature_weights_math():
     assert temperature_weights({}, alpha=0.5) == {}
 
 
+def test_temperature_weights_zero_token_sources():
+    """Empty sources get NO ppm budget at any alpha (at alpha=0 Python's
+    0.0**0 == 1.0 would otherwise hand them a full uniform share), and an
+    all-empty dict returns {} instead of ZeroDivisionError."""
+    from apache_jira_scraper_spark.operators.corpus import temperature_weights
+
+    totals = {"web": 900_000, "code": 100_000, "ghost": 0}
+    for alpha in (0.0, 0.3, 1.0):
+        w = temperature_weights(totals, alpha=alpha)
+        assert "ghost" not in w
+        assert sum(w.values()) == 1_000_000
+    # with ghost dropped, alpha=0 splits uniformly across the REAL sources
+    uni = temperature_weights(totals, alpha=0.0)
+    assert uni == {"web": 500_000, "code": 500_000}
+    assert temperature_weights({"a": 0, "b": 0}, alpha=0.5) == {}
+
+
 def test_mix_corpus_temperature_membership(spark, sf_dir):
     """The temperature path is EXACTLY mix_corpus under the derived
     weights (one shared totals pass, same hash gate), and the derived

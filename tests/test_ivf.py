@@ -30,6 +30,22 @@ def test_build_is_deterministic(emb):
         assert a[cid] == pytest.approx(b[cid])
 
 
+def test_build_tol_is_scale_invariant(emb):
+    """The early-stop tolerance is RELATIVE to centroid magnitude: scaling
+    every embedding by 1e-6 must converge through the same trajectory and
+    yield the scaled centroids — an absolute threshold would stop a
+    small-magnitude space after round 1 regardless of convergence."""
+    s = 1e-6
+    scaled = emb.select(
+        "vec_id", F.transform("e", lambda x: x * F.lit(s)).alias("e")
+    )
+    a = {r["cid"]: r["centroid"] for r in ivf_build(emb, k=8, n_iter=3).collect()}
+    b = {r["cid"]: r["centroid"] for r in ivf_build(scaled, k=8, n_iter=3).collect()}
+    assert a.keys() == b.keys()
+    for cid in a:
+        assert [x * s for x in a[cid]] == pytest.approx(b[cid], rel=1e-9, abs=1e-18)
+
+
 def test_assign_partitions_corpus(emb, centroids):
     n = emb.count()
     assigned = ivf_assign(emb, centroids, nprobe=1)
