@@ -864,6 +864,7 @@ def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = COSINE_DUP_THRESHOLD,
     n_bits: int = EMB_N_BITS,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold``, blocked on
     (label, sign-LSH bucket) — the same deterministic bucket family the ANN
@@ -873,18 +874,93 @@ def embedding_cosine_pairs(
     with similarity.lsh_n_bits(corpus_rows) in a deployment.
 
     Recall contract: a near-dup pair whose vectors land in different LSH
-    buckets is NOT emitted — the standard LSH trade; add more bucket tables
-    (OR-amplification) to raise recall, or use operators/ivf.py for
-    trained-centroid blocking. Input needs (vec_id, label, embedding).
+    buckets is NOT emitted — the standard LSH trade. ``n_tables`` is the
+    OR-amplification knob (the minhash banding analog): each extra table
+    re-buckets along a different fixed projection (similarity._bucket_t)
+    and a pair is a candidate if it collides in ANY table, so recall rises
+    monotonically with n_tables at n_tables× the candidate-generation
+    cost — tunable without switching to operators/ivf.py's
+    trained-centroid blocking. Candidates are deduped across tables
+    BEFORE the exact-cosine verify, so a pair near in several tables is
+    verified once. Input needs (vec_id, label, embedding).
     """
+    if n_tables == 1:
+        return _pairs_from_projection(_normed_bucketed(emb, n_bits), threshold)
+    return _pairs_multi_table(emb, threshold, n_bits, n_tables)
+
+
+def _pairs_multi_table(
+    emb: DataFrame, threshold: float, n_bits: int, n_tables: int
+) -> DataFrame:
+    """OR-amplified candidate generation: explode each vector into its
+    n_tables (t, bucket) rows, self-equi-join on (label, t, bucket) — one
+    join, not n_tables unioned joins, so the projection subtree is built
+    once — dedup the (v1, v2) pair set, then verify exact cosine with the
+    vectors carried through the join (no second corpus join)."""
+    from .similarity import _bucket_t
+
+    proj = _normed_bucketed(emb, n_bits)
+    bt = proj.select(
+        "vec_id",
+        "label",
+        "e",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        _bucket_t(F.col("e"), n_bits, t).alias("bkt"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "label", "e", "nrm", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt"))
+    a = bt.select(
+        F.col("vec_id").alias("v1"), "label", "t", "bkt",
+        F.col("e").alias("e1"), F.col("nrm").alias("n1"),
+    )
+    b = bt.select(
+        F.col("vec_id").alias("v2"), "label", "t", "bkt",
+        F.col("e").alias("e2"), F.col("nrm").alias("n2"),
+    )
+    cand = (
+        a.join(b, ["label", "t", "bkt"])
+        .filter(F.col("v1") < F.col("v2"))
+        # cross-table dedup BEFORE the exact-cosine verify: group by the
+        # pair key (payload columns ride along — functionally dependent)
+        .groupBy("v1", "v2", "label", "e1", "n1", "e2", "n2")
+        .agg(F.count(F.lit(1)).alias("_ntab"))
+    )
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    return (
+        cand.withColumn("cosine", F.round(dot / (F.col("n1") * F.col("n2")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("v1", "v2", "label", "cosine")
+        .orderBy("v1", "v2")
+    )
+
+
+def _normed_bucketed(emb: DataFrame, n_bits: int) -> DataFrame:
+    """(vec_id, label, e, nrm, bucket): norm and sign-LSH bucket computed
+    ONCE per vector — the projection both sides of the pair join read."""
     from .similarity import _bucket
 
     emb = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
     )
-    # precompute norm and bucket once per vector (not once per pair)
     sq = F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    emb = emb.withColumn("nrm", F.sqrt(sq)).withColumn("bucket", _bucket(F.col("e"), n_bits))
+    return emb.withColumn("nrm", F.sqrt(sq)).withColumn(
+        "bucket", _bucket(F.col("e"), n_bits)
+    )
+
+
+def _pairs_from_projection(emb: DataFrame, threshold: float) -> DataFrame:
+    """Within-(label, bucket) pair join + exact cosine over a normed/
+    bucketed projection (see _normed_bucketed)."""
     a = emb.select(
         F.col("vec_id").alias("v1"), "label", "bucket", F.col("e").alias("e1"),
         F.col("nrm").alias("n1"),
@@ -906,14 +982,33 @@ def embedding_cosine_pairs(
     )
 
 
+_EMB_PROJ_CACHE: dict[tuple[str, str, int], DataFrame] = {}
+
+
+def _emb_projection(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
+    """Session-materialized normed/bucketed embedding projection (the
+    shingle_index pattern): the self-join's two sides read one checkpointed
+    leaf instead of each re-running the cast + norm + n_bits hyperplane
+    dots — and Catalyst analyzes the big HOF expression tree once, not
+    once per join side (the r03 wall-time jump was plan-side, not data)."""
+    key = (spark.sparkContext.applicationId, sf_dir, n_bits)
+    cached = _EMB_PROJ_CACHE.get(key)
+    if cached is None:
+        emb = load_table_parallel(spark, sf_dir, "embeddings")
+        cached = _normed_bucketed(emb, n_bits).localCheckpoint(eager=True)
+        _EMB_PROJ_CACHE[key] = cached
+    return cached
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate wrapper over embedding_cosine_pairs. The 0.25 threshold is tuned
     to the synthetic embeddings' cosine distribution (sf0.01 within-label
     max ≈ 0.475, 99.9th pct ≈ 0.373) so the gate emits a NON-EMPTY
     hash-checked pair set — an r02 lesson: at 0.45 both engines emitted
     zero rows and the gate certified only that 0 == 0."""
-    emb = load_table_parallel(spark, sf_dir, "embeddings")
-    return embedding_cosine_pairs(emb)
+    return _pairs_from_projection(
+        _emb_projection(spark, sf_dir, EMB_N_BITS), COSINE_DUP_THRESHOLD
+    )
 
 
 def _emb_bucket_sql(n_bits: int) -> str:

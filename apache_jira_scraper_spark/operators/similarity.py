@@ -138,6 +138,22 @@ def lsh_n_bits(corpus_rows: int, target_bucket_rows: int = 4096) -> int:
     return max(1, min(32, math.ceil(math.log2(max(2, corpus_rows) / target_bucket_rows))))
 
 
+def _bucket_t(e: Column, n_bits: int, t: int) -> Column:
+    """Table t of the deterministic sign-LSH bucket FAMILY (OR-amplification
+    support): bit i is the sign of e[i] - e[32 + ((i + t) mod 32)] — each
+    table pairs the low coordinates against a t-rotated slice of the high
+    coordinates, so distinct tables project along distinct (still fixed,
+    data-independent) directions and a pair missed by one table's buckets
+    can collide in another's. t=0 is exactly the single-table _bucket.
+    Requires dim >= 64 (the rotation reads high indices 33..64)."""
+    total = F.lit(0)
+    for i in range(n_bits):
+        total = total + F.when(
+            F.element_at(e, i + 1) > F.element_at(e, 33 + (i + t) % 32), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return total.alias("bucket")
+
+
 def _bucket(e: Column, n_bits: int = ANN_N_BITS) -> Column:
     """Deterministic n_bits-wide sign-LSH bucket. Bit i is the sign of the
     (fixed, data-independent) projection e[i] - e[32+i] — the coordinate-pair
@@ -145,23 +161,24 @@ def _bucket(e: Column, n_bits: int = ANN_N_BITS) -> Column:
     replicate it bit-for-bit (see _bucket_sql). Requires dim >= 32 + n_bits
     (the highest 1-based index read is 32 + n_bits, so n_bits=32 —
     lsh_n_bits's documented maximum — is exactly legal at dim 64)."""
-    total = F.lit(0)
-    for i in range(n_bits):
-        total = total + F.when(
-            F.element_at(e, i + 1) > F.element_at(e, 33 + i), F.lit(1 << i)
-        ).otherwise(F.lit(0))
-    return total.alias("bucket")
+    return _bucket_t(e, n_bits, 0)
+
+
+def _bucket_t_sql(n_bits: int, t: int, col: str = "ce") -> str:
+    """DuckDB twin of _bucket_t — generated from the same (n_bits, t)."""
+    terms = "\n   + ".join(
+        f"CASE WHEN list_extract({col}, {i + 1})"
+        f" > list_extract({col}, {33 + (i + t) % 32})"
+        f" THEN {1 << i} ELSE 0 END"
+        for i in range(n_bits)
+    )
+    return f"({terms})"
 
 
 def _bucket_sql(n_bits: int = ANN_N_BITS, col: str = "ce") -> str:
     """DuckDB twin of _bucket — generated from the same n_bits so the two
     engines can never drift apart on bucket width."""
-    terms = "\n   + ".join(
-        f"CASE WHEN list_extract({col}, {i + 1}) > list_extract({col}, {33 + i})"
-        f" THEN {1 << i} ELSE 0 END"
-        for i in range(n_bits)
-    )
-    return f"({terms})"
+    return _bucket_t_sql(n_bits, 0, col)
 
 
 _BUCKET_SQL = _bucket_sql()

@@ -391,3 +391,56 @@ def test_lsh_plan_contract():
         lsh_plan(0.0, 8)
     with _pytest.raises(ValueError):
         lsh_plan(0.5, 0)
+
+
+def test_embedding_cosine_or_amplification_recall(spark, sf_dir):
+    """OR-amplification contract (VERDICT r03 item 6): with the exact
+    within-label pair set as ground truth, n_tables=k's output is a
+    SUBSET of n_tables=k+1's (a pair colliding in any of the first k
+    tables still collides among k+1), every emitted pair is exact-correct
+    (subset of ground truth with identical cosines), and recall rises
+    monotonically — strictly somewhere on this corpus — as tables are
+    added, without switching to IVF."""
+    from pyspark.sql import functions as F
+
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    thr = 0.2  # below the gate threshold for a denser ground-truth set
+    e = emb.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("e"))
+    a = e.select(F.col("vec_id").alias("v1"), "label", F.col("e").alias("e1"))
+    b = e.select(F.col("vec_id").alias("v2"), "label", F.col("e").alias("e2"))
+    dot = F.aggregate(
+        F.zip_with("e1", "e2", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    exact = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in (
+            a.join(b, "label")
+            .filter(F.col("v1") < F.col("v2"))
+            .withColumn("cosine", F.round(dot / (nrm(F.col("e1")) * nrm(F.col("e2"))), 4))
+            .filter(F.col("cosine") >= thr)
+        ).collect()
+    }
+    assert exact, "ground truth must be non-empty for the recall check"
+
+    got = {}
+    for k in (1, 2, 4):
+        got[k] = {
+            (r["v1"], r["v2"]): r["cosine"]
+            for r in embedding_cosine_pairs(
+                emb, threshold=thr, n_bits=5, n_tables=k
+            ).collect()
+        }
+        # soundness: LSH only prunes, never invents or corrupts a pair
+        assert set(got[k]) <= set(exact)
+        for pair, cos in got[k].items():
+            assert cos == exact[pair]
+    assert set(got[1]) <= set(got[2]) <= set(got[4])
+    recalls = {k: len(v) / len(exact) for k, v in got.items()}
+    assert recalls[1] <= recalls[2] <= recalls[4]
+    assert recalls[4] > recalls[1], recalls  # amplification actually bites
