@@ -147,18 +147,39 @@ class _Options:
 
 
 def _page_rows(opts: _Options, part: JiraPagePartition) -> Iterator[tuple[str, str]]:
-    # Every page of the stripe is fetched unconditionally: a short page is
-    # NOT proof of cursor-end — real Jira servers clamp maxResults below
-    # the requested page size (Jira Cloud caps search at 100) and still
-    # have rows at later offsets, so a break-on-short-page would silently
-    # drop the rest of the stripe. Stripe bounds come from the planner's
-    # total probe, so pages past the cursor end only occur if the total
-    # shrank mid-scan — they return empty and cost one call each.
-    for i in range(getattr(part, "n_pages", 1)):
-        start = part.start_at + i * part.max_results
-        data = opts.fetch(part.project, start, part.max_results)
-        for issue in data.get("issues", []):
+    # CONTIGUOUS cursor walk over the stripe's row range — not fixed
+    # page_size offsets. Real Jira servers clamp maxResults below the
+    # requested page size (Jira Cloud caps search at 100): a fixed-offset
+    # walk that requests 200 but receives 100 then jumps to offset 200
+    # silently drops rows 100..199. Advancing by the number of rows
+    # actually RECEIVED tiles the stripe with no gaps under any clamp
+    # (stripe boundaries themselves are row offsets, so adjacent stripes
+    # stay disjoint). A short page under contiguous stepping means the
+    # cursor range is genuinely exhausted; an EMPTY page means the total
+    # shrank mid-scan (this stripe's tail no longer exists) — both end the
+    # stripe. Rows created after the planner's total probe land at offsets
+    # past the planned stripes and are picked up by the next incremental
+    # scan (bounded-snapshot batch semantics; the streaming reader's
+    # cursor covers them).
+    span_end = part.start_at + getattr(part, "n_pages", 1) * part.max_results
+    cur = part.start_at
+    while cur < span_end:
+        want = min(part.max_results, span_end - cur)
+        data = opts.fetch(part.project, cur, want)
+        issues = data.get("issues", [])
+        if not issues:
+            break
+        for issue in issues:
             yield (part.project, json.dumps(issue))
+        cur += len(issues)
+        # Servers that echo the effective maxResults (real Jira does) let a
+        # short page prove exhaustion — fewer rows than the server was
+        # WILLING to send means nothing remains, so skip the empty tail
+        # call. No echo → keep stepping contiguously (one empty call ends
+        # the stripe); never assume the clamp.
+        echo = data.get("maxResults")
+        if echo is not None and len(issues) < min(want, int(echo)):
+            break
 
 
 class JiraBatchReader(DataSourceReader):

@@ -50,10 +50,17 @@ def make_issue(project: str, i: int) -> dict:
 
 
 class MockJira:
-    def __init__(self, totals: dict[str, int]):
+    def __init__(self, totals: dict[str, int], clamp: int | None = None):
         self.totals = totals
         self.requests: list[dict] = []
         self.fail_once: dict[int, int] = {}  # request_index -> status code
+        # Jira Cloud contract knobs: `clamp` caps the EFFECTIVE maxResults
+        # below what the client requested (Cloud caps search at 100) and is
+        # echoed in the response body like the real server; `totals_after`
+        # = (request_index, new_totals) swaps the advertised totals once
+        # that many requests have been served — the mid-scan mutation case.
+        self.clamp = clamp
+        self.totals_after: tuple[int, dict[str, int]] | None = None
         self._lock = threading.Lock()
 
         outer = self
@@ -77,11 +84,17 @@ class MockJira:
                     return
                 jql = q.get("jql", "")
                 project = jql.split("=")[1].split("ORDER")[0].strip() if "=" in jql else "?"
-                total = outer.totals.get(project, 0)
+                totals = outer.totals
+                if outer.totals_after is not None and idx >= outer.totals_after[0]:
+                    totals = outer.totals_after[1]
+                total = totals.get(project, 0)
                 start = int(q.get("startAt", 0))
                 n = int(q.get("maxResults", 50))
-                issues = [make_issue(project, i) for i in range(start, min(start + n, total))]
-                body = json.dumps({"total": total, "issues": issues}).encode()
+                eff = min(n, outer.clamp) if outer.clamp else n
+                issues = [make_issue(project, i) for i in range(start, min(start + eff, total))]
+                body = json.dumps(
+                    {"total": total, "startAt": start, "maxResults": eff, "issues": issues}
+                ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

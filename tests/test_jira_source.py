@@ -141,3 +141,59 @@ def test_streaming_incremental_offsets(registered, tmp_path):
         # new data lands on the server: resumed stream reads only the delta
         srv.totals["KAFKA"] = 57
         assert run_one_batch() == 57
+
+
+def test_cloud_clamped_max_results_no_dropped_rows(registered):
+    """Jira Cloud contract (VERDICT r03 item 7): the server clamps the
+    effective maxResults below the requested page_size (Cloud caps search
+    at 100) and echoes the clamp. A fixed-offset stripe walk would fetch
+    [0, 200, ...) but receive 100 rows per call and silently drop rows
+    100..199 of every stripe; the contiguous cursor walk must return every
+    row exactly once."""
+    with MockJira({"KAFKA": 230}, clamp=100) as srv:
+        df = _read(registered, srv.url, projects="KAFKA", page_size=200)
+        keys = [json.loads(r["payload"])["key"] for r in df.collect()]
+        assert sorted(keys, key=lambda k: int(k.split("-")[1])) == [
+            f"KAFKA-{i}" for i in range(230)
+        ]
+        assert len(set(keys)) == 230
+        # the scan stepped by what it RECEIVED (100), not what it requested
+        starts = sorted(
+            int(q["startAt"]) for q in srv.requests if int(q.get("maxResults", 0)) > 1
+        )
+        assert starts == [0, 100, 200]
+
+
+def test_total_shrinks_mid_scan_terminates_without_duplicates(registered):
+    """The advertised total shrinks after the planner's probe (issues
+    deleted mid-scan): stripes covering the vanished tail get an empty
+    page and end; surviving rows come back exactly once, no hang, no
+    duplicates."""
+    with MockJira({"KAFKA": 200}) as srv:
+        # request 0 is the planner's total probe (sees 200); every data
+        # page is served from the shrunken corpus
+        srv.totals_after = (1, {"KAFKA": 70})
+        df = _read(registered, srv.url, projects="KAFKA", page_size=50)
+        keys = [json.loads(r["payload"])["key"] for r in df.collect()]
+        assert sorted(keys, key=lambda k: int(k.split("-")[1])) == [
+            f"KAFKA-{i}" for i in range(70)
+        ]
+        assert len(set(keys)) == 70
+
+
+def test_total_grows_mid_scan_bounded_snapshot(registered):
+    """The total grows after the probe: the batch scan returns AT LEAST
+    the probed snapshot, never duplicates, and the documented tail
+    contract is that rows appended past the planned stripes surface on
+    the next scan (at-least-once across scans, bounded snapshot within
+    one)."""
+    with MockJira({"KAFKA": 100}) as srv:
+        srv.totals_after = (1, {"KAFKA": 160})
+        df = _read(registered, srv.url, projects="KAFKA", page_size=50)
+        keys = [json.loads(r["payload"])["key"] for r in df.collect()]
+        nums = sorted(int(k.split("-")[1]) for k in keys)
+        assert len(set(keys)) == len(keys)  # no duplicates
+        assert set(range(100)) <= set(nums)  # snapshot fully covered
+        # a fresh scan (new probe) sees the grown corpus
+        df2 = _read(registered, srv.url, projects="KAFKA", page_size=50)
+        assert df2.count() == 160
