@@ -850,6 +850,7 @@ def bm25_topk(
     top_k: int = 5,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    materialize_tf: bool = False,
 ) -> DataFrame:
     """BM25 text retrieval over an inverted index — the lexical similarity
     tier beside the embedding family (cosine/LSH/IVF): dedup catches
@@ -878,6 +879,13 @@ def bm25_topk(
     """
     toks = docs.select("doc_id", F.explode(tokens_col()).alias("t"))
     tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize_tf:
+        # The term-frequency table feeds FOUR consumers (dl, df, postings,
+        # query terms); without materialization Spark re-tokenizes the
+        # corpus once per consumer. The production analog is landing the
+        # inverted index between pipeline stages — same contract as
+        # dedup.shingle_index.
+        tf = tf.localCheckpoint(eager=True)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -961,7 +969,9 @@ ORDER BY qid, rank
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-k retrieval gate over the documents table (defaults:
     first 10 docs as queries, top 5 per query)."""
-    return bm25_topk(load_table_parallel(spark, sf_dir, "documents"))
+    return bm25_topk(
+        load_table_parallel(spark, sf_dir, "documents"), materialize_tf=True
+    )
 
 
 def register_all() -> None:
