@@ -288,14 +288,16 @@ WITH m AS (
            AS band
   FROM m
 )
-SELECT 'source' AS section, source AS key, COUNT(1) AS n_docs, SUM(nt) AS n_tokens
+SELECT 'source' AS section, source AS key, COUNT(1) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens
 FROM base GROUP BY source
 UNION ALL
-SELECT 'lang', lang, COUNT(1), SUM(nt) FROM base GROUP BY lang
+SELECT 'lang', lang, COUNT(1), CAST(SUM(nt) AS BIGINT) FROM base GROUP BY lang
 UNION ALL
-SELECT 'quality_band', CAST(band AS VARCHAR), COUNT(1), SUM(nt) FROM base GROUP BY band
+SELECT 'quality_band', CAST(band AS VARCHAR), COUNT(1), CAST(SUM(nt) AS BIGINT)
+FROM base GROUP BY band
 UNION ALL
-SELECT 'total', 'all', COUNT(1), SUM(nt) FROM base HAVING COUNT(1) > 0
+SELECT 'total', 'all', COUNT(1), CAST(SUM(nt) AS BIGINT) FROM base HAVING COUNT(1) > 0
 ORDER BY section, key
 """
 
@@ -306,6 +308,14 @@ def corpus_report_sql() -> str:
     from .text import _STOP_SQL
 
     return _CORPUS_REPORT_SQL_TPL.format(stop=_STOP_SQL)
+
+
+def q_corpus_report(spark, sf_dir: str) -> DataFrame:
+    """Data-card report gate over the documents table (driver-certified
+    since r04 — the slot freed by the returnflag_stats merge)."""
+    from ..io import load_table
+
+    return corpus_report(load_table(spark, sf_dir, "documents"))
 
 
 def source_token_totals(docs: DataFrame, source_col: str = "source") -> dict[str, int]:
@@ -826,6 +836,7 @@ def register_all() -> None:
     from ..registry import register
 
     register("corpus_assembly", q_corpus_assembly, corpus_assembly_sql())
+    register("corpus_report", q_corpus_report, corpus_report_sql())
 
 
 # ---------------------------------------------------------------------------

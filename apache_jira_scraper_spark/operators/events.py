@@ -571,6 +571,13 @@ ORDER BY leg, k1, k2
 """
 
 
+def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly gap-fill gate over the events table
+    (driver-certified since r04 — the slot freed by the
+    customer_order_profile merge)."""
+    return gap_fill_hourly(load_table(spark, sf_dir, "events"))
+
+
 def register_all() -> None:
     from ..registry import register
 
@@ -579,6 +586,7 @@ def register_all() -> None:
     # + retention analytics under the driver's hash gate (r04 rotation);
     # q_running_sum stays the library API, pinned by pytest.
     register("event_funnel_retention", q_event_funnel_retention, funnel_retention_sql())
+    register("event_gap_fill", q_gap_fill_hourly, gap_fill_sql())
     register("window_analytics", q_window_analytics, WINDOW_ANALYTICS_SQL)
     register("sessionize", q_sessionize, SESSIONIZE_SQL)
     register("event_hourly_agg", q_hourly_agg, HOURLY_AGG_SQL)

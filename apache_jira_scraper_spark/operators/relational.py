@@ -461,6 +461,60 @@ ORDER BY l_returnflag
 """
 
 
+def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_total + distinct_agg merged into ONE l_returnflag
+    aggregation pass (r04 gate rotation: same grouping key, same scan —
+    two driver slots' semantics for one): integer-ppm revenue share via
+    the empty-frame window over the 3-row aggregate, plus the three exact
+    COUNT(DISTINCT)s. The standalone q_ratio_to_total / q_distinct_agg
+    stay the library API."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        _fx(F.sum(_revenue()), 4).alias("revenue_e4"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    rev_u = F.expr("revenue_e4 DIV 10000")
+    total_u = F.sum(rev_u).over(Window.partitionBy())
+    return (
+        agg.select(
+            "l_returnflag",
+            "revenue_e4",
+            (rev_u * F.lit(100000000)).alias("_num"),
+            total_u.alias("_tot"),
+            "n_parts",
+            "n_supps",
+            "n_orders",
+        )
+        .select(
+            "l_returnflag",
+            "revenue_e4",
+            F.expr("_num DIV _tot").alias("pct_ppm"),
+            "n_parts",
+            "n_supps",
+            "n_orders",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+RETURNFLAG_STATS_SQL = f"""
+SELECT l_returnflag, revenue_e4,
+       CAST((revenue_e4 // 10000) * 100000000
+            // (SUM(revenue_e4 // 10000) OVER ()) AS BIGINT) AS pct_ppm,
+       n_parts, n_supps, n_orders
+FROM (
+  SELECT l_returnflag, CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS revenue_e4,
+         COUNT(DISTINCT l_partkey) AS n_parts,
+         COUNT(DISTINCT l_suppkey) AS n_supps,
+         COUNT(DISTINCT l_orderkey) AS n_orders
+  FROM lineitem GROUP BY l_returnflag
+) t
+ORDER BY l_returnflag
+"""
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The whole §2.7 set-operation family — INTERSECT, EXCEPT, UNION
     (distinct) — over the same two customer-key sets, tagged and unioned
@@ -906,10 +960,13 @@ def register_all() -> None:
     register("topk_per_group", q_topk_per_group, TOPK_PER_GROUP_SQL)
     register("semi_anti_join", q_semi_anti_join, SEMI_ANTI_SQL)
     register("rollup_cube", q_rollup_cube, ROLLUP_CUBE_SQL)
-    register("ratio_to_total", q_ratio_to_total, RATIO_SQL)
-    register("distinct_agg", q_distinct_agg, DISTINCT_AGG_SQL)
+    # ratio_to_total + distinct_agg merged (same l_returnflag grouping, one
+    # scan) — r04 rotation; the freed slot certifies corpus_report.
+    register("returnflag_stats", q_returnflag_stats, RETURNFLAG_STATS_SQL)
     register("set_ops", q_set_ops, SET_OPS_SQL)
     register("pivot_orders", q_pivot, PIVOT_SQL)
     register("range_join", q_range_join, RANGE_JOIN_SQL)
     register("order_fanout", q_order_fanout, ORDER_FANOUT_SQL)
-    register("argmax_latest_order", q_argmax, ARGMAX_SQL)
+    # argmax_latest_order is merged into relational2's customer_order_profile
+    # (one o_custkey aggregation carries argmax + order count into the
+    # full-outer join) — r04 rotation; the freed slot certifies gap_fill.

@@ -60,6 +60,74 @@ ORDER BY custkey
 """
 
 
+def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax_latest_order + outer_join_balance merged into ONE
+    per-customer gate (r04 gate rotation): the orders aggregation computes
+    the max_by/min_by argmax columns AND the order count in one shuffle,
+    then full-outer-joins against customer so null-extension on both sides
+    stays visible — the wide per-customer silver-table shape a real
+    pipeline lands. Plan at scale: one o_custkey agg + one shuffle
+    full-outer join (outer joins can't broadcast the null-producing side).
+    The standalone q_argmax / q_outer_join_balance stay the library API.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders")
+    ord_key = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast(
+            "bigint"
+        )
+        * F.lit(1_000_000_000_000).cast("bigint")
+        + F.col("o_orderkey")
+    )
+    agg = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate", ord_key.alias("ok"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr("max_by(o_orderkey, ok)").alias("latest_order"),
+            F.expr("min_by(o_orderkey, ok)").alias("first_order"),
+            F.max("o_orderdate").alias("latest_date"),
+        )
+    )
+    j = cust.join(agg, cust.c_custkey == agg.o_custkey, "full_outer")
+    return (
+        j.select(
+            F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            "latest_order",
+            "first_order",
+            "latest_date",
+            F.col("c_custkey").isNull().alias("order_without_customer"),
+            F.col("o_custkey").isNull().alias("customer_without_order"),
+        )
+        .orderBy("custkey")
+    )
+
+
+CUSTOMER_ORDER_PROFILE_SQL = """
+SELECT coalesce(c_custkey, o_custkey) AS custkey,
+       coalesce(n_orders, 0) AS n_orders,
+       latest_order, first_order, latest_date,
+       c_custkey IS NULL AS order_without_customer,
+       o_custkey IS NULL AS customer_without_order
+FROM (SELECT c_custkey, c_nationkey FROM customer) c
+FULL OUTER JOIN (
+  SELECT o_custkey, COUNT(1) AS n_orders,
+         MAX_BY(o_orderkey, ok) AS latest_order,
+         MIN_BY(o_orderkey, ok) AS first_order,
+         MAX(o_orderdate) AS latest_date
+  FROM (
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) * 1000000000000
+             + o_orderkey AS ok
+    FROM orders
+  ) t
+  GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+ORDER BY custkey
+"""
+
+
 def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/interval function family over orders: month bucketing, interval
     shift, day difference from a fixed epoch, unix seconds."""
@@ -200,7 +268,7 @@ ORDER BY o_custkey
 def register_all() -> None:
     from ..registry import register
 
-    register("outer_join_balance", q_outer_join_balance, OUTER_JOIN_SQL)
+    register("customer_order_profile", q_customer_order_profile, CUSTOMER_ORDER_PROFILE_SQL)
     register("date_arithmetic", q_date_arithmetic, DATE_ARITH_SQL)
     register("udaf_geomean", q_udaf_geomean, UDAF_GEOMEAN_SQL)
     register("above_avg_orders", q_above_avg_orders, ABOVE_AVG_SQL)
