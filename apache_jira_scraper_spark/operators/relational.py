@@ -378,7 +378,22 @@ def q_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "measure_e2",
         )
     )
-    return rolled.unionAll(cubed).orderBy(
+    # pivot leg (merged r04): the REAL Pivot plan node runs (q_pivot's
+    # groupBy().pivot() with fixed columns + zero fill), then unpivots to
+    # the union's long shape — zero cells preserved so the twin's
+    # cross-join form matches exactly.
+    pivoted = (
+        q_pivot(spark, sf_dir)
+        .unpivot(["o_orderpriority"], ["n_f", "n_o", "n_p"], "sc", "n")
+        .select(
+            F.lit("pivot_orders").alias("gs"),
+            F.col("o_orderpriority").alias("k1"),
+            F.upper(F.substring("sc", 3, 1)).alias("k2"),
+            "n",
+            F.lit(None).cast("bigint").alias("measure_e2"),
+        )
+    )
+    return rolled.unionAll(cubed).unionAll(pivoted).orderBy(
         "gs", F.col("k1").asc_nulls_first(), F.col("k2").asc_nulls_first()
     )
 
@@ -396,6 +411,17 @@ SELECT * FROM (
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS measure_e2
   FROM orders
   GROUP BY CUBE (o_orderstatus, o_orderpriority)
+  UNION ALL
+  SELECT 'pivot_orders' AS gs, p.o_orderpriority AS k1, s.k2,
+         CASE s.k2 WHEN 'F' THEN p.n_f WHEN 'O' THEN p.n_o ELSE p.n_p END AS n,
+         CAST(NULL AS BIGINT) AS measure_e2
+  FROM (
+    SELECT o_orderpriority,
+           COUNT(1) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(1) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(1) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+  ) p CROSS JOIN (VALUES ('F'), ('O'), ('P')) s(k2)
 ) t
 ORDER BY gs, k1 ASC NULLS FIRST, k2 ASC NULLS FIRST
 """
@@ -705,11 +731,13 @@ def _seg_start(n, k: int, i: int):
     )
 
 
-def _passjoin_segments(df: DataFrame, d: int) -> DataFrame:
+def _passjoin_segments(df: DataFrame, d: int, salts: int = 1) -> DataFrame:
     """One row per (string, segment): the PassJoin index side. Block key is
     (L, i, g) = (own length, segment index, segment text) — selective at
     EVERY length because the key embeds the exact length and slot, and
-    segment text grows with the string (len/(d+1) chars)."""
+    segment text grows with the string (len/(d+1) chars). With salts > 1
+    each row additionally carries salt = hash(a_id) mod salts — the
+    hot-block parallelization key (see fuzzy_string_join)."""
     k = d + 1
     s, n = F.col("s"), F.length("s")
     segs = F.array(
@@ -721,12 +749,15 @@ def _passjoin_segments(df: DataFrame, d: int) -> DataFrame:
             for i in range(k)
         ]
     )
-    return df.select(
+    out = df.select(
         F.col("id").alias("a_id"), s.alias("a_s"), n.alias("L"), F.explode(segs).alias("b")
     ).select("a_id", "a_s", "L", F.col("b.gi").alias("gi"), F.col("b.g").alias("g"))
+    if salts > 1:
+        out = out.withColumn("salt", F.pmod(F.hash("a_id"), F.lit(salts)))
+    return out
 
 
-def _passjoin_substrings(df: DataFrame, d: int) -> DataFrame:
+def _passjoin_substrings(df: DataFrame, d: int, salts: int = 1) -> DataFrame:
     """One row per (string, target length L, slot i, candidate start): the
     PassJoin probe side. For each candidate partner length L in
     [len-d, len+d] and slot i, emits the substrings of this string whose
@@ -771,11 +802,18 @@ def _passjoin_substrings(df: DataFrame, d: int) -> DataFrame:
             )
             pieces.append(window)
     subs = F.flatten(F.array(*pieces))
-    return df.select(
+    out = df.select(
         F.col("id").alias("b_id"), s.alias("b_s"), F.explode(subs).alias("b")
     ).select(
         "b_id", "b_s", F.col("b.L").alias("L"), F.col("b.gi").alias("gi"), F.col("b.g").alias("g")
     )
+    if salts > 1:
+        # replicate each probe row across every salt group (the dimension
+        # side of the standard salted join)
+        out = out.withColumn(
+            "salt", F.explode(F.array(*[F.lit(r) for r in range(salts)]))
+        )
+    return out
 
 
 def _passjoin_candidates(a: DataFrame, b: DataFrame, d: int) -> DataFrame:
@@ -795,7 +833,9 @@ def _passjoin_candidates(a: DataFrame, b: DataFrame, d: int) -> DataFrame:
     return cand.select("a_id", "a_s", "b_id", "b_s").distinct()
 
 
-def fuzzy_string_join(a: DataFrame, b: DataFrame, max_dist: int = 2) -> DataFrame:
+def fuzzy_string_join(
+    a: DataFrame, b: DataFrame, max_dist: int = 2, salts: int = 1
+) -> DataFrame:
     """Edit-distance join (entity resolution / data cleaning): pairs whose
     strings are within `max_dist` Levenshtein edits — PassJoin-style
     segment blocking (Li, Deng & Feng, "PassJoin: A Partition-based Method
@@ -815,16 +855,103 @@ def fuzzy_string_join(a: DataFrame, b: DataFrame, max_dist: int = 2) -> DataFram
     Verification is Spark's builtin JVM-side levenshtein on the deduped
     candidate pairs.
 
+    Hot-segment caveat: a corpus whose strings share a long COMMON PREFIX
+    (serials like 'Customer#000123', URLs with one host) degenerates the
+    prefix segment into a single hot block — |block|² candidates, and the
+    collisions are genuine (any exact substring blocking must pair
+    strings that really share a segment; no recall-preserving df-cutoff
+    exists, because for pairs whose edit lies in the OTHER segment the
+    common prefix is their only surviving block). At scale, normalize
+    known-constant prefixes out of `s` before joining, or pass
+    ``salts=R``: the index side salts by hash(a_id) mod R and the probe
+    side replicates R ways, so each hot block's inherent |block|² verify
+    work spreads over R tasks instead of one (result identical — every
+    pair still meets in exactly its a_id's salt group per slot; cost is
+    R× the tiny probe table, the standard salted-join trade).
+
     Inputs: (id, s) string tables. Returns (a_id, b_id, dist), each pair
     once. When a and b are the SAME DataFrame (self-join), reflexive
     a_id == b_id pairs are dropped; for two distinct tables overlapping
     id spaces are fine and no pair is dropped.
+
+    Plan note: verification runs STREAMED through the block join (project
+    + filter on the join output — candidate rows are never shuffled), and
+    the cross-slot pair dedup happens AFTER the distance filter on the
+    surviving pairs only. The alternative (distinct on the raw candidate
+    set, then verify) shuffles every candidate row with both full strings
+    attached — on a hot block that is |block|² wide rows through an
+    exchange; a pair can match in at most d+1 slots, so the duplicate
+    verification work is bounded and far cheaper than the shuffle.
     """
-    return (
-        _passjoin_candidates(a, b, max_dist)
-        .select("a_id", "b_id", F.levenshtein("a_s", "b_s").alias("dist"))
-        .filter(F.col("dist") <= max_dist)
+    key = ["L", "gi", "g"] + (["salt"] if salts > 1 else [])
+    cand = _passjoin_segments(a, max_dist, salts).join(
+        _passjoin_substrings(b, max_dist, salts), key
     )
+    if a is b:
+        cand = cand.filter(F.col("a_id") != F.col("b_id"))
+    # threshold form: banded O(d*len) DP with early exit (returns -1 past
+    # the threshold) instead of the full O(len^2) matrix per candidate —
+    # on a hot block the verify is the dominant cost and this is ~4x less
+    # work per pair
+    dist = F.levenshtein("a_s", "b_s", max_dist)
+    return (
+        cand.select("a_id", "b_id", dist.alias("dist"))
+        .filter(F.col("dist") >= 0)
+        # dist is a pure function of the pair — min() is just the dedup
+        .groupBy("a_id", "b_id")
+        .agg(F.min("dist").alias("dist"))
+    )
+
+
+FUZZY_GATE_MAX_KEY = 2000
+
+
+def q_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance self-join gate over customer names (driver-certified
+    since r04 — the slot freed by folding the pivot into rollup_cube):
+    PassJoin segment blocking + exact levenshtein verify at max_dist=1,
+    canonical unordered pairs. The DuckDB oracle is the brute-force
+    length-pruned cross join — different algorithm, same result, so the
+    blocking's exact-recall contract is hash-checked end-to-end.
+
+    The gate bounds the input to the first FUZZY_GATE_MAX_KEY keys (the
+    bm25 n_queries convention): TPC-H customer names all share the
+    'Customer#' prefix, the documented hot-segment degeneracy of exact
+    substring blocking (see fuzzy_string_join) — the bound keeps the
+    hot block's inherent |block|² verification volume fixed across scale
+    factors instead of quadratic in SF.
+    """
+    from ..io import load_table_parallel
+
+    # load_table_parallel: the bounded name table arrives as ONE scan
+    # partition, and under a broadcast block-join the join OUTPUT's
+    # parallelism equals the streamed side's input partitions — without
+    # the fan-out the whole hot block's verify runs on one core. (The
+    # `salts` knob solves the same problem for the SMJ regime at real
+    # scale, where the join shuffles on the block key.)
+    cust = (
+        load_table_parallel(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < FUZZY_GATE_MAX_KEY)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("s"))
+    )
+    out = fuzzy_string_join(cust, cust, max_dist=1)
+    return (
+        out.filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "dist")
+        .orderBy("a_id", "b_id")
+    )
+
+
+FUZZY_NAME_SQL = f"""
+SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+WHERE a.c_custkey < {FUZZY_GATE_MAX_KEY} AND b.c_custkey < {FUZZY_GATE_MAX_KEY}
+  AND levenshtein(a.c_name, b.c_name) <= 1
+ORDER BY a_id, b_id
+"""
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -964,7 +1091,10 @@ def register_all() -> None:
     # scan) — r04 rotation; the freed slot certifies corpus_report.
     register("returnflag_stats", q_returnflag_stats, RETURNFLAG_STATS_SQL)
     register("set_ops", q_set_ops, SET_OPS_SQL)
-    register("pivot_orders", q_pivot, PIVOT_SQL)
+    # pivot_orders is a leg of rollup_cube since r04 (the Pivot node still
+    # runs inside the merged gate); the freed slot certifies the PassJoin
+    # fuzzy join against a brute-force oracle.
+    register("fuzzy_name_join", q_fuzzy_name_join, FUZZY_NAME_SQL)
     register("range_join", q_range_join, RANGE_JOIN_SQL)
     register("order_fanout", q_order_fanout, ORDER_FANOUT_SQL)
     # argmax_latest_order is merged into relational2's customer_order_profile

@@ -272,6 +272,29 @@ def test_fuzzy_string_join_two_tables_overlapping_ids(spark):
     assert got == {(1, 1): 1}
 
 
+def test_fuzzy_string_join_salted_equals_plain(spark):
+    """salts=R (hot-block parallelization: index side salted by
+    hash(a_id), probe side replicated R ways) returns exactly the plain
+    join's pairs — the salt only re-keys WHERE a pair meets, never whether
+    it meets."""
+    from apache_jira_scraper_spark.operators.relational import fuzzy_string_join
+
+    rows = [(i, f"Customer#{i:05d}") for i in range(80)] + [
+        (100 + i, s) for i, s in enumerate(["smith", "smyth", "ab", "ba", "hamburg"])
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    plain = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_string_join(df, df, max_dist=1).collect()
+    }
+    salted = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_string_join(df, df, max_dist=1, salts=7).collect()
+    }
+    assert plain == salted
+    assert plain  # the common-prefix corpus must actually produce pairs
+
+
 def test_fuzzy_string_join_candidate_fanout_bound(spark):
     """The PassJoin probe side's fan-out is bounded per string by
     (2d+1)^2 * (d+1) rows, independent of corpus size and string length —
