@@ -241,6 +241,69 @@ ORDER BY qid, rank
 """
 
 
+def ann_lsh_topk_multi(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = 2,
+    n_bits: int = ANN_N_BITS,
+    top_k: int = LSH_TOP_K,
+    n_queries: int = N_QUERIES,
+) -> DataFrame:
+    """OR-amplified LSH top-k (the ANN analog of
+    dedup.embedding_cosine_pairs(n_tables=...)): a corpus vector is a
+    candidate for a query if they share a bucket in ANY of the n_tables
+    sign-LSH tables (_bucket_t family), so recall rises monotonically with
+    n_tables at n_tables× the candidate-generation cost — the tunable
+    middle ground between one bucket table and IVF. Candidates are deduped
+    across tables BEFORE scoring; one exploded (t, bucket) equi-join, not
+    n_tables unioned joins. Returns (qid, rank, nid, cosine)."""
+    emb = _emb(spark, sf_dir)
+    bt = emb.select(
+        "vec_id",
+        "e",
+        "nrm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"), _bucket_t(F.col("e"), n_bits, t).alias("bkt")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "e", "nrm", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt"))
+    q = bt.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"),
+        "t", "bkt",
+    )
+    c = bt.select(
+        F.col("vec_id").alias("nid"), F.col("e").alias("ce"), F.col("nrm").alias("cn"),
+        "t", "bkt",
+    )
+    cand = (
+        F.broadcast(q)
+        .join(c, ["t", "bkt"])
+        .filter(F.col("qid") != F.col("nid"))
+        # cross-table dedup before the exact cosine (payloads ride along —
+        # functionally dependent on the pair)
+        .groupBy("qid", "nid", "qe", "qn", "ce", "cn")
+        .agg(F.count(F.lit(1)).alias("_ntab"))
+    )
+    scored = cand.select(
+        "qid",
+        "nid",
+        _cosine_pre(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn")).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "nid", "cosine")
+        .orderBy("qid", "rank")
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: exact brute-force top-k and LSH-bucketed approximate top-k as
     union-tagged legs on a common (op, qid, rank, nid, aux, cosine) shape —

@@ -181,3 +181,30 @@ def test_semantic_dedup_constructed_clusters(spark):
         10: (10, True), 11: (10, False),
         20: (20, True),
     }
+
+
+def test_ann_or_amplification_recall(spark, sf_dir):
+    """ann_lsh_topk_multi: recall@k vs the exact top-k rises monotonically
+    with n_tables (a pair missed by one table's buckets can collide in
+    another's), and n_tables=1 matches the single-table path's pair
+    coverage."""
+    from apache_jira_scraper_spark.operators.similarity import (
+        LSH_TOP_K,
+        ann_lsh_topk_multi,
+        q_cosine_topk,
+    )
+
+    exact = {}
+    for r in q_cosine_topk(spark, sf_dir).collect():
+        exact.setdefault(r["qid"], set()).add(r["nid"])
+
+    def recall(k_tables: int) -> float:
+        got = {}
+        for r in ann_lsh_topk_multi(spark, sf_dir, n_tables=k_tables).collect():
+            got.setdefault(r["qid"], set()).add(r["nid"])
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        return hits / sum(len(v) for v in exact.values())
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 > r1, (r1, r4)  # amplification actually bites on this corpus
