@@ -884,6 +884,11 @@ def embedding_cosine_pairs(
     BEFORE the exact-cosine verify, so a pair near in several tables is
     verified once. Input needs (vec_id, label, embedding).
     """
+    if not 1 <= n_tables <= 32:
+        # 0 would silently emit ZERO candidates (the worst failure mode a
+        # dedup operator can have) and >32 cycles _bucket_t's mod-32
+        # rotation - table 32 IS table 0, linear cost for zero recall.
+        raise ValueError(f"n_tables must be in [1, 32], got {n_tables}")
     if n_tables == 1:
         return _pairs_from_projection(_normed_bucketed(emb, n_bits), threshold)
     return _pairs_multi_table(emb, threshold, n_bits, n_tables)

@@ -155,8 +155,10 @@ def ivf_build(
             for (_, c_old), (_, c_new) in zip(cur, nxt)
         )
         # Relative convergence: normalize by the centroid scale so tol is
-        # magnitude-invariant (an all-zero model degenerates to an absolute
-        # test via the 1.0 floor — nothing left to converge anyway).
+        # magnitude-invariant. The 1e-30 floor only guards div-by-zero: a
+        # degenerate near-zero-norm model never early-stops and pays the
+        # full n_iter budget (the 1.0 below is max()'s empty-model
+        # fallback, not a tolerance floor).
         scale = max(
             (sum(a * a for a in c) for _, c in nxt),
             default=1.0,

@@ -438,21 +438,29 @@ def q_ratio_to_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev_u = F.expr("revenue_e4 DIV 10000")
     total_u = F.sum(rev_u).over(Window.partitionBy())
+    # DECIMAL(38,0) numerator: rev_u * 1e8 exceeds int64 once per-flag
+    # revenue passes ~9e10 units (SF >= 1 of this schema) — BIGINT math
+    # here is a crash at exactly the scale the engine targets. The int
+    # division result is ppm-bounded, so the final BIGINT cast is safe.
     return (
         agg.select(
             "l_returnflag",
             "revenue_e4",
-            (rev_u * F.lit(100000000)).alias("_num"),
-            total_u.alias("_tot"),
+            (rev_u.cast("decimal(38,0)") * F.lit(100000000)).alias("_num"),
+            total_u.cast("decimal(38,0)").alias("_tot"),
         )
-        .select("l_returnflag", "revenue_e4", F.expr("_num DIV _tot").alias("pct_ppm"))
+        .select(
+            "l_returnflag",
+            "revenue_e4",
+            F.expr("CAST(_num DIV _tot AS BIGINT)").alias("pct_ppm"),
+        )
         .orderBy("l_returnflag")
     )
 
 
 RATIO_SQL = f"""
 SELECT l_returnflag, revenue_e4,
-       CAST((revenue_e4 // 10000) * 100000000
+       CAST(CAST(revenue_e4 // 10000 AS HUGEINT) * 100000000
             // (SUM(revenue_e4 // 10000) OVER ()) AS BIGINT) AS pct_ppm
 FROM (
   SELECT l_returnflag, CAST(SUM({_REV_SQL}) * 10000 AS BIGINT) AS revenue_e4
@@ -503,12 +511,15 @@ def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev_u = F.expr("revenue_e4 DIV 10000")
     total_u = F.sum(rev_u).over(Window.partitionBy())
+    # DECIMAL(38,0) numerator — see q_ratio_to_total: BIGINT overflows at
+    # SF >= 1 (ANSI Spark throws, DuckDB's BIGINT product goes out of
+    # range); the ppm-bounded quotient casts back to BIGINT losslessly.
     return (
         agg.select(
             "l_returnflag",
             "revenue_e4",
-            (rev_u * F.lit(100000000)).alias("_num"),
-            total_u.alias("_tot"),
+            (rev_u.cast("decimal(38,0)") * F.lit(100000000)).alias("_num"),
+            total_u.cast("decimal(38,0)").alias("_tot"),
             "n_parts",
             "n_supps",
             "n_orders",
@@ -516,7 +527,7 @@ def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "revenue_e4",
-            F.expr("_num DIV _tot").alias("pct_ppm"),
+            F.expr("CAST(_num DIV _tot AS BIGINT)").alias("pct_ppm"),
             "n_parts",
             "n_supps",
             "n_orders",
@@ -527,7 +538,7 @@ def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RETURNFLAG_STATS_SQL = f"""
 SELECT l_returnflag, revenue_e4,
-       CAST((revenue_e4 // 10000) * 100000000
+       CAST(CAST(revenue_e4 // 10000 AS HUGEINT) * 100000000
             // (SUM(revenue_e4 // 10000) OVER ()) AS BIGINT) AS pct_ppm,
        n_parts, n_supps, n_orders
 FROM (
@@ -814,23 +825,6 @@ def _passjoin_substrings(df: DataFrame, d: int, salts: int = 1) -> DataFrame:
             "salt", F.explode(F.array(*[F.lit(r) for r in range(salts)]))
         )
     return out
-
-
-def _passjoin_candidates(a: DataFrame, b: DataFrame, d: int) -> DataFrame:
-    """(a_id, a_s, b_id, b_s) candidate pairs via the PassJoin equi-join:
-    a's segments against b's position-windowed substrings on (L, gi, g).
-    Exact recall per the PassJoin pigeonhole lemma: <= d edits touch at
-    most d of a's d+1 segments, so at least one segment survives verbatim
-    in b within the position window. One direction suffices — every
-    qualifying (a-row, b-row) pair is found through a's own segmentation."""
-    cand = _passjoin_segments(a, d).join(_passjoin_substrings(b, d), ["L", "gi", "g"])
-    if a is b:
-        # Self-join: drop reflexive pairs. Applied ONLY when both inputs
-        # are the same table — two DISTINCT tables may legitimately share
-        # id values (e.g. both auto-increment from 1), and those pairs are
-        # real matches, not self-pairs.
-        cand = cand.filter(F.col("a_id") != F.col("b_id"))
-    return cand.select("a_id", "a_s", "b_id", "b_s").distinct()
 
 
 def fuzzy_string_join(

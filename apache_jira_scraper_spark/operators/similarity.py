@@ -257,6 +257,10 @@ def ann_lsh_topk_multi(
     middle ground between one bucket table and IVF. Candidates are deduped
     across tables BEFORE scoring; one exploded (t, bucket) equi-join, not
     n_tables unioned joins. Returns (qid, rank, nid, cosine)."""
+    if not 1 <= n_tables <= 32:
+        # >32 cycles _bucket_t's mod-32 rotation (duplicate tables, zero
+        # recall gain); 0 would silently return an empty result
+        raise ValueError(f"n_tables must be in [1, 32], got {n_tables}")
     emb = _emb(spark, sf_dir)
     bt = emb.select(
         "vec_id",

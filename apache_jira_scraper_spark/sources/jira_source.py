@@ -172,13 +172,16 @@ def _page_rows(opts: _Options, part: JiraPagePartition) -> Iterator[tuple[str, s
         for issue in issues:
             yield (part.project, json.dumps(issue))
         cur += len(issues)
-        # Servers that echo the effective maxResults (real Jira does) let a
-        # short page prove exhaustion — fewer rows than the server was
-        # WILLING to send means nothing remains, so skip the empty tail
-        # call. No echo → keep stepping contiguously (one empty call ends
-        # the stripe); never assume the clamp.
+        # A short page proves exhaustion ONLY when the server explicitly
+        # declared a clamp BELOW the request (echoed maxResults < want)
+        # and returned fewer rows than its own clamp. When echo == want
+        # the echo might just mirror the request from a server that
+        # clamps silently (third-party Jira-compatible APIs do this) —
+        # breaking there on a short page would drop the rest of the
+        # stripe, so keep stepping contiguously and let the empty tail
+        # call end it (lossless under any clamp).
         echo = data.get("maxResults")
-        if echo is not None and len(issues) < min(want, int(echo)):
+        if echo is not None and int(echo) < want and len(issues) < int(echo):
             break
 
 

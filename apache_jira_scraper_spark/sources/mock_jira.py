@@ -50,7 +50,12 @@ def make_issue(project: str, i: int) -> dict:
 
 
 class MockJira:
-    def __init__(self, totals: dict[str, int], clamp: int | None = None):
+    def __init__(
+        self,
+        totals: dict[str, int],
+        clamp: int | None = None,
+        lie_echo: bool = False,
+    ):
         self.totals = totals
         self.requests: list[dict] = []
         self.fail_once: dict[int, int] = {}  # request_index -> status code
@@ -60,6 +65,10 @@ class MockJira:
         # = (request_index, new_totals) swaps the advertised totals once
         # that many requests have been served — the mid-scan mutation case.
         self.clamp = clamp
+        # lie_echo: echo the REQUESTED maxResults while still clamping the
+        # page — the third-party-server behavior the reader must survive
+        # without row loss (it may only trust an echo that is < request)
+        self.lie_echo = lie_echo
         self.totals_after: tuple[int, dict[str, int]] | None = None
         self._lock = threading.Lock()
 
@@ -92,8 +101,9 @@ class MockJira:
                 n = int(q.get("maxResults", 50))
                 eff = min(n, outer.clamp) if outer.clamp else n
                 issues = [make_issue(project, i) for i in range(start, min(start + eff, total))]
+                echo = n if outer.lie_echo else eff
                 body = json.dumps(
-                    {"total": total, "startAt": start, "maxResults": eff, "issues": issues}
+                    {"total": total, "startAt": start, "maxResults": echo, "issues": issues}
                 ).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")

@@ -197,3 +197,17 @@ def test_total_grows_mid_scan_bounded_snapshot(registered):
         # a fresh scan (new probe) sees the grown corpus
         df2 = _read(registered, srv.url, projects="KAFKA", page_size=50)
         assert df2.count() == 160
+
+
+def test_clamping_server_with_lying_echo_no_dropped_rows(registered):
+    """A third-party Jira-compatible server that clamps the page but echoes
+    the REQUESTED maxResults: the reader may only treat a short page as
+    exhaustion when the echo is explicitly below the request, so here it
+    must keep stepping contiguously and still return every row."""
+    with MockJira({"KAFKA": 230}, clamp=100, lie_echo=True) as srv:
+        df = _read(registered, srv.url, projects="KAFKA", page_size=200)
+        keys = [json.loads(r["payload"])["key"] for r in df.collect()]
+        assert sorted(keys, key=lambda k: int(k.split("-")[1])) == [
+            f"KAFKA-{i}" for i in range(230)
+        ]
+        assert len(set(keys)) == 230

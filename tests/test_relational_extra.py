@@ -317,3 +317,45 @@ def test_fuzzy_string_join_candidate_fanout_bound(spark):
     sub_rows = _passjoin_substrings(df, d).count()
     assert seg_rows == n * (d + 1)  # exactly d+1 segments per string
     assert sub_rows <= n * (2 * d + 1) ** 2 * (d + 1)
+
+
+def test_pct_ppm_arithmetic_survives_frontier_revenue(spark):
+    """The ratio-to-total numerator at SF >= 1: per-flag revenue of ~1e14
+    units makes rev_u * 1e8 = 1e22, far past int64 (the pre-r04 BIGINT
+    form crashed under ANSI Spark and errored in DuckDB). The DECIMAL(38,0)
+    / HUGEINT forms must agree exactly at that magnitude."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    rows = [("A", 10**14 * 10**4), ("N", 3 * 10**14 * 10**4), ("R", 10**13 * 10**4)]
+    df = spark.createDataFrame(rows, "l_returnflag string, revenue_e4 long")
+    rev_u = F.expr("revenue_e4 DIV 10000")
+    from pyspark.sql import Window
+
+    total_u = F.sum(rev_u).over(Window.partitionBy())
+    got = {
+        r["l_returnflag"]: r["pct_ppm"]
+        for r in df.select(
+            "l_returnflag",
+            (rev_u.cast("decimal(38,0)") * F.lit(100000000)).alias("_num"),
+            total_u.cast("decimal(38,0)").alias("_tot"),
+        )
+        .selectExpr("l_returnflag", "CAST(_num DIV _tot AS BIGINT) AS pct_ppm")
+        .collect()
+    }
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            """
+            SELECT l_returnflag,
+                   CAST(CAST(revenue_e4 // 10000 AS HUGEINT) * 100000000
+                        // (SUM(revenue_e4 // 10000) OVER ()) AS BIGINT) AS pct_ppm
+            FROM (VALUES ('A', CAST(1000000000000000000 AS BIGINT)),
+                         ('N', CAST(3000000000000000000 AS BIGINT)),
+                         ('R', CAST(100000000000000000 AS BIGINT)))
+                 t(l_returnflag, revenue_e4)
+            """
+        ).fetchall()
+    }
+    assert got == want
+    assert got["N"] == 73_170_731  # 3/4.1 at the 1e8 scale, floor
