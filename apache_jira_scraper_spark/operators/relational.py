@@ -855,13 +855,19 @@ def fuzzy_string_join(
     collisions are genuine (any exact substring blocking must pair
     strings that really share a segment; no recall-preserving df-cutoff
     exists, because for pairs whose edit lies in the OTHER segment the
-    common prefix is their only surviving block). At scale, normalize
-    known-constant prefixes out of `s` before joining, or pass
-    ``salts=R``: the index side salts by hash(a_id) mod R and the probe
-    side replicates R ways, so each hot block's inherent |block|² verify
-    work spreads over R tasks instead of one (result identical — every
-    pair still meets in exactly its a_id's salt group per slot; cost is
-    R× the tiny probe table, the standard salted-join trade).
+    common prefix is their only surviving block). More generally,
+    candidate volume is Σ_blocks |a-side|·|b-side|: it grows LINEARLY in
+    corpus size only while segment entropy grows with the data (distinct
+    block keys multiply), and degrades toward quadratic as the segment
+    value space saturates — low-entropy corpora (names drawn from small
+    first/last pools, serial-numbered strings) hit this even without a
+    universal prefix. At scale, normalize known-constant prefixes out of
+    `s` before joining, or pass ``salts=R``: the index side salts by
+    hash(a_id) mod R and the probe side replicates R ways, so each hot
+    block's inherent |block|² verify work spreads over R tasks instead
+    of one (result identical — every pair still meets in exactly its
+    a_id's salt group per slot; cost is R× the tiny probe table, the
+    standard salted-join trade).
 
     Inputs: (id, s) string tables. Returns (a_id, b_id, dist), each pair
     once. When a and b are the SAME DataFrame (self-join), reflexive
