@@ -269,9 +269,13 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         .when(F.col("_gb") == 0, F.col("band").cast("string"))
         .otherwise(F.lit("all"))
     )
+    # asc_nulls_last: a NULL source/lang stays a NULL key (see above), and
+    # Spark's default ascending sort puts NULLs FIRST where the DuckDB
+    # twin's ORDER BY puts them LAST — order-sensitive consumers would see
+    # the engines diverge on any corpus with a NULL key.
     return g.select(
         section.alias("section"), key.alias("key"), "n_docs", "n_tokens"
-    ).orderBy("section", "key")
+    ).orderBy(F.col("section").asc_nulls_last(), F.col("key").asc_nulls_last())
 
 
 _CORPUS_REPORT_SQL_TPL = """
@@ -937,10 +941,10 @@ def build_training_corpus(
 ) -> DataFrame:
     """The whole training-data flow as ONE composed DataFrame program:
 
-        quality filter → exact dedup → near-dup removal (keep each LSH
-        cluster's canonical doc) → [exact substring dedup] →
-        [PII redaction] → [source mixing] → deterministic split →
-        sequence packing
+        quality filter → exact dedup → near-dup removal (keep ONE doc per
+        LSH cluster — the min doc_id among the members that survived the
+        earlier filters) → [exact substring dedup] → [PII redaction] →
+        [source mixing] → deterministic split → sequence packing
 
     ``substring_span`` inserts dedup.exact_substring_dedup over the
     survivors (duplicated runs shared only with DROPPED docs stay, by
@@ -976,11 +980,29 @@ def build_training_corpus(
         .select("doc_id")
     )
 
-    # 3. near-dup removal: inside every LSH cluster keep only the canonical
-    #    doc (cluster_id IS the keeper's doc_id)
+    # 3. near-dup removal: inside every LSH cluster keep ONE canonical doc,
+    #    chosen among the members that SURVIVED the quality/exact filters
+    #    (min surviving doc_id). Canonicalizing on the raw cluster_id would
+    #    silently drop a cluster's entire content whenever its raw keeper
+    #    itself failed quality: keeper gone via the quality gate, every
+    #    other member gone as a "loser" — even the high-quality copies the
+    #    cluster was supposed to be represented by.
+    survivors12 = (
+        docs.select("doc_id")
+        .join(quality, "doc_id", "left_semi")
+        .join(exact_keep, "doc_id", "left_semi")
+    )
     clusters = q_dedup_clusters(spark, sf_dir)
-    near_dup_losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
+    surviving_members = clusters.select("doc_id", "cluster_id").join(
+        survivors12, "doc_id", "left_semi"
+    )
+    keepers = surviving_members.groupBy("cluster_id").agg(
+        F.min("doc_id").alias("keeper_id")
+    )
+    near_dup_losers = (
+        surviving_members.join(keepers, "cluster_id")
+        .filter(F.col("doc_id") != F.col("keeper_id"))
+        .select("doc_id")
     )
 
     # NO forced broadcast on ANY of these sides. quality and exact_keep are
@@ -1015,10 +1037,15 @@ def build_training_corpus(
         )
         kept = kept.drop("text").join(red, "doc_id")
 
-    # 3c. optional source mixing over the deduped token mass
+    # 3c. optional source mixing over the deduped token mass. mix_corpus
+    # runs source_token_totals as an EAGER action at plan-construction
+    # time; without materializing first, the whole quality/dedup join
+    # chain above would execute twice — once for the totals, once when
+    # the returned plan runs (only the LSH pair table is session-cached).
     if mix_weights_ppm is not None:
         if mix_budget_tokens is None:
             raise ValueError("mix_weights_ppm requires mix_budget_tokens")
+        kept = kept.localCheckpoint(eager=True)
         kept = mix_corpus(kept, mix_weights_ppm, mix_budget_tokens)
 
     # 4-5. split FIRST, then pack WITHIN each split — a packed sequence

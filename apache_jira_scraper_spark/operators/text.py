@@ -105,14 +105,16 @@ FROM documents ORDER BY doc_id
 """
 
 
-def quality_score_bp_col() -> Column:
+def quality_score_bp_col(toks: Column | None = None) -> Column:
     """Integer basis-point quality score (0..10000) over the `text` /
     `n_chars` columns: length band + stopword ratio + type/token ratio.
-    Shared by the q_quality_score gate and quality_threshold_sweep so the
-    two can't drift. Floor over exact integer ratios — a float composite
-    (0.4*x + 0.3*y …) lands on round-half boundaries where Spark (HALF_UP)
-    and DuckDB disagree in the last digit; integer math can't."""
-    toks = tokens_col()
+    Shared by the q_quality_score gate, quality_threshold_sweep, the
+    corpus report, and the doc_stats gate so they can't drift. Floor over
+    exact integer ratios — a float composite (0.4*x + 0.3*y …) lands on
+    round-half boundaries where Spark (HALF_UP) and DuckDB disagree in
+    the last digit; integer math can't. Pass a pre-staged token-array
+    column to reuse an aliased split (the staged-projection callers)."""
+    toks = tokens_col() if toks is None else toks
     n = F.size(toks)
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
@@ -123,6 +125,60 @@ def quality_score_bp_col() -> Column:
         + F.floor(n_stop * 3000 / n).cast("bigint")
         + F.floor(n_dist * 3000 / n).cast("bigint")
     )
+
+
+def lang_score_cols(toks: Column) -> list[Column]:
+    """Per-language marker-count columns (aliased s_<lang>), built from a
+    pre-staged token array — THE marker-count definition, shared by the
+    q_lang_id library API and the doc_stats gate."""
+    cols = []
+    for lang, markers in LANG_MARKERS:
+        arr = F.array(*[F.lit(m) for m in markers])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(f"s_{lang}")
+        )
+    return cols
+
+
+def lang_pred_col() -> Column:
+    """Fixed-precedence argmax over the s_<lang> columns staged by
+    lang_score_cols — shared by q_lang_id and the doc_stats gate."""
+    s = {lang: F.col(f"s_{lang}") for lang, _ in LANG_MARKERS}
+    return (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
+            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+
+
+def min_shingle_fp(toks: Column, full_fp: Column) -> Column:
+    """Min word-3-gram md5 shingle fingerprint with the full-content md5
+    as the short-doc fallback — THE shingle-fingerprint definition, shared
+    by q_fingerprint and the doc_stats gate. The n >= 3 guard exists
+    because Spark's sequence(1, 0) is descending [1, 0], so a short doc
+    would index past the token array (see dedup._shingles)."""
+    n = F.size(toks)
+    shingles = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ",
+                    F.element_at(toks, i),
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.coalesce(F.array_min(shingles), full_fp)
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -260,29 +316,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list_filter to a single evaluation per row (CollapseProject would
     # otherwise inline the 5 scores into each branch of the argmax).
     toked = docs.select("doc_id", "lang", tokens_col().alias("toks"))
-    score_cols = []
-    for lang, markers in LANG_MARKERS:
-        arr = F.array(*[F.lit(m) for m in markers])
-        score_cols.append(
-            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))).alias(
-                f"s_{lang}"
-            )
-        )
-    scored = toked.select("doc_id", "lang", *score_cols)
-    s = {lang: F.col(f"s_{lang}") for lang, _ in LANG_MARKERS}
-    pred = (
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
-            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
-            "en",
-        )
-        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
-        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
-        .when(s["fr"] >= s["zh"], "fr")
-        .otherwise("zh")
-    )
+    scored = toked.select("doc_id", "lang", *lang_score_cols(F.col("toks")))
     return (
-        scored.select("doc_id", "lang", pred.alias("pred_lang"))
+        scored.select("doc_id", "lang", lang_pred_col().alias("pred_lang"))
         .select(
             "doc_id",
             "lang",
@@ -332,29 +368,11 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5 + min word-3-gram shingle
     fingerprint (the content-defined analog of a rolling hash)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
-    toks = tokens_col()
-    n = F.size(toks)
-    # n >= 3 guard: Spark's sequence(1, 0) is descending [1, 0], so a short
-    # doc would index past the token array (see dedup._shingles)
-    shingles = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     full_fp = F.md5(F.col("text"))
     return docs.select(
         "doc_id",
         full_fp.alias("content_fp"),
-        F.coalesce(F.array_min(shingles), full_fp).alias("shingle_fp"),
+        min_shingle_fp(tokens_col(), full_fp).alias("shingle_fp"),
     ).orderBy("doc_id")
 
 
@@ -431,28 +449,14 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise inline the split into each of them.
     docs = docs.select("doc_id", "text", "n_chars", "lang", tokens_col().alias("toks"))
     # Stage the per-language marker counts behind aliases for the same
-    # reason: the argmax CASE references each score several times.
-    score_cols = []
-    for lang, markers in LANG_MARKERS:
-        arr = F.array(*[F.lit(m) for m in markers])
-        score_cols.append(
-            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t))).alias(
-                f"s_{lang}"
-            )
-        )
-    docs = docs.select("doc_id", "text", "n_chars", "lang", "toks", *score_cols)
-    s = {lang: F.col(f"s_{lang}") for lang, _ in LANG_MARKERS}
-    pred = (
-        F.when(
-            (s["en"] >= s["de"]) & (s["en"] >= s["es"])
-            & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
-            "en",
-        )
-        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
-        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
-        .when(s["fr"] >= s["zh"], "fr")
-        .otherwise("zh")
+    # reason: the argmax CASE references each score several times. All
+    # shared definitions come from the module helpers (lang_score_cols /
+    # lang_pred_col / quality_score_bp_col / min_shingle_fp) so this gate
+    # CANNOT drift from the standalone library operators or their twins.
+    docs = docs.select(
+        "doc_id", "text", "n_chars", "lang", "toks", *lang_score_cols(F.col("toks"))
     )
+    pred = lang_pred_col()
     toks = F.col("toks")
     n = F.size(toks)
     n_dist = F.size(F.array_distinct(toks))
@@ -461,26 +465,6 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    len_ok = (F.col("n_chars") >= 100) & (F.col("n_chars") <= 2000)
-    score_bp = (
-        F.when(len_ok, F.lit(4000)).otherwise(F.lit(0))
-        + F.floor(n_stop * 3000 / n).cast("bigint")
-        + F.floor(n_dist * 3000 / n).cast("bigint")
-    )
-    shingles = F.when(
-        n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.md5(
-                F.concat_ws(
-                    " ",
-                    F.element_at(toks, i),
-                    F.element_at(toks, i + 1),
-                    F.element_at(toks, i + 2),
-                )
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     full_fp = F.md5(F.col("text"))
     # doc_clean_text's F1 leg (whitespace-normalize + truncate-with-ellipsis)
     # folded in since round 3 — same scan, one driver slot freed for the
@@ -494,9 +478,9 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(total_len.cast("double") / n, 6).alias("avg_token_len"),
             F.round(n_stop.cast("double") / n, 6).alias("stopword_ratio"),
             F.round(n_dist.cast("double") / n, 6).alias("type_token_ratio"),
-            score_bp.alias("quality_score_bp"),
+            quality_score_bp_col(toks).alias("quality_score_bp"),
             full_fp.alias("content_fp"),
-            F.coalesce(F.array_min(shingles), full_fp).alias("shingle_fp"),
+            min_shingle_fp(toks, full_fp).alias("shingle_fp"),
             cleaned.alias("cleaned"),
             "lang",
             pred.alias("pred_lang"),

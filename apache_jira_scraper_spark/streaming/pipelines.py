@@ -47,15 +47,24 @@ def tumbling_counts(events: DataFrame, window: str = "5 minutes",
 
 def sliding_avg(events: DataFrame, window: str = "10 minutes", slide: str = "5 minutes",
                 watermark: str = "10 minutes") -> DataFrame:
-    """Sliding windows: each event lands in window/slide overlapping frames."""
+    """Sliding windows: each event lands in window/slide overlapping frames;
+    per (window, user) count AND the advertised average — decimal-exact sum
+    divided by the count, emitted as integer cents like every sibling."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("total_value_cents"),
+        )
         .select(
             F.col("window.start").alias("window_start"),
             "user_id",
             "n",
+            "total_value_cents",
+            F.expr("total_value_cents DIV n").alias("avg_value_cents"),
         )
     )
 
@@ -123,10 +132,19 @@ def stateful_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFra
         n, cents, last_s = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            # nearest-cent per row, summed in int space: equals the
-            # DECIMAL(14,2)*100 convention (a bare astype-int64 truncates
-            # 0.29*100 = 28.999... down a cent — the purchase_cents bug)
-            cents += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+            # HALF-UP nearest cent per row, summed in int space — the
+            # DECIMAL(14,2)*100 convention the sibling operators use.
+            # pandas .round() is banker's (half-to-even): 0.125*100=12.5
+            # would land 12 where DECIMAL lands 13, silently diverging
+            # from the batch twin on exact half-cents. floor(|x|*100+0.5)
+            # with the sign restored IS half-up, and a bare astype-int64
+            # would truncate 0.29*100 = 28.999... down a cent. NULLs are
+            # dropped first (SUM-skips-NULL semantics; NaN.astype(int64)
+            # raises and would kill the query).
+            import numpy as np
+
+            v = pdf["value"].dropna().to_numpy()
+            cents += int(np.sum(np.sign(v) * np.floor(np.abs(v) * 100 + 0.5)))
             last_s = max(last_s, int(pdf["ts"].astype("int64").max() // 1_000_000_000))
         state.update((n, cents, last_s))
         yield pd.DataFrame(
@@ -184,17 +202,28 @@ def streaming_dedup_ingest(
     dropDuplicatesWithinWatermark cannot express (near-dup, unbounded
     horizon). Both tables are localCheckpoint'ed per batch so batch N's
     plan never chains N lineages deep (the classic iterative-state bug).
-    State lives driver-side between batches; on restart, rebuild it with
-    build_dedup_index over the kept output (or pass ``initial_index``) —
-    the production analog persists the two index tables per commit, which
-    stays correct under replay because a replayed batch re-dedupes against
-    the pre-batch index and overwrites the same batch directory.
+
+    Replay contract (crash between the parquet write and the streaming
+    checkpoint commit): on restart, rebuild state with
+    ``rebuild_dedup_ingest_state`` (reads COMMITTED batch directories
+    only) or pass ``initial_index``. A replayed batch whose directory
+    already committed (_SUCCESS present) is SKIPPED — output and index
+    already contain it; re-running incremental_dedup against an index
+    that already holds the batch's own docs would classify every doc as
+    an id-replay and overwrite the committed survivors with an EMPTY
+    directory, silently erasing the batch from the corpus. A partial
+    (no _SUCCESS) directory is re-written from scratch, and the rebuild
+    helper never indexed it — normal first-attempt semantics.
     """
     state = {"index": initial_index}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         from ..operators.dedup import incremental_dedup
 
+        if os.path.exists(f"{out_dir}/batch_id={batch_id}/_SUCCESS"):
+            return  # committed replay: exactly-once output, state already has it
         kept, (sh, sig) = incremental_dedup(batch_df, state["index"])
         kept = kept.localCheckpoint(eager=True)
         (
@@ -213,6 +242,31 @@ def streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def rebuild_dedup_ingest_state(spark, out_dir: str):
+    """Restart-time state rebuild for streaming_dedup_ingest: the
+    (shingle, signature) index over every COMMITTED batch directory —
+    directories without a _SUCCESS marker are partial writes from the
+    crash and are excluded (their batch will be replayed and re-written).
+    Returns None when nothing has committed yet. Local-filesystem listing;
+    on a cluster substitute the object-store/HDFS listing, same marker
+    contract."""
+    import os
+
+    from ..operators.dedup import build_dedup_index
+
+    committed = [
+        f"{out_dir}/{d}"
+        for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
+        if d.startswith("batch_id=")
+        and os.path.exists(f"{out_dir}/{d}/_SUCCESS")
+    ]
+    if not committed:
+        return None
+    kept = spark.read.parquet(*committed).select("doc_id", "text")
+    sh, sig = build_dedup_index(kept)
+    return (sh.localCheckpoint(eager=True), sig.localCheckpoint(eager=True))
 
 
 def stream_interval_join(

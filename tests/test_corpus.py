@@ -643,3 +643,57 @@ def test_corpus_report_single_scan_and_empty_input(spark, sf_dir):
         [], "doc_id bigint, text string, lang string, source string, n_chars bigint"
     )
     assert corpus_report(empty).collect() == []
+
+
+def test_build_corpus_cluster_survives_when_keeper_fails_quality(spark, sf_dir):
+    """r04 review fix: a near-dup cluster whose RAW canonical (min doc_id)
+    fails the quality gate must still be represented by its best surviving
+    member — the old cluster_id-based canonicalization dropped the keeper
+    via quality AND every other member as a 'loser', erasing the cluster's
+    content entirely. At min_quality_bp=5200 the sf0.001 corpus has exactly
+    such a cluster (6000 exercises it at sf0.01); assert every cluster
+    with >= 1 quality+exact survivor contributes exactly one kept doc
+    (the min surviving id)."""
+    from pyspark.sql import functions as F
+
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.corpus import build_training_corpus
+    from apache_jira_scraper_spark.operators.dedup import q_dedup_clusters
+    from apache_jira_scraper_spark.operators.text import q_quality_score
+
+    thr = 5200 if sf_dir.rstrip('/').endswith('sf0.001') else 6000
+    out_ids = {
+        r["doc_id"] for r in build_training_corpus(spark, sf_dir, min_quality_bp=thr).collect()
+    }
+
+    docs = load_table(spark, sf_dir, "documents")
+    quality = {
+        r["doc_id"]
+        for r in q_quality_score(spark, sf_dir)
+        .filter(F.col("quality_score_bp") >= thr)
+        .collect()
+    }
+    exact = {
+        r["doc_id"]
+        for r in docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .collect()
+    }
+    survivors = quality & exact
+    clusters = {}
+    for r in q_dedup_clusters(spark, sf_dir).collect():
+        clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+
+    keeper_failed_somewhere = False
+    for cid, members in clusters.items():
+        surviving = sorted(m for m in members if m in survivors)
+        kept_here = [m for m in members if m in out_ids]
+        if surviving:
+            # exactly one representative: the min SURVIVING member
+            assert kept_here == [surviving[0]], (cid, surviving, kept_here)
+            if surviving[0] != cid:
+                keeper_failed_somewhere = True
+        else:
+            assert kept_here == [], (cid, kept_here)
+    # the corpus must actually exercise the fixed case at this threshold
+    assert keeper_failed_somewhere

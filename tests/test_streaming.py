@@ -288,3 +288,79 @@ def test_streaming_dedup_ingest_cross_batch_state(spark, tmp_path):
     # actually crossed the batch boundary
     assert 10 not in landed_ids and 12 not in landed_ids and 11 in landed_ids
     assert {b for _, b in landed} == {0, 1}
+
+
+def test_streaming_dedup_ingest_replay_preserves_committed_batch(spark, tmp_path):
+    """The crash-replay case the r04 review caught: the batch-N write
+    COMMITTED but the streaming checkpoint did not. On restart the state
+    is rebuilt from the kept output (which already contains batch N) and
+    batch N replays. The sink must SKIP the committed directory — the old
+    behavior re-deduped the replayed docs against an index that already
+    held them, classified every one as an id-replay, and overwrote the
+    committed survivors with an empty directory."""
+    import os
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        rebuild_dedup_ingest_state,
+        streaming_dedup_ingest,
+    )
+
+    base = lambda i: " ".join(f"d{i}w{j}" for j in range(12))  # noqa: E731
+    batch = [(0, base(0)), (1, base(1))]
+    schema = "doc_id long, text string"
+
+    landing = str(tmp_path / "docs")
+    os.makedirs(landing)
+    spark.createDataFrame(batch, schema).coalesce(1).write.parquet(f"{landing}/a")
+    out_dir = str(tmp_path / "out")
+
+    # run 1: lands batch 0, commits its directory
+    q = streaming_dedup_ingest(
+        spark.readStream.schema(schema).parquet(f"{landing}/*"),
+        out_dir,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination()
+    first = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert first == {0, 1}
+    assert os.path.exists(f"{out_dir}/batch_id=0/_SUCCESS")
+
+    # simulated restart-after-crash-before-checkpoint-commit: rebuild the
+    # index from the committed output, then REPLAY the same batch with a
+    # FRESH checkpoint (same batch_id=0)
+    state = rebuild_dedup_ingest_state(spark, out_dir)
+    assert state is not None
+    q2 = streaming_dedup_ingest(
+        spark.readStream.schema(schema).parquet(f"{landing}/*"),
+        out_dir,
+        str(tmp_path / "ckpt2"),
+        initial_index=state,
+    )
+    q2.awaitTermination()
+    replayed = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    assert replayed == {0, 1}  # the committed batch survives the replay
+
+
+def test_rebuild_state_excludes_partial_batch_dirs(spark, tmp_path):
+    """A batch directory without _SUCCESS (partial write from the crash)
+    must not enter the rebuilt index: its batch will replay and write from
+    scratch, and pre-indexing its docs would replay-kill them."""
+    import os
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        rebuild_dedup_ingest_state,
+    )
+
+    out_dir = str(tmp_path / "out")
+    schema = "doc_id long, text string, batch_id long"
+    spark.createDataFrame(
+        [(0, "a b c d e f", 0)], schema
+    ).coalesce(1).write.parquet(f"{out_dir}/batch_id=0")
+    spark.createDataFrame(
+        [(5, "p q r s t u", 1)], schema
+    ).coalesce(1).write.parquet(f"{out_dir}/batch_id=1")
+    os.remove(f"{out_dir}/batch_id=1/_SUCCESS")  # simulate the partial write
+
+    sh, sig = rebuild_dedup_ingest_state(spark, out_dir)
+    ids = {r["doc_id"] for r in sig.select("doc_id").distinct().collect()}
+    assert ids == {0}  # committed batch only
