@@ -289,43 +289,13 @@ def _minhash_pairs_uncached(
         .persist()
     )
 
-    # Exact-jaccard verification ONLY over candidate documents: semi-join the
-    # candidate set against the shingle index before the self-join — the
-    # full-corpus shingle self-join explodes on hot shingles and is exactly
-    # what LSH exists to avoid. sizes need only candidate docs too. NO
-    # broadcast hint: LSH candidate volume is O(dup_rate * n) — on a
-    # dup-heavy crawl (the workload dedup exists for) this side is
-    # corpus-cardinality, so a forced broadcast OOMs at 100 TB. The shuffle
-    # semi-join is safe at any size, and AQE still demotes it to a broadcast
-    # at runtime when the candidate set actually is small.
-    cand_docs = (
-        cand.select(F.col("d1").alias("doc_id"))
-        .unionByName(cand.select(F.col("d2").alias("doc_id")))
-        .distinct()
-    )
-    sh_cand = sh.join(cand_docs, "doc_id", "left_semi").persist()
-    sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh_cand.select(F.col("doc_id").alias("d1"), "sh")
-        .join(sh_cand.select(F.col("doc_id").alias("d2"), "sh"), "sh")
-        .filter(F.col("d1") < F.col("d2"))
-        .join(cand, ["d1", "d2"], "left_semi")
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    jac = (
-        inter.join(sizes.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1")), "d1")
-        .join(sizes.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2")), "d2")
-        .select(
-            "d1",
-            "d2",
-            F.round(
-                F.col("i").cast("double") / (F.col("n1") + F.col("n2") - F.col("i")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
-    )
-    return jac, [cand, sh_cand]
+    # Exact-jaccard verification via the ONE shared implementation
+    # (_verify_jaccard; ordered pairs, shingle semi-join persisted into
+    # the returned scratch list) — the batch and incremental paths must
+    # run literally the same verification code or they drift.
+    scratch: list[DataFrame] = [cand]
+    jac = _verify_jaccard(sh, cand, ordered=True, scratch=scratch)
+    return jac, scratch
 
 
 def build_dedup_index(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -370,23 +340,43 @@ def _band_rows(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "b.bidx", "b.bk")
 
 
-def _verify_jaccard(sh_all: DataFrame, cand: DataFrame) -> DataFrame:
+def _verify_jaccard(
+    sh_all: DataFrame,
+    cand: DataFrame,
+    ordered: bool = False,
+    scratch: list[DataFrame] | None = None,
+) -> DataFrame:
     """Exact-jaccard verification of (d1, d2) candidates against a hashed
-    shingle table, restricted to candidate docs via semi-joins — identical
-    math to _minhash_pairs_uncached's verification stage. Candidate volume
-    is O(dup_rate * n), so no broadcast hints: shuffle semi-joins scale to
-    any candidate count and AQE broadcasts small sets at runtime."""
+    shingle table, restricted to candidate docs via semi-joins — THE
+    verification stage, shared by the batch LSH path
+    (_minhash_pairs_uncached: ordered=True) and the incremental path so a
+    change to the contract cannot desynchronize them. Candidate volume is
+    O(dup_rate * n), so no broadcast hints: shuffle semi-joins scale to
+    any candidate count and AQE broadcasts small sets at runtime.
+
+    ordered=True restricts to d1 < d2 candidate pairs (the self-join
+    canonical form); False verifies both orientations (the incremental
+    new-vs-index form). Pass a `scratch` list to persist the candidate
+    shingle projection for multi-action callers — the persisted DF is
+    appended for the CALLER to unpersist once its consumers have run.
+    """
     cand_docs = (
         cand.select(F.col("d1").alias("doc_id"))
         .unionByName(cand.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
     sh_cand = sh_all.join(cand_docs, "doc_id", "left_semi")
+    if scratch is not None:
+        sh_cand = sh_cand.persist()
+        scratch.append(sh_cand)
+    pair_pred = (
+        (F.col("d1") < F.col("d2")) if ordered else (F.col("d1") != F.col("d2"))
+    )
     sizes = sh_cand.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         sh_cand.select(F.col("doc_id").alias("d1"), "sh")
         .join(sh_cand.select(F.col("doc_id").alias("d2"), "sh"), "sh")
-        .filter(F.col("d1") != F.col("d2"))
+        .filter(pair_pred)
         .join(cand, ["d1", "d2"], "left_semi")
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -653,7 +643,10 @@ def q_dedup_ngram_jaccard(
             .filter(F.col("df") <= max_doc_freq)
             .select("sh")
         )
-        sh = sh.join(cold, "sh", "left_semi").persist()
+        # localCheckpoint, not persist: persist() pins the plan in the
+        # CacheManager for the rest of the session (never GC'd); checkpoint
+        # blocks are ContextCleaner-managed once this DF goes out of scope
+        sh = sh.join(cold, "sh", "left_semi").localCheckpoint(eager=True)
     # Per-doc set size via a window over the shingle table itself — the
     # COUNT lands in the SAME doc_id shuffle that a join against a separate
     # sizes table would need anyway, but with no second table and no
@@ -664,11 +657,14 @@ def q_dedup_ngram_jaccard(
         "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
     # Lossless size-ratio prefilter: jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|),
-    # so pairs outside the [4/5, 5/4] size band can never reach 0.8 — prune
-    # them inside the join before the pair-count aggregation. Integer-only
-    # arithmetic (n*4, n*5) keeps it engine-exact; the oracle omits the
-    # filter and still produces identical results because pruned pairs
-    # cannot pass the threshold.
+    # so pairs whose size ratio cannot reach the threshold are pruned
+    # inside the join before the pair-count aggregation. The cut honors the
+    # ROUNDED emission filter: the final filter is round(j, 6) >= 0.8,
+    # which admits true jaccard down to 0.7999995 — a sharp 4/5 ratio cut
+    # would prune a pair at j = 0.7999996 that the (unfiltered) oracle
+    # keeps after rounding. Integer-only arithmetic at 1e7 scale stays
+    # engine-exact and overflow-free (n ≤ ~1e9 shingles → 1e16 < 2^63).
+    thr_e7 = int(round(JACCARD_THRESHOLD * 10_000_000)) - 5  # round-down margin
     left = sh_sized.select(
         F.col("doc_id").alias("d1"), "sh", F.col("n").alias("n1")
     )
@@ -682,8 +678,8 @@ def q_dedup_ngram_jaccard(
         left.join(right, "sh")
         .filter(
             (F.col("d1") < F.col("d2"))
-            & (F.col("n1") * 5 >= F.col("n2") * 4)
-            & (F.col("n2") * 5 >= F.col("n1") * 4)
+            & (F.col("n1") * 10_000_000 >= F.col("n2") * thr_e7)
+            & (F.col("n2") * 10_000_000 >= F.col("n1") * thr_e7)
         )
         .groupBy("d1", "d2", "n1", "n2")
         .agg(F.count(F.lit(1)).alias("i"))
@@ -792,6 +788,24 @@ def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_SIG_SQL = f"SELECT * FROM ({_SIMHASH_SQL}) s ORDER BY doc_id"
 
 
+_SIMHASH_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized (doc_id, simhash) sketch table — the shingle_
+    index pattern: the pair join's two sides read one checkpointed leaf. A
+    bare .persist() here registered the plan in the CacheManager forever
+    (a strong reference — never GC'd, executor storage leaked for the rest
+    of the session); the localCheckpoint blocks are ContextCleaner-managed
+    and the cache is keyed per (session, sf_dir) like its siblings."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIMHASH_CACHE.get(key)
+    if cached is None:
+        cached = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
+        _SIMHASH_CACHE[key] = cached
+    return cached
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: hamming distance ≤ 3 on the 60-bit sketch.
 
@@ -803,7 +817,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs that collide in several blocks. This is the Manku/Google simhash
     dedup layout: equi-join shuffles on a small key, never a cross-join.
     """
-    sim = _simhash_df(spark, sf_dir).persist()
+    sim = _simhash_cached(spark, sf_dir)
     blocks = sim.select(
         "doc_id",
         "simhash",
@@ -922,6 +936,11 @@ def _pairs_multi_table(
             )
         ).alias("b"),
     ).select("vec_id", "label", "e", "nrm", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt"))
+    # Lazy checkpoint: without it the self-join's two branches each carry
+    # the n_tables × n_bits bucket HOF subtree through analysis — the plan
+    # duplication _emb_projection exists to avoid; eager=False keeps plan
+    # construction side-effect-free and shares one leaf across both sides.
+    bt = bt.localCheckpoint(eager=False)
     a = bt.select(
         F.col("vec_id").alias("v1"), "label", "t", "bkt",
         F.col("e").alias("e1"), F.col("nrm").alias("n1"),

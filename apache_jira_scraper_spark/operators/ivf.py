@@ -64,8 +64,22 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def _centroid_rows(centroids: DataFrame) -> list[tuple[int, list[float]]]:
-    """Land the model on the driver — bounded at O(k*dim) by construction."""
-    return [(int(r["cid"]), list(r["centroid"])) for r in centroids.collect()]
+    """Land the model on the driver — bounded at O(k*dim) by construction.
+    Non-finite coordinates are rejected with a clear error: repr(nan/inf)
+    renders as 'nanD'/'infD' inside the literal SQL expression and the
+    resulting ParseException would surface far from the actual cause (a
+    NaN vector that leaked into training)."""
+    import math
+
+    rows = [(int(r["cid"]), list(r["centroid"])) for r in centroids.collect()]
+    for cid, c in rows:
+        if not all(math.isfinite(x) for x in c):
+            raise ValueError(
+                f"centroid {cid} contains a non-finite coordinate - a NaN/Inf "
+                "vector reached the model; filter non-finite embeddings before "
+                "training"
+            )
+    return rows
 
 
 def _arr_sql(c: list[float]) -> str:
@@ -119,7 +133,6 @@ def ivf_build(
     which dominates wall time at small SF.
     """
     spark = emb.sparkSession
-    dim = len(emb.select(vec_col).first()[0])
     sample = (
         emb.select(id_col, vec_col)
         .orderBy(id_col)
@@ -130,10 +143,14 @@ def ivf_build(
     def _literal(rows: list[tuple[int, list[float]]]) -> DataFrame:
         return spark.createDataFrame(rows, "cid int, centroid array<double>")
 
-    cur = [
-        (i, list(r[0]))
-        for i, r in enumerate(sample.orderBy(id_col).limit(k).select(vec_col).collect())
-    ]
+    init = sample.orderBy(id_col).limit(k).select(vec_col).collect()
+    if not init:
+        sample.unpersist()
+        raise ValueError("ivf_build: empty embeddings input - nothing to train on")
+    # dimension read from the init vectors already on the driver — no
+    # dedicated first() job just for the width
+    dim = len(init[0][0])
+    cur = [(i, list(r[0])) for i, r in enumerate(init)]
     # invariant across rounds — build the per-dimension mean expression once
     avg_arr = F.expr(
         "array(" + ",".join(f"avg({vec_col}[{i}])" for i in range(dim)) + ")"
@@ -183,9 +200,14 @@ def ivf_assign(
 
     Small k (<= _LITERAL_K_MAX): a zero-shuffle narrow map — argsort of the
     k distance structs per row, slice nprobe, explode. Large k: the same
-    argmin as a broadcast join + min-struct aggregation keyed by `id_col`
-    (the corpus side still never shuffles on data; the agg is keyed by the
-    row id, with the remaining columns carried inside the min struct).
+    argmin as a broadcast join; nprobe=1 (the inverted-list corpus
+    assignment) reduces with a MIN-struct aggregation — partial-aggregable
+    map-side, ONE struct of state per key, payload rides inside the kept
+    struct so no join back — and nprobe>1 takes the nprobe smallest via a
+    row_number window, which sorts spill-ably instead of buffering all k
+    distance structs per row in aggregation state (a collect_list of k
+    payload-carrying structs is O(k·dim) PER ROW — executor OOM at
+    exactly the 65k-cell scale this branch exists for).
     """
     rows = _centroid_rows(centroids)
     keys = list(emb.columns)
@@ -206,12 +228,17 @@ def ivf_assign(
             payload,
         ).alias("dc"),
     )
-    return (
-        pairs.groupBy(id_col)
-        .agg(F.slice(F.sort_array(F.collect_list("dc")), 1, nprobe).alias("_probes"))
-        .select(id_col, F.explode("_probes").alias("dc"))
-        .select(id_col, "dc.p.*", F.col("dc.cid").alias("cid"))
-        .select(*keys, "cid")
+    if nprobe == 1:
+        probed = pairs.groupBy(id_col).agg(F.min("dc").alias("dc"))
+    else:
+        w = Window.partitionBy(id_col).orderBy(F.col("dc.d"), F.col("dc.cid"))
+        probed = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= nprobe)
+            .drop("_rn")
+        )
+    return probed.select(id_col, "dc.p.*", F.col("dc.cid").alias("cid")).select(
+        *keys, "cid"
     )
 
 
@@ -316,10 +343,12 @@ def ivf_search(
                 "cosine"
             ),
         )
-        # a (query, neighbor) pair can surface from several probed cells —
-        # collapse before ranking
-        .groupBy("qid", "nid", "label")
-        .agg(F.first("cosine").alias("cosine"))
+        # NO pair-collapse aggregation: the corpus side carries exactly ONE
+        # cid per vector (rank-1 inverted-list membership) and a query's
+        # probe cids are distinct, so a (qid, nid) pair can meet in at most
+        # one cell — a groupBy here would shuffle the whole scored candidate
+        # set to provably merge nothing. (ivf_near_dup_pairs DOES collapse:
+        # there BOTH sides are nprobe-assigned and pairs genuinely repeat.)
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
     return (

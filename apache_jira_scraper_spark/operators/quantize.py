@@ -55,18 +55,31 @@ def quantize_embeddings(
     Returns `keep` columns plus `qv array<tinyint>` and `scale double`
     (scale = max|x|/127; the all-zero vector gets scale 0 and an all-zero
     qv — guarded so the division never produces NaN columns).
+
+    scale is STAGED in its own projection before the quantization lambda:
+    HOF lambda bodies get no whole-stage codegen or common-subexpression
+    elimination, so an inlined scale (an array_max fold over the whole
+    vector) would be re-evaluated for EVERY element — O(dim²) arithmetic
+    per row on the multi-TB table this module exists to shrink. The
+    multi-referenced non-cheap alias survives CollapseProject (the
+    dedup._doc_shingle_df trick).
     """
-    scale = _maxabs(F.col(vec_col)) / F.lit(float(Q_LEVELS))
+    staged = emb.select(
+        *keep,
+        F.col(vec_col).alias("_v"),
+        (_maxabs(F.col(vec_col)) / F.lit(float(Q_LEVELS))).alias("scale"),
+    )
+    scale = F.col("scale")
     q = F.when(
         scale == 0.0,
-        F.transform(F.col(vec_col), lambda x: F.lit(0).cast("tinyint")),
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("tinyint")),
     ).otherwise(
         F.transform(
-            F.col(vec_col),
+            F.col("_v"),
             lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint"),
         )
     )
-    return emb.select(*keep, q.alias("qv"), scale.alias("scale"))
+    return staged.select(*keep, q.alias("qv"), scale.alias("scale"))
 
 
 def _idot(a: Column, b: Column) -> Column:
@@ -219,9 +232,9 @@ def ivf_quantized_topk(
             "nid",
             F.round(quantized_cosine(F.col("q1"), F.col("q2")), 6).alias("qcosine"),
         )
-        # a pair can meet in several probed cells — collapse before ranking
-        .groupBy("qid", "nid")
-        .agg(F.first("qcosine").alias("qcosine"))
+        # NO pair-collapse aggregation — same proof as ivf_search: the
+        # corpus side is nprobe=1 (one cid per vector) and a query's probe
+        # cids are distinct, so each (qid, nid) pair meets at most once
     )
     w = Window.partitionBy("qid").orderBy(F.desc("qcosine"), F.asc("nid"))
     return (

@@ -146,6 +146,12 @@ def _bucket_t(e: Column, n_bits: int, t: int) -> Column:
     data-independent) directions and a pair missed by one table's buckets
     can collide in another's. t=0 is exactly the single-table _bucket.
     Requires dim >= 64 (the rotation reads high indices 33..64)."""
+    if not 1 <= n_bits <= 32:
+        # 0 bits silently collapses every vector into bucket 0 — the
+        # within-block join degrades to the full quadratic self-join the
+        # blocking exists to prevent; > 32 reads element_at past the
+        # 64-dim layout (null under non-ANSI → silently wrong buckets)
+        raise ValueError(f"n_bits must be in [1, 32], got {n_bits}")
     total = F.lit(0)
     for i in range(n_bits):
         total = total + F.when(
@@ -277,6 +283,12 @@ def ann_lsh_topk_multi(
             )
         ).alias("b"),
     ).select("vec_id", "e", "nrm", F.col("b.t").alias("t"), F.col("b.bkt").alias("bkt"))
+    # Lazy checkpoint: the self-join's two sides otherwise each carry the
+    # full n_tables × n_bits bucket-expression subtree through Catalyst —
+    # the exact plan-analysis duplication dedup._emb_projection exists to
+    # avoid. eager=False defers materialization to the first job (no
+    # plan-construction side effect) and both branches share the one leaf.
+    bt = bt.localCheckpoint(eager=False)
     q = bt.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn"),
         "t", "bkt",

@@ -208,3 +208,30 @@ def test_ann_or_amplification_recall(spark, sf_dir):
     r1, r2, r4 = recall(1), recall(2), recall(4)
     assert r1 <= r2 <= r4, (r1, r2, r4)
     assert r4 > r1, (r1, r4)  # amplification actually bites on this corpus
+
+
+def test_build_rejects_empty_and_nonfinite(spark, emb):
+    """Guards from the r04 review: empty training input raises a clear
+    ValueError (not a NoneType subscript), and a NaN coordinate reaching
+    the centroid model is rejected before it becomes an invalid 'nanD'
+    SQL literal deep inside the argmin expression."""
+    empty = spark.createDataFrame([], "vec_id long, e array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        ivf_build(empty)
+
+    bad = spark.createDataFrame(
+        [(0, [float("nan"), 1.0]), (1, [0.5, 0.5])], "cid int, centroid array<double>"
+    )
+    with pytest.raises(ValueError, match="non-finite"):
+        ivf_assign(emb, bad)
+
+
+def test_bucket_bits_validation(spark):
+    """n_bits outside [1, 32]: 0 silently collapses blocking to one bucket
+    (quadratic self-join) and >32 reads past the 64-dim layout — both are
+    rejected loudly."""
+    from apache_jira_scraper_spark.operators.similarity import _bucket_t
+
+    for bad in (0, -1, 33):
+        with pytest.raises(ValueError, match="n_bits"):
+            _bucket_t(F.col("e"), bad, 0)
