@@ -63,6 +63,33 @@ def pin_utc_session(spark: SparkSession, why: str) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def normalize_events_ts(df: DataFrame, spark: SparkSession, context: str) -> DataFrame:
+    """Normalize events.ts to a plain µs TimestampType whatever the file
+    stores — THE ts dispatch, shared by the batch loader and the streaming
+    source builder (extended._events_stream) so the two read identical
+    wall-clock values:
+
+      - legacy testdata: TIMESTAMP(NANOS) read as raw nanos via the
+        nanosAsLong conf → DIV 1000 truncates exactly like Spark's own
+        ns→µs handling would
+      - current testdata: TIMESTAMP(MICROS) without timezone → Spark reads
+        TIMESTAMP_NTZ, which watermarks/windows reject; cast to TIMESTAMP
+        under a UTC session so the wall-clock values the DuckDB oracle
+        sees in the naive column are preserved
+
+    DuckDB-oracle queries never compare sub-second. Works on batch and
+    streaming DataFrames alike (only the schema is consulted)."""
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif dt == "timestamp_ntz":
+        pin_utc_session(spark, context)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -74,24 +101,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # Normalize ts to a plain µs TimestampType whatever the file stores:
-        #   - legacy testdata: TIMESTAMP(NANOS) read as raw nanos via
-        #     nanosAsLong → DIV 1000 truncates exactly like Spark's own
-        #     ns→µs handling would
-        #   - current testdata: TIMESTAMP(MICROS) without timezone → Spark
-        #     reads TIMESTAMP_NTZ, which watermarks/windows reject; cast to
-        #     TIMESTAMP under a UTC session so the wall-clock values the
-        #     DuckDB oracle sees in the naive column are preserved
-        # DuckDB-oracle queries never compare sub-second.
-        from pyspark.sql import functions as F
-
-        dt = dict(df.dtypes).get("ts")
-        if dt == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        elif dt == "timestamp_ntz":
-            pin_utc_session(spark, "events.ts is TIMESTAMP_NTZ and must keep "
-                            "its wall-clock values through the TIMESTAMP cast")
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_events_ts(
+            df,
+            spark,
+            "events.ts is TIMESTAMP_NTZ and must keep its wall-clock values "
+            "through the TIMESTAMP cast",
+        )
     return df
 
 

@@ -160,18 +160,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_DIRS[sf_dir] = d
     raw_schema = spark.read.parquet(path).schema
     raw = spark.readStream.schema(raw_schema).parquet(_STREAM_DIRS[sf_dir])
-    # Newer testdata writes ts as TIMESTAMP(MICROS) natively; only legacy
-    # nanos-as-long files need the explicit conversion (mirrors io.load_table).
-    if raw_schema["ts"].dataType.simpleString() == "bigint":
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif raw_schema["ts"].dataType.simpleString() == "timestamp_ntz":
-        # Watermarks require TIMESTAMP (with local tz); the UTC pin keeps
-        # the cast wall-clock-preserving (see io.pin_utc_session).
-        from ..io import pin_utc_session
+    # ONE shared ts dispatch with the batch loader (io.normalize_events_ts):
+    # a storage-type change handled only on the batch side would make
+    # stream gates read different wall-clock values than the batch oracle.
+    from ..io import normalize_events_ts
 
-        pin_utc_session(spark, "streaming events.ts is TIMESTAMP_NTZ")
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_events_ts(raw, spark, "streaming events.ts is TIMESTAMP_NTZ")
 
 
 def _start_to_memory(df: DataFrame, mode: str):

@@ -266,13 +266,32 @@ def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
     )
 
 
+def _frame_bytes(stride: int) -> "F.Column":
+    """Every stride-th BYTE of the binary `content` column as its integer
+    value — THE frame-sampling expression, shared by frame_sample and the
+    decode gate so the two cannot drift. substring() slices BinaryType
+    directly (1-byte binary), and hex→conv recovers the byte value; the
+    old cast-to-string + ascii() form UTF-8-decoded the payload first, so
+    any non-ASCII byte became U+FFFD and char indexes diverged from byte
+    offsets — wrong for exactly the real image/video payloads this module
+    models. (The DuckDB twin reads the pre-encode `text` with
+    ascii(substr(...)) — equivalent on the ASCII synthetic corpus, where
+    byte == codepoint.)"""
+    n = F.octet_length("content")
+    idx = F.sequence(F.lit(1), n, F.lit(stride))
+    return F.transform(
+        idx,
+        lambda i: F.conv(F.hex(F.substring(F.col("content"), i, F.lit(1))), 16, 10).cast(
+            "int"
+        ),
+    )
+
+
 def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame sampling for "video" payloads: every stride-th byte, as the
     stand-in for keyframe selection. Pure column algebra (no UDF needed) —
     slicing bytes is expressible with substring/sequence natively."""
-    n = F.octet_length("content")
-    idx = F.sequence(F.lit(1), n, F.lit(stride))
-    frames = F.transform(idx, lambda i: F.ascii(F.substring(F.col("content").cast("string"), i, 1)))
+    frames = _frame_bytes(stride)
     return media.select("doc_id", frames.alias("frames"), F.size(frames).alias("n_frames"))
 
 
@@ -293,11 +312,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would read the payload twice and shuffle on doc_id). The metadata
     # columns (content digest, typed width/height — formerly the separate
     # multimodal_meta gate) ride along the same way.
-    n = F.octet_length("content")
-    idx = F.sequence(F.lit(1), n, F.lit(FRAME_STRIDE))
-    frames = F.transform(
-        idx, lambda i: F.ascii(F.substring(F.col("content").cast("string"), i, 1))
-    )
+    frames = _frame_bytes(FRAME_STRIDE)
     # stage the frame array once; md5 and size then read the alias instead
     # of re-materializing the byte-slicing transform per output column
     enriched = media.select("doc_id", "content", "meta", frames.alias("frames")).select(

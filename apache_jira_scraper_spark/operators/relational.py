@@ -68,7 +68,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Sums stay exact decimal internally (scale 2/4/6 = the natural
             # scale of each product); the OUTPUT is fixed-point BIGINT so the
             # driver's pandas-bridge hash is engine-stable.
-            _fx(F.sum(_dec("l_quantity")), 0).alias("sum_qty"),
+            # floor on BOTH engines: _fx's k >= scale invariant doesn't
+            # hold at k=0 over a scale-2 decimal — on a corpus with
+            # fractional quantities Spark's bigint cast truncates where
+            # DuckDB's rounds half-even. floor(sum) is identical on both
+            # and unchanged for integral quantities.
+            F.floor(F.sum(_dec("l_quantity"))).cast("bigint").alias("sum_qty"),
             _fx(F.sum(_dec("l_extendedprice")), 2).alias("sum_base_price_cents"),
             _fx(F.sum(disc_price), 4).alias("sum_disc_price_e4"),
             _fx(F.sum(charge), 6).alias("sum_charge_e6"),
@@ -86,7 +91,7 @@ Q1_SQL = """
 SELECT
   l_returnflag,
   l_linestatus,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(15,2))) AS BIGINT) AS sum_qty,
+  CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(15,2)))) AS BIGINT) AS sum_qty,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))) * 100 AS BIGINT) AS sum_base_price_cents,
   CAST(SUM(CAST(l_extendedprice AS DECIMAL(15,2))
            * (CAST(1 AS DECIMAL(7,2)) - CAST(l_discount AS DECIMAL(7,2)))) * 10000 AS BIGINT) AS sum_disc_price_e4,
@@ -568,9 +573,11 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     legs = [
         building.intersect(recent).select(F.lit("intersect").alias("op"), "custkey"),
-        building.exceptAll(recent.distinct())
-        .distinct()
-        .select(F.lit("except").alias("op"), "custkey"),
+        # subtract IS Spark's EXCEPT DISTINCT — the exceptAll+distinct
+        # composition only matched EXCEPT because the left side happened
+        # to be key-unique (a duplicate surviving exceptAll would be kept
+        # where EXCEPT drops it)
+        building.subtract(recent).select(F.lit("except").alias("op"), "custkey"),
         building.union(recent).distinct().select(F.lit("union").alias("op"), "custkey"),
     ]
     return legs[0].unionAll(legs[1]).unionAll(legs[2]).orderBy("op", "custkey")
@@ -1042,6 +1049,10 @@ def q_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Composite ordering key (days-since-epoch, o_orderkey) packed into one
     # BIGINT so max_by/min_by ties on equal dates resolve identically in both
     # engines — bare max_by(x, o_orderdate) is nondeterministic under ties.
+    # Packing bound: o_orderkey must stay < 1e12 or keys from different
+    # dates collide — that is SF ~166k in this schema (~1.7x the 100 TB
+    # design point); past it, widen the pack to DECIMAL(38,0) like the
+    # ratio-to-total numerator.
     ord_key = (
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast(
             "bigint"

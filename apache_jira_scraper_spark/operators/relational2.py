@@ -72,6 +72,7 @@ def q_customer_order_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     orders = load_table(spark, sf_dir, "orders")
+    # packing bound: o_orderkey < 1e12 (SF ~166k) — see q_argmax's note
     ord_key = (
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast(
             "bigint"

@@ -143,3 +143,17 @@ def test_patch_grid_region_alignment(spark):
     tile00 = img[0:16, 0:16]
     assert got[(0, 0)][1] == hashlib.md5(tile00.tobytes()).hexdigest()
     assert got[(0, 0)][0] == float(tile00.mean())
+
+
+def test_frame_sample_byte_exact_on_non_ascii_payload(spark):
+    """r04 review fix: frame values are the actual BYTES at stride
+    offsets — the old cast-to-string form UTF-8-decoded the payload, so
+    non-ASCII bytes became U+FFFD and char indexes diverged from byte
+    offsets (wrong for exactly the real binary payloads this models)."""
+    from apache_jira_scraper_spark.operators.multimodal import frame_sample
+
+    payload = bytes([0, 65, 195, 169, 255, 128, 66])
+    df = spark.createDataFrame([(1, payload)], "doc_id long, content binary")
+    out = frame_sample(df, stride=2).collect()[0]
+    assert out["frames"] == list(payload[::2])
+    assert out["n_frames"] == len(payload[::2])
