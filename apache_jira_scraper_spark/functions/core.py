@@ -12,6 +12,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# THE whitespace-run pattern, shared verbatim by the Spark expressions and
+# every DuckDB oracle string: an EXPLICIT class, not \s, because the two
+# engines disagree on \s — Java's includes vertical tab (\x0B), RE2's does
+# not — so a document containing \x0B would clean differently per engine
+# and hash-fail every gate built on cleaned text. The explicit class is
+# Java's \s set (which also matches the reference's str.split()).
+WS_RUN = r"[ \t\n\x0B\f\r]+"
+
+
 def clean_text(col: Column | str, max_length: int | None = None) -> Column:
     """Whitespace-normalize + optional truncate-with-ellipsis.
 
@@ -22,7 +31,7 @@ def clean_text(col: Column | str, max_length: int | None = None) -> Column:
     result is max_length+3 chars (pinned by test_scrapper.py:43-44).
     """
     c = F.col(col) if isinstance(col, str) else col
-    cleaned = F.coalesce(F.trim(F.regexp_replace(c, r"\s+", " ")), F.lit(""))
+    cleaned = F.coalesce(F.trim(F.regexp_replace(c, WS_RUN, " ")), F.lit(""))
     if max_length is not None:
         cleaned = F.when(
             F.length(cleaned) > max_length,
@@ -48,9 +57,15 @@ def parse_jira_timestamp(col: Column | str) -> Column:
     Deliberate upgrade over the reference's string passthrough
     (utils.py:124-141): Jira emits `2024-01-01T00:00:00.000+0000`
     (fixture at test_scrapper.py:129-130). NULL/empty -> NULL.
+
+    try_to_timestamp, not to_timestamp: under the ANSI-on Spark 4 default
+    a malformed or EMPTY string aborts the whole job with
+    CANNOT_PARSE_TIMESTAMP — and the silver schema guarantees empty
+    strings (extract._ts_string maps a NULL resolutiondate to ''), so
+    the strict form crashes on the first unresolved issue.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.to_timestamp(c, "yyyy-MM-dd'T'HH:mm:ss.SSSZ")
+    return F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSZ"))
 
 
 def sanitize_filename(col: Column | str) -> Column:

@@ -63,6 +63,26 @@ def pin_utc_session(spark: SparkSession, why: str) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def session_cached(cache: dict, spark: SparkSession, extra_key: tuple, build):
+    """Session-scoped memoization for materialized (localCheckpoint'd)
+    DataFrames, keyed (applicationId, *extra_key) — THE cache discipline
+    for the per-session silver tables (shingle index, pair table, simhash
+    sketch, issues table, embedding projections). Entries from OTHER
+    applicationIds are evicted on insert: they reference stopped
+    SparkContexts whose checkpoint blocks are already gone, and would
+    otherwise accumulate one dead DataFrame per session restart for the
+    process lifetime."""
+    app = spark.sparkContext.applicationId
+    key = (app, *extra_key)
+    got = cache.get(key)
+    if got is None:
+        for k in [k for k in cache if k[0] != app]:
+            del cache[k]
+        got = build()
+        cache[key] = got
+    return got
+
+
 def normalize_events_ts(df: DataFrame, spark: SparkSession, context: str) -> DataFrame:
     """Normalize events.ts to a plain µs TimestampType whatever the file
     stores — THE ts dispatch, shared by the batch loader and the streaming

@@ -229,12 +229,14 @@ def shingle_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH verification, and the exact n-gram jaccard join all read the same
     blocks. The production analog is landing the shingle table once between
     pipeline stages rather than re-tokenizing the corpus per operator."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SHINGLE_CACHE.get(key)
-    if cached is None:
-        cached = _doc_shingle_hashed(spark, sf_dir).localCheckpoint(eager=True)
-        _SHINGLE_CACHE[key] = cached
-    return cached
+    from ..io import session_cached
+
+    return session_cached(
+        _SHINGLE_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: _doc_shingle_hashed(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -252,9 +254,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified with exact jaccard via the shared-shingle inverted index and
     filtered at 0.5.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _PAIRS_CACHE.get(key)
-    if cached is None:
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
         jac, scratch = _minhash_pairs_uncached(spark, sf_dir)
         cached = jac.localCheckpoint(eager=True)
         # The checkpoint holds the final pair blocks; the build-time caches
@@ -262,8 +264,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # memory for the rest of the session pressuring every later query.
         for df in scratch:
             df.unpersist()
-        _PAIRS_CACHE[key] = cached
-    return cached
+        return cached
+
+    return session_cached(_PAIRS_CACHE, spark, (sf_dir,), _build)
 
 
 def _minhash_pairs_uncached(
@@ -798,12 +801,14 @@ def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a strong reference — never GC'd, executor storage leaked for the rest
     of the session); the localCheckpoint blocks are ContextCleaner-managed
     and the cache is keyed per (session, sf_dir) like its siblings."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _SIMHASH_CACHE.get(key)
-    if cached is None:
-        cached = _simhash_df(spark, sf_dir).localCheckpoint(eager=True)
-        _SIMHASH_CACHE[key] = cached
-    return cached
+    from ..io import session_cached
+
+    return session_cached(
+        _SIMHASH_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: _simhash_df(spark, sf_dir).localCheckpoint(eager=True),
+    )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,13 +1020,13 @@ def _emb_projection(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
     leaf instead of each re-running the cast + norm + n_bits hyperplane
     dots — and Catalyst analyzes the big HOF expression tree once, not
     once per join side (the r03 wall-time jump was plan-side, not data)."""
-    key = (spark.sparkContext.applicationId, sf_dir, n_bits)
-    cached = _EMB_PROJ_CACHE.get(key)
-    if cached is None:
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
         emb = load_table_parallel(spark, sf_dir, "embeddings")
-        cached = _normed_bucketed(emb, n_bits).localCheckpoint(eager=True)
-        _EMB_PROJ_CACHE[key] = cached
-    return cached
+        return _normed_bucketed(emb, n_bits).localCheckpoint(eager=True)
+
+    return session_cached(_EMB_PROJ_CACHE, spark, (sf_dir, n_bits), _build)
 
 
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:

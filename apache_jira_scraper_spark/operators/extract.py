@@ -20,8 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions import clean_text, user_display_name
+from ..schemas import RAW_COMMENT
 
 MAX_DESCRIPTION_LENGTH = 20_000  # config.py:43
 MAX_COMMENT_LENGTH = 10_000  # config.py:44
@@ -59,9 +61,13 @@ def extract_issues(
     # Kept comments: clean each body first, then drop empties (scraper.py:244-255).
     cleaned_comments = F.filter(
         F.transform(
-            F.coalesce(f.getField("comment").getField("comments"), F.array().cast(
-                "array<struct<author:struct<displayName:string,name:string>,created:string,body:string>>"
-            )),
+            # the empty-array fallback's type is DERIVED from the declared
+            # schema - a hardcoded DDL copy would make F.coalesce's branch
+            # types diverge the moment RAW_COMMENT gains a field
+            F.coalesce(
+                f.getField("comment").getField("comments"),
+                F.array().cast(T.ArrayType(RAW_COMMENT).simpleString()),
+            ),
             lambda c: F.struct(
                 user_display_name(c.getField("author")).alias("author"),
                 _ts_string(c.getField("created")).alias("created"),

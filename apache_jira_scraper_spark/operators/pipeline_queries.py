@@ -183,9 +183,9 @@ def _issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     what a production pipeline would persist between its silver and gold
     stages.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    df = _ISSUES_CACHE.get(key)
-    if df is None:
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
         df = extract_issues(synthetic_raw_issues(spark, sf_dir))
         # Silver form: the example flatMap only ever reads the comments
         # array through two scalar digests (first-3 block / last-2 block),
@@ -201,9 +201,9 @@ def _issues(spark: SparkSession, sf_dir: str) -> DataFrame:
         # production analog is a silver parquet table (or reliable
         # checkpoint()); local-mode block storage is exactly that
         # materialization without the FS trip.
-        df = df.localCheckpoint(eager=True)
-        _ISSUES_CACHE[key] = df
-    return df
+        return df.localCheckpoint(eager=True)
+
+    return session_cached(_ISSUES_CACHE, spark, (sf_dir,), _build)
 
 
 def _examples(
@@ -216,7 +216,11 @@ def _examples(
 # Oracle SQL (shared CTE restating the pipeline semantics in ANSI SQL)
 # ---------------------------------------------------------------------------
 
-_CLEAN = "coalesce(trim(regexp_replace({x}, '\\s+', ' ', 'g')), '')"
+from ..functions.core import WS_RUN as _WS
+
+# the SAME explicit whitespace class as the Spark clean_text (see
+# functions.core.WS_RUN: Java and RE2 disagree on \s over \x0B)
+_CLEAN = "coalesce(trim(regexp_replace({x}, '" + _WS + "', ' ', 'g')), '')"
 
 _RAW_BODY = "substr(d.text, 1 + 13 * l_linenumber, 90)"
 
@@ -337,20 +341,6 @@ ex AS MATERIALIZED (
 # ---------------------------------------------------------------------------
 # Queries
 # ---------------------------------------------------------------------------
-
-_EX_COLS = [
-    "task_type",
-    "instruction",
-    "input",
-    "output",
-    "question_type",
-    "issue_key",
-    "project",
-    "status",
-    "priority",
-    "url",
-]
-
 
 def q_jira_issue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silver issue projection (P1-P5, F1-F4) over the synthetic envelope."""

@@ -22,14 +22,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Redaction classes, applied in order (email first so user@host never leaks
-# its host into the URL/domain pass; SSN before PHONE because the phone
-# pattern's separator forms would otherwise swallow d3-d2-d4 groups).
+# its host into the URL/domain pass; SSN before PHONE so the d3-d2-d4 SSN
+# shape is consumed before the phone pass scans the text). The phone
+# country code is OPTIONAL — a mandatory 1-2 digit prefix made the
+# pattern an 11-digit minimum, so the most common 10-digit forms
+# ('555-123-4567', '(555) 123-4567', '555.123.4567') passed through the
+# privacy stage unredacted with n_phone=0 (r04 review). An SSN still
+# cannot match the phone shape: d3-d2-d4 has no 3-digit middle group.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     (
         "phone",
-        r"\+?[0-9]{1,2}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+        r"(?:\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
         "<PHONE>",
     ),
     ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),

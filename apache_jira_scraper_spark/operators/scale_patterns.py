@@ -73,9 +73,8 @@ def skew_report(
     One pass, one shuffle (the per-key count), then driver-bounded
     results: the `top_n` hottest keys with their exact counts, plus the
     approximate p50/p90/p99 of the per-key count distribution and the
-    hot-key share of all rows. The verdict column restates the standard
-    rule of thumb — a top key holding >1/shuffle-partitions of the rows
-    will straggle its reducer.
+    hot-key share of all rows (rule of thumb for reading it: a top key
+    holding >1/shuffle-partitions of the rows will straggle its reducer).
 
     Output (top_n rows, ordered by count desc):
       key_value | cnt | share_ppm | p50 | p90 | p99 | max_over_p50
@@ -162,7 +161,13 @@ def salted_agg(
 
     Phase 1 shuffles on (key, salt) — a hot key's rows spread over `salts`
     partitions instead of one; phase 2 combines the `salts` partials per
-    key. sum/count compose exactly; avg is reconstructed from them.
+    key. sum/count compose exactly; avg is reconstructed from them using
+    the NON-NULL value count (SUM skips NULLs, so dividing by the row
+    count would understate the mean of any column with NULL measures —
+    avg()'s own denominator is count(value)).
+
+    Returns (key, total, n, n_values, mean): n is the row count, n_values
+    the non-NULL count the mean divides by.
     """
     _guard_salt_free(df, "salted_agg")
     salt = _salt_col(salts)
@@ -172,10 +177,12 @@ def salted_agg(
         .agg(
             F.sum(value).alias("_s"),
             F.count(F.lit(1)).alias("_n"),
+            F.count(value).alias("_nv"),
         )
     )
     return partial.groupBy(key).agg(
         F.sum("_s").alias("total"),
         F.sum("_n").alias("n"),
-        (F.sum("_s") / F.sum("_n")).alias("mean"),
+        F.sum("_nv").alias("n_values"),
+        (F.sum("_s") / F.sum("_nv")).alias("mean"),
     )

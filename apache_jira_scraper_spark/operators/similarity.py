@@ -73,10 +73,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn vote, and ivf_ann_topk's recall reference), so the N_QUERIES*TOP_K
     result rows are localCheckpoint-materialized once per (session, sf) —
     the same silver-table amortization as the jira family's _issues."""
-    key = (spark.sparkContext.applicationId, sf_dir)
-    cached = _EXACT_TOPK_CACHE.get(key)
-    if cached is not None:
-        return cached
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        return _cosine_topk_uncached(spark, sf_dir)
+
+    return session_cached(_EXACT_TOPK_CACHE, spark, (sf_dir,), _build)
+
+
+def _cosine_topk_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
@@ -103,7 +108,6 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("qid", "rank")
         .localCheckpoint(eager=True)
     )
-    _EXACT_TOPK_CACHE[key] = out
     return out
 
 
@@ -400,13 +404,13 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ivf import ivf_build, ivf_search
 
     emb = _emb(spark, sf_dir)
-    # keyed by (applicationId, sf_dir) like every session cache here — a
-    # recreated session must NOT see a DataFrame bound to the stopped one
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if key not in _IVF_CENTROIDS:
-        _IVF_CENTROIDS[key] = ivf_build(emb, k=IVF_K, n_iter=4)
+    from ..io import session_cached
+
+    centroids = session_cached(
+        _IVF_CENTROIDS, spark, (sf_dir,), lambda: ivf_build(emb, k=IVF_K, n_iter=4)
+    )
     got = ivf_search(
-        emb, _IVF_CENTROIDS[key], n_queries=N_QUERIES, top_k=TOP_K, nprobe=IVF_NPROBE
+        emb, centroids, n_queries=N_QUERIES, top_k=TOP_K, nprobe=IVF_NPROBE
     )
     exact = q_cosine_topk(spark, sf_dir)
     hits = (

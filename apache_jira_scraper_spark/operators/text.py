@@ -65,9 +65,11 @@ def q_doc_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DOC_CLEAN_SQL = """
+from ..functions.core import WS_RUN as _WS
+
+DOC_CLEAN_SQL = f"""
 WITH c AS (
-  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct
+  SELECT doc_id, trim(regexp_replace(text, '{_WS}', ' ', 'g')) AS ct
   FROM documents
 ), t AS (
   SELECT doc_id,
@@ -494,7 +496,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_STATS_SQL = f"""
 WITH t AS (
   SELECT doc_id, text, n_chars, lang, string_split(text, ' ') AS toks,
-         trim(regexp_replace(text, '\\s+', ' ', 'g')) AS ct
+         trim(regexp_replace(text, '{_WS}', ' ', 'g')) AS ct
   FROM documents
 ), m AS (
   SELECT doc_id, text, n_chars, lang, toks, len(toks) AS n,

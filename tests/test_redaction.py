@@ -29,6 +29,9 @@ PII_ROWS = [
     (2, "ssn 123-45-6789 phone +1 (555) 123-4567 end"),
     (3, "no pii here at all"),
     (4, "two mails a@b.io c@d.org and ip 10.0.0.1"),
+    # 10-digit phones WITHOUT a country code - the forms the pre-r04
+    # mandatory-prefix pattern silently let through
+    (5, "call 555-123-4567 or (555) 123-4567 or 555.123.4567 ok"),
 ]
 
 URL_ROWS = [
@@ -78,6 +81,10 @@ def test_pii_redact_constructed_values(spark):
         "redacted": "no pii here at all",
     }
     assert got[4]["n_email"] == 2 and got[4]["redacted"] == "two mails <EMAIL> <EMAIL> and ip <IP>"
+    # bare 10-digit phones are caught (the r04 fix - a mandatory country
+    # prefix made the pattern an 11-digit minimum)
+    assert got[5]["n_phone"] == 3
+    assert got[5]["redacted"] == "call <PHONE> or <PHONE> or <PHONE> ok"
 
 
 def test_pii_redact_duckdb_parity_on_pii_fixture(spark, pii_parquet):

@@ -64,6 +64,19 @@ def test_salted_agg_matches_direct(spark, sf_dir):
     assert got == want
 
 
+def test_salted_agg_mean_skips_nulls_like_avg(spark):
+    """r04 review fix: the reconstructed mean divides by the NON-NULL
+    value count (avg semantics) — dividing by the row count understated
+    the mean of any measure column with NULLs."""
+    rows = [("k", 10.0), ("k", None), ("k", 20.0), ("j", None), ("j", 4.0)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    got = {
+        r["key"]: (r["total"], r["n"], r["n_values"], r["mean"])
+        for r in salted_agg(df, "key", "v", salts=4).collect()
+    }
+    assert got == {"k": (30.0, 3, 2, 15.0), "j": (4.0, 2, 1, 4.0)}
+
+
 def test_skew_report_values(spark):
     """Constructed skew: one hot key with 900 rows over 9 cold keys of 10.
     The report must surface the hot key first with exact count, exact ppm
