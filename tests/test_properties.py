@@ -533,3 +533,123 @@ def test_fuzzy_join_matches_python_bruteforce(spark, strings):
         if lev(strings[i], strings[j]) <= 2
     }
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user_id
+            st.integers(min_value=0, max_value=200),      # minute offset
+            st.sampled_from([0.25, 1.0, 7.13, 10.0]),     # value (2-dec)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_gap_fill_matches_python_model(spark, events):
+    """gap_fill_hourly equals a pure-Python per-user hourly-grid simulator
+    over arbitrary event sets — sparse hours, multi-event hours, users
+    whose span is a single hour, carry-forward across multi-hour gaps."""
+    import datetime as dt
+
+    from apache_jira_scraper_spark.operators.events import gap_fill_hourly
+
+    t0 = dt.datetime(2025, 3, 1)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=m), "view", v) for u, m, v in events
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string, value double"
+    )
+
+    # python model
+    from collections import defaultdict
+
+    per: dict[int, dict[dt.datetime, list[float]]] = defaultdict(lambda: defaultdict(list))
+    for u, ts, _, v in rows:
+        per[u][ts.replace(minute=0, second=0, microsecond=0)].append(v)
+    expected = {}
+    for u, buckets in per.items():
+        lo, hi = min(buckets), max(buckets)
+        carried = None
+        cur = lo
+        while cur <= hi:
+            vs = buckets.get(cur)
+            if vs:
+                carried = int(sum(round(v * 100) for v in vs))
+                expected[(u, int(cur.replace(tzinfo=dt.timezone.utc).timestamp()))] = (
+                    len(vs), carried, False
+                )
+            else:
+                expected[(u, int(cur.replace(tzinfo=dt.timezone.utc).timestamp()))] = (
+                    0, carried, True
+                )
+            cur += dt.timedelta(hours=1)
+
+    got = {
+        (r["user_id"], r["bucket_ts"]): (r["n_events"], r["sum_value_cents"], r["filled"])
+        for r in gap_fill_hourly(df, max_users=10).collect()
+    }
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=8).map(" ".join),
+        min_size=3,
+        max_size=12,
+    )
+)
+def test_bm25_matches_python_model(spark, texts):
+    """bm25_topk equals a pure-Python BM25 scorer (same integer-1e-4
+    weight quantization, same tie-break) over arbitrary tiny corpora —
+    repeated terms, single-term docs, identical docs."""
+    import math
+
+    from apache_jira_scraper_spark.operators.text import BM25_B, BM25_K1, bm25_topk
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_q, top_k = 2, 3
+    got = {
+        (r["qid"], r["rank"]): (r["did"], r["score_en4"])
+        for r in bm25_topk(df, n_queries=n_q, top_k=top_k).collect()
+    }
+
+    # python model
+    tf: dict[int, dict[str, int]] = {}
+    for i, t in rows:
+        d: dict[str, int] = {}
+        for w in t.split(" "):
+            d[w] = d.get(w, 0) + 1
+        tf[i] = d
+    N = len(rows)
+    avgdl = sum(sum(d.values()) for d in tf.values()) / N
+    df_t: dict[str, int] = {}
+    for d in tf.values():
+        for w in d:
+            df_t[w] = df_t.get(w, 0) + 1
+
+    def w_en4(doc, term):
+        f = tf[doc][term]
+        dl = sum(tf[doc].values())
+        idf = math.log((N - df_t[term] + 0.5) / (df_t[term] + 0.5) + 1.0)
+        sat = (f * (BM25_K1 + 1)) / (f + BM25_K1 * (1 - BM25_B + BM25_B * dl / avgdl))
+        # HALF-UP like Spark's F.round (python round is banker's)
+        return int(math.floor(idf * sat * 10_000 + 0.5))
+
+    expected = {}
+    for qid in range(min(n_q, N)):
+        scores = []
+        for did in tf:
+            if did == qid:
+                continue
+            s = sum(w_en4(did, t) for t in tf[qid] if t in tf[did])
+            if s or any(t in tf[did] for t in tf[qid]):
+                scores.append((did, s))
+        scores.sort(key=lambda p: (-p[1], p[0]))
+        for rank, (did, s) in enumerate(scores[:top_k], 1):
+            expected[(qid, rank)] = (did, s)
+    assert got == expected
