@@ -165,6 +165,53 @@ def stateful_user_stats(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def trending_terms(
+    events: DataFrame,
+    window: str = "15 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Per-window trending terms over a streaming text column — the
+    vocabulary-drift monitor a training-data ingest runs beside its
+    volume counts (a sudden new top term usually means a new spam
+    campaign or a source-format change).
+
+    Shape: explode tokens (narrow), ONE watermarked (window, term) count
+    — the windowed aggregation holds the streaming state and runs
+    incrementally; the per-window top-k RANK is not expressible on a
+    stream (arbitrary ranking windows need the whole partition), so it
+    runs sink-side over the (windows × distinct-terms) aggregate table —
+    never over raw events — via ``rank_trending`` in the complete-mode /
+    foreachBatch consumer. Emits (window_start, term, n); compose with
+    rank_trending for (window_start, rank, term, n). Batch-twinned in
+    tests: the same two stages over the bounded batch table produce
+    identical rows.
+    """
+    toks = events.select(
+        "ts", F.explode(F.split(F.col("event_type"), " ")).alias("term")
+    )
+    return (
+        toks.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "term", "n")
+    )
+
+
+def rank_trending(counts: DataFrame, top_k: int = 5) -> DataFrame:
+    """Sink-side rank step for trending_terms: per-window top-k with a
+    deterministic (count desc, term asc) tie-break. Runs over the small
+    aggregate table a complete-mode memory sink or foreachBatch hands the
+    consumer."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("window_start", "rank", "term", "n")
+    )
+
+
 def write_idempotent_parquet(stream: DataFrame, out_dir: str, checkpoint_dir: str):
     """foreachBatch + overwrite-by-batch-id: an idempotent sink. If a batch
     is replayed after a crash, the same batch_id overwrite lands the same

@@ -364,3 +364,44 @@ def test_rebuild_state_excludes_partial_batch_dirs(spark, tmp_path):
     sh, sig = rebuild_dedup_ingest_state(spark, out_dir)
     ids = {r["doc_id"] for r in sig.select("doc_id").distinct().collect()}
     assert ids == {0}  # committed batch only
+
+
+def test_trending_terms_stream_matches_batch(spark, events_batch, events_stream):
+    """The incremental (window, term) counts + sink-side rank equal the
+    identical two stages over the bounded batch table — the batch-twin
+    contract every streaming operator here carries."""
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        rank_trending,
+        trending_terms,
+    )
+
+    stream_counts = trending_terms(events_stream)
+    name = "trend_sink"
+    q = (
+        stream_counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["rank"]): (r["term"], r["n"])
+        for r in rank_trending(spark.table(name)).collect()
+    }
+    want = {
+        (r["window_start"], r["rank"]): (r["term"], r["n"])
+        for r in rank_trending(trending_terms(events_batch)).collect()
+    }
+    assert got == want and got
+    # every window's ranks are 1..k dense and counts non-increasing
+    import collections
+
+    per_w = collections.defaultdict(list)
+    for (ws, rank), (_, n) in got.items():
+        per_w[ws].append((rank, n))
+    for ws, rows in per_w.items():
+        rows.sort()
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        ns = [n for _, n in rows]
+        assert ns == sorted(ns, reverse=True)
