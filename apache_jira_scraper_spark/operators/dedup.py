@@ -909,7 +909,13 @@ def embedding_cosine_pairs(
         # rotation - table 32 IS table 0, linear cost for zero recall.
         raise ValueError(f"n_tables must be in [1, 32], got {n_tables}")
     if n_tables == 1:
-        return _pairs_from_projection(_normed_bucketed(emb, n_bits), threshold)
+        # lazy checkpoint (same as the multi-table path): the pair join's
+        # two sides otherwise each carry the norm+bucket HOF subtree
+        # through Catalyst; the GATE path goes further with the eager
+        # session-cached _emb_projection
+        return _pairs_from_projection(
+            _normed_bucketed(emb, n_bits).localCheckpoint(eager=False), threshold
+        )
     return _pairs_multi_table(emb, threshold, n_bits, n_tables)
 
 
