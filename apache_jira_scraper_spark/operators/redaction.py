@@ -64,6 +64,116 @@ def pii_redact(docs: DataFrame, text_col: str = "text", ordered: bool = True) ->
     return out.orderBy("doc_id") if ordered else out
 
 
+# URL canonicalization steps (Common-Crawl-style dedup key). Every pattern
+# stays in the Java∩RE2 subset AND avoids replacement backrefs — Spark spells
+# them $1 where DuckDB spells them \\1, so a shared pattern set must not use
+# them. utm stripping is three backref-free passes: non-leading '&utm_...'
+# params, a leading '?utm_...' with a successor (separator promoted to '?'),
+# then a lone trailing '?utm_...'.
+_URL_FRAGMENT = r"#.*"
+_URL_UTM_AMP = r"&utm_[^&#]*"
+_URL_UTM_LEAD = r"\?utm_[^&#]*&"
+_URL_UTM_ONLY = r"\?utm_[^&#]*$"
+# (?i): the scheme/host match must be case-insensitive ('HTTP://A.COM' is
+# the same resource) — the inline flag is in the Java∩RE2 subset
+_URL_HOST = r"(?i)^https?://([^/?#]+)"
+_URL_SCHEME_HOST = r"(?i)^https?://[^/?#]+"
+_URL_SLASH_Q = r"/\?"  # path's trailing slash before a query string
+_URL_TRAIL_SLASH = r"/$"
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of an http(s) URL — THE dedup key for crawl-style
+    URL-level deduplication: lowercase scheme+host, default port stripped
+    (:80 for http, :443 for https), fragment and utm_* tracking params
+    removed, one trailing slash stripped. The path/query case is
+    PRESERVED (paths are case-sensitive on real servers). Non-URL input
+    comes back unchanged except the generic cleanups (no scheme+host to
+    rewrite). Pure column algebra, identical passes in the DuckDB twin.
+    """
+    u = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(u, _URL_FRAGMENT, "")
+    u = F.regexp_replace(u, _URL_UTM_AMP, "")
+    u = F.regexp_replace(u, _URL_UTM_LEAD, "?")
+    u = F.regexp_replace(u, _URL_UTM_ONLY, "")
+    u = F.regexp_replace(u, _URL_SLASH_Q, "?")
+    u = F.regexp_replace(u, _URL_TRAIL_SLASH, "")
+    host = F.regexp_extract(u, _URL_HOST, 1)
+    rest = F.regexp_replace(u, _URL_SCHEME_HOST, "")
+    is_https = F.lower(F.substring(u, 1, 8)) == "https://"
+    scheme = F.when(is_https, F.lit("https")).otherwise(F.lit("http"))
+    default_port = F.when(is_https, F.lit(":443")).otherwise(F.lit(":80"))
+    host_c = F.lower(host)
+    host_c = F.when(
+        host_c.endswith(default_port),
+        F.substring(host_c, F.lit(1), F.length(host_c) - F.length(default_port)),
+    ).otherwise(host_c)
+    return F.when(host != "", F.concat(scheme, F.lit("://"), host_c, rest)).otherwise(u)
+
+
+_CANON_SQL_TPL = """
+CASE WHEN regexp_extract(u5, '{host}', 1) != '' THEN
+  (CASE WHEN starts_with(lower(u5), 'https://') THEN 'https' ELSE 'http' END) || '://' ||
+  (CASE
+     WHEN starts_with(lower(u5), 'https://') AND ends_with(lower(regexp_extract(u5, '{host}', 1)), ':443')
+       THEN substr(lower(regexp_extract(u5, '{host}', 1)), 1, length(regexp_extract(u5, '{host}', 1)) - 4)
+     WHEN NOT starts_with(lower(u5), 'https://') AND ends_with(lower(regexp_extract(u5, '{host}', 1)), ':80')
+       THEN substr(lower(regexp_extract(u5, '{host}', 1)), 1, length(regexp_extract(u5, '{host}', 1)) - 3)
+     ELSE lower(regexp_extract(u5, '{host}', 1))
+   END) ||
+  regexp_replace(u5, '{scheme_host}', '')
+ELSE u5 END
+"""
+
+
+def canonicalize_url_sql(col: str) -> str:
+    """DuckDB twin of canonicalize_url over column expression `col` —
+    generated from the SAME pattern constants. Emits a scalar expression
+    that expects to be wrapped in a LATERAL/CTE naming the cleaned url
+    `u5` (see url_dedup_sql)."""
+    return _CANON_SQL_TPL.format(host=_URL_HOST, scheme_host=_URL_SCHEME_HOST)
+
+
+def _clean_passes_sql(col: str) -> str:
+    """The fragment/utm/trailing-slash passes as one nested expression."""
+    u1 = f"regexp_replace({col}, '{_URL_FRAGMENT}', '', 'g')"
+    u2 = f"regexp_replace({u1}, '{_URL_UTM_AMP}', '', 'g')"
+    u3 = f"regexp_replace({u2}, '{_URL_UTM_LEAD}', '?', 'g')"
+    u4 = f"regexp_replace({u3}, '{_URL_UTM_ONLY}', '', 'g')"
+    u5 = f"regexp_replace({u4}, '{_URL_SLASH_Q}', '?', 'g')"
+    return f"regexp_replace({u5}, '{_URL_TRAIL_SLASH}', '', 'g')"
+
+
+def url_dedup(urls: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> DataFrame:
+    """URL-level exact dedup on the canonical form: keep the lowest id per
+    canonical URL — the crawl-frontier pass that runs BEFORE any content
+    fetch/dedup (two fetches of http://A.com/x#frag and https variants of
+    the same resource never enter the corpus twice). One hash shuffle on
+    the canonical key, the same scale shape as content exact-dedup.
+
+    Returns (canonical_url, keeper_id, n_variants)."""
+    return (
+        urls.select(F.col(id_col).alias("_id"), canonicalize_url(url_col).alias("cu"))
+        .groupBy("cu")
+        .agg(F.min("_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_variants"))
+        .select(F.col("cu").alias("canonical_url"), "keeper_id", "n_variants")
+        .orderBy("canonical_url")
+    )
+
+
+def url_dedup_sql(table: str, id_col: str = "doc_id", url_col: str = "url") -> str:
+    """DuckDB twin of url_dedup, generated from the same passes."""
+    return f"""
+WITH c AS (
+  SELECT {id_col} AS _id, {_clean_passes_sql(url_col)} AS u5 FROM {table}
+), k AS (
+  SELECT _id, {canonicalize_url_sql("u5")} AS cu FROM c
+)
+SELECT cu AS canonical_url, MIN(_id) AS keeper_id, COUNT(1) AS n_variants
+FROM k GROUP BY cu ORDER BY canonical_url
+"""
+
+
 def pii_redact_sql(table: str = "documents", text_col: str = "text") -> str:
     """DuckDB twin of pii_redact, generated from the same PII_PATTERNS."""
     counts = ",\n       ".join(

@@ -126,3 +126,53 @@ def test_pii_and_url_parity_on_documents(spark, sf_dir):
         url_filter(docs),
         url_filter_sql(table=f"read_parquet('{sf_dir}/documents.parquet')"),
     )
+
+
+URL_DEDUP_ROWS = [
+    (1, "HTTP://Example.COM:80/Path/?a=1#frag"),
+    (2, "http://example.com/Path?a=1"),            # same canonical as 1
+    (3, "https://Example.com:443/Path"),           # https twin: DIFFERENT scheme
+    (4, "https://example.com/Path/"),              # same canonical as 3
+    (5, "http://example.com/Path?utm_source=x&a=1"),   # utm stripped -> same as 1
+    (6, "http://example.com/Path?utm_source=x"),   # lone utm -> no query
+    (7, "http://example.com/Path"),                # same canonical as 6
+    (8, "http://example.com/path"),                # path case PRESERVED: distinct
+    (9, "not a url at all"),
+    (10, "http://other.org:8080/x?b=2&utm_c=3"),   # non-default port kept
+]
+
+
+def test_canonicalize_url_values(spark):
+    from apache_jira_scraper_spark.operators.redaction import canonicalize_url
+
+    df = spark.createDataFrame(URL_DEDUP_ROWS, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r["cu"]
+        for r in df.select("doc_id", canonicalize_url("url").alias("cu")).collect()
+    }
+    assert got[1] == "http://example.com/Path?a=1"
+    assert got[2] == got[1] and got[5] == got[1]
+    assert got[3] == "https://example.com/Path"
+    assert got[4] == got[3]
+    assert got[6] == "http://example.com/Path" and got[7] == got[6]
+    assert got[8] == "http://example.com/path" and got[8] != got[6]
+    assert got[9] == "not a url at all"
+    assert got[10] == "http://other.org:8080/x?b=2"
+
+
+def test_url_dedup_matches_duckdb(spark, tmp_path):
+    from apache_jira_scraper_spark.operators.redaction import url_dedup, url_dedup_sql
+
+    df = spark.createDataFrame(URL_DEDUP_ROWS, "doc_id long, url string")
+    pq = str(tmp_path / "urls")
+    df.coalesce(1).write.parquet(pq)
+    out = url_dedup(spark.read.parquet(pq))
+    got = {
+        r["canonical_url"]: (r["keeper_id"], r["n_variants"]) for r in out.collect()
+    }
+    # keep-first semantics over the canonical groups
+    assert got["http://example.com/Path?a=1"] == (1, 3)
+    assert got["https://example.com/Path"] == (3, 2)
+    assert got["http://example.com/Path"] == (6, 2)
+    sql = url_dedup_sql(f"read_parquet('{pq}/*.parquet')")
+    _assert_parity(out, sql)
