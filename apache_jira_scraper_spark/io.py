@@ -25,10 +25,11 @@ TABLES = (
     "embeddings",
 )
 
-DEFAULT_SF_DIR = "/root/testdata/sf0.001"
-
-
 def sf_dir_from_env(default: str = "/root/testdata/sf0.1") -> str:
+    """THE SPARK_GRAFT_SF_DIR lookup — bench.py and ad-hoc callers share
+    it so the default scale factor lives in exactly one place (the test
+    suite's separate SPARK_GRAFT_TEST_SF_DIR knob intentionally defaults
+    smaller)."""
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 

@@ -60,6 +60,11 @@ def merge_corpus(*example_dfs: DataFrame) -> DataFrame:
     Bag semantics — duplicates preserved, exactly like the reference's
     line-by-line file concatenation.
     """
+    if not example_dfs:
+        raise ValueError(
+            "merge_corpus needs at least one DataFrame (the per-project "
+            "list came back empty)"
+        )
     out = example_dfs[0]
     for df in example_dfs[1:]:
         out = out.unionByName(df)

@@ -23,8 +23,18 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
 
 
 def operator_counts(df: DataFrame) -> dict[str, int]:
-    """Physical operator name -> occurrence count (formatted-mode nodes)."""
+    """Physical operator name -> occurrence count (formatted-mode nodes).
+
+    Counts the FINAL plan only: once a DataFrame has executed, the
+    formatted explain of a finalized AQE plan details '== Final Plan =='
+    AND '== Initial Plan ==' with distinct node ids — counting both
+    doubles every operator, so an exact-count assertion made after an
+    action would spuriously fail (empirically: Exchange 2 -> 4 on the
+    same DataFrame after .collect())."""
     plan = physical_plan(df)
+    cut = plan.find("== Initial Plan ==")
+    if cut != -1:
+        plan = plan[:cut]
     out: dict[str, int] = {}
     for _, op in re.findall(r"\((\d+)\) (\w+)", plan):
         out[op] = out.get(op, 0) + 1

@@ -31,7 +31,13 @@ def get_spark(
         oracle and makes plans reproducible across machines.
     """
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+        raw_cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+        try:
+            cpus = int(raw_cpus or 0) or os.cpu_count() or 4
+        except ValueError as exc:
+            raise ValueError(
+                f"SPARK_GRAFT_CPUS must be an integer, got {raw_cpus!r}"
+            ) from exc
     if shuffle_partitions is None:
         shuffle_partitions = max(cpus, 4)
 

@@ -21,11 +21,12 @@ sys.path.insert(0, _REPO_DIR)
 os.environ["PYTHONPATH"] = _REPO_DIR + os.pathsep + os.environ.get("PYTHONPATH", "")
 
 from apache_jira_scraper_spark import registry
+from apache_jira_scraper_spark.io import sf_dir_from_env
 from apache_jira_scraper_spark.session import get_spark
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_dir = sf_dir_from_env()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
     spark = get_spark(app_name="bench", cpus=cpus, shuffle_partitions=max(cpus, 8))
 

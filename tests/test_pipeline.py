@@ -50,12 +50,26 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
     out = tmp_path / "zones"
     write_zones(res_b, str(out))
+    # bronze zone exists for replay (r04 review: the docstring promised it)
+    assert spark.read.parquet(str(out / "bronze/raw")).count() == 2
     issues_back = spark.read.parquet(str(out / "silver/issues"))
     assert issues_back.count() == 2
     examples_back = spark.read.json(str(out / "gold/examples"))
     assert examples_back.count() == 13
-    # task_type is a partition column: filtering prunes to one directory
+    # the 'task' COPY is the partition column: filtering prunes to one
+    # directory while task_type stays a field of every JSON line
+    assert examples_back.filter("task = 'summarization'").count() == 2
     assert examples_back.filter("task_type = 'summarization'").count() == 2
     assert sorted(examples_back.columns) == sorted(
-        res_b.examples.columns
+        res_b.examples.columns + ["task"]
     )
+    # JSONL contract for NON-Spark line readers (transformer.py:298-314):
+    # every line must carry its task_type - partitioning on task_type
+    # itself would strip it from the rows (r04 review)
+    import glob as _glob
+
+    line_files = _glob.glob(str(out / "gold/examples/task=*/*.json"))
+    assert line_files
+    with open(line_files[0]) as fh:
+        first = json.loads(fh.readline())
+    assert "task_type" in first
