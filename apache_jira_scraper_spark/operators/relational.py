@@ -123,9 +123,12 @@ _REV_SQL = (
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped: 3-way join + agg + deterministic top-10 (J1/J2, O-topk).
 
-    customer is broadcast (a dimension even at SF100); orders⋈lineitem is the
-    big shuffle join on the natural key, which AQE can convert/skew-split at
-    runtime. Top-10 compiles to TakeOrderedAndProject — no global sort.
+    customer scales linearly with SF (150k rows/SF → billions at the 100 TB
+    design point), so it carries NO forced broadcast hint: AQE broadcasts it
+    at any SF where its measured size fits and falls back to a shuffle join
+    when it doesn't. orders⋈lineitem is the big shuffle join on the natural
+    key, which AQE can convert/skew-split at runtime. Top-10 compiles to
+    TakeOrderedAndProject — no global sort.
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -136,7 +139,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(_fx(F.sum(_revenue()), 4).alias("revenue_e4"))
         .orderBy(F.desc("revenue_e4"), "o_orderdate", "l_orderkey")
@@ -162,9 +165,12 @@ LIMIT 10
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped 6-way join through region (J1/J2 composition).
 
-    All four dimensions (supplier/nation/region/customer) broadcast; the only
-    shuffle is orders⋈lineitem. Catalyst folds the region filter into the
-    nation broadcast — at 100 TB the fact table is touched exactly once.
+    Only the genuinely fixed-cardinality dims (nation: 25 rows, region: 5
+    rows at every SF) carry broadcast hints. customer and supplier scale
+    linearly with SF, so they are hint-free: AQE broadcasts them whenever
+    their measured size fits and degrades to shuffle joins at the SF where
+    it stops fitting — the hint would be an un-demotable OOM at 100 TB.
+    Catalyst folds the region filter into the nation broadcast.
     """
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -177,9 +183,9 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -207,19 +213,28 @@ ORDER BY revenue_e4 DESC, n_name
 
 def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-k by aggregated revenue (O-topk): TakeOrderedAndProject,
-    tie-broken by key so LIMIT is deterministic."""
+    tie-broken by key so LIMIT is deterministic.
+
+    Scale shape: the top-10 is decided entirely by the orders aggregate, so
+    the LIMIT runs BEFORE the customer join and the only broadcast is the
+    10-row winners table — customer (SF-scaling, billions of rows at 100 TB)
+    is never broadcast and is probed by an exactly-10-key hash join.
+    """
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    return (
+    top10 = (
         orders.groupBy("o_custkey")
         .agg(
             _fx(F.sum(_dec("o_totalprice", "decimal(18,2)")), 2).alias("total_spent_cents"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .orderBy(F.desc("total_spent_cents"), "o_custkey")
+        .limit(10)
+    )
+    return (
+        cust.join(F.broadcast(top10), F.col("o_custkey") == cust.c_custkey)
         .select("c_custkey", "c_name", "total_spent_cents", "n_orders")
         .orderBy(F.desc("total_spent_cents"), "c_custkey")
-        .limit(10)
     )
 
 

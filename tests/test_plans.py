@@ -32,11 +32,37 @@ def test_q1_pushdown_and_shuffles(spark, sf_dir):
     assert_whole_stage_codegen(df)
 
 
-def test_q5_broadcasts_every_dim(spark, sf_dir):
+def test_q5_broadcasts_every_dim_hint_free(spark, sf_dir):
+    """customer/supplier carry NO forced hint (they scale with SF); at test
+    SF the planner must still pick broadcast for all five dims on its own —
+    proving the hint removal costs nothing where broadcast is correct."""
     df = _QS["q5_local_supplier_volume"](spark, sf_dir)
     assert_filter_pushed(df, "r_name")
     assert_broadcast_joins(df, 5)
     assert_no_cartesian(df)
+
+
+def test_relational_no_forced_broadcast_on_sf_scaling_tables(spark, sf_dir):
+    """With auto-broadcast disabled, the only surviving BroadcastExchanges
+    in the relational gates must be the genuinely bounded sides: the fixed
+    25-row nation / 5-row region hints in q5, and the LIMIT-10 winners
+    table in top_customers. customer/supplier grow linearly with the fact
+    tables (billions of rows at the 100 TB design point) — a Broadcast on
+    them under threshold=-1 means a forced hint AQE cannot demote snuck
+    back in (the r04 verdict's last OOM hazard)."""
+    from apache_jira_scraper_spark.plans.inspect import physical_plan
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        expected = {"q3_shipping_priority": 0, "q5_local_supplier_volume": 2,
+                    "top_customers": 1, "customer_order_profile": 0}
+        for name, n_allowed in expected.items():
+            plan = physical_plan(_QS[name](spark, sf_dir), "simple")
+            n = plan.count("BroadcastExchange")
+            assert n == n_allowed, (name, n, n_allowed, plan[:1500])
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_flatmap_pipeline_joins(spark, sf_dir):
