@@ -49,10 +49,13 @@ def synthetic_raw_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
       the cleaned-empty filter (scraper.py:250)
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # documents is the text dimension: doc_id is contiguous 0..n-1, so a
-    # key-modulo equi-join against the (broadcast) dim picks a deterministic
-    # text for every order/comment. At 100 TB documents-as-dim stays
-    # broadcastable; the fact table never shuffles for this join.
+    # documents serves as a TEST-FIXTURE text dimension here: doc_id is
+    # contiguous 0..n-1, so a key-modulo equi-join picks a deterministic
+    # text for every order/comment. The broadcast hint is sound only at
+    # testdata scale (500-50k rows); this synthesis exists to fabricate the
+    # Jira envelope for the gate fixtures and is not a production operator —
+    # in the real pipeline `documents` is corpus-cardinality and must never
+    # carry a forced broadcast (see operators/dedup.py, corpus.py).
     ndocs = docs.count()
 
     li = load_table(spark, sf_dir, "lineitem")

@@ -27,14 +27,20 @@ from pyspark.sql import functions as F
 # country code is OPTIONAL — a mandatory 1-2 digit prefix made the
 # pattern an 11-digit minimum, so the most common 10-digit forms
 # ('555-123-4567', '(555) 123-4567', '555.123.4567') passed through the
-# privacy stage unredacted with n_phone=0 (r04 review). An SSN still
-# cannot match the phone shape: d3-d2-d4 has no 3-digit middle group.
+# privacy stage unredacted with n_phone=0 (r04 review). The match is
+# boundary-anchored on both ends (r05, per advice): it must START at '+',
+# '(' or a \b-preceded digit and END at a \b, so a 10-12 digit prefix of a
+# longer digit run (order numbers, 16-digit card numbers) no longer
+# half-redacts — \b between two digits never matches, which rejects any
+# mid-run start or end. \b is in the Java∩RE2 subset (no lookarounds
+# needed). An SSN still cannot match the phone shape: d3-d2-d4 has no
+# 3-digit middle group.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
     (
         "phone",
-        r"(?:\+?[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+        r"(?:\+|\(|\b)(?:[0-9]{1,2}[-. ]?)?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}\b",
         "<PHONE>",
     ),
     ("ip", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
@@ -67,18 +73,23 @@ def pii_redact(docs: DataFrame, text_col: str = "text", ordered: bool = True) ->
 # URL canonicalization steps (Common-Crawl-style dedup key). Every pattern
 # stays in the Java∩RE2 subset AND avoids replacement backrefs — Spark spells
 # them $1 where DuckDB spells them \\1, so a shared pattern set must not use
-# them. utm stripping is three backref-free passes: non-leading '&utm_...'
-# params, a leading '?utm_...' with a successor (separator promoted to '?'),
-# then a lone trailing '?utm_...'.
+# them. The URL is split ONCE at the first '?' (the real path/query
+# boundary) and the utm / trailing-slash passes run on their own side of
+# the split — so a query VALUE containing '/?', 'utm_'-ish text, or a
+# trailing '/' (e.g. ?redirect=/p/?x) can never be rewritten as if it were
+# path/param structure (r04 advice: the global passes made the dedup key
+# lossy). '&' inside the query part IS a parameter separator by RFC 3986 —
+# a literal '&' in a value must be %-encoded — so the in-query utm passes
+# are boundary-exact.
 _URL_FRAGMENT = r"#.*"
+_URL_PRE_QUERY = r"^[^?]*"  # everything before the first '?' (the path side)
 _URL_UTM_AMP = r"&utm_[^&#]*"
-_URL_UTM_LEAD = r"\?utm_[^&#]*&"
-_URL_UTM_ONLY = r"\?utm_[^&#]*$"
+_URL_UTM_LEAD = r"^\?utm_[^&#]*&"
+_URL_UTM_ONLY = r"^\?utm_[^&#]*$"
 # (?i): the scheme/host match must be case-insensitive ('HTTP://A.COM' is
 # the same resource) — the inline flag is in the Java∩RE2 subset
 _URL_HOST = r"(?i)^https?://([^/?#]+)"
 _URL_SCHEME_HOST = r"(?i)^https?://[^/?#]+"
-_URL_SLASH_Q = r"/\?"  # path's trailing slash before a query string
 _URL_TRAIL_SLASH = r"/$"
 
 
@@ -87,17 +98,27 @@ def canonicalize_url(col: Column | str) -> Column:
     URL-level deduplication: lowercase scheme+host, default port stripped
     (:80 for http, :443 for https), fragment and utm_* tracking params
     removed, one trailing slash stripped. The path/query case is
-    PRESERVED (paths are case-sensitive on real servers). Non-URL input
-    comes back unchanged except the generic cleanups (no scheme+host to
-    rewrite). Pure column algebra, identical passes in the DuckDB twin.
+    PRESERVED (paths are case-sensitive on real servers). The utm and
+    slash passes are anchored to the first-'?' path/query split, so query
+    values containing '/?' or 'utm_'-like text are never collapsed.
+    Non-URL input comes back unchanged except the generic cleanups (no
+    scheme+host to rewrite). Pure column algebra, identical passes in the
+    DuckDB twin.
     """
     u = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(u, _URL_FRAGMENT, "")
-    u = F.regexp_replace(u, _URL_UTM_AMP, "")
-    u = F.regexp_replace(u, _URL_UTM_LEAD, "?")
-    u = F.regexp_replace(u, _URL_UTM_ONLY, "")
-    u = F.regexp_replace(u, _URL_SLASH_Q, "?")
-    u = F.regexp_replace(u, _URL_TRAIL_SLASH, "")
+    # split once at the first '?': both regexes are ^-anchored, so each
+    # replaces at most one match and the pair is an exact partition of u
+    path = F.regexp_extract(u, _URL_PRE_QUERY, 0)
+    qry = F.regexp_replace(u, _URL_PRE_QUERY, "")
+    qry = F.regexp_replace(qry, _URL_UTM_AMP, "")
+    qry = F.regexp_replace(qry, _URL_UTM_LEAD, "?")
+    qry = F.regexp_replace(qry, _URL_UTM_ONLY, "")
+    # one trailing slash off the path side: with a query this is the
+    # '/?'-boundary slash, without one it's the plain trailing slash —
+    # either way the query part keeps its own trailing characters
+    path = F.regexp_replace(path, _URL_TRAIL_SLASH, "")
+    u = F.concat(path, qry)
     host = F.regexp_extract(u, _URL_HOST, 1)
     rest = F.regexp_replace(u, _URL_SCHEME_HOST, "")
     is_https = F.lower(F.substring(u, 1, 8)) == "https://"
@@ -135,13 +156,16 @@ def canonicalize_url_sql(col: str) -> str:
 
 
 def _clean_passes_sql(col: str) -> str:
-    """The fragment/utm/trailing-slash passes as one nested expression."""
+    """The fragment/utm/trailing-slash passes as one nested expression,
+    split at the first '?' exactly like canonicalize_url (same constants)."""
     u1 = f"regexp_replace({col}, '{_URL_FRAGMENT}', '', 'g')"
-    u2 = f"regexp_replace({u1}, '{_URL_UTM_AMP}', '', 'g')"
-    u3 = f"regexp_replace({u2}, '{_URL_UTM_LEAD}', '?', 'g')"
-    u4 = f"regexp_replace({u3}, '{_URL_UTM_ONLY}', '', 'g')"
-    u5 = f"regexp_replace({u4}, '{_URL_SLASH_Q}', '?', 'g')"
-    return f"regexp_replace({u5}, '{_URL_TRAIL_SLASH}', '', 'g')"
+    path = f"regexp_extract({u1}, '{_URL_PRE_QUERY}', 0)"
+    qry = f"regexp_replace({u1}, '{_URL_PRE_QUERY}', '')"
+    q2 = f"regexp_replace({qry}, '{_URL_UTM_AMP}', '', 'g')"
+    q3 = f"regexp_replace({q2}, '{_URL_UTM_LEAD}', '?')"
+    q4 = f"regexp_replace({q3}, '{_URL_UTM_ONLY}', '')"
+    p2 = f"regexp_replace({path}, '{_URL_TRAIL_SLASH}', '')"
+    return f"({p2} || {q4})"
 
 
 def url_dedup(urls: DataFrame, id_col: str = "doc_id", url_col: str = "url") -> DataFrame:

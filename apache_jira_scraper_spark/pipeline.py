@@ -62,6 +62,13 @@ def write_zones(result: PipelineResult, base_dir: str) -> None:
     raw->extract->explode chain (4x the ingest cost at the scale this
     module targets), and a crash mid-write leaves no bronze to replay.
 
+    CONTRACT: only `result.raw` and `result.issues` are consumed. The
+    `examples`/`summary`/`distribution` fields are deliberately IGNORED and
+    recomputed from the persisted silver re-read (that is the zone
+    discipline above) — a caller who customized those DataFrames on the
+    PipelineResult must write them itself; this function will not reflect
+    the customization in gold/stats.
+
       bronze: the raw envelope as parquet (replay/backfill source; the
               reference's pretty-printed JSON array at scraper.py:339-356
               is an anti-pattern at scale)

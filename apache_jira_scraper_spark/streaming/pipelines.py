@@ -20,6 +20,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path) for `path` via the JVM Hadoop API — resolves the
+    scheme (file:/hdfs:/s3a:...) against the session's Hadoop conf, so
+    marker checks behave identically on every cluster filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark, path: str) -> bool:
+    fs, jpath = _hadoop_fs(spark, path)
+    return fs.exists(jpath)
+
+
+def _fs_listdir(spark, path: str) -> list[str]:
+    """Child paths of `path` as fully-qualified URI strings ([] if absent)."""
+    fs, jpath = _hadoop_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    return [st.getPath().toString() for st in fs.listStatus(jpath)]
+
+
 def tumbling_counts(events: DataFrame, window: str = "5 minutes",
                     watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling event-time windows: counts + decimal-exact sums
@@ -265,11 +287,13 @@ def streaming_dedup_ingest(
     state = {"index": initial_index}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         from ..operators.dedup import incremental_dedup
 
-        if os.path.exists(f"{out_dir}/batch_id={batch_id}/_SUCCESS"):
+        # Hadoop FileSystem existence check, NOT os.path: out_dir may be
+        # HDFS/object-store on a cluster, where a driver-local stat would
+        # silently never fire and a replayed committed batch would be
+        # re-deduped against an index that already contains it (r04 advice).
+        if _fs_exists(batch_df.sparkSession, f"{out_dir}/batch_id={batch_id}/_SUCCESS"):
             return  # committed replay: exactly-once output, state already has it
         kept, (sh, sig) = incremental_dedup(batch_df, state["index"])
         kept = kept.localCheckpoint(eager=True)
@@ -296,18 +320,16 @@ def rebuild_dedup_ingest_state(spark, out_dir: str):
     (shingle, signature) index over every COMMITTED batch directory —
     directories without a _SUCCESS marker are partial writes from the
     crash and are excluded (their batch will be replayed and re-written).
-    Returns None when nothing has committed yet. Local-filesystem listing;
-    on a cluster substitute the object-store/HDFS listing, same marker
-    contract."""
-    import os
-
+    Returns None when nothing has committed yet. Listing goes through the
+    Hadoop FileSystem API, so the marker contract holds identically on
+    local disk, HDFS, and object stores."""
     from ..operators.dedup import build_dedup_index
 
     committed = [
-        f"{out_dir}/{d}"
-        for d in (os.listdir(out_dir) if os.path.isdir(out_dir) else [])
-        if d.startswith("batch_id=")
-        and os.path.exists(f"{out_dir}/{d}/_SUCCESS")
+        d
+        for d in _fs_listdir(spark, out_dir)
+        if d.rsplit("/", 1)[-1].startswith("batch_id=")
+        and _fs_exists(spark, f"{d}/_SUCCESS")
     ]
     if not committed:
         return None

@@ -32,6 +32,10 @@ PII_ROWS = [
     # 10-digit phones WITHOUT a country code - the forms the pre-r04
     # mandatory-prefix pattern silently let through
     (5, "call 555-123-4567 or (555) 123-4567 or 555.123.4567 ok"),
+    # digit runs LONGER than any phone shape (card/order numbers) must stay
+    # intact - the pre-r05 unanchored pattern half-redacted their first
+    # 10-12 digits leaving a 4-6 digit tail exposed (r04 advice)
+    (6, "card 4111111111111111 order 12345678901234 end"),
 ]
 
 URL_ROWS = [
@@ -84,6 +88,9 @@ def test_pii_redact_constructed_values(spark):
     # bare 10-digit phones are caught (the r04 fix - a mandatory country
     # prefix made the pattern an 11-digit minimum)
     assert got[5]["n_phone"] == 3
+    # long digit runs: no partial phone match, text unchanged
+    assert got[6]["n_phone"] == 0
+    assert got[6]["redacted"] == "card 4111111111111111 order 12345678901234 end"
     assert got[5]["redacted"] == "call <PHONE> or <PHONE> or <PHONE> ok"
 
 
@@ -139,6 +146,10 @@ URL_DEDUP_ROWS = [
     (8, "http://example.com/path"),                # path case PRESERVED: distinct
     (9, "not a url at all"),
     (10, "http://other.org:8080/x?b=2&utm_c=3"),   # non-default port kept
+    # query VALUES containing '/?' or a trailing '/' are NOT path structure:
+    # the r05 first-'?' split must leave them untouched (r04 advice)
+    (11, "http://example.com/p?redirect=/p/?x"),
+    (12, "http://example.com/p?a=/trail/"),
 ]
 
 
@@ -158,6 +169,8 @@ def test_canonicalize_url_values(spark):
     assert got[8] == "http://example.com/path" and got[8] != got[6]
     assert got[9] == "not a url at all"
     assert got[10] == "http://other.org:8080/x?b=2"
+    assert got[11] == "http://example.com/p?redirect=/p/?x"
+    assert got[12] == "http://example.com/p?a=/trail/"
 
 
 def test_url_dedup_matches_duckdb(spark, tmp_path):
