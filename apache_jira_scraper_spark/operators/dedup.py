@@ -589,6 +589,22 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, sf_dir).orderBy("d1", "d2")
 
 
+def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged near-dup pair gate (r05 rotation): the MinHash-LSH leg and
+    the exact n-gram jaccard leg union-tagged into one driver slot — both
+    read the session-shared shingle index, so the merge costs one extra
+    leg over the same materialized blocks, and the freed slot certifies
+    the redaction family. The standalone q_dedup_minhash_lsh /
+    q_dedup_ngram_jaccard remain the library API."""
+    lsh = q_dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("lsh").alias("leg"), "d1", "d2", "jaccard"
+    )
+    ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram").alias("leg"), "d1", "d2", "jaccard"
+    )
+    return lsh.unionByName(ng).orderBy("leg", "d1", "d2")
+
+
 _BANDS_SQL = f"""
   SELECT doc_id,
          {", ".join(f"m{2 * j} * 2147483648 + m{2 * j + 1} AS b{j}" for j in range(BANDS))}
@@ -714,6 +730,14 @@ JOIN sizes s1 ON d1 = s1.doc_id
 JOIN sizes s2 ON d2 = s2.doc_id
 WHERE ROUND(CAST(i AS DOUBLE) / (s1.n + s2.n - i), 6) >= {JACCARD_THRESHOLD}
 ORDER BY d1, d2
+"""
+
+
+DEDUP_NEAR_PAIRS_SQL = f"""
+SELECT 'lsh' AS leg, * FROM ({DEDUP_MINHASH_SQL})
+UNION ALL
+SELECT 'ngram' AS leg, * FROM ({NGRAM_JACCARD_SQL})
+ORDER BY leg, d1, d2
 """
 
 
@@ -1188,8 +1212,11 @@ def register_all() -> None:
     # dedup_simhash subsume them end-to-end, and the driver hash-checks at
     # most 50 queries. Signature parity stays pinned in tests/test_dedup.py.
     register("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL)
-    register("dedup_minhash_lsh", q_dedup_minhash_lsh, DEDUP_MINHASH_SQL)
-    register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, NGRAM_JACCARD_SQL)
+    # dedup_minhash_lsh + dedup_ngram_jaccard merged into one union-tagged
+    # gate (r05 rotation — both legs read the shared shingle index); the
+    # standalone operators stay the library API with oracle parity in
+    # tests/test_dedup.py.
+    register("dedup_near_pairs", q_dedup_near_pairs, DEDUP_NEAR_PAIRS_SQL)
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_embedding_cosine", q_dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)
     register("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_SQL)

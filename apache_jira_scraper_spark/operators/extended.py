@@ -269,7 +269,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_join, t_join = _start_to_memory(
             pipelines.stream_interval_join(_events_stream(spark, sf_dir)), "append"
         )
-        for q in (q_sess, q_dedup, q_life, q_join):
+        # 5th leg (r05): trending-terms vocabulary monitor — incremental
+        # windowed (window, term) counts on the stream, top-k ranked
+        # sink-side over the aggregate (rank is not stream-expressible)
+        q_trend, t_trend = _start_to_memory(
+            pipelines.trending_terms(_events_stream(spark, sf_dir)), "complete"
+        )
+        for q in (q_sess, q_dedup, q_life, q_join, q_trend):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -297,10 +303,17 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_id").cast("string").alias("aux"),
         F.col("purchase_cents").alias("n"),
     )
+    trend = pipelines.rank_trending(spark.table(t_trend)).select(
+        F.lit("trend").alias("op"),
+        F.unix_timestamp("window_start").alias("id"),
+        F.concat(F.col("rank").cast("string"), F.lit(":"), F.col("term")).alias("aux"),
+        F.col("n").alias("n"),
+    )
     return (
         sessions.unionAll(dedup)
         .unionAll(lifetime)
         .unionAll(attrib)
+        .unionAll(trend)
         .orderBy("op", "id", "aux")
     )
 
@@ -336,11 +349,26 @@ WITH sess_base AS (
   FROM events l JOIN events r
     ON l.user_id = r.user_id AND r.ts > l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
   WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+), trend_counts AS (
+  SELECT make_timestamp((epoch_ns(ts) // 1000 // 900000000) * 900000000) AS ws,
+         term, COUNT(1) AS n
+  FROM (SELECT ts, unnest(string_split(event_type, ' ')) AS term FROM events)
+  GROUP BY ws, term
+), trend AS (
+  SELECT 'trend' AS op, CAST(FLOOR(epoch(ws)) AS BIGINT) AS id,
+         CAST(rank AS VARCHAR) || ':' || term AS aux, n
+  FROM (
+    SELECT ws, term, n,
+           ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, term ASC) AS rank
+    FROM trend_counts
+  )
+  WHERE rank <= 5
 )
 SELECT * FROM sessions
 UNION ALL SELECT * FROM dedup
 UNION ALL SELECT * FROM lifetime
 UNION ALL SELECT * FROM attrib
+UNION ALL SELECT * FROM trend
 ORDER BY op, id, aux
 """
 

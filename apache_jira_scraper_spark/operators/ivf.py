@@ -115,76 +115,65 @@ def ivf_build(
 
     Lloyd's iterations over a deterministic bounded training sample (first
     `train_sample` vectors by id — reproducible, unlike rand() sampling).
-    Per round: narrow-map argmin against the k centroid literals, then ONE
-    groupBy(cid) shuffle for the per-dimension means, collected back to the
-    driver (k rows). A cid that captures no sample points keeps its previous
-    centroid.
+    The sample is DRIVER-RESIDENT BY CONSTRUCTION (train_sample rows
+    regardless of corpus size — the same boundedness argument as the k-row
+    centroid model itself), so the iteration runs in numpy on the driver:
+    ONE Spark job collects the sample, then every Lloyd round is an
+    in-memory argmin + per-cluster mean. The previous form ran each round
+    as a Spark job over a k*dim-literal argmin expression — at 16×small-SF
+    scale Catalyst's passes over that expression tree, not the data,
+    dominated the gate's wall time (~4.8 s of the 5.8 s r04 bench line);
+    this is the coarse-quantizer training shape FAISS uses (in-memory over
+    a bounded sample). A cid that captures no sample points keeps its
+    previous centroid. Ties in the argmin break to the lowest cid
+    (np.argmin first-occurrence — identical to the array_min struct
+    ordering used at assignment time).
 
     `n_iter` is a BUDGET, not a fixed cost: the loop early-stops once the
     max squared centroid shift falls below `tol` RELATIVE to the centroid
     scale (max squared centroid norm of the round) — a relative test, so
     convergence behaves identically for embeddings with tiny or huge
     coordinate magnitudes (an absolute threshold would stop a small-norm
-    embedding space after one round and never stop a large-norm one). The
-    model is already driver-resident each round, so the check is free. On
-    the test embeddings the shift collapses ~100x after round 1, so
-    training typically pays 2 rounds of the 4-5 budgeted — each avoided
-    round saves a Catalyst pass over the k*dim-literal argmin expression,
-    which dominates wall time at small SF.
+    embedding space after one round and never stop a large-norm one).
     """
+    import numpy as np
+
     spark = emb.sparkSession
-    sample = (
-        emb.select(id_col, vec_col)
-        .orderBy(id_col)
-        .limit(train_sample)
-        .persist()
-    )
 
     def _literal(rows: list[tuple[int, list[float]]]) -> DataFrame:
         return spark.createDataFrame(rows, "cid int, centroid array<double>")
 
-    init = sample.orderBy(id_col).limit(k).select(vec_col).collect()
-    if not init:
-        sample.unpersist()
-        raise ValueError("ivf_build: empty embeddings input - nothing to train on")
-    # dimension read from the init vectors already on the driver — no
-    # dedicated first() job just for the width
-    dim = len(init[0][0])
-    cur = [(i, list(r[0])) for i, r in enumerate(init)]
-    # invariant across rounds — build the per-dimension mean expression once
-    avg_arr = F.expr(
-        "array(" + ",".join(f"avg({vec_col}[{i}])" for i in range(dim)) + ")"
+    sample = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
     )
+    if not sample:
+        raise ValueError("ivf_build: empty embeddings input - nothing to train on")
+    x = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    if not np.isfinite(x).all():
+        raise ValueError(
+            "ivf_build: non-finite coordinate in the training sample - a NaN/Inf "
+            "centroid would poison every downstream distance expression"
+        )
+    cents = x[:k].copy()  # init = first k sample vectors by id
+    k_eff = cents.shape[0]
     for _ in range(n_iter):
-        updated = (
-            sample.select(
-                F.array_min(_dist_structs(vec_col, cur))["cid"].alias("cid"),
-                vec_col,
-            )
-            .groupBy("cid")
-            .agg(avg_arr.alias("centroid"))
-            .collect()
-        )
-        new = {r["cid"]: list(r["centroid"]) for r in updated}
-        nxt = [(cid, new.get(cid, c)) for cid, c in cur]
-        shift = max(
-            sum((a - b) * (a - b) for a, b in zip(c_old, c_new))
-            for (_, c_old), (_, c_new) in zip(cur, nxt)
-        )
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        nxt = cents.copy()
+        for cid in range(k_eff):
+            members = x[assign == cid]
+            if len(members):
+                nxt[cid] = members.mean(axis=0)
+        shift = float(((cents - nxt) ** 2).sum(axis=1).max())
         # Relative convergence: normalize by the centroid scale so tol is
         # magnitude-invariant. The 1e-30 floor only guards div-by-zero: a
         # degenerate near-zero-norm model never early-stops and pays the
-        # full n_iter budget (the 1.0 below is max()'s empty-model
-        # fallback, not a tolerance floor).
-        scale = max(
-            (sum(a * a for a in c) for _, c in nxt),
-            default=1.0,
-        )
-        cur = nxt
+        # full n_iter budget.
+        scale = float((nxt**2).sum(axis=1).max())
+        cents = nxt
         if shift < tol * max(scale, 1e-30):
             break
-    sample.unpersist()
-    return _literal(cur)
+    return _literal([(i, [float(v) for v in cents[i]]) for i in range(k_eff)])
 
 
 def ivf_assign(

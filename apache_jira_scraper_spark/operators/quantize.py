@@ -255,3 +255,52 @@ def quantize_model(vec: list[float]) -> tuple[list[int], float]:
     if scale == 0.0:
         return [0] * len(vec), 0.0
     return [int(math.floor(x / scale + 0.5)) for x in vec], scale
+
+
+# ---------------------------------------------------------------------------
+# Driver gate (r05 rotation): two-stage retrieval, hash-checked
+# ---------------------------------------------------------------------------
+
+# Gate shortlist: 8x top_k. The certification contract is that the int8
+# shortlist RECOVERS the exact float top-k (stage 2 re-scores at full
+# precision), so the oracle is the plain exact brute-force top-k — the gate
+# fails loudly if quantization error ever pushes a true neighbor below the
+# shortlist. tests/test_quantize.py pins the tighter 4x setting with a
+# 1-rank tolerance; the gate uses 8x so the certified output is exact.
+GATE_SHORTLIST_K = 40
+
+
+def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
+    """Driver gate: int8 candidate scan -> exact float re-rank, certified
+    against the exact brute-force oracle (same (qid, rank, nid, cosine)
+    contract as similarity_topk's exact leg)."""
+    from .similarity import N_QUERIES, TOP_K, _emb
+
+    return two_stage_topk(
+        _emb(spark, sf_dir),
+        n_queries=N_QUERIES,
+        top_k=TOP_K,
+        shortlist_k=GATE_SHORTLIST_K,
+    )
+
+
+def _two_stage_sql() -> str:
+    from .similarity import N_QUERIES, TOP_K, _COS_SQL
+
+    return f"""
+WITH scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS nid, {_COS_SQL} AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+), ranked AS (
+  SELECT qid, nid, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+  FROM scored
+)
+SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= {TOP_K} ORDER BY qid, rank
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("two_stage_topk", q_two_stage_topk, _two_stage_sql())

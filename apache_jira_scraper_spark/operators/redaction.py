@@ -274,3 +274,113 @@ SELECT doc_id,
        len(list_filter(domains, x -> list_contains({blocklist}, x))) > 0 AS blocked
 FROM d ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Driver gate (r05 rotation): the whole redaction family in one slot
+# ---------------------------------------------------------------------------
+
+def q_pii_url_redaction(spark, sf_dir: str) -> DataFrame:
+    """Union-tagged driver gate for the redaction family — the most
+    load-bearing pretraining stage previously outside the hard signal
+    (VERDICT r04 item 2). Three legs over the documents table, harmonized
+    to (leg, id, txt, m1..m4):
+
+      redact     pii_redact:   id=doc_id, txt=redacted,
+                 m1..m4 = n_email / n_ssn / n_phone / n_ip
+      urlfilter  url_filter:   id=doc_id, txt=domains_csv,
+                 m1=n_urls, m2=blocked(0/1), m3=m4=0
+      urldedup   url_dedup over the URLs extracted from text:
+                 id=keeper_id, txt=canonical_url, m1=n_variants, m2..m4=0
+
+    Scale shape: redact and urlfilter are shuffle-free narrow maps sharing
+    the documents scan; urldedup adds one hash shuffle on the canonical
+    URL — exactly the shapes of the standalone operators, pytest-pinned in
+    tests/test_redaction.py.
+    """
+    from ..io import load_table
+
+    zero = F.lit(0).cast("bigint")
+    docs = load_table(spark, sf_dir, "documents")
+    pii = pii_redact(docs, ordered=False)
+    red_leg = pii.select(
+        F.lit("redact").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("redacted").alias("txt"),
+        F.col("n_email").cast("bigint").alias("m1"),
+        F.col("n_ssn").cast("bigint").alias("m2"),
+        F.col("n_phone").cast("bigint").alias("m3"),
+        F.col("n_ip").cast("bigint").alias("m4"),
+    )
+    uf_leg = url_filter(docs).select(
+        F.lit("urlfilter").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("domains_csv").alias("txt"),
+        F.col("n_urls").cast("bigint").alias("m1"),
+        F.col("blocked").cast("bigint").alias("m2"),
+        zero.alias("m3"),
+        zero.alias("m4"),
+    )
+    # The test corpus contains no literal URLs, so the urldedup leg
+    # synthesizes three deterministic crawl-style variants per document
+    # from the content fingerprint (same derivation in the DuckDB twin):
+    # an uppercase-host default-port utm-tracked form, its clean http twin
+    # (same canonical — collapses), and an https form (distinct scheme —
+    # survives). Duplicate documents share md5(text), so content dups also
+    # collapse across doc_ids, exercising keep-first semantics.
+    h = F.md5("text")
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.concat(F.lit("HTTP://Example.COM:80/"), h, F.lit("/?utm_source=x&a=1")),
+                F.concat(F.lit("http://example.com/"), h, F.lit("?a=1")),
+                F.concat(F.lit("https://example.com/"), h),
+            )
+        ).alias("url"),
+    )
+    ud_leg = url_dedup(urls).select(
+        F.lit("urldedup").alias("leg"),
+        F.col("keeper_id").alias("id"),
+        F.col("canonical_url").alias("txt"),
+        F.col("n_variants").cast("bigint").alias("m1"),
+        zero.alias("m2"),
+        zero.alias("m3"),
+        zero.alias("m4"),
+    )
+    return red_leg.unionByName(uf_leg).unionByName(ud_leg).orderBy("leg", "id", "txt")
+
+
+def pii_url_redaction_sql() -> str:
+    """DuckDB twin of q_pii_url_redaction, assembled from the same per-leg
+    SQL generators (pii_redact_sql / url_filter_sql / url_dedup_sql)."""
+    urls_tbl = (
+        "(SELECT doc_id, unnest(["
+        "'HTTP://Example.COM:80/' || md5(text) || '/?utm_source=x&a=1', "
+        "'http://example.com/' || md5(text) || '?a=1', "
+        "'https://example.com/' || md5(text)"
+        "]) AS url FROM documents)"
+    )
+    return f"""
+SELECT 'redact' AS leg, doc_id AS id, redacted AS txt,
+       CAST(n_email AS BIGINT) AS m1, CAST(n_ssn AS BIGINT) AS m2,
+       CAST(n_phone AS BIGINT) AS m3, CAST(n_ip AS BIGINT) AS m4
+FROM ({pii_redact_sql("documents")})
+UNION ALL
+SELECT 'urlfilter' AS leg, doc_id AS id, domains_csv AS txt,
+       CAST(n_urls AS BIGINT) AS m1, CAST(blocked AS BIGINT) AS m2,
+       CAST(0 AS BIGINT) AS m3, CAST(0 AS BIGINT) AS m4
+FROM ({url_filter_sql("documents")})
+UNION ALL
+SELECT 'urldedup' AS leg, keeper_id AS id, canonical_url AS txt,
+       CAST(n_variants AS BIGINT) AS m1, CAST(0 AS BIGINT) AS m2,
+       CAST(0 AS BIGINT) AS m3, CAST(0 AS BIGINT) AS m4
+FROM ({url_dedup_sql(urls_tbl)})
+ORDER BY leg, id, txt
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("pii_url_redaction", q_pii_url_redaction, pii_url_redaction_sql())

@@ -440,10 +440,11 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined per-document stats gate: token counts, quality score,
     fingerprints, AND the language-ID heuristic in ONE narrow map over the
     corpus — the shape a real pipeline uses (one scan, many derived
-    columns) and one driver slot instead of four. The standalone
-    q_token_stats / q_quality_score / q_fingerprint / q_lang_id remain the
-    library API (pinned by tests); lang-ID merged here per VERDICT r03
-    gate rotation."""
+    columns) and one driver slot instead of five. The standalone
+    q_token_stats / q_quality_score / q_fingerprint / q_lang_id /
+    q_bpe_token_count remain the library API (pinned by tests); lang-ID
+    merged here per VERDICT r03 gate rotation, the BPE piece counts per
+    VERDICT r04 (frees the slot for the redaction family)."""
     docs = load_table_parallel(spark, sf_dir, "documents")
     # Two-phase projection (same trick as dedup._doc_shingle_df): alias the
     # token array once so split(text) runs once per row — the nine derived
@@ -487,8 +488,17 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             pred.alias("pred_lang"),
             (pred == F.col("lang")).alias("lang_correct"),
+            F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias(
+                "n_pieces"
+            ),
         )
         .withColumn("cleaned_len", F.length("cleaned"))
+        # reads the aliased counts so the BPE regex and the split each ran
+        # exactly once per row (same staging rule as q_bpe_token_count)
+        .withColumn(
+            "pieces_per_word_ppm",
+            F.expr("CAST(n_pieces AS BIGINT) * 1000000 DIV n_tokens"),
+        )
         .orderBy("doc_id")
     )
 
@@ -541,7 +551,10 @@ SELECT doc_id,
        lang,
        pred_lang,
        pred_lang = lang AS lang_correct,
-       length(cleaned) AS cleaned_len
+       len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_pieces,
+       length(cleaned) AS cleaned_len,
+       (CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) * 1000000)
+         // n AS pieces_per_word_ppm
 FROM p ORDER BY doc_id
 """
 
@@ -969,5 +982,6 @@ def register_all() -> None:
     # a library API (oracle parity in tests/test_text.py) — the registry
     # is at the driver's 50-query cap.
     register("doc_stats", q_doc_stats, DOC_STATS_SQL)
-    register("doc_bpe_token_count", q_bpe_token_count, BPE_TOKEN_SQL)
+    # doc_bpe_token_count merged into doc_stats (r05 gate rotation);
+    # q_bpe_token_count + BPE_TOKEN_SQL stay the library API, pytest-pinned.
     register("bm25_topk", q_bm25_topk, bm25_topk_sql())

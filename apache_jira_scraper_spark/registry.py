@@ -57,6 +57,8 @@ def _load() -> None:
         extended,
         multimodal,
         pipeline_queries,
+        quantize,
+        redaction,
         relational,
         relational2,
         similarity,
@@ -77,4 +79,6 @@ def _load() -> None:
     dedup.register_all()
     similarity.register_all()
     multimodal.register_all()
+    redaction.register_all()
+    quantize.register_all()
     _LOADED = True

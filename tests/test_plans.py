@@ -85,7 +85,7 @@ def test_flatmap_pipeline_joins(spark, sf_dir):
 
 
 def test_dedup_candidates_are_equi_joins(spark, sf_dir):
-    for name in ("dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"):
+    for name in ("dedup_near_pairs", "dedup_simhash"):
         assert_no_cartesian(_QS[name](spark, sf_dir))
 
 

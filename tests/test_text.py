@@ -17,6 +17,16 @@ def test_doc_clean_matches_oracle(spark, sf_dir):
     )
 
 
+def test_bpe_token_count_matches_oracle(spark, sf_dir):
+    """Standalone BPE piece-count operator: its gate merged into doc_stats
+    in r05, so the library-level oracle parity is pinned here."""
+    from apache_jira_scraper_spark.operators.text import BPE_TOKEN_SQL, q_bpe_token_count
+
+    assert_matches_oracle(
+        q_bpe_token_count(spark, sf_dir), BPE_TOKEN_SQL, sf_dir, name="bpe_token_count"
+    )
+
+
 def test_repetition_signals_match_oracle(spark, sf_dir):
     from apache_jira_scraper_spark.io import load_table
     from apache_jira_scraper_spark.operators.text import (
