@@ -71,6 +71,12 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     secs = F.unix_timestamp("ts")
     running = F.sum(F.col("value").cast("decimal(14,2)")).over(wr)
+    gap = secs - F.lag(secs).over(w)
+    # sessionize's gaps-and-islands id rides the SAME (user_id, event_id)
+    # exchange as every other column here (merged r05: the per-user
+    # session rollup gate freed a driver slot; q_sessionize remains the
+    # library API with its own oracle in tests/test_events_extra.py)
+    is_new = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return ev.select(
         "event_id",
         "user_id",
@@ -79,10 +85,11 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (running * 100).cast("bigint").alias("running_value_cents"),
         F.lag("event_type").over(w).alias("prev_type"),
         F.lead("event_type").over(w).alias("next_type"),
-        (secs - F.lag(secs).over(w)).alias("gap_s"),
+        gap.alias("gap_s"),
         F.ntile(4).over(w).alias("quartile"),
         F.first("event_type").over(wf).alias("first_type"),
         F.last("event_type").over(wf).alias("last_type"),
+        F.sum(is_new).over(wr).alias("session_id"),
     ).orderBy("event_id")
 
 
@@ -95,11 +102,20 @@ SELECT event_id, user_id, event_type,
          AS running_value_cents,
        LAG(event_type) OVER w AS prev_type,
        LEAD(event_type) OVER w AS next_type,
-       CAST(FLOOR(EPOCH(ts)) AS BIGINT) - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT)) OVER w AS gap_s,
+       gap_s,
        NTILE(4) OVER w AS quartile,
        FIRST_VALUE(event_type) OVER wf AS first_type,
-       LAST_VALUE(event_type) OVER wf AS last_type
-FROM events
+       LAST_VALUE(event_type) OVER wf AS last_type,
+       CAST(SUM(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+FROM (
+  SELECT *,
+         CAST(FLOOR(EPOCH(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(EPOCH(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY event_id) AS gap_s
+  FROM events
+) e
 WINDOW w AS (PARTITION BY user_id ORDER BY event_id),
        wf AS (PARTITION BY user_id ORDER BY event_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
@@ -578,6 +594,54 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(load_table(spark, sf_dir, "events"))
 
 
+INTERVAL_GATE_MAX_USER = 200  # bounds the session-interval pair set at any SF
+
+
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver gate (r05 rotation) for the fact×fact interval-overlap join
+    (operators/relational.py interval_overlap_join — bucketed equi-join,
+    the form that scales when NEITHER side broadcasts): per-user activity
+    spans [min ts, max ts] become intervals; the operator self-joins them
+    and must equal DuckDB's native inequality join exactly, each pair
+    emitted once. The user_id cap bounds the (dense, everyone-overlaps-
+    everyone) pair set at every SF — the gate certifies correctness of the
+    bucket/dedup mechanics, while the linear-fan-out scale contract is
+    plan-pinned in tests/test_relational_extra.py."""
+    from .relational import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < INTERVAL_GATE_MAX_USER
+    )
+    iv = (
+        ev.groupBy("user_id")
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("start"),
+            F.unix_timestamp(F.max("ts")).alias("end"),
+        )
+        .select(F.col("user_id").alias("id"), "start", "end")
+    )
+    return (
+        interval_overlap_join(iv, iv, bucket_width=3600)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH iv AS (
+  SELECT user_id AS id,
+         CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS s,
+         CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS e
+  FROM events WHERE user_id < {INTERVAL_GATE_MAX_USER}
+  GROUP BY user_id
+)
+SELECT x.id AS a_id, y.id AS b_id,
+       GREATEST(x.s, y.s) AS overlap_start, LEAST(x.e, y.e) AS overlap_end
+FROM iv x JOIN iv y ON x.s <= y.e AND y.s <= x.e AND x.id < y.id
+ORDER BY a_id, b_id
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
@@ -587,8 +651,13 @@ def register_all() -> None:
     # q_running_sum stays the library API, pinned by pytest.
     register("event_funnel_retention", q_event_funnel_retention, funnel_retention_sql())
     register("event_gap_fill", q_gap_fill_hourly, gap_fill_sql())
+    # sessionize's gaps-and-islands id merged into window_analytics as the
+    # per-event session_id column (same user_id exchange, r05 rotation);
+    # the per-user rollup q_sessionize stays the library API with oracle
+    # parity in tests/test_events_extra.py. The freed slot certifies the
+    # fact×fact interval-overlap join.
     register("window_analytics", q_window_analytics, WINDOW_ANALYTICS_SQL)
-    register("sessionize", q_sessionize, SESSIONIZE_SQL)
+    register("interval_overlap", q_interval_overlap, INTERVAL_OVERLAP_SQL)
     register("event_hourly_agg", q_hourly_agg, HOURLY_AGG_SQL)
     register("json_extract", q_json_extract, JSON_EXTRACT_SQL)
     register("asof_join", q_asof_join, ASOF_JOIN_SQL)

@@ -134,6 +134,68 @@ ORDER BY l_returnflag
 """
 
 
+def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged sketch-family gate (r05 rotation): exact quantiles +
+    approx_percentile envelope + exact/HLL++ distinct-count envelope in ONE
+    aggregate — both constituent gates grouped lineitem by l_returnflag, so
+    the merge is strictly better, not just slot-cheaper: one scan and one
+    shuffle where the two gates paid two of each. The standalone
+    q_quantiles_exact / q_approx_distinct_parts remain the library API."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.75))")
+    approx_p50 = F.round(
+        F.expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)") * 100
+    ).cast("bigint")
+
+    def cents(i: int) -> F.Column:
+        return F.round(F.element_at(F.col("_pcts"), i) * 100).cast("bigint")
+
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pcts.alias("_pcts"),
+            F.count(F.lit(1)).alias("n"),
+            approx_p50.alias("_ap50"),
+            F.count_distinct("l_partkey").alias("exact_parts"),
+            (
+                F.abs(
+                    F.approx_count_distinct("l_partkey", rsd=0.02)
+                    - F.count_distinct("l_partkey")
+                )
+                <= F.greatest(F.count_distinct("l_partkey") / 10, F.lit(8))
+            ).alias("approx_ok"),
+        )
+        .select(
+            "l_returnflag",
+            cents(1).alias("p25_cents"),
+            cents(2).alias("p50_cents"),
+            cents(3).alias("p75_cents"),
+            "n",
+            (
+                F.abs(F.col("_ap50") - cents(2)) <= F.greatest(cents(2) / 100, F.lit(100))
+            ).alias("approx_p50_ok"),
+            "exact_parts",
+            "approx_ok",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SKETCH_STATS_SQL = """
+SELECT l_returnflag,
+       CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) * 100) AS BIGINT) AS p25_cents,
+       CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.50) * 100) AS BIGINT) AS p50_cents,
+       CAST(ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) * 100) AS BIGINT) AS p75_cents,
+       COUNT(1) AS n,
+       TRUE AS approx_p50_ok,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS approx_ok
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # Structured Streaming under the driver gate
 # ---------------------------------------------------------------------------
@@ -510,8 +572,9 @@ def q_jira_rest_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_all() -> None:
     from ..registry import register
 
-    register("quantiles_exact", q_quantiles_exact, QUANTILES_SQL)
-    register("approx_distinct_parts", q_approx_distinct_parts, APPROX_DISTINCT_SQL)
+    # quantiles_exact + approx_distinct_parts merged into sketch_stats (r05
+    # rotation): same lineitem-by-returnflag aggregate, one scan + shuffle.
+    register("sketch_stats", q_sketch_stats, SKETCH_STATS_SQL)
     register("stream_tumbling_counts", q_stream_tumbling_counts, STREAM_TUMBLING_SQL)
     register("stream_stateful", q_stream_stateful, STREAM_STATEFUL_SQL)
     register("jira_rest_ingest", q_jira_rest_ingest, _mock_ingest_sql())

@@ -973,15 +973,82 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-tagged driver gate (r05 rotation) for the corpus-quality ops
+    previously pytest-only: Gopher repetition signals, the quality
+    threshold sweep, and the induced tokenizer vocabulary, harmonized to
+    (leg, id, txt, m1, m2, m3):
+
+      repetition  id=doc_id, m1..m3 = dup_sent / dup_token / top_bigram ppm
+      sweep       id=threshold_bp, m1..m3 = n_docs_kept / n_tokens_kept /
+                  token_share_ppm
+      vocab       id=rank, txt=piece, m1=n_occ
+
+    Scale shapes are the standalone operators', unchanged: repetition's
+    one (doc_id, bigram)→(doc_id) two-level aggregation, the sweep's
+    ~21-row band table, vocab's TakeOrderedAndProject top-k.
+    """
+    docs = load_table_parallel(spark, sf_dir, "documents")
+    zero = F.lit(0).cast("bigint")
+    empty = F.lit("").alias("txt")
+    rep = repetition_signals(docs).select(
+        F.lit("repetition").alias("leg"),
+        F.col("doc_id").alias("id"),
+        empty,
+        F.col("dup_sent_ppm").cast("bigint").alias("m1"),
+        F.col("dup_token_ppm").cast("bigint").alias("m2"),
+        F.col("top_bigram_ppm").cast("bigint").alias("m3"),
+    )
+    sweep = quality_threshold_sweep(docs).select(
+        F.lit("sweep").alias("leg"),
+        F.col("threshold_bp").alias("id"),
+        empty,
+        F.col("n_docs_kept").cast("bigint").alias("m1"),
+        F.col("n_tokens_kept").cast("bigint").alias("m2"),
+        F.col("token_share_ppm").cast("bigint").alias("m3"),
+    )
+    vocab = build_vocab(docs).select(
+        F.lit("vocab").alias("leg"),
+        F.col("rank").cast("bigint").alias("id"),
+        F.col("piece").alias("txt"),
+        F.col("n_occ").cast("bigint").alias("m1"),
+        zero.alias("m2"),
+        zero.alias("m3"),
+    )
+    return rep.unionByName(sweep).unionByName(vocab).orderBy("leg", "id", "txt")
+
+
+def text_quality_signals_sql() -> str:
+    """DuckDB twin assembled from the same per-leg SQL generators."""
+    return f"""
+SELECT 'repetition' AS leg, doc_id AS id, '' AS txt,
+       CAST(dup_sent_ppm AS BIGINT) AS m1, CAST(dup_token_ppm AS BIGINT) AS m2,
+       CAST(top_bigram_ppm AS BIGINT) AS m3
+FROM ({REPETITION_SQL})
+UNION ALL
+SELECT 'sweep' AS leg, threshold_bp AS id, '' AS txt,
+       CAST(n_docs_kept AS BIGINT), CAST(n_tokens_kept AS BIGINT),
+       CAST(token_share_ppm AS BIGINT)
+FROM ({quality_threshold_sweep_sql()})
+UNION ALL
+SELECT 'vocab' AS leg, CAST(rank AS BIGINT) AS id, piece AS txt,
+       CAST(n_occ AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({build_vocab_sql()})
+ORDER BY leg, id, txt
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
     # doc_clean_text AND lang-ID are folded into doc_stats (one scan, one
     # slot); the freed slots go to corpus_assembly (r03) and bm25_topk /
-    # event_funnel_retention (r04 gate rotation). repetition_signals stays
-    # a library API (oracle parity in tests/test_text.py) — the registry
-    # is at the driver's 50-query cap.
+    # event_funnel_retention (r04 gate rotation). r05 adds the
+    # text_quality_signals gate (repetition + sweep + vocab legs) in the
+    # slot freed by the sketch_stats merge — the registry stays at the
+    # driver's 50-query cap.
     register("doc_stats", q_doc_stats, DOC_STATS_SQL)
+    register("text_quality_signals", q_text_quality_signals, text_quality_signals_sql())
     # doc_bpe_token_count merged into doc_stats (r05 gate rotation);
     # q_bpe_token_count + BPE_TOKEN_SQL stay the library API, pytest-pinned.
     register("bm25_topk", q_bm25_topk, bm25_topk_sql())
