@@ -775,13 +775,22 @@ def eval_decontamination(
 # ---------------------------------------------------------------------------
 
 
+# Gate constants for the mix leg (shared with tests/test_corpus.py's
+# library-level parity test — same weights, same budget).
+GATE_MIX_WEIGHTS = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
+GATE_MIX_BUDGET = 20_000
+
+
 def q_corpus_assembly(spark, sf_dir: str) -> DataFrame:
     """The corpus-assembly family's driver gate: split counts + packing
-    summary + cross-split contamination, union-tagged into one frame with a
-    common (leg, k1, k2, n1, n2) shape. Every leg is the library operator
-    tests/test_corpus.py already value-checks; the union just buys the
-    family a hash-checked CORRECTNESS row inside the driver's 50-query cap.
-    Jaccard crosses the oracle as integer ppm so the comparison is exact.
+    summary + cross-split contamination + document chunking + source
+    mixing, union-tagged into one frame with a common (leg, k1, k2, n1,
+    n2) shape. Every leg is the library operator tests/test_corpus.py
+    already value-checks; the union just buys the family a hash-checked
+    CORRECTNESS row inside the driver's 50-query cap. Jaccard crosses the
+    oracle as integer ppm so the comparison is exact; the chunk leg
+    carries md5(chunk_text) in its key so the window-slicing text content
+    (not just counts) is hash-certified.
     """
     from ..io import load_table
 
@@ -807,9 +816,27 @@ def q_corpus_assembly(spark, sf_dir: str) -> DataFrame:
         F.round(F.col("jaccard") * 1_000_000).cast("bigint").alias("n1"),
         F.lit(0).cast("bigint").alias("n2"),
     )
+    chunk_leg = chunk_documents(docs, ordered=False).select(
+        F.lit("chunk").alias("leg"),
+        F.col("doc_id").cast("string").alias("k1"),
+        F.concat_ws(":", F.col("chunk_id").cast("string"), F.md5("chunk_text")).alias(
+            "k2"
+        ),
+        F.col("n_chunk_tokens").cast("bigint").alias("n1"),
+        F.lit(0).cast("bigint").alias("n2"),
+    )
+    mix_leg = mix_summary(docs, GATE_MIX_WEIGHTS, GATE_MIX_BUDGET).select(
+        F.lit("mix").alias("leg"),
+        F.col("source").alias("k1"),
+        F.lit("").alias("k2"),
+        F.col("n_docs").cast("bigint").alias("n1"),
+        F.col("n_tokens").cast("bigint").alias("n2"),
+    )
     return (
         split_leg.unionByName(pack_leg)
         .unionByName(contam_leg)
+        .unionByName(chunk_leg)
+        .unionByName(mix_leg)
         .orderBy("leg", "k1", "k2")
     )
 
@@ -818,7 +845,9 @@ def corpus_assembly_sql() -> str:
     return f"""
 WITH split_leg AS ({SPLIT_COUNTS_SQL.replace("ORDER BY split", "")}),
 pack_leg AS ({PACK_SUMMARY_SQL.replace("ORDER BY seq_id", "")}),
-contam_leg AS ({contamination_sql().replace("ORDER BY d1, d2", "")})
+contam_leg AS ({contamination_sql().replace("ORDER BY d1, d2", "")}),
+chunk_leg AS ({chunk_documents_sql().replace("ORDER BY doc_id, chunk_id", "")}),
+mix_leg AS ({mix_summary_sql(GATE_MIX_WEIGHTS, GATE_MIX_BUDGET).replace("ORDER BY t.source", "")})
 SELECT * FROM (
   SELECT 'split' AS leg, split AS k1, '' AS k2,
          CAST(n_docs AS BIGINT) AS n1, CAST(n_chars AS BIGINT) AS n2
@@ -832,6 +861,14 @@ SELECT * FROM (
          CAST(d2 AS VARCHAR) || '>' || split_1 || '>' || split_2,
          CAST(ROUND(jaccard * 1000000) AS BIGINT), CAST(0 AS BIGINT)
   FROM contam_leg
+  UNION ALL
+  SELECT 'chunk', CAST(doc_id AS VARCHAR),
+         CAST(chunk_id AS VARCHAR) || ':' || md5(chunk_text),
+         CAST(n_chunk_tokens AS BIGINT), CAST(0 AS BIGINT)
+  FROM chunk_leg
+  UNION ALL
+  SELECT 'mix', source, '', CAST(n_docs AS BIGINT), CAST(n_tokens AS BIGINT)
+  FROM mix_leg
 ) ORDER BY leg, k1, k2
 """
 

@@ -590,19 +590,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged near-dup pair gate (r05 rotation): the MinHash-LSH leg and
-    the exact n-gram jaccard leg union-tagged into one driver slot — both
-    read the session-shared shingle index, so the merge costs one extra
-    leg over the same materialized blocks, and the freed slot certifies
-    the redaction family. The standalone q_dedup_minhash_lsh /
-    q_dedup_ngram_jaccard remain the library API."""
+    """Merged near-dup gate (r05 rotation), three legs in one driver slot
+    on the common (leg, a, b, v, h) shape:
+
+      lsh     MinHash-LSH pairs:   a=d1, b=d2, v=jaccard
+      ngram   exact jaccard pairs: a=d1, b=d2, v=jaccard
+      substr  exact substring dedup (token-run removal): a=doc_id,
+              b=n_removed, v=n_tokens, h=md5(cleaned_text) — the hash
+              certifies the reassembled TEXT, not just the counts
+
+    lsh and ngram read the session-shared shingle index, so their merge
+    costs one extra leg over the same materialized blocks. The standalone
+    operators remain the library API."""
     lsh = q_dedup_minhash_lsh(spark, sf_dir).select(
-        F.lit("lsh").alias("leg"), "d1", "d2", "jaccard"
+        F.lit("lsh").alias("leg"),
+        F.col("d1").alias("a"),
+        F.col("d2").alias("b"),
+        F.col("jaccard").alias("v"),
+        F.lit("").alias("h"),
     )
     ng = q_dedup_ngram_jaccard(spark, sf_dir).select(
-        F.lit("ngram").alias("leg"), "d1", "d2", "jaccard"
+        F.lit("ngram").alias("leg"),
+        F.col("d1").alias("a"),
+        F.col("d2").alias("b"),
+        F.col("jaccard").alias("v"),
+        F.lit("").alias("h"),
     )
-    return lsh.unionByName(ng).orderBy("leg", "d1", "d2")
+    sub = exact_substring_dedup(
+        load_table_parallel(spark, sf_dir, "documents"), ordered=False
+    ).select(
+        F.lit("substr").alias("leg"),
+        F.col("doc_id").alias("a"),
+        F.col("n_removed").cast("bigint").alias("b"),
+        F.col("n_tokens").cast("double").alias("v"),
+        F.md5("cleaned_text").alias("h"),
+    )
+    return lsh.unionByName(ng).unionByName(sub).orderBy("leg", "a", "b")
 
 
 _BANDS_SQL = f"""
@@ -734,11 +757,17 @@ ORDER BY d1, d2
 
 
 DEDUP_NEAR_PAIRS_SQL = f"""
-SELECT 'lsh' AS leg, * FROM ({DEDUP_MINHASH_SQL})
+SELECT 'lsh' AS leg, d1 AS a, d2 AS b, jaccard AS v, '' AS h
+FROM ({DEDUP_MINHASH_SQL})
 UNION ALL
-SELECT 'ngram' AS leg, * FROM ({NGRAM_JACCARD_SQL})
-ORDER BY leg, d1, d2
-"""
+SELECT 'ngram' AS leg, d1 AS a, d2 AS b, jaccard AS v, '' AS h
+FROM ({NGRAM_JACCARD_SQL})
+UNION ALL
+SELECT 'substr' AS leg, doc_id AS a, CAST(n_removed AS BIGINT) AS b,
+       CAST(n_tokens AS DOUBLE) AS v, md5(cleaned_text) AS h
+FROM ({{SUBSTR_SQL}})
+ORDER BY leg, a, b
+""".replace("{SUBSTR_SQL}", exact_substring_dedup_sql())
 
 
 SIMHASH_BITS = 60  # 15 md5 hex chars -> portable BIGINT in both engines

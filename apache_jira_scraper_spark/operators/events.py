@@ -594,6 +594,50 @@ def q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gap_fill_hourly(load_table(spark, sf_dir, "events"))
 
 
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged scalar-function gate (r05 rotation): the JSON-extraction leg
+    (events.props) and the date/interval-arithmetic leg (orders dates),
+    union-tagged to (leg, k, s1, n1, n2, n3). Both constituent operators
+    stay the library API; merging the two tiny gates frees the slot that
+    certifies the skew/salting patterns (scale_patterns.py)."""
+    from .relational2 import q_date_arithmetic
+
+    zero = F.lit(0).cast("bigint")
+    js = q_json_extract(spark, sf_dir).select(
+        F.lit("json").alias("leg"),
+        F.col("event_type").alias("k"),
+        F.lit("").alias("s1"),
+        F.col("sum_k").cast("bigint").alias("n1"),
+        F.col("n_large").cast("bigint").alias("n2"),
+        zero.alias("n3"),
+    )
+    dt = q_date_arithmetic(spark, sf_dir).select(
+        F.lit("date").alias("leg"),
+        F.col("month").alias("k"),
+        F.col("earliest_due").alias("s1"),
+        F.col("n").cast("bigint").alias("n1"),
+        F.col("max_day_offset").cast("bigint").alias("n2"),
+        F.col("min_unix").cast("bigint").alias("n3"),
+    )
+    return js.unionByName(dt).orderBy("leg", "k")
+
+
+def scalar_funcs_sql() -> str:
+    from .relational2 import DATE_ARITH_SQL
+
+    return f"""
+SELECT 'json' AS leg, event_type AS k, '' AS s1,
+       CAST(sum_k AS BIGINT) AS n1, CAST(n_large AS BIGINT) AS n2,
+       CAST(0 AS BIGINT) AS n3
+FROM ({JSON_EXTRACT_SQL})
+UNION ALL
+SELECT 'date' AS leg, month AS k, earliest_due AS s1,
+       CAST(n AS BIGINT), CAST(max_day_offset AS BIGINT), CAST(min_unix AS BIGINT)
+FROM ({DATE_ARITH_SQL})
+ORDER BY leg, k
+"""
+
+
 INTERVAL_GATE_MAX_USER = 200  # bounds the session-interval pair set at any SF
 
 
@@ -659,5 +703,7 @@ def register_all() -> None:
     register("window_analytics", q_window_analytics, WINDOW_ANALYTICS_SQL)
     register("interval_overlap", q_interval_overlap, INTERVAL_OVERLAP_SQL)
     register("event_hourly_agg", q_hourly_agg, HOURLY_AGG_SQL)
-    register("json_extract", q_json_extract, JSON_EXTRACT_SQL)
+    # json_extract + date_arithmetic merged into scalar_funcs (r05); the
+    # freed slot certifies the skew/salting patterns (scale_patterns.py).
+    register("scalar_funcs", q_scalar_funcs, scalar_funcs_sql())
     register("asof_join", q_asof_join, ASOF_JOIN_SQL)

@@ -136,49 +136,22 @@ ORDER BY l_returnflag
 
 def q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Merged sketch-family gate (r05 rotation): exact quantiles +
-    approx_percentile envelope + exact/HLL++ distinct-count envelope in ONE
-    aggregate — both constituent gates grouped lineitem by l_returnflag, so
-    the merge is strictly better, not just slot-cheaper: one scan and one
-    shuffle where the two gates paid two of each. The standalone
-    q_quantiles_exact / q_approx_distinct_parts remain the library API."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.expr("percentile(CAST(l_extendedprice AS DOUBLE), array(0.25, 0.5, 0.75))")
-    approx_p50 = F.round(
-        F.expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 10000)") * 100
-    ).cast("bigint")
+    approx_percentile envelope + exact/HLL++ distinct-count envelope in
+    one driver slot.
 
-    def cents(i: int) -> F.Column:
-        return F.round(F.element_at(F.col("_pcts"), i) * 100).cast("bigint")
-
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            pcts.alias("_pcts"),
-            F.count(F.lit(1)).alias("n"),
-            approx_p50.alias("_ap50"),
-            F.count_distinct("l_partkey").alias("exact_parts"),
-            (
-                F.abs(
-                    F.approx_count_distinct("l_partkey", rsd=0.02)
-                    - F.count_distinct("l_partkey")
-                )
-                <= F.greatest(F.count_distinct("l_partkey") / 10, F.lit(8))
-            ).alias("approx_ok"),
-        )
-        .select(
-            "l_returnflag",
-            cents(1).alias("p25_cents"),
-            cents(2).alias("p50_cents"),
-            cents(3).alias("p75_cents"),
-            "n",
-            (
-                F.abs(F.col("_ap50") - cents(2)) <= F.greatest(cents(2) / 100, F.lit(100))
-            ).alias("approx_p50_ok"),
-            "exact_parts",
-            "approx_ok",
-        )
-        .orderBy("l_returnflag")
-    )
+    NOT one combined aggregate: putting count_distinct next to percentile
+    in the same agg makes Spark reroute EVERY aggregate through the
+    distinct's (l_returnflag, l_partkey) pre-grouping - the percentile
+    buffers get built and merged per fine-grained key (~600k groups at
+    sf0.1; measured 7.9 s vs the constituents' 4.7 s). So the two
+    families aggregate independently - the value-heavy percentile pass on
+    raw rows, the distinct pass through its natural (flag, partkey)
+    two-level reduction - and join on the handful of return-flag rows.
+    The standalone q_quantiles_exact / q_approx_distinct_parts remain the
+    library API."""
+    quant = q_quantiles_exact(spark, sf_dir)
+    distinct = q_approx_distinct_parts(spark, sf_dir)
+    return quant.join(distinct, "l_returnflag").orderBy("l_returnflag")
 
 
 SKETCH_STATS_SQL = """

@@ -270,7 +270,8 @@ def register_all() -> None:
     from ..registry import register
 
     register("customer_order_profile", q_customer_order_profile, CUSTOMER_ORDER_PROFILE_SQL)
-    register("date_arithmetic", q_date_arithmetic, DATE_ARITH_SQL)
+    # date_arithmetic merged into the scalar_funcs gate (events.py, r05);
+    # q_date_arithmetic + DATE_ARITH_SQL stay the library API.
     register("udaf_geomean", q_udaf_geomean, UDAF_GEOMEAN_SQL)
     register("above_avg_orders", q_above_avg_orders, ABOVE_AVG_SQL)
     register("array_ops_per_customer", q_array_ops_per_customer, ARRAY_OPS_SQL)

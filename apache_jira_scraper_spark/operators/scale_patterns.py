@@ -186,3 +186,83 @@ def salted_agg(
         F.sum("_nv").alias("n_values"),
         (F.sum("_s") / F.sum("_nv")).alias("mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver gate (r05 rotation): the salting patterns, value-certified
+# ---------------------------------------------------------------------------
+
+def q_skew_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-tagged driver gate certifying that the EXPLICIT skew tactics
+    produce exactly the unsalted semantics (the plan effects — bounded
+    partition width, no hot reducer — are pinned separately in
+    tests/test_scale_patterns.py):
+
+      sagg   salted_agg over orders keyed by o_orderstatus (a 3-value key:
+             the textbook hot-key shape) — total cents / row count /
+             non-NULL count, plus mean_cents derived by exact integer
+             division. The oracle is the PLAIN GROUP BY: any salting bug
+             (lost rows, double-merged partials) hash-mismatches.
+      sjoin  salted_join of customer (facts) against nation (replicated
+             dim), rolled up per nation — must equal the plain join.
+
+    Harmonized to (leg, k, n1, n2, n3).
+    """
+    from ..io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    agg = salted_agg(orders, key="o_orderstatus", value="price")
+    sagg = agg.select(
+        F.lit("sagg").alias("leg"),
+        F.col("o_orderstatus").alias("k"),
+        (F.col("total") * 100).cast("bigint").alias("n1"),
+        F.col("n").cast("bigint").alias("n2"),
+        F.expr("CAST(CAST(total * 100 AS BIGINT) DIV n_values AS BIGINT)").alias("n3"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey"),
+        F.col("c_acctbal").cast("decimal(18,2)").alias("bal"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(cust, nation, key="n_nationkey")
+    sjoin = (
+        joined.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.sum("bal") * 100).cast("bigint").alias("_bal_cents"),
+        )
+        .select(
+            F.lit("sjoin").alias("leg"),
+            F.col("n_name").alias("k"),
+            F.col("_bal_cents").alias("n1"),
+            F.col("_n").cast("bigint").alias("n2"),
+            F.lit(0).cast("bigint").alias("n3"),
+        )
+    )
+    return sagg.unionByName(sjoin).orderBy("leg", "k")
+
+
+SKEW_PATTERNS_SQL = """
+SELECT 'sagg' AS leg, o_orderstatus AS k,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS n1,
+       COUNT(1) AS n2,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)
+            // COUNT(o_totalprice) AS BIGINT) AS n3
+FROM orders
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'sjoin' AS leg, n_name AS k,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) * 100 AS BIGINT) AS n1,
+       COUNT(1) AS n2, CAST(0 AS BIGINT) AS n3
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY leg, k
+"""
+
+
+def register_all() -> None:
+    from ..registry import register
+
+    register("skew_patterns", q_skew_patterns, SKEW_PATTERNS_SQL)

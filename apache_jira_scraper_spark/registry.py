@@ -61,6 +61,7 @@ def _load() -> None:
         redaction,
         relational,
         relational2,
+        scale_patterns,
         similarity,
         text,
     )
@@ -81,4 +82,5 @@ def _load() -> None:
     multimodal.register_all()
     redaction.register_all()
     quantize.register_all()
+    scale_patterns.register_all()
     _LOADED = True

@@ -343,8 +343,10 @@ def test_chunk_documents_plan_is_narrow(spark, sf_dir):
     assert "Exchange" not in body and "Repartition" not in body
 
 
-MIX_WEIGHTS = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
-MIX_BUDGET = 20_000
+from apache_jira_scraper_spark.operators.corpus import (
+    GATE_MIX_BUDGET as MIX_BUDGET,
+    GATE_MIX_WEIGHTS as MIX_WEIGHTS,
+)
 
 
 def test_mix_summary_matches_oracle(spark, sf_dir):

@@ -2,9 +2,10 @@
 
 The signature-producing queries (MinHash, SimHash) were de-registered in
 round 2 to fit the driver's 50-query cap — their end-to-end consumers
-(dedup_minhash_lsh / dedup_simhash) stay oracle-gated, and THIS file pins
-the signature parity that the dropped gates used to check, plus the
-df-cutoff scale knob of the n-gram jaccard join.
+stay oracle-gated (since r05 the LSH + ngram + substring legs share the
+union-tagged `dedup_near_pairs` gate; simhash keeps its own slot), and
+THIS file pins the signature parity that the dropped gates used to
+check, plus the df-cutoff scale knob of the n-gram jaccard join.
 """
 
 from __future__ import annotations

@@ -226,16 +226,21 @@ def test_eval_decontamination_broadcasts_eval_side_only(spark, sf_dir):
 
 
 def test_repetition_signals_shape(spark, sf_dir):
-    """One Generate (the bigram explode), partial-agg-friendly aggregation,
-    no cartesian; the doc-side join back is an equi-join on doc_id."""
+    """Row-local statistic, row-local plan (r05): the top-bigram fraction
+    folds the sorted per-row bigram array, so the plan is a pure narrow
+    map — NO explode, NO join, and no shuffle except the presentation
+    sort. The pre-r05 corpus-wide (doc_id, bigram) aggregation paid two
+    token-cardinality shuffles for a per-doc quantity."""
     from apache_jira_scraper_spark.io import load_table
     from apache_jira_scraper_spark.operators.text import repetition_signals
 
     df = repetition_signals(load_table(spark, sf_dir, "documents"))
     ops = operator_counts(df)
-    assert ops.get("Generate", 0) == 1, ops
-    assert "CartesianProduct" not in ops, ops
-    assert ops.get("HashAggregate", 0) >= 4, ops  # two partial/final pairs
+    assert ops.get("Generate", 0) == 0, ops
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in ops, ops
+    # the only Exchange is the ORDER BY doc_id presentation sort
+    assert ops.get("Exchange", 0) <= 1, ops
 
 
 def test_no_cartesian_product_in_any_gate(spark, sf_dir):
