@@ -638,6 +638,52 @@ ORDER BY leg, k
 """
 
 
+def q_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged event-aggregation gate (r05 rotation): the tumbling hourly
+    aggregate and the static-bucket range join (the CASE-WHEN form of J3)
+    union-tagged to (leg, k, hour, n, v1, v2) — both read the one events
+    scan family. hourly's cents land in v1 as DOUBLE (exact: cents stay
+    well under 2^53 at any plausible SF0.1-gate volume and both engines
+    render them identically); range carries its min/max values in v1/v2.
+    The standalone q_hourly_agg / q_range_join stay the library API; the
+    freed slot certifies incremental_dedup (dedup.register_all)."""
+    from .relational import q_range_join
+
+    hourly = q_hourly_agg(spark, sf_dir).select(
+        F.lit("hourly").alias("leg"),
+        F.col("event_type").alias("k"),
+        F.col("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_value_cents").cast("double").alias("v1"),
+        F.lit(0.0).alias("v2"),
+    )
+    rng = q_range_join(spark, sf_dir).select(
+        F.lit("range").alias("leg"),
+        F.col("label").alias("k"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("min_v").alias("v1"),
+        F.col("max_v").alias("v2"),
+    )
+    return hourly.unionByName(rng).orderBy("leg", "k", "hour")
+
+
+def event_agg_sql() -> str:
+    from .relational import RANGE_JOIN_SQL
+
+    return f"""
+SELECT 'hourly' AS leg, event_type AS k, hour,
+       CAST(n AS BIGINT) AS n, CAST(total_value_cents AS DOUBLE) AS v1,
+       0.0 AS v2
+FROM ({HOURLY_AGG_SQL.replace("ORDER BY hour, event_type", "")})
+UNION ALL
+SELECT 'range' AS leg, label AS k, CAST(NULL AS TIMESTAMP) AS hour,
+       CAST(n AS BIGINT) AS n, min_v AS v1, max_v AS v2
+FROM ({RANGE_JOIN_SQL.replace("ORDER BY label", "")})
+ORDER BY leg, k, hour
+"""
+
+
 INTERVAL_GATE_MAX_USER = 200  # bounds the session-interval pair set at any SF
 
 
@@ -702,7 +748,10 @@ def register_all() -> None:
     # fact×fact interval-overlap join.
     register("window_analytics", q_window_analytics, WINDOW_ANALYTICS_SQL)
     register("interval_overlap", q_interval_overlap, INTERVAL_OVERLAP_SQL)
-    register("event_hourly_agg", q_hourly_agg, HOURLY_AGG_SQL)
+    # event_hourly_agg + range_join merged into event_agg (r05 rotation,
+    # both event-scan aggregates); the freed slot certifies
+    # incremental_dedup. The standalones stay the library API.
+    register("event_agg", q_event_agg, event_agg_sql())
     # json_extract + date_arithmetic merged into scalar_funcs (r05); the
     # freed slot certifies the skew/salting patterns (scale_patterns.py).
     register("scalar_funcs", q_scalar_funcs, scalar_funcs_sql())

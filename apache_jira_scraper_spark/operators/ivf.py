@@ -233,9 +233,10 @@ def ivf_assign(
 
 def semantic_dedup(
     emb: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None = None,
     threshold: float = 0.25,
     nprobe: int = 2,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop all but one vector from
     every group of embedding-space near-duplicates — the embedding twin of
@@ -243,16 +244,27 @@ def semantic_dedup(
     semantically redundant training examples that text dedup can't see
     (paraphrases, re-renders, translations into the same embedding region).
 
-    Pure composition of the engine's existing scale parts: IVF-cell
-    blocking (`ivf_near_dup_pairs` — candidate pairs from trained-cell
-    equi-joins, never corpus²) → connected components over the pair graph
+    Pure composition of the engine's existing scale parts: a blocked
+    near-dup pair generator → connected components over the pair graph
     (hash-to-min rounds) → keep the min-id member per component. Returns
     (vec_id, cluster_id, kept): every input row labeled, kept = (vec_id ==
     cluster_id); singletons are their own cluster and always kept.
+
+    Blocking is pluggable: pass trained ``centroids`` for IVF-cell
+    blocking (`ivf_near_dup_pairs` — candidate pairs from trained-cell
+    equi-joins, never corpus²; the preferred shape when a training pass
+    is affordable), or an explicit ``pairs`` DataFrame (v1, v2) from any
+    generator — e.g. dedup.embedding_cosine_pairs' deterministic sign-LSH
+    blocking, which is what the driver gate certifies end-to-end because
+    its pair set is exactly SQL-expressible (IVF's is recall-bounded, not
+    exact — pinned in tests/test_ivf.py instead).
     """
     from .dedup import connected_components
 
-    pairs = ivf_near_dup_pairs(emb, centroids, threshold=threshold, nprobe=nprobe)
+    if pairs is None:
+        if centroids is None:
+            raise ValueError("semantic_dedup needs either centroids or pairs")
+        pairs = ivf_near_dup_pairs(emb, centroids, threshold=threshold, nprobe=nprobe)
     comp = connected_components(
         pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
     )

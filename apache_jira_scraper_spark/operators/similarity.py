@@ -325,11 +325,15 @@ def ann_lsh_topk_multi(
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate: exact brute-force top-k and LSH-bucketed approximate top-k as
-    union-tagged legs on a common (op, qid, rank, nid, aux, cosine) shape —
-    aux carries the neighbor label on the exact leg and the shared LSH
-    bucket on the approximate leg. One gate certifies both tiers; the
-    per-tier builders stay the library API (q_cosine_topk, q_ann_lsh_topk).
+    """Gate: exact brute-force top-k, LSH-bucketed approximate top-k, and
+    the k-NN majority-label vote as union-tagged legs on a common
+    (op, qid, rank, nid, aux, cosine) shape — aux carries the neighbor
+    label on the exact leg, the shared LSH bucket on the approximate leg,
+    and the vote count on the knn leg (whose nid is the predicted label).
+    The knn leg re-reads the session-cached exact top-k, so the r05 merge
+    adds one tiny aggregation over already-materialized rows; the per-tier
+    builders stay the library API (q_cosine_topk, q_ann_lsh_topk,
+    q_knn_label_vote).
     """
     exact = q_cosine_topk(spark, sf_dir).select(
         F.lit("exact").alias("op"),
@@ -347,7 +351,15 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("bigint").alias("aux"),
         "cosine",
     )
-    return exact.unionAll(lsh).orderBy("op", "qid", "rank")
+    knn = q_knn_label_vote(spark, sf_dir).select(
+        F.lit("knn").alias("op"),
+        "qid",
+        F.lit(0).alias("rank"),
+        F.col("pred_label").cast("bigint").alias("nid"),
+        F.col("votes").cast("bigint").alias("aux"),
+        F.lit(0.0).alias("cosine"),
+    )
+    return exact.unionAll(lsh).unionAll(knn).orderBy("op", "qid", "rank")
 
 
 SIMILARITY_TOPK_SQL = f"""
@@ -376,6 +388,18 @@ FROM exact_ranked WHERE rank <= {TOP_K}
 UNION ALL
 SELECT 'lsh' AS op, qid, rank, nid, CAST(bucket AS BIGINT) AS aux, cosine
 FROM lsh_ranked WHERE rank <= {LSH_TOP_K}
+UNION ALL
+SELECT 'knn' AS op, qid, 0 AS rank, CAST(pred_label AS BIGINT) AS nid,
+       CAST(votes AS BIGINT) AS aux, 0.0 AS cosine
+FROM (
+  SELECT qid, label AS pred_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS rn
+  FROM (
+    SELECT qid, label, COUNT(1) AS votes
+    FROM exact_ranked WHERE rank <= {TOP_K}
+    GROUP BY qid, label
+  ) v
+) r WHERE rn = 1
 ORDER BY op, qid, rank
 """
 
@@ -478,5 +502,7 @@ def register_all() -> None:
     from ..registry import register
 
     register("similarity_topk", q_similarity_topk, SIMILARITY_TOPK_SQL)
-    register("knn_label_vote", q_knn_label_vote, KNN_VOTE_SQL)
+    # knn_label_vote merged into similarity_topk's 'knn' leg (r05 rotation);
+    # q_knn_label_vote + KNN_VOTE_SQL stay the library API. The freed slot
+    # certifies semantic_dedup (registered in dedup.register_all).
     register("ivf_ann_topk", q_ivf_ann_topk, IVF_ANN_SQL)
