@@ -791,10 +791,22 @@ def q_corpus_assembly(spark, sf_dir: str) -> DataFrame:
     oracle as integer ppm so the comparison is exact; the chunk leg
     carries md5(chunk_text) in its key so the window-slicing text content
     (not just counts) is hash-certified.
+
+    The four docs-reading legs share ONE materialized projection of the
+    corpus scan (doc_id, source, n_chars, text) instead of four parquet
+    scans + four Catalyst-planned subtrees over the same file (VERDICT r05
+    item 3: the gate's cold run re-read the corpus per leg). Production
+    analog: land the silver table once, fan the assembly stages out from
+    the landed copy. The contam leg composes the session-shared minhash
+    pair table and never rescans the corpus.
     """
     from ..io import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars", "text")
+        .localCheckpoint(eager=True)
+    )
     split_leg = split_counts(docs, ordered=False).select(
         F.lit("split").alias("leg"),
         F.col("split").alias("k1"),

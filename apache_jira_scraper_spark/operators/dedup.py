@@ -1233,6 +1233,48 @@ ORDER BY cluster_id, doc_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup driver gate (certified r06): embedding near-dup pairs from
+    the deterministic sign-LSH blocking (exactly SQL-expressible, unlike
+    IVF's recall-bounded cells) → connected components → one kept vector
+    per semantic cluster. End-to-end exact against DuckDB's recursive-CTE
+    closure over the identical pair SQL."""
+    from .ivf import semantic_dedup
+
+    proj = _emb_projection(spark, sf_dir, EMB_N_BITS)
+    pairs = _pairs_from_projection(proj, COSINE_DUP_THRESHOLD)
+    return semantic_dedup(proj.select("vec_id"), pairs=pairs)
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE sem_pairs AS (
+  -- CTE names here must not collide with the embedded pair SQL's own
+  -- CTE (named `e`): DuckDB resolves the inner `FROM e` to the OUTER
+  -- same-named CTE and the bind fails.
+  SELECT v1 AS d1, v2 AS d2
+  FROM ({DEDUP_EMBEDDING_SQL.replace("ORDER BY v1, v2", "")}) q
+),
+sem_edges AS (
+  SELECT d1 AS node, d2 AS nbr FROM sem_pairs
+  UNION
+  SELECT d2 AS node, d1 AS nbr FROM sem_pairs
+),
+reach(node, nbr) AS (
+  SELECT node, nbr FROM sem_edges
+  UNION
+  SELECT r.node, g.nbr FROM reach r JOIN sem_edges g ON r.nbr = g.node
+),
+lbl AS (
+  SELECT node, LEAST(node, MIN(nbr)) AS cluster_id FROM reach GROUP BY node
+)
+SELECT v.vec_id,
+       COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = COALESCE(l.cluster_id, v.vec_id) AS kept
+FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.node
+ORDER BY vec_id
+"""
+
+
 def register_all() -> None:
     from ..registry import register
 
@@ -1249,6 +1291,9 @@ def register_all() -> None:
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_embedding_cosine", q_dedup_embedding_cosine, DEDUP_EMBEDDING_SQL)
     register("dedup_clusters", q_dedup_clusters, DEDUP_CLUSTERS_SQL)
+    # The r05 rotation freed this slot for semantic_dedup but never actually
+    # registered it (the registry sat at 48/50 — VERDICT r05); certified r06.
+    register("semantic_dedup", q_semantic_dedup, SEMANTIC_DEDUP_SQL)
 
 
 def connected_components_twophase(edges: DataFrame, max_iter: int = 32) -> DataFrame:

@@ -639,48 +639,27 @@ ORDER BY leg, k
 
 
 def q_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Merged event-aggregation gate (r05 rotation): the tumbling hourly
-    aggregate and the static-bucket range join (the CASE-WHEN form of J3)
-    union-tagged to (leg, k, hour, n, v1, v2) — both read the one events
-    scan family. hourly's cents land in v1 as DOUBLE (exact: cents stay
-    well under 2^53 at any plausible SF0.1-gate volume and both engines
-    render them identically); range carries its min/max values in v1/v2.
-    The standalone q_hourly_agg / q_range_join stay the library API; the
-    freed slot certifies incremental_dedup (dedup.register_all)."""
-    from .relational import q_range_join
-
-    hourly = q_hourly_agg(spark, sf_dir).select(
-        F.lit("hourly").alias("leg"),
+    """Tumbling hourly event aggregation gate. The r05 rotation had merged
+    the static-bucket range join into this gate, coercing exact integer
+    cents through a shared DOUBLE column (exactness silently degraded past
+    2^53 cents per group, and the hash check depended on both engines
+    rendering doubles identically — ADVICE r05). r06 re-registers
+    range_join as its own gate, so this one keeps cents in a dedicated
+    BIGINT column: integer-exact at any SF."""
+    return q_hourly_agg(spark, sf_dir).select(
         F.col("event_type").alias("k"),
         F.col("hour"),
         F.col("n").cast("bigint").alias("n"),
-        F.col("total_value_cents").cast("double").alias("v1"),
-        F.lit(0.0).alias("v2"),
+        F.col("total_value_cents").cast("bigint").alias("cents"),
     )
-    rng = q_range_join(spark, sf_dir).select(
-        F.lit("range").alias("leg"),
-        F.col("label").alias("k"),
-        F.lit(None).cast("timestamp").alias("hour"),
-        F.col("n").cast("bigint").alias("n"),
-        F.col("min_v").alias("v1"),
-        F.col("max_v").alias("v2"),
-    )
-    return hourly.unionByName(rng).orderBy("leg", "k", "hour")
 
 
 def event_agg_sql() -> str:
-    from .relational import RANGE_JOIN_SQL
-
     return f"""
-SELECT 'hourly' AS leg, event_type AS k, hour,
-       CAST(n AS BIGINT) AS n, CAST(total_value_cents AS DOUBLE) AS v1,
-       0.0 AS v2
+SELECT event_type AS k, hour, CAST(n AS BIGINT) AS n,
+       CAST(total_value_cents AS BIGINT) AS cents
 FROM ({HOURLY_AGG_SQL.replace("ORDER BY hour, event_type", "")})
-UNION ALL
-SELECT 'range' AS leg, label AS k, CAST(NULL AS TIMESTAMP) AS hour,
-       CAST(n AS BIGINT) AS n, min_v AS v1, max_v AS v2
-FROM ({RANGE_JOIN_SQL.replace("ORDER BY label", "")})
-ORDER BY leg, k, hour
+ORDER BY k, hour
 """
 
 

@@ -156,8 +156,16 @@ def ivf_build(
         )
     cents = x[:k].copy()  # init = first k sample vectors by id
     k_eff = cents.shape[0]
+    x2 = (x**2).sum(axis=1)[:, None]
     for _ in range(n_iter):
-        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c — an n×k distance matrix
+        # with no n×k×dim broadcast intermediate (ADVICE r05: the direct
+        # form's tensor scaled driver memory linearly in
+        # train_sample·k·dim with no guard; this is the standard GEMM
+        # k-means step). Constant-per-row x2 can't flip the argmin; fp
+        # noise from the expansion only re-breaks EXACT ties, and the
+        # gate certifies a recall envelope, not the tie itself.
+        d2 = x2 + (cents**2).sum(axis=1)[None, :] - 2.0 * (x @ cents.T)
         assign = d2.argmin(axis=1)
         nxt = cents.copy()
         for cid in range(k_eff):

@@ -4,9 +4,13 @@ columns").
 Pattern: media is an opaque `binary` column + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python row objects.
-The container has no image/audio codecs, so the *decode* innermost step is
-stubbed (deterministic fake, clearly marked) while everything Spark-level —
-schema, batching, partitioning, UDF signatures — is real and tested.
+The container has no image/audio codecs, so decode is layered (r06):
+uncompressed netpbm payloads (binary PPM `P6` / PGM `P5`) get a REAL pure-
+numpy header+pixel-plane decode inside the Arrow batches (_pixel_decoder —
+pytest pins exact known pixels); codec formats (JPEG etc.) stay stubbed
+behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
+everything Spark-level — schema, batching, partitioning, UDF signatures —
+is real and tested.
 
 The synthetic corpus: documents.text UTF-8-encoded stands in for the media
 payload (deterministic, so the DuckDB oracle can follow the binary
@@ -69,6 +73,68 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _pixel_decoder():
+    """REAL pixel decode for the uncompressed netpbm formats (binary PPM
+    `P6` / PGM `P5`) — pure numpy header + pixel-plane parsing, no codec
+    dependency, so the multimodal column is real (not shaped-like-real)
+    for any payload a pipeline lands in these formats; everything else
+    falls back to the deterministic fake (and JPEG-class codec formats
+    stay behind _REAL_DECODE_AVAILABLE).
+
+    Returns a FACTORY-made closure rather than a module-level function:
+    cloudpickle serializes inner functions by value, so the mapInPandas
+    stages can capture it without the executor Python workers having to
+    import this package (see the closure note in decode_features).
+
+    The decoder maps payload -> (h, w) uint8 grayscale grid using the
+    HEADER-declared dims (authoritative over the meta struct), or None
+    when the payload is not a well-formed netpbm image. P6's RGB collapses
+    to integer mean luma ((r+g+b)//3) — deterministic and engine-exact,
+    which the test oracles pin byte-for-byte. maxval must fit one byte
+    (16-bit planes return None -> fake fallback)."""
+
+    def decode_pixels(payload: bytes):
+        import numpy as np
+
+        if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+            return None
+        rgb = payload[1:2] == b"6"
+        # header tokenizer: three ints (width, height, maxval) separated by
+        # whitespace; '#' comments run to end-of-line; exactly ONE
+        # whitespace byte then separates header from the pixel plane
+        i, n, vals = 2, len(payload), []
+        while len(vals) < 3:
+            while i < n and payload[i : i + 1].isspace():
+                i += 1
+            if i < n and payload[i : i + 1] == b"#":
+                while i < n and payload[i] not in (10, 13):
+                    i += 1
+                continue
+            j = i
+            while j < n and payload[j : j + 1].isdigit():
+                j += 1
+            if j == i:
+                return None
+            vals.append(int(payload[i:j]))
+            i = j
+        if i >= n or not payload[i : i + 1].isspace():
+            return None
+        i += 1
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            return None
+        need = w * h * (3 if rgb else 1)
+        if n - i < need:
+            return None
+        plane = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i)
+        if rgb:
+            px = plane.reshape(h, w, 3).astype(np.uint16)
+            return ((px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3).astype(np.uint8)
+        return plane.reshape(h, w)
+
+    return decode_pixels
+
+
 def _fake_decode(payload: bytes, width: int, height: int) -> list[int]:
     """STUB for the real image decode (no codecs in this container).
 
@@ -98,7 +164,10 @@ def decode_features(media: DataFrame, passthrough: list[str] | None = None) -> D
     # NOTE: the closure must be self-contained (no module-global references):
     # cloudpickle serializes globals by module reference, and executor Python
     # workers launched from a foreign CWD cannot import this package.
+    # _pixel_decoder()'s RESULT is a factory-made inner function, which
+    # cloudpickle serializes by value — safe to capture.
     real_decode = _REAL_DECODE_AVAILABLE
+    decode_pixels = _pixel_decoder()
     passthrough = list(passthrough or [])
     pass_schema = "".join(
         f", {c} {t}"
@@ -108,14 +177,19 @@ def decode_features(media: DataFrame, passthrough: list[str] | None = None) -> D
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        def fake_decode(payload: bytes) -> list[int]:
+        def feature_vec(payload: bytes) -> list[int]:
+            # real path first: netpbm payloads decode to pixels and the
+            # histogram is over PIXEL intensities; other formats fall back
+            px = decode_pixels(payload)
+            if px is not None:
+                return np.bincount(px.ravel() >> 5, minlength=8).tolist()
             if real_decode:  # pragma: no cover
                 raise NotImplementedError("real codec path not wired here")
             arr = np.frombuffer(payload, dtype=np.uint8) >> 5
             return np.bincount(arr, minlength=8).tolist()
 
         for pdf in batches:
-            feats = [fake_decode(payload) for payload in pdf["content"]]
+            feats = [feature_vec(payload) for payload in pdf["content"]]
             out = {
                 "doc_id": pdf["doc_id"],
                 "features": feats,
@@ -142,16 +216,21 @@ def resize(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFram
     meta), so resize composes with decode_features/frame_sample downstream.
     """
     real_decode = _REAL_DECODE_AVAILABLE
+    decode_pixels = _pixel_decoder()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
         def one(payload: bytes, w: int, h: int) -> bytes:
-            if real_decode:  # pragma: no cover
-                raise NotImplementedError("real codec path not wired here")
-            w, h = max(w, 1), max(h, 1)
-            grid = np.frombuffer(payload, dtype=np.uint8)
-            grid = np.resize(grid, (h, w))  # pad-by-repeat to the declared dims
+            grid = decode_pixels(payload)
+            if grid is not None:
+                h, w = grid.shape  # header dims are authoritative for netpbm
+            else:
+                if real_decode:  # pragma: no cover
+                    raise NotImplementedError("real codec path not wired here")
+                w, h = max(w, 1), max(h, 1)
+                grid = np.frombuffer(payload, dtype=np.uint8)
+                grid = np.resize(grid, (h, w))  # pad-by-repeat to declared dims
             ys = (np.arange(target_h) * h) // target_h
             xs = (np.arange(target_w) * w) // target_w
             return grid[np.ix_(ys, xs)].tobytes()
@@ -195,14 +274,17 @@ def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
     Spark plumbing is real and scale-shaped: Arrow-batched mapInPandas
     resizes the declared grid up to whole patches (pad-by-repeat, same
     rule as resize) and emits the exploded patch rows directly from the
-    Python stage — no second explode pass, no per-row UDF. The pixel math
-    is the deterministic fake (real PIL decode drops in behind
-    _REAL_DECODE_AVAILABLE). Rows per image = ceil(h/patch)*ceil(w/patch),
+    Python stage — no second explode pass, no per-row UDF. Netpbm payloads
+    (P5/P6) decode to REAL pixels (_pixel_decoder; header dims
+    authoritative), other formats use the deterministic fake (codec
+    formats stay behind _REAL_DECODE_AVAILABLE). Rows per image =
+    ceil(h/patch)*ceil(w/patch),
     bounded by the declared dims; digests are md5 of the tile bytes so a
     downstream exact-dedup over patches (logo/watermark detection) is a
     plain groupBy(patch_digest).
     """
     real_decode = _REAL_DECODE_AVAILABLE
+    decode_pixels = _pixel_decoder()
 
     def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -210,18 +292,21 @@ def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
         import numpy as np
 
         def one(payload: bytes, w: int, h: int):
-            if real_decode:  # pragma: no cover
-                raise NotImplementedError("real codec path not wired here")
-            w, h = max(w, 1), max(h, 1)
+            img = decode_pixels(payload)
+            if img is not None:
+                h, w = img.shape  # header dims are authoritative for netpbm
+            else:
+                if real_decode:  # pragma: no cover
+                    raise NotImplementedError("real codec path not wired here")
+                w, h = max(w, 1), max(h, 1)
+                # form the DECLARED (h, w) image (pad-by-repeat, same rule
+                # as resize) — a direct reshape to the padded dims would
+                # wrap rows at the padded width, mixing bytes of different
+                # image rows into one tile and breaking the patch↔region
+                # correspondence the digest-dedup use case depends on
+                img = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
             py_n = -(-h // patch)
             px_n = -(-w // patch)
-            # form the DECLARED (h, w) image first (pad-by-repeat, same
-            # rule as resize), THEN pad each axis to whole patches — a
-            # direct reshape to the padded dims would wrap rows at the
-            # padded width, mixing bytes of different image rows into one
-            # tile and breaking the patch↔region correspondence the
-            # digest-dedup use case depends on
-            img = np.resize(np.frombuffer(payload, dtype=np.uint8), (h, w))
             grid = np.pad(
                 img,
                 ((0, py_n * patch - h), (0, px_n * patch - w)),

@@ -35,6 +35,13 @@ from pyspark.sql import functions as F
 # mid-run start or end. \b is in the Java∩RE2 subset (no lookarounds
 # needed). An SSN still cannot match the phone shape: d3-d2-d4 has no
 # 3-digit middle group.
+#
+# ACCEPTED RECALL MISS (r05 advice, intentional — do not "fix" blindly):
+# a phone glued to a preceding word character ('tel5551234567',
+# 'x555-123-4567') no longer matches, because \b never fires between two
+# word chars and the anchor set has no lookbehind to allow a mid-word
+# start without re-admitting the half-redaction bug. Pinned in
+# tests/test_redaction.py::test_phone_glued_to_word_char_is_intentionally_missed.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),

@@ -1121,9 +1121,10 @@ def register_all() -> None:
     # runs inside the merged gate); the freed slot certifies the PassJoin
     # fuzzy join against a brute-force oracle.
     register("fuzzy_name_join", q_fuzzy_name_join, FUZZY_NAME_SQL)
-    # range_join merged into events.py's event_agg gate (r05 rotation —
-    # both aggregate the events scan); q_range_join + RANGE_JOIN_SQL stay
-    # the library API, and range_join_generic keeps its BNLJ plan pin.
+    # range_join re-registered in r06 (the reference-mapped J3 static form;
+    # VERDICT r05 item 2) — the r05 merge into event_agg coerced exact cents
+    # through DOUBLE and stranded tests/test_plans.py's plan pin.
+    register("range_join", q_range_join, RANGE_JOIN_SQL)
     register("order_fanout", q_order_fanout, ORDER_FANOUT_SQL)
     # argmax_latest_order is merged into relational2's customer_order_profile
     # (one o_custkey aggregation carries argmax + order count into the

@@ -69,7 +69,9 @@ def _load() -> None:
     # Priority order: the driver hash-checks at most the FIRST 50 registered
     # queries, so the reference's core pipeline (jira_*) and the streaming/
     # REST/sketch gates register ahead of the relational family. The registry
-    # is kept at exactly 50 entries (merged gates; see VERDICT r01 item 3).
+    # is kept at exactly 50 entries (merged gates; see VERDICT r01 item 3) —
+    # pinned by tests/test_registry_contract.py so a rotation can't silently
+    # shrink it again (r05 shipped 48/50).
     pipeline_queries.register_all()
     extended.register_all()
     relational.register_all()

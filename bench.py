@@ -35,16 +35,34 @@ def main() -> None:
     # warm the JVM + parquet footer caches once with the cheapest plan
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Min-of-N per gate (VERDICT r05 item 6): the host shows documented
+    # ≤4x run-to-run variance and single-sample benches generated false
+    # regression alarms two rounds running (rollup_cube r04, bm25/asof
+    # r05 — all reproduced at their old times when re-timed in isolation).
+    # The per-gate `runs` list is the dispersion record; `value` sums the
+    # per-gate minima (steady-state engine cost). A gate whose first run
+    # exceeds the cutoff is not re-sampled, bounding total bench wall.
+    n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
+    resample_cutoff_s = 20.0
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.perf_counter()
-        try:
-            df = qs[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 4)
-        except Exception as exc:  # one broken query must not zero the bench
-            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-            timings[name] = -1.0
+        runs: list[float] = []
+        for _ in range(n_samples):
+            t0 = time.perf_counter()
+            try:
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                runs.append(round(time.perf_counter() - t0, 4))
+            except Exception as exc:  # one broken query must not zero the bench
+                print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+                runs.append(-1.0)
+                break
+            if runs[-1] > resample_cutoff_s:
+                break
+        all_runs[name] = runs
+        ok = [t for t in runs if t >= 0]
+        timings[name] = min(ok) if ok else -1.0
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     try:
@@ -58,6 +76,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": all_runs,
+                "samples": n_samples,
                 "sf": sf,
             }
         )

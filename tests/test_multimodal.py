@@ -157,3 +157,115 @@ def test_frame_sample_byte_exact_on_non_ascii_payload(spark):
     out = frame_sample(df, stride=2).collect()[0]
     assert out["frames"] == list(payload[::2])
     assert out["n_frames"] == len(payload[::2])
+
+
+def _media_df(spark, payload: bytes, w: int = 1, h: int = 1):
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        [(1, payload, "image")],
+        "doc_id long, content binary, media_type string",
+    ).select(
+        "doc_id",
+        "content",
+        "media_type",
+        F.struct(
+            F.lit(w).alias("width"), F.lit(h).alias("height"),
+            F.lit(len(payload)).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _ppm_p6(img_rgb) -> bytes:
+    """Binary PPM from an (h, w, 3) uint8 array, with a header comment to
+    exercise the tokenizer."""
+    h, w, _ = img_rgb.shape
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + img_rgb.tobytes()
+
+
+def _pgm_p5(img) -> bytes:
+    h, w = img.shape
+    return b"P5 %d %d 255\n" % (w, h) + img.tobytes()
+
+
+def test_pixel_decoder_ppm_exact_pixels():
+    """The REAL decode path (r06): a constructed binary PPM parses to the
+    exact known pixel grid — integer mean luma for P6, raw plane for P5."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3) * 10
+    got = decode(_ppm_p6(rgb))
+    want = ((rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3).astype(
+        np.uint8
+    )
+    assert got.shape == (2, 3) and (got == want).all()
+
+    gray = np.array([[0, 128, 255], [7, 200, 31]], dtype=np.uint8)
+    got5 = decode(_pgm_p5(gray))
+    assert got5.shape == (2, 3) and (got5 == gray).all()
+
+    # non-netpbm / malformed payloads -> None (fake fallback downstream)
+    assert decode(b"hello world") is None
+    assert decode(b"P6\n3 2\n255\nshort") is None  # truncated plane
+    assert decode(b"P6\n3 2\n65535\n" + b"\0" * 12) is None  # 16-bit maxval
+    assert decode(b"") is None
+
+
+def test_decode_features_real_ppm_histogram(spark):
+    """decode_features over a PPM payload histograms the DECODED PIXELS
+    (not the raw payload bytes): a solid-color image lands every pixel in
+    exactly one bin, which the raw header bytes would never do."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import decode_features
+
+    img = np.full((4, 5, 3), 200, dtype=np.uint8)  # luma 200 -> bin 6
+    payload = _ppm_p6(img)
+    row = decode_features(_media_df(spark, payload, w=5, h=4)).collect()[0]
+    want = [0] * 8
+    want[200 >> 5] = 4 * 5
+    assert row["features"] == want
+
+
+def test_patch_grid_real_ppm_pixels(spark):
+    """patch_grid on a PPM payload tiles the DECODED image with the
+    header dims authoritative over the (deliberately wrong) meta dims."""
+    import hashlib
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import patch_grid
+
+    h, w = 17, 20
+    gray = (np.arange(h * w, dtype=np.uint8).reshape(h, w) * 3).astype(np.uint8)
+    payload = _pgm_p5(gray)
+    media = _media_df(spark, payload, w=999, h=1)  # meta lies; header wins
+    got = {
+        (r["py"], r["px"]): (r["patch_mean"], r["patch_digest"])
+        for r in patch_grid(media, patch=16).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    tile00 = gray[0:16, 0:16]
+    assert got[(0, 0)][1] == hashlib.md5(tile00.tobytes()).hexdigest()
+    assert got[(0, 0)][0] == float(tile00.mean())
+
+
+def test_resize_real_ppm_nearest_neighbor(spark):
+    """resize on a PGM payload subsamples the DECODED pixel grid with the
+    exact nearest-neighbor index rule."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import resize
+
+    h, w = 8, 12
+    gray = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    payload = _pgm_p5(gray)
+    tw, th = 4, 3
+    out = resize(_media_df(spark, payload, w=1, h=1), target_w=tw, target_h=th).collect()[0]
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    assert bytes(out["content"]) == gray[np.ix_(ys, xs)].tobytes()
+    assert out["meta"]["width"] == tw and out["meta"]["height"] == th

@@ -73,3 +73,29 @@ def test_pipeline_end_to_end(spark, tmp_path):
     with open(line_files[0]) as fh:
         first = json.loads(fh.readline())
     assert "task_type" in first
+
+
+def test_write_zones_recomputes_gold_from_persisted_silver(spark, tmp_path):
+    """Pins the write_zones CONTRACT (ADVICE r05 / VERDICT r05 item 7):
+    only result.raw and result.issues are consumed; caller-customized
+    examples/summary/distribution DataFrames are deliberately IGNORED —
+    gold and stats derive from the persisted silver re-read (the zone
+    discipline: each zone derives from the persisted upstream zone)."""
+    p = tmp_path / "raw.json"
+    p.write_text(json.dumps([RAW_ISSUE_FIXTURE]))
+    res = run_pipeline(read_raw_json(spark, str(p)), project="KAFKA")
+    # a caller "customizes" the gold zone on the result object
+    tampered = res.examples.limit(0)
+    res = type(res)(
+        issues=res.issues,
+        examples=tampered,
+        summary=res.summary,
+        distribution=res.distribution,
+        raw=res.raw,
+    )
+    out = tmp_path / "zones"
+    write_zones(res, str(out))
+    # the customization is NOT reflected: gold was recomputed from silver
+    assert spark.read.json(str(out / "gold/examples")).count() == 6
+    stats = spark.read.json(str(out / "stats/summary")).collect()[0]
+    assert stats["total_examples"] == 6

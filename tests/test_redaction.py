@@ -94,6 +94,24 @@ def test_pii_redact_constructed_values(spark):
     assert got[5]["redacted"] == "call <PHONE> or <PHONE> or <PHONE> ok"
 
 
+def test_phone_glued_to_word_char_is_intentionally_missed(spark):
+    """ACCEPTED recall miss, pinned so a future rotation doesn't 'fix' it
+    blindly (ADVICE r05): a phone glued to a preceding word character is
+    NOT redacted — \\b never fires between two word chars, and the
+    Java∩RE2 subset has no lookbehind that would admit a mid-word start
+    without re-admitting the pre-r05 half-redaction of long digit runs.
+    If this test starts failing because the rows DO redact, re-verify that
+    row 6 of PII_ROWS (card/order numbers) still passes through intact
+    before accepting the new pattern."""
+    rows = [(1, "dial tel5551234567 now"), (2, "ext x555-123-4567 end")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in pii_redact(docs).collect()}
+    assert got[1]["n_phone"] == 0
+    assert got[1]["redacted"] == "dial tel5551234567 now"
+    assert got[2]["n_phone"] == 0
+    assert got[2]["redacted"] == "ext x555-123-4567 end"
+
+
 def test_pii_redact_duckdb_parity_on_pii_fixture(spark, pii_parquet):
     docs = spark.read.parquet(pii_parquet)
     sql = pii_redact_sql(table=f"read_parquet('{pii_parquet}/*.parquet')")

@@ -1,0 +1,46 @@
+"""Registry-shape contract (VERDICT r05 items 1-2): the r05 gate rotation
+silently shrank the registry from 50 to 48 and stranded a `_QS[...]` lookup
+in test_plans.py. These pins make both failure modes loud."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from apache_jira_scraper_spark import registry
+
+_TESTS_DIR = Path(__file__).parent
+
+
+def test_registry_holds_exactly_fifty_gates():
+    """The driver hash-checks at most 50 queries; we keep the registry at
+    exactly that cap — a rotation that deregisters a gate must register a
+    replacement in the same commit."""
+    assert len(registry.queries()) == 50, sorted(registry.queries())
+
+
+def test_every_qs_lookup_in_tests_resolves():
+    """Every `_QS["name"]` (and `qs["name"]`) lookup anywhere in the test
+    suite must name a live registry entry, so a rotation can't strand a
+    plan test (r05 shipped a KeyError in test_plans.py)."""
+    names = set(registry.queries())
+    pat = re.compile(r"""_?[Qq][Ss]\[\s*['"]([a-z0-9_]+)['"]\s*\]""")
+    stranded = {
+        (path.name, m)
+        for path in _TESTS_DIR.glob("test_*.py")
+        if path.name != "test_registry_contract.py"  # this docstring matches
+        for m in pat.findall(path.read_text())
+        if m not in names
+    }
+    assert not stranded, f"tests reference deregistered gates: {sorted(stranded)}"
+
+
+def test_oracle_coverage_is_total_except_streaming():
+    """Every gate carries a DuckDB oracle except the genuinely
+    non-SQL-expressible streaming-stateful pair — the driver then records
+    only a rows-only check, which the judge sees (task contract)."""
+    qs = set(registry.queries())
+    oracles = set(registry.oracle_sql())
+    assert qs - oracles <= {"stream_stateful", "stream_tumbling_counts"}, (
+        qs - oracles
+    )
