@@ -251,16 +251,23 @@ ORDER BY window_start, event_type
 """
 
 
+# (applicationId, sf_dir) -> landing dir for the ingest leg's deterministic
+# two-batch corpus split (written once per session; see q_stream_stateful)
+_INGEST_LANDING: dict[tuple[str, str], str] = {}
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+T5 stateful streaming in one gate: gap-based session_window
     aggregation, dropDuplicatesWithinWatermark dedup, the custom
-    applyInPandasWithState lifetime counters, AND the two-watermark
-    stream-stream interval join, tagged and union-ALL'd. Legs are
+    applyInPandasWithState lifetime counters, the two-watermark
+    stream-stream interval join, the trending-terms monitor, AND (r06)
+    the cross-batch near-dup ingest, tagged and union-ALL'd. Legs are
     normalized to a common (op, id, aux, n) shape; sessions keyed by user
     with the start second as aux, dedup rows keyed by event with the
     event_type as aux, lifetime rows keyed by user with the value-cents
     sum as aux, attribution rows keyed by the view event with the purchase
-    event as aux.
+    event as aux, ingest rows keyed by kept doc with the landing batch id
+    as aux.
 
     ORACLE-CHECKED since round 3 (was rows-only): with the bounded
     single-file input every leg provably equals its batch twin (pinned in
@@ -272,8 +279,8 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     that; the streaming machinery (watermarks, state eviction) still runs
     for real on the Spark side.
 
-    The four legs START concurrently and are awaited together, so the gate
-    pays the slowest streaming query once instead of all four in series.
+    The six legs START concurrently and are awaited together, so the gate
+    pays the slowest streaming query once instead of all six in series.
 
     State partitions are sized to the STREAM'S state volume, not the batch
     session default: each stateful operator instantiates one state store
@@ -284,9 +291,57 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     start, so this is a per-query sizing decision exactly like choosing
     shuffle partitions for a batch job — at production volume you'd size
     it UP the same way. The conf is restored before the batch union runs."""
+    import os
+    import tempfile
+
+    from ..io import load_table
+
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
+        # 6th leg (r06, VERDICT r05 item 5): cross-batch near-dup ingest —
+        # the one north-star streaming op that had no CORRECTNESS row. The
+        # corpus lands as TWO micro-batches (even doc_ids, then odd;
+        # maxFilesPerTrigger=1 + pinned mtimes fix the order), so batch B
+        # provably dedups against batch A's kept index. The oracle restates
+        # the greedy two-round drop policy over the SAME verified pair SQL
+        # the dedup gates certify (pair generation and verification are
+        # pairwise, so parity-restricting the full-corpus pair set is
+        # exact). Fresh temp dirs per call keep the gate idempotent under
+        # bench re-sampling.
+        ingest_tmp = tempfile.mkdtemp(prefix="stream_ingest_gate_")
+        ingest_out = f"{ingest_tmp}/out"
+        # The landing files are a pure deterministic function of the input
+        # corpus, so they're written ONCE per (session, sf_dir) — only the
+        # out/checkpoint dirs (the query's mutable state) are per-call,
+        # keeping the gate idempotent under bench min-of-N re-sampling
+        # without re-landing the corpus each sample.
+        landing_key = (spark.sparkContext.applicationId, sf_dir)
+        landing = _INGEST_LANDING.get(landing_key)
+        if landing is None:
+            _INGEST_LANDING.clear()  # stale entries from stopped sessions
+            landing = f"{ingest_tmp}/landing"
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text", "n_chars"
+            )
+            docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+                f"{landing}/a"
+            )
+            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+                f"{landing}/b"
+            )
+            for d, mtime in (("a", 1_000_000), ("b", 2_000_000)):
+                for fname in os.listdir(f"{landing}/{d}"):
+                    os.utime(f"{landing}/{d}/{fname}", (mtime, mtime))
+            _INGEST_LANDING[landing_key] = landing
+        doc_stream = (
+            spark.readStream.schema("doc_id long, text string, n_chars long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{landing}/*")
+        )
+        q_ingest = pipelines.streaming_dedup_ingest(
+            doc_stream, ingest_out, f"{ingest_tmp}/ckpt"
+        )
         q_sess, t_sess = _start_to_memory(
             pipelines.session_counts(_events_stream(spark, sf_dir)), "complete"
         )
@@ -310,7 +365,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_trend, t_trend = _start_to_memory(
             pipelines.trending_terms(_events_stream(spark, sf_dir)), "complete"
         )
-        for q in (q_sess, q_dedup, q_life, q_join, q_trend):
+        for q in (q_sess, q_dedup, q_life, q_join, q_trend, q_ingest):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -344,17 +399,56 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("rank").cast("string"), F.lit(":"), F.col("term")).alias("aux"),
         F.col("n").alias("n"),
     )
+    ingest = spark.read.parquet(ingest_out).select(
+        F.lit("ingest").alias("op"),
+        F.col("doc_id").alias("id"),
+        F.col("batch_id").cast("string").alias("aux"),
+        F.col("n_chars").cast("bigint").alias("n"),
+    )
     return (
         sessions.unionAll(dedup)
         .unionAll(lifetime)
         .unionAll(attrib)
         .unionAll(trend)
+        .unionAll(ingest)
         .orderBy("op", "id", "aux")
     )
 
 
-STREAM_STATEFUL_SQL = """
-WITH sess_base AS (
+def stream_stateful_sql() -> str:
+    """DuckDB twin of q_stream_stateful. The ingest leg restates
+    streaming_dedup_ingest's greedy drop policy (incremental_dedup:
+    a doc drops iff it verified-matches ANY smaller-id doc of its own
+    batch, or ANY KEPT doc of the prior batch's index) over the exact
+    verified-pair SQL the dedup gates certify — LSH candidate generation
+    and jaccard verification are pairwise, so restricting the full-corpus
+    pair set by batch parity is exactly the per-batch pair set."""
+    from .dedup import DEDUP_MINHASH_SQL
+
+    pair_sql = DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")
+    return f"""
+WITH ingest_pairs AS (
+  SELECT d1, d2 FROM ({pair_sql}) vp
+), kept_a AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 2 = 0
+    AND NOT EXISTS (SELECT 1 FROM ingest_pairs p
+                    WHERE p.d2 = d.doc_id AND p.d1 % 2 = 0)
+), kept_b AS (
+  SELECT d.doc_id FROM documents d
+  WHERE d.doc_id % 2 = 1
+    AND NOT EXISTS (SELECT 1 FROM ingest_pairs p
+                    WHERE p.d2 = d.doc_id AND p.d1 % 2 = 1)
+    AND NOT EXISTS (SELECT 1 FROM ingest_pairs p JOIN kept_a k
+                    ON (p.d1 = k.doc_id AND p.d2 = d.doc_id)
+                    OR (p.d2 = k.doc_id AND p.d1 = d.doc_id))
+), ingest AS (
+  SELECT 'ingest' AS op, d.doc_id AS id, '0' AS aux, d.n_chars AS n
+  FROM kept_a JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT 'ingest' AS op, d.doc_id AS id, '1' AS aux, d.n_chars AS n
+  FROM kept_b JOIN documents d USING (doc_id)
+), sess_base AS (
   SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    < INTERVAL 30 MINUTE
@@ -404,6 +498,7 @@ UNION ALL SELECT * FROM dedup
 UNION ALL SELECT * FROM lifetime
 UNION ALL SELECT * FROM attrib
 UNION ALL SELECT * FROM trend
+UNION ALL SELECT * FROM ingest
 ORDER BY op, id, aux
 """
 
@@ -549,5 +644,5 @@ def register_all() -> None:
     # rotation): same lineitem-by-returnflag aggregate, one scan + shuffle.
     register("sketch_stats", q_sketch_stats, SKETCH_STATS_SQL)
     register("stream_tumbling_counts", q_stream_tumbling_counts, STREAM_TUMBLING_SQL)
-    register("stream_stateful", q_stream_stateful, STREAM_STATEFUL_SQL)
+    register("stream_stateful", q_stream_stateful, stream_stateful_sql())
     register("jira_rest_ingest", q_jira_rest_ingest, _mock_ingest_sql())

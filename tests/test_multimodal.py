@@ -269,3 +269,41 @@ def test_resize_real_ppm_nearest_neighbor(spark):
     xs = (np.arange(tw) * w) // tw
     assert bytes(out["content"]) == gray[np.ix_(ys, xs)].tobytes()
     assert out["meta"]["width"] == tw and out["meta"]["height"] == th
+
+
+def test_pixel_decoder_roundtrip_property():
+    """Property: any (h, w[, 3]) uint8 array encoded as binary PGM/PPM
+    decodes back to exactly itself (P5) / its integer mean luma (P6),
+    independent of dims, header whitespace style, or pixel content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+        sep=st.sampled_from([b"\n", b" ", b"\t", b"\n# c\n"]),
+    )
+    def check(w, h, rgb, seed, sep):
+        rng = np.random.default_rng(seed)
+        if rgb:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            payload = b"P6" + sep + b"%d %d" % (w, h) + sep + b"255\n" + img.tobytes()
+            want = (
+                (img[:, :, 0].astype(np.uint16) + img[:, :, 1] + img[:, :, 2]) // 3
+            ).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            payload = b"P5" + sep + b"%d %d" % (w, h) + sep + b"255\n" + img.tobytes()
+            want = img
+        got = decode(payload)
+        assert got is not None and got.shape == (h, w) and (got == want).all()
+
+    check()
