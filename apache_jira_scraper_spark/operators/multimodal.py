@@ -151,7 +151,11 @@ def _fake_decode(payload: bytes, width: int, height: int) -> list[int]:
     return hist
 
 
-def decode_features(media: DataFrame, passthrough: list[str] | None = None) -> DataFrame:
+def decode_features(
+    media: DataFrame,
+    passthrough: list[str] | None = None,
+    sniff_netpbm: bool = True,
+) -> DataFrame:
     """Arrow-batched decode + feature extraction over the binary column.
 
     mapInPandas: each batch arrives as a pandas DataFrame (zero-copy Arrow
@@ -159,6 +163,12 @@ def decode_features(media: DataFrame, passthrough: list[str] | None = None) -> D
     UDF shape that scales — per-batch vectorizable, no per-row pickling.
     `passthrough` columns of `media` are forwarded unchanged, so upstream
     column-algebra results survive the Python stage without a re-join.
+
+    ``sniff_netpbm=False`` disables the format sniff and forces the
+    byte-histogram path for EVERY payload: callers whose payloads are
+    known NOT to be images (the driver gate's synthetic text corpus, whose
+    DuckDB oracle models raw bytes) must not let a payload that merely
+    starts with 'P5'/'P6' silently switch semantics (review r06).
     """
 
     # NOTE: the closure must be self-contained (no module-global references):
@@ -167,7 +177,7 @@ def decode_features(media: DataFrame, passthrough: list[str] | None = None) -> D
     # _pixel_decoder()'s RESULT is a factory-made inner function, which
     # cloudpickle serializes by value — safe to capture.
     real_decode = _REAL_DECODE_AVAILABLE
-    decode_pixels = _pixel_decoder()
+    decode_pixels = _pixel_decoder() if sniff_netpbm else (lambda payload: None)
     passthrough = list(passthrough or [])
     pass_schema = "".join(
         f", {c} {t}"
@@ -415,6 +425,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = decode_features(
         enriched,
         passthrough=["frames_md5", "n_frames", "content_md5", "width", "height"],
+        # The gate's payloads are UTF-8 text standing in for media, and its
+        # DuckDB oracle models the raw-byte histogram — a text document that
+        # happens to start with 'P5'/'P6' must not flip to pixel semantics
+        # mid-gate. The REAL netpbm path is pinned by exact-pixel pytests
+        # (tests/test_multimodal.py) instead.
+        sniff_netpbm=False,
     )
     return feats.select(
         "doc_id",

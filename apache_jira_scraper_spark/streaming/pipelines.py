@@ -297,11 +297,11 @@ def streaming_dedup_ingest(
             return  # committed replay: exactly-once output, state already has it
         kept, (sh, sig) = incremental_dedup(batch_df, state["index"])
         kept = kept.localCheckpoint(eager=True)
-        (
-            kept.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/batch_id={batch_id}")
-        )
+        # batch_id lives ONLY in the directory name: writing it as a data
+        # column too made every read of out_dir resolve a duplicate
+        # (COLUMN_ALREADY_EXISTS warning; partition schema happened to win
+        # — review r06). Partition discovery reconstitutes the column.
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         state["index"] = (
             sh.localCheckpoint(eager=True),
             sig.localCheckpoint(eager=True),

@@ -61,8 +61,10 @@ def main() -> None:
             if runs[-1] > resample_cutoff_s:
                 break
         all_runs[name] = runs
-        ok = [t for t in runs if t >= 0]
-        timings[name] = min(ok) if ok else -1.0
+        # a gate that crashed on ANY sample is broken, full stop — reporting
+        # the surviving minimum would read as healthy in a round-over-round
+        # comparison of `queries`/`value` (review r06)
+        timings[name] = -1.0 if any(t < 0 for t in runs) else min(runs)
 
     total = round(sum(t for t in timings.values() if t > 0), 4)
     try:

@@ -24,7 +24,9 @@ def test_every_qs_lookup_in_tests_resolves():
     suite must name a live registry entry, so a rotation can't strand a
     plan test (r05 shipped a KeyError in test_plans.py)."""
     names = set(registry.queries())
-    pat = re.compile(r"""_?[Qq][Ss]\[\s*['"]([a-z0-9_]+)['"]\s*\]""")
+    # \b-anchored so identifiers merely ENDING in 'qs' (freqs[...],
+    # reqs[...]) don't false-positive as registry lookups (review r06)
+    pat = re.compile(r"""\b_?[Qq][Ss]\[\s*['"]([a-z0-9_]+)['"]\s*\]""")
     stranded = {
         (path.name, m)
         for path in _TESTS_DIR.glob("test_*.py")

@@ -352,12 +352,14 @@ def test_rebuild_state_excludes_partial_batch_dirs(spark, tmp_path):
     )
 
     out_dir = str(tmp_path / "out")
-    schema = "doc_id long, text string, batch_id long"
+    # mirrors the sink's on-disk shape: batch_id is the DIRECTORY name
+    # only, never a data column (r06: the duplicate column warned on read)
+    schema = "doc_id long, text string"
     spark.createDataFrame(
-        [(0, "a b c d e f", 0)], schema
+        [(0, "a b c d e f")], schema
     ).coalesce(1).write.parquet(f"{out_dir}/batch_id=0")
     spark.createDataFrame(
-        [(5, "p q r s t u", 1)], schema
+        [(5, "p q r s t u")], schema
     ).coalesce(1).write.parquet(f"{out_dir}/batch_id=1")
     os.remove(f"{out_dir}/batch_id=1/_SUCCESS")  # simulate the partial write
 
