@@ -1088,15 +1088,31 @@ def _emb_projection(spark: SparkSession, sf_dir: str, n_bits: int) -> DataFrame:
     return session_cached(_EMB_PROJ_CACHE, spark, (sf_dir, n_bits), _build)
 
 
+_EMB_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _emb_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-materialized verified embedding near-dup pair table — the
+    minhash_pairs discipline for the embedding family: the pair gate AND
+    semantic_dedup's components both consume this one landed table instead
+    of each re-running the (label, bucket) self-join + cosine verify."""
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        return _pairs_from_projection(
+            _emb_projection(spark, sf_dir, EMB_N_BITS), COSINE_DUP_THRESHOLD
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_EMB_PAIRS_CACHE, spark, (sf_dir,), _build)
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate wrapper over embedding_cosine_pairs. The 0.25 threshold is tuned
     to the synthetic embeddings' cosine distribution (sf0.01 within-label
     max ≈ 0.475, 99.9th pct ≈ 0.373) so the gate emits a NON-EMPTY
     hash-checked pair set — an r02 lesson: at 0.45 both engines emitted
     zero rows and the gate certified only that 0 == 0."""
-    return _pairs_from_projection(
-        _emb_projection(spark, sf_dir, EMB_N_BITS), COSINE_DUP_THRESHOLD
-    )
+    return _emb_pairs_cached(spark, sf_dir).orderBy("v1", "v2")
 
 
 def _emb_bucket_sql(n_bits: int) -> str:
@@ -1242,7 +1258,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ivf import semantic_dedup
 
     proj = _emb_projection(spark, sf_dir, EMB_N_BITS)
-    pairs = _pairs_from_projection(proj, COSINE_DUP_THRESHOLD)
+    pairs = _emb_pairs_cached(spark, sf_dir)
     return semantic_dedup(proj.select("vec_id"), pairs=pairs)
 
 
