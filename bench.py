@@ -43,7 +43,10 @@ def main() -> None:
     # per-gate minima (steady-state engine cost). A gate whose first run
     # exceeds the cutoff is not re-sampled, bounding total bench wall.
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
-    resample_cutoff_s = 20.0
+    # 30 s: above stream_stateful's ~12-20 s cold first run (the heaviest
+    # gate must still get its warm samples) but low enough that a
+    # pathological gate can't eat minutes of bench wall
+    resample_cutoff_s = 30.0
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name in names:

@@ -126,8 +126,15 @@ def test_range_join_generic_is_bnlj(spark, sf_dir):
 
 def test_embedding_dedup_is_bucketed_equi_join(spark, sf_dir):
     """(label, sign-LSH-bucket) blocking must surface as an equi-join
-    (hash-joinable keys), not a cartesian/BNLJ pair explosion."""
-    df = _QS["dedup_embedding_cosine"](spark, sf_dir)
+    (hash-joinable keys), not a cartesian/BNLJ pair explosion. Pins the
+    BUILDER (embedding_cosine_pairs), not the gate: the gate reads the
+    session-cached checkpointed pair table (r06), whose plan is just a
+    scan of the landed blocks."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = embedding_cosine_pairs(emb)
     ops = operator_counts(df)
     assert "CartesianProduct" not in ops, ops
     assert "BroadcastNestedLoopJoin" not in ops, ops
