@@ -439,6 +439,15 @@ def incremental_dedup(
         sh_idx, sig_idx = None, None
         fresh = new_docs
     sh_new, sig_new = build_dedup_index(fresh)
+    # Lazy checkpoints: the batch's shingle/signature tables each feed
+    # several consumers below (band rows on BOTH sides of the within-join,
+    # the verify union, the kept-index anti-joins) — without a
+    # materialization point every consumer re-runs the tokenize + shingle +
+    # md5 + minhash subtree (measured: the vs-index round spent most of its
+    # wall re-deriving sh_new/sig_new at sf0.1). eager=False keeps plan
+    # construction side-effect-free; blocks land on first use.
+    sh_new = sh_new.localCheckpoint(eager=False)
+    sig_new = sig_new.localCheckpoint(eager=False)
     bands_new = _band_rows(sig_new)
     if sig_idx is not None:
         vs_index = (

@@ -295,6 +295,14 @@ def streaming_dedup_ingest(
         # re-deduped against an index that already contains it (r04 advice).
         if _fs_exists(batch_df.sparkSession, f"{out_dir}/batch_id={batch_id}/_SUCCESS"):
             return  # committed replay: exactly-once output, state already has it
+        # A micro-batch often arrives as ONE file -> one partition, and the
+        # per-shingle md5/minhash projection inside incremental_dedup would
+        # then run on one core (measured: the single-partition batch was the
+        # ingest leg's whole critical path at sf0.1). Fan out first — same
+        # guard as io.load_table_parallel: only when actually under-parallel.
+        n = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < n:
+            batch_df = batch_df.repartition(n)
         kept, (sh, sig) = incremental_dedup(batch_df, state["index"])
         kept = kept.localCheckpoint(eager=True)
         # batch_id lives ONLY in the directory name: writing it as a data
