@@ -5,8 +5,9 @@ Pattern: media is an opaque `binary` column + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python row objects.
 The container has no image/audio codecs, so decode is layered (r06):
-uncompressed netpbm payloads (binary PPM `P6` / PGM `P5`) get a REAL pure-
-numpy header+pixel-plane decode inside the Arrow batches (_pixel_decoder —
+uncompressed payloads — binary netpbm (PPM `P6` / PGM `P5`) and BMP
+(BI_RGB 8/24-bit) — get a REAL pure-numpy header+pixel-plane decode
+inside the Arrow batches (_pixel_decoder —
 pytest pins exact known pixels); codec formats (JPEG etc.) stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
 everything Spark-level — schema, batching, partitioning, UDF signatures —
@@ -74,12 +75,13 @@ FROM documents ORDER BY doc_id
 
 
 def _pixel_decoder():
-    """REAL pixel decode for the uncompressed netpbm formats (binary PPM
-    `P6` / PGM `P5`) — pure numpy header + pixel-plane parsing, no codec
-    dependency, so the multimodal column is real (not shaped-like-real)
-    for any payload a pipeline lands in these formats; everything else
-    falls back to the deterministic fake (and JPEG-class codec formats
-    stay behind _REAL_DECODE_AVAILABLE).
+    """REAL pixel decode for the uncompressed raster formats: binary netpbm
+    (PPM `P6` / PGM `P5`) and BMP (BI_RGB, 8-bit palette / 24-bit BGR,
+    bottom-up or top-down) — pure numpy header + pixel-plane parsing, no
+    codec dependency, so the multimodal column is real (not
+    shaped-like-real) for any payload a pipeline lands in these formats;
+    everything else falls back to the deterministic fake (and JPEG-class
+    codec formats stay behind _REAL_DECODE_AVAILABLE).
 
     Returns a FACTORY-made closure rather than a module-level function:
     cloudpickle serializes inner functions by value, so the mapInPandas
@@ -93,9 +95,64 @@ def _pixel_decoder():
     which the test oracles pin byte-for-byte. maxval must fit one byte
     (16-bit planes return None -> fake fallback)."""
 
+    def _decode_bmp(payload: bytes):
+        """Uncompressed BMP (BI_RGB, 8-bit palette or 24-bit BGR,
+        BITMAPINFOHEADER or the V4/V5 extensions) -> (h, w) uint8 gray.
+        Rows are 4-byte aligned and stored bottom-up unless height is
+        negative. Anything else (1/4/16/32 bpp, RLE, core header) -> None."""
+        import numpy as np
+
+        if len(payload) < 54 or payload[:2] != b"BM":
+            return None
+        data_off = int.from_bytes(payload[10:14], "little")
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        if hdr_size not in (40, 52, 56, 108, 124):
+            return None
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        planes = int.from_bytes(payload[26:28], "little")
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
+        top_down = h < 0
+        h = abs(h)
+        if w <= 0 or h == 0 or planes != 1 or compression != 0 or bpp not in (8, 24):
+            return None
+        stride = ((bpp * w + 31) // 32) * 4
+        if data_off + stride * h > len(payload) or data_off < 14 + hdr_size:
+            return None
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * h, offset=data_off
+        ).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        if bpp == 24:
+            bgr = rows[:, : 3 * w].reshape(h, w, 3).astype(np.uint16)
+            # integer mean luma, same rule as the P6 path
+            return ((bgr[:, :, 2] + bgr[:, :, 1] + bgr[:, :, 0]) // 3).astype(
+                np.uint8
+            )
+        # 8-bit: palette-indexed; palette entries are (B, G, R, 0) after the
+        # DIB header. A truncated palette rejects rather than wrapping.
+        pal_off = 14 + hdr_size
+        n_pal = (data_off - pal_off) // 4
+        if n_pal <= 0:
+            return None
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            return None
+        gray = (
+            pal[:, 2].astype(np.uint16) + pal[:, 1] + pal[:, 0]
+        ) // 3
+        return gray.astype(np.uint8)[idx]
+
     def decode_pixels(payload: bytes):
         import numpy as np
 
+        if payload[:2] == b"BM":
+            return _decode_bmp(payload)
         if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
             return None
         rgb = payload[1:2] == b"6"

@@ -307,3 +307,105 @@ def test_pixel_decoder_roundtrip_property():
         assert got is not None and got.shape == (h, w) and (got == want).all()
 
     check()
+
+
+def _bmp24(img_rgb, top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BMP from an (h, w, 3) uint8 RGB array:
+    BITMAPINFOHEADER, BGR pixel order, 4-byte row alignment, bottom-up
+    storage unless top_down."""
+    import numpy as np
+
+    h, w, _ = img_rgb.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : 3 * w] = img_rgb[:, :, ::-1].reshape(h, 3 * w)  # RGB -> BGR
+    stored = rows if top_down else rows[::-1]
+    data_off = 14 + 40
+    size = data_off + stride * h
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + (-h if top_down else h).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    return header + stored.tobytes()
+
+
+def _bmp8(idx, palette_rgb) -> bytes:
+    """Minimal 8-bit palette BMP from an (h, w) index array and an
+    (n, 3) RGB palette (stored as BGR0 entries)."""
+    import numpy as np
+
+    h, w = idx.shape
+    n_pal = len(palette_rgb)
+    stride = ((8 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = idx
+    pal = np.zeros((n_pal, 4), dtype=np.uint8)
+    pal[:, :3] = np.asarray(palette_rgb, dtype=np.uint8)[:, ::-1]  # RGB -> BGR
+    data_off = 14 + 40 + 4 * n_pal
+    size = data_off + stride * h
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (stride * h).to_bytes(4, "little")
+        + b"\0" * 8 + n_pal.to_bytes(4, "little") + b"\0" * 4
+    )
+    return header + pal.tobytes() + rows[::-1].tobytes()
+
+
+def test_pixel_decoder_bmp_exact_pixels():
+    """BMP real-decode path (r06): 24-bit bottom-up BGR with row padding,
+    top-down negative-height, and 8-bit palette all decode to the exact
+    known grid; unsupported shapes reject to the fake fallback."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rgb = (np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3) * 5).astype(np.uint8)
+    want = (
+        (rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+
+    got = decode(_bmp24(rgb))
+    assert got.shape == (3, 5) and (got == want).all()
+    got_td = decode(_bmp24(rgb, top_down=True))
+    assert (got_td == want).all()
+
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    palette = [(255, 0, 0), (0, 255, 0), (30, 60, 90)]
+    want8 = np.array(
+        [[(255) // 3, (255) // 3, (30 + 60 + 90) // 3]] * 2, dtype=np.uint8
+    )
+    want8[1] = want8[0][::-1]
+    got8 = decode(_bmp8(idx, palette))
+    assert got8.shape == (2, 3) and (got8 == want8).all()
+
+    # rejects: truncated plane, palette index out of range, non-BI_RGB
+    assert decode(_bmp24(rgb)[:-4]) is None
+    bad_idx = np.array([[0, 3]], dtype=np.uint8)  # palette has 3 entries
+    assert decode(_bmp8(bad_idx, palette)) is None
+    assert decode(b"BMshort") is None
+
+
+def test_decode_features_real_bmp_histogram(spark):
+    """decode_features histograms BMP DECODED pixels end-to-end through
+    the Arrow stage (same contract as the PPM test)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import decode_features
+
+    img = np.full((2, 3, 3), 100, dtype=np.uint8)  # luma 100 -> bin 3
+    row = decode_features(_media_df(spark, _bmp24(img), w=3, h=2)).collect()[0]
+    want = [0] * 8
+    want[100 >> 5] = 2 * 3
+    assert row["features"] == want
