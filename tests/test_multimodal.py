@@ -409,3 +409,33 @@ def test_decode_features_real_bmp_histogram(spark):
     want = [0] * 8
     want[100 >> 5] = 2 * 3
     assert row["features"] == want
+
+
+def test_bmp_decoder_roundtrip_property():
+    """Property: any (h, w, 3) uint8 array encoded as 24-bit BMP (either
+    orientation, any width mod 4) decodes to its integer mean luma."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 17),
+        h=st.integers(1, 9),
+        top_down=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, top_down, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        want = (
+            (img[:, :, 0].astype(np.uint16) + img[:, :, 1] + img[:, :, 2]) // 3
+        ).astype(np.uint8)
+        got = decode(_bmp24(img, top_down=top_down))
+        assert got is not None and got.shape == (h, w) and (got == want).all()
+
+    check()
