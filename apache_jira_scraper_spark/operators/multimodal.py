@@ -5,10 +5,11 @@ Pattern: media is an opaque `binary` column + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python row objects.
 The container has no image/audio codecs, so decode is layered (r06):
-uncompressed payloads — binary netpbm (PPM `P6` / PGM `P5`) and BMP
-(BI_RGB 8/24-bit) — get a REAL pure-numpy header+pixel-plane decode
-inside the Arrow batches (_pixel_decoder —
-pytest pins exact known pixels); codec formats (JPEG etc.) stay stubbed
+uncompressed payloads — binary netpbm (PPM `P6` / PGM `P5`), BMP
+(BI_RGB 8/24-bit), and RIFF/WAVE PCM audio (8/16-bit, any channel
+count) — get a REAL pure-numpy header+plane decode inside the Arrow
+batches (_pixel_decoder / _wav_decoder — pytest pins exact known
+pixels/samples); codec formats (JPEG, MP3, …) stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
 everything Spark-level — schema, batching, partitioning, UDF signatures —
 is real and tested.
@@ -445,6 +446,123 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     slicing bytes is expressible with substring/sequence natively."""
     frames = _frame_bytes(stride)
     return media.select("doc_id", frames.alias("frames"), F.size(frames).alias("n_frames"))
+
+
+def _wav_decoder():
+    """REAL audio decode for uncompressed RIFF/WAVE PCM payloads — the
+    audio sibling of _pixel_decoder, pure numpy, no codec dependency.
+    Factory-made closure for the same cloudpickle-by-value reason.
+
+    Returns payload -> (samples int32 mono ndarray, sample_rate) or None
+    when the payload is not a well-formed PCM WAV. Supported: format tag 1
+    (PCM), 8-bit unsigned (re-centered to signed by -128) and 16-bit
+    signed little-endian, any channel count (channels mix to mono by
+    integer mean — deterministic, like the pixel paths' mean luma).
+    Chunk walking honors the spec's word alignment (odd-sized chunks pad
+    one byte), so payloads with LIST/fact chunks before `data` parse."""
+
+    def decode_wav(payload: bytes):
+        import numpy as np
+
+        if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            return None
+        fmt = None
+        data = None
+        i, n = 12, len(payload)
+        while i + 8 <= n:
+            cid = payload[i : i + 4]
+            csize = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = payload[i + 8 : i + 8 + csize]
+            if len(body) < csize:
+                return None  # truncated chunk
+            if cid == b"fmt ":
+                fmt = body
+            elif cid == b"data":
+                data = body
+            i += 8 + csize + (csize & 1)  # word alignment
+        if fmt is None or data is None or len(fmt) < 16:
+            return None
+        format_tag = int.from_bytes(fmt[0:2], "little")
+        channels = int.from_bytes(fmt[2:4], "little")
+        sample_rate = int.from_bytes(fmt[4:8], "little")
+        bits = int.from_bytes(fmt[14:16], "little")
+        if format_tag != 1 or channels < 1 or sample_rate <= 0 or bits not in (8, 16):
+            return None
+        bytes_per_frame = channels * bits // 8
+        n_frames = len(data) // bytes_per_frame
+        if n_frames == 0:
+            return None
+        usable = n_frames * bytes_per_frame
+        if bits == 8:
+            x = np.frombuffer(data, dtype=np.uint8, count=usable).astype(np.int32) - 128
+        else:
+            x = np.frombuffer(
+                data, dtype="<i2", count=usable // 2
+            ).astype(np.int32)
+        frames = x.reshape(n_frames, channels)
+        # integer mean across channels (floor toward -inf, numpy //) —
+        # deterministic mono mixdown
+        mono = frames.sum(axis=1) // channels
+        return mono, sample_rate
+
+    return decode_wav
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over the binary column —
+    the audio analog of decode_features: REAL sample decode for PCM WAV
+    payloads (_wav_decoder), deterministic fake for everything else
+    (payload bytes as unsigned 8-bit samples, sample_rate 0 marks the
+    fake path so downstream filters can separate real audio rows).
+
+    Emits (doc_id, sample_rate, n_samples, peak_abs, rms_x100): integer
+    columns only (rms scaled x100 and floored) so values are exact across
+    engines and test models. Same mapInPandas batch shape as the image
+    stages; at scale this is the per-shard feature pass an audio corpus
+    pipeline runs before filtering/embedding."""
+    decode_wav = _wav_decoder()
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        def one(payload: bytes):
+            got = decode_wav(payload)
+            if got is not None:
+                mono, rate = got
+            else:
+                mono = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
+                rate = 0
+            if len(mono) == 0:
+                return rate, 0, 0, 0
+            peak = int(np.abs(mono).max())
+            # exact integer arithmetic to the final isqrt — floor(sqrt(
+            # 100^2 * mean)) == floor(100 * rms), no float rounding. The
+            # int64 square-sum cannot wrap: it would need ~8.6e9 samples
+            # (a ~17 GB single-row payload) which an Arrow batch cannot
+            # physically carry.
+            sq = int((mono.astype(np.int64) ** 2).sum())
+            rms_x100 = math.isqrt(10_000 * sq // len(mono))
+            return rate, len(mono), peak, rms_x100
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [r[0] for r in rows],
+                    "n_samples": [r[1] for r in rows],
+                    "peak_abs": [r[2] for r in rows],
+                    "rms_x100": [r[3] for r in rows],
+                }
+            )
+
+    return media.mapInPandas(
+        extract,
+        schema="doc_id long, sample_rate int, n_samples int, "
+        "peak_abs int, rms_x100 long",
+    )
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

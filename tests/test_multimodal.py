@@ -439,3 +439,87 @@ def test_bmp_decoder_roundtrip_property():
         assert got is not None and got.shape == (h, w) and (got == want).all()
 
     check()
+
+
+def _wav(samples, rate=8000, bits=16, channels=1, extra_chunk=False) -> bytes:
+    """Minimal RIFF/WAVE PCM encoder. `samples` is an (n,) or (n, channels)
+    int array; 8-bit stores unsigned (value + 128). extra_chunk inserts an
+    odd-sized LIST chunk before `data` to exercise word-aligned walking."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    assert ch == channels
+    if bits == 8:
+        body = (arr + 128).astype(np.uint8).tobytes()
+    else:
+        body = arr.astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    if extra_chunk:
+        chunks += b"LIST" + (3).to_bytes(4, "little") + b"odd" + b"\0"  # pad
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_wav_decoder_exact_samples():
+    """PCM WAV real-decode (r06): 16-bit mono exact, stereo integer-mean
+    mixdown, 8-bit unsigned recentering, chunk walking past an odd LIST
+    chunk; non-WAV and non-PCM reject."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+
+    mono = np.array([0, 1000, -32768, 32767, -1], dtype=np.int32)
+    got, rate = decode(_wav(mono, rate=44100))
+    assert rate == 44100 and (got == mono).all()
+
+    stereo = np.array([[100, 200], [-5, -6], [32767, 32766]], dtype=np.int32)
+    got2, _ = decode(_wav(stereo, channels=2))
+    assert (got2 == np.array([150, -6, 32766])).all()  # floor mean: -5.5 -> -6
+
+    eight = np.array([-128, 0, 127], dtype=np.int32)
+    got3, _ = decode(_wav(eight, bits=8))
+    assert (got3 == eight).all()
+
+    got4, rate4 = decode(_wav(mono, extra_chunk=True))
+    assert rate4 == 8000 and (got4 == mono).all()
+
+    assert decode(b"not audio at all") is None
+    assert decode(_wav(mono)[:30]) is None  # truncated data chunk
+
+
+def test_audio_features_real_wav_and_fake_fallback(spark):
+    """audio_features end-to-end through the Arrow stage: real WAV rows
+    carry their sample_rate and exact integer peak/rms; non-audio payloads
+    take the byte-sample fake path marked by sample_rate 0."""
+    import math
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import audio_features
+
+    samples = np.array([3, -4, 0, 5], dtype=np.int32)
+    wav = _wav(samples, rate=16000)
+    media = spark.createDataFrame(
+        [(1, wav, "audio/wav"), (2, b"abc", "text")],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in audio_features(media).collect()}
+    sq = int((samples.astype(np.int64) ** 2).sum())
+    assert got[1] == {
+        "doc_id": 1, "sample_rate": 16000, "n_samples": 4, "peak_abs": 5,
+        "rms_x100": math.isqrt(10_000 * sq // 4),
+    }
+    assert got[2]["sample_rate"] == 0  # fake path marker
+    assert got[2]["n_samples"] == 3 and got[2]["peak_abs"] == ord("c")
