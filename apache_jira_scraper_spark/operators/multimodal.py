@@ -6,10 +6,11 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python row objects.
 The container has no image/audio codecs, so decode is layered (r06):
 uncompressed payloads — binary netpbm (PPM `P6` / PGM `P5`), BMP
-(BI_RGB 8/24-bit), and RIFF/WAVE PCM audio (8/16-bit, any channel
-count) — get a REAL pure-numpy header+plane decode inside the Arrow
-batches (_pixel_decoder / _wav_decoder — pytest pins exact known
-pixels/samples); codec formats (JPEG, MP3, …) stay stubbed
+(BI_RGB 8/24-bit), RIFF/WAVE PCM audio (8/16-bit, any channel count),
+and YUV4MPEG2 video (luma-plane keyframes) — get a REAL pure-numpy
+header+plane decode inside the Arrow
+batches (_pixel_decoder / _wav_decoder / _y4m_decoder — pytest pins
+exact known pixels/samples/frames); codec formats (JPEG, MP3, …) stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
 everything Spark-level — schema, batching, partitioning, UDF signatures —
 is real and tested.
@@ -562,6 +563,127 @@ def audio_features(media: DataFrame) -> DataFrame:
         extract,
         schema="doc_id long, sample_rate int, n_samples int, "
         "peak_abs int, rms_x100 long",
+    )
+
+
+def _y4m_decoder():
+    """REAL video decode for the uncompressed YUV4MPEG2 (.y4m) container —
+    the video sibling of _pixel_decoder/_wav_decoder, pure numpy.
+    Factory-made closure for the same cloudpickle-by-value reason.
+
+    Returns payload -> (luma ndarray [n_frames, h, w] uint8, fps_ppm) or
+    None when the payload is not a well-formed Y4M stream. The luma plane
+    is the FIRST h*w bytes of every frame regardless of chroma
+    subsampling, so only the frame SIZE depends on the colorspace token:
+    C420* -> h*w*3/2, C422 -> h*w*2, C444 -> h*w*3, Cmono -> h*w (spec
+    default when C is absent is 420jpeg). fps is returned as integer ppm
+    (num*1e6 // den) to keep downstream columns float-free."""
+
+    def decode_y4m(payload: bytes):
+        import numpy as np
+
+        if not payload.startswith(b"YUV4MPEG2"):
+            return None
+        nl = payload.find(b"\n")
+        if nl < 0:
+            return None
+        w = h = 0
+        num, den = 0, 1
+        chroma = "420jpeg"
+        for tok in payload[9:nl].split(b" "):
+            if not tok:
+                continue
+            tag, val = tok[:1], tok[1:]
+            try:
+                if tag == b"W":
+                    w = int(val)
+                elif tag == b"H":
+                    h = int(val)
+                elif tag == b"F":
+                    a, b = val.split(b":")
+                    num, den = int(a), int(b)
+                elif tag == b"C":
+                    chroma = val.decode("ascii", "replace")
+            except ValueError:
+                return None
+        if w <= 0 or h <= 0 or den <= 0:
+            return None
+        luma = w * h
+        if chroma.startswith("420"):
+            frame_size = luma * 3 // 2
+        elif chroma.startswith("422"):
+            frame_size = luma * 2
+        elif chroma.startswith("444"):
+            frame_size = luma * 3
+        elif chroma == "mono":
+            frame_size = luma
+        else:
+            return None
+        frames = []
+        i = nl + 1
+        n = len(payload)
+        while i < n:
+            # each frame: "FRAME[params]\n" then the planes
+            if payload[i : i + 5] != b"FRAME":
+                return None
+            fnl = payload.find(b"\n", i)
+            if fnl < 0 or fnl + 1 + frame_size > n:
+                return None
+            frames.append(
+                np.frombuffer(
+                    payload, dtype=np.uint8, count=luma, offset=fnl + 1
+                ).reshape(h, w)
+            )
+            i = fnl + 1 + frame_size
+        if not frames:
+            return None
+        fps_ppm = num * 1_000_000 // den if num > 0 else 0
+        return np.stack(frames), fps_ppm
+
+    return decode_y4m
+
+
+def keyframe_sample(media: DataFrame, stride: int = 4) -> DataFrame:
+    """Keyframe sampling for REAL video payloads: every stride-th frame of
+    a Y4M stream, one output ROW per sampled frame with its index, integer
+    mean luma (floored) and the md5 of the full luma plane — the
+    video→frame-token step before per-frame embedding/dedup, exploded
+    directly from the Arrow stage like patch_grid. Non-Y4M payloads emit
+    ZERO rows (a video sampler on non-video has nothing to sample — the
+    byte-stride stand-in `frame_sample` remains the format-agnostic
+    fallback)."""
+    decode_y4m = _y4m_decoder()
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        rows = {"doc_id": [], "frame_idx": [], "fps_ppm": [],
+                "mean_luma": [], "luma_md5": []}
+
+        def emit(doc_id, payload):
+            got = decode_y4m(payload)
+            if got is None:
+                return
+            frames, fps_ppm = got
+            for idx in range(0, len(frames), stride):
+                plane = frames[idx]
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["fps_ppm"].append(fps_ppm)
+                rows["mean_luma"].append(int(plane.sum()) // plane.size)
+                rows["luma_md5"].append(hashlib.md5(plane.tobytes()).hexdigest())
+
+        for pdf in batches:
+            for k in rows:
+                rows[k].clear()
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                emit(doc_id, payload)
+            yield pd.DataFrame({k: list(v) for k, v in rows.items()})
+
+    return media.mapInPandas(
+        _frames,
+        schema="doc_id long, frame_idx int, fps_ppm long, "
+        "mean_luma int, luma_md5 string",
     )
 
 

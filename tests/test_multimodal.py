@@ -523,3 +523,67 @@ def test_audio_features_real_wav_and_fake_fallback(spark):
     }
     assert got[2]["sample_rate"] == 0  # fake path marker
     assert got[2]["n_samples"] == 3 and got[2]["peak_abs"] == ord("c")
+
+
+def _y4m(frames_luma, fps=(25, 1), chroma: str = "420jpeg") -> bytes:
+    """Minimal YUV4MPEG2 encoder from an (n, h, w) uint8 luma array;
+    chroma planes are zero-filled at the subsampling implied by `chroma`."""
+    import numpy as np
+
+    arr = np.asarray(frames_luma, dtype=np.uint8)
+    n, h, w = arr.shape
+    luma = h * w
+    extra = {"420jpeg": luma // 2, "422": luma, "444": luma * 2, "mono": 0}[chroma]
+    head = b"YUV4MPEG2 W%d H%d F%d:%d C%s\n" % (w, h, fps[0], fps[1],
+                                                chroma.encode())
+    body = b"".join(
+        b"FRAME\n" + arr[i].tobytes() + b"\0" * extra for i in range(n)
+    )
+    return head + body
+
+
+def test_y4m_decoder_exact_frames():
+    """Y4M real-decode (r06): luma planes parse exactly for 420/mono, fps
+    lands as integer ppm, malformed streams reject."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _y4m_decoder
+
+    decode = _y4m_decoder()
+    frames = (np.arange(3 * 4 * 6, dtype=np.uint8).reshape(3, 4, 6) * 3).astype(
+        np.uint8
+    )
+    got, fps_ppm = decode(_y4m(frames, fps=(30000, 1001)))
+    assert got.shape == (3, 4, 6) and (got == frames).all()
+    assert fps_ppm == 30000 * 1_000_000 // 1001
+
+    got_m, _ = decode(_y4m(frames, chroma="mono"))
+    assert (got_m == frames).all()
+
+    assert decode(b"not video") is None
+    assert decode(_y4m(frames)[:-5]) is None  # truncated final frame
+    assert decode(b"YUV4MPEG2 W0 H4\nFRAME\n") is None
+
+
+def test_keyframe_sample_strides_real_y4m(spark):
+    """keyframe_sample end-to-end: every stride-th frame becomes one row
+    with exact mean luma + plane digest; non-video payloads emit nothing."""
+    import hashlib
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import keyframe_sample
+
+    frames = np.stack(
+        [np.full((2, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)]
+    )
+    media = spark.createDataFrame(
+        [(1, _y4m(frames), "video/y4m"), (2, b"plain text", "text")],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {r["frame_idx"]: r.asDict() for r in keyframe_sample(media, stride=2).collect()}
+    assert set(got) == {0, 2, 4}
+    assert all(r["doc_id"] == 1 for r in got.values())  # non-video emitted 0 rows
+    assert got[2]["mean_luma"] == 30
+    assert got[2]["luma_md5"] == hashlib.md5(frames[2].tobytes()).hexdigest()
+    assert got[0]["fps_ppm"] == 25_000_000
