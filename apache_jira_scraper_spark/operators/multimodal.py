@@ -150,12 +150,46 @@ def _pixel_decoder():
         ) // 3
         return gray.astype(np.uint8)[idx]
 
+    def _decode_pnm_ascii(payload: bytes):
+        """ASCII netpbm (PGM `P2` / PPM `P3`): the whole file after the
+        magic is whitespace-separated decimal tokens (with '#' comments),
+        so parsing is one comment-strip + split. Same dim/maxval rules and
+        mean-luma collapse as the binary forms."""
+        import numpy as np
+
+        rgb = payload[1:2] == b"3"
+        # strip comments line-wise, then tokenize
+        toks = b" ".join(
+            line.split(b"#", 1)[0] for line in payload[2:].splitlines()
+        ).split()
+        if len(toks) < 3 or not all(t.isdigit() for t in toks[:3]):
+            return None
+        w, h, maxval = int(toks[0]), int(toks[1]), int(toks[2])
+        if w <= 0 or h <= 0 or not 0 < maxval < 256:
+            return None
+        need = w * h * (3 if rgb else 1)
+        vals = toks[3 : 3 + need]
+        if len(vals) < need or not all(t.isdigit() for t in vals):
+            return None
+        plane = np.array([int(t) for t in vals], dtype=np.int64)
+        if (plane > maxval).any():
+            return None
+        plane = plane.astype(np.uint8)
+        if rgb:
+            px = plane.reshape(h, w, 3).astype(np.uint16)
+            return ((px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3).astype(np.uint8)
+        return plane.reshape(h, w)
+
     def decode_pixels(payload: bytes):
         import numpy as np
 
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
-        if len(payload) < 2 or payload[:1] != b"P" or payload[1:2] not in (b"5", b"6"):
+        if len(payload) < 2 or payload[:1] != b"P":
+            return None
+        if payload[1:2] in (b"2", b"3"):
+            return _decode_pnm_ascii(payload)
+        if payload[1:2] not in (b"5", b"6"):
             return None
         rgb = payload[1:2] == b"6"
         # header tokenizer: three ints (width, height, maxval) separated by

@@ -587,3 +587,31 @@ def test_keyframe_sample_strides_real_y4m(spark):
     assert got[2]["mean_luma"] == 30
     assert got[2]["luma_md5"] == hashlib.md5(frames[2].tobytes()).hexdigest()
     assert got[0]["fps_ppm"] == 25_000_000
+
+
+def test_pixel_decoder_ascii_netpbm_exact_pixels():
+    """ASCII netpbm (P2/P3) completes the family: decimal-token planes
+    with comments parse to exact pixels; out-of-range values reject."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    gray = np.array([[0, 128, 255], [7, 200, 31]], dtype=np.uint8)
+    p2 = b"P2\n# comment\n3 2\n255\n" + " ".join(
+        str(v) for v in gray.ravel()
+    ).encode() + b"\n"
+    got = decode(p2)
+    assert got.shape == (2, 3) and (got == gray).all()
+
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3) * 20
+    p3 = b"P3 2 2 255 " + " ".join(str(v) for v in rgb.ravel()).encode()
+    want = (
+        (rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+    got3 = decode(p3)
+    assert got3.shape == (2, 2) and (got3 == want).all()
+
+    assert decode(b"P2 3 2 255 0 1") is None         # short plane
+    assert decode(b"P2 2 1 100 50 200") is None      # value > maxval
+    assert decode(b"P2 2 1 70000 0 1") is None       # 16-bit maxval
