@@ -64,6 +64,13 @@ def pin_utc_session(spark: SparkSession, why: str) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Monotonic count of session_cached() calls (hits AND builds). bench.py
+# snapshots it around each gate's samples to mark gates whose benched plan
+# may be a scan of a pre-materialized artifact (ADVICE r06: min-of-N over
+# cached checkpoints reads as an engine win when it's a cache-warm win).
+SESSION_CACHE_TOUCHES = 0
+
+
 def session_cached(cache: dict, spark: SparkSession, extra_key: tuple, build):
     """Session-scoped memoization for materialized (localCheckpoint'd)
     DataFrames, keyed (applicationId, *extra_key) — THE cache discipline
@@ -73,6 +80,8 @@ def session_cached(cache: dict, spark: SparkSession, extra_key: tuple, build):
     SparkContexts whose checkpoint blocks are already gone, and would
     otherwise accumulate one dead DataFrame per session restart for the
     process lifetime."""
+    global SESSION_CACHE_TOUCHES
+    SESSION_CACHE_TOUCHES += 1
     app = spark.sparkContext.applicationId
     key = (app, *extra_key)
     got = cache.get(key)
