@@ -4,11 +4,12 @@ columns").
 Pattern: media is an opaque `binary` column + a typed metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python row objects.
-The container has no image/audio codecs, so decode is layered (r06):
-uncompressed payloads — binary netpbm (PPM `P6` / PGM `P5`), BMP
-(BI_RGB 8/24-bit), RIFF/WAVE PCM audio (8/16-bit, any channel count),
-and YUV4MPEG2 video (luma-plane keyframes) — get a REAL pure-numpy
-header+plane decode inside the Arrow
+The container has no image/audio codecs, so decode is layered (r06/r07):
+codec-free payloads — netpbm (binary P5/P6, ASCII P2/P3), BMP
+(BI_RGB 8/24-bit), non-interlaced 8-bit PNG (stdlib zlib inflate +
+numpy scanline unfilter — r07), RIFF/WAVE PCM audio (8/16-bit, any
+channel count), and YUV4MPEG2 video (luma-plane keyframes) — get a REAL
+pure-numpy header+plane decode inside the Arrow
 batches (_pixel_decoder / _wav_decoder / _y4m_decoder — pytest pins
 exact known pixels/samples/frames); codec formats (JPEG, MP3, …) stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
@@ -154,7 +155,11 @@ def _pixel_decoder():
         """ASCII netpbm (PGM `P2` / PPM `P3`): the whole file after the
         magic is whitespace-separated decimal tokens (with '#' comments),
         so parsing is one comment-strip + split. Same dim/maxval rules and
-        mean-luma collapse as the binary forms."""
+        mean-luma collapse as the binary forms. The pixel plane must
+        consume EXACTLY the remaining tokens: ordinary prose like
+        'P2 1 1 9 4 more words' would otherwise decode as a valid 1x1
+        image and silently flip byte semantics to pixel semantics wherever
+        the sniff is on (review r06)."""
         import numpy as np
 
         rgb = payload[1:2] == b"3"
@@ -168,8 +173,8 @@ def _pixel_decoder():
         if w <= 0 or h <= 0 or not 0 < maxval < 256:
             return None
         need = w * h * (3 if rgb else 1)
-        vals = toks[3 : 3 + need]
-        if len(vals) < need or not all(t.isdigit() for t in vals):
+        vals = toks[3:]
+        if len(vals) != need or not all(t.isdigit() for t in vals):
             return None
         plane = np.array([int(t) for t in vals], dtype=np.int64)
         if (plane > maxval).any():
@@ -180,11 +185,127 @@ def _pixel_decoder():
             return ((px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3).astype(np.uint8)
         return plane.reshape(h, w)
 
+    def _decode_png(payload: bytes):
+        """Non-interlaced 8-bit PNG (grayscale / RGB / gray+alpha / RGBA)
+        -> (h, w) uint8 gray — stdlib ``zlib`` inflate + per-scanline
+        unfilter over numpy rows, no codec dependency (VERDICT r06 item 2:
+        PNG is deflate, so the most common web image format is decodable
+        with what's in the container). Palette (color type 3), bit depths
+        other than 8, and Adam7 interlace return None -> fake fallback.
+        Color collapses by the same integer mean-luma rule as P6/BMP;
+        alpha is ignored (compositing policy is a pipeline choice, not a
+        decode property)."""
+        import zlib
+
+        import numpy as np
+
+        sig = b"\x89PNG\r\n\x1a\n"
+        if not payload.startswith(sig):
+            return None
+        # chunk walk: IHDR must come first; IDAT payloads concatenate into
+        # one deflate stream; everything else (PLTE, tEXt, ...) is skipped
+        i, n = len(sig), len(payload)
+        w = h = channels = -1
+        idat = bytearray()
+        saw_end = False
+        while i + 8 <= n:
+            clen = int.from_bytes(payload[i : i + 4], "big")
+            ctype = payload[i + 4 : i + 8]
+            body = payload[i + 8 : i + 8 + clen]
+            if len(body) < clen:
+                return None  # truncated chunk
+            if ctype == b"IHDR":
+                if clen != 13 or w != -1:
+                    return None
+                w = int.from_bytes(body[0:4], "big")
+                h = int.from_bytes(body[4:8], "big")
+                bit_depth, color_type, comp, filt, interlace = body[8:13]
+                if (
+                    not 0 < w < 1 << 24
+                    or not 0 < h < 1 << 24
+                    or bit_depth != 8
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                ):
+                    return None
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type, -1)
+                if channels < 0:
+                    return None
+            elif ctype == b"IDAT":
+                if w == -1:
+                    return None  # IDAT before IHDR
+                idat += body
+            elif ctype == b"IEND":
+                saw_end = True
+                break
+            # 4-byte CRC after every chunk body (not verified: the decode
+            # contract is structural well-formedness, and rejecting on CRC
+            # would only swap one fallback path for another)
+            i += 12 + clen
+        if w == -1 or not idat or not saw_end:
+            return None
+        try:
+            raw = zlib.decompress(bytes(idat))
+        except zlib.error:
+            return None
+        stride = 1 + w * channels  # leading filter byte per scanline
+        if len(raw) != stride * h:
+            return None
+        lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        filters = lines[:, 0]
+        if int(filters.max(initial=0)) > 4:
+            return None
+        # Unfilter into an int32 work image (mod-256 at the end of each
+        # row). Per-row dispatch: None/Up are whole-row vectorized; Sub is
+        # a per-byte-lane cumulative sum (out[i] = Σ raw mod 256 — exact);
+        # Average/Paeth recurse on the left neighbor, so they walk pixels
+        # with the channel lanes vectorized.
+        img = np.zeros((h, w * channels), dtype=np.int32)
+        bpp = channels
+        for y in range(h):
+            row = lines[y, 1:].astype(np.int32)
+            prev = img[y - 1] if y > 0 else np.zeros(w * channels, dtype=np.int32)
+            f = int(filters[y])
+            if f == 0:
+                img[y] = row
+            elif f == 1:  # Sub
+                img[y] = np.cumsum(row.reshape(-1, bpp), axis=0).ravel() % 256
+            elif f == 2:  # Up
+                img[y] = (row + prev) % 256
+            elif f == 3:  # Average
+                out = img[y]
+                for x in range(0, w * channels, bpp):
+                    left = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                    out[x : x + bpp] = (
+                        row[x : x + bpp] + (left + prev[x : x + bpp]) // 2
+                    ) % 256
+            else:  # Paeth
+                out = img[y]
+                for x in range(0, w * channels, bpp):
+                    a = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                    b = prev[x : x + bpp]
+                    c = prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                    p = a + b - c
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                    out[x : x + bpp] = (row[x : x + bpp] + pred) % 256
+        px = img.reshape(h, w, channels)
+        if channels >= 3:  # RGB / RGBA: integer mean luma, alpha ignored
+            gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+        else:  # gray / gray+alpha: the gray plane
+            gray = px[:, :, 0]
+        return gray.astype(np.uint8)
+
     def decode_pixels(payload: bytes):
         import numpy as np
 
         if payload[:2] == b"BM":
             return _decode_bmp(payload)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_png(payload)
         if len(payload) < 2 or payload[:1] != b"P":
             return None
         if payload[1:2] in (b"2", b"3"):
@@ -307,7 +428,12 @@ def decode_features(
     )
 
 
-def resize(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFrame:
+def resize(
+    media: DataFrame,
+    target_w: int = 64,
+    target_h: int = 48,
+    sniff_pixels: bool = True,
+) -> DataFrame:
     """Resize stage for "image" payloads: nearest-neighbor subsample of the
     byte grid down to target_w×target_h, as an Arrow-batched mapInPandas
     stage (the real PIL/libvips resize drops in behind
@@ -315,11 +441,17 @@ def resize(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFram
     width×height byte image and keeps every (w/target_w, h/target_h)-th
     byte — deterministic, so tests can pin exact output).
 
+    ``sniff_pixels=False`` forces byte semantics for every payload — the
+    same opt-out decode_features has (ADVICE r06: a non-image payload that
+    happens to form a loose raster prefix must not silently flip this
+    stage to pixel semantics when the caller knows the column is not
+    images).
+
     Output schema mirrors the input media shape (binary payload + updated
     meta), so resize composes with decode_features/frame_sample downstream.
     """
     real_decode = _REAL_DECODE_AVAILABLE
-    decode_pixels = _pixel_decoder()
+    decode_pixels = _pixel_decoder() if sniff_pixels else (lambda payload: None)
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -367,7 +499,7 @@ def resize(media: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFram
     )
 
 
-def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
+def patch_grid(media: DataFrame, patch: int = 16, sniff_pixels: bool = True) -> DataFrame:
     """ViT-style patch extraction: cut each image's byte grid into
     patch×patch tiles and emit ONE ROW PER PATCH with its grid position,
     mean intensity, and content digest — the image→patch-token step a
@@ -385,9 +517,12 @@ def patch_grid(media: DataFrame, patch: int = 16) -> DataFrame:
     bounded by the declared dims; digests are md5 of the tile bytes so a
     downstream exact-dedup over patches (logo/watermark detection) is a
     plain groupBy(patch_digest).
+
+    ``sniff_pixels=False`` forces byte semantics for every payload (same
+    opt-out as decode_features/resize — ADVICE r06).
     """
     real_decode = _REAL_DECODE_AVAILABLE
-    decode_pixels = _pixel_decoder()
+    decode_pixels = _pixel_decoder() if sniff_pixels else (lambda payload: None)
 
     def _patches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -521,7 +656,16 @@ def _wav_decoder():
         channels = int.from_bytes(fmt[2:4], "little")
         sample_rate = int.from_bytes(fmt[4:8], "little")
         bits = int.from_bytes(fmt[14:16], "little")
-        if format_tag != 1 or channels < 1 or sample_rate <= 0 or bits not in (8, 16):
+        # sample_rate parses UNSIGNED, so the <= 0 arm alone can never
+        # reject a rate that overflows the int32 feature column (ADVICE
+        # r06); anything >= 2^31 is both implausible audio and an Arrow
+        # overflow, so it degrades to the fake path instead
+        if (
+            format_tag != 1
+            or channels < 1
+            or not 0 < sample_rate < 2**31
+            or bits not in (8, 16)
+        ):
             return None
         bytes_per_frame = channels * bits // 8
         n_frames = len(data) // bytes_per_frame
@@ -643,10 +787,15 @@ def _y4m_decoder():
         if w <= 0 or h <= 0 or den <= 0:
             return None
         luma = w * h
+        # chroma planes are CEIL-sized for odd dims (each 420 plane is
+        # ceil(w/2)*ceil(h/2), each 422 plane ceil(w/2)*h) — luma*3//2
+        # would mis-stride the frame walk on legitimate odd-dimension
+        # streams and silently emit zero keyframes (ADVICE r06)
+        cw, ch = (w + 1) // 2, (h + 1) // 2
         if chroma.startswith("420"):
-            frame_size = luma * 3 // 2
+            frame_size = luma + 2 * cw * ch
         elif chroma.startswith("422"):
-            frame_size = luma * 2
+            frame_size = luma + 2 * cw * h
         elif chroma.startswith("444"):
             frame_size = luma * 3
         elif chroma == "mono":

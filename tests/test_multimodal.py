@@ -533,7 +533,10 @@ def _y4m(frames_luma, fps=(25, 1), chroma: str = "420jpeg") -> bytes:
     arr = np.asarray(frames_luma, dtype=np.uint8)
     n, h, w = arr.shape
     luma = h * w
-    extra = {"420jpeg": luma // 2, "422": luma, "444": luma * 2, "mono": 0}[chroma]
+    cw, ch = (w + 1) // 2, (h + 1) // 2  # chroma planes are ceil-sized
+    extra = {"420jpeg": 2 * cw * ch, "422": 2 * cw * h, "444": luma * 2, "mono": 0}[
+        chroma
+    ]
     head = b"YUV4MPEG2 W%d H%d F%d:%d C%s\n" % (w, h, fps[0], fps[1],
                                                 chroma.encode())
     body = b"".join(
@@ -615,3 +618,282 @@ def test_pixel_decoder_ascii_netpbm_exact_pixels():
     assert decode(b"P2 3 2 255 0 1") is None         # short plane
     assert decode(b"P2 2 1 100 50 200") is None      # value > maxval
     assert decode(b"P2 2 1 70000 0 1") is None       # 16-bit maxval
+
+
+def _png(img, row_filters=None, color_type=None) -> bytes:
+    """Minimal PNG encoder for tests: 8-bit, non-interlaced, real zlib
+    stream and per-chunk CRCs. `img` is (h, w) gray or (h, w, c) with
+    c in (2, 3, 4); `row_filters` picks the filter byte per scanline
+    (default: cycle through all five) — the encoder applies the true
+    filter transform so the decoder must run the matching unfilter."""
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    if color_type is None:
+        color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    flat = arr.reshape(h, w * c).astype(np.int32)
+    if row_filters is None:
+        row_filters = [(y % 5) for y in range(h)]
+    raw = bytearray()
+    for y in range(h):
+        f = row_filters[y]
+        cur = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * c, dtype=np.int32)
+        left = np.concatenate([np.zeros(c, dtype=np.int32), cur[:-c]]) if w * c > c else np.zeros(w * c, dtype=np.int32)
+        upleft = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]]) if w * c > c else np.zeros(w * c, dtype=np.int32)
+        if w * c <= c:
+            left = np.zeros(w * c, dtype=np.int32)
+            upleft = np.zeros(w * c, dtype=np.int32)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left,
+                            np.where(pb <= pc, prev, upleft))
+            enc = cur - pred
+        raw.append(f)
+        raw += (enc % 256).astype(np.uint8).tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + zlib.crc32(ctype + body).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    comp = zlib.compress(bytes(raw))
+    # split the deflate stream across two IDAT chunks to pin concatenation
+    mid = max(1, len(comp) // 2)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", comp[:mid])
+        + chunk(b"IDAT", comp[mid:])
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_pixel_decoder_png_exact_pixels():
+    """PNG real-decode (r07): stdlib zlib + numpy unfilter. Grayscale
+    roundtrips exactly through ALL FIVE filter types; RGB collapses by the
+    same integer mean-luma rule as P6/BMP; RGBA ignores alpha; palette /
+    16-bit / interlaced / corrupt streams reject to the fake fallback."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    gray = (np.arange(6 * 7, dtype=np.uint8).reshape(6, 7) * 11).astype(np.uint8)
+    for f in range(5):  # each filter type alone
+        got = decode(_png(gray, row_filters=[f] * 6))
+        assert got is not None and (got == gray).all(), f"filter {f}"
+    got_mix = decode(_png(gray))  # cycling filters, split IDAT
+    assert (got_mix == gray).all()
+
+    rgb = (np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3) * 7).astype(np.uint8)
+    want = (
+        (rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+    assert (decode(_png(rgb)) == want).all()
+
+    rgba = np.dstack([rgb, np.full((3, 4), 77, dtype=np.uint8)])
+    assert (decode(_png(rgba)) == want).all()  # alpha ignored
+
+    ga = np.dstack([gray, np.full((6, 7), 5, dtype=np.uint8)])
+    assert (decode(_png(ga)) == gray).all()  # gray+alpha -> gray plane
+
+    # rejects
+    ok = _png(gray)
+    assert decode(ok[:40]) is None                        # truncated
+    assert decode(ok[:-30] + b"\0" * 30) is None          # corrupt stream/no IEND
+    pal = bytearray(_png(gray))
+    pal[25] = 3  # color type byte in IHDR -> palette (unsupported)
+    assert decode(bytes(pal)) is None
+    depth16 = bytearray(_png(gray))
+    depth16[24] = 16  # bit depth byte
+    assert decode(bytes(depth16)) is None
+    inter = bytearray(_png(gray))
+    inter[28] = 1  # interlace byte
+    assert decode(bytes(inter)) is None
+
+
+def test_png_decoder_roundtrip_property():
+    """Property: any 8-bit gray/RGB array under ANY per-row filter choice
+    decodes back exactly (gray) / to integer mean luma (RGB)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 16),
+        h=st.integers(1, 10),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, rgb, seed):
+        rng = np.random.default_rng(seed)
+        filters = rng.integers(0, 5, h).tolist()
+        if rgb:
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            want = (
+                (img[:, :, 0].astype(np.uint16) + img[:, :, 1] + img[:, :, 2]) // 3
+            ).astype(np.uint8)
+        else:
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            want = img
+        got = decode(_png(img, row_filters=filters))
+        assert got is not None and got.shape == (h, w) and (got == want).all()
+
+    check()
+
+
+def test_decode_features_real_png_histogram(spark):
+    """decode_features histograms PNG DECODED pixels end-to-end through
+    the Arrow stage (same contract as the PPM/BMP tests)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import decode_features
+
+    img = np.full((3, 4, 3), 70, dtype=np.uint8)  # luma 70 -> bin 2
+    row = decode_features(_media_df(spark, _png(img), w=4, h=3)).collect()[0]
+    want = [0] * 8
+    want[70 >> 5] = 3 * 4
+    assert row["features"] == want
+
+
+def test_patch_grid_and_resize_real_png(spark):
+    """resize + patch_grid run on PNG decoded pixels with header dims
+    authoritative — the full decode→resize→patch pipeline is real for PNG."""
+    import hashlib
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import patch_grid, resize
+
+    h, w = 17, 20
+    gray = (np.arange(h * w, dtype=np.uint8).reshape(h, w) * 3).astype(np.uint8)
+    media = _media_df(spark, _png(gray), w=999, h=1)  # meta lies; header wins
+    got = {
+        (r["py"], r["px"]): r["patch_digest"]
+        for r in patch_grid(media, patch=16).collect()
+    }
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert got[(0, 0)] == hashlib.md5(gray[0:16, 0:16].tobytes()).hexdigest()
+
+    out = resize(media, target_w=5, target_h=4).collect()[0]
+    ys = (np.arange(4) * h) // 4
+    xs = (np.arange(5) * w) // 5
+    assert bytes(out["content"]) == gray[np.ix_(ys, xs)].tobytes()
+
+
+def test_resize_and_patch_grid_sniff_opt_out(spark):
+    """ADVICE r06: resize/patch_grid accept sniff_pixels=False, forcing
+    byte semantics even for a payload that parses as an image — same
+    opt-out decode_features already had."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import patch_grid, resize
+
+    gray = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    payload = _pgm_p5(gray)
+    media = _media_df(spark, payload, w=len(payload), h=1)
+
+    sniffed = resize(media, target_w=4, target_h=2).collect()[0]
+    forced = resize(media, target_w=4, target_h=2, sniff_pixels=False).collect()[0]
+    assert bytes(sniffed["content"]) != bytes(forced["content"])
+    # forced path: payload treated as a 1-row byte image of declared width
+    grid = np.resize(np.frombuffer(payload, dtype=np.uint8), (1, len(payload)))
+    ys = (np.arange(2) * 1) // 2
+    xs = (np.arange(4) * len(payload)) // 4
+    assert bytes(forced["content"]) == grid[np.ix_(ys, xs)].tobytes()
+
+    n_sniffed = patch_grid(media, patch=4).count()
+    n_forced = patch_grid(media, patch=4, sniff_pixels=False).count()
+    assert n_sniffed == 2 * 2  # decoded 8x8 image -> 4 tiles
+    assert n_forced == 1 * -(-len(payload) // 4)  # declared 1x69 byte grid
+
+
+def test_ascii_netpbm_rejects_trailing_garbage():
+    """ADVICE r06: prose like 'P2 1 1 9 4 more words' must NOT decode as a
+    1x1 image — the ASCII plane must consume exactly the remaining tokens."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    assert decode(b"P2 1 1 9 4 more words here") is None
+    assert decode(b"P3 1 1 255 1 2 3 0") is None  # one extra token
+    # exact-length plane still decodes
+    got = decode(b"P2 2 1 9 4 7")
+    assert got is not None and (got == np.array([[4, 7]])).all()
+    # trailing comment lines are fine (stripped before tokenizing)
+    got2 = decode(b"P2 2 1 9 4 7\n# trailing comment\n")
+    assert got2 is not None and (got2 == np.array([[4, 7]])).all()
+
+
+def test_wav_rejects_int32_overflow_sample_rate():
+    """ADVICE r06: the rate field parses unsigned, so a payload declaring
+    rate >= 2^31 must reject (fake fallback) instead of overflowing the
+    int32 sample_rate column and failing the whole Arrow batch."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    mono = np.array([1, 2, 3], dtype=np.int32)
+    bad = bytearray(_wav(mono, rate=8000))
+    # fmt chunk starts at offset 12+8; rate field is fmt[4:8]
+    rate_off = 12 + 8 + 4
+    bad[rate_off : rate_off + 4] = (2**31).to_bytes(4, "little")
+    assert decode(bytes(bad)) is None
+    ok = decode(_wav(mono, rate=2**31 - 1))  # boundary still accepted
+    assert ok is not None and ok[1] == 2**31 - 1
+
+
+def test_y4m_odd_dims_ceil_sized_chroma():
+    """ADVICE r06: 420/422 chroma planes are ceil-sized for odd dims —
+    a legitimate 5x3 C420 stream must parse (luma*3//2 would mis-stride)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _y4m_decoder
+
+    decode = _y4m_decoder()
+    h, w = 3, 5
+    frames = (np.arange(2 * h * w, dtype=np.uint8).reshape(2, h, w) * 4).astype(
+        np.uint8
+    )
+    cw, ch = (w + 1) // 2, (h + 1) // 2
+    head = b"YUV4MPEG2 W%d H%d F25:1 C420jpeg\n" % (w, h)
+    body = b"".join(
+        b"FRAME\n" + frames[i].tobytes() + b"\0" * (2 * cw * ch) for i in range(2)
+    )
+    got, _ = decode(head + body)
+    assert got.shape == (2, h, w) and (got == frames).all()
+
+    # odd-width 422: planes are ceil(w/2)*h each
+    body422 = b"".join(
+        b"FRAME\n" + frames[i].tobytes() + b"\0" * (2 * cw * h) for i in range(2)
+    )
+    got422, _ = decode(b"YUV4MPEG2 W%d H%d F25:1 C422\n" % (w, h) + body422)
+    assert (got422 == frames).all()
