@@ -870,16 +870,30 @@ def keyframe_sample(media: DataFrame, stride: int = 4) -> DataFrame:
     )
 
 
+#: Patch-grid gate leg samples every Nth doc: the leg certifies patch_grid's
+#: SEMANTICS (tile layout, wrap padding, per-tile digest) under the driver
+#: hash, not its volume — full-corpus tiling would put ~150M substr() calls
+#: in the DuckDB oracle (500 docs x ~1200 patches x 256 lookups at sf0.01).
+#: 1-in-100 keeps both sides sub-second while still exercising multi-doc,
+#: multi-shape grids (5 docs / 1306 patches at sf0.01).
+PATCH_SAMPLE_MOD = 100
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined decode gate: Arrow `mapInPandas` feature extraction AND
     column-algebra frame sampling over the same binary payloads, joined on
-    doc_id. Array results are emitted as scalar digests — md5 of the
-    comma-joined frame list, CSV of the 8-bin feature histogram — because
-    the driver's pandas canonicalizer cannot hash list-typed columns; the
-    array-returning library functions (`decode_features`, `frame_sample`)
-    stay available for programmatic use. Plan: two narrow passes over one
-    scan side + a single doc_id sort-merge; at scale the join is co-
-    partitioned (both sides derive from the same source partitioning)."""
+    doc_id, PLUS a patch_grid leg (VERDICT r06 item 3) — ViT-style tiling
+    over a 1-in-PATCH_SAMPLE_MOD doc sample, folded per-doc as three
+    columns (patch count, total intensity, md5 over the ordered
+    py,px,sum,digest patch list) so every tile's position, content sum and
+    digest is pinned by the driver hash. Array results are emitted as
+    scalar digests — md5 of the comma-joined frame list, CSV of the 8-bin
+    feature histogram — because the driver's pandas canonicalizer cannot
+    hash list-typed columns; the array-returning library functions
+    (`decode_features`, `frame_sample`, `patch_grid`) stay available for
+    programmatic use. Plan: two narrow passes over one scan side + a
+    single doc_id sort-merge; the patch aggregate is a tiny (n_docs/100
+    rows) side that AQE broadcast-joins onto the per-doc spine."""
     media = binary_docs(spark, sf_dir)
     # Frame sampling is column algebra, so it rides along in the SAME
     # projection that feeds the single mapInPandas pass — one scan of the
@@ -912,7 +926,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (tests/test_multimodal.py) instead.
         sniff_netpbm=False,
     )
-    return feats.select(
+    spine = feats.select(
         "doc_id",
         F.concat_ws(",", F.transform("features", lambda x: x.cast("string"))).alias(
             "features_csv"
@@ -923,7 +937,62 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_md5",
         "width",
         "height",
-    ).orderBy("doc_id")
+    )
+    # patch leg: sampled docs -> one row per tile -> per-doc fold. The
+    # per-patch record string zero-pads py/px so array_sort's lexical order
+    # IS (py, px) numeric order (grids are <=30x40 tiles, 3 digits suffice);
+    # patch_mean*patch^2 recovers the exact integer tile sum (mean = sum/256
+    # is exact in binary), keeping the hashed record float-format-free.
+    pat = patch_grid(
+        media.filter((F.col("doc_id") % PATCH_SAMPLE_MOD) == 0),
+        sniff_pixels=False,  # same raw-byte contract as the decode leg above
+    )
+    per_doc = (
+        pat.select(
+            "doc_id",
+            "py",
+            "px",
+            F.round(F.col("patch_mean") * 256).cast("long").alias("patch_sum"),
+            "patch_digest",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("patch_n"),
+            F.sum("patch_sum").alias("patch_sum_total"),
+            F.md5(
+                F.concat_ws(
+                    ";",
+                    F.array_sort(
+                        F.collect_list(
+                            F.concat(
+                                F.format_string("%03d,%03d,", "py", "px"),
+                                F.col("patch_sum").cast("string"),
+                                F.lit(","),
+                                F.col("patch_digest"),
+                            )
+                        )
+                    ),
+                )
+            ).alias("patches_md5"),
+        )
+    )
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .select(
+            spine["doc_id"],
+            "features_csv",
+            "n_bytes",
+            "frames_md5",
+            "n_frames",
+            "content_md5",
+            "width",
+            "height",
+            F.coalesce("patch_n", F.lit(0)).cast("long").alias("patch_n"),
+            F.coalesce("patch_sum_total", F.lit(0)).cast("long").alias("patch_sum_total"),
+            F.coalesce("patches_md5", F.lit("")).alias("patches_md5"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 MULTIMODAL_DECODE_SQL = f"""
@@ -951,11 +1020,49 @@ WITH bytes AS (
          CAST(n_chars % 640 AS INT) AS width,
          CAST((n_chars * 7) % 480 AS INT) AS height
   FROM documents
+), pdoc AS (
+  SELECT doc_id, text,
+         GREATEST(CAST(n_chars % 640 AS INT), 1) AS w,
+         GREATEST(CAST((n_chars * 7) % 480 AS INT), 1) AS h,
+         length(text) AS n
+  FROM documents WHERE doc_id % {PATCH_SAMPLE_MOD} = 0
+), tiles AS (
+  SELECT doc_id, text, w, h, n,
+         (w + 15) // 16 AS px_n,
+         unnest(generate_series(0, ((h + 15) // 16) * ((w + 15) // 16) - 1)) AS t
+  FROM pdoc
+), patches AS (
+  -- tile (py,px), byte (dy,dx): padded grid wraps at the declared dims
+  -- (np.pad mode='wrap') and the image itself wraps at the payload length
+  -- (np.resize pad-by-repeat) -> payload[(((py*16+dy)%h)*w + (px*16+dx)%w) % n]
+  SELECT doc_id, py, px,
+    list_transform(generate_series(0, 255),
+      i -> ascii(substr(text,
+        CAST((((py * 16 + i // 16) % h) * w + ((px * 16 + i % 16) % w)) % n AS INT) + 1,
+        1))) AS tb
+  FROM (SELECT doc_id, text, w, h, n, t // px_n AS py, t % px_n AS px FROM tiles)
+), per_patch AS (
+  SELECT doc_id, py, px,
+         CAST(list_sum(tb) AS BIGINT) AS patch_sum,
+         md5(array_to_string(list_transform(tb, b -> chr(b)), '')) AS patch_digest
+  FROM patches
+), pagg AS (
+  SELECT doc_id,
+         COUNT(*) AS patch_n,
+         CAST(SUM(patch_sum) AS BIGINT) AS patch_sum_total,
+         md5(string_agg(
+           printf('%03d,%03d,', py, px) || CAST(patch_sum AS VARCHAR) || ',' || patch_digest,
+           ';' ORDER BY py, px)) AS patches_md5
+  FROM per_patch GROUP BY doc_id
 )
 SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
        frames_md5, CAST(n_frames AS INT) AS n_frames,
-       content_md5, width, height
+       content_md5, width, height,
+       COALESCE(patch_n, 0) AS patch_n,
+       COALESCE(patch_sum_total, 0) AS patch_sum_total,
+       COALESCE(patches_md5, '') AS patches_md5
 FROM feat JOIN fr ON feat.doc_id = fr.doc_id
+LEFT JOIN pagg ON feat.doc_id = pagg.doc_id
 ORDER BY feat.doc_id
 """
 
