@@ -7,11 +7,14 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 The container has no image/audio codecs, so decode is layered (r06/r07):
 codec-free payloads — netpbm (binary P5/P6, ASCII P2/P3), BMP
 (BI_RGB 8/24-bit), non-interlaced 8-bit PNG (stdlib zlib inflate +
-numpy scanline unfilter — r07), RIFF/WAVE PCM audio (8/16-bit, any
-channel count), and YUV4MPEG2 video (luma-plane keyframes) — get a REAL
-pure-numpy header+plane decode inside the Arrow
-batches (_pixel_decoder / _wav_decoder / _y4m_decoder — pytest pins
-exact known pixels/samples/frames); codec formats (JPEG, MP3, …) stay stubbed
+numpy scanline unfilter — r07), GIF (pure-Python variable-width LZW,
+interlace + deferred-clear — r07), baseline JPEG (canonical Huffman +
+numpy-vectorized dequant/IDCT, restart intervals, 4:4:4/4:2:0/4:2:2 —
+r07), RIFF/WAVE PCM audio (8/16-bit, any channel count), and YUV4MPEG2
+video (luma-plane keyframes) — get a REAL pure-numpy header+plane decode
+inside the Arrow batches (_pixel_decoder / _wav_decoder / _y4m_decoder —
+pytest pins exact known pixels/samples/frames); the remaining codec
+formats (progressive JPEG, MP3/AAC, inter-frame video) stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
 everything Spark-level — schema, batching, partitioning, UDF signatures —
 is real and tested.
@@ -78,13 +81,14 @@ FROM documents ORDER BY doc_id
 
 
 def _pixel_decoder():
-    """REAL pixel decode for the uncompressed raster formats: binary netpbm
-    (PPM `P6` / PGM `P5`) and BMP (BI_RGB, 8-bit palette / 24-bit BGR,
-    bottom-up or top-down) — pure numpy header + pixel-plane parsing, no
-    codec dependency, so the multimodal column is real (not
+    """REAL pixel decode for the raster formats reachable without a codec
+    library: netpbm (binary P5/P6, ASCII P2/P3), BMP (BI_RGB, 8-bit
+    palette / 24-bit BGR, bottom-up or top-down), non-interlaced 8-bit
+    PNG (stdlib zlib), GIF (pure-Python LZW), and baseline JPEG (canonical
+    Huffman + numpy IDCT) — so the multimodal column is real (not
     shaped-like-real) for any payload a pipeline lands in these formats;
-    everything else falls back to the deterministic fake (and JPEG-class
-    codec formats stay behind _REAL_DECODE_AVAILABLE).
+    everything else falls back to the deterministic fake (and the
+    remaining codec formats stay behind _REAL_DECODE_AVAILABLE).
 
     Returns a FACTORY-made closure rather than a module-level function:
     cloudpickle serializes inner functions by value, so the mapInPandas
@@ -93,7 +97,8 @@ def _pixel_decoder():
 
     The decoder maps payload -> (h, w) uint8 grayscale grid using the
     HEADER-declared dims (authoritative over the meta struct), or None
-    when the payload is not a well-formed netpbm image. P6's RGB collapses
+    when the payload is not a well-formed image in a supported format
+    (netpbm, BMP, PNG, GIF, baseline JPEG). Color collapses
     to integer mean luma ((r+g+b)//3) — deterministic and engine-exact,
     which the test oracles pin byte-for-byte. maxval must fit one byte
     (16-bit planes return None -> fake fallback)."""
@@ -299,6 +304,400 @@ def _pixel_decoder():
             gray = px[:, :, 0]
         return gray.astype(np.uint8)
 
+    def _decode_gif(payload: bytes):
+        """GIF87a/89a, FIRST frame -> (h, w) uint8 gray: variable-width LZW
+        (clear/EOI, deferred-clear full-table handling) + palette mean-luma
+        collapse; interlaced frames deinterlace by the 8/8/4/2 row order.
+        The frame's own descriptor dims are authoritative (logical-screen
+        offsets/later frames are animation state, not pixel content for a
+        feature pipeline). Structural problems return None -> fake path."""
+        import numpy as np
+
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 14:
+            return None
+        flags = payload[10]
+        i, n_total = 13, len(payload)
+        pal_bytes = None
+        if flags & 0x80:
+            npal = 2 << (flags & 7)
+            pal_bytes = payload[13 : 13 + 3 * npal]
+            if len(pal_bytes) < 3 * npal:
+                return None
+            i = 13 + 3 * npal
+        # block walk to the first image descriptor
+        while i < n_total and payload[i] == 0x21:  # extension block
+            i += 2
+            while i < n_total and payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1  # sub-block terminator
+        if i + 10 > n_total or payload[i] != 0x2C:
+            return None
+        w = int.from_bytes(payload[i + 5 : i + 7], "little")
+        h = int.from_bytes(payload[i + 7 : i + 9], "little")
+        iflags = payload[i + 9]
+        i += 10
+        if iflags & 0x80:  # local palette overrides global
+            npal = 2 << (iflags & 7)
+            pal_bytes = payload[i : i + 3 * npal]
+            if len(pal_bytes) < 3 * npal:
+                return None
+            i += 3 * npal
+        if w <= 0 or h <= 0 or pal_bytes is None or i >= n_total:
+            return None
+        min_code = payload[i]
+        i += 1
+        if not 2 <= min_code <= 8:  # spec: root width 2..8
+            return None
+        data = bytearray()
+        while True:
+            if i >= n_total:
+                return None  # ran out before the 0-terminator
+            bs = payload[i]
+            i += 1
+            if bs == 0:
+                break
+            chunk = payload[i : i + bs]
+            if len(chunk) < bs:
+                return None
+            data += chunk
+            i += bs
+        # LZW, LSB-first bit order
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        roots = [bytes([k]) for k in range(clear)] + [b"", b""]
+        table = list(roots)
+        width, bitpos, nbits = min_code + 1, 0, len(data) * 8
+        prev: bytes | None = None
+        out: list[bytes] = []
+        got = 0
+        need = w * h
+        while got < need:
+            if bitpos + width > nbits:
+                return None
+            byte0 = bitpos >> 3
+            code = (
+                int.from_bytes(data[byte0 : byte0 + 3], "little") >> (bitpos & 7)
+            ) & ((1 << width) - 1)
+            bitpos += width
+            if code == clear:
+                table = list(roots)
+                width, prev = min_code + 1, None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.append(entry)
+            got += len(entry)
+            prev = entry
+            # width bump AFTER the append that filled the current range;
+            # at 4096 the table freezes (deferred clear) and width stays 12
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        if got < need:
+            return None
+        idx = np.frombuffer(b"".join(out)[:need], dtype=np.uint8).reshape(h, w)
+        npal = len(pal_bytes) // 3
+        if int(idx.max(initial=0)) >= npal:
+            return None
+        pal = np.frombuffer(pal_bytes, dtype=np.uint8).reshape(npal, 3)
+        gray = (
+            (pal[:, 0].astype(np.uint16) + pal[:, 1] + pal[:, 2]) // 3
+        ).astype(np.uint8)[idx]
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            order = np.concatenate(
+                [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+            )
+            deinter = np.empty_like(gray)
+            deinter[order] = gray
+            return deinter
+        return gray
+
+    def _decode_jpeg(payload: bytes):
+        """Baseline JPEG/JFIF (SOF0/SOF1, 8-bit, grayscale or YCbCr with
+        integer sampling ratios) -> (h, w) uint8 gray — pure-Python marker
+        walk + canonical Huffman entropy decode, numpy-vectorized
+        dequantize + separable float64 IDCT. Handles byte stuffing
+        (FF00), restart intervals (DRI/RSTn reset the DC predictors), and
+        multi-table DQT/DHT segments. Color collapses by the module's
+        integer mean-luma rule (YCbCr -> rounded clamped RGB ->
+        (r+g+b)//3); grayscale returns the Y plane. Progressive (SOF2),
+        arithmetic coding, 12-bit precision, hierarchical modes and
+        fractional sampling ratios return None -> deterministic fake.
+
+        The entropy loop is per-bit Python — fine for the decode stage's
+        per-payload granularity (images arrive one per row inside an Arrow
+        batch); the block math after it is vectorized across all blocks of
+        a component."""
+        import numpy as np
+
+        n = len(payload)
+        if payload[:3] != b"\xff\xd8\xff":
+            return None
+
+        def build_huff(counts, vals):
+            # canonical per JPEG F.2.2.3: mincode/maxcode/valptr per length
+            mincode, maxcode, valptr = [0] * 17, [-1] * 17, [0] * 17
+            code = k = 0
+            for ln in range(1, 17):
+                valptr[ln], mincode[ln] = k, code
+                code += counts[ln - 1]
+                k += counts[ln - 1]
+                maxcode[ln] = code - 1
+                code <<= 1
+            return mincode, maxcode, valptr, bytes(vals)
+
+        qt: dict[int, "np.ndarray"] = {}
+        huff: dict[tuple[int, int], tuple] = {}
+        frame = None
+        ri = 0
+        scan = None
+        i = 2
+        while i + 4 <= n:
+            if payload[i] != 0xFF:
+                return None
+            m = payload[i + 1]
+            if m == 0x01 or 0xD0 <= m <= 0xD7:
+                i += 2
+                continue
+            seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
+            body = payload[i + 4 : i + 2 + seglen]
+            if seglen < 2 or len(body) != seglen - 2:
+                return None
+            i += 2 + seglen
+            if m == 0xDB:  # DQT: one or more tables, 8- or 16-bit entries
+                j = 0
+                while j < len(body):
+                    pq, tq = body[j] >> 4, body[j] & 15
+                    j += 1
+                    if pq == 0 and j + 64 <= len(body):
+                        qt[tq] = np.frombuffer(
+                            body[j : j + 64], dtype=np.uint8
+                        ).astype(np.int32)
+                        j += 64
+                    elif pq == 1 and j + 128 <= len(body):
+                        qt[tq] = np.frombuffer(
+                            body[j : j + 128], dtype=">u2"
+                        ).astype(np.int32)
+                        j += 128
+                    else:
+                        return None
+            elif m == 0xC4:  # DHT: one or more tables
+                j = 0
+                while j + 17 <= len(body):
+                    tc, th = body[j] >> 4, body[j] & 15
+                    counts = list(body[j + 1 : j + 17])
+                    total = sum(counts)
+                    vals = body[j + 17 : j + 17 + total]
+                    if len(vals) < total or tc > 1:
+                        return None
+                    huff[(tc, th)] = build_huff(counts, vals)
+                    j += 17 + total
+                if j != len(body):
+                    return None
+            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+                if frame is not None or len(body) < 6:
+                    return None
+                prec = body[0]
+                fh = int.from_bytes(body[1:3], "big")
+                fw = int.from_bytes(body[3:5], "big")
+                nc = body[5]
+                if prec != 8 or fh == 0 or fw == 0 or nc not in (1, 3):
+                    return None
+                if len(body) != 6 + 3 * nc:
+                    return None
+                comps = []
+                for k in range(nc):
+                    cid = body[6 + 3 * k]
+                    hv = body[7 + 3 * k]
+                    comps.append((cid, hv >> 4, hv & 15, body[8 + 3 * k]))
+                if any(h0 < 1 or h0 > 4 or v0 < 1 or v0 > 4 for _, h0, v0, _ in comps):
+                    return None
+                frame = (fh, fw, comps)
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # progressive / lossless / arithmetic / hierarchical
+            elif m == 0xDD:  # DRI
+                if len(body) != 2:
+                    return None
+                ri = int.from_bytes(body, "big")
+            elif m == 0xDA:  # SOS — baseline: single scan, all components
+                if frame is None or len(body) < 1:
+                    return None
+                ns = body[0]
+                if len(body) != 1 + 2 * ns + 3 or ns != len(frame[2]):
+                    return None
+                sel = [
+                    (body[1 + 2 * k], body[2 + 2 * k] >> 4, body[2 + 2 * k] & 15)
+                    for k in range(ns)
+                ]
+                scan = sel
+                break
+            # else: APPn / COM / DNL — skipped
+        if scan is None or frame is None:
+            return None
+        fh, fw, comps = frame
+        max_h = max(c[1] for c in comps)
+        max_v = max(c[2] for c in comps)
+        if any(max_h % h0 or max_v % v0 for _, h0, v0, _ in comps):
+            return None  # fractional chroma ratio: not worth the ambiguity
+        comp_by_id = {c[0]: c for c in comps}
+
+        # entropy stream: split on RSTn (byte-aligned), unstuff FF00
+        segs: list[bytearray] = [bytearray()]
+        j = i
+        while j < n:
+            b = payload[j]
+            if b != 0xFF:
+                segs[-1].append(b)
+                j += 1
+                continue
+            nxt = payload[j + 1] if j + 1 < n else -1
+            if nxt == 0x00:
+                segs[-1].append(0xFF)
+                j += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segs.append(bytearray())
+                j += 2
+            elif nxt == 0xD9:
+                break
+            else:
+                return None  # a second SOS / unexpected marker mid-scan
+        else:
+            return None  # ran out without EOI
+
+        mcux = -(-fw // (8 * max_h))
+        mcuy = -(-fh // (8 * max_v))
+        blocks: dict[int, "np.ndarray"] = {}
+        tables: dict[int, tuple] = {}
+        for cs, td, ta in scan:
+            if cs not in comp_by_id or (0, td) not in huff or (1, ta) not in huff:
+                return None
+            _, h0, v0, tq = comp_by_id[cs]
+            if tq not in qt:
+                return None
+            blocks[cs] = np.zeros((mcuy * v0, mcux * h0, 64), dtype=np.int32)
+            tables[cs] = (huff[(0, td)], huff[(1, ta)])
+
+        seg_idx = 0
+        seg = segs[0]
+        seg_bits = len(seg) * 8
+        pos = 0
+        dc_pred = dict.fromkeys(blocks, 0)
+
+        def bit():
+            nonlocal pos
+            p = pos
+            if p >= seg_bits:
+                raise IndexError
+            pos = p + 1
+            return (seg[p >> 3] >> (7 - (p & 7))) & 1
+
+        def receive(t):
+            v = 0
+            for _ in range(t):
+                v = (v << 1) | bit()
+            return v
+
+        def extend(v, t):
+            return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+        def read_sym(tbl):
+            mincode, maxcode, valptr, vals = tbl
+            code = 0
+            for ln in range(1, 17):
+                code = (code << 1) | bit()
+                if code <= maxcode[ln]:
+                    return vals[valptr[ln] + code - mincode[ln]]
+            raise IndexError  # not a valid code
+
+        try:
+            mcus = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if ri and mcus and mcus % ri == 0:
+                        seg_idx += 1  # RSTn boundary: fresh byte-aligned segment
+                        if seg_idx >= len(segs):
+                            return None
+                        seg = segs[seg_idx]
+                        seg_bits, pos = len(seg) * 8, 0
+                        dc_pred = dict.fromkeys(blocks, 0)
+                    for cs, _td, _ta in scan:
+                        _, h0, v0, _ = comp_by_id[cs]
+                        dct, act = tables[cs]
+                        for vy in range(v0):
+                            for vx in range(h0):
+                                t = read_sym(dct)
+                                if t > 11:
+                                    return None
+                                dc_pred[cs] += extend(receive(t), t) if t else 0
+                                blk = blocks[cs][my * v0 + vy, mx * h0 + vx]
+                                blk[0] = dc_pred[cs]
+                                k = 1
+                                while k < 64:
+                                    rs = read_sym(act)
+                                    r, s = rs >> 4, rs & 15
+                                    if s == 0:
+                                        if r != 15:
+                                            break  # EOB
+                                        k += 16  # ZRL
+                                        continue
+                                    k += r
+                                    if k > 63:
+                                        return None
+                                    blk[k] = extend(receive(s), s)
+                                    k += 1
+                    mcus += 1
+        except IndexError:
+            return None
+
+        # dequant + IDCT, vectorized per component
+        zz = np.array(
+            [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+             12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+             35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+             58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+        )
+        xs = np.arange(8)
+        cu = np.where(xs == 0, 1 / np.sqrt(2.0), 1.0)
+        A = (cu / 2.0) * np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16)
+        planes = {}
+        for cs in blocks:
+            _, h0, v0, tq = comp_by_id[cs]
+            bh, bw = mcuy * v0, mcux * h0
+            zig = blocks[cs].reshape(bh * bw, 64) * qt[tq][None, :]
+            nat = np.zeros((bh * bw, 64), dtype=np.float64)
+            nat[:, zz] = zig
+            sp = np.einsum("xu,nuv,yv->nxy", A, nat.reshape(-1, 8, 8), A) + 128.0
+            px = np.clip(np.floor(sp + 0.5), 0, 255).astype(np.int32)
+            plane = (
+                px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+            )
+            plane = np.repeat(np.repeat(plane, max_v // v0, 0), max_h // h0, 1)
+            planes[cs] = plane[:fh, :fw]
+        if len(comps) == 1:
+            return planes[comps[0][0]].astype(np.uint8)
+        y, cb, cr = (planes[c[0]].astype(np.float64) for c in comps)
+        cb -= 128.0
+        cr -= 128.0
+        rgb_sum = np.zeros_like(y, dtype=np.int64)
+        for chan in (
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ):
+            rgb_sum += np.clip(np.floor(chan + 0.5), 0, 255).astype(np.int64)
+        return (rgb_sum // 3).astype(np.uint8)
+
     def decode_pixels(payload: bytes):
         import numpy as np
 
@@ -306,6 +705,10 @@ def _pixel_decoder():
             return _decode_bmp(payload)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _decode_png(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _decode_gif(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            return _decode_jpeg(payload)
         if len(payload) < 2 or payload[:1] != b"P":
             return None
         if payload[1:2] in (b"2", b"3"):

@@ -897,3 +897,528 @@ def test_y4m_odd_dims_ceil_sized_chroma():
     )
     got422, _ = decode(b"YUV4MPEG2 W%d H%d F25:1 C422\n" % (w, h) + body422)
     assert (got422 == frames).all()
+
+
+# --- GIF (r07: LZW is pure-Python implementable, no codec library needed) --
+
+
+def _gif_lzw(indices: bytes, min_code: int, clear_every: int | None = None) -> bytes:
+    """Test-side GIF LZW compressor. The bit widths are assigned by
+    SIMULATING THE DECODER's table growth (append-then-bump), which
+    sidesteps the classic early/late-change convention mismatch entirely —
+    whatever convention the decoder uses, this packer agrees with it."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    table = {bytes([k]): k for k in range(clear)}
+    next_code = eoi + 1
+    codes: list[int] = [clear]
+    s = b""
+    since_clear = 0
+    for byte in indices:
+        if clear_every and since_clear >= clear_every:
+            if s:
+                codes.append(table[s])
+                s = b""
+            codes.append(clear)
+            table = {bytes([k]): k for k in range(clear)}
+            next_code = eoi + 1
+            since_clear = 0
+        t = s + bytes([byte])
+        if t in table:
+            s = t
+        else:
+            codes.append(table[s])
+            since_clear += 1
+            if next_code < 4096:
+                table[t] = next_code
+                next_code += 1
+            s = bytes([byte])
+    if s:
+        codes.append(table[s])
+    codes.append(eoi)
+
+    # bit-pack by decoder simulation
+    out = bytearray()
+    acc = nbits_acc = 0
+    dec_len, width, prev_seen = clear + 2, min_code + 1, False
+    for code in codes:
+        acc |= code << nbits_acc
+        nbits_acc += width
+        while nbits_acc >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits_acc -= 8
+        if code == clear:
+            dec_len, width, prev_seen = clear + 2, min_code + 1, False
+            continue
+        if code == eoi:
+            break
+        if prev_seen and dec_len < 4096:
+            dec_len += 1
+        prev_seen = True
+        if dec_len == (1 << width) and width < 12:
+            width += 1
+    if nbits_acc:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif(
+    idx,
+    palette,
+    interlaced: bool = False,
+    local_palette: bool = False,
+    with_ext: bool = True,
+    clear_every: int | None = None,
+) -> bytes:
+    """Minimal GIF89a writer: one frame, global or local palette, optional
+    graphic-control extension, optional interlace, real LZW stream."""
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    pal_bits = max((len(palette) - 1).bit_length(), 1)
+    size = 1 << pal_bits
+    pal = list(palette) + [(0, 0, 0)] * (size - len(palette))
+    pal_bytes = bytes(v for rgb in pal for v in rgb)
+    min_code = max(2, pal_bits)
+
+    buf = bytearray(b"GIF89a")
+    buf += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local_palette:
+        buf += bytes([0x00, 0, 0])  # no GCT
+    else:
+        buf += bytes([0x80 | (pal_bits - 1), 0, 0])
+        buf += pal_bytes
+    if with_ext:  # graphic control extension, should be skipped cleanly
+        buf += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    rows = idx
+    if interlaced:
+        order = np.concatenate(
+            [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        rows = idx[order]
+    buf += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    iflags = (0x40 if interlaced else 0) | (0x80 | (pal_bits - 1) if local_palette else 0)
+    buf += bytes([iflags])
+    if local_palette:
+        buf += pal_bytes
+    buf += bytes([min_code])
+    lzw = _gif_lzw(rows.tobytes(), min_code, clear_every=clear_every)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        buf += bytes([len(chunk)]) + chunk
+    buf += b"\x00\x3b"
+    return bytes(buf)
+
+
+def test_pixel_decoder_gif_exact_pixels():
+    """GIF real-decode: grayscale-palette images roundtrip exactly (pal[k]
+    = (k,k,k) makes gray == index); color palettes collapse by mean luma;
+    interlaced frames deinterlace; local palettes override; mid-stream
+    clear codes reset the table; structural damage rejects to the fake."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    gray_pal = [(k, k, k) for k in range(256)]
+
+    img = (np.arange(9 * 13, dtype=np.uint8).reshape(9, 13) * 17).astype(np.uint8)
+    assert (decode(_gif(img, gray_pal)) == img).all()
+    assert (decode(_gif(img, gray_pal, interlaced=True)) == img).all()
+    assert (decode(_gif(img, gray_pal, local_palette=True)) == img).all()
+    assert (decode(_gif(img, gray_pal, with_ext=False)) == img).all()
+    assert (decode(_gif(img, gray_pal, clear_every=20)) == img).all()
+
+    # small color palette: indexes map through mean luma
+    pal4 = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (250, 250, 253)]
+    want = np.array([(sum(c) // 3) for c in pal4], dtype=np.uint8)
+    idx4 = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    assert (decode(_gif(idx4, pal4)) == want[idx4]).all()
+
+    ok = _gif(img, gray_pal)
+    assert decode(ok[:20]) is None                     # truncated header walk
+    assert decode(ok[:-10]) is None                    # truncated data stream
+    no_pal = bytearray(_gif(idx4, pal4))
+    no_pal[10] &= 0x7F  # GCT flag off but no local palette either
+    assert decode(bytes(no_pal)) is None
+    assert decode(b"GIF89a" + b"\x00" * 7) is None
+
+
+def test_gif_decoder_roundtrip_property():
+    """Property: any uint8 image under a grayscale palette roundtrips
+    exactly, interlaced or not, across LZW table resets — incl. images
+    large enough to push the code width past 9 bits."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    gray_pal = [(k, k, k) for k in range(256)]
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 24),
+        interlaced=st.booleans(),
+        clear_every=st.sampled_from([None, 7, 64]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, interlaced, clear_every, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        payload = _gif(img, gray_pal, interlaced=interlaced, clear_every=clear_every)
+        got = decode(payload)
+        assert got is not None and got.shape == (h, w)
+        assert (got == img).all()
+
+    check()
+
+
+def test_gif_code_width_growth_past_9_bits():
+    """A high-entropy 64x64 image forces >512 table entries (10-bit codes)
+    and, at 4096 entries, the deferred-clear frozen-table path."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    gray_pal = [(k, k, k) for k in range(256)]
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    assert (decode(_gif(img, gray_pal)) == img).all()
+    big = rng.integers(0, 256, (96, 96), dtype=np.uint8)  # >4096 entries
+    assert (decode(_gif(big, gray_pal)) == big).all()
+
+
+def test_decode_features_real_gif_histogram(spark):
+    """End-to-end: a GIF payload through the Arrow decode stage yields the
+    PIXEL histogram, not the byte histogram."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import decode_features
+
+    gray_pal = [(k, k, k) for k in range(256)]
+    img = (np.arange(8 * 8, dtype=np.uint8).reshape(8, 8) * 4).astype(np.uint8)
+    payload = _gif(img, gray_pal)
+    media = _media_df(spark, payload, w=8, h=8)
+    feats = decode_features(media).collect()[0]
+    want = np.bincount(img.ravel() >> 5, minlength=8).tolist()
+    assert feats["features"] == want
+
+
+# --- JPEG (r07: baseline DCT decode in pure Python+numpy) ------------------
+
+
+def _jpeg_encode(img, quant=None, sampling=None, restart=0) -> bytes:
+    """Minimal baseline JPEG encoder for tests: forward DCT + quantize +
+    canonical Huffman with flat custom tables (12 DC categories at 4 bits,
+    all 162 AC run/size symbols at 8 bits — legal DHT, trivially canonical).
+    Grayscale when img.ndim == 2, YCbCr 3-channel when img.ndim == 3 (input
+    IS the YCbCr planes, pre-subsampled per `sampling`, so tests control
+    exact coefficients). `restart` emits DRI + RSTn markers every N MCUs."""
+    import numpy as np
+
+    zz = np.array(
+        [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+         12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+         35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+         58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    )
+    xs = np.arange(8)
+    cu = np.where(xs == 0, 1 / np.sqrt(2.0), 1.0)
+    A = (cu / 2.0) * np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16)
+
+    if isinstance(img, np.ndarray) and img.ndim == 2:
+        comps = [(1, 1, 1, np.asarray(img, dtype=np.float64))]
+    else:  # sequence of (pre-subsampled) Y, Cb, Cr planes
+        comps = [
+            (cid + 1, hs, vs, np.asarray(img[cid], dtype=np.float64))
+            for cid, (hs, vs) in enumerate(sampling or [(1, 1)] * 3)
+        ]
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    fh, fw = comps[0][3].shape  # luma plane carries the frame dims
+    if quant is None:
+        quant = np.ones(64, dtype=np.int32)
+    quant = np.asarray(quant, dtype=np.int32).ravel()
+
+    # --- per-component quantized coefficient blocks
+    mcux = -(-fw // (8 * max_h))
+    mcuy = -(-fh // (8 * max_v))
+    coef = {}
+    for cid, hs, vs, plane in comps:
+        bh, bw = mcuy * vs, mcux * hs
+        padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        ph, pw = plane.shape
+        padded[:ph, :pw] = plane
+        padded[ph:, :pw] = plane[ph - 1 : ph, :]  # edge-extend padding
+        padded[:, pw:] = padded[:, pw - 1 : pw]
+        blk = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        f = np.einsum("ux,nxy,vy->nuv", A.T, blk, A.T)
+        q = np.round(f.reshape(-1, 64) / quant[None, :]).astype(np.int32)
+        coef[cid] = q[:, zz].reshape(bh, bw, 64)  # natural -> zigzag order
+
+    # --- Huffman tables: DC cats 0..11 at 4 bits; AC syms at 8 bits
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    dc_code = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 8) for i, s in enumerate(sorted(ac_syms))}
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[7] = 162
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(marker + (len(body) + 2).to_bytes(2, "big") + body)
+
+    qbody = bytes([0]) + bytes(int(v) for v in quant)
+    seg(b"\xff\xdb", qbody)
+    sof = bytes([8]) + fh.to_bytes(2, "big") + fw.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hs, vs, _ in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    seg(b"\xff\xc0", sof)
+    seg(b"\xff\xc4", bytes([0x00] + dc_counts) + bytes(dc_syms))
+    seg(b"\xff\xc4", bytes([0x10] + ac_counts) + bytes(sorted(ac_syms)))
+    if restart:
+        seg(b"\xff\xdd", restart.to_bytes(2, "big"))
+    sos = bytes([len(comps)])
+    for cid, *_ in comps:
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    seg(b"\xff\xda", sos)
+
+    # --- entropy coding
+    bits: list[tuple[int, int]] = []
+
+    def put(code, nb):
+        bits.append((code, nb))
+
+    def mag(v):
+        a, t = abs(v), 0
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    def put_val(v, t):
+        if t:
+            put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def flush_segment() -> bytes:
+        acc = accn = 0
+        raw = bytearray()
+        for code, nb in bits:
+            acc = (acc << nb) | code
+            accn += nb
+            while accn >= 8:
+                byte = (acc >> (accn - 8)) & 0xFF
+                raw.append(byte)
+                if byte == 0xFF:
+                    raw.append(0x00)
+                accn -= 8
+        if accn:
+            byte = ((acc << (8 - accn)) | ((1 << (8 - accn)) - 1)) & 0xFF
+            raw.append(byte)
+            if byte == 0xFF:
+                raw.append(0x00)
+        bits.clear()
+        return bytes(raw)
+
+    dc_pred = dict.fromkeys(coef, 0)
+    mcus = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcus and mcus % restart == 0:
+                out += flush_segment()
+                out += bytes([0xFF, 0xD0 + ((mcus // restart - 1) % 8)])
+                dc_pred = dict.fromkeys(coef, 0)
+            for cid, hs, vs, _ in comps:
+                for vy in range(vs):
+                    for vx in range(hs):
+                        blk = coef[cid][my * vs + vy, mx * hs + vx]
+                        diff = int(blk[0]) - dc_pred[cid]
+                        dc_pred[cid] = int(blk[0])
+                        t = mag(diff)
+                        c, nb = dc_code[t]
+                        put(c, nb)
+                        put_val(diff, t)
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(blk[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                c, nb = ac_code[0xF0]
+                                put(c, nb)
+                                run -= 16
+                            s = mag(v)
+                            c, nb = ac_code[(run << 4) | s]
+                            put(c, nb)
+                            put_val(v, s)
+                            run = 0
+                        if run:
+                            c, nb = ac_code[0x00]
+                            put(c, nb)
+            mcus += 1
+    out += flush_segment()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_dc_only_exact():
+    """Constant 8x8 blocks with an all-ones quant table decode EXACTLY:
+    the DCT of a constant block is a lone integral DC coefficient, so
+    quantization is lossless end-to-end."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(3)
+    tiles = rng.integers(0, 256, (3, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)  # 24x32, constant blocks
+    got = decode(_jpeg_encode(img))
+    assert got is not None and got.shape == img.shape
+    assert (got == img).all()
+
+
+def test_jpeg_quant1_near_lossless_and_dims():
+    """All-ones quant: the only loss is coefficient rounding (<=0.5 per
+    coefficient), which bounds the spatial error to a few levels. Also
+    covers non-multiple-of-8 dims (edge-extended pad, cropped back)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (21, 29), dtype=np.uint8)
+    got = decode(_jpeg_encode(img))
+    assert got is not None and got.shape == (21, 29)
+    diff = np.abs(got.astype(np.int32) - img.astype(np.int32))
+    assert diff.max() <= 4, diff.max()
+
+
+def test_jpeg_restart_intervals():
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (16, 64), dtype=np.uint8)  # 16 MCUs
+    for ri in (1, 3, 5):
+        got = decode(_jpeg_encode(img, restart=ri))
+        base = decode(_jpeg_encode(img))
+        assert got is not None and (got == base).all(), ri
+
+
+def test_jpeg_color_and_subsampling():
+    """4:4:4 and 4:2:0 color: constant chroma planes make the YCbCr->RGB->
+    mean-luma collapse exactly predictable."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(9)
+    h, w = 16, 24
+    y_tiles = rng.integers(40, 216, (h // 8, w // 8), dtype=np.uint8)
+    y = np.repeat(np.repeat(y_tiles, 8, 0), 8, 1)  # constant-block luma: exact
+
+    def expect(yv, cbv, crv):
+        cb, cr = cbv - 128.0, crv - 128.0
+        s = 0
+        for chan in (yv + 1.402 * cr, yv - 0.344136 * cb - 0.714136 * cr, yv + 1.772 * cb):
+            s += int(np.clip(np.floor(chan + 0.5), 0, 255))
+        return s // 3
+
+    for cbv, crv, sampling in (
+        (128, 128, [(1, 1), (1, 1), (1, 1)]),   # neutral chroma, 4:4:4
+        (100, 160, [(1, 1), (1, 1), (1, 1)]),
+        (100, 160, [(2, 2), (1, 1), (1, 1)]),   # 4:2:0
+        (90, 140, [(2, 1), (1, 1), (1, 1)]),    # 4:2:2
+    ):
+        sh, sv = sampling[0]  # luma factors; chroma at (1,1) covers h/sv x w/sh
+        ch, cw = -(-h // sv), -(-w // sh)
+        planes = [
+            y.astype(np.float64),
+            np.full((ch, cw), float(cbv)),
+            np.full((ch, cw), float(crv)),
+        ]
+        payload = _jpeg_encode(planes, sampling=sampling)
+        got = decode(payload)
+        assert got is not None and got.shape == (h, w)
+        want = np.vectorize(lambda v: expect(float(v), cbv, crv))(y)
+        assert (got == want).all(), (cbv, crv, sampling)
+
+
+def test_jpeg_rejects():
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    ok = _jpeg_encode(img)
+    assert decode(ok[:30]) is None            # truncated mid-segment
+    assert decode(ok[:-2]) is None            # no EOI
+    prog = bytearray(ok)
+    sof_at = prog.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2                   # progressive
+    assert decode(bytes(prog)) is None
+    assert decode(b"\xff\xd8\xff\xd9") is None  # no frame
+
+
+def test_jpeg_through_arrow_stage(spark):
+    """A JPEG payload through decode_features yields the PIXEL histogram."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import decode_features
+
+    tiles = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    payload = _jpeg_encode(img)
+    media = _media_df(spark, payload, w=32, h=24)
+    feats = decode_features(media).collect()[0]
+    want = np.bincount(img.ravel() >> 5, minlength=8).tolist()
+    assert feats["features"] == want
+
+
+def test_jpeg_roundtrip_property():
+    """Property: any grayscale image at any dims, with/without restart
+    markers, decodes within the quant-1 rounding bound."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 30),
+        restart=st.sampled_from([0, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, restart, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = decode(_jpeg_encode(img, restart=restart))
+        assert got is not None and got.shape == (h, w)
+        assert np.abs(got.astype(np.int32) - img.astype(np.int32)).max() <= 4
+
+    check()
