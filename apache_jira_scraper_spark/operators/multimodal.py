@@ -10,7 +10,9 @@ codec-free payloads — netpbm (binary P5/P6, ASCII P2/P3), BMP
 numpy scanline unfilter — r07), GIF (pure-Python variable-width LZW,
 interlace + deferred-clear — r07), baseline JPEG (canonical Huffman +
 numpy-vectorized dequant/IDCT, restart intervals, 4:4:4/4:2:0/4:2:2 —
-r07), RIFF/WAVE PCM audio (8/16-bit, any channel count), and YUV4MPEG2
+r07), uncompressed strip TIFF (both byte orders — r07), RIFF/WAVE audio
+(PCM 8/16-bit, IEEE float32, G.711 mu-law/A-law, EXTENSIBLE wrapping, any
+channel count), and YUV4MPEG2
 video (luma-plane keyframes) — get a REAL pure-numpy header+plane decode
 inside the Arrow batches (_pixel_decoder / _wav_decoder / _y4m_decoder —
 pytest pins exact known pixels/samples/frames); the remaining codec
@@ -698,6 +700,100 @@ def _pixel_decoder():
             rgb_sum += np.clip(np.floor(chan + 0.5), 0, 255).astype(np.int64)
         return (rgb_sum // 3).astype(np.uint8)
 
+    def _decode_tiff(payload: bytes):
+        """Baseline uncompressed TIFF (both byte orders, first IFD):
+        8-bit grayscale (PhotometricInterpretation 0/1, MinIsWhite
+        inverted) or 8-bit-per-channel RGB (chunky planar config), strip
+        layout via StripOffsets/StripByteCounts. LZW/JPEG-compressed,
+        tiled, paletted and non-8-bit TIFFs return None -> fake path."""
+        import numpy as np
+
+        if payload[:4] == b"II*\x00":
+            bo = "little"
+        elif payload[:4] == b"MM\x00*":
+            bo = "big"
+        else:
+            return None
+        n = len(payload)
+
+        def u(b0, b1):
+            return int.from_bytes(payload[b0:b1], bo)
+
+        if n < 8:
+            return None
+        ifd = u(4, 8)
+        if ifd + 2 > n:
+            return None
+        count = u(ifd, ifd + 2)
+        if ifd + 2 + 12 * count > n:
+            return None
+        type_size = {1: 1, 3: 2, 4: 4}
+        tags: dict[int, list[int]] = {}
+        for e in range(count):
+            off = ifd + 2 + 12 * e
+            tag, typ, cnt = u(off, off + 2), u(off + 2, off + 4), u(off + 4, off + 8)
+            if typ not in type_size:
+                continue  # rational/ascii tags (resolution etc.) — not needed
+            sz = type_size[typ] * cnt
+            vo = off + 8 if sz <= 4 else u(off + 8, off + 12)
+            if vo + sz > n:
+                return None
+            step = type_size[typ]
+            tags[tag] = [u(vo + k * step, vo + (k + 1) * step) for k in range(cnt)]
+
+        def one(tag, default=None):
+            v = tags.get(tag)
+            return v[0] if v else default
+
+        w, h = one(256), one(257)
+        photo = one(262)
+        comp = one(259, 1)
+        spp = one(277, 1)
+        bps = tags.get(258, [8])
+        planar = one(284, 1)
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        rows_per_strip = one(278, h or 0)
+        if (
+            not w
+            or not h
+            or comp != 1
+            or planar != 1
+            or photo not in (0, 1, 2)
+            or offsets is None
+            or any(b != 8 for b in bps)
+            or (photo == 2) != (spp == 3)
+            or spp not in (1, 3)
+        ):
+            return None
+        if counts is None or len(counts) != len(offsets):
+            return None
+        row_bytes = w * spp
+        raw = bytearray()
+        rows_left = h
+        for so, sc in zip(offsets, counts):
+            strip_rows = min(rows_per_strip, rows_left)
+            need = strip_rows * row_bytes
+            if sc < need or so + need > n:
+                return None
+            raw += payload[so : so + need]  # per-strip slack bytes dropped
+            rows_left -= strip_rows
+            if rows_left <= 0:
+                break
+        if rows_left > 0:
+            return None
+        px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+        if spp == 3:
+            gray = (
+                px[:, :, 0].astype(np.uint16) + px[:, :, 1] + px[:, :, 2]
+            ) // 3
+            gray = gray.astype(np.uint8)
+        else:
+            gray = px[:, :, 0]
+        if photo == 0:  # WhiteIsZero
+            gray = (255 - gray.astype(np.int32)).astype(np.uint8)
+        return gray
+
     def decode_pixels(payload: bytes):
         import numpy as np
 
@@ -709,6 +805,8 @@ def _pixel_decoder():
             return _decode_gif(payload)
         if payload[:3] == b"\xff\xd8\xff":
             return _decode_jpeg(payload)
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return _decode_tiff(payload)
         if len(payload) < 2 or payload[:1] != b"P":
             return None
         if payload[1:2] in (b"2", b"3"):
@@ -1027,10 +1125,14 @@ def _wav_decoder():
     Factory-made closure for the same cloudpickle-by-value reason.
 
     Returns payload -> (samples int32 mono ndarray, sample_rate) or None
-    when the payload is not a well-formed PCM WAV. Supported: format tag 1
-    (PCM), 8-bit unsigned (re-centered to signed by -128) and 16-bit
-    signed little-endian, any channel count (channels mix to mono by
-    integer mean — deterministic, like the pixel paths' mean luma).
+    when the payload is not a well-formed WAV. Supported format tags:
+    1 (PCM: 8-bit unsigned re-centered by -128, 16-bit signed LE),
+    3 (IEEE float32, scaled to the 16-bit grid by round(x*32767) and
+    clamped — deterministic), 6/7 (G.711 A-law / mu-law, table-expanded
+    per the standard's piecewise-exponential segments — r07), and 0xFFFE
+    (WAVE_FORMAT_EXTENSIBLE, resolved through the SubFormat GUID's leading
+    tag). Any channel count (channels mix to mono by integer mean —
+    deterministic, like the pixel paths' mean luma).
     Chunk walking honors the spec's word alignment (odd-sized chunks pad
     one byte), so payloads with LIST/fact chunks before `data` parse."""
 
@@ -1059,28 +1161,54 @@ def _wav_decoder():
         channels = int.from_bytes(fmt[2:4], "little")
         sample_rate = int.from_bytes(fmt[4:8], "little")
         bits = int.from_bytes(fmt[14:16], "little")
+        if format_tag == 0xFFFE:
+            # EXTENSIBLE: cbSize(2) + validbits(2) + chanmask(4) + GUID;
+            # the GUID's first two bytes are the effective tag
+            if len(fmt) < 28:
+                return None
+            format_tag = int.from_bytes(fmt[24:26], "little")
         # sample_rate parses UNSIGNED, so the <= 0 arm alone can never
         # reject a rate that overflows the int32 feature column (ADVICE
         # r06); anything >= 2^31 is both implausible audio and an Arrow
         # overflow, so it degrades to the fake path instead
-        if (
-            format_tag != 1
-            or channels < 1
-            or not 0 < sample_rate < 2**31
-            or bits not in (8, 16)
-        ):
+        if channels < 1 or not 0 < sample_rate < 2**31:
             return None
-        bytes_per_frame = channels * bits // 8
+        if format_tag == 1 and bits in (8, 16):
+            width = bits // 8
+        elif format_tag == 3 and bits == 32:
+            width = 4
+        elif format_tag in (6, 7) and bits == 8:
+            width = 1
+        else:
+            return None
+        bytes_per_frame = channels * width
         n_frames = len(data) // bytes_per_frame
         if n_frames == 0:
             return None
         usable = n_frames * bytes_per_frame
-        if bits == 8:
+        if format_tag == 3:
+            f = np.frombuffer(data, dtype="<f4", count=usable // 4).astype(np.float64)
+            x = np.clip(np.floor(f * 32767.0 + 0.5), -32768, 32767).astype(np.int32)
+        elif format_tag in (6, 7):
+            b = np.frombuffer(data, dtype=np.uint8, count=usable).astype(np.int32)
+            if format_tag == 7:  # mu-law: invert, then segment-expand
+                u = b ^ 0xFF
+                mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)
+                x = np.where(u & 0x80, -(mag - 0x84), mag - 0x84)
+            else:  # A-law: XOR 0x55; segment 0 is linear, sign bit = positive
+                a = b ^ 0x55
+                exp = (a >> 4) & 7
+                mant = a & 0x0F
+                mag = np.where(
+                    exp == 0,
+                    (mant << 4) + 8,
+                    ((mant << 4) + 0x108) << np.maximum(exp - 1, 0),
+                )
+                x = np.where(a & 0x80, mag, -mag)
+        elif bits == 8:
             x = np.frombuffer(data, dtype=np.uint8, count=usable).astype(np.int32) - 128
         else:
-            x = np.frombuffer(
-                data, dtype="<i2", count=usable // 2
-            ).astype(np.int32)
+            x = np.frombuffer(data, dtype="<i2", count=usable // 2).astype(np.int32)
         frames = x.reshape(n_frames, channels)
         # integer mean across channels (floor toward -inf, numpy //) —
         # deterministic mono mixdown

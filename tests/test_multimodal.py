@@ -1422,3 +1422,230 @@ def test_jpeg_roundtrip_property():
         assert np.abs(got.astype(np.int32) - img.astype(np.int32)).max() <= 4
 
     check()
+
+
+# --- r07: G.711 / float WAV variants and uncompressed TIFF -----------------
+
+
+def _wav_raw(body: bytes, fmt: bytes) -> bytes:
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(body).to_bytes(4, "little") + body
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _fmt(tag, channels=1, rate=8000, bits=16, ext_tag=None) -> bytes:
+    fmt = (
+        tag.to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * bits // 8).to_bytes(4, "little")
+        + (channels * bits // 8).to_bytes(2, "little")
+        + bits.to_bytes(2, "little")
+    )
+    if ext_tag is not None:  # WAVE_FORMAT_EXTENSIBLE trailer
+        fmt += (22).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        fmt += (0).to_bytes(4, "little")
+        fmt += ext_tag.to_bytes(2, "little") + bytes(14)  # SubFormat GUID
+    return fmt
+
+
+def _g711_ref(byte: int, ulaw: bool) -> int:
+    """Independent per-byte G.711 expansion (classic branchy form), used
+    as the oracle for the vectorized decoder."""
+    if ulaw:
+        u = (~byte) & 0xFF
+        mag = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+        return -mag if u & 0x80 else mag
+    a = byte ^ 0x55
+    exp, mant = (a >> 4) & 7, a & 0x0F
+    mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+    return mag if a & 0x80 else -mag
+
+
+def test_wav_g711_ulaw_alaw_exact():
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    all_bytes = bytes(range(256))
+    for tag, ulaw in ((7, True), (6, False)):
+        got = decode(_wav_raw(all_bytes, _fmt(tag, bits=8)))
+        assert got is not None
+        mono, rate = got
+        want = np.array([_g711_ref(b, ulaw) for b in range(256)])
+        assert rate == 8000 and (mono == want).all()
+    # standard spot values: mu-law 0x00 -> -32124, 0x80 -> +32124;
+    # A-law 0xD5 -> +8, 0x55 -> -8, 0x2A -> -32256? no: 0x2A^0x55=0x7F ->
+    # exp 7, mant 15 -> ((15<<4)+0x108)<<6 = -... just pin the known four
+    mono, _ = decode(_wav_raw(bytes([0x00, 0x80]), _fmt(7, bits=8)))
+    assert mono.tolist() == [-32124, 32124]
+    mono, _ = decode(_wav_raw(bytes([0xD5, 0x55]), _fmt(6, bits=8)))
+    assert mono.tolist() == [8, -8]
+
+
+def test_wav_float32_and_extensible():
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    f = np.array([0.0, 1.0, -1.0, 0.5, -0.25, 2.0], dtype="<f4")
+    got = decode(_wav_raw(f.tobytes(), _fmt(3, bits=32)))
+    assert got is not None
+    mono, rate = got
+    # round(x*32767) clamped: 2.0 saturates at 32767
+    assert mono.tolist() == [0, 32767, -32767, 16384, -8192, 32767]
+    # EXTENSIBLE wrapping PCM16
+    pcm = np.array([100, -200, 300], dtype="<i2")
+    got = decode(_wav_raw(pcm.tobytes(), _fmt(0xFFFE, bits=16, ext_tag=1)))
+    assert got is not None and got[0].tolist() == [100, -200, 300]
+    # EXTENSIBLE wrapping an unsupported subformat rejects
+    assert decode(_wav_raw(pcm.tobytes(), _fmt(0xFFFE, bits=16, ext_tag=2))) is None
+    # bad bit widths for the new tags reject
+    assert decode(_wav_raw(f.tobytes(), _fmt(3, bits=16))) is None
+    assert decode(_wav_raw(all_bytes := bytes(8), _fmt(7, bits=16))) is None and all_bytes
+
+
+def _tiff(img, byte_order="<", photometric=None, rows_per_strip=None) -> bytes:
+    """Minimal uncompressed TIFF writer: gray (h, w) or RGB (h, w, 3),
+    strip layout, optional MinIsWhite, either byte order."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    rgb = img.ndim == 3
+    h, w = img.shape[:2]
+    spp = 3 if rgb else 1
+    photometric = photometric if photometric is not None else (2 if rgb else 1)
+    rps = rows_per_strip or h
+    bo = byte_order
+    big = bo == ">"
+
+    def u2(v):
+        return int(v).to_bytes(2, "big" if big else "little")
+
+    def u4(v):
+        return int(v).to_bytes(4, "big" if big else "little")
+
+    strips = [img[y : y + rps].tobytes() for y in range(0, h, rps)]
+    n_strips = len(strips)
+    hdr = b"MM\x00*" if big else b"II*\x00"
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, spp, [8] * spp),
+        (259, 3, 1, 1), (262, 3, 1, photometric), (277, 3, 1, spp),
+        (278, 3, 1, rps),
+    ]
+    # strip offsets/counts resolved after we know the data base
+    ifd_off = 8
+    n_tags = len(tags) + 2
+    data_base = ifd_off + 2 + 12 * n_tags + 4
+    extra = bytearray()
+
+    def enc(typ, cnt, vals):
+        nonlocal extra
+        if isinstance(vals, int):
+            vals = [vals]
+        step = {3: 2, 4: 4}[typ]
+        raw = b"".join((u2(v) if typ == 3 else u4(v)) for v in vals)
+        if len(raw) <= 4:
+            return raw + bytes(4 - len(raw))
+        off = data_base + len(extra)
+        extra += raw
+        return u4(off)
+
+    # two-pass because strip offsets depend on extra's final size — enc all
+    # tags first with a placeholder strip-offset table, then fix it up
+    ifd = bytearray(u2(n_tags))
+    placed = []
+    for tag, typ, cnt, vals in tags:
+        placed.append((tag, typ, cnt, enc(typ, cnt, vals)))
+    # strip tables (may exceed 4 bytes when n_strips > 1)
+    off_entry = enc(4, n_strips, [0] * n_strips)  # placeholder values
+    cnt_entry = enc(4, n_strips, [len(s) for s in strips])
+    strip_base = data_base + len(extra)
+    offsets = []
+    pos = strip_base
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    if n_strips * 4 <= 4:
+        off_entry = u4(offsets[0])
+    else:
+        # rewrite the placeholder table inside extra
+        tbl_off = int.from_bytes(off_entry, "big" if big else "little")
+        rel = tbl_off - data_base
+        extra[rel : rel + 4 * n_strips] = b"".join(u4(o) for o in offsets)
+    placed.append((273, 4, n_strips, off_entry))
+    placed.append((279, 4, n_strips, cnt_entry))
+    placed.sort(key=lambda t: t[0])
+    for tag, typ, cnt, val4 in placed:
+        ifd += u2(tag) + u2(typ) + u4(cnt) + val4
+    ifd += u4(0)  # next-IFD pointer
+    body = bytearray(hdr + u4(ifd_off) + ifd + extra)
+    for s in strips:
+        body += s
+    return bytes(body)
+
+
+def test_pixel_decoder_tiff_exact_pixels():
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    img = (np.arange(11 * 14, dtype=np.uint8).reshape(11, 14) * 13).astype(np.uint8)
+    for bo in ("<", ">"):
+        assert (decode(_tiff(img, byte_order=bo)) == img).all(), bo
+    # multi-strip
+    assert (decode(_tiff(img, rows_per_strip=4)) == img).all()
+    # MinIsWhite inverts
+    assert (decode(_tiff(img, photometric=0)) == (255 - img)).all()
+    # RGB collapses by mean luma
+    rgb = np.dstack([img, np.roll(img, 3), np.roll(img, 7)])
+    want = (
+        (rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+    assert (decode(_tiff(rgb)) == want).all()
+    # rejects: truncated, compressed flag
+    ok = _tiff(img)
+    assert decode(ok[: len(ok) // 2]) is None
+    comp = bytearray(_tiff(img))
+    # flip Compression (tag 259) value to 5 (LZW): find its IFD slot
+    idf_count = int.from_bytes(comp[8:10], "little")
+    for e in range(idf_count):
+        off = 10 + 12 * e
+        if int.from_bytes(comp[off : off + 2], "little") == 259:
+            comp[off + 8] = 5
+    assert decode(bytes(comp)) is None
+
+
+def test_tiff_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        rgb=st.booleans(),
+        big=st.booleans(),
+        rps=st.integers(1, 6),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, rgb, big, rps, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        want = (
+            (img[:, :, 0].astype(np.uint16) + img[:, :, 1] + img[:, :, 2]) // 3
+            if rgb
+            else img
+        )
+        got = decode(_tiff(img, byte_order=">" if big else "<", rows_per_strip=rps))
+        assert got is not None and (got == want).all()
+
+    check()
