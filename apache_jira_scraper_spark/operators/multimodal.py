@@ -1225,12 +1225,18 @@ def audio_features(media: DataFrame) -> DataFrame:
     (payload bytes as unsigned 8-bit samples, sample_rate 0 marks the
     fake path so downstream filters can separate real audio rows).
 
-    Emits (doc_id, sample_rate, n_samples, peak_abs, rms_x100): integer
-    columns only (rms scaled x100 and floored) so values are exact across
-    engines and test models. Same mapInPandas batch shape as the image
-    stages; at scale this is the per-shard feature pass an audio corpus
-    pipeline runs before filtering/embedding."""
+    Emits (doc_id, sample_rate, n_samples, peak_abs, rms_x100, zcr_ppm,
+    silence_ppm): integer columns only (rms scaled x100 and floored,
+    rates in ppm) so values are exact across engines and test models.
+    zcr_ppm = strict sign flips per sample pair x 1e6 (the cheap
+    voiced/unvoiced + noise discriminator); silence_ppm = fraction of
+    samples with |x| <= silence_floor x 1e6 (clip/dead-air detection —
+    the floor defaults to ~1% of 16-bit full scale). Same mapInPandas
+    batch shape as the image stages; at scale this is the per-shard
+    feature pass an audio corpus pipeline runs before filtering/
+    embedding."""
     decode_wav = _wav_decoder()
+    silence_floor = 328  # ~1% of 32767
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -1245,7 +1251,7 @@ def audio_features(media: DataFrame) -> DataFrame:
                 mono = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
                 rate = 0
             if len(mono) == 0:
-                return rate, 0, 0, 0
+                return rate, 0, 0, 0, 0, 0
             peak = int(np.abs(mono).max())
             # exact integer arithmetic to the final isqrt — floor(sqrt(
             # 100^2 * mean)) == floor(100 * rms), no float rounding. The
@@ -1254,7 +1260,15 @@ def audio_features(media: DataFrame) -> DataFrame:
             # physically carry.
             sq = int((mono.astype(np.int64) ** 2).sum())
             rms_x100 = math.isqrt(10_000 * sq // len(mono))
-            return rate, len(mono), peak, rms_x100
+            n = len(mono)
+            if n > 1:
+                flips = int(((mono[:-1] * mono[1:]) < 0).sum())
+                zcr_ppm = flips * 1_000_000 // (n - 1)
+            else:
+                zcr_ppm = 0
+            silent = int((np.abs(mono) <= silence_floor).sum())
+            silence_ppm = silent * 1_000_000 // n
+            return rate, n, peak, rms_x100, zcr_ppm, silence_ppm
 
         for pdf in batches:
             rows = [one(p) for p in pdf["content"]]
@@ -1265,13 +1279,15 @@ def audio_features(media: DataFrame) -> DataFrame:
                     "n_samples": [r[1] for r in rows],
                     "peak_abs": [r[2] for r in rows],
                     "rms_x100": [r[3] for r in rows],
+                    "zcr_ppm": [r[4] for r in rows],
+                    "silence_ppm": [r[5] for r in rows],
                 }
             )
 
     return media.mapInPandas(
         extract,
         schema="doc_id long, sample_rate int, n_samples int, "
-        "peak_abs int, rms_x100 long",
+        "peak_abs int, rms_x100 long, zcr_ppm int, silence_ppm int",
     )
 
 
@@ -1398,6 +1414,61 @@ def keyframe_sample(media: DataFrame, stride: int = 4) -> DataFrame:
         _frames,
         schema="doc_id long, frame_idx int, fps_ppm long, "
         "mean_luma int, luma_md5 string",
+    )
+
+
+def scene_changes(media: DataFrame, threshold: int = 24) -> DataFrame:
+    """Scene-cut detection for REAL video payloads (r07): one output row
+    per detected cut — frame 0 plus every frame whose mean absolute luma
+    delta against the previous frame reaches `threshold` (integer MAD,
+    floored; exact and engine-independent). This is the shot-boundary
+    step a video training pipeline runs before sampling one
+    representative frame per scene (keyframe_sample's fixed stride
+    over-samples static shots and misses fast cuts).
+
+    Emits (doc_id, frame_idx, mad, mean_luma, fps_ppm); non-Y4M payloads
+    emit ZERO rows, same contract as keyframe_sample. Scale shape:
+    per-payload Arrow batches, sequential frame walk inside numpy — no
+    shuffle, no state across rows."""
+    decode_y4m = _y4m_decoder()
+
+    def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        rows = {"doc_id": [], "frame_idx": [], "mad": [],
+                "mean_luma": [], "fps_ppm": []}
+
+        def emit(doc_id, payload):
+            got = decode_y4m(payload)
+            if got is None:
+                return
+            frames, fps_ppm = got
+            size = frames[0].size
+            wide = frames.astype(np.int32)
+            # MAD per consecutive pair, vectorized across the frame axis
+            mads = np.abs(np.diff(wide, axis=0)).reshape(len(frames) - 1, -1).sum(
+                axis=1
+            ) // size if len(frames) > 1 else np.empty(0, dtype=np.int64)
+            for idx in range(len(frames)):
+                mad = 0 if idx == 0 else int(mads[idx - 1])
+                if idx and mad < threshold:
+                    continue
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["mad"].append(mad)
+                rows["mean_luma"].append(int(frames[idx].sum()) // size)
+                rows["fps_ppm"].append(fps_ppm)
+
+        for pdf in batches:
+            for k in rows:
+                rows[k].clear()
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                emit(doc_id, payload)
+            yield pd.DataFrame({k: list(v) for k, v in rows.items()})
+
+    return media.mapInPandas(
+        _cuts,
+        schema="doc_id long, frame_idx int, mad int, mean_luma int, fps_ppm long",
     )
 
 

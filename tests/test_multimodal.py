@@ -520,6 +520,8 @@ def test_audio_features_real_wav_and_fake_fallback(spark):
     assert got[1] == {
         "doc_id": 1, "sample_rate": 16000, "n_samples": 4, "peak_abs": 5,
         "rms_x100": math.isqrt(10_000 * sq // 4),
+        # [3,-4,0,5]: one strict flip of 3 pairs; all |x| <= 328 floor
+        "zcr_ppm": 333_333, "silence_ppm": 1_000_000,
     }
     assert got[2]["sample_rate"] == 0  # fake path marker
     assert got[2]["n_samples"] == 3 and got[2]["peak_abs"] == ord("c")
@@ -1649,3 +1651,51 @@ def test_tiff_roundtrip_property():
         assert got is not None and (got == want).all()
 
     check()
+
+
+def test_audio_features_zcr_and_silence(spark):
+    """r07 additions: strict-sign-flip ZCR and silence ratio in exact ppm."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import audio_features
+
+    # alternating +/-1000: every pair flips -> zcr_ppm = 1e6; no silence
+    alt = np.tile([1000, -1000], 8)
+    # half silent (|x| <= 328), no flips (all non-negative)
+    half = np.array([0, 0, 0, 0, 5000, 5000, 5000, 5000])
+    media = spark.createDataFrame(
+        [(1, _wav(alt)), (2, _wav(half))], "doc_id long, content binary"
+    )
+    got = {r["doc_id"]: r for r in audio_features(media).collect()}
+    assert got[1]["zcr_ppm"] == 1_000_000
+    assert got[1]["silence_ppm"] == 0
+    assert got[2]["zcr_ppm"] == 0
+    assert got[2]["silence_ppm"] == 500_000
+    # zeros count as silent and as sign-flip breakers
+    assert got[2]["n_samples"] == 8
+
+
+def test_scene_changes_detects_cuts(spark):
+    """Two static shots with one hard cut: frame 0 + the cut frame are the
+    only emissions; a fixed-stride sampler would miss or over-sample."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import scene_changes
+
+    h, w = 16, 16
+    shot_a = np.full((h, w), 40, dtype=np.uint8)
+    shot_b = np.full((h, w), 200, dtype=np.uint8)
+    frames = [shot_a, shot_a, shot_a, shot_b, shot_b, shot_a]
+    payload = _y4m(frames)
+    media = spark.createDataFrame([(7, payload)], "doc_id long, content binary")
+    rows = sorted(
+        (r["frame_idx"], r["mad"], r["mean_luma"])
+        for r in scene_changes(media, threshold=24).collect()
+    )
+    assert rows == [(0, 0, 40), (3, 160, 200), (5, 160, 40)]
+    # non-video payloads emit zero rows
+    text = spark.createDataFrame([(8, b"not a video")], "doc_id long, content binary")
+    assert scene_changes(text).count() == 0
+    # threshold above the cut magnitude keeps only frame 0
+    only0 = scene_changes(media, threshold=200).collect()
+    assert [(r["frame_idx"]) for r in only0] == [0]
