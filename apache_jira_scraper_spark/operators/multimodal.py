@@ -6,8 +6,9 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python row objects.
 The container has no image/audio codecs, so decode is layered (r06/r07):
 codec-free payloads — netpbm (binary P5/P6, ASCII P2/P3), BMP
-(BI_RGB 8/24-bit), non-interlaced 8-bit PNG (stdlib zlib inflate +
-numpy scanline unfilter — r07), GIF (pure-Python variable-width LZW,
+(BI_RGB 8/24/32-bit), non-interlaced PNG at 8/16-bit incl. palette
+(stdlib zlib inflate + numpy scanline unfilter — r07), GIF
+(pure-Python variable-width LZW,
 interlace + deferred-clear — r07), baseline JPEG (canonical Huffman +
 numpy-vectorized dequant/IDCT, restart intervals, 4:4:4/4:2:0/4:2:2 —
 r07), uncompressed strip TIFF (both byte orders — r07), RIFF/WAVE audio
@@ -106,10 +107,10 @@ def _pixel_decoder():
     (16-bit planes return None -> fake fallback)."""
 
     def _decode_bmp(payload: bytes):
-        """Uncompressed BMP (BI_RGB, 8-bit palette or 24-bit BGR,
-        BITMAPINFOHEADER or the V4/V5 extensions) -> (h, w) uint8 gray.
-        Rows are 4-byte aligned and stored bottom-up unless height is
-        negative. Anything else (1/4/16/32 bpp, RLE, core header) -> None."""
+        """Uncompressed BMP (BI_RGB, 8-bit palette, 24-bit BGR or 32-bit
+        BGRx, BITMAPINFOHEADER or the V4/V5 extensions) -> (h, w) uint8
+        gray. Rows are 4-byte aligned and stored bottom-up unless height is
+        negative. Anything else (1/4/16 bpp, RLE, core header) -> None."""
         import numpy as np
 
         if len(payload) < 54 or payload[:2] != b"BM":
@@ -125,7 +126,7 @@ def _pixel_decoder():
         compression = int.from_bytes(payload[30:34], "little")
         top_down = h < 0
         h = abs(h)
-        if w <= 0 or h == 0 or planes != 1 or compression != 0 or bpp not in (8, 24):
+        if w <= 0 or h == 0 or planes != 1 or compression != 0 or bpp not in (8, 24, 32):
             return None
         stride = ((bpp * w + 31) // 32) * 4
         if data_off + stride * h > len(payload) or data_off < 14 + hdr_size:
@@ -135,9 +136,11 @@ def _pixel_decoder():
         ).reshape(h, stride)
         if not top_down:
             rows = rows[::-1]
-        if bpp == 24:
-            bgr = rows[:, : 3 * w].reshape(h, w, 3).astype(np.uint16)
-            # integer mean luma, same rule as the P6 path
+        if bpp in (24, 32):
+            nb = bpp // 8
+            bgr = rows[:, : nb * w].reshape(h, w, nb).astype(np.uint16)
+            # integer mean luma over B,G,R, same rule as the P6 path
+            # (the 32-bit fourth byte is padding/alpha — ignored)
             return ((bgr[:, :, 2] + bgr[:, :, 1] + bgr[:, :, 0]) // 3).astype(
                 np.uint8
             )
@@ -193,15 +196,17 @@ def _pixel_decoder():
         return plane.reshape(h, w)
 
     def _decode_png(payload: bytes):
-        """Non-interlaced 8-bit PNG (grayscale / RGB / gray+alpha / RGBA)
-        -> (h, w) uint8 gray — stdlib ``zlib`` inflate + per-scanline
-        unfilter over numpy rows, no codec dependency (VERDICT r06 item 2:
-        PNG is deflate, so the most common web image format is decodable
-        with what's in the container). Palette (color type 3), bit depths
-        other than 8, and Adam7 interlace return None -> fake fallback.
-        Color collapses by the same integer mean-luma rule as P6/BMP;
-        alpha is ignored (compositing policy is a pipeline choice, not a
-        decode property)."""
+        """Non-interlaced PNG -> (h, w) uint8 gray — stdlib ``zlib``
+        inflate + per-scanline unfilter over numpy rows, no codec
+        dependency (VERDICT r06 item 2: PNG is deflate, so the most common
+        web image format is decodable with what's in the container).
+        Supported: 8-bit grayscale / RGB / gray+alpha / RGBA, 8-bit
+        palette (PLTE-mapped, tRNS ignored), and 16-bit non-palette planes
+        (reduced to 8-bit by the spec's high-byte rule). Sub-8-bit depths
+        and Adam7 interlace return None -> fake fallback. Color collapses
+        by the same integer mean-luma rule as P6/BMP; alpha is ignored
+        (compositing policy is a pipeline choice, not a decode
+        property)."""
         import zlib
 
         import numpy as np
@@ -210,9 +215,13 @@ def _pixel_decoder():
         if not payload.startswith(sig):
             return None
         # chunk walk: IHDR must come first; IDAT payloads concatenate into
-        # one deflate stream; everything else (PLTE, tEXt, ...) is skipped
+        # one deflate stream; PLTE is kept for color type 3; everything
+        # else (tEXt, tRNS, ...) is skipped
         i, n = len(sig), len(payload)
         w = h = channels = -1
+        bit_depth = 8
+        paletted = False
+        plte = b""
         idat = bytearray()
         saw_end = False
         while i + 8 <= n:
@@ -227,18 +236,24 @@ def _pixel_decoder():
                 w = int.from_bytes(body[0:4], "big")
                 h = int.from_bytes(body[4:8], "big")
                 bit_depth, color_type, comp, filt, interlace = body[8:13]
+                paletted = color_type == 3
                 if (
                     not 0 < w < 1 << 24
                     or not 0 < h < 1 << 24
-                    or bit_depth != 8
+                    or bit_depth not in (8, 16)
+                    or (bit_depth == 16 and paletted)
                     or comp != 0
                     or filt != 0
                     or interlace != 0
                 ):
                     return None
-                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type, -1)
+                channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, -1)
                 if channels < 0:
                     return None
+            elif ctype == b"PLTE":
+                if clen % 3 or clen == 0:
+                    return None
+                plte = bytes(body)
             elif ctype == b"IDAT":
                 if w == -1:
                     return None  # IDAT before IHDR
@@ -256,7 +271,9 @@ def _pixel_decoder():
             raw = zlib.decompress(bytes(idat))
         except zlib.error:
             return None
-        stride = 1 + w * channels  # leading filter byte per scanline
+        sample_bytes = bit_depth // 8
+        row_bytes = w * channels * sample_bytes
+        stride = 1 + row_bytes  # leading filter byte per scanline
         if len(raw) != stride * h:
             return None
         lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
@@ -264,15 +281,17 @@ def _pixel_decoder():
         if int(filters.max(initial=0)) > 4:
             return None
         # Unfilter into an int32 work image (mod-256 at the end of each
-        # row). Per-row dispatch: None/Up are whole-row vectorized; Sub is
-        # a per-byte-lane cumulative sum (out[i] = Σ raw mod 256 — exact);
-        # Average/Paeth recurse on the left neighbor, so they walk pixels
-        # with the channel lanes vectorized.
-        img = np.zeros((h, w * channels), dtype=np.int32)
-        bpp = channels
+        # row). The filter unit is BYTES-per-pixel (channels x bytes per
+        # sample — the spec's bpp). Per-row dispatch: None/Up are
+        # whole-row vectorized; Sub is a per-byte-lane cumulative sum
+        # (out[i] = Σ raw mod 256 — exact); Average/Paeth recurse on the
+        # left neighbor, so they walk pixels with the byte lanes
+        # vectorized.
+        img = np.zeros((h, row_bytes), dtype=np.int32)
+        bpp = channels * sample_bytes
         for y in range(h):
             row = lines[y, 1:].astype(np.int32)
-            prev = img[y - 1] if y > 0 else np.zeros(w * channels, dtype=np.int32)
+            prev = img[y - 1] if y > 0 else np.zeros(row_bytes, dtype=np.int32)
             f = int(filters[y])
             if f == 0:
                 img[y] = row
@@ -282,14 +301,14 @@ def _pixel_decoder():
                 img[y] = (row + prev) % 256
             elif f == 3:  # Average
                 out = img[y]
-                for x in range(0, w * channels, bpp):
+                for x in range(0, row_bytes, bpp):
                     left = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
                     out[x : x + bpp] = (
                         row[x : x + bpp] + (left + prev[x : x + bpp]) // 2
                     ) % 256
             else:  # Paeth
                 out = img[y]
-                for x in range(0, w * channels, bpp):
+                for x in range(0, row_bytes, bpp):
                     a = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
                     b = prev[x : x + bpp]
                     c = prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
@@ -299,7 +318,22 @@ def _pixel_decoder():
                         (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
                     )
                     out[x : x + bpp] = (row[x : x + bpp] + pred) % 256
+        if sample_bytes == 2:
+            # 16 -> 8 bit by the spec's scaling-by-truncation (high byte)
+            img = img.reshape(h, w * channels, 2)[:, :, 0]
         px = img.reshape(h, w, channels)
+        if paletted:
+            if not plte:
+                return None
+            n_pal = len(plte) // 3
+            idx = px[:, :, 0]
+            if int(idx.max(initial=0)) >= n_pal:
+                return None
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(n_pal, 3)
+            lum = (
+                pal[:, 0].astype(np.uint16) + pal[:, 1] + pal[:, 2]
+            ) // 3
+            return lum.astype(np.uint8)[idx]
         if channels >= 3:  # RGB / RGBA: integer mean luma, alpha ignored
             gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
         else:  # gray / gray+alpha: the gray plane

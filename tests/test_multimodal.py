@@ -622,12 +622,16 @@ def test_pixel_decoder_ascii_netpbm_exact_pixels():
     assert decode(b"P2 2 1 70000 0 1") is None       # 16-bit maxval
 
 
-def _png(img, row_filters=None, color_type=None) -> bytes:
-    """Minimal PNG encoder for tests: 8-bit, non-interlaced, real zlib
-    stream and per-chunk CRCs. `img` is (h, w) gray or (h, w, c) with
-    c in (2, 3, 4); `row_filters` picks the filter byte per scanline
-    (default: cycle through all five) — the encoder applies the true
-    filter transform so the decoder must run the matching unfilter."""
+def _png(img, row_filters=None, color_type=None, palette=None, depth=8,
+         low_byte=0x7F) -> bytes:
+    """Minimal PNG encoder for tests: non-interlaced, real zlib stream and
+    per-chunk CRCs. `img` is (h, w) gray/index or (h, w, c) with c in
+    (2, 3, 4); `row_filters` picks the filter byte per scanline (default:
+    cycle through all five) — the encoder applies the true filter
+    transform so the decoder must run the matching unfilter. `palette`
+    (list of RGB triples) switches to color type 3; depth=16 widens every
+    sample to (value, low_byte) big-endian pairs — the decoder must
+    truncate to the high byte."""
     import zlib
 
     import numpy as np
@@ -636,21 +640,29 @@ def _png(img, row_filters=None, color_type=None) -> bytes:
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    if color_type is None:
+    if palette is not None:
+        color_type = 3
+    elif color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    flat = arr.reshape(h, w * c).astype(np.int32)
+    if depth == 16:
+        wide = np.stack([arr, np.full_like(arr, low_byte)], axis=-1)
+        flat = wide.reshape(h, w * c * 2).astype(np.int32)
+    else:
+        flat = arr.reshape(h, w * c).astype(np.int32)
+    fbpp = c * depth // 8  # the filter unit: bytes per pixel
+    rb = w * fbpp
     if row_filters is None:
         row_filters = [(y % 5) for y in range(h)]
     raw = bytearray()
     for y in range(h):
         f = row_filters[y]
         cur = flat[y]
-        prev = flat[y - 1] if y > 0 else np.zeros(w * c, dtype=np.int32)
-        left = np.concatenate([np.zeros(c, dtype=np.int32), cur[:-c]]) if w * c > c else np.zeros(w * c, dtype=np.int32)
-        upleft = np.concatenate([np.zeros(c, dtype=np.int32), prev[:-c]]) if w * c > c else np.zeros(w * c, dtype=np.int32)
-        if w * c <= c:
-            left = np.zeros(w * c, dtype=np.int32)
-            upleft = np.zeros(w * c, dtype=np.int32)
+        prev = flat[y - 1] if y > 0 else np.zeros(rb, dtype=np.int32)
+        left = np.concatenate([np.zeros(fbpp, dtype=np.int32), cur[:-fbpp]]) if rb > fbpp else np.zeros(rb, dtype=np.int32)
+        upleft = np.concatenate([np.zeros(fbpp, dtype=np.int32), prev[:-fbpp]]) if rb > fbpp else np.zeros(rb, dtype=np.int32)
+        if rb <= fbpp:
+            left = np.zeros(rb, dtype=np.int32)
+            upleft = np.zeros(rb, dtype=np.int32)
         if f == 0:
             enc = cur
         elif f == 1:
@@ -676,14 +688,20 @@ def _png(img, row_filters=None, color_type=None) -> bytes:
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([8, color_type, 0, 0, 0])
+        + bytes([depth, color_type, 0, 0, 0])
     )
     comp = zlib.compress(bytes(raw))
     # split the deflate stream across two IDAT chunks to pin concatenation
     mid = max(1, len(comp) // 2)
+    plte = (
+        chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+        if palette is not None
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", comp[:mid])
         + chunk(b"IDAT", comp[mid:])
         + chunk(b"IEND", b"")
@@ -725,10 +743,10 @@ def test_pixel_decoder_png_exact_pixels():
     assert decode(ok[:40]) is None                        # truncated
     assert decode(ok[:-30] + b"\0" * 30) is None          # corrupt stream/no IEND
     pal = bytearray(_png(gray))
-    pal[25] = 3  # color type byte in IHDR -> palette (unsupported)
+    pal[25] = 3  # color type flipped to palette but NO PLTE chunk
     assert decode(bytes(pal)) is None
     depth16 = bytearray(_png(gray))
-    depth16[24] = 16  # bit depth byte
+    depth16[24] = 16  # bit depth byte lies: stream is 8-bit sized
     assert decode(bytes(depth16)) is None
     inter = bytearray(_png(gray))
     inter[28] = 1  # interlace byte
@@ -1699,3 +1717,59 @@ def test_scene_changes_detects_cuts(spark):
     # threshold above the cut magnitude keeps only frame 0
     only0 = scene_changes(media, threshold=200).collect()
     assert [(r["frame_idx"]) for r in only0] == [0]
+
+
+def test_png_palette_16bit_and_bmp32(spark=None):
+    """r07 hardening: 8-bit palette PNG (PLTE mean-luma mapped), 16-bit
+    gray/RGB PNG (high-byte truncation per spec, under all filter types —
+    the filter unit doubles to 2/6 bytes), and 32-bit BGRx BMP."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    # palette: indexes map through PLTE mean luma
+    pal = [(255, 0, 0), (0, 255, 0), (10, 20, 33), (200, 200, 203)]
+    want = np.array([sum(c) // 3 for c in pal], dtype=np.uint8)
+    idx = (np.arange(5 * 9, dtype=np.uint8).reshape(5, 9) % 4).astype(np.uint8)
+    assert (decode(_png(idx, palette=pal)) == want[idx]).all()
+    # out-of-range index rejects
+    bad = idx.copy()
+    bad[0, 0] = 7
+    assert decode(_png(bad, palette=pal)) is None
+
+    # 16-bit gray: high byte survives, low byte discarded, every filter
+    gray = (np.arange(6 * 7, dtype=np.uint8).reshape(6, 7) * 11).astype(np.uint8)
+    for f in range(5):
+        got = decode(_png(gray, depth=16, row_filters=[f] * 6, low_byte=0xA5))
+        assert got is not None and (got == gray).all(), f
+    # 16-bit RGB
+    rgb = (np.arange(3 * 4 * 3, dtype=np.uint8).reshape(3, 4, 3) * 7).astype(np.uint8)
+    want_rgb = (
+        (rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+    assert (decode(_png(rgb, depth=16)) == want_rgb).all()
+    # 16-bit palette is spec-invalid -> reject
+    assert decode(_png(idx, palette=pal, depth=16)) is None
+
+    # BMP 32bpp: append an alpha/padding byte per pixel to the 24-bit form
+    img_rgb = (np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) * 5).astype(
+        np.uint8
+    )
+    bmp24 = _bmp24(img_rgb)
+    # rebuild as 32bpp: header tweaks + BGRA pixel array
+    h, w, _ = img_rgb.shape
+    bgra = np.dstack(
+        [img_rgb[:, :, 2], img_rgb[:, :, 1], img_rgb[:, :, 0],
+         np.full((h, w), 9, dtype=np.uint8)]
+    )[::-1]  # bottom-up
+    px = bgra.reshape(h, w * 4).tobytes()
+    hdr = bytearray(bmp24[:54])
+    hdr[28] = 32  # bpp
+    hdr[2:6] = (54 + len(px)).to_bytes(4, "little")
+    hdr[34:38] = len(px).to_bytes(4, "little")
+    want24 = (
+        (img_rgb[:, :, 0].astype(np.uint16) + img_rgb[:, :, 1] + img_rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+    assert (decode(bytes(hdr) + px) == want24).all()
