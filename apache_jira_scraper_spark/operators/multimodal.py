@@ -6,7 +6,7 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 `mapInPandas` stages so bytes never round-trip through Python row objects.
 The container has no image/audio codecs, so decode is layered (r06/r07):
 codec-free payloads — netpbm (binary P5/P6, ASCII P2/P3), BMP
-(BI_RGB 8/24/32-bit), non-interlaced PNG at 8/16-bit incl. palette
+(BI_RGB 8/24/32-bit), PNG at 8/16-bit incl. palette and Adam7 interlace
 (stdlib zlib inflate + numpy scanline unfilter — r07), GIF
 (pure-Python variable-width LZW,
 interlace + deferred-clear — r07), baseline JPEG (canonical Huffman +
@@ -201,9 +201,11 @@ def _pixel_decoder():
         dependency (VERDICT r06 item 2: PNG is deflate, so the most common
         web image format is decodable with what's in the container).
         Supported: 8-bit grayscale / RGB / gray+alpha / RGBA, 8-bit
-        palette (PLTE-mapped, tRNS ignored), and 16-bit non-palette planes
-        (reduced to 8-bit by the spec's high-byte rule). Sub-8-bit depths
-        and Adam7 interlace return None -> fake fallback. Color collapses
+        palette (PLTE-mapped, tRNS ignored), 16-bit non-palette planes
+        (reduced to 8-bit by the spec's high-byte rule), and Adam7
+        interlace (seven serialized sub-images, each unfiltered
+        independently and scattered back on its grid — r07). Sub-8-bit
+        depths return None -> fake fallback. Color collapses
         by the same integer mean-luma rule as P6/BMP; alpha is ignored
         (compositing policy is a pipeline choice, not a decode
         property)."""
@@ -244,7 +246,7 @@ def _pixel_decoder():
                     or (bit_depth == 16 and paletted)
                     or comp != 0
                     or filt != 0
-                    or interlace != 0
+                    or interlace not in (0, 1)
                 ):
                     return None
                 channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, -1)
@@ -272,56 +274,90 @@ def _pixel_decoder():
         except zlib.error:
             return None
         sample_bytes = bit_depth // 8
-        row_bytes = w * channels * sample_bytes
-        stride = 1 + row_bytes  # leading filter byte per scanline
-        if len(raw) != stride * h:
-            return None
-        lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
-        filters = lines[:, 0]
-        if int(filters.max(initial=0)) > 4:
-            return None
-        # Unfilter into an int32 work image (mod-256 at the end of each
-        # row). The filter unit is BYTES-per-pixel (channels x bytes per
-        # sample — the spec's bpp). Per-row dispatch: None/Up are
-        # whole-row vectorized; Sub is a per-byte-lane cumulative sum
-        # (out[i] = Σ raw mod 256 — exact); Average/Paeth recurse on the
-        # left neighbor, so they walk pixels with the byte lanes
-        # vectorized.
-        img = np.zeros((h, row_bytes), dtype=np.int32)
         bpp = channels * sample_bytes
-        for y in range(h):
-            row = lines[y, 1:].astype(np.int32)
-            prev = img[y - 1] if y > 0 else np.zeros(row_bytes, dtype=np.int32)
-            f = int(filters[y])
-            if f == 0:
-                img[y] = row
-            elif f == 1:  # Sub
-                img[y] = np.cumsum(row.reshape(-1, bpp), axis=0).ravel() % 256
-            elif f == 2:  # Up
-                img[y] = (row + prev) % 256
-            elif f == 3:  # Average
-                out = img[y]
-                for x in range(0, row_bytes, bpp):
-                    left = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
-                    out[x : x + bpp] = (
-                        row[x : x + bpp] + (left + prev[x : x + bpp]) // 2
-                    ) % 256
-            else:  # Paeth
-                out = img[y]
-                for x in range(0, row_bytes, bpp):
-                    a = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
-                    b = prev[x : x + bpp]
-                    c = prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
-                    p = a + b - c
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
-                    pred = np.where(
-                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
-                    )
-                    out[x : x + bpp] = (row[x : x + bpp] + pred) % 256
-        if sample_bytes == 2:
-            # 16 -> 8 bit by the spec's scaling-by-truncation (high byte)
-            img = img.reshape(h, w * channels, 2)[:, :, 0]
-        px = img.reshape(h, w, channels)
+
+        def unfilter(lines, rb):
+            # Unfilter into an int32 work image (mod-256 at the end of
+            # each row). The filter unit is BYTES-per-pixel (channels x
+            # bytes per sample — the spec's bpp). Per-row dispatch:
+            # None/Up are whole-row vectorized; Sub is a per-byte-lane
+            # cumulative sum (out[i] = Σ raw mod 256 — exact);
+            # Average/Paeth recurse on the left neighbor, so they walk
+            # pixels with the byte lanes vectorized.
+            hs = lines.shape[0]
+            img = np.zeros((hs, rb), dtype=np.int32)
+            for y in range(hs):
+                row = lines[y, 1:].astype(np.int32)
+                prev = img[y - 1] if y > 0 else np.zeros(rb, dtype=np.int32)
+                f = int(lines[y, 0])
+                if f == 0:
+                    img[y] = row
+                elif f == 1:  # Sub
+                    img[y] = np.cumsum(row.reshape(-1, bpp), axis=0).ravel() % 256
+                elif f == 2:  # Up
+                    img[y] = (row + prev) % 256
+                elif f == 3:  # Average
+                    out = img[y]
+                    for x in range(0, rb, bpp):
+                        left = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                        out[x : x + bpp] = (
+                            row[x : x + bpp] + (left + prev[x : x + bpp]) // 2
+                        ) % 256
+                else:  # Paeth
+                    out = img[y]
+                    for x in range(0, rb, bpp):
+                        a = out[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                        b = prev[x : x + bpp]
+                        c = prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                        p = a + b - c
+                        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                        )
+                        out[x : x + bpp] = (row[x : x + bpp] + pred) % 256
+            return img
+
+        def to_samples(img, ws):
+            if sample_bytes == 2:
+                # 16 -> 8 bit by the spec's scaling-by-truncation (high byte)
+                img = img.reshape(img.shape[0], ws * channels, 2)[:, :, 0]
+            return img.reshape(img.shape[0], ws, channels)
+
+        if interlace == 0:
+            stride = 1 + w * bpp  # leading filter byte per scanline
+            if len(raw) != stride * h:
+                return None
+            lines = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+            if int(lines[:, 0].max(initial=0)) > 4:
+                return None
+            px = to_samples(unfilter(lines, w * bpp), w)
+        else:
+            # Adam7: seven serialized sub-images, each with its OWN
+            # filtered scanlines; empty passes contribute zero bytes.
+            # Decoded samples scatter back on the (x0, y0, dx, dy) grids.
+            px = np.zeros((h, w, channels), dtype=np.int32)
+            pos = 0
+            for x0, y0, dx, dy in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                wp = (w - x0 + dx - 1) // dx
+                hp = (h - y0 + dy - 1) // dy
+                if wp <= 0 or hp <= 0:
+                    continue
+                sub_stride = 1 + wp * bpp
+                need = sub_stride * hp
+                if pos + need > len(raw):
+                    return None
+                lines = np.frombuffer(
+                    raw, dtype=np.uint8, count=need, offset=pos
+                ).reshape(hp, sub_stride)
+                pos += need
+                if int(lines[:, 0].max(initial=0)) > 4:
+                    return None
+                px[y0::dy, x0::dx, :] = to_samples(unfilter(lines, wp * bpp), wp)
+            if pos != len(raw):
+                return None
         if paletted:
             if not plte:
                 return None

@@ -623,15 +623,16 @@ def test_pixel_decoder_ascii_netpbm_exact_pixels():
 
 
 def _png(img, row_filters=None, color_type=None, palette=None, depth=8,
-         low_byte=0x7F) -> bytes:
-    """Minimal PNG encoder for tests: non-interlaced, real zlib stream and
-    per-chunk CRCs. `img` is (h, w) gray/index or (h, w, c) with c in
-    (2, 3, 4); `row_filters` picks the filter byte per scanline (default:
-    cycle through all five) — the encoder applies the true filter
-    transform so the decoder must run the matching unfilter. `palette`
-    (list of RGB triples) switches to color type 3; depth=16 widens every
-    sample to (value, low_byte) big-endian pairs — the decoder must
-    truncate to the high byte."""
+         low_byte=0x7F, interlace=False) -> bytes:
+    """Minimal PNG encoder for tests: real zlib stream and per-chunk CRCs.
+    `img` is (h, w) gray/index or (h, w, c) with c in (2, 3, 4);
+    `row_filters` picks the filter byte per scanline (default: cycle
+    through all five) — the encoder applies the true filter transform so
+    the decoder must run the matching unfilter. `palette` (list of RGB
+    triples) switches to color type 3; depth=16 widens every sample to
+    (value, low_byte) big-endian pairs — the decoder must truncate to the
+    high byte. `interlace=True` serializes the seven Adam7 sub-images,
+    each filtered independently."""
     import zlib
 
     import numpy as np
@@ -644,41 +645,60 @@ def _png(img, row_filters=None, color_type=None, palette=None, depth=8,
         color_type = 3
     elif color_type is None:
         color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    if depth == 16:
-        wide = np.stack([arr, np.full_like(arr, low_byte)], axis=-1)
-        flat = wide.reshape(h, w * c * 2).astype(np.int32)
-    else:
-        flat = arr.reshape(h, w * c).astype(np.int32)
     fbpp = c * depth // 8  # the filter unit: bytes per pixel
-    rb = w * fbpp
-    if row_filters is None:
-        row_filters = [(y % 5) for y in range(h)]
+
+    def to_rows(sub):  # (hs, ws, c) uint8 -> (hs, ws*fbpp) int32 byte rows
+        hs, ws, _ = sub.shape
+        if depth == 16:
+            wide = np.stack([sub, np.full_like(sub, low_byte)], axis=-1)
+            return wide.reshape(hs, ws * c * 2).astype(np.int32)
+        return sub.reshape(hs, ws * c).astype(np.int32)
+
+    def filt(flat, filters):  # true PNG filter transform, row by row
+        hs, rb = flat.shape
+        out = bytearray()
+        for y in range(hs):
+            f = filters[y]
+            cur = flat[y]
+            prev = flat[y - 1] if y > 0 else np.zeros(rb, dtype=np.int32)
+            if rb > fbpp:
+                left = np.concatenate([np.zeros(fbpp, dtype=np.int32), cur[:-fbpp]])
+                upleft = np.concatenate([np.zeros(fbpp, dtype=np.int32), prev[:-fbpp]])
+            else:
+                left = np.zeros(rb, dtype=np.int32)
+                upleft = np.zeros(rb, dtype=np.int32)
+            if f == 0:
+                enc = cur
+            elif f == 1:
+                enc = cur - left
+            elif f == 2:
+                enc = cur - prev
+            elif f == 3:
+                enc = cur - (left + prev) // 2
+            else:
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where((pa <= pb) & (pa <= pc), left,
+                                np.where(pb <= pc, prev, upleft))
+                enc = cur - pred
+            out.append(f)
+            out += (enc % 256).astype(np.uint8).tobytes()
+        return out
+
     raw = bytearray()
-    for y in range(h):
-        f = row_filters[y]
-        cur = flat[y]
-        prev = flat[y - 1] if y > 0 else np.zeros(rb, dtype=np.int32)
-        left = np.concatenate([np.zeros(fbpp, dtype=np.int32), cur[:-fbpp]]) if rb > fbpp else np.zeros(rb, dtype=np.int32)
-        upleft = np.concatenate([np.zeros(fbpp, dtype=np.int32), prev[:-fbpp]]) if rb > fbpp else np.zeros(rb, dtype=np.int32)
-        if rb <= fbpp:
-            left = np.zeros(rb, dtype=np.int32)
-            upleft = np.zeros(rb, dtype=np.int32)
-        if f == 0:
-            enc = cur
-        elif f == 1:
-            enc = cur - left
-        elif f == 2:
-            enc = cur - prev
-        elif f == 3:
-            enc = cur - (left + prev) // 2
-        else:
-            p = left + prev - upleft
-            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, prev, upleft))
-            enc = cur - pred
-        raw.append(f)
-        raw += (enc % 256).astype(np.uint8).tobytes()
+    if not interlace:
+        filters = row_filters or [(y % 5) for y in range(h)]
+        raw += filt(to_rows(arr), filters)
+    else:
+        for x0, y0, dx, dy in (
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ):
+            sub = arr[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            filters = row_filters or [(y % 5) for y in range(sub.shape[0])]
+            raw += filt(to_rows(sub), filters)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -688,7 +708,7 @@ def _png(img, row_filters=None, color_type=None, palette=None, depth=8,
 
     ihdr = (
         w.to_bytes(4, "big") + h.to_bytes(4, "big")
-        + bytes([depth, color_type, 0, 0, 0])
+        + bytes([depth, color_type, 0, 0, 1 if interlace else 0])
     )
     comp = zlib.compress(bytes(raw))
     # split the deflate stream across two IDAT chunks to pin concatenation
@@ -749,7 +769,7 @@ def test_pixel_decoder_png_exact_pixels():
     depth16[24] = 16  # bit depth byte lies: stream is 8-bit sized
     assert decode(bytes(depth16)) is None
     inter = bytearray(_png(gray))
-    inter[28] = 1  # interlace byte
+    inter[28] = 1  # interlace byte lies: stream has sequential layout
     assert decode(bytes(inter)) is None
 
 
@@ -1773,3 +1793,37 @@ def test_png_palette_16bit_and_bmp32(spark=None):
         (img_rgb[:, :, 0].astype(np.uint16) + img_rgb[:, :, 1] + img_rgb[:, :, 2]) // 3
     ).astype(np.uint8)
     assert (decode(bytes(hdr) + px) == want24).all()
+
+
+def test_png_adam7_interlace():
+    """r07: Adam7 streams decode exactly — gray, RGB, palette, 16-bit, and
+    dims small enough that some passes are empty."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(21)
+
+    for h, w in ((1, 1), (2, 3), (7, 5), (16, 16), (13, 22)):
+        gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        got = decode(_png(gray, interlace=True))
+        assert got is not None and (got == gray).all(), (h, w)
+
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    want = (
+        (rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+    assert (decode(_png(rgb, interlace=True)) == want).all()
+
+    pal = [(k, 255 - k, k) for k in range(16)]
+    lum = np.array([sum(c) // 3 for c in pal], dtype=np.uint8)
+    idx = (rng.integers(0, 16, (10, 12))).astype(np.uint8)
+    assert (decode(_png(idx, palette=pal, interlace=True)) == lum[idx]).all()
+
+    gray16 = rng.integers(0, 256, (6, 9), dtype=np.uint8)
+    assert (decode(_png(gray16, depth=16, interlace=True)) == gray16).all()
+
+    # truncated interlaced stream rejects
+    ok = _png(rng.integers(0, 256, (16, 16), dtype=np.uint8), interlace=True)
+    assert decode(ok[:-20] + b"\x00" * 10) is None
