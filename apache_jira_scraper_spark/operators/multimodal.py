@@ -17,7 +17,7 @@ channel count), and YUV4MPEG2
 video (luma-plane keyframes) — get a REAL pure-numpy header+plane decode
 inside the Arrow batches (_pixel_decoder / _wav_decoder / _y4m_decoder —
 pytest pins exact known pixels/samples/frames); the remaining codec
-formats (progressive JPEG, MP3/AAC, inter-frame video) stay stubbed
+formats (MP3/AAC, inter-frame video) stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
 everything Spark-level — schema, batching, partitioning, UDF signatures —
 is real and tested.
@@ -496,16 +496,20 @@ def _pixel_decoder():
         return gray
 
     def _decode_jpeg(payload: bytes):
-        """Baseline JPEG/JFIF (SOF0/SOF1, 8-bit, grayscale or YCbCr with
-        integer sampling ratios) -> (h, w) uint8 gray — pure-Python marker
-        walk + canonical Huffman entropy decode, numpy-vectorized
-        dequantize + separable float64 IDCT. Handles byte stuffing
-        (FF00), restart intervals (DRI/RSTn reset the DC predictors), and
-        multi-table DQT/DHT segments. Color collapses by the module's
-        integer mean-luma rule (YCbCr -> rounded clamped RGB ->
-        (r+g+b)//3); grayscale returns the Y plane. Progressive (SOF2),
-        arithmetic coding, 12-bit precision, hierarchical modes and
-        fractional sampling ratios return None -> deterministic fake.
+        """JPEG/JFIF -> (h, w) uint8 gray — pure-Python marker walk +
+        canonical Huffman entropy decode, numpy-vectorized dequantize +
+        separable float64 IDCT. Supported: baseline/extended sequential
+        (SOF0/SOF1) AND progressive (SOF2, both spectral selection and
+        successive approximation — DC first/refine, AC first with EOBn
+        end-of-band runs, AC refinement with correction bits, r07); 8-bit
+        precision, grayscale or YCbCr with integer sampling ratios, byte
+        stuffing (FF00), restart intervals (DRI/RSTn reset DC predictors
+        and the EOB run), multi-table DQT/DHT segments, tables arriving
+        between scans. Color collapses by the module's integer mean-luma
+        rule (YCbCr -> rounded clamped RGB -> (r+g+b)//3); grayscale
+        returns the Y plane. Arithmetic coding, 12-bit precision,
+        hierarchical modes and fractional sampling ratios return None ->
+        deterministic fake.
 
         The entropy loop is per-bit Python — fine for the decode stage's
         per-payload granularity (images arrive one per row inside an Arrow
@@ -532,16 +536,25 @@ def _pixel_decoder():
         qt: dict[int, "np.ndarray"] = {}
         huff: dict[tuple[int, int], tuple] = {}
         frame = None
+        progressive = False
         ri = 0
-        scan = None
+        # scans: (sel, Ss, Se, Ah, Al, segs, ri) — tables snapshot at scan
+        # start rides inside sel as resolved table tuples
+        scans: list[tuple] = []
+        saw_eoi = False
         i = 2
-        while i + 4 <= n:
+        while i + 2 <= n:
             if payload[i] != 0xFF:
                 return None
             m = payload[i + 1]
+            if m == 0xD9:
+                saw_eoi = True
+                break
             if m == 0x01 or 0xD0 <= m <= 0xD7:
                 i += 2
                 continue
+            if i + 4 > n:
+                return None
             seglen = int.from_bytes(payload[i + 2 : i + 4], "big")
             body = payload[i + 4 : i + 2 + seglen]
             if seglen < 2 or len(body) != seglen - 2:
@@ -577,9 +590,10 @@ def _pixel_decoder():
                     j += 17 + total
                 if j != len(body):
                     return None
-            elif m in (0xC0, 0xC1):  # baseline / extended sequential
+            elif m in (0xC0, 0xC1, 0xC2):  # sequential / progressive frame
                 if frame is not None or len(body) < 6:
                     return None
+                progressive = m == 0xC2
                 prec = body[0]
                 fh = int.from_bytes(body[1:3], "big")
                 fw = int.from_bytes(body[3:5], "big")
@@ -596,26 +610,56 @@ def _pixel_decoder():
                 if any(h0 < 1 or h0 > 4 or v0 < 1 or v0 > 4 for _, h0, v0, _ in comps):
                     return None
                 frame = (fh, fw, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # progressive / lossless / arithmetic / hierarchical
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # lossless / arithmetic / hierarchical
             elif m == 0xDD:  # DRI
                 if len(body) != 2:
                     return None
                 ri = int.from_bytes(body, "big")
-            elif m == 0xDA:  # SOS — baseline: single scan, all components
+            elif m == 0xDA:  # SOS, then its entropy-coded data
                 if frame is None or len(body) < 1:
                     return None
                 ns = body[0]
-                if len(body) != 1 + 2 * ns + 3 or ns != len(frame[2]):
+                if len(body) != 1 + 2 * ns + 3:
                     return None
                 sel = [
                     (body[1 + 2 * k], body[2 + 2 * k] >> 4, body[2 + 2 * k] & 15)
                     for k in range(ns)
                 ]
-                scan = sel
-                break
+                ss, se, ahl = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+                ah, al = ahl >> 4, ahl & 15
+                # entropy stream: split on RSTn (byte-aligned), unstuff
+                # FF00; any other marker ends this scan's data
+                segs: list[bytearray] = [bytearray()]
+                j = i
+                while j < n:
+                    b = payload[j]
+                    if b != 0xFF:
+                        segs[-1].append(b)
+                        j += 1
+                        continue
+                    nxt = payload[j + 1] if j + 1 < n else -1
+                    if nxt == 0x00:
+                        segs[-1].append(0xFF)
+                        j += 2
+                    elif 0xD0 <= nxt <= 0xD7:
+                        segs.append(bytearray())
+                        j += 2
+                    else:
+                        break  # next marker (EOI, next SOS, DHT, ...)
+                else:
+                    return None  # ran out without any terminating marker
+                i = j
+                # resolve this scan's tables NOW (tables may be redefined
+                # between scans)
+                res = []
+                for cs, td, ta in sel:
+                    dct = huff.get((0, td))
+                    act = huff.get((1, ta))
+                    res.append((cs, dct, act))
+                scans.append((res, ss, se, ah, al, segs, ri))
             # else: APPn / COM / DNL — skipped
-        if scan is None or frame is None:
+        if not scans or frame is None or not saw_eoi:
             return None
         fh, fw, comps = frame
         max_h = max(c[1] for c in comps)
@@ -623,48 +667,39 @@ def _pixel_decoder():
         if any(max_h % h0 or max_v % v0 for _, h0, v0, _ in comps):
             return None  # fractional chroma ratio: not worth the ambiguity
         comp_by_id = {c[0]: c for c in comps}
-
-        # entropy stream: split on RSTn (byte-aligned), unstuff FF00
-        segs: list[bytearray] = [bytearray()]
-        j = i
-        while j < n:
-            b = payload[j]
-            if b != 0xFF:
-                segs[-1].append(b)
-                j += 1
-                continue
-            nxt = payload[j + 1] if j + 1 < n else -1
-            if nxt == 0x00:
-                segs[-1].append(0xFF)
-                j += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                segs.append(bytearray())
-                j += 2
-            elif nxt == 0xD9:
-                break
-            else:
-                return None  # a second SOS / unexpected marker mid-scan
-        else:
-            return None  # ran out without EOI
+        if not progressive and (
+            len(scans) != 1 or len(scans[0][0]) != len(comps)
+        ):
+            return None  # sequential: exactly one all-component scan
 
         mcux = -(-fw // (8 * max_h))
         mcuy = -(-fh // (8 * max_v))
         blocks: dict[int, "np.ndarray"] = {}
-        tables: dict[int, tuple] = {}
-        for cs, td, ta in scan:
-            if cs not in comp_by_id or (0, td) not in huff or (1, ta) not in huff:
-                return None
-            _, h0, v0, tq = comp_by_id[cs]
+        for cid, h0, v0, tq in comps:
             if tq not in qt:
                 return None
-            blocks[cs] = np.zeros((mcuy * v0, mcux * h0, 64), dtype=np.int32)
-            tables[cs] = (huff[(0, td)], huff[(1, ta)])
+            blocks[cid] = np.zeros((mcuy * v0, mcux * h0, 64), dtype=np.int32)
 
+        # --- one mutable bit-reader rebound per scan -------------------
+        seg_list: list[bytearray] = []
+        seg = b""
         seg_idx = 0
-        seg = segs[0]
-        seg_bits = len(seg) * 8
+        seg_bits = 0
         pos = 0
-        dc_pred = dict.fromkeys(blocks, 0)
+
+        def use_segs(sl):
+            nonlocal seg_list, seg, seg_idx, seg_bits, pos
+            seg_list, seg_idx = sl, 0
+            seg = sl[0]
+            seg_bits, pos = len(seg) * 8, 0
+
+        def next_segment():
+            nonlocal seg, seg_idx, seg_bits, pos
+            seg_idx += 1
+            if seg_idx >= len(seg_list):
+                raise IndexError
+            seg = seg_list[seg_idx]
+            seg_bits, pos = len(seg) * 8, 0
 
         def bit():
             nonlocal pos
@@ -692,25 +727,31 @@ def _pixel_decoder():
                     return vals[valptr[ln] + code - mincode[ln]]
             raise IndexError  # not a valid code
 
-        try:
+        def ni_grid(h0, v0):
+            # non-interleaved block grid: the COMPONENT's own sampled dims
+            cw = -(-fw * h0 // max_h)
+            ch = -(-fh * v0 // max_v)
+            return -(-ch // 8), -(-cw // 8)
+
+        def decode_seq_scan(sel, sri):
+            # sequential: full DC+AC per block, interleaved MCU order
+            for cs, dct, act in sel:
+                if cs not in comp_by_id or dct is None or act is None:
+                    raise ValueError
+            dc_pred = {cs: 0 for cs, _, _ in sel}
             mcus = 0
             for my in range(mcuy):
                 for mx in range(mcux):
-                    if ri and mcus and mcus % ri == 0:
-                        seg_idx += 1  # RSTn boundary: fresh byte-aligned segment
-                        if seg_idx >= len(segs):
-                            return None
-                        seg = segs[seg_idx]
-                        seg_bits, pos = len(seg) * 8, 0
-                        dc_pred = dict.fromkeys(blocks, 0)
-                    for cs, _td, _ta in scan:
+                    if sri and mcus and mcus % sri == 0:
+                        next_segment()
+                        dc_pred = {cs: 0 for cs, _, _ in sel}
+                    for cs, dct, act in sel:
                         _, h0, v0, _ = comp_by_id[cs]
-                        dct, act = tables[cs]
                         for vy in range(v0):
                             for vx in range(h0):
                                 t = read_sym(dct)
                                 if t > 11:
-                                    return None
+                                    raise ValueError
                                 dc_pred[cs] += extend(receive(t), t) if t else 0
                                 blk = blocks[cs][my * v0 + vy, mx * h0 + vx]
                                 blk[0] = dc_pred[cs]
@@ -725,11 +766,188 @@ def _pixel_decoder():
                                         continue
                                     k += r
                                     if k > 63:
-                                        return None
+                                        raise ValueError
                                     blk[k] = extend(receive(s), s)
                                     k += 1
                     mcus += 1
-        except IndexError:
+
+        def dc_block_iter(sel):
+            # block visit order for a DC scan: interleaved MCU order when
+            # multi-component, the component's own raster when single.
+            # new_unit marks restart-interval units (an MCU / a block).
+            if len(sel) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        new_unit = True
+                        for cs, dct, _ in sel:
+                            _, h0, v0, _ = comp_by_id[cs]
+                            for vy in range(v0):
+                                for vx in range(h0):
+                                    yield cs, dct, blocks[cs][
+                                        my * v0 + vy, mx * h0 + vx
+                                    ], new_unit
+                                    new_unit = False
+            else:
+                cs, dct, _ = sel[0]
+                _, h0, v0, _ = comp_by_id[cs]
+                bh, bw = ni_grid(h0, v0)
+                for by in range(bh):
+                    for bx in range(bw):
+                        yield cs, dct, blocks[cs][by, bx], True
+
+        def decode_dc_first(sel, al, sri):
+            for cs, dct, _ in sel:
+                if cs not in comp_by_id or dct is None:
+                    raise ValueError
+            dc_pred = {cs: 0 for cs, _, _ in sel}
+            units = -1
+            for cs, dct, blk, new_unit in dc_block_iter(sel):
+                if new_unit:
+                    units += 1
+                    if sri and units and units % sri == 0:
+                        next_segment()
+                        dc_pred = {c: 0 for c, _, _ in sel}
+                t = read_sym(dct)
+                if t > 11:
+                    raise ValueError
+                dc_pred[cs] += extend(receive(t), t) if t else 0
+                blk[0] = dc_pred[cs] << al
+
+        def decode_dc_refine(sel, al, sri):
+            p1 = 1 << al
+            units = -1
+            for _cs, _dct, blk, new_unit in dc_block_iter(sel):
+                if new_unit:
+                    units += 1
+                    if sri and units and units % sri == 0:
+                        next_segment()
+                if bit():
+                    blk[0] |= p1
+
+        def decode_ac_first(sel, ss, se, al, sri):
+            cs, _, act = sel[0]
+            if cs not in comp_by_id or act is None:
+                raise ValueError
+            _, h0, v0, _ = comp_by_id[cs]
+            bh, bw = ni_grid(h0, v0)
+            eobrun = 0
+            units = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if sri and units and units % sri == 0:
+                        next_segment()
+                        eobrun = 0
+                    units += 1
+                    blk = blocks[cs][by, bx]
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = read_sym(act)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r != 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += receive(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError
+                        blk[k] = extend(receive(s), s) << al
+                        k += 1
+
+        def decode_ac_refine(sel, ss, se, al, sri):
+            # libjpeg decode_mcu_AC_refine structure: new coefficients
+            # appear as +-(1<<Al); already-nonzero coefficients consume a
+            # correction bit whenever the walk passes them (incl. during
+            # ZRL skips and EOB runs)
+            cs, _, act = sel[0]
+            if cs not in comp_by_id or act is None:
+                raise ValueError
+            _, h0, v0, _ = comp_by_id[cs]
+            bh, bw = ni_grid(h0, v0)
+            p1, m1 = 1 << al, -1 << al
+            eobrun = 0
+            units = 0
+
+            def correct(blk, k):
+                if bit() and not (blk[k] & p1):
+                    blk[k] += p1 if blk[k] >= 0 else m1
+
+            for by in range(bh):
+                for bx in range(bw):
+                    if sri and units and units % sri == 0:
+                        next_segment()
+                        eobrun = 0
+                    units += 1
+                    blk = blocks[cs][by, bx]
+                    k = ss
+                    if not eobrun:
+                        while k <= se:
+                            rs = read_sym(act)
+                            r, s = rs >> 4, rs & 15
+                            newval = 0
+                            if s == 0:
+                                if r < 15:
+                                    # FULL count here — the tail loop below
+                                    # corrects THIS block's remaining
+                                    # nonzeros and decrements (so EOB0
+                                    # still pays its correction bits)
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += receive(r)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history coefs
+                            else:
+                                if s != 1:
+                                    raise ValueError
+                                newval = p1 if bit() else m1
+                            while k <= se:
+                                if blk[k] != 0:
+                                    correct(blk, k)
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if newval and k <= se:
+                                blk[k] = newval
+                            elif newval:
+                                raise ValueError
+                            k += 1
+                    if eobrun:
+                        while k <= se:
+                            if blk[k] != 0:
+                                correct(blk, k)
+                            k += 1
+                        eobrun -= 1
+
+        try:
+            for sel, ss, se, ah, al, sl, sri in scans:
+                use_segs(sl)
+                if not progressive:
+                    if ss != 0 or se != 63 or ah or al:
+                        return None
+                    decode_seq_scan(sel, sri)
+                elif ss == 0:
+                    if se != 0 or al > 13:
+                        return None  # progressive DC scan is exactly Ss=Se=0
+                    if ah == 0:
+                        decode_dc_first(sel, al, sri)
+                    else:
+                        decode_dc_refine(sel, al, sri)
+                else:
+                    if len(sel) != 1 or not 1 <= ss <= se <= 63 or al > 13:
+                        return None
+                    if ah == 0:
+                        decode_ac_first(sel, ss, se, al, sri)
+                    else:
+                        decode_ac_refine(sel, ss, se, al, sri)
+        except (IndexError, ValueError):
             return None
 
         # dequant + IDCT, vectorized per component

@@ -1416,7 +1416,9 @@ def test_jpeg_rejects():
     assert decode(ok[:-2]) is None            # no EOI
     prog = bytearray(ok)
     sof_at = prog.index(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2                   # progressive
+    # SOF2 with a sequential full-band scan script is malformed
+    # progressive (a progressive DC scan must be Ss=Se=0)
+    prog[sof_at + 1] = 0xC2
     assert decode(bytes(prog)) is None
     assert decode(b"\xff\xd8\xff\xd9") is None  # no frame
 
@@ -1827,3 +1829,394 @@ def test_png_adam7_interlace():
     # truncated interlaced stream rejects
     ok = _png(rng.integers(0, 256, (16, 16), dtype=np.uint8), interlace=True)
     assert decode(ok[:-20] + b"\x00" * 10) is None
+
+
+# --- progressive JPEG (r07: spectral selection + successive approximation) -
+
+
+def _jpeg_encode_progressive(img, quant=None, sampling=None, dc_al=1, ac_al=1,
+                             bands=((1, 5), (6, 63))) -> bytes:
+    """Progressive (SOF2) encoder for tests: DC-first scan (point transform
+    dc_al) + DC refinement bit scans, then per-component AC band scans at
+    ac_al with EOBn runs + AC refinement scans emitting correction bits
+    (the libjpeg encode_mcu_AC_refine structure). Same flat Huffman tables
+    and coefficient pipeline as _jpeg_encode, so progressive and baseline
+    streams carry IDENTICAL quantized coefficients — the decoders must
+    produce identical pixels."""
+    import numpy as np
+
+    zz = np.array(
+        [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+         12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+         35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+         58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    )
+    xs = np.arange(8)
+    cu = np.where(xs == 0, 1 / np.sqrt(2.0), 1.0)
+    A = (cu / 2.0) * np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16)
+
+    if isinstance(img, np.ndarray) and img.ndim == 2:
+        comps = [(1, 1, 1, np.asarray(img, dtype=np.float64))]
+    else:
+        comps = [
+            (cid + 1, hs, vs, np.asarray(img[cid], dtype=np.float64))
+            for cid, (hs, vs) in enumerate(sampling or [(1, 1)] * 3)
+        ]
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    fh, fw = comps[0][3].shape
+    if quant is None:
+        quant = np.ones(64, dtype=np.int32)
+    quant = np.asarray(quant, dtype=np.int32).ravel()
+    mcux = -(-fw // (8 * max_h))
+    mcuy = -(-fh // (8 * max_v))
+    coef = {}
+    ni = {}
+    for cid, hs, vs, plane in comps:
+        bh, bw = mcuy * vs, mcux * hs
+        padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        ph, pw = plane.shape
+        padded[:ph, :pw] = plane
+        padded[ph:, :pw] = plane[ph - 1 : ph, :]
+        padded[:, pw:] = padded[:, pw - 1 : pw]
+        blk = (
+            padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+            - 128.0
+        )
+        f = np.einsum("ux,nxy,vy->nuv", A.T, blk, A.T)
+        q = np.round(f.reshape(-1, 64) / quant[None, :]).astype(np.int32)
+        coef[cid] = q[:, zz].reshape(bh, bw, 64)
+        cw = -(-fw * hs // max_h)
+        ch = -(-fh * vs // max_v)
+        ni[cid] = (-(-ch // 8), -(-cw // 8))
+
+    dc_syms = list(range(12))
+    # progressive needs the EOBn symbols (n<<4, n=1..14) on top of the
+    # sequential set — 176 symbols, still fine at a flat 8 bits
+    ac_syms = sorted(
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+        + [n << 4 for n in range(1, 15)]
+    )
+    dc_code = {s: (i, 4) for i, s in enumerate(dc_syms)}
+    ac_code = {s: (i, 8) for i, s in enumerate(ac_syms)}
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    ac_counts = [0] * 16
+    ac_counts[7] = len(ac_syms)
+
+    out = bytearray(b"\xff\xd8")
+
+    def seg(marker, body):
+        out.extend(marker + (len(body) + 2).to_bytes(2, "big") + body)
+
+    seg(b"\xff\xdb", bytes([0]) + bytes(int(v) for v in quant))
+    sof = bytes([8]) + fh.to_bytes(2, "big") + fw.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hs, vs, _ in comps:
+        sof += bytes([cid, (hs << 4) | vs, 0])
+    seg(b"\xff\xc2", sof)  # SOF2: progressive
+    seg(b"\xff\xc4", bytes([0x00] + dc_counts) + bytes(dc_syms))
+    seg(b"\xff\xc4", bytes([0x10] + ac_counts) + bytes(ac_syms))
+
+    def mag(v):
+        a, t = abs(v), 0
+        while a:
+            t += 1
+            a >>= 1
+        return t
+
+    class BW:
+        def __init__(self):
+            self.items: list[tuple[int, int]] = []
+
+        def put(self, code, nb):
+            if nb:
+                self.items.append((code, nb))
+
+        def put_val(self, v, t):
+            if t:
+                self.put(v if v >= 0 else v + (1 << t) - 1, t)
+
+        def payload(self) -> bytes:
+            acc = accn = 0
+            raw = bytearray()
+            for code, nb in self.items:
+                acc = (acc << nb) | code
+                accn += nb
+                while accn >= 8:
+                    byte = (acc >> (accn - 8)) & 0xFF
+                    raw.append(byte)
+                    if byte == 0xFF:
+                        raw.append(0x00)
+                    accn -= 8
+            if accn:
+                byte = ((acc << (8 - accn)) | ((1 << (8 - accn)) - 1)) & 0xFF
+                raw.append(byte)
+                if byte == 0xFF:
+                    raw.append(0x00)
+            return bytes(raw)
+
+    def emit_scan(comp_ids, ss, se, ah, al, bw):
+        sos = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            sos += bytes([cid, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        seg(b"\xff\xda", sos)
+        out.extend(bw.payload())
+
+    def dc_blocks():
+        # mirror of the decoder's dc_block_iter ordering
+        if len(comps) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for cid, hs, vs, _ in comps:
+                        for vy in range(vs):
+                            for vx in range(hs):
+                                yield cid, coef[cid][my * vs + vy, mx * hs + vx]
+        else:
+            cid = comps[0][0]
+            bh, bw_ = ni[cid]
+            for by in range(bh):
+                for bx in range(bw_):
+                    yield cid, coef[cid][by, bx]
+
+    # --- scan 1: DC first (interleaved), point transform dc_al
+    bw = BW()
+    pred = {c[0]: 0 for c in comps}
+    for cid, blk in dc_blocks():
+        v = int(blk[0]) >> dc_al  # arithmetic shift, like the spec's IRIGHT
+        diff = v - pred[cid]
+        pred[cid] = v
+        t = mag(diff)
+        bw.put(*dc_code[t])
+        bw.put_val(diff, t)
+    emit_scan([c[0] for c in comps], 0, 0, 0, dc_al, bw)
+
+    # --- DC refinement scans: one raw bit per block per level
+    for al in range(dc_al - 1, -1, -1):
+        bw = BW()
+        for _cid, blk in dc_blocks():
+            bw.put((int(blk[0]) >> al) & 1, 1)
+        emit_scan([c[0] for c in comps], 0, 0, al + 1, al, bw)
+
+    # --- per component, per band: AC first then refinements
+    for cid, hs, vs, _ in comps:
+        bh, bw_n = ni[cid]
+
+        for ss, se in bands:
+            bw = BW()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    bw.put(*ac_code[r << 4])
+                    bw.put(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for by in range(bh):
+                for bx in range(bw_n):
+                    blk = coef[cid][by, bx]
+                    vals = [
+                        (1 if blk[k] > 0 else -1) * (abs(int(blk[k])) >> ac_al)
+                        for k in range(ss, se + 1)
+                    ]
+                    nz = [k for k, v in enumerate(vals) if v]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eob()
+                        continue
+                    flush_eob()
+                    r = 0
+                    for k in range(nz[-1] + 1):
+                        v = vals[k]
+                        if v == 0:
+                            r += 1
+                            continue
+                        while r > 15:
+                            bw.put(*ac_code[0xF0])
+                            r -= 16
+                        s = mag(v)
+                        bw.put(*ac_code[(r << 4) | s])
+                        bw.put_val(v, s)
+                        r = 0
+                    if nz[-1] < se - ss:
+                        eobrun += 1
+            flush_eob()
+            emit_scan([cid], ss, se, 0, ac_al, bw)
+
+        for al in range(ac_al - 1, -1, -1):
+            for ss, se in bands:
+                bw = BW()
+                eobrun = 0
+                bebits: list[int] = []
+
+                def flush_eob_refine():
+                    nonlocal eobrun, bebits
+                    if eobrun:
+                        r = eobrun.bit_length() - 1
+                        bw.put(*ac_code[r << 4])
+                        bw.put(eobrun - (1 << r), r)
+                    for b in bebits:
+                        bw.put(b, 1)
+                    eobrun = 0
+                    bebits = []
+
+                for by in range(bh):
+                    for bx in range(bw_n):
+                        blk = coef[cid][by, bx]
+                        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+                        has_new = any(t == 1 for t in absv)
+                        if not has_new:
+                            # correction-only block: joins the EOB run
+                            bebits.extend(t & 1 for t in absv if t > 1)
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                flush_eob_refine()
+                            continue
+                        flush_eob_refine()
+                        r = 0
+                        br: list[int] = []
+                        last_new = max(k for k, t in enumerate(absv) if t == 1)
+                        for k, t in enumerate(absv):
+                            if k > last_new:
+                                break
+                            if t == 0:
+                                r += 1
+                                continue
+                            # ZRL check at EVERY nonzero (libjpeg): a
+                            # buffered correction bit always sits within
+                            # the first pending ZRL's 16-zero stretch
+                            while r > 15:
+                                bw.put(*ac_code[0xF0])
+                                for b in br:
+                                    bw.put(b, 1)
+                                br = []
+                                r -= 16
+                            if t > 1:
+                                br.append(t & 1)
+                                continue
+                            bw.put(*ac_code[(r << 4) | 1])
+                            bw.put(1 if blk[ss + k] > 0 else 0, 1)
+                            for b in br:
+                                bw.put(b, 1)
+                            br = []
+                            r = 0
+                        # tail after the last newly-nonzero coefficient
+                        tail_br = [t & 1 for t in absv[last_new + 1 :] if t > 1]
+                        tail_zeros = any(t == 0 for t in absv[last_new + 1 :])
+                        if tail_br or tail_zeros:
+                            eobrun += 1
+                            bebits.extend(tail_br)
+                flush_eob_refine()
+                emit_scan([cid], ss, se, al + 1, al, bw)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive and baseline streams built from the SAME quantized
+    coefficients must decode to IDENTICAL pixels — entropy layout is the
+    only difference. Covers DC point transform + refinement, AC spectral
+    bands with EOBn runs, and AC refinement correction bits."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(17)
+    for h, w in ((8, 8), (21, 29), (16, 24)):
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        base = decode(_jpeg_encode(img))
+        prog = decode(_jpeg_encode_progressive(img))
+        assert prog is not None and prog.shape == (h, w)
+        assert (prog == base).all(), (h, w)
+
+
+def test_jpeg_progressive_smooth_image_eob_runs():
+    """A mostly-flat image makes most AC bands empty -> long EOBn runs
+    spanning many blocks, in both first and refinement passes."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    img = np.full((40, 48), 90, dtype=np.uint8)
+    img[3, 5] = 200  # one detail so SOME band content exists
+    img[25, 30] = 10
+    base = decode(_jpeg_encode(img))
+    prog = decode(_jpeg_encode_progressive(img))
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_spectral_only_and_deep_sa():
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    base = decode(_jpeg_encode(img))
+    # pure spectral selection (no successive approximation)
+    prog0 = decode(_jpeg_encode_progressive(img, dc_al=0, ac_al=0))
+    assert (prog0 == base).all()
+    # two SA levels and finer bands
+    prog2 = decode(
+        _jpeg_encode_progressive(
+            img, dc_al=2, ac_al=2, bands=((1, 2), (3, 9), (10, 35), (36, 63))
+        )
+    )
+    assert (prog2 == base).all()
+
+
+def test_jpeg_progressive_color_subsampled():
+    """4:2:0 color progressive: non-interleaved AC scans use the
+    component's OWN block grid (not the MCU-padded grid)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(31)
+    h, w = 20, 28  # not MCU-aligned at 2x2 sampling: luma ni-grid < MCU grid
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    planes = [
+        rng.integers(0, 256, (h, w)).astype(np.float64),
+        rng.integers(96, 160, (-(-h // 2), -(-w // 2))).astype(np.float64),
+        rng.integers(96, 160, (-(-h // 2), -(-w // 2))).astype(np.float64),
+    ]
+    base = decode(_jpeg_encode(planes, sampling=sampling))
+    prog = decode(_jpeg_encode_progressive(planes, sampling=sampling))
+    assert prog is not None and prog.shape == (h, w)
+    assert (prog == base).all()
+
+
+def test_jpeg_progressive_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        w=st.integers(1, 32),
+        h=st.integers(1, 24),
+        dc_al=st.integers(0, 2),
+        ac_al=st.integers(0, 2),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, dc_al, ac_al, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        base = decode(_jpeg_encode(img))
+        prog = decode(_jpeg_encode_progressive(img, dc_al=dc_al, ac_al=ac_al))
+        assert prog is not None and (prog == base).all()
+
+    check()
