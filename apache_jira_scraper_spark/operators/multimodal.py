@@ -947,7 +947,10 @@ def _pixel_decoder():
                         decode_ac_first(sel, ss, se, al, sri)
                     else:
                         decode_ac_refine(sel, ss, se, al, sri)
-        except (IndexError, ValueError):
+        except (IndexError, ValueError, KeyError):
+            # IndexError: bit starvation / bad Huffman code; ValueError:
+            # malformed scan script; KeyError: scan names an unknown
+            # component (reachable in DC-refine, which skips table checks)
             return None
 
         # dequant + IDCT, vectorized per component

@@ -2220,3 +2220,22 @@ def test_jpeg_progressive_property():
         assert prog is not None and (prog == base).all()
 
     check()
+
+
+def test_jpeg_progressive_rejects_unknown_component_refine():
+    """A DC-refine scan naming a component absent from the frame must
+    degrade to the fake path, not crash the Arrow batch (KeyError guard)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    img = np.full((8, 8), 55, dtype=np.uint8)
+    payload = bytearray(_jpeg_encode_progressive(img, dc_al=1, ac_al=0))
+    # second SOS is the DC refinement (single component, id 1) — corrupt
+    # its component selector to an id the frame doesn't declare
+    first = payload.index(b"\xff\xda")
+    second = payload.index(b"\xff\xda", first + 2)
+    assert payload[second + 5] == 1  # the component id byte in SOS
+    payload[second + 5] = 9
+    assert decode(bytes(payload)) is None
