@@ -1664,16 +1664,101 @@ def _y4m_decoder():
     return decode_y4m
 
 
+def _video_decoder():
+    """REAL video decode dispatch: uncompressed YUV4MPEG2 (_y4m_decoder)
+    AND Motion-JPEG in an AVI/RIFF container (r07) — the first COMPRESSED
+    video path, reachable without a codec library because every MJPEG
+    frame is a standalone JPEG that _pixel_decoder already decodes
+    (baseline or progressive). Same contract as _y4m_decoder:
+    payload -> (luma [n_frames, h, w] uint8, fps_ppm) or None.
+
+    AVI walk: RIFF/'AVI ' -> word-aligned chunk tree; fps comes from the
+    first 'vids' stream header (dwRate/dwScale), falling back to the main
+    header's dwMicroSecPerFrame; frames are the '##dc'/'##db' chunks
+    inside LIST 'movi' (recursing into 'rec ' groups). A ZERO-length
+    frame chunk is the VfW dropped-frame convention ("hold previous") and
+    is materialized as a repeat of the prior plane, so scene_changes sees
+    the true timeline. Every non-empty frame must decode (the JPEG sniff
+    path) to one common (h, w) — anything else is malformed -> None.
+    Raw-DIB '00db' frames are DIBs WITHOUT a BITMAPFILEHEADER, so they
+    fail the BMP sniff and reject the payload rather than mis-decoding.
+    Inter-frame codecs (H.26x/VPx) genuinely need a codec library and
+    stay behind _REAL_DECODE_AVAILABLE."""
+    decode_y4m = _y4m_decoder()
+    decode_pixels = _pixel_decoder()
+
+    def decode_video(payload: bytes):
+        import numpy as np
+
+        if payload.startswith(b"YUV4MPEG2"):
+            return decode_y4m(payload)
+        if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            return None
+
+        def u32(off):
+            return int.from_bytes(payload[off : off + 4], "little")
+
+        frames_raw = []  # (offset, size) of '##dc'/'##db' chunk bodies
+        hdr = {"fps_ppm": 0, "usec": 0}
+
+        def walk(lo, hi, in_movi):
+            i = lo
+            while i + 8 <= hi:
+                cid = payload[i : i + 4]
+                csize = u32(i + 4)
+                body = i + 8
+                if body + csize > hi:
+                    return False  # truncated chunk
+                if cid == b"LIST" and csize >= 4:
+                    ltype = payload[body : body + 4]
+                    if not walk(body + 4, body + csize,
+                                in_movi or ltype == b"movi"):
+                        return False
+                elif cid == b"strh" and csize >= 28:
+                    # first video stream header wins; dwScale at +20,
+                    # dwRate at +24 (fps = rate/scale)
+                    if payload[body : body + 4] == b"vids" and not hdr["fps_ppm"]:
+                        scale, rate = u32(body + 20), u32(body + 24)
+                        if scale > 0 and rate > 0:
+                            hdr["fps_ppm"] = rate * 1_000_000 // scale
+                elif cid == b"avih" and csize >= 4 and not hdr["usec"]:
+                    hdr["usec"] = u32(body)  # dwMicroSecPerFrame
+                elif in_movi and cid[:2].isdigit() and cid[2:4] in (b"dc", b"db"):
+                    frames_raw.append((body, csize))
+                i = body + csize + (csize & 1)  # RIFF word alignment
+            return True
+
+        if not walk(12, min(len(payload), 8 + u32(4)), False) or not frames_raw:
+            return None
+        planes = []
+        for off, size in frames_raw:
+            if size == 0:
+                if not planes:
+                    return None
+                planes.append(planes[-1])
+                continue
+            img = decode_pixels(bytes(payload[off : off + size]))
+            if img is None or (planes and img.shape != planes[0].shape):
+                return None
+            planes.append(img)
+        fps_ppm = hdr["fps_ppm"] or (
+            10**12 // hdr["usec"] if hdr["usec"] > 0 else 0
+        )
+        return np.stack(planes), fps_ppm
+
+    return decode_video
+
+
 def keyframe_sample(media: DataFrame, stride: int = 4) -> DataFrame:
     """Keyframe sampling for REAL video payloads: every stride-th frame of
     a Y4M stream, one output ROW per sampled frame with its index, integer
     mean luma (floored) and the md5 of the full luma plane — the
     video→frame-token step before per-frame embedding/dedup, exploded
-    directly from the Arrow stage like patch_grid. Non-Y4M payloads emit
-    ZERO rows (a video sampler on non-video has nothing to sample — the
-    byte-stride stand-in `frame_sample` remains the format-agnostic
-    fallback)."""
-    decode_y4m = _y4m_decoder()
+    directly from the Arrow stage like patch_grid. Real formats: Y4M and
+    MJPEG/AVI (r07, _video_decoder). Non-video payloads emit ZERO rows (a
+    video sampler on non-video has nothing to sample — the byte-stride
+    stand-in `frame_sample` remains the format-agnostic fallback)."""
+    decode_y4m = _video_decoder()
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -1717,11 +1802,12 @@ def scene_changes(media: DataFrame, threshold: int = 24) -> DataFrame:
     representative frame per scene (keyframe_sample's fixed stride
     over-samples static shots and misses fast cuts).
 
-    Emits (doc_id, frame_idx, mad, mean_luma, fps_ppm); non-Y4M payloads
-    emit ZERO rows, same contract as keyframe_sample. Scale shape:
-    per-payload Arrow batches, sequential frame walk inside numpy — no
-    shuffle, no state across rows."""
-    decode_y4m = _y4m_decoder()
+    Emits (doc_id, frame_idx, mad, mean_luma, fps_ppm); non-video payloads
+    emit ZERO rows, same contract as keyframe_sample (real formats: Y4M and
+    MJPEG/AVI via _video_decoder). Scale shape: per-payload Arrow batches,
+    sequential frame walk inside numpy — no shuffle, no state across
+    rows."""
+    decode_y4m = _video_decoder()
 
     def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

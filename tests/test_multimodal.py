@@ -2239,3 +2239,146 @@ def test_jpeg_progressive_rejects_unknown_component_refine():
     assert payload[second + 5] == 1  # the component id byte in SOS
     payload[second + 5] = 9
     assert decode(bytes(payload)) is None
+
+
+def _avi_mjpeg(jpeg_frames, fps=(25, 1), strh=True, avih_usec=0,
+               rec_group=False, drop_idx=None) -> bytes:
+    """Minimal RIFF/AVI MJPEG container from a list of encoded JPEG
+    payloads: hdrl (avih + strl/strh for the 'vids' stream) then movi with
+    one '00dc' chunk per frame (word-aligned). `strh=False` omits the
+    stream header so the decoder must fall back to avih's
+    dwMicroSecPerFrame; `rec_group` nests the frames in a 'rec ' LIST;
+    `drop_idx` replaces that frame with the VfW zero-length dropped-frame
+    chunk."""
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    num, den = fps
+    avih = chunk(b"avih", avih_usec.to_bytes(4, "little") + b"\0" * 52)
+    hdrl_body = avih
+    if strh:
+        sh = (b"vids" + b"MJPG" + b"\0" * 12
+              + den.to_bytes(4, "little")      # dwScale at +20
+              + num.to_bytes(4, "little")      # dwRate at +24
+              + b"\0" * 28)
+        hdrl_body += lst(b"strl", chunk(b"strh", sh))
+    movi_frames = b"".join(
+        chunk(b"00dc", b"" if i == drop_idx else f)
+        for i, f in enumerate(jpeg_frames)
+    )
+    if rec_group:
+        movi_frames = lst(b"rec ", movi_frames)
+    riff_body = b"AVI " + lst(b"hdrl", hdrl_body) + lst(b"movi", movi_frames)
+    return b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body
+
+
+def test_video_decoder_avi_mjpeg_exact_frames():
+    """MJPEG-in-AVI real decode (r07): constant-luma JPEG frames with unit
+    quant decode EXACTLY through the container walk; fps comes from the
+    vids strh rate/scale; 'rec ' groups recurse; Y4M still dispatches."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _video_decoder
+
+    decode = _video_decoder()
+    frames = np.stack(
+        [np.full((16, 24), v, dtype=np.uint8) for v in (10, 80, 80, 200)]
+    )
+    jpegs = [_jpeg_encode(f) for f in frames]
+    got, fps_ppm = decode(_avi_mjpeg(jpegs, fps=(30000, 1001)))
+    assert got.shape == (4, 16, 24) and (got == frames).all()
+    assert fps_ppm == 30000 * 1_000_000 // 1001
+
+    got_rec, _ = decode(_avi_mjpeg(jpegs, rec_group=True))
+    assert (got_rec == frames).all()
+
+    # the Y4M branch of the dispatch is untouched
+    got_y4m, y4m_fps = decode(_y4m(frames, fps=(25, 1)))
+    assert (got_y4m == frames).all() and y4m_fps == 25_000_000
+
+
+def test_video_decoder_avi_fps_fallback_and_dropped_frames():
+    """Without a vids strh the fps falls back to avih's microseconds-per-
+    frame; a zero-length '00dc' chunk (VfW dropped frame) repeats the
+    previous plane so the timeline stays dense."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _video_decoder
+
+    decode = _video_decoder()
+    frames = np.stack(
+        [np.full((8, 8), v, dtype=np.uint8) for v in (0, 100, 250)]
+    )
+    jpegs = [_jpeg_encode(f) for f in frames]
+    got, fps_ppm = decode(_avi_mjpeg(jpegs, strh=False, avih_usec=40_000))
+    assert (got == frames).all()
+    assert fps_ppm == 10**12 // 40_000  # 25 fps from the main header
+
+    got_drop, _ = decode(_avi_mjpeg(jpegs, drop_idx=1))
+    want = np.stack([frames[0], frames[0], frames[2]])
+    assert (got_drop == want).all()
+
+    # a leading dropped frame has nothing to hold -> malformed
+    assert decode(_avi_mjpeg(jpegs, drop_idx=0)) is None
+
+
+def test_video_decoder_avi_rejects_malformed():
+    """Truncated chunks, dim-mismatched frames, non-JPEG frame bodies and
+    non-AVI RIFF files all reject (None -> fake path downstream)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _video_decoder
+
+    decode = _video_decoder()
+    a = _jpeg_encode(np.full((8, 8), 10, dtype=np.uint8))
+    b = _jpeg_encode(np.full((16, 8), 10, dtype=np.uint8))
+    assert decode(_avi_mjpeg([a, b])) is None          # dim mismatch
+    assert decode(_avi_mjpeg([a])[:-4]) is None        # truncated chunk
+    assert decode(_avi_mjpeg([b"not a jpeg"])) is None  # undecodable frame
+    assert decode(b"RIFF\x04\x00\x00\x00WAVE") is None  # RIFF, not AVI
+    assert decode(_avi_mjpeg([])) is None               # zero frames
+
+
+def test_scene_changes_and_keyframes_on_avi(spark):
+    """End-to-end Spark check: keyframe_sample and scene_changes over an
+    MJPEG/AVI payload agree with the same luma planes shipped as Y4M —
+    the compressed and uncompressed video paths are one surface."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        keyframe_sample,
+        scene_changes,
+    )
+
+    frames = np.stack(
+        [np.full((8, 12), v, dtype=np.uint8) for v in (10, 10, 10, 200, 200)]
+    )
+    avi = _avi_mjpeg([_jpeg_encode(f) for f in frames])
+    media = spark.createDataFrame(
+        [(1, avi, "video/avi"), (2, _y4m(frames), "video/y4m")],
+        "doc_id long, content binary, media_type string",
+    )
+    keys = [
+        (r["doc_id"], r["frame_idx"], r["mean_luma"], r["luma_md5"])
+        for r in keyframe_sample(media, stride=2).collect()
+    ]
+    by_doc = {
+        d: sorted((i, m, h) for dd, i, m, h in keys if dd == d) for d in (1, 2)
+    }
+    assert by_doc[1] == by_doc[2] and len(by_doc[1]) == 3
+
+    cuts = {
+        r["doc_id"]: sorted(
+            (rr["frame_idx"], rr["mad"])
+            for rr in scene_changes(media, threshold=24).collect()
+            if rr["doc_id"] == r["doc_id"]
+        )
+        for r in media.select("doc_id").collect()
+    }
+    assert cuts[1] == cuts[2] == [(0, 0), (3, 190)]
