@@ -1420,12 +1420,162 @@ def _wav_decoder():
     1 (PCM: 8-bit unsigned re-centered by -128, 16-bit signed LE),
     3 (IEEE float32, scaled to the 16-bit grid by round(x*32767) and
     clamped — deterministic), 6/7 (G.711 A-law / mu-law, table-expanded
-    per the standard's piecewise-exponential segments — r07), and 0xFFFE
-    (WAVE_FORMAT_EXTENSIBLE, resolved through the SubFormat GUID's leading
-    tag). Any channel count (channels mix to mono by integer mean —
-    deterministic, like the pixel paths' mean luma).
+    per the standard's piecewise-exponential segments — r07), 2/0x11
+    (MS ADPCM / IMA ADPCM — the COMPRESSED audio paths, r07: 4-bit
+    block codecs decoded exactly in integer math, vectorized across
+    blocks×channels since blocks are independent; only the within-block
+    sample axis is sequential), and 0xFFFE (WAVE_FORMAT_EXTENSIBLE,
+    resolved through the SubFormat GUID's leading tag). Any channel
+    count (channels mix to mono by integer mean — deterministic, like
+    the pixel paths' mean luma). A `fact` chunk's dwSampleLength trims
+    the ADPCM tail (the final block is zero-padded by encoders).
     Chunk walking honors the spec's word alignment (odd-sized chunks pad
     one byte), so payloads with LIST/fact chunks before `data` parse."""
+    import numpy as np
+
+    # IMA ADPCM step/index tables (IMA ADPCM Reference, DVI/Intel)
+    _IMA_STEP = np.array(
+        [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+         37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+         157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+         544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+         1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+         4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+         12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+         29794, 32767],
+        dtype=np.int64,
+    )
+    _IMA_INDEX = np.array(
+        [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8],
+        dtype=np.int64,
+    )
+    # MS ADPCM built-in predictor pairs + delta adaptation table
+    _MS_COEF = np.array(
+        [[256, 0], [512, -256], [0, 0], [192, 64], [240, 0], [460, -208],
+         [392, -232]],
+        dtype=np.int64,
+    )
+    _MS_ADAPT = np.array(
+        [230, 230, 230, 230, 307, 409, 512, 614,
+         768, 614, 512, 409, 307, 230, 230, 230],
+        dtype=np.int64,
+    )
+
+    def _ima_adpcm(data: bytes, channels: int, block_align: int):
+        """IMA/DVI ADPCM -> (n_blocks*ch interleaved? no) exact int
+        samples, shape (n_blocks, ch, samples_per_block). Block layout:
+        per-channel 4-byte header (predictor int16, step index uint8,
+        reserved), then 4-bytes-per-channel nibble groups, LOW nibble
+        first. Vectorized across (blocks, channels)."""
+        ch, ba = channels, block_align
+        if ba < 4 * ch or (ba - 4 * ch) % (4 * ch) != 0:
+            return None
+        n_blocks = len(data) // ba
+        if n_blocks == 0:
+            return None
+        blocks = np.frombuffer(data, dtype=np.uint8, count=n_blocks * ba).reshape(
+            n_blocks, ba
+        )
+        hdrs = blocks[:, : 4 * ch].reshape(n_blocks, ch, 4)
+        pred = (
+            np.ascontiguousarray(hdrs[:, :, 0:2]).view("<i2")[:, :, 0]
+        ).astype(np.int64)
+        index = hdrs[:, :, 2].astype(np.int64)
+        if (index > 88).any():
+            return None  # out-of-range step index: malformed, not clampable
+        n_groups = (ba - 4 * ch) // (4 * ch)
+        out = np.empty((n_blocks, ch, 1 + n_groups * 8), dtype=np.int64)
+        out[:, :, 0] = pred
+        if n_groups:
+            grp = blocks[:, 4 * ch :].reshape(n_blocks, n_groups, ch, 4)
+            by = grp.transpose(0, 2, 1, 3).reshape(n_blocks, ch, -1)
+            nibs = np.stack([by & 0x0F, by >> 4], axis=-1).reshape(
+                n_blocks, ch, -1
+            ).astype(np.int64)
+            for t in range(n_groups * 8):
+                n = nibs[:, :, t]
+                step = _IMA_STEP[index]
+                diff = (
+                    (step >> 3)
+                    + np.where(n & 1, step >> 2, 0)
+                    + np.where(n & 2, step >> 1, 0)
+                    + np.where(n & 4, step, 0)
+                )
+                pred = np.clip(
+                    pred + np.where(n & 8, -diff, diff), -32768, 32767
+                )
+                index = np.clip(index + _IMA_INDEX[n], 0, 88)
+                out[:, :, t + 1] = pred
+        return out
+
+    def _ms_adpcm(data: bytes, channels: int, block_align: int, fmt: bytes):
+        """MS ADPCM -> exact int samples, shape (n_blocks, ch,
+        samples_per_block). Block header per channel: predictor index
+        byte, then iDelta/iSamp1/iSamp2 int16 each; nibbles HIGH-first,
+        channel-interleaved per sample. Coefficient pairs come from the
+        fmt extension when declared (wNumCoef + int16 pairs after
+        wSamplesPerBlock), else the 7 built-ins. Adaptation:
+        delta = max(16, (adapt[n] * delta) >> 8); predictor
+        ((s1*c1 + s2*c2) >> 8) + signed_nibble*delta, clamped —
+        arithmetic shifts (floor), the reference decoder convention."""
+        ch, ba = channels, block_align
+        coef = _MS_COEF
+        if len(fmt) >= 22:
+            ncoef = int.from_bytes(fmt[20:22], "little")
+            if ncoef > 0 and len(fmt) >= 22 + 4 * ncoef:
+                coef = (
+                    np.frombuffer(fmt, dtype="<i2", count=2 * ncoef, offset=22)
+                    .reshape(ncoef, 2)
+                    .astype(np.int64)
+                )
+        if ba < 7 * ch:
+            return None
+        n_nib = (ba - 7 * ch) * 2
+        if n_nib % ch != 0:
+            return None
+        n_blocks = len(data) // ba
+        if n_blocks == 0:
+            return None
+        blocks = np.frombuffer(data, dtype=np.uint8, count=n_blocks * ba).reshape(
+            n_blocks, ba
+        )
+        pidx = blocks[:, :ch].astype(np.int64)
+        if (pidx >= len(coef)).any():
+            return None
+        c1 = coef[pidx, 0]
+        c2 = coef[pidx, 1]
+
+        def i16col(off):  # per-channel int16 fields after the predictors
+            raw = blocks[:, off : off + 2 * ch]
+            return np.ascontiguousarray(raw).view("<i2").astype(np.int64)
+
+        delta = i16col(ch)
+        s1 = i16col(3 * ch)
+        s2 = i16col(5 * ch)
+        n_steps = n_nib // ch
+        out = np.empty((n_blocks, ch, 2 + n_steps), dtype=np.int64)
+        out[:, :, 0] = s2  # iSamp2 is the EARLIER sample
+        out[:, :, 1] = s1
+        if n_steps:
+            by = blocks[:, 7 * ch :]
+            nibs = (
+                np.stack([by >> 4, by & 0x0F], axis=-1)
+                .reshape(n_blocks, n_steps, ch)
+                .transpose(0, 2, 1)
+                .astype(np.int64)
+            )
+            for t in range(n_steps):
+                n = nibs[:, :, t]
+                signed = np.where(n >= 8, n - 16, n)
+                pred = np.clip(
+                    ((s1 * c1 + s2 * c2) >> 8) + signed * delta,
+                    -32768,
+                    32767,
+                )
+                s2, s1 = s1, pred
+                delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
+                out[:, :, t + 2] = pred
+        return out
 
     def decode_wav(payload: bytes):
         import numpy as np
@@ -1434,6 +1584,7 @@ def _wav_decoder():
             return None
         fmt = None
         data = None
+        fact_samples = None
         i, n = 12, len(payload)
         while i + 8 <= n:
             cid = payload[i : i + 4]
@@ -1445,6 +1596,8 @@ def _wav_decoder():
                 fmt = body
             elif cid == b"data":
                 data = body
+            elif cid == b"fact" and csize >= 4:
+                fact_samples = int.from_bytes(body[0:4], "little")
             i += 8 + csize + (csize & 1)  # word alignment
         if fmt is None or data is None or len(fmt) < 16:
             return None
@@ -1464,6 +1617,26 @@ def _wav_decoder():
         # overflow, so it degrades to the fake path instead
         if channels < 1 or not 0 < sample_rate < 2**31:
             return None
+        if format_tag in (2, 0x11) and bits == 4:
+            block_align = int.from_bytes(fmt[12:14], "little")
+            out = (
+                _ima_adpcm(data, channels, block_align)
+                if format_tag == 0x11
+                else _ms_adpcm(data, channels, block_align, fmt)
+            )
+            if out is None:
+                return None
+            # (n_blocks, ch, samples_per_block) -> integer-mean mono per
+            # frame (same floor-div mixdown as the PCM path), then the
+            # block axis flattens into the sample stream
+            mono = (out.sum(axis=1) // channels).reshape(-1)
+            if fact_samples is not None:
+                if fact_samples > mono.size:
+                    return None  # fact promises more than data holds
+                mono = mono[:fact_samples]
+            if mono.size == 0:
+                return None
+            return mono.astype(np.int32), sample_rate
         if format_tag == 1 and bits in (8, 16):
             width = bits // 8
         elif format_tag == 3 and bits == 32:

@@ -2382,3 +2382,233 @@ def test_scene_changes_and_keyframes_on_avi(spark):
         for r in media.select("doc_id").collect()
     }
     assert cuts[1] == cuts[2] == [(0, 0), (3, 190)]
+
+
+# --- ADPCM (r07): independent scalar reference decoders as oracles ---
+
+_IMA_STEP_REF = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_IDX_REF = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+_MS_COEF_REF = [(256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+                (460, -208), (392, -232)]
+_MS_ADAPT_REF = [230, 230, 230, 230, 307, 409, 512, 614,
+                 768, 614, 512, 409, 307, 230, 230, 230]
+
+
+def _ima_ref_block(block: bytes, ch: int) -> list[list[int]]:
+    """One IMA ADPCM block -> per-channel sample lists (classic branchy
+    per-nibble walk, independent of the vectorized implementation)."""
+    import struct
+
+    pred, idx, out = [], [], []
+    for c in range(ch):
+        p, i = struct.unpack_from("<hB", block, 4 * c)
+        pred.append(p)
+        idx.append(i)
+        out.append([p])
+    n_groups = (len(block) - 4 * ch) // (4 * ch)
+    for g in range(n_groups):
+        for c in range(ch):
+            off = 4 * ch + (g * ch + c) * 4
+            for byte in block[off : off + 4]:
+                for n in (byte & 0x0F, byte >> 4):  # LOW nibble first
+                    step = _IMA_STEP_REF[idx[c]]
+                    diff = step >> 3
+                    if n & 1:
+                        diff += step >> 2
+                    if n & 2:
+                        diff += step >> 1
+                    if n & 4:
+                        diff += step
+                    p = pred[c] - diff if n & 8 else pred[c] + diff
+                    pred[c] = max(-32768, min(32767, p))
+                    idx[c] = max(0, min(88, idx[c] + _IMA_IDX_REF[n]))
+                    out[c].append(pred[c])
+    return out
+
+
+def _ms_ref_block(block: bytes, ch: int, coefs) -> list[list[int]]:
+    """One MS ADPCM block -> per-channel sample lists (nibbles HIGH-first,
+    channel-interleaved per sample)."""
+    import struct
+
+    pidx = list(block[:ch])
+    delta = [struct.unpack_from("<h", block, ch + 2 * c)[0] for c in range(ch)]
+    s1 = [struct.unpack_from("<h", block, 3 * ch + 2 * c)[0] for c in range(ch)]
+    s2 = [struct.unpack_from("<h", block, 5 * ch + 2 * c)[0] for c in range(ch)]
+    out = [[s2[c], s1[c]] for c in range(ch)]
+    nibbles = []
+    for byte in block[7 * ch :]:
+        nibbles += [byte >> 4, byte & 0x0F]
+    for k, n in enumerate(nibbles):
+        c = k % ch
+        c1, c2 = coefs[pidx[c]]
+        signed = n - 16 if n >= 8 else n
+        p = ((s1[c] * c1 + s2[c] * c2) >> 8) + signed * delta[c]
+        p = max(-32768, min(32767, p))
+        s2[c], s1[c] = s1[c], p
+        delta[c] = max(16, (_MS_ADAPT_REF[n] * delta[c]) >> 8)
+        out[c].append(p)
+    return out
+
+
+def _mono_ref(per_block_channels: list[list[list[int]]], ch: int) -> list[int]:
+    """Floor-mean mixdown across channels, blocks concatenated — the
+    decode_wav output contract."""
+    mono = []
+    for chans in per_block_channels:
+        for t in range(len(chans[0])):
+            mono.append(sum(c[t] for c in chans) // ch)
+    return mono
+
+
+def _fmt_adpcm(tag, channels, rate, block_align, spb, coefs=None) -> bytes:
+    import struct
+
+    fmt = (
+        tag.to_bytes(2, "little") + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little") + rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+    )
+    if tag == 0x11:
+        fmt += (2).to_bytes(2, "little") + spb.to_bytes(2, "little")
+    elif coefs is not None:
+        ext = spb.to_bytes(2, "little") + len(coefs).to_bytes(2, "little")
+        ext += b"".join(struct.pack("<hh", a, b) for a, b in coefs)
+        fmt += len(ext).to_bytes(2, "little") + ext
+    return fmt
+
+
+def _ima_block(rng, ch: int, n_groups: int) -> bytes:
+    body = b""
+    for _ in range(ch):
+        body += int(rng.integers(-32768, 32768)).to_bytes(2, "little", signed=True)
+        body += bytes([int(rng.integers(0, 89)), 0])
+    return body + rng.integers(0, 256, n_groups * ch * 4, dtype="u1").tobytes()
+
+
+def _ms_block(rng, ch: int, n_data: int, ncoef: int) -> bytes:
+    import struct
+
+    body = bytes(int(rng.integers(0, ncoef)) for _ in range(ch))
+    for _ in range(3 * ch):  # iDelta, iSamp1, iSamp2 per channel
+        body += struct.pack("<h", int(rng.integers(-32768, 32768)))
+    return body + rng.integers(0, 256, n_data, dtype="u1").tobytes()
+
+
+def test_wav_ima_adpcm_exact():
+    """IMA ADPCM (tag 0x11): the vectorized across-blocks decode matches a
+    branchy per-nibble reference exactly — mono and stereo, multi-block;
+    an all-zero nibble stream at step index 0 holds the predictor."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    rng = np.random.default_rng(7)
+    for ch, n_groups, nb in ((1, 2, 3), (2, 1, 2), (1, 1, 1)):
+        ba = 4 * ch + n_groups * ch * 4
+        blocks = [_ima_block(rng, ch, n_groups) for _ in range(nb)]
+        spb = 1 + n_groups * 8
+        payload = _wav_raw(b"".join(blocks),
+                           _fmt_adpcm(0x11, ch, 22050, ba, spb))
+        got = decode(payload)
+        assert got is not None, (ch, n_groups, nb)
+        mono, rate = got
+        want = _mono_ref([_ima_ref_block(b, ch) for b in blocks], ch)
+        assert rate == 22050 and mono.tolist() == want
+
+    # deterministic pin: zero nibbles at index 0 (step 7 >> 3 = 0) hold
+    # the predictor; index walks down and stays clamped at 0
+    blk = (100).to_bytes(2, "little") + bytes([0, 0]) + bytes(4)
+    mono, _ = decode(_wav_raw(blk, _fmt_adpcm(0x11, 1, 8000, 8, 9)))
+    assert mono.tolist() == [100] * 9
+
+
+def test_wav_ms_adpcm_exact():
+    """MS ADPCM (tag 2): vectorized decode matches the reference with the
+    7 built-in coefficient pairs (no fmt extension) AND with custom pairs
+    declared in the extension; stereo interleave HIGH-nibble-first."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    rng = np.random.default_rng(11)
+    for ch, n_data, nb, coefs in (
+        (1, 4, 3, None),                      # built-ins
+        (2, 6, 2, None),
+        (1, 2, 2, [(300, -100), (256, 0)]),   # custom pairs via extension
+    ):
+        table = coefs or _MS_COEF_REF
+        ba = 7 * ch + n_data
+        blocks = [_ms_block(rng, ch, n_data, len(table)) for _ in range(nb)]
+        spb = 2 + n_data * 2 // ch
+        payload = _wav_raw(
+            b"".join(blocks), _fmt_adpcm(2, ch, 11025, ba, spb, coefs=coefs)
+        )
+        got = decode(payload)
+        assert got is not None, (ch, n_data, nb)
+        mono, rate = got
+        want = _mono_ref([_ms_ref_block(b, ch, table) for b in blocks], ch)
+        assert rate == 11025 and mono.tolist() == want
+
+
+def test_wav_adpcm_fact_trim_and_malformed():
+    """A fact chunk trims the zero-padded final-block tail; out-of-range
+    step indexes / predictor indexes and impossible block geometry reject
+    (None -> deterministic fake path, never a wrong decode)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    rng = np.random.default_rng(3)
+    blk = _ima_block(rng, 1, 1)
+    fmt = _fmt_adpcm(0x11, 1, 8000, 8, 9)
+
+    def with_fact(body, fmt, n):
+        chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        chunks += b"fact" + (4).to_bytes(4, "little") + n.to_bytes(4, "little")
+        chunks += b"data" + len(body).to_bytes(4, "little") + body
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    full = decode(_wav_raw(blk, fmt))[0]
+    assert len(full) == 9
+    trimmed = decode(with_fact(blk, fmt, 5))[0]
+    assert trimmed.tolist() == full.tolist()[:5]
+    assert decode(with_fact(blk, fmt, 10)) is None  # fact > decoded length
+
+    bad_idx = blk[:2] + bytes([89, 0]) + blk[4:]  # step index out of range
+    assert decode(_wav_raw(bad_idx, fmt)) is None
+    # IMA block geometry must be whole 4-byte-per-channel groups
+    assert decode(_wav_raw(blk + b"\0\0", _fmt_adpcm(0x11, 1, 8000, 10, 9))) is None
+    # MS predictor index beyond the coefficient table
+    ms = bytes([7]) + _ms_block(rng, 1, 2, 7)[1:]
+    assert decode(_wav_raw(ms, _fmt_adpcm(2, 1, 8000, 9, 6))) is None
+    # data shorter than one block
+    assert decode(_wav_raw(blk[:4], fmt)) is None
+
+
+def test_audio_features_adpcm_end_to_end(spark):
+    """audio_features over an IMA ADPCM payload rides the real decode path
+    (sample_rate lands non-zero, n_samples matches the block geometry)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import audio_features
+
+    rng = np.random.default_rng(5)
+    blocks = [_ima_block(rng, 1, 2) for _ in range(2)]
+    wav = _wav_raw(b"".join(blocks), _fmt_adpcm(0x11, 1, 16000, 12, 17))
+    media = spark.createDataFrame(
+        [(1, wav, "audio/adpcm")], "doc_id long, content binary, media_type string"
+    )
+    row = audio_features(media).collect()[0]
+    assert row["sample_rate"] == 16000 and row["n_samples"] == 34
