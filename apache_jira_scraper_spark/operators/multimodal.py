@@ -992,12 +992,79 @@ def _pixel_decoder():
         return (rgb_sum // 3).astype(np.uint8)
 
     def _decode_tiff(payload: bytes):
-        """Baseline uncompressed TIFF (both byte orders, first IFD):
-        8-bit grayscale (PhotometricInterpretation 0/1, MinIsWhite
-        inverted) or 8-bit-per-channel RGB (chunky planar config), strip
-        layout via StripOffsets/StripByteCounts. LZW/JPEG-compressed,
-        tiled, paletted and non-8-bit TIFFs return None -> fake path."""
+        """TIFF (both byte orders, first IFD): 8-bit grayscale
+        (PhotometricInterpretation 0/1, MinIsWhite inverted) or
+        8-bit-per-channel RGB (chunky planar config), strip layout via
+        StripOffsets/StripByteCounts. Compressions (r07): 1 (none),
+        5 (TIFF LZW — MSB-first packing, EARLY width change when the
+        table reaches 2^width - 1, the libtiff convention), 8/32946
+        (zlib Deflate), 32773 (PackBits RLE); Predictor 2 (horizontal
+        differencing) undone as a per-row cumsum. JPEG-in-TIFF, tiled,
+        paletted and non-8-bit TIFFs return None -> fake path."""
         import numpy as np
+        import zlib
+
+        def packbits(src: bytes):
+            out = bytearray()
+            i, m = 0, len(src)
+            while i < m:
+                b = src[i]
+                i += 1
+                if b < 128:  # literal run of b+1 bytes
+                    if m - i < b + 1:
+                        return None
+                    out += src[i : i + b + 1]
+                    i += b + 1
+                elif b > 128:  # repeat next byte 257-b times
+                    if i >= m:
+                        return None
+                    out += src[i : i + 1] * (257 - b)
+                    i += 1
+                # 128 is a spec'd no-op
+            return bytes(out)
+
+        def tiff_lzw(src: bytes):
+            CLEAR, EOI = 256, 257
+            base = [bytes([i]) for i in range(256)] + [b"", b""]
+            table = list(base)
+            width, prev = 9, None
+            out = bytearray()
+            bitbuf = nbits = pos = 0
+            m = len(src)
+            while True:
+                while nbits < width and pos < m:
+                    bitbuf = (bitbuf << 8) | src[pos]
+                    pos += 1
+                    nbits += 8
+                if nbits < width:
+                    break  # stream exhausted without EOI — accept
+                nbits -= width
+                code = (bitbuf >> nbits) & ((1 << width) - 1)
+                if code == EOI:
+                    break
+                if code == CLEAR:
+                    table = list(base)
+                    width, prev = 9, None
+                    continue
+                if prev is None:
+                    if code >= 256:
+                        return None  # first code after clear must be literal
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                    elif code == len(table):  # the KwKwK case
+                        entry = prev + prev[:1]
+                    else:
+                        return None
+                    table.append(prev + entry[:1])
+                    # EARLY change: next code widens one entry sooner
+                    # than GIF (at 511/1023/2047, width capped at 12)
+                    if len(table) == (1 << width) - 1 and width < 12:
+                        width += 1
+                out += entry
+                prev = entry
+            return bytes(out)
 
         if payload[:4] == b"II*\x00":
             bo = "little"
@@ -1045,11 +1112,13 @@ def _pixel_decoder():
         offsets = tags.get(273)
         counts = tags.get(279)
         rows_per_strip = one(278, h or 0)
+        predictor = one(317, 1)
         if (
             not w
             or not h
-            or comp != 1
+            or comp not in (1, 5, 8, 32773, 32946)
             or planar != 1
+            or predictor not in (1, 2)
             or photo not in (0, 1, 2)
             or offsets is None
             or any(b != 8 for b in bps)
@@ -1065,15 +1134,29 @@ def _pixel_decoder():
         for so, sc in zip(offsets, counts):
             strip_rows = min(rows_per_strip, rows_left)
             need = strip_rows * row_bytes
-            if sc < need or so + need > n:
+            if so + sc > n:
                 return None
-            raw += payload[so : so + need]  # per-strip slack bytes dropped
+            body = payload[so : so + sc]
+            if comp in (8, 32946):
+                try:
+                    body = zlib.decompress(body)
+                except zlib.error:
+                    return None
+            elif comp == 32773:
+                body = packbits(body)
+            elif comp == 5:
+                body = tiff_lzw(body)
+            if body is None or len(body) < need:
+                return None
+            raw += body[:need]  # per-strip slack bytes dropped
             rows_left -= strip_rows
             if rows_left <= 0:
                 break
         if rows_left > 0:
             return None
         px = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing: per-row, per-channel
+            px = (px.astype(np.int64).cumsum(axis=1) & 0xFF).astype(np.uint8)
         if spp == 3:
             gray = (
                 px[:, :, 0].astype(np.uint16) + px[:, :, 1] + px[:, :, 2]

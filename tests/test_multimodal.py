@@ -1548,9 +1548,86 @@ def test_wav_float32_and_extensible():
     assert decode(_wav_raw(all_bytes := bytes(8), _fmt(7, bits=16))) is None and all_bytes
 
 
-def _tiff(img, byte_order="<", photometric=None, rows_per_strip=None) -> bytes:
-    """Minimal uncompressed TIFF writer: gray (h, w) or RGB (h, w, 3),
-    strip layout, optional MinIsWhite, either byte order."""
+def _packbits_encode(data: bytes) -> bytes:
+    """Reference PackBits compressor: repeat runs >= 2 as (257-run, byte),
+    literal stretches chunked at 128."""
+    out = bytearray()
+    i, m = 0, len(data)
+    while i < m:
+        run = 1
+        while i + run < m and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+        else:
+            j = i + 1
+            while j < m and (j - i) < 128 and not (
+                j + 1 < m and data[j] == data[j + 1]
+            ):
+                j += 1
+            out.append(j - i - 1)
+            out += data[i:j]
+            i = j
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW compressor with SPEC width assignment: the decoder's table
+    grows one entry per data code after the first, and the width widens
+    EARLY — when the table reaches 2^width - 1 (511/1023/2047, libtiff
+    convention). MSB-first bit packing."""
+    CLEAR, EOI = 256, 257
+    dic = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    dec_len = 258
+    emitted = 0
+    codes = [(CLEAR, 9)]
+
+    def emit(code):
+        nonlocal dec_len, width, emitted
+        codes.append((code, width))
+        emitted += 1
+        if emitted >= 2:  # decoder appends from its second data code on
+            dec_len += 1
+            if dec_len == (1 << width) - 1 and width < 12:
+                width += 1
+
+    cur = b""
+    for byte in data:
+        nxt = cur + bytes([byte])
+        if nxt in dic:
+            cur = nxt
+        else:
+            emit(dic[cur])
+            dic[nxt] = next_code
+            next_code += 1
+            cur = bytes([byte])
+    if cur:
+        emit(dic[cur])
+    codes.append((EOI, width))
+    buf = nb = 0
+    out = bytearray()
+    for code, wd in codes:
+        buf = (buf << wd) | code
+        nb += wd
+        while nb >= 8:
+            nb -= 8
+            out.append((buf >> nb) & 0xFF)
+    if nb:
+        out.append((buf << (8 - nb)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff(img, byte_order="<", photometric=None, rows_per_strip=None,
+          compression=1, predictor=1) -> bytes:
+    """Minimal TIFF writer: gray (h, w) or RGB (h, w, 3), strip layout,
+    optional MinIsWhite, either byte order; compression 1/5/8/32773 with
+    optional horizontal-differencing predictor."""
+    import zlib
+
     import numpy as np
 
     img = np.asarray(img, dtype=np.uint8)
@@ -1568,14 +1645,27 @@ def _tiff(img, byte_order="<", photometric=None, rows_per_strip=None) -> bytes:
     def u4(v):
         return int(v).to_bytes(4, "big" if big else "little")
 
-    strips = [img[y : y + rps].tobytes() for y in range(0, h, rps)]
+    stored = img
+    if predictor == 2:
+        d = img.astype(np.int64)
+        d[:, 1:] -= img.astype(np.int64)[:, :-1]
+        stored = (d & 0xFF).astype(np.uint8)
+    pack = {
+        1: lambda b: b,
+        5: _tiff_lzw_encode,
+        8: zlib.compress,
+        32773: _packbits_encode,
+    }[compression]
+    strips = [pack(stored[y : y + rps].tobytes()) for y in range(0, h, rps)]
     n_strips = len(strips)
     hdr = b"MM\x00*" if big else b"II*\x00"
     tags = [
         (256, 3, 1, w), (257, 3, 1, h), (258, 3, spp, [8] * spp),
-        (259, 3, 1, 1), (262, 3, 1, photometric), (277, 3, 1, spp),
+        (259, 3, 1, compression), (262, 3, 1, photometric), (277, 3, 1, spp),
         (278, 3, 1, rps),
     ]
+    if predictor != 1:
+        tags.append((317, 3, 1, predictor))
     # strip offsets/counts resolved after we know the data base
     ifd_off = 8
     n_tags = len(tags) + 2
@@ -2612,3 +2702,55 @@ def test_audio_features_adpcm_end_to_end(spark):
     )
     row = audio_features(media).collect()[0]
     assert row["sample_rate"] == 16000 and row["n_samples"] == 34
+
+
+def test_tiff_compressed_exact_pixels():
+    """TIFF compression (r07): PackBits, Deflate and TIFF-LZW strips — with
+    and without the horizontal predictor, gray and RGB, multi-strip — all
+    decode to exact pixels. The LZW image is big enough to cross the 511
+    and 1023 table sizes, pinning the EARLY width change."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(13)
+    gray = rng.integers(0, 256, (40, 60), dtype=np.uint8)  # ~2400 LZW codes
+    rgb = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    want_rgb = (
+        (rgb[:, :, 0].astype(np.uint16) + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+    ).astype(np.uint8)
+    flat = np.tile(np.arange(8, dtype=np.uint8) * 31, (5, 3))  # RLE-friendly
+    for comp in (5, 8, 32773):
+        for pred in (1, 2):
+            got = decode(_tiff(gray, compression=comp, predictor=pred))
+            assert got is not None and (got == gray).all(), (comp, pred)
+            got = decode(_tiff(rgb, compression=comp, predictor=pred))
+            assert (got == want_rgb).all(), (comp, pred)
+        # multi-strip: each strip compresses independently
+        got = decode(_tiff(gray, compression=comp, rows_per_strip=7))
+        assert (got == gray).all(), comp
+        got = decode(_tiff(flat, compression=comp, predictor=2))
+        assert (got == flat).all(), comp
+
+
+def test_tiff_compressed_rejects_malformed():
+    """Corrupt deflate strips, short LZW streams and bad predictors reject
+    rather than mis-decode."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = _tiff(img, compression=8)
+    bad = bytearray(good)
+    bad[-10:] = bytes(10)  # stomp the deflate stream tail
+    assert decode(bytes(bad)) is None
+    short = _tiff(img, compression=5)
+    assert decode(short[:-6]) is None  # truncated LZW -> short strip
+    # unknown compression scheme
+    weird = bytearray(_tiff(img))
+    ix = weird.find((259).to_bytes(2, "little"))
+    weird[ix + 8] = 99  # compression tag value -> 99
+    assert decode(bytes(weird)) is None
