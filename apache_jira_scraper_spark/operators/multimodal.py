@@ -9,15 +9,20 @@ codec-free payloads — netpbm (binary P5/P6, ASCII P2/P3), BMP
 (BI_RGB 8/24/32-bit), PNG at 8/16-bit incl. palette and Adam7 interlace
 (stdlib zlib inflate + numpy scanline unfilter — r07), GIF
 (pure-Python variable-width LZW,
-interlace + deferred-clear — r07), baseline JPEG (canonical Huffman +
-numpy-vectorized dequant/IDCT, restart intervals, 4:4:4/4:2:0/4:2:2 —
-r07), uncompressed strip TIFF (both byte orders — r07), RIFF/WAVE audio
-(PCM 8/16-bit, IEEE float32, G.711 mu-law/A-law, EXTENSIBLE wrapping, any
-channel count), and YUV4MPEG2
-video (luma-plane keyframes) — get a REAL pure-numpy header+plane decode
-inside the Arrow batches (_pixel_decoder / _wav_decoder / _y4m_decoder —
-pytest pins exact known pixels/samples/frames); the remaining codec
-formats (MP3/AAC, inter-frame video) stay stubbed
+interlace + deferred-clear — r07), baseline AND progressive JPEG
+(canonical Huffman + numpy-vectorized dequant/IDCT, restart intervals,
+4:4:4/4:2:0/4:2:2, spectral selection + successive approximation — r07),
+strip TIFF (both byte orders; uncompressed, PackBits, Deflate, TIFF-LZW,
+horizontal predictor — r07), RIFF/WAVE audio (PCM 8/16-bit, IEEE
+float32, G.711 mu-law/A-law, IMA + MS ADPCM block codecs, EXTENSIBLE
+wrapping, any channel count — r07), YUV4MPEG2 video (luma-plane
+keyframes), and Motion-JPEG in AVI (RIFF walk + per-frame JPEG
+decode — r07) — get a REAL pure-numpy header+plane decode
+inside the Arrow batches (_pixel_decoder / _wav_decoder /
+_video_decoder — pytest pins exact known pixels/samples/frames against
+independent scalar references); the remaining codec formats (MP3/AAC,
+inter-frame video like H.26x/VPx) genuinely need a codec library and
+stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
 everything Spark-level — schema, batching, partitioning, UDF signatures —
 is real and tested.
