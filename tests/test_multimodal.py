@@ -2754,3 +2754,86 @@ def test_tiff_compressed_rejects_malformed():
     ix = weird.find((259).to_bytes(2, "little"))
     weird[ix + 8] = 99  # compression tag value -> 99
     assert decode(bytes(weird)) is None
+
+
+def test_adpcm_roundtrip_property():
+    """Property check: for ANY block geometry and byte content, the
+    vectorized IMA/MS decoders agree with the branchy scalar references
+    exactly (multi-block, 1-3 channels, random headers within legal
+    ranges)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        ch=st.integers(1, 3),
+        n_groups=st.integers(0, 3),
+        nb=st.integers(1, 3),
+        ms_data_words=st.integers(0, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(ch, n_groups, nb, ms_data_words, seed):
+        rng = np.random.default_rng(seed)
+        # IMA
+        ba = 4 * ch + n_groups * ch * 4
+        blocks = [_ima_block(rng, ch, n_groups) for _ in range(nb)]
+        spb = 1 + n_groups * 8
+        got = decode(_wav_raw(b"".join(blocks), _fmt_adpcm(0x11, ch, 8000, ba, spb)))
+        assert got is not None
+        want = _mono_ref([_ima_ref_block(b, ch) for b in blocks], ch)
+        assert got[0].tolist() == want
+        # MS (data region must hold whole per-sample channel rounds)
+        n_data = ms_data_words * ch  # bytes; 2 nibbles/byte keeps ch-divisible
+        ba2 = 7 * ch + n_data
+        blocks2 = [_ms_block(rng, ch, n_data, 7) for _ in range(nb)]
+        spb2 = 2 + n_data * 2 // ch
+        got2 = decode(
+            _wav_raw(b"".join(blocks2), _fmt_adpcm(2, ch, 8000, ba2, spb2))
+        )
+        assert got2 is not None
+        want2 = _mono_ref([_ms_ref_block(b, ch, _MS_COEF_REF) for b in blocks2], ch)
+        assert got2[0].tolist() == want2
+
+    check()
+
+
+def test_avi_mjpeg_roundtrip_property():
+    """Property check: random constant-tile frame stacks survive the AVI
+    container walk exactly (unit-quant JPEG per frame decodes losslessly
+    for 8x8-constant content), any frame count / dims multiple of 8."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _video_decoder
+
+    decode = _video_decoder()
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        bw=st.integers(1, 3),
+        bh=st.integers(1, 3),
+        n=st.integers(1, 5),
+        num=st.integers(1, 60),
+        rec=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(bw, bh, n, num, rec, seed):
+        rng = np.random.default_rng(seed)
+        tiles = rng.integers(0, 256, (n, bh, bw), dtype=np.uint8)
+        frames = np.repeat(np.repeat(tiles, 8, axis=1), 8, axis=2)
+        payload = _avi_mjpeg(
+            [_jpeg_encode(f) for f in frames], fps=(num, 1), rec_group=rec
+        )
+        got = decode(payload)
+        assert got is not None
+        luma, fps_ppm = got
+        assert fps_ppm == num * 1_000_000
+        assert luma.shape == frames.shape and (luma == frames).all()
+
+    check()
