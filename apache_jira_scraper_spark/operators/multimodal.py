@@ -274,10 +274,17 @@ def _pixel_decoder():
             i += 12 + clen
         if w == -1 or not idat or not saw_end:
             return None
+        # bounded inflate: any legal layout (incl. Adam7's per-pass filter
+        # bytes) fits under rows*(1+stride) with room to spare — a
+        # decompression bomb must not allocate past it (r07 hardening)
+        rb_full = (w * channels * bit_depth + 7) // 8
+        bound = (2 * h + 14) * (1 + rb_full)
         try:
-            raw = zlib.decompress(bytes(idat))
+            raw = zlib.decompressobj().decompress(bytes(idat), bound + 1)
         except zlib.error:
             return None
+        if len(raw) > bound:
+            return None  # inflates past any legal plane layout
         sample_bytes = bit_depth // 8
         bpp = channels * sample_bytes
 
@@ -1009,10 +1016,10 @@ def _pixel_decoder():
         import numpy as np
         import zlib
 
-        def packbits(src: bytes):
+        def packbits(src: bytes, max_out: int):
             out = bytearray()
             i, m = 0, len(src)
-            while i < m:
+            while i < m and len(out) <= max_out:
                 b = src[i]
                 i += 1
                 if b < 128:  # literal run of b+1 bytes
@@ -1028,7 +1035,7 @@ def _pixel_decoder():
                 # 128 is a spec'd no-op
             return bytes(out)
 
-        def tiff_lzw(src: bytes):
+        def tiff_lzw(src: bytes, max_out: int):
             CLEAR, EOI = 256, 257
             base = [bytes([i]) for i in range(256)] + [b"", b""]
             table = list(base)
@@ -1069,6 +1076,9 @@ def _pixel_decoder():
                         width += 1
                 out += entry
                 prev = entry
+                if len(out) > max_out:
+                    break  # expansion bomb: a strip never legally
+                    # exceeds its row span; caller length-checks
             return bytes(out)
 
         if payload[:4] == b"II*\x00":
@@ -1121,6 +1131,7 @@ def _pixel_decoder():
         if (
             not w
             or not h
+            or not rows_per_strip  # 0 would unbound the inflate cap
             or comp not in (1, 5, 8, 32773, 32946)
             or planar != 1
             or predictor not in (1, 2)
@@ -1144,13 +1155,15 @@ def _pixel_decoder():
             body = payload[so : so + sc]
             if comp in (8, 32946):
                 try:
-                    body = zlib.decompress(body)
+                    # bounded inflate (r07): a strip never legally holds
+                    # more than its row span — bombs stop at the cap
+                    body = zlib.decompressobj().decompress(body, need)
                 except zlib.error:
                     return None
             elif comp == 32773:
-                body = packbits(body)
+                body = packbits(body, need)
             elif comp == 5:
-                body = tiff_lzw(body)
+                body = tiff_lzw(body, need)
             if body is None or len(body) < need:
                 return None
             raw += body[:need]  # per-strip slack bytes dropped
@@ -1962,7 +1975,10 @@ def _video_decoder():
         frames_raw = []  # (offset, size) of '##dc'/'##db' chunk bodies
         hdr = {"fps_ppm": 0, "usec": 0}
 
-        def walk(lo, hi, in_movi):
+        def walk(lo, hi, in_movi, depth=0):
+            if depth > 8:
+                return False  # real AVIs nest <= 3; don't let a crafted
+                # LIST tower recurse past the interpreter limit
             i = lo
             while i + 8 <= hi:
                 cid = payload[i : i + 4]
@@ -1973,7 +1989,7 @@ def _video_decoder():
                 if cid == b"LIST" and csize >= 4:
                     ltype = payload[body : body + 4]
                     if not walk(body + 4, body + csize,
-                                in_movi or ltype == b"movi"):
+                                in_movi or ltype == b"movi", depth + 1):
                         return False
                 elif cid == b"strh" and csize >= 28:
                     # first video stream header wins; dwScale at +20,
@@ -1984,7 +2000,13 @@ def _video_decoder():
                             hdr["fps_ppm"] = rate * 1_000_000 // scale
                 elif cid == b"avih" and csize >= 4 and not hdr["usec"]:
                     hdr["usec"] = u32(body)  # dwMicroSecPerFrame
-                elif in_movi and cid[:2].isdigit() and cid[2:4] in (b"dc", b"db"):
+                elif (
+                    in_movi
+                    and cid[2:4] in (b"dc", b"db")
+                    # stream numbers are two ASCII HEX digits ('0adc' is
+                    # stream 10's video chunk), not just decimal
+                    and all(c in b"0123456789abcdefABCDEF" for c in cid[:2])
+                ):
                     frames_raw.append((body, csize))
                 i = body + csize + (csize & 1)  # RIFF word alignment
             return True

@@ -2837,3 +2837,85 @@ def test_avi_mjpeg_roundtrip_property():
         assert luma.shape == frames.shape and (luma == frames).all()
 
     check()
+
+
+def test_decompression_bombs_reject_bounded():
+    """Hardening (r07): a stream that inflates far past the declared plane
+    must stop at the size cap instead of allocating the expansion. PNG
+    rejects (IDAT must match the plane layout); TIFF strips are
+    slack-tolerant by spec, so the bomb decodes to the declared pixels
+    with only `need` bytes ever materialized."""
+    import zlib
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    blob = bytes(20_000_000)  # 20 MB of zeros -> ~20 kB deflated
+
+    # PNG declaring 1x1 but shipping the bomb as IDAT
+    def png_chunk(typ, body):
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = (1).to_bytes(4, "big") + (1).to_bytes(4, "big") + bytes([8, 0, 0, 0, 0])
+    bomb_png = (
+        b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(blob))
+        + png_chunk(b"IEND", b"")
+    )
+    assert decode(bomb_png) is None
+
+    img = np.zeros((1, 1), dtype=np.uint8)
+    base = _tiff(img, compression=8)
+    deflate_strip = zlib.compress(b"\0") + b""  # locate and swap the strip
+
+    def swap_strip(tif: bytes, old: bytes, new: bytes) -> bytes:
+        ix = tif.rindex(old)
+        out = bytearray(tif[:ix] + new + tif[ix + len(old) :])
+        # fix StripByteCounts (tag 279, LONG, count 1 -> inline value)
+        tix = out.find((279).to_bytes(2, "little"))
+        out[tix + 8 : tix + 12] = len(new).to_bytes(4, "little")
+        return bytes(out)
+
+    got = decode(swap_strip(base, zlib.compress(b"\0"), zlib.compress(blob)))
+    assert got is not None and (got == img).all()
+    base_pb = _tiff(img, compression=32773)
+    got = decode(swap_strip(base_pb, _packbits_encode(b"\0"),
+                            _packbits_encode(blob)))
+    assert got is not None and (got == img).all()
+    base_lzw = _tiff(img, compression=5)
+    got = decode(swap_strip(base_lzw, _tiff_lzw_encode(b"\0"),
+                            _tiff_lzw_encode(blob)))
+    assert got is not None and (got == img).all()
+
+
+def test_avi_walk_depth_capped_and_hex_streams():
+    """A crafted tower of nested LIST chunks must reject at the depth cap
+    (not RecursionError the Arrow batch); hex stream numbers ('0adc')
+    count as video chunks."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _video_decoder
+
+    decode = _video_decoder()
+    inner = b""
+    for _ in range(2000):  # LIST tower, ~24 kB
+        inner = b"LIST" + (len(inner) + 4).to_bytes(4, "little") + b"hdrl" + inner
+    tower = b"RIFF" + (len(inner) + 4).to_bytes(4, "little") + b"AVI " + inner
+    assert decode(tower) is None  # no RecursionError
+
+    frame = _jpeg_encode(np.full((8, 8), 42, dtype=np.uint8))
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    movi = chunk(b"LIST", b"movi" + chunk(b"0adc", frame))
+    payload = b"RIFF" + (len(movi) + 4).to_bytes(4, "little") + b"AVI " + movi
+    got = decode(payload)
+    assert got is not None and got[0].shape == (1, 8, 8) and (got[0] == 42).all()
