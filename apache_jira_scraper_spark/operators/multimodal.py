@@ -112,10 +112,11 @@ def _pixel_decoder():
     (16-bit planes return None -> fake fallback)."""
 
     def _decode_bmp(payload: bytes):
-        """Uncompressed BMP (BI_RGB, 8-bit palette, 24-bit BGR or 32-bit
-        BGRx, BITMAPINFOHEADER or the V4/V5 extensions) -> (h, w) uint8
-        gray. Rows are 4-byte aligned and stored bottom-up unless height is
-        negative. Anything else (1/4/16 bpp, RLE, core header) -> None."""
+        """BMP (BI_RGB uncompressed: 8-bit palette, 24-bit BGR or 32-bit
+        BGRx; BI_RLE8 run-length 8-bit palette — r07; BITMAPINFOHEADER or
+        the V4/V5 extensions) -> (h, w) uint8 gray. Rows are 4-byte
+        aligned and stored bottom-up unless height is negative.
+        Anything else (1/4/16 bpp, RLE4, core header) -> None."""
         import numpy as np
 
         if len(payload) < 54 or payload[:2] != b"BM":
@@ -131,16 +132,58 @@ def _pixel_decoder():
         compression = int.from_bytes(payload[30:34], "little")
         top_down = h < 0
         h = abs(h)
-        if w <= 0 or h == 0 or planes != 1 or compression != 0 or bpp not in (8, 24, 32):
+        if w <= 0 or h == 0 or planes != 1 or bpp not in (8, 24, 32):
             return None
-        stride = ((bpp * w + 31) // 32) * 4
-        if data_off + stride * h > len(payload) or data_off < 14 + hdr_size:
+        if compression == 1 and bpp == 8 and not top_down:
+            # BI_RLE8: (count, index) runs; count 0 escapes to
+            # end-of-line (0), end-of-bitmap (1), delta (2: dx, dy —
+            # skipped cells stay index 0), or absolute mode (3..255
+            # literal indexes, word-padded). Bottom-up only, per spec.
+            rows = np.zeros((h, w), dtype=np.uint8)
+            i, m = data_off, len(payload)
+            x, y = 0, 0
+            while True:
+                if i + 2 > m:
+                    return None  # ran out before end-of-bitmap
+                cnt, val = payload[i], payload[i + 1]
+                i += 2
+                if cnt > 0:  # encoded run, clipped at the row edge
+                    if y >= h:
+                        return None  # writing past the declared height
+                    end = min(x + cnt, w)
+                    rows[y, x:end] = val
+                    x = end
+                elif val == 0:  # end of line
+                    x, y = 0, y + 1
+                elif val == 1:  # end of bitmap
+                    break
+                elif val == 2:  # delta
+                    if i + 2 > m:
+                        return None
+                    x = min(x + payload[i], w)
+                    y += payload[i + 1]
+                    i += 2
+                else:  # absolute mode: val literal bytes, word-aligned
+                    if i + val > m or y >= h:
+                        return None
+                    end = min(x + val, w)
+                    rows[y, x:end] = np.frombuffer(
+                        payload, dtype=np.uint8, count=end - x, offset=i
+                    )
+                    x = end
+                    i += val + (val & 1)
+            rows = rows[::-1]  # bottom-up storage order
+        elif compression == 0:
+            stride = ((bpp * w + 31) // 32) * 4
+            if data_off + stride * h > len(payload) or data_off < 14 + hdr_size:
+                return None
+            rows = np.frombuffer(
+                payload, dtype=np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)
+            if not top_down:
+                rows = rows[::-1]
+        else:
             return None
-        rows = np.frombuffer(
-            payload, dtype=np.uint8, count=stride * h, offset=data_off
-        ).reshape(h, stride)
-        if not top_down:
-            rows = rows[::-1]
         if bpp in (24, 32):
             nb = bpp // 8
             bgr = rows[:, : nb * w].reshape(h, w, nb).astype(np.uint16)
@@ -1785,8 +1828,9 @@ def _wav_decoder():
 
 def audio_features(media: DataFrame) -> DataFrame:
     """Arrow-batched audio feature extraction over the binary column —
-    the audio analog of decode_features: REAL sample decode for PCM WAV
-    payloads (_wav_decoder), deterministic fake for everything else
+    the audio analog of decode_features: REAL sample decode for WAV
+    payloads (_wav_decoder — PCM, float32, G.711, IMA/MS ADPCM),
+    deterministic fake for everything else
     (payload bytes as unsigned 8-bit samples, sample_rate 0 marks the
     fake path so downstream filters can separate real audio rows).
 

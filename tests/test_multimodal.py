@@ -2919,3 +2919,83 @@ def test_avi_walk_depth_capped_and_hex_streams():
     payload = b"RIFF" + (len(movi) + 4).to_bytes(4, "little") + b"AVI " + movi
     got = decode(payload)
     assert got is not None and got[0].shape == (1, 8, 8) and (got[0] == 42).all()
+
+
+def _bmp_rle8(idx, palette_rgb, use_absolute=False, delta=None) -> bytes:
+    """8-bit RLE BMP from an (h, w) index array: simple per-row run
+    encoding (bottom-up storage), optional absolute-mode stretches and an
+    optional (dx, dy) delta escape injected at the stream start (skipped
+    cells hold index 0)."""
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape
+    n_pal = len(palette_rgb)
+    pal = np.zeros((n_pal, 4), dtype=np.uint8)
+    pal[:, :3] = np.asarray(palette_rgb, dtype=np.uint8)[:, ::-1]
+    stream = bytearray()
+    if delta is not None:
+        stream += bytes([0, 2, delta[0], delta[1]])
+    for sy, row in enumerate(idx[::-1]):  # bottom-up line order
+        if delta is not None and sy < delta[1]:
+            continue  # rows the delta jumped over are never encoded
+        x = 0
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            if use_absolute and run < 3 and w - x >= 3:
+                seg = min(255, w - x)
+                stream += bytes([0, seg]) + row[x : x + seg].tobytes()
+                if seg & 1:
+                    stream += b"\0"  # absolute mode pads to a word
+                x += seg
+            else:
+                stream += bytes([run, row[x]])
+                x += run
+        stream += bytes([0, 0])  # end of line
+    stream += bytes([0, 1])  # end of bitmap
+    data_off = 14 + 40 + 4 * n_pal
+    size = data_off + len(stream)
+    header = (
+        b"BM" + size.to_bytes(4, "little") + b"\0\0\0\0"
+        + data_off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        + (1).to_bytes(4, "little") + len(stream).to_bytes(4, "little")
+        + b"\0" * 8 + n_pal.to_bytes(4, "little") + b"\0" * 4
+    )
+    return header + pal.tobytes() + bytes(stream)
+
+
+def test_bmp_rle8_exact_pixels():
+    """BI_RLE8 (r07): run, absolute and delta escapes all reproduce the
+    exact palette-gray grid; truncated streams reject."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    pal = [(0, 0, 0), (30, 60, 90), (255, 255, 255), (10, 20, 40)]
+    gray = np.array([(r + g + b) // 3 for r, g, b in pal], dtype=np.uint8)
+    rng = np.random.default_rng(17)
+    idx = rng.integers(0, 4, (6, 11), dtype=np.uint8)
+    idx[2, :] = 3  # a full-row run
+    got = decode(_bmp_rle8(idx, pal))
+    assert got is not None and (got == gray[idx]).all()
+    got_abs = decode(_bmp_rle8(idx, pal, use_absolute=True))
+    assert (got_abs == gray[idx]).all()
+
+    # delta escape: jump (3, 2) from the stream start — the skipped rows
+    # and the left margin of the landing row stay palette index 0
+    small = np.ones((4, 5), dtype=np.uint8) * 2
+    want = np.zeros((4, 5), dtype=np.uint8)
+    want[: 4 - 2] = 2  # storage rows >= dy, i.e. image rows < h-dy
+    want[4 - 2 - 1, :3] = 0  # landing row: x jumped to 3
+    payload = _bmp_rle8(small, pal, delta=(3, 2))
+    got_d = decode(payload)
+    assert got_d is not None and (got_d == gray[want]).all()
+
+    assert decode(_bmp_rle8(idx, pal)[:-2]) is None  # EOB stripped
