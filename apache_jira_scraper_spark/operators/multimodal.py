@@ -88,6 +88,64 @@ FROM documents ORDER BY doc_id
 """
 
 
+def _gif_lzw_decoder():
+    """Factory for the GIF LZW index-stream decoder, shared by the still
+    path (_pixel_decoder's _decode_gif) and the animation path
+    (_video_decoder) — LSB-first bit order, clear/EOI handling,
+    deferred-clear frozen table, width bump AFTER the append that filled
+    the current range, table frozen at 4096. Returns
+    (data, min_code, need) -> `need` index bytes or None on any
+    structural defect."""
+
+    def lzw_indices(data: bytes, min_code: int, need: int):
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        roots = [bytes([k]) for k in range(clear)] + [b"", b""]
+        table = list(roots)
+        width, bitpos, nbits = min_code + 1, 0, len(data) * 8
+        prev: bytes | None = None
+        out: list[bytes] = []
+        got = 0
+        while got < need:
+            if bitpos + width > nbits:
+                return None
+            byte0 = bitpos >> 3
+            code = (
+                int.from_bytes(data[byte0 : byte0 + 3], "little") >> (bitpos & 7)
+            ) & ((1 << width) - 1)
+            bitpos += width
+            if code == clear:
+                table = list(roots)
+                width, prev = min_code + 1, None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                if code >= len(table):
+                    return None
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            elif code == len(table) and len(table) < 4096:
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                return None
+            out.append(entry)
+            got += len(entry)
+            prev = entry
+            # width bump AFTER the append that filled the current range;
+            # at 4096 the table freezes (deferred clear) and width stays 12
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        if got < need:
+            return None
+        return b"".join(out)[:need]
+
+    return lzw_indices
+
+
 def _pixel_decoder():
     """REAL pixel decode for the raster formats reachable without a codec
     library: netpbm (binary P5/P6, ASCII P2/P3), BMP (BI_RGB, 8-bit
@@ -110,6 +168,7 @@ def _pixel_decoder():
     to integer mean luma ((r+g+b)//3) — deterministic and engine-exact,
     which the test oracles pin byte-for-byte. maxval must fit one byte
     (16-bit planes return None -> fake fallback)."""
+    gif_lzw = _gif_lzw_decoder()
 
     def _decode_bmp(payload: bytes):
         """BMP (BI_RGB uncompressed: 8-bit palette, 24-bit BGR or 32-bit
@@ -488,52 +547,11 @@ def _pixel_decoder():
                 return None
             data += chunk
             i += bs
-        # LZW, LSB-first bit order
-        clear, eoi = 1 << min_code, (1 << min_code) + 1
-        roots = [bytes([k]) for k in range(clear)] + [b"", b""]
-        table = list(roots)
-        width, bitpos, nbits = min_code + 1, 0, len(data) * 8
-        prev: bytes | None = None
-        out: list[bytes] = []
-        got = 0
-        need = w * h
-        while got < need:
-            if bitpos + width > nbits:
-                return None
-            byte0 = bitpos >> 3
-            code = (
-                int.from_bytes(data[byte0 : byte0 + 3], "little") >> (bitpos & 7)
-            ) & ((1 << width) - 1)
-            bitpos += width
-            if code == clear:
-                table = list(roots)
-                width, prev = min_code + 1, None
-                continue
-            if code == eoi:
-                break
-            if prev is None:
-                if code >= len(table):
-                    return None
-                entry = table[code]
-            elif code < len(table):
-                entry = table[code]
-                if len(table) < 4096:
-                    table.append(prev + entry[:1])
-            elif code == len(table) and len(table) < 4096:
-                entry = prev + prev[:1]
-                table.append(entry)
-            else:
-                return None
-            out.append(entry)
-            got += len(entry)
-            prev = entry
-            # width bump AFTER the append that filled the current range;
-            # at 4096 the table freezes (deferred clear) and width stays 12
-            if len(table) == (1 << width) and width < 12:
-                width += 1
-        if got < need:
+        # LZW, LSB-first bit order (shared decoder — see _gif_lzw_decoder)
+        raw = gif_lzw(data, min_code, w * h)
+        if raw is None:
             return None
-        idx = np.frombuffer(b"".join(out)[:need], dtype=np.uint8).reshape(h, w)
+        idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, w)
         npal = len(pal_bytes) // 3
         if int(idx.max(initial=0)) >= npal:
             return None
@@ -1983,12 +2001,14 @@ def _y4m_decoder():
 
 
 def _video_decoder():
-    """REAL video decode dispatch: uncompressed YUV4MPEG2 (_y4m_decoder)
-    AND Motion-JPEG in an AVI/RIFF container (r07) — the first COMPRESSED
+    """REAL video decode dispatch: uncompressed YUV4MPEG2 (_y4m_decoder),
+    Motion-JPEG in an AVI/RIFF container (r07) — the first COMPRESSED
     video path, reachable without a codec library because every MJPEG
     frame is a standalone JPEG that _pixel_decoder already decodes
-    (baseline or progressive). Same contract as _y4m_decoder:
-    payload -> (luma [n_frames, h, w] uint8, fps_ppm) or None.
+    (baseline or progressive) — AND animated GIF (r07: full composition
+    with disposal/transparency, see decode_gif_anim). Same contract as
+    _y4m_decoder: payload -> (luma [n_frames, h, w] uint8, fps_ppm) or
+    None.
 
     AVI walk: RIFF/'AVI ' -> word-aligned chunk tree; fps comes from the
     first 'vids' stream header (dwRate/dwScale), falling back to the main
@@ -2004,12 +2024,153 @@ def _video_decoder():
     stay behind _REAL_DECODE_AVAILABLE."""
     decode_y4m = _y4m_decoder()
     decode_pixels = _pixel_decoder()
+    gif_lzw = _gif_lzw_decoder()
+
+    def decode_gif_anim(payload: bytes):
+        """GIF as a frame sequence (r07): full block walk with graphic
+        control extensions — per-frame sub-rectangles composed onto the
+        logical-screen canvas, transparency masks, disposal methods
+        none/keep (0/1), restore-to-background (2) and restore-previous
+        (3), per-frame local palettes, interlace. fps_ppm comes from the
+        first nonzero GCE delay (centiseconds -> 1e8//delay); a
+        single-frame GIF is a 1-frame sequence. Still-image semantics
+        (first frame, frame-local dims) stay in _decode_gif — this path
+        answers "what does the animation LOOK like over time", which is
+        what scene_changes/keyframe_sample sample."""
+        import numpy as np
+
+        if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 14:
+            return None
+        W = int.from_bytes(payload[6:8], "little")
+        H = int.from_bytes(payload[8:10], "little")
+        flags, bg_idx = payload[10], payload[11]
+        if W <= 0 or H <= 0:
+            return None
+        n = len(payload)
+        i, gpal = 13, None
+        if flags & 0x80:
+            npal = 2 << (flags & 7)
+            gpal = payload[13 : 13 + 3 * npal]
+            if len(gpal) < 3 * npal:
+                return None
+            i = 13 + 3 * npal
+
+        def pal_gray(pal_bytes):
+            p = np.frombuffer(pal_bytes, dtype=np.uint8).reshape(-1, 3)
+            return ((p[:, 0].astype(np.uint16) + p[:, 1] + p[:, 2]) // 3).astype(
+                np.uint8
+            )
+
+        bg_gray = (
+            int(pal_gray(gpal)[bg_idx])
+            if gpal is not None and bg_idx < len(gpal) // 3
+            else 0
+        )
+        canvas = np.full((H, W), bg_gray, dtype=np.uint8)
+        frames: list[np.ndarray] = []
+        delays: list[int] = []
+        gce = None  # (disposal, transparent_idx | None, delay_cs)
+        while i < n:
+            b = payload[i]
+            if b == 0x3B:  # trailer
+                break
+            if b == 0x21:  # extension
+                if i + 2 > n:
+                    return None
+                label = payload[i + 1]
+                i += 2
+                if label == 0xF9 and i < n and payload[i] >= 4 and i + 5 <= n:
+                    packed = payload[i + 1]
+                    delay = int.from_bytes(payload[i + 2 : i + 4], "little")
+                    tidx = payload[i + 4] if packed & 1 else None
+                    gce = ((packed >> 2) & 7, tidx, delay)
+                while i < n and payload[i] != 0:
+                    i += 1 + payload[i]
+                if i >= n:
+                    return None
+                i += 1
+            elif b == 0x2C:  # image descriptor
+                if i + 10 > n:
+                    return None
+                left = int.from_bytes(payload[i + 1 : i + 3], "little")
+                top = int.from_bytes(payload[i + 3 : i + 5], "little")
+                fw = int.from_bytes(payload[i + 5 : i + 7], "little")
+                fh = int.from_bytes(payload[i + 7 : i + 9], "little")
+                iflags = payload[i + 9]
+                i += 10
+                pal = gpal
+                if iflags & 0x80:
+                    npal = 2 << (iflags & 7)
+                    pal = payload[i : i + 3 * npal]
+                    if len(pal) < 3 * npal:
+                        return None
+                    i += 3 * npal
+                if pal is None or fw <= 0 or fh <= 0 or left + fw > W or top + fh > H:
+                    return None
+                if i >= n:
+                    return None
+                min_code = payload[i]
+                i += 1
+                if not 2 <= min_code <= 8:
+                    return None
+                data = bytearray()
+                while True:
+                    if i >= n:
+                        return None
+                    bs = payload[i]
+                    i += 1
+                    if bs == 0:
+                        break
+                    chunk = payload[i : i + bs]
+                    if len(chunk) < bs:
+                        return None
+                    data += chunk
+                    i += bs
+                raw = gif_lzw(data, min_code, fw * fh)
+                if raw is None:
+                    return None
+                idx = np.frombuffer(raw, dtype=np.uint8).reshape(fh, fw)
+                if iflags & 0x40:  # interlaced sub-image
+                    order = np.concatenate(
+                        [np.arange(s, fh, st)
+                         for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+                    )
+                    deinter = np.empty_like(idx)
+                    deinter[order] = idx
+                    idx = deinter
+                if int(idx.max(initial=0)) >= len(pal) // 3:
+                    return None
+                gray = pal_gray(pal)[idx]
+                disposal, tidx, delay = gce or (0, None, 0)
+                region = canvas[top : top + fh, left : left + fw]
+                saved = region.copy() if disposal == 3 else None
+                if tidx is None:
+                    region[:] = gray
+                else:
+                    mask = idx != tidx
+                    region[mask] = gray[mask]
+                frames.append(canvas.copy())
+                delays.append(delay)
+                if disposal == 2:
+                    canvas[top : top + fh, left : left + fw] = bg_gray
+                elif disposal == 3:
+                    canvas[top : top + fh, left : left + fw] = saved
+                gce = None
+            else:
+                return None
+        if not frames:
+            return None
+        first_delay = next((d for d in delays if d), 0)
+        fps_ppm = 100_000_000 // first_delay if first_delay else 0
+        return np.stack(frames), fps_ppm
 
     def decode_video(payload: bytes):
         import numpy as np
 
         if payload.startswith(b"YUV4MPEG2"):
             return decode_y4m(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_anim(payload)
         if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
             return None
 

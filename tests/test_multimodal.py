@@ -2999,3 +2999,108 @@ def test_bmp_rle8_exact_pixels():
     assert got_d is not None and (got_d == gray[want]).all()
 
     assert decode(_bmp_rle8(idx, pal)[:-2]) is None  # EOB stripped
+
+
+def _gif_anim(screen_wh, palette, frames, bg_idx=0) -> bytes:
+    """Animated GIF89a writer: global palette, one (idx, left, top,
+    disposal, transparent_idx, delay_cs) tuple per frame, real LZW
+    streams."""
+    import numpy as np
+
+    W, H = screen_wh
+    pal_bits = max((len(palette) - 1).bit_length(), 1)
+    size = 1 << pal_bits
+    pal = list(palette) + [(0, 0, 0)] * (size - len(palette))
+    min_code = max(2, pal_bits)
+    buf = bytearray(b"GIF89a")
+    buf += W.to_bytes(2, "little") + H.to_bytes(2, "little")
+    buf += bytes([0x80 | (pal_bits - 1), bg_idx, 0])
+    buf += bytes(v for rgb in pal for v in rgb)
+    for idx, left, top, disposal, tidx, delay in frames:
+        idx = np.asarray(idx, dtype=np.uint8)
+        fh, fw = idx.shape
+        packed = (disposal << 2) | (1 if tidx is not None else 0)
+        buf += bytes([0x21, 0xF9, 4, packed])
+        buf += delay.to_bytes(2, "little")
+        buf += bytes([tidx if tidx is not None else 0, 0])
+        buf += b"\x2c" + left.to_bytes(2, "little") + top.to_bytes(2, "little")
+        buf += fw.to_bytes(2, "little") + fh.to_bytes(2, "little") + b"\x00"
+        buf += bytes([min_code])
+        lzw = _gif_lzw(idx.tobytes(), min_code)
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            buf += bytes([len(chunk)]) + chunk
+        buf += b"\x00"
+    buf += b"\x3b"
+    return bytes(buf)
+
+
+def test_gif_animation_composes_frames():
+    """Animated GIF as video (r07): full-frame sequences, sub-rectangle
+    updates, transparency holes, restore-to-background and
+    restore-previous disposal all compose exactly; fps comes from the
+    first nonzero frame delay."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _video_decoder
+
+    decode = _video_decoder()
+    pal = [(0, 0, 0), (90, 90, 90), (240, 240, 240), (30, 60, 90)]
+    g = [0, 90, 240, 60]  # integer mean luma per entry
+
+    # two full frames, then a 2x2 patch update at (1, 1)
+    f0 = np.zeros((4, 4), dtype=np.uint8)
+    f1 = np.ones((4, 4), dtype=np.uint8)
+    patch = np.full((2, 2), 2, dtype=np.uint8)
+    payload = _gif_anim(
+        (4, 4), pal,
+        [(f0, 0, 0, 1, None, 5), (f1, 0, 0, 1, None, 5),
+         (patch, 1, 1, 1, None, 5)],
+    )
+    got, fps_ppm = decode(payload)
+    assert fps_ppm == 100_000_000 // 5
+    assert got.shape == (3, 4, 4)
+    assert (got[0] == g[0]).all() and (got[1] == g[1]).all()
+    want2 = np.full((4, 4), g[1], dtype=np.uint8)
+    want2[1:3, 1:3] = g[2]
+    assert (got[2] == want2).all()
+
+    # transparency: index 3 pixels keep the prior canvas
+    holes = np.full((4, 4), 3, dtype=np.uint8)
+    holes[0, :] = 2
+    payload_t = _gif_anim(
+        (4, 4), pal, [(f1, 0, 0, 1, None, 0), (holes, 0, 0, 1, 3, 0)]
+    )
+    got_t, fps_t = decode(payload_t)
+    assert fps_t == 0  # no nonzero delay anywhere
+    want_t = np.full((4, 4), g[1], dtype=np.uint8)
+    want_t[0, :] = g[2]
+    assert (got_t[1] == want_t).all()
+
+    # disposal 2 (restore to background index 0) then a tiny frame 3
+    dot = np.full((1, 1), 2, dtype=np.uint8)
+    payload_d2 = _gif_anim(
+        (4, 4), pal, [(f1, 0, 0, 2, None, 0), (dot, 0, 0, 1, None, 0)]
+    )
+    got_d2, _ = decode(payload_d2)
+    want_d2 = np.full((4, 4), g[0], dtype=np.uint8)  # f1 wiped to bg
+    want_d2[0, 0] = g[2]
+    assert (got_d2[1] == want_d2).all()
+
+    # disposal 3 (restore previous): the patch vanishes for frame 3
+    payload_d3 = _gif_anim(
+        (4, 4), pal,
+        [(f1, 0, 0, 1, None, 0), (patch, 1, 1, 3, None, 0),
+         (dot, 0, 0, 1, None, 0)],
+    )
+    got_d3, _ = decode(payload_d3)
+    want_d3 = np.full((4, 4), g[1], dtype=np.uint8)
+    want_d3[0, 0] = g[2]
+    assert (got_d3[2] == want_d3).all()
+
+    # a single-frame still GIF is a 1-frame sequence here
+    got_s, _ = decode(_gif(f0, pal))
+    assert got_s.shape == (1, 4, 4) and (got_s[0] == g[0]).all()
+
+    # out-of-screen sub-rectangle rejects
+    assert decode(_gif_anim((4, 4), pal, [(patch, 3, 3, 1, None, 0)])) is None
