@@ -2337,6 +2337,62 @@ def scene_changes(media: DataFrame, threshold: int = 24) -> DataFrame:
     )
 
 
+def video_features(media: DataFrame, threshold: int = 24) -> DataFrame:
+    """One summary row per REAL video payload (r07) — the video member of
+    the decode_features / audio_features / video_features triad: frame
+    count, dims, fps, whole-stream integer mean luma, scene count (frame 0
+    plus every frame whose mean absolute luma delta reaches `threshold`,
+    the scene_changes rule) and the peak inter-frame MAD. All-integer
+    columns, exact across engines. Non-video payloads emit ZERO rows,
+    same contract as keyframe_sample/scene_changes (formats: Y4M,
+    MJPEG/AVI, animated GIF via _video_decoder). Scale shape: per-payload
+    Arrow batches, numpy frame walk, no shuffle."""
+    decode_video = _video_decoder()
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = {"doc_id": [], "n_frames": [], "width": [], "height": [],
+                "fps_ppm": [], "mean_luma": [], "scene_count": [],
+                "max_mad": []}
+
+        def emit(doc_id, payload):
+            got = decode_video(payload)
+            if got is None:
+                return
+            frames, fps_ppm = got
+            nf, h, w = frames.shape
+            if nf > 1:
+                mads = np.abs(np.diff(frames.astype(np.int32), axis=0)).reshape(
+                    nf - 1, -1
+                ).sum(axis=1) // (h * w)
+                scene_count = 1 + int((mads >= threshold).sum())
+                max_mad = int(mads.max())
+            else:
+                scene_count, max_mad = 1, 0
+            cols["doc_id"].append(doc_id)
+            cols["n_frames"].append(nf)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["fps_ppm"].append(fps_ppm)
+            cols["mean_luma"].append(int(frames.sum()) // frames.size)
+            cols["scene_count"].append(scene_count)
+            cols["max_mad"].append(max_mad)
+
+        for pdf in batches:
+            for k in cols:
+                cols[k].clear()
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                emit(doc_id, payload)
+            yield pd.DataFrame({k: list(v) for k, v in cols.items()})
+
+    return media.mapInPandas(
+        _stats,
+        schema="doc_id long, n_frames int, width int, height int, "
+        "fps_ppm long, mean_luma int, scene_count int, max_mad int",
+    )
+
+
 #: Patch-grid gate leg samples every Nth doc: the leg certifies patch_grid's
 #: SEMANTICS (tile layout, wrap padding, per-tile digest) under the driver
 #: hash, not its volume — full-corpus tiling would put ~150M substr() calls

@@ -3104,3 +3104,74 @@ def test_gif_animation_composes_frames():
 
     # out-of-screen sub-rectangle rejects
     assert decode(_gif_anim((4, 4), pal, [(patch, 3, 3, 1, None, 0)])) is None
+
+
+def test_video_features_summary_rows(spark):
+    """video_features: one exact-integer summary row per video payload —
+    same numbers for identical content shipped as Y4M, MJPEG/AVI and
+    animated GIF; non-video emits nothing."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import video_features
+
+    frames = np.stack(
+        [np.full((8, 12), v, dtype=np.uint8) for v in (10, 10, 200, 200)]
+    )
+    gif_pal = [(v, v, v) for v in (10, 200)]
+    gif_frames = [
+        ((frames[i] == 200).astype(np.uint8), 0, 0, 1, None, 4)
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(
+        [
+            (1, _y4m(frames, fps=(25, 1)), "video/y4m"),
+            (2, _avi_mjpeg([_jpeg_encode(f) for f in frames], fps=(25, 1)),
+             "video/avi"),
+            (3, _gif_anim((12, 8), gif_pal, gif_frames), "image/gif"),
+            (4, b"not a video", "text"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in video_features(media).collect()}
+    assert set(got) == {1, 2, 3}
+    for d in (1, 2, 3):
+        row = got[d]
+        assert (row["n_frames"], row["width"], row["height"]) == (4, 12, 8)
+        assert row["mean_luma"] == 105 and row["scene_count"] == 2
+        assert row["max_mad"] == 190
+    assert got[1]["fps_ppm"] == 25_000_000
+    assert got[3]["fps_ppm"] == 100_000_000 // 4
+
+
+def test_gif_animation_roundtrip_property():
+    """Property check: random full-frame index stacks with a grayscale
+    palette compose to exactly their palette grays, any screen size and
+    frame count, disposal keep."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _video_decoder
+
+    decode = _video_decoder()
+    pal = [(v, v, v) for v in range(0, 256, 16)]  # 16 gray entries
+    grays = np.array([v for v in range(0, 256, 16)], dtype=np.uint8)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 12),
+        nf=st.integers(1, 4),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(w, h, nf, seed):
+        rng = np.random.default_rng(seed)
+        idxs = rng.integers(0, 16, (nf, h, w), dtype=np.uint8)
+        payload = _gif_anim(
+            (w, h), pal, [(idxs[i], 0, 0, 1, None, 3) for i in range(nf)]
+        )
+        got, fps_ppm = decode(payload)
+        assert fps_ppm == 100_000_000 // 3
+        assert got.shape == (nf, h, w) and (got == grays[idxs]).all()
+
+    check()
