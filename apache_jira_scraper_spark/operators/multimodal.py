@@ -169,6 +169,11 @@ def _pixel_decoder():
     which the test oracles pin byte-for-byte. maxval must fit one byte
     (16-bit planes return None -> fake fallback)."""
     gif_lzw = _gif_lzw_decoder()
+    # Header-declared geometry cap (64 Mpx, far above any training-corpus
+    # media tile): rejected BEFORE any dims-driven allocation, so a crafted
+    # few-byte header cannot force a multi-GB numpy buffer and MemoryError
+    # the whole Arrow batch (r07 hardening).
+    max_pixels = 1 << 26
 
     def _decode_bmp(payload: bytes):
         """BMP (BI_RGB uncompressed: 8-bit palette, 24-bit BGR or 32-bit
@@ -193,6 +198,8 @@ def _pixel_decoder():
         h = abs(h)
         if w <= 0 or h == 0 or planes != 1 or bpp not in (8, 24, 32):
             return None
+        if w * h > max_pixels:
+            return None  # declared-dims allocation bomb
         if compression == 1 and bpp == 8 and not top_down:
             # BI_RLE8: (count, index) runs; count 0 escapes to
             # end-of-line (0), end-of-bitmap (1), delta (2: dx, dy —
@@ -349,6 +356,7 @@ def _pixel_decoder():
                 if (
                     not 0 < w < 1 << 24
                     or not 0 < h < 1 << 24
+                    or w * h > max_pixels  # declared-dims allocation bomb
                     or bit_depth not in (8, 16)
                     or (bit_depth == 16 and paletted)
                     or comp != 0
@@ -530,6 +538,8 @@ def _pixel_decoder():
             i += 3 * npal
         if w <= 0 or h <= 0 or pal_bytes is None or i >= n_total:
             return None
+        if w * h > max_pixels:
+            return None  # declared-dims allocation bomb
         min_code = payload[i]
         i += 1
         if not 2 <= min_code <= 8:  # spec: root width 2..8
@@ -673,6 +683,8 @@ def _pixel_decoder():
                 nc = body[5]
                 if prec != 8 or fh == 0 or fw == 0 or nc not in (1, 3):
                     return None
+                if fh * fw > max_pixels:
+                    return None  # declared-dims allocation bomb
                 if len(body) != 6 + 3 * nc:
                     return None
                 comps = []
@@ -1192,6 +1204,7 @@ def _pixel_decoder():
         if (
             not w
             or not h
+            or w * h > max_pixels  # declared-dims allocation bomb
             or not rows_per_strip  # 0 would unbound the inflate cap
             or comp not in (1, 5, 8, 32773, 32946)
             or planar != 1
@@ -2025,6 +2038,14 @@ def _video_decoder():
     decode_y4m = _y4m_decoder()
     decode_pixels = _pixel_decoder()
     gif_lzw = _gif_lzw_decoder()
+    # Same declared-geometry discipline as _pixel_decoder, plus a total
+    # decoded-luma cap: GIF patch frames and AVI dropped-frame chunks are
+    # a few BYTES each but materialize a full canvas copy, so a crafted
+    # stream could amplify a small payload into gigabytes of frames
+    # without these (r07 hardening). 256 MB of luma ≈ a 4-minute 720p
+    # sequence — far above any corpus media cell.
+    max_pixels = 1 << 26
+    max_total_luma = 1 << 28
 
     def decode_gif_anim(payload: bytes):
         """GIF as a frame sequence (r07): full block walk with graphic
@@ -2044,7 +2065,7 @@ def _video_decoder():
         W = int.from_bytes(payload[6:8], "little")
         H = int.from_bytes(payload[8:10], "little")
         flags, bg_idx = payload[10], payload[11]
-        if W <= 0 or H <= 0:
+        if W <= 0 or H <= 0 or W * H > max_pixels:
             return None
         n = len(payload)
         i, gpal = 13, None
@@ -2141,6 +2162,8 @@ def _video_decoder():
                 if int(idx.max(initial=0)) >= len(pal) // 3:
                     return None
                 gray = pal_gray(pal)[idx]
+                if (len(frames) + 1) * W * H > max_total_luma:
+                    return None  # tiny-patch frame amplification bomb
                 disposal, tidx, delay = gce or (0, None, 0)
                 region = canvas[top : top + fh, left : left + fw]
                 saved = region.copy() if disposal == 3 else None
@@ -2220,6 +2243,8 @@ def _video_decoder():
             return None
         planes = []
         for off, size in frames_raw:
+            if planes and (len(planes) + 1) * planes[0].size > max_total_luma:
+                return None  # dropped-frame amplification bomb
             if size == 0:
                 if not planes:
                     return None

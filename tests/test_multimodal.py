@@ -3175,3 +3175,88 @@ def test_gif_animation_roundtrip_property():
         assert got.shape == (nf, h, w) and (got == grays[idxs]).all()
 
     check()
+
+
+def test_declared_dims_allocation_bombs_reject():
+    """Hardening (r07): few-byte payloads whose HEADERS declare huge
+    geometry must reject before any dims-driven allocation — still
+    formats at the 64 Mpx cap, video paths also at the total-luma cap
+    (GIF patch frames and AVI dropped-frame chunks are bytes each but
+    materialize full canvas copies)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        _pixel_decoder,
+        _video_decoder,
+    )
+
+    decode = _pixel_decoder()
+    video = _video_decoder()
+    big = 20_000  # 400 Mpx > the 64 Mpx cap
+
+    # JPEG: patch a valid 8x8 stream's SOF dims to 20000x20000
+    good = bytearray(_jpeg_encode(np.full((8, 8), 9, dtype=np.uint8)))
+    sof = good.index(b"\xff\xc0")
+    good[sof + 5 : sof + 9] = big.to_bytes(2, "big") * 2
+    assert decode(bytes(good)) is None
+
+    # PNG: IHDR declaring 20000x20000 over a 1-px IDAT
+    import zlib
+
+    def png_chunk(typ, body):
+        return (
+            len(body).to_bytes(4, "big") + typ + body
+            + zlib.crc32(typ + body).to_bytes(4, "big")
+        )
+
+    ihdr = big.to_bytes(4, "big") * 2 + bytes([8, 0, 0, 0, 0])
+    assert decode(
+        b"\x89PNG\r\n\x1a\n" + png_chunk(b"IHDR", ihdr)
+        + png_chunk(b"IDAT", zlib.compress(b"\0\0")) + png_chunk(b"IEND", b"")
+    ) is None
+
+    # BMP / TIFF / GIF still: patch dims in tiny valid files
+    bmp = bytearray(_bmp24(np.zeros((1, 1, 3), dtype=np.uint8)))
+    bmp[18:22] = big.to_bytes(4, "little")
+    bmp[22:26] = big.to_bytes(4, "little")
+    assert decode(bytes(bmp)) is None
+    tif = bytearray(_tiff(np.zeros((1, 1), dtype=np.uint8)))
+    for tag in (256, 257):
+        ix = tif.find(tag.to_bytes(2, "little"))
+        tif[ix + 8 : ix + 12] = big.to_bytes(4, "little")
+    assert decode(bytes(tif)) is None
+    gif = bytearray(_gif(np.zeros((1, 1), dtype=np.uint8), [(0, 0, 0)]))
+    # frame-descriptor dims (the still path's authority), bytes 5-8 of 0x2C
+    dix = gif.index(b"\x2c")
+    gif[dix + 5 : dix + 9] = big.to_bytes(2, "little") * 2
+    assert decode(bytes(gif)) is None
+
+    # GIF animation: huge logical screen rejects outright
+    head = bytearray(_gif_anim((4, 4), [(0, 0, 0)] * 2,
+                               [(np.zeros((1, 1), dtype=np.uint8),
+                                 0, 0, 1, None, 0)]))
+    head[6:10] = big.to_bytes(2, "little") * 2
+    assert video(bytes(head)) is None
+
+    # GIF animation: thousands of 1x1 patch frames on a 4096x4096 canvas
+    # would materialize > the 256 MB luma cap from a ~0.5 MB payload
+    dot = np.zeros((1, 1), dtype=np.uint8)
+    bomb = _gif_anim((4096, 4096), [(0, 0, 0)] * 2,
+                     [(dot, 0, 0, 1, None, 0)] * 20)
+    assert video(bomb) is None  # 20 * 16 Mpx = 320 Mpx > cap
+    ok = _gif_anim((64, 64), [(0, 0, 0)] * 2, [(dot, 0, 0, 1, None, 0)] * 20)
+    assert video(ok) is not None  # same structure, sane canvas
+
+    # AVI: one real 4 Mpx frame + 80 zero-length dropped-frame chunks
+    # (8 bytes each) would stack past the 256 MB luma cap
+    frame = _jpeg_encode(np.zeros((4096, 1024), dtype=np.uint8))
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\0" if len(body) & 1 else b""
+        )
+
+    movi = chunk(b"LIST", b"movi" + chunk(b"00dc", frame)
+                 + chunk(b"00dc", b"") * 80)
+    bomb_avi = b"RIFF" + (len(movi) + 4).to_bytes(4, "little") + b"AVI " + movi
+    assert video(bomb_avi) is None
