@@ -15,14 +15,16 @@ interlace + deferred-clear — r07), baseline AND progressive JPEG
 strip TIFF (both byte orders; uncompressed, PackBits, Deflate, TIFF-LZW,
 horizontal predictor — r07), RIFF/WAVE audio (PCM 8/16-bit, IEEE
 float32, G.711 mu-law/A-law, IMA + MS ADPCM block codecs, EXTENSIBLE
-wrapping, any channel count — r07), YUV4MPEG2 video (luma-plane
-keyframes), and Motion-JPEG in AVI (RIFF walk + per-frame JPEG
-decode — r07) — get a REAL pure-numpy header+plane decode
+wrapping, any channel count — r07), native FLAC (rice-coded
+FIXED/LPC lossless decode, all four stereo decorrelations — r07),
+YUV4MPEG2 video (luma-plane keyframes), Motion-JPEG in AVI (RIFF walk +
+per-frame JPEG decode — r07), and animated GIF (frame composition with
+disposal/transparency — r07) — get a REAL pure-numpy header+plane decode
 inside the Arrow batches (_pixel_decoder / _wav_decoder /
 _video_decoder — pytest pins exact known pixels/samples/frames against
-independent scalar references); the remaining codec formats (MP3/AAC,
-inter-frame video like H.26x/VPx) genuinely need a codec library and
-stay stubbed
+independent scalar references); the remaining codec formats (LOSSY
+audio MP3/AAC, inter-frame video like H.26x/VPx) genuinely need a codec
+library and stay stubbed
 behind _REAL_DECODE_AVAILABLE with a deterministic fake fallback, while
 everything Spark-level — schema, batching, partitioning, UDF signatures —
 is real and tested.
@@ -1585,6 +1587,283 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     return media.select("doc_id", frames.alias("frames"), F.size(frames).alias("n_frames"))
 
 
+def _flac_decoder():
+    """REAL lossless-compressed audio decode: native FLAC in pure
+    Python+numpy (r07) — no codec library. Returns
+    payload -> (samples int32 mono ndarray, sample_rate) or None, the
+    _wav_decoder contract, so audio_features rides it transparently.
+
+    Coverage: STREAMINFO walk (other metadata blocks skipped), frame
+    headers with all block-size/sample-rate/sample-size codes (incl. the
+    8/16-bit follow-up forms and UTF-8-coded frame numbers), subframe
+    types CONSTANT, VERBATIM, FIXED (orders 0-4) and LPC (any order,
+    quantized coefficients + arithmetic shift), rice residuals (4- and
+    5-bit parameter methods, partition orders, the 0b11111 verbatim
+    escape), wasted-bits shifts, and the four channel assignments
+    (independent, left/side, right/side, mid/side). Frame CRCs are
+    skipped over, not verified (the decode contract is structural
+    well-formedness, as in the PNG path). bits-per-sample capped at 24
+    (side channels get +1 bit; everything fits int32). Channels mix to
+    mono by integer floor-mean, the house mixdown rule."""
+
+    FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+    RATE_TABLE = {
+        1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000, 6: 22050,
+        7: 24000, 8: 32000, 9: 44100, 10: 48000, 11: 96000,
+    }
+
+    def decode_flac(payload: bytes):
+        import numpy as np
+
+        if payload[:4] != b"fLaC" or len(payload) < 42:
+            return None
+        n = len(payload)
+        i, streaminfo = 4, None
+        while True:  # metadata blocks; STREAMINFO is mandatory and first
+            if i + 4 > n:
+                return None
+            last, btype = payload[i] & 0x80, payload[i] & 0x7F
+            blen = int.from_bytes(payload[i + 1 : i + 4], "big")
+            if i + 4 + blen > n:
+                return None
+            if btype == 0:
+                if blen < 34 or streaminfo is not None:
+                    return None
+                streaminfo = payload[i + 4 : i + 4 + 34]
+            i += 4 + blen
+            if last:
+                break
+        if streaminfo is None:
+            return None
+        packed = int.from_bytes(streaminfo[10:18], "big")
+        si_rate = packed >> 44
+        si_ch = ((packed >> 41) & 7) + 1
+        si_bps = ((packed >> 36) & 31) + 1
+        total_samples = packed & ((1 << 36) - 1)
+        if not 0 < si_rate < 2**31 or si_bps > 24:
+            return None
+
+        bp = i * 8  # bit position over the whole payload
+        nbits_total = n * 8
+
+        def rbits(k):
+            nonlocal bp
+            end = bp + k
+            if end > nbits_total:
+                raise IndexError
+            val = int.from_bytes(payload[bp >> 3 : (end + 7) >> 3], "big")
+            val >>= (-end) % 8
+            bp = end
+            return val & ((1 << k) - 1)
+
+        def runary():
+            # zeros until a 1; byte-accelerated for long quotients
+            nonlocal bp
+            q = 0
+            while True:
+                if bp >= nbits_total:
+                    raise IndexError
+                byte = payload[bp >> 3] & (0xFF >> (bp & 7))
+                if byte == 0:
+                    q += 8 - (bp & 7)
+                    bp = (bp >> 3 << 3) + 8
+                    continue
+                lead = byte.bit_length()
+                q += 8 - (bp & 7) - lead
+                bp = (bp >> 3 << 3) + (8 - lead) + 1
+                return q
+
+        def rsigned(k):
+            v = rbits(k)
+            return v - (1 << k) if v >> (k - 1) else v
+
+        def utf8_number():
+            b0 = rbits(8)
+            if b0 < 0x80:
+                return b0
+            lead, nfollow = b0, 0
+            while lead & 0x40:
+                nfollow += 1
+                lead <<= 1
+            if nfollow == 0 or nfollow > 6:
+                raise IndexError
+            val = b0 & (0x7F >> nfollow)
+            for _ in range(nfollow):
+                nxt = rbits(8)
+                if nxt & 0xC0 != 0x80:
+                    raise IndexError
+                val = (val << 6) | (nxt & 0x3F)
+            return val
+
+        def residual(blocksize, pred_order):
+            method = rbits(2)
+            if method > 1:
+                raise IndexError
+            pbits = 4 + method
+            escape = (1 << pbits) - 1
+            porder = rbits(4)
+            if blocksize % (1 << porder) or (blocksize >> porder) <= (
+                pred_order if porder == 0 else 0
+            ):
+                raise IndexError
+            out = []
+            for part in range(1 << porder):
+                cnt = (blocksize >> porder) - (pred_order if part == 0 else 0)
+                if cnt < 0:
+                    raise IndexError
+                param = rbits(pbits)
+                if param == escape:
+                    raw = rbits(5)
+                    out.extend(rsigned(raw) if raw else 0 for _ in range(cnt))
+                else:
+                    for _ in range(cnt):
+                        q = runary()
+                        v = (q << param) | rbits(param)
+                        out.append((v >> 1) ^ -(v & 1))
+            return out
+
+        def subframe(blocksize, bps):
+            if rbits(1):
+                raise IndexError  # reserved padding bit must be 0
+            stype = rbits(6)
+            wasted = 0
+            if rbits(1):
+                wasted = runary() + 1
+            eff = bps - wasted
+            if eff <= 0:
+                raise IndexError
+            if stype == 0:  # CONSTANT
+                samples = [rsigned(eff)] * blocksize
+            elif stype == 1:  # VERBATIM
+                samples = [rsigned(eff) for _ in range(blocksize)]
+            elif stype >> 3 == 1 and stype & 7 <= 4:  # FIXED order 0-4
+                order = stype & 7
+                if order > blocksize:
+                    raise IndexError
+                warm = [rsigned(eff) for _ in range(order)]
+                res = residual(blocksize, order)
+                samples = list(warm)
+                coef = FIXED_COEF[order]
+                for t in range(order, blocksize):
+                    acc = res[t - order]
+                    for j, c in enumerate(coef):
+                        acc += c * samples[t - 1 - j]
+                    samples.append(acc)
+            elif stype >> 5 == 1:  # LPC, order 1-32
+                order = (stype & 31) + 1
+                if order > blocksize:
+                    raise IndexError
+                warm = [rsigned(eff) for _ in range(order)]
+                prec = rbits(4) + 1
+                if prec == 16:
+                    raise IndexError  # 0b1111 is invalid per spec
+                shift = rsigned(5)
+                if shift < 0:
+                    raise IndexError
+                coef = [rsigned(prec) for _ in range(order)]
+                res = residual(blocksize, order)
+                samples = list(warm)
+                for t in range(order, blocksize):
+                    acc = 0
+                    for j in range(order):
+                        acc += coef[j] * samples[t - 1 - j]
+                    samples.append(res[t - order] + (acc >> shift))
+            else:
+                raise IndexError  # reserved subframe type
+            if wasted:
+                samples = [s << wasted for s in samples]
+            return samples
+
+        chans: list[list[int]] = []
+        rate = si_rate
+        try:
+            while bp + 32 <= nbits_total:
+                if rbits(14) != 0b11111111111110:
+                    return None  # lost sync
+                rbits(1)  # reserved
+                rbits(1)  # blocking strategy
+                bs_code = rbits(4)
+                sr_code = rbits(4)
+                chan_code = rbits(4)
+                ss_code = rbits(3)
+                if rbits(1):
+                    return None  # reserved bit
+                utf8_number()
+                if bs_code == 0:
+                    return None
+                elif bs_code == 1:
+                    blocksize = 192
+                elif bs_code <= 5:
+                    blocksize = 576 << (bs_code - 2)
+                elif bs_code == 6:
+                    blocksize = rbits(8) + 1
+                elif bs_code == 7:
+                    blocksize = rbits(16) + 1
+                else:
+                    blocksize = 256 << (bs_code - 8)
+                if sr_code == 0:
+                    rate = si_rate
+                elif sr_code in RATE_TABLE:
+                    rate = RATE_TABLE[sr_code]
+                elif sr_code == 12:
+                    rate = rbits(8) * 1000
+                elif sr_code == 13:
+                    rate = rbits(16)
+                elif sr_code == 14:
+                    rate = rbits(16) * 10
+                else:
+                    return None
+                if ss_code == 0:
+                    bps = si_bps
+                else:
+                    bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code, 0)
+                if not bps or bps > 24 or not 0 < rate < 2**31:
+                    return None
+                rbits(8)  # header CRC-8 (skipped, not verified)
+                if chan_code < 8:
+                    n_ch = chan_code + 1
+                    frame = [subframe(blocksize, bps) for _ in range(n_ch)]
+                elif chan_code in (8, 9, 10):
+                    n_ch = 2
+                    extra = (1, 0) if chan_code == 9 else (0, 1)
+                    a = subframe(blocksize, bps + extra[0])
+                    b = subframe(blocksize, bps + extra[1])
+                    if chan_code == 8:  # left/side: R = L - side
+                        frame = [a, [x - s for x, s in zip(a, b)]]
+                    elif chan_code == 9:  # right/side: L = R + side
+                        frame = [[x + s for x, s in zip(b, a)], b]
+                    else:  # mid/side
+                        left, right = [], []
+                        for m, s in zip(a, b):
+                            m = (m << 1) | (s & 1)
+                            left.append((m + s) >> 1)
+                            right.append((m - s) >> 1)
+                        frame = [left, right]
+                else:
+                    return None
+                if not chans:
+                    chans = [[] for _ in range(len(frame))]
+                elif len(chans) != len(frame):
+                    return None
+                for c, samples in zip(chans, frame):
+                    c.extend(samples)
+                bp = (bp + 7) >> 3 << 3  # frames are byte-aligned
+                bp += 16  # frame CRC-16 (skipped, not verified)
+        except IndexError:
+            return None  # bit starvation / malformed structure
+        if not chans or not chans[0]:
+            return None
+        arr = np.array(chans, dtype=np.int64)
+        if total_samples:
+            if arr.shape[1] < total_samples:
+                return None  # STREAMINFO promises more than the frames hold
+            arr = arr[:, :total_samples]
+        mono = arr.sum(axis=0) // len(chans)
+        return mono.astype(np.int32), rate
+
+    return decode_flac
+
+
 def _wav_decoder():
     """REAL audio decode for uncompressed RIFF/WAVE PCM payloads — the
     audio sibling of _pixel_decoder, pure numpy, no codec dependency.
@@ -1876,6 +2155,7 @@ def audio_features(media: DataFrame) -> DataFrame:
     feature pass an audio corpus pipeline runs before filtering/
     embedding."""
     decode_wav = _wav_decoder()
+    decode_flac = _flac_decoder()
     silence_floor = 328  # ~1% of 32767
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1885,6 +2165,8 @@ def audio_features(media: DataFrame) -> DataFrame:
 
         def one(payload: bytes):
             got = decode_wav(payload)
+            if got is None:
+                got = decode_flac(payload)
             if got is not None:
                 mono, rate = got
             else:

@@ -3260,3 +3260,309 @@ def test_declared_dims_allocation_bombs_reject():
                  + chunk(b"00dc", b"") * 80)
     bomb_avi = b"RIFF" + (len(movi) + 4).to_bytes(4, "little") + b"AVI " + movi
     assert video(bomb_avi) is None
+
+
+# --- FLAC (r07): test-side encoder + decode oracles ---
+
+
+class _BitWriter:
+    def __init__(self):
+        self.acc, self.nbits, self.out = 0, 0, bytearray()
+
+    def w(self, val, k):
+        self.acc = (self.acc << k) | (val & ((1 << k) - 1))
+        self.nbits += k
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def align(self):
+        if self.nbits:
+            self.w(0, 8 - self.nbits)
+
+    def unary(self, q):
+        while q >= 32:
+            self.w(0, 32)
+            q -= 32
+        self.w(1, q + 1)
+
+
+def _flac_rice(bw, residuals, param, porder, pred_order, blocksize):
+    bw.w(0, 2)  # method 0: 4-bit rice params
+    bw.w(porder, 4)
+    parts = 1 << porder
+    it = iter(residuals)
+    for part in range(parts):
+        cnt = (blocksize >> porder) - (pred_order if part == 0 else 0)
+        bw.w(param, 4)
+        for _ in range(cnt):
+            v = next(it)
+            u = (v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+            bw.unary(u >> param)
+            bw.w(u & ((1 << param) - 1), param)
+
+
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+
+def _flac_subframe(bw, samples, bps, kind, wasted=0, order=2, rice_param=3,
+                   porder=0, lpc=None):
+    import numpy as np
+
+    blocksize = len(samples)
+    s = [int(x) >> wasted for x in samples]
+    bw.w(0, 1)
+    if kind == "constant":
+        bw.w(0, 6)
+    elif kind == "verbatim":
+        bw.w(1, 6)
+    elif kind == "fixed":
+        bw.w(8 + order, 6)
+    else:  # lpc
+        bw.w(32 + order - 1, 6)
+    if wasted:
+        bw.w(1, 1)
+        bw.unary(wasted - 1)
+    else:
+        bw.w(0, 1)
+    eff = bps - wasted
+    if kind == "constant":
+        bw.w(s[0], eff)
+        return
+    if kind == "verbatim":
+        for v in s:
+            bw.w(v, eff)
+        return
+    for v in s[:order]:  # warmup
+        bw.w(v, eff)
+    if kind == "lpc":
+        prec, shift, coefs = lpc
+        bw.w(prec - 1, 4)
+        bw.w(shift, 5)
+        for c in coefs:
+            bw.w(c, prec)
+        res = [
+            s[t] - (sum(coefs[j] * s[t - 1 - j] for j in range(order)) >> shift)
+            for t in range(order, blocksize)
+        ]
+    else:
+        coef = _FLAC_FIXED[order]
+        res = [
+            s[t] - sum(c * s[t - 1 - j] for j, c in enumerate(coef))
+            for t in range(order, blocksize)
+        ]
+    _flac_rice(bw, res, rice_param, porder, order, blocksize)
+
+
+def _flac(samples, rate=44100, bps=16, block=None, kind="verbatim",
+          mode="independent", total_override=None, **sub_kw) -> bytes:
+    """Minimal FLAC encoder: STREAMINFO + frames with 16-bit blocksize
+    code, UTF-8 frame numbers, chosen subframe kind and channel
+    decorrelation mode; CRC bytes written as zeros (the decoder's
+    contract is structural)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    block = block or n
+    total = n if total_override is None else total_override
+    packed = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total
+    si = (
+        block.to_bytes(2, "big") * 2 + b"\0\0\0" * 2
+        + packed.to_bytes(8, "big") + b"\0" * 16
+    )
+    out = bytearray(b"fLaC")
+    out += bytes([0x80]) + len(si).to_bytes(3, "big") + si
+    ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps]
+    for fidx, start in enumerate(range(0, n, block)):
+        blk = arr[start : start + block]
+        bw = _BitWriter()
+        bw.w(0b11111111111110, 14)
+        bw.w(0, 2)  # reserved + fixed-blocksize strategy
+        bw.w(7, 4)  # 16-bit blocksize follows
+        bw.w(0, 4)  # rate from STREAMINFO
+        if mode == "independent":
+            bw.w(ch - 1, 4)
+        else:
+            bw.w({"left_side": 8, "right_side": 9, "mid_side": 10}[mode], 4)
+        bw.w(ss_code, 3)
+        bw.w(0, 1)
+        assert fidx < 128  # single-byte UTF-8 frame number
+        bw.w(fidx, 8)
+        bw.w(len(blk) - 1, 16)
+        bw.w(0, 8)  # header CRC-8 placeholder
+        if mode == "independent":
+            for c in range(ch):
+                _flac_subframe(bw, blk[:, c], bps, kind, **sub_kw)
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if mode == "left_side":
+                _flac_subframe(bw, left, bps, kind, **sub_kw)
+                _flac_subframe(bw, side, bps + 1, kind, **sub_kw)
+            elif mode == "right_side":
+                _flac_subframe(bw, side, bps + 1, kind, **sub_kw)
+                _flac_subframe(bw, right, bps, kind, **sub_kw)
+            else:
+                mid = (left + right) >> 1
+                _flac_subframe(bw, mid, bps, kind, **sub_kw)
+                _flac_subframe(bw, side, bps + 1, kind, **sub_kw)
+        bw.align()
+        bw.w(0, 16)  # frame CRC-16 placeholder
+        out += bw.out
+    return bytes(out)
+
+
+def test_flac_verbatim_constant_exact():
+    """FLAC real decode (r07): verbatim and constant subframes roundtrip
+    mono samples exactly; rate comes from STREAMINFO; multi-frame streams
+    concatenate; a STREAMINFO total trims nothing when exact."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _flac_decoder
+
+    decode = _flac_decoder()
+    rng = np.random.default_rng(19)
+    s = rng.integers(-32768, 32768, 300, dtype=np.int64)
+    got = decode(_flac(s, rate=22050))
+    assert got is not None
+    mono, rate = got
+    assert rate == 22050 and mono.tolist() == s.tolist()
+
+    multi = decode(_flac(s, block=128))  # 3 frames: 128+128+44
+    assert multi is not None and multi[0].tolist() == s.tolist()
+
+    const = decode(_flac(np.full(64, -1234, dtype=np.int64), kind="constant"))
+    assert const is not None and const[0].tolist() == [-1234] * 64
+
+    w = decode(_flac(np.arange(-8, 8, dtype=np.int64) << 3, kind="verbatim",
+                     wasted=3))
+    assert w is not None and w[0].tolist() == (np.arange(-8, 8) << 3).tolist()
+
+
+def test_flac_fixed_lpc_rice_exact():
+    """FIXED orders 0-4 and LPC subframes with rice residuals (partition
+    orders 0-2) reconstruct exactly — smooth signals so residuals stay
+    small; 8/24-bit sample sizes included."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _flac_decoder
+
+    decode = _flac_decoder()
+    t = np.arange(256)
+    s = (1000 * np.sin(t / 9)).astype(np.int64)
+    for order in (0, 1, 2, 3, 4):
+        for porder in (0, 2):
+            got = decode(_flac(s, kind="fixed", order=order,
+                               rice_param=6, porder=porder))
+            assert got is not None, (order, porder)
+            assert got[0].tolist() == s.tolist(), (order, porder)
+
+    lpc = decode(_flac(s, kind="lpc", order=2, rice_param=6,
+                       lpc=(6, 4, [31, -15])))
+    assert lpc is not None and lpc[0].tolist() == s.tolist()
+
+    small = (s >> 9).astype(np.int64)  # fits 8-bit
+    got8 = decode(_flac(small, bps=8, kind="fixed", order=1, rice_param=3))
+    assert got8 is not None and got8[0].tolist() == small.tolist()
+    wide = (s << 8).astype(np.int64)  # 24-bit
+    got24 = decode(_flac(wide, bps=24, kind="fixed", order=2, rice_param=14))
+    assert got24 is not None and got24[0].tolist() == wide.tolist()
+
+
+def test_flac_stereo_decorrelation_exact():
+    """Independent, left/side, right/side and mid/side stereo all decode
+    to the same floor-mean mono mixdown as the raw channels."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _flac_decoder
+
+    decode = _flac_decoder()
+    rng = np.random.default_rng(23)
+    st = rng.integers(-30000, 30000, (200, 2), dtype=np.int64)
+    want = (st.sum(axis=1) // 2).tolist()
+    for mode in ("independent", "left_side", "right_side", "mid_side"):
+        got = decode(_flac(st, mode=mode))
+        assert got is not None, mode
+        assert got[0].tolist() == want, mode
+
+
+def test_flac_malformed_rejects_and_audio_features(spark):
+    """Truncation, bad sync and over-promising STREAMINFO reject;
+    audio_features rides the FLAC path end-to-end."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        _flac_decoder,
+        audio_features,
+    )
+
+    decode = _flac_decoder()
+    s = np.arange(-50, 50, dtype=np.int64) * 100
+    payload = _flac(s, rate=16000)
+    assert decode(payload[:-3]) is None                 # truncated frame
+    assert decode(b"fLaC" + payload[4:20]) is None      # truncated metadata
+    bad_sync = bytearray(payload)
+    si_end = 4 + 4 + 34
+    bad_sync[si_end] = 0x00  # stomp the first frame's sync byte
+    assert decode(bytes(bad_sync)) is None
+    assert decode(_flac(s, total_override=500)) is None  # promises too much
+    trimmed = decode(_flac(s, total_override=40))
+    assert trimmed is not None and trimmed[0].tolist() == s[:40].tolist()
+
+    media = spark.createDataFrame(
+        [(1, payload, "audio/flac")],
+        "doc_id long, content binary, media_type string",
+    )
+    row = audio_features(media).collect()[0]
+    assert row["sample_rate"] == 16000 and row["n_samples"] == 100
+    assert row["peak_abs"] == 5000
+
+
+def test_flac_roundtrip_property():
+    """Property check: any int16 signal, any subframe kind / block split /
+    stereo mode, decodes back exactly."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from apache_jira_scraper_spark.operators.multimodal import _flac_decoder
+
+    decode = _flac_decoder()
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        n=st.integers(8, 120),
+        block=st.integers(8, 64),
+        kind=st.sampled_from(["verbatim", "fixed"]),
+        order=st.integers(0, 4),
+        stereo=st.booleans(),
+        mode=st.sampled_from(["independent", "left_side", "right_side",
+                              "mid_side"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(n, block, kind, order, stereo, mode, seed):
+        rng = np.random.default_rng(seed)
+        if stereo:
+            s = rng.integers(-32768, 32768, (n, 2), dtype=np.int64)
+            want = (s.sum(axis=1) // 2).tolist()
+        else:
+            s = rng.integers(-32768, 32768, n, dtype=np.int64)
+            want = s.tolist()
+            mode = "independent"
+        block = min(block, n)
+        if kind == "fixed":
+            # every frame (incl. the tail) must hold more samples than the
+            # predictor order, or the stream is structurally invalid
+            tail = n % block or block
+            order = min(order, tail - 1, block - 1)
+            if order < 0:
+                order = 0
+        kw = {"order": order, "rice_param": 14} if kind == "fixed" else {}
+        got = decode(_flac(s, block=block, kind=kind, mode=mode, **kw))
+        assert got is not None
+        assert got[0].tolist() == want
+
+    check()
