@@ -91,13 +91,14 @@ FROM documents ORDER BY doc_id
 
 
 def _gif_lzw_decoder():
-    """Factory for the GIF LZW index-stream decoder, shared by the still
-    path (_pixel_decoder's _decode_gif) and the animation path
-    (_video_decoder) — LSB-first bit order, clear/EOI handling,
-    deferred-clear frozen table, width bump AFTER the append that filled
-    the current range, table frozen at 4096. Returns
-    (data, min_code, need) -> `need` index bytes or None on any
-    structural defect."""
+    """Factory for the GIF decode toolkit shared by the still path
+    (_pixel_decoder's _decode_gif) and the animation path
+    (_video_decoder): the LZW index-stream decoder — LSB-first bit order,
+    clear/EOI handling, deferred-clear frozen table, width bump AFTER the
+    append that filled the current range, table frozen at 4096 —
+    plus the 4-pass deinterlacer and the palette mean-luma fold, so the
+    two paths cannot drift apart. Returns
+    (lzw_indices, deinterlace, pal_gray)."""
 
     def lzw_indices(data: bytes, min_code: int, need: int):
         clear, eoi = 1 << min_code, (1 << min_code) + 1
@@ -145,7 +146,28 @@ def _gif_lzw_decoder():
             return None
         return b"".join(out)[:need]
 
-    return lzw_indices
+    def deinterlace(arr):
+        """Rows stored in GIF's 4 interlace passes -> natural order."""
+        import numpy as np
+
+        h = arr.shape[0]
+        order = np.concatenate(
+            [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
+        )
+        out = np.empty_like(arr)
+        out[order] = arr
+        return out
+
+    def pal_gray(pal_bytes):
+        """(r, g, b) palette bytes -> per-entry integer mean luma."""
+        import numpy as np
+
+        p = np.frombuffer(pal_bytes, dtype=np.uint8).reshape(-1, 3)
+        return ((p[:, 0].astype(np.uint16) + p[:, 1] + p[:, 2]) // 3).astype(
+            np.uint8
+        )
+
+    return lzw_indices, deinterlace, pal_gray
 
 
 def _pixel_decoder():
@@ -170,7 +192,7 @@ def _pixel_decoder():
     to integer mean luma ((r+g+b)//3) — deterministic and engine-exact,
     which the test oracles pin byte-for-byte. maxval must fit one byte
     (16-bit planes return None -> fake fallback)."""
-    gif_lzw = _gif_lzw_decoder()
+    gif_lzw, gif_deinterlace, gif_pal_gray = _gif_lzw_decoder()
     # Header-declared geometry cap (64 Mpx, far above any training-corpus
     # media tile): rejected BEFORE any dims-driven allocation, so a crafted
     # few-byte header cannot force a multi-GB numpy buffer and MemoryError
@@ -567,17 +589,9 @@ def _pixel_decoder():
         npal = len(pal_bytes) // 3
         if int(idx.max(initial=0)) >= npal:
             return None
-        pal = np.frombuffer(pal_bytes, dtype=np.uint8).reshape(npal, 3)
-        gray = (
-            (pal[:, 0].astype(np.uint16) + pal[:, 1] + pal[:, 2]) // 3
-        ).astype(np.uint8)[idx]
+        gray = gif_pal_gray(pal_bytes)[idx]
         if iflags & 0x40:  # interlaced: rows arrive in 4 passes
-            order = np.concatenate(
-                [np.arange(s, h, st) for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
-            )
-            deinter = np.empty_like(gray)
-            deinter[order] = gray
-            return deinter
+            return gif_deinterlace(gray)
         return gray
 
     def _decode_jpeg(payload: bytes):
@@ -1590,8 +1604,9 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
 def _flac_decoder():
     """REAL lossless-compressed audio decode: native FLAC in pure
     Python+numpy (r07) — no codec library. Returns
-    payload -> (samples int32 mono ndarray, sample_rate) or None, the
-    _wav_decoder contract, so audio_features rides it transparently.
+    payload -> (samples int32 mono ndarray, sample_rate, bits_per_sample)
+    or None, the _wav_decoder contract, so audio_features rides it
+    transparently (the bits field keys full-scale-dependent features).
 
     Coverage: STREAMINFO walk (other metadata blocks skipped), frame
     headers with all block-size/sample-rate/sample-size codes (incl. the
@@ -1748,6 +1763,10 @@ def _flac_decoder():
                     acc = res[t - order]
                     for j, c in enumerate(coef):
                         acc += c * samples[t - 1 - j]
+                    if not -(1 << 26) <= acc <= 1 << 26:
+                        # valid samples fit bps+1 <= 25 bits; unbounded
+                        # predictor feedback is a crafted bignum bomb
+                        raise IndexError
                     samples.append(acc)
             elif stype >> 5 == 1:  # LPC, order 1-32
                 order = (stype & 31) + 1
@@ -1767,7 +1786,10 @@ def _flac_decoder():
                     acc = 0
                     for j in range(order):
                         acc += coef[j] * samples[t - 1 - j]
-                    samples.append(res[t - order] + (acc >> shift))
+                    s_new = res[t - order] + (acc >> shift)
+                    if not -(1 << 26) <= s_new <= 1 << 26:
+                        raise IndexError  # predictor feedback bomb
+                    samples.append(s_new)
             else:
                 raise IndexError  # reserved subframe type
             if wasted:
@@ -1776,6 +1798,7 @@ def _flac_decoder():
 
         chans: list[list[int]] = []
         rate = si_rate
+        max_bps = si_bps
         try:
             while bp + 32 <= nbits_total:
                 if rbits(14) != 0b11111111111110:
@@ -1819,6 +1842,7 @@ def _flac_decoder():
                     bps = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code, 0)
                 if not bps or bps > 24 or not 0 < rate < 2**31:
                     return None
+                max_bps = max(max_bps, bps)
                 rbits(8)  # header CRC-8 (skipped, not verified)
                 if chan_code < 8:
                     n_ch = chan_code + 1
@@ -1859,7 +1883,7 @@ def _flac_decoder():
                 return None  # STREAMINFO promises more than the frames hold
             arr = arr[:, :total_samples]
         mono = arr.sum(axis=0) // len(chans)
-        return mono.astype(np.int32), rate
+        return mono.astype(np.int32), rate, max_bps
 
     return decode_flac
 
@@ -1869,8 +1893,11 @@ def _wav_decoder():
     audio sibling of _pixel_decoder, pure numpy, no codec dependency.
     Factory-made closure for the same cloudpickle-by-value reason.
 
-    Returns payload -> (samples int32 mono ndarray, sample_rate) or None
-    when the payload is not a well-formed WAV. Supported format tags:
+    Returns payload -> (samples int32 mono ndarray, sample_rate,
+    source_grid_bits) or None when the payload is not a well-formed WAV —
+    the bits field tells downstream features what full scale means (8-bit
+    PCM stays on its native grid; everything else lands on the 16-bit
+    grid). Supported format tags:
     1 (PCM: 8-bit unsigned re-centered by -128, 16-bit signed LE),
     3 (IEEE float32, scaled to the 16-bit grid by round(x*32767) and
     clamped — deterministic), 6/7 (G.711 A-law / mu-law, table-expanded
@@ -2021,11 +2048,13 @@ def _wav_decoder():
             for t in range(n_steps):
                 n = nibs[:, :, t]
                 signed = np.where(n >= 8, n - 16, n)
-                pred = np.clip(
-                    ((s1 * c1 + s2 * c2) >> 8) + signed * delta,
-                    -32768,
-                    32767,
-                )
+                # the reference decoders compute the predictor with C
+                # `/256` — truncation toward ZERO, not floor (>>8 would
+                # decode negative odd sums one unit low and the error
+                # feeds back through s1/s2 for the rest of the block)
+                num = s1 * c1 + s2 * c2
+                base = np.where(num >= 0, num >> 8, -((-num) >> 8))
+                pred = np.clip(base + signed * delta, -32768, 32767)
                 s2, s1 = s1, pred
                 delta = np.maximum((_MS_ADAPT[n] * delta) >> 8, 16)
                 out[:, :, t + 2] = pred
@@ -2061,10 +2090,14 @@ def _wav_decoder():
         bits = int.from_bytes(fmt[14:16], "little")
         if format_tag == 0xFFFE:
             # EXTENSIBLE: cbSize(2) + validbits(2) + chanmask(4) + GUID;
-            # the GUID's first two bytes are the effective tag
+            # the GUID's first two bytes are the effective tag. Strip the
+            # trailer: its layout is NOT the plain-tag extension, so e.g.
+            # _ms_adpcm would read "coefficients" out of the channel mask
+            # and GUID bytes (it falls back to the 7 built-in pairs).
             if len(fmt) < 28:
                 return None
             format_tag = int.from_bytes(fmt[24:26], "little")
+            fmt = fmt[:16]
         # sample_rate parses UNSIGNED, so the <= 0 arm alone can never
         # reject a rate that overflows the int32 feature column (ADVICE
         # r06); anything >= 2^31 is both implausible audio and an Arrow
@@ -2090,7 +2123,7 @@ def _wav_decoder():
                 mono = mono[:fact_samples]
             if mono.size == 0:
                 return None
-            return mono.astype(np.int32), sample_rate
+            return mono.astype(np.int32), sample_rate, 16
         if format_tag == 1 and bits in (8, 16):
             width = bits // 8
         elif format_tag == 3 and bits == 32:
@@ -2131,7 +2164,9 @@ def _wav_decoder():
         # integer mean across channels (floor toward -inf, numpy //) —
         # deterministic mono mixdown
         mono = frames.sum(axis=1) // channels
-        return mono, sample_rate
+        # source grid width: 8-bit PCM stays on its native +/-127 grid;
+        # float32 and G.711 land on the 16-bit grid by construction
+        return mono, sample_rate, (8 if format_tag == 1 and bits == 8 else 16)
 
     return decode_wav
 
@@ -2150,13 +2185,13 @@ def audio_features(media: DataFrame) -> DataFrame:
     zcr_ppm = strict sign flips per sample pair x 1e6 (the cheap
     voiced/unvoiced + noise discriminator); silence_ppm = fraction of
     samples with |x| <= silence_floor x 1e6 (clip/dead-air detection —
-    the floor defaults to ~1% of 16-bit full scale). Same mapInPandas
+    the floor is ~1% of the SOURCE grid's full scale, keyed by the
+    decoder's bits field). Same mapInPandas
     batch shape as the image stages; at scale this is the per-shard
     feature pass an audio corpus pipeline runs before filtering/
     embedding."""
     decode_wav = _wav_decoder()
     decode_flac = _flac_decoder()
-    silence_floor = 328  # ~1% of 32767
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -2168,10 +2203,13 @@ def audio_features(media: DataFrame) -> DataFrame:
             if got is None:
                 got = decode_flac(payload)
             if got is not None:
-                mono, rate = got
+                mono, rate, bits = got
             else:
                 mono = np.frombuffer(payload, dtype=np.uint8).astype(np.int32)
-                rate = 0
+                rate, bits = 0, 8
+            # ~1% of the SOURCE grid's full scale (327 at 16-bit) — a
+            # fixed 16-bit floor would call every 8-bit payload silent
+            silence_floor = max((1 << (bits - 1)) // 100, 1)
             if len(mono) == 0:
                 return rate, 0, 0, 0, 0, 0
             peak = int(np.abs(mono).max())
@@ -2184,7 +2222,11 @@ def audio_features(media: DataFrame) -> DataFrame:
             rms_x100 = math.isqrt(10_000 * sq // len(mono))
             n = len(mono)
             if n > 1:
-                flips = int(((mono[:-1] * mono[1:]) < 0).sum())
+                # widen before the product: int32*int32 stays int32 in
+                # numpy and wraps for the >16-bit samples FLAC produces
+                flips = int(
+                    ((mono[:-1].astype(np.int64) * mono[1:]) < 0).sum()
+                )
                 zcr_ppm = flips * 1_000_000 // (n - 1)
             else:
                 zcr_ppm = 0
@@ -2319,7 +2361,7 @@ def _video_decoder():
     stay behind _REAL_DECODE_AVAILABLE."""
     decode_y4m = _y4m_decoder()
     decode_pixels = _pixel_decoder()
-    gif_lzw = _gif_lzw_decoder()
+    gif_lzw, gif_deinterlace, gif_pal_gray = _gif_lzw_decoder()
     # Same declared-geometry discipline as _pixel_decoder, plus a total
     # decoded-luma cap: GIF patch frames and AVI dropped-frame chunks are
     # a few BYTES each but materialize a full canvas copy, so a crafted
@@ -2358,14 +2400,8 @@ def _video_decoder():
                 return None
             i = 13 + 3 * npal
 
-        def pal_gray(pal_bytes):
-            p = np.frombuffer(pal_bytes, dtype=np.uint8).reshape(-1, 3)
-            return ((p[:, 0].astype(np.uint16) + p[:, 1] + p[:, 2]) // 3).astype(
-                np.uint8
-            )
-
         bg_gray = (
-            int(pal_gray(gpal)[bg_idx])
+            int(gif_pal_gray(gpal)[bg_idx])
             if gpal is not None and bg_idx < len(gpal) // 3
             else 0
         )
@@ -2434,16 +2470,10 @@ def _video_decoder():
                     return None
                 idx = np.frombuffer(raw, dtype=np.uint8).reshape(fh, fw)
                 if iflags & 0x40:  # interlaced sub-image
-                    order = np.concatenate(
-                        [np.arange(s, fh, st)
-                         for s, st in ((0, 8), (4, 8), (2, 4), (1, 2))]
-                    )
-                    deinter = np.empty_like(idx)
-                    deinter[order] = idx
-                    idx = deinter
+                    idx = gif_deinterlace(idx)
                 if int(idx.max(initial=0)) >= len(pal) // 3:
                     return None
-                gray = pal_gray(pal)[idx]
+                gray = gif_pal_gray(pal)[idx]
                 if (len(frames) + 1) * W * H > max_total_luma:
                     return None  # tiny-patch frame amplification bomb
                 disposal, tidx, delay = gce or (0, None, 0)
@@ -2544,6 +2574,29 @@ def _video_decoder():
     return decode_video
 
 
+def _luma_mads():
+    """Factory for the per-pair mean-absolute-luma-delta series shared by
+    scene_changes and video_features (one rule, one copy). int16 is wide
+    enough for uint8 deltas and HALVES the widened copy — at the video
+    decoder's 256 MB luma cap an int32 copy plus diff temporaries
+    approached ~2 GB per payload inside the Arrow worker. Returns
+    frames (n, h, w) uint8 -> int64 MAD per consecutive pair (empty for
+    single-frame streams, allocation-free)."""
+
+    def mads_of(frames):
+        import numpy as np
+
+        if len(frames) <= 1:
+            return np.empty(0, dtype=np.int64)
+        size = frames[0].size
+        wide = frames.astype(np.int16)
+        return np.abs(np.diff(wide, axis=0)).reshape(len(frames) - 1, -1).sum(
+            axis=1
+        ) // size
+
+    return mads_of
+
+
 def keyframe_sample(media: DataFrame, stride: int = 4) -> DataFrame:
     """Keyframe sampling for REAL video payloads: every stride-th frame of
     a Y4M stream, one output ROW per sampled frame with its index, integer
@@ -2603,10 +2656,9 @@ def scene_changes(media: DataFrame, threshold: int = 24) -> DataFrame:
     sequential frame walk inside numpy — no shuffle, no state across
     rows."""
     decode_y4m = _video_decoder()
+    mads_of = _luma_mads()
 
     def _cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         rows = {"doc_id": [], "frame_idx": [], "mad": [],
                 "mean_luma": [], "fps_ppm": []}
 
@@ -2616,11 +2668,7 @@ def scene_changes(media: DataFrame, threshold: int = 24) -> DataFrame:
                 return
             frames, fps_ppm = got
             size = frames[0].size
-            wide = frames.astype(np.int32)
-            # MAD per consecutive pair, vectorized across the frame axis
-            mads = np.abs(np.diff(wide, axis=0)).reshape(len(frames) - 1, -1).sum(
-                axis=1
-            ) // size if len(frames) > 1 else np.empty(0, dtype=np.int64)
+            mads = mads_of(frames)
             for idx in range(len(frames)):
                 mad = 0 if idx == 0 else int(mads[idx - 1])
                 if idx and mad < threshold:
@@ -2655,10 +2703,9 @@ def video_features(media: DataFrame, threshold: int = 24) -> DataFrame:
     MJPEG/AVI, animated GIF via _video_decoder). Scale shape: per-payload
     Arrow batches, numpy frame walk, no shuffle."""
     decode_video = _video_decoder()
+    mads_of = _luma_mads()
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         cols = {"doc_id": [], "n_frames": [], "width": [], "height": [],
                 "fps_ppm": [], "mean_luma": [], "scene_count": [],
                 "max_mad": []}
@@ -2669,14 +2716,9 @@ def video_features(media: DataFrame, threshold: int = 24) -> DataFrame:
                 return
             frames, fps_ppm = got
             nf, h, w = frames.shape
-            if nf > 1:
-                mads = np.abs(np.diff(frames.astype(np.int32), axis=0)).reshape(
-                    nf - 1, -1
-                ).sum(axis=1) // (h * w)
-                scene_count = 1 + int((mads >= threshold).sum())
-                max_mad = int(mads.max())
-            else:
-                scene_count, max_mad = 1, 0
+            mads = mads_of(frames)
+            scene_count = 1 + int((mads >= threshold).sum())
+            max_mad = int(mads.max()) if len(mads) else 0
             cols["doc_id"].append(doc_id)
             cols["n_frames"].append(nf)
             cols["width"].append(w)

@@ -481,18 +481,20 @@ def test_wav_decoder_exact_samples():
     decode = _wav_decoder()
 
     mono = np.array([0, 1000, -32768, 32767, -1], dtype=np.int32)
-    got, rate = decode(_wav(mono, rate=44100))
+    got, rate, bits = decode(_wav(mono, rate=44100))
+    assert bits == 16
     assert rate == 44100 and (got == mono).all()
 
     stereo = np.array([[100, 200], [-5, -6], [32767, 32766]], dtype=np.int32)
-    got2, _ = decode(_wav(stereo, channels=2))
+    got2, _, _ = decode(_wav(stereo, channels=2))
     assert (got2 == np.array([150, -6, 32766])).all()  # floor mean: -5.5 -> -6
 
     eight = np.array([-128, 0, 127], dtype=np.int32)
-    got3, _ = decode(_wav(eight, bits=8))
+    got3, _, bits8 = decode(_wav(eight, bits=8))
+    assert bits8 == 8  # native grid, keys the silence floor
     assert (got3 == eight).all()
 
-    got4, rate4 = decode(_wav(mono, extra_chunk=True))
+    got4, rate4, _ = decode(_wav(mono, extra_chunk=True))
     assert rate4 == 8000 and (got4 == mono).all()
 
     assert decode(b"not audio at all") is None
@@ -1513,15 +1515,15 @@ def test_wav_g711_ulaw_alaw_exact():
     for tag, ulaw in ((7, True), (6, False)):
         got = decode(_wav_raw(all_bytes, _fmt(tag, bits=8)))
         assert got is not None
-        mono, rate = got
+        mono, rate, _ = got
         want = np.array([_g711_ref(b, ulaw) for b in range(256)])
         assert rate == 8000 and (mono == want).all()
     # standard spot values: mu-law 0x00 -> -32124, 0x80 -> +32124;
     # A-law 0xD5 -> +8, 0x55 -> -8, 0x2A -> -32256? no: 0x2A^0x55=0x7F ->
     # exp 7, mant 15 -> ((15<<4)+0x108)<<6 = -... just pin the known four
-    mono, _ = decode(_wav_raw(bytes([0x00, 0x80]), _fmt(7, bits=8)))
+    mono, _, _ = decode(_wav_raw(bytes([0x00, 0x80]), _fmt(7, bits=8)))
     assert mono.tolist() == [-32124, 32124]
-    mono, _ = decode(_wav_raw(bytes([0xD5, 0x55]), _fmt(6, bits=8)))
+    mono, _, _ = decode(_wav_raw(bytes([0xD5, 0x55]), _fmt(6, bits=8)))
     assert mono.tolist() == [8, -8]
 
 
@@ -1534,7 +1536,7 @@ def test_wav_float32_and_extensible():
     f = np.array([0.0, 1.0, -1.0, 0.5, -0.25, 2.0], dtype="<f4")
     got = decode(_wav_raw(f.tobytes(), _fmt(3, bits=32)))
     assert got is not None
-    mono, rate = got
+    mono, rate, _ = got
     # round(x*32767) clamped: 2.0 saturates at 32767
     assert mono.tolist() == [0, 32767, -32767, 16384, -8192, 32767]
     # EXTENSIBLE wrapping PCM16
@@ -2541,7 +2543,9 @@ def _ms_ref_block(block: bytes, ch: int, coefs) -> list[list[int]]:
         c = k % ch
         c1, c2 = coefs[pidx[c]]
         signed = n - 16 if n >= 8 else n
-        p = ((s1[c] * c1 + s2[c] * c2) >> 8) + signed * delta[c]
+        num = s1[c] * c1 + s2[c] * c2
+        base = num >> 8 if num >= 0 else -((-num) >> 8)  # C /256: trunc
+        p = base + signed * delta[c]
         p = max(-32768, min(32767, p))
         s2[c], s1[c] = s1[c], p
         delta[c] = max(16, (_MS_ADAPT_REF[n] * delta[c]) >> 8)
@@ -2611,14 +2615,14 @@ def test_wav_ima_adpcm_exact():
                            _fmt_adpcm(0x11, ch, 22050, ba, spb))
         got = decode(payload)
         assert got is not None, (ch, n_groups, nb)
-        mono, rate = got
+        mono, rate, _ = got
         want = _mono_ref([_ima_ref_block(b, ch) for b in blocks], ch)
         assert rate == 22050 and mono.tolist() == want
 
     # deterministic pin: zero nibbles at index 0 (step 7 >> 3 = 0) hold
     # the predictor; index walks down and stays clamped at 0
     blk = (100).to_bytes(2, "little") + bytes([0, 0]) + bytes(4)
-    mono, _ = decode(_wav_raw(blk, _fmt_adpcm(0x11, 1, 8000, 8, 9)))
+    mono, _, _ = decode(_wav_raw(blk, _fmt_adpcm(0x11, 1, 8000, 8, 9)))
     assert mono.tolist() == [100] * 9
 
 
@@ -2646,7 +2650,7 @@ def test_wav_ms_adpcm_exact():
         )
         got = decode(payload)
         assert got is not None, (ch, n_data, nb)
-        mono, rate = got
+        mono, rate, _ = got
         want = _mono_ref([_ms_ref_block(b, ch, table) for b in blocks], ch)
         assert rate == 11025 and mono.tolist() == want
 
@@ -3428,8 +3432,8 @@ def test_flac_verbatim_constant_exact():
     s = rng.integers(-32768, 32768, 300, dtype=np.int64)
     got = decode(_flac(s, rate=22050))
     assert got is not None
-    mono, rate = got
-    assert rate == 22050 and mono.tolist() == s.tolist()
+    mono, rate, bits = got
+    assert rate == 22050 and bits == 16 and mono.tolist() == s.tolist()
 
     multi = decode(_flac(s, block=128))  # 3 frames: 128+128+44
     assert multi is not None and multi[0].tolist() == s.tolist()
@@ -3566,3 +3570,116 @@ def test_flac_roundtrip_property():
         assert got[0].tolist() == want
 
     check()
+
+
+def test_flac_predictor_feedback_bomb_rejects():
+    """A crafted LPC subframe whose predictor multiplies each sample by
+    2^14 must reject at the magnitude bound (None), not grow bignums and
+    crash np.array with OverflowError (review r07)."""
+    from apache_jira_scraper_spark.operators.multimodal import _flac_decoder
+
+    decode = _flac_decoder()
+    blocksize = 64
+    packed = (44100 << 44) | (0 << 41) | (23 << 36) | blocksize
+    si = (blocksize.to_bytes(2, "big") * 2 + b"\0\0\0" * 2
+          + packed.to_bytes(8, "big") + b"\0" * 16)
+    bw = _BitWriter()
+    bw.w(0b11111111111110, 14)
+    bw.w(0, 2)
+    bw.w(7, 4)   # 16-bit blocksize follows
+    bw.w(0, 4)   # rate from STREAMINFO
+    bw.w(0, 4)   # mono
+    bw.w(6, 3)   # 24-bit samples
+    bw.w(0, 1)
+    bw.w(0, 8)   # frame number 0
+    bw.w(blocksize - 1, 16)
+    bw.w(0, 8)   # header CRC
+    # subframe: LPC order 1, warmup 2^23-1, coef 16383, shift 0,
+    # all-zero rice residuals -> s[t] = 16383 * s[t-1]
+    bw.w(0, 1)
+    bw.w(32 + 0, 6)
+    bw.w(0, 1)
+    bw.w((1 << 23) - 1, 24)
+    bw.w(14, 4)   # precision 15
+    bw.w(0, 5)    # shift 0
+    bw.w(16383, 15)
+    bw.w(0, 2)    # rice method 0
+    bw.w(0, 4)    # partition order 0
+    bw.w(0, 4)    # rice param 0
+    for _ in range(blocksize - 1):
+        bw.w(1, 1)  # zigzag 0: quotient unary '1', zero remainder bits
+    bw.align()
+    bw.w(0, 16)
+    payload = (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+               + bw.out)
+    assert decode(payload) is None  # and returns fast, no bignum walk
+
+
+def test_wav_extensible_adpcm_uses_builtin_coefs():
+    """EXTENSIBLE-wrapped MS ADPCM must NOT read coefficient pairs out of
+    the channel mask / GUID bytes — the trailer is stripped and the 7
+    built-in pairs apply (review r07)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    rng = np.random.default_rng(29)
+    blk = _ms_block(rng, 1, 4, 7)
+    plain = decode(_wav_raw(blk, _fmt_adpcm(2, 1, 8000, 11, 10)))
+    assert plain is not None
+
+    ext = (
+        (0xFFFE).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (11).to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (22).to_bytes(2, "little")        # cbSize
+        + (4).to_bytes(2, "little")         # valid bits
+        + (0x3).to_bytes(4, "little")       # channel mask (NOT wNumCoef!)
+        + (2).to_bytes(2, "little") + bytes(14)  # SubFormat GUID -> tag 2
+    )
+    wrapped = decode(_wav_raw(blk, ext))
+    assert wrapped is not None
+    assert wrapped[0].tolist() == plain[0].tolist()
+
+
+def test_ms_adpcm_negative_predictor_truncates_toward_zero():
+    """Directed pin of the C `/256` convention: s1=-5 with coef (240, 0)
+    gives -1200/256 = -4 (trunc), not -5 (floor) — review r07."""
+    import struct
+
+    from apache_jira_scraper_spark.operators.multimodal import _wav_decoder
+
+    decode = _wav_decoder()
+    blk = bytes([4])                       # predictor 4 -> coefs (240, 0)
+    blk += struct.pack("<h", 16)           # iDelta
+    blk += struct.pack("<h", -5)           # iSamp1
+    blk += struct.pack("<h", 0)            # iSamp2
+    blk += bytes([0x00])                   # two zero nibbles
+    got = decode(_wav_raw(blk, _fmt_adpcm(2, 1, 8000, 8, 4)))
+    assert got is not None
+    # samples: s2=0, s1=-5, then -1200/256 trunc -> -4, then
+    # (-4*240 + -5*0)/256 = -960/256 trunc -> -3
+    assert got[0].tolist() == [0, -5, -4, -3]
+
+
+def test_audio_features_bit_depth_scaled_silence_and_wide_zcr(spark):
+    """Review r07 regressions: a loud 8-bit PCM WAV is NOT all-silent
+    (floor scales with the source grid), and same-sign loud 24-bit FLAC
+    samples do NOT count as zero crossings (int64-widened product)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import audio_features
+
+    loud8 = _wav(np.array([-128, 127, 100, -100], dtype=np.int32), bits=8)
+    flac24 = _flac(np.array([2_000_000, 3_000_000, 2_500_000],
+                            dtype=np.int64), bps=24)
+    media = spark.createDataFrame(
+        [(1, loud8, "audio/wav"), (2, flac24, "audio/flac")],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in audio_features(media).collect()}
+    assert got[1]["silence_ppm"] == 0          # was 1_000_000 pre-fix
+    assert got[1]["peak_abs"] == 128
+    assert got[2]["zcr_ppm"] == 0              # was wrapped-int32 garbage
+    assert got[2]["peak_abs"] == 3_000_000
