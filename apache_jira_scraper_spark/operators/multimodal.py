@@ -2742,6 +2742,125 @@ def video_features(media: DataFrame, threshold: int = 24) -> DataFrame:
     )
 
 
+def frame_phash(media: DataFrame, stride: int = 1) -> DataFrame:
+    """Per-frame 64-bit perceptual hash (dHash) over REAL video payloads
+    (r07) — the frame-token step video dedup runs on: each sampled frame
+    is area-mean downsampled to a 9x8 integer grid (exact: per-cell
+    sum // count over `k*dim//n` boundaries) and hashed as the 8x8
+    left-to-right gradient sign bits, row-major, MSB first. Exact-integer
+    end to end, so identical content hashes identically regardless of
+    container (Y4M / MJPEG AVI / animated GIF), and near-identical
+    content lands within a few bits. Frames smaller than 9x8 have no
+    gradient grid and emit nothing. Returns (doc_id, frame_idx, phash
+    long — two's-complement of the 64-bit hash)."""
+    decode_video = _video_decoder()
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (1 << np.arange(63, -1, -1, dtype=np.uint64)).astype(
+            np.uint64
+        )
+
+        def dhash(frame) -> int:
+            h, w = frame.shape
+            rb = [k * h // 8 for k in range(8)]
+            cb = [k * w // 9 for k in range(9)]
+            sums = np.add.reduceat(
+                np.add.reduceat(frame.astype(np.int64), rb, axis=0), cb, axis=1
+            )
+            rc = np.diff(rb + [h])
+            cc = np.diff(cb + [w])
+            cells = sums // (rc[:, None] * cc[None, :])
+            bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64).ravel()
+            v = int((bits * weights).sum())
+            return v - (1 << 64) if v >= 1 << 63 else v  # long two's-comp
+
+        rows = {"doc_id": [], "frame_idx": [], "phash": []}
+        for pdf in batches:
+            for k in rows:
+                rows[k].clear()
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                got = decode_video(payload)
+                if got is None:
+                    continue
+                frames, _ = got
+                if frames.shape[1] < 8 or frames.shape[2] < 9:
+                    continue  # no gradient grid at this size
+                for idx in range(0, len(frames), stride):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["phash"].append(dhash(frames[idx]))
+            yield pd.DataFrame({k: list(v) for k, v in rows.items()})
+
+    return media.mapInPandas(
+        _hashes, schema="doc_id long, frame_idx int, phash long"
+    )
+
+
+def video_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, stride: int = 1
+) -> DataFrame:
+    """Cross-video near-duplicate frame matching (r07): the video member
+    of the near-dup family (dedup.py's simhash pigeonhole, applied to
+    frame_phash). Candidate generation is a BANDED EQUI-JOIN — each
+    64-bit dHash splits into four 16-bit blocks; hamming <= 3 guarantees
+    one block matches exactly (pigeonhole), so candidates join on
+    (block_idx, block_value) and NEVER cross-product — then exact
+    hamming via JVM-side bit_count(xor) verifies, and pairs aggregate to
+    one row per video pair. 100 TB shape: the explode is x4, the join
+    shuffles on a derived key, no driver state, no Python in the join.
+
+    Returns (doc_a, doc_b, matching_frames, min_hamming) for doc_a <
+    doc_b."""
+    ph = frame_phash(media, stride=stride)
+    blocks = ph.select(
+        "doc_id",
+        "frame_idx",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_idx") == F.col("b.block_idx"),
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.frame_idx").alias("idx_a"),
+            F.col("a.phash").alias("ph_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.frame_idx").alias("idx_b"),
+            F.col("b.phash").alias("ph_b"),
+        )
+        .distinct()  # a pair can match in several blocks
+    )
+    verified = cand.withColumn(
+        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+    ).filter(F.col("hamming") <= max_hamming)
+    return (
+        verified.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("matching_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 #: Patch-grid gate leg samples every Nth doc: the leg certifies patch_grid's
 #: SEMANTICS (tile layout, wrap padding, per-tile digest) under the driver
 #: hash, not its volume — full-corpus tiling would put ~150M substr() calls

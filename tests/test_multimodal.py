@@ -3683,3 +3683,91 @@ def test_audio_features_bit_depth_scaled_silence_and_wide_zcr(spark):
     assert got[1]["peak_abs"] == 128
     assert got[2]["zcr_ppm"] == 0              # was wrapped-int32 garbage
     assert got[2]["peak_abs"] == 3_000_000
+
+
+def _dhash_ref(frame) -> int:
+    """Independent scalar dHash reference: 9x8 area-mean grid, row-major
+    left-to-right gradient bits, MSB first, two's-complement long."""
+    h, w = frame.shape
+    cells = [
+        [
+            sum(
+                int(frame[r, c])
+                for r in range(ri * h // 8, (ri + 1) * h // 8)
+                for c in range(ci * w // 9, (ci + 1) * w // 9)
+            )
+            // (((ri + 1) * h // 8 - ri * h // 8) * ((ci + 1) * w // 9 - ci * w // 9))
+            for ci in range(9)
+        ]
+        for ri in range(8)
+    ]
+    v = 0
+    for ri in range(8):
+        for ci in range(8):
+            v = (v << 1) | (1 if cells[ri][ci + 1] > cells[ri][ci] else 0)
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def test_frame_phash_exact_and_container_invariant(spark):
+    """frame_phash matches the scalar dHash reference exactly and is
+    container-invariant (Y4M == MJPEG/AVI for constant-tile content);
+    sub-9x8 frames emit nothing."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import frame_phash
+
+    rng = np.random.default_rng(31)
+    tiles = rng.integers(0, 256, (3, 2, 3), dtype=np.uint8)
+    frames = np.repeat(np.repeat(tiles, 8, axis=1), 8, axis=2)  # 3x16x24
+    media = spark.createDataFrame(
+        [
+            (1, _y4m(frames), "video/y4m"),
+            (2, _avi_mjpeg([_jpeg_encode(f) for f in frames]), "video/avi"),
+            (3, _y4m(np.zeros((2, 4, 4), dtype=np.uint8)), "video/tiny"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    got = {
+        (r["doc_id"], r["frame_idx"]): r["phash"]
+        for r in frame_phash(media).collect()
+    }
+    assert set(d for d, _ in got) == {1, 2}  # tiny frames emit nothing
+    for i in range(3):
+        want = _dhash_ref(frames[i])
+        assert got[(1, i)] == want, i
+        assert got[(2, i)] == want, i  # container-invariant
+
+
+def test_video_near_dup_pairs_banded_join(spark, sf_dir):
+    """Near-identical videos (few-pixel luma noise) pair up under the
+    pigeonhole-banded join with small hamming; unrelated content does
+    not; the candidate plan has no cartesian/BNLJ."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+    from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+    rng = np.random.default_rng(37)
+    base = rng.integers(0, 256, (4, 16, 18), dtype=np.uint8)
+    noisy = base.copy()
+    noisy[:, 0, 0] ^= 1  # one-pixel wiggle per frame
+    other = rng.integers(0, 256, (4, 16, 18), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [
+            (1, _y4m(base), "v"),
+            (2, _y4m(noisy), "v"),
+            (3, _y4m(other), "v"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    out = video_near_dup_pairs(media, max_hamming=3)
+    ops = operator_counts(out)
+    assert "CartesianProduct" not in ops, ops
+    assert "BroadcastNestedLoopJoin" not in ops, ops
+    rows = {(r["doc_a"], r["doc_b"]): r.asDict() for r in out.collect()}
+    assert (1, 2) in rows
+    assert rows[(1, 2)]["matching_frames"] >= 4  # every frame pairs up
+    assert rows[(1, 2)]["min_hamming"] == 0  # the wiggle rarely moves a cell
+    assert (1, 3) not in rows and (2, 3) not in rows
