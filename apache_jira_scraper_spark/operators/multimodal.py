@@ -2742,40 +2742,48 @@ def video_features(media: DataFrame, threshold: int = 24) -> DataFrame:
     )
 
 
-def frame_phash(media: DataFrame, stride: int = 1) -> DataFrame:
-    """Per-frame 64-bit perceptual hash (dHash) over REAL video payloads
-    (r07) — the frame-token step video dedup runs on: each sampled frame
-    is area-mean downsampled to a 9x8 integer grid (exact: per-cell
-    sum // count over `k*dim//n` boundaries) and hashed as the 8x8
-    left-to-right gradient sign bits, row-major, MSB first. Exact-integer
+def _dhash():
+    """Factory for the 64-bit perceptual hash (dHash) shared by
+    frame_phash (video) and image_phash (stills): area-mean downsample
+    to a 9x8 integer grid (exact: per-cell sum // count over `k*dim//n`
+    boundaries), then the 8x8 left-to-right gradient sign bits,
+    row-major, MSB first, as a two's-complement Spark long. Exact-integer
     end to end, so identical content hashes identically regardless of
-    container (Y4M / MJPEG AVI / animated GIF), and near-identical
-    content lands within a few bits. Frames smaller than 9x8 have no
-    gradient grid and emit nothing. Returns (doc_id, frame_idx, phash
-    long — two's-complement of the 64-bit hash)."""
-    decode_video = _video_decoder()
+    source format, and near-identical content lands within a few bits.
+    Requires the grid to be non-degenerate: frames under 9x8 have no
+    cells to compare (callers skip them)."""
 
-    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def dhash(frame) -> int:
         import numpy as np
 
+        h, w = frame.shape
+        rb = [k * h // 8 for k in range(8)]
+        cb = [k * w // 9 for k in range(9)]
+        sums = np.add.reduceat(
+            np.add.reduceat(frame.astype(np.int64), rb, axis=0), cb, axis=1
+        )
+        rc = np.diff(rb + [h])
+        cc = np.diff(cb + [w])
+        cells = sums // (rc[:, None] * cc[None, :])
+        bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64).ravel()
         weights = (1 << np.arange(63, -1, -1, dtype=np.uint64)).astype(
             np.uint64
         )
+        v = int((bits * weights).sum())
+        return v - (1 << 64) if v >= 1 << 63 else v  # long two's-comp
 
-        def dhash(frame) -> int:
-            h, w = frame.shape
-            rb = [k * h // 8 for k in range(8)]
-            cb = [k * w // 9 for k in range(9)]
-            sums = np.add.reduceat(
-                np.add.reduceat(frame.astype(np.int64), rb, axis=0), cb, axis=1
-            )
-            rc = np.diff(rb + [h])
-            cc = np.diff(cb + [w])
-            cells = sums // (rc[:, None] * cc[None, :])
-            bits = (cells[:, 1:] > cells[:, :-1]).astype(np.uint64).ravel()
-            v = int((bits * weights).sum())
-            return v - (1 << 64) if v >= 1 << 63 else v  # long two's-comp
+    return dhash
 
+
+def frame_phash(media: DataFrame, stride: int = 1) -> DataFrame:
+    """Per-frame dHash over REAL video payloads (r07) — the frame-token
+    step video dedup runs on (_dhash for the hash contract; containers:
+    Y4M / MJPEG AVI / animated GIF). Frames smaller than 9x8 emit
+    nothing. Returns (doc_id, frame_idx, phash long)."""
+    decode_video = _video_decoder()
+    dhash = _dhash()
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = {"doc_id": [], "frame_idx": [], "phash": []}
         for pdf in batches:
             for k in rows:
@@ -2813,7 +2821,26 @@ def video_near_dup_pairs(
 
     Returns (doc_a, doc_b, matching_frames, min_hamming) for doc_a <
     doc_b."""
-    ph = frame_phash(media, stride=stride)
+    verified = _phash_verified_pairs(
+        frame_phash(media, stride=stride), max_hamming
+    )
+    return (
+        verified.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count("*").alias("matching_frames"),
+            F.min("hamming").alias("min_hamming"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _phash_verified_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded candidate generation + exact verify shared by the video and
+    image near-dup ops: explode each 64-bit hash into four 16-bit blocks
+    (pigeonhole: hamming <= 3 guarantees one exact block match), candidate
+    via (block_idx, block) EQUI-join with doc_a < doc_b — never a
+    cross-product — then JVM-side bit_count(xor) <= max_hamming. Input
+    needs (doc_id, frame_idx, phash); stills pass frame_idx 0."""
     blocks = ph.select(
         "doc_id",
         "frame_idx",
@@ -2848,15 +2875,43 @@ def video_near_dup_pairs(
         )
         .distinct()  # a pair can match in several blocks
     )
-    verified = cand.withColumn(
+    return cand.withColumn(
         "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
     ).filter(F.col("hamming") <= max_hamming)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """dHash over REAL still-image payloads (r07): one row per decodable
+    image (any _pixel_decoder format — the hash is format-invariant, so
+    the same pixels shipped as BMP and PNG collide exactly). Images
+    smaller than 9x8 emit nothing. Returns (doc_id, phash long)."""
+    decode_pixels = _pixel_decoder()
+    dhash = _dhash()
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = {"doc_id": [], "phash": []}
+        for pdf in batches:
+            for k in rows:
+                rows[k].clear()
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_pixels(payload)
+                if img is None or img.shape[0] < 8 or img.shape[1] < 9:
+                    continue
+                rows["doc_id"].append(doc_id)
+                rows["phash"].append(dhash(img))
+            yield pd.DataFrame({k: list(v) for k, v in rows.items()})
+
+    return media.mapInPandas(_hashes, schema="doc_id long, phash long")
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Cross-image near-duplicate pairs: image_phash through the same
+    pigeonhole-banded join as the video path. Returns (doc_a, doc_b,
+    hamming) for doc_a < doc_b."""
+    ph = image_phash(media).withColumn("frame_idx", F.lit(0))
     return (
-        verified.groupBy("doc_a", "doc_b")
-        .agg(
-            F.count("*").alias("matching_frames"),
-            F.min("hamming").alias("min_hamming"),
-        )
+        _phash_verified_pairs(ph, max_hamming)
+        .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
 

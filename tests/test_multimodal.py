@@ -3771,3 +3771,45 @@ def test_video_near_dup_pairs_banded_join(spark, sf_dir):
     assert rows[(1, 2)]["matching_frames"] >= 4  # every frame pairs up
     assert rows[(1, 2)]["min_hamming"] == 0  # the wiggle rarely moves a cell
     assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_image_phash_format_invariant_near_dups(spark, sf_dir):
+    """image_phash: the same pixels shipped as BMP, PNG and PGM hash
+    identically (format-invariant dHash); a lightly-edited copy pairs
+    within the hamming bound; unrelated images don't pair; the banded
+    plan has no cartesian."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        image_phash,
+    )
+    from apache_jira_scraper_spark.plans.inspect import operator_counts
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    edited = img.copy()
+    edited[0, 0] ^= 1
+    other = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    rgb = np.repeat(img[:, :, None], 3, axis=2)  # gray shipped as RGB
+    media = spark.createDataFrame(
+        [
+            (1, _bmp24(rgb), "image/bmp"),
+            (2, _png(img), "image/png"),
+            (3, _pgm_p5(edited), "image/pgm"),
+            (4, _pgm_p5(other), "image/pgm"),
+            (5, b"not an image", "text"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    hashes = {r["doc_id"]: r["phash"] for r in image_phash(media).collect()}
+    assert set(hashes) == {1, 2, 3, 4}
+    assert hashes[1] == hashes[2] == _dhash_ref(img)  # format-invariant
+
+    out = image_near_dup_pairs(media, max_hamming=3)
+    ops = operator_counts(out)
+    assert "CartesianProduct" not in ops and "BroadcastNestedLoopJoin" not in ops
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
