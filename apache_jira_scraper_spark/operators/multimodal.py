@@ -2904,6 +2904,67 @@ def image_phash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hashes, schema="doc_id long, phash long")
 
 
+def audio_phash(media: DataFrame) -> DataFrame:
+    """64-bit envelope dHash over REAL audio payloads (r07) — the audio
+    member of the perceptual-hash family: the mono stream's absolute
+    amplitude is area-mean downsampled to 65 equal-split buckets (exact
+    sum // count over `k*n//65` boundaries) and hashed as the 64
+    left-to-right envelope gradient sign bits, MSB first. Exact-integer,
+    so identical audio hashes identically across containers (PCM WAV vs
+    FLAC of the same samples — pinned), and amplitude-profile-preserving
+    edits land within a few bits. Time-shift robustness is explicitly
+    out of scope (that needs spectral landmarks and a codec-grade FFT
+    contract). Streams shorter than 65 samples emit nothing. Returns
+    (doc_id, phash long)."""
+    decode_wav = _wav_decoder()
+    decode_flac = _flac_decoder()
+
+    def _hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (1 << np.arange(63, -1, -1, dtype=np.uint64)).astype(
+            np.uint64
+        )
+        rows = {"doc_id": [], "phash": []}
+        for pdf in batches:
+            for k in rows:
+                rows[k].clear()
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                got = decode_wav(payload)
+                if got is None:
+                    got = decode_flac(payload)
+                if got is None:
+                    continue
+                mono = got[0]
+                n = len(mono)
+                if n < 65:
+                    continue
+                mag = np.abs(mono.astype(np.int64))
+                bounds = [k * n // 65 for k in range(65)]
+                sums = np.add.reduceat(mag, bounds)
+                counts = np.diff(bounds + [n])
+                env = sums // counts
+                bits = (env[1:] > env[:-1]).astype(np.uint64)
+                v = int((bits * weights).sum())
+                rows["doc_id"].append(doc_id)
+                rows["phash"].append(v - (1 << 64) if v >= 1 << 63 else v)
+            yield pd.DataFrame({k: list(v) for k, v in rows.items()})
+
+    return media.mapInPandas(_hashes, schema="doc_id long, phash long")
+
+
+def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Cross-audio near-duplicate pairs: audio_phash through the shared
+    pigeonhole-banded join. Returns (doc_a, doc_b, hamming), doc_a <
+    doc_b."""
+    ph = audio_phash(media).withColumn("frame_idx", F.lit(0))
+    return (
+        _phash_verified_pairs(ph, max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Cross-image near-duplicate pairs: image_phash through the same
     pigeonhole-banded join as the video path. Returns (doc_a, doc_b,

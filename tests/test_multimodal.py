@@ -3813,3 +3813,58 @@ def test_image_phash_format_invariant_near_dups(spark, sf_dir):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_phash_container_invariant_near_dups(spark, sf_dir):
+    """audio_phash: the same samples as PCM WAV and FLAC hash identically;
+    a lightly amplitude-edited copy pairs within the bound; different
+    audio doesn't; sub-65-sample streams emit nothing. Pinned against an
+    independent scalar envelope-hash reference."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        audio_phash,
+    )
+
+    rng = np.random.default_rng(43)
+    t = np.arange(400)
+    s = (8000 * np.sin(t / 7) + rng.integers(-500, 500, 400)).astype(np.int64)
+    edited = s.copy()
+    edited[5:10] += 30  # tiny local amplitude edit
+    other = rng.integers(-20000, 20000, 400, dtype=np.int64)
+    media = spark.createDataFrame(
+        [
+            (1, _wav(s.astype(np.int32)), "audio/wav"),
+            (2, _flac(s), "audio/flac"),
+            (3, _wav(edited.astype(np.int32)), "audio/wav"),
+            (4, _wav(other.astype(np.int32)), "audio/wav"),
+            (5, _wav(np.arange(10, dtype=np.int32)), "audio/short"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    hashes = {r["doc_id"]: r["phash"] for r in audio_phash(media).collect()}
+    assert set(hashes) == {1, 2, 3, 4}  # short stream emitted nothing
+    assert hashes[1] == hashes[2]  # container-invariant
+
+    # independent scalar reference
+    mag = [abs(int(x)) for x in s]
+    env = [
+        sum(mag[k * 400 // 65 : (k + 1) * 400 // 65])
+        // (((k + 1) * 400 // 65) - (k * 400 // 65))
+        for k in range(65)
+    ]
+    want = 0
+    for k in range(64):
+        want = (want << 1) | (1 if env[k + 1] > env[k] else 0)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert hashes[1] == want
+
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in audio_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 3
+    assert not any(4 in p for p in pairs)
