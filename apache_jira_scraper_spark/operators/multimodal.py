@@ -1794,6 +1794,12 @@ def _flac_decoder():
                 raise IndexError  # reserved subframe type
             if wasted:
                 samples = [s << wasted for s in samples]
+                # re-check the bound POST-shift: the in-loop predictor
+                # guard sees pre-shift values, and a crafted eff=1 /
+                # wasted=23 subframe could otherwise smuggle ~2^49
+                # magnitudes past it into the int32 cast (review r07)
+                if any(not -(1 << 26) <= s <= 1 << 26 for s in samples):
+                    raise IndexError
             return samples
 
         chans: list[list[int]] = []
@@ -1996,9 +2002,12 @@ def _wav_decoder():
         channel-interleaved per sample. Coefficient pairs come from the
         fmt extension when declared (wNumCoef + int16 pairs after
         wSamplesPerBlock), else the 7 built-ins. Adaptation:
-        delta = max(16, (adapt[n] * delta) >> 8); predictor
-        ((s1*c1 + s2*c2) >> 8) + signed_nibble*delta, clamped —
-        arithmetic shifts (floor), the reference decoder convention."""
+        delta = max(16, (adapt[n] * delta) >> 8) — arithmetic shift;
+        predictor trunc_toward_zero((s1*c1 + s2*c2) / 256)
+        + signed_nibble*delta, clamped — the C `/256` convention of the
+        Microsoft/ffmpeg reference decoders (NOT floor >>8, which
+        decodes negative odd sums one unit low with in-block error
+        feedback)."""
         ch, ba = channels, block_align
         coef = _MS_COEF
         if len(fmt) >= 22:
@@ -2215,10 +2224,13 @@ def audio_features(media: DataFrame) -> DataFrame:
             peak = int(np.abs(mono).max())
             # exact integer arithmetic to the final isqrt — floor(sqrt(
             # 100^2 * mean)) == floor(100 * rms), no float rounding. The
-            # int64 square-sum cannot wrap: it would need ~8.6e9 samples
-            # (a ~17 GB single-row payload) which an Arrow batch cannot
-            # physically carry.
-            sq = int((mono.astype(np.int64) ** 2).sum())
+            # vectorized int64 square-sum wraps once peak^2 * n crosses
+            # 2^63 (a few SECONDS of loud 24-bit FLAC), so route big
+            # payloads through exact Python bignums instead (review r07).
+            if peak == 0 or peak * peak <= (2**63 - 1) // len(mono):
+                sq = int((mono.astype(np.int64) ** 2).sum())
+            else:
+                sq = sum(i * i for i in map(int, mono))
             rms_x100 = math.isqrt(10_000 * sq // len(mono))
             n = len(mono)
             if n > 1:
@@ -2759,8 +2771,10 @@ def _dhash():
         h, w = frame.shape
         rb = [k * h // 8 for k in range(8)]
         cb = [k * w // 9 for k in range(9)]
+        # dtype=int64 accumulates exactly WITHOUT widening the whole
+        # plane first (an 8x copy of up to a 64 Mpx frame — review r07)
         sums = np.add.reduceat(
-            np.add.reduceat(frame.astype(np.int64), rb, axis=0), cb, axis=1
+            np.add.reduceat(frame, rb, axis=0, dtype=np.int64), cb, axis=1
         )
         rc = np.diff(rb + [h])
         cc = np.diff(cb + [w])
@@ -2840,7 +2854,22 @@ def _phash_verified_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
     (pigeonhole: hamming <= 3 guarantees one exact block match), candidate
     via (block_idx, block) EQUI-join with doc_a < doc_b — never a
     cross-product — then JVM-side bit_count(xor) <= max_hamming. Input
-    needs (doc_id, frame_idx, phash); stills pass frame_idx 0."""
+    needs (doc_id, frame_idx, phash); stills pass frame_idx 0.
+
+    Two contracts (review r07): max_hamming > 3 would SILENTLY miss
+    pairs whose differing bits straddle all four blocks, so it raises;
+    and phash 0 rows (constant frames/images — all-black intros, solid
+    title cards) are dropped before the join: they carry no perceptual
+    signal, every constant frame "matches" every other one, and at
+    corpus scale they are the classic hot key that turns the banded join
+    into one quadratic straggler task."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit pigeonhole banding only guarantees candidate "
+            "generation for hamming <= 3; got max_hamming="
+            f"{max_hamming}"
+        )
+    ph = ph.filter(F.col("phash") != 0)
     blocks = ph.select(
         "doc_id",
         "frame_idx",

@@ -3868,3 +3868,88 @@ def test_audio_phash_container_invariant_near_dups(spark, sf_dir):
     assert pairs[(1, 2)] == 0
     assert (1, 3) in pairs and pairs[(1, 3)] <= 3
     assert not any(4 in p for p in pairs)
+
+
+def test_audio_features_rms_exact_past_int64_wrap(spark):
+    """~140k near-full-scale 24-bit samples push the vectorized square-sum
+    past 2^63 — audio_features must route through exact bignums, not wrap
+    and crash isqrt (review r07)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import audio_features
+
+    peak = (1 << 23) - 1
+    n = 140_100
+    flac = _flac(np.full(n, peak, dtype=np.int64), bps=24,
+                 kind="constant", block=50_000)
+    media = spark.createDataFrame(
+        [(1, flac, "audio/flac")], "doc_id long, content binary, media_type string"
+    )
+    row = audio_features(media).collect()[0]
+    assert row["n_samples"] == n and row["peak_abs"] == peak
+    assert row["rms_x100"] == 100 * peak  # exact: constant signal
+
+
+def test_flac_wasted_bits_shift_respects_bound():
+    """A crafted eff=1/wasted=23 FIXED subframe whose escape residuals
+    pass the pre-shift bound must still reject after the wasted shift
+    (review r07: 2^48 magnitudes would wrap the int32 cast)."""
+    from apache_jira_scraper_spark.operators.multimodal import _flac_decoder
+
+    decode = _flac_decoder()
+    blocksize = 8
+    packed = (8000 << 44) | (0 << 41) | (23 << 36) | blocksize
+    si = (blocksize.to_bytes(2, "big") * 2 + b"\0\0\0" * 2
+          + packed.to_bytes(8, "big") + b"\0" * 16)
+    bw = _BitWriter()
+    bw.w(0b11111111111110, 14)
+    bw.w(0, 2)
+    bw.w(7, 4)
+    bw.w(0, 4)
+    bw.w(0, 4)   # mono
+    bw.w(6, 3)   # 24-bit
+    bw.w(0, 1)
+    bw.w(0, 8)
+    bw.w(blocksize - 1, 16)
+    bw.w(0, 8)
+    # subframe: FIXED order 0, wasted=23 (eff=1)
+    bw.w(0, 1)
+    bw.w(8, 6)          # FIXED order 0
+    bw.w(1, 1)          # wasted flag
+    bw.unary(22)        # 23 wasted bits
+    bw.w(0, 2)          # rice method 0
+    bw.w(0, 4)          # partition order 0
+    bw.w(15, 4)         # escape
+    bw.w(27, 5)         # raw residual width
+    for _ in range(blocksize):
+        bw.w(1 << 25, 27)  # passes the pre-shift bound, 2^48 after shift
+    bw.align()
+    bw.w(0, 16)
+    payload = (b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si
+               + bw.out)
+    assert decode(payload) is None
+
+
+def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
+    """max_hamming > 3 raises (pigeonhole banding would silently miss
+    pairs); constant black frames (phash 0) are dropped before the join,
+    so two black videos do NOT pair (review r07 hot-key contract)."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        video_near_dup_pairs,
+    )
+
+    black = np.zeros((3, 16, 18), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, _y4m(black), "v"), (2, _y4m(black.copy()), "v")],
+        "doc_id long, content binary, media_type string",
+    )
+    with _pytest.raises(ValueError, match="hamming"):
+        video_near_dup_pairs(media, max_hamming=4)
+    with _pytest.raises(ValueError, match="hamming"):
+        image_near_dup_pairs(media, max_hamming=7)
+    assert video_near_dup_pairs(media, max_hamming=3).collect() == []
