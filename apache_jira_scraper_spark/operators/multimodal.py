@@ -2821,7 +2821,10 @@ def frame_phash(media: DataFrame, stride: int = 1) -> DataFrame:
 
 
 def video_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 3, stride: int = 1
+    media: DataFrame,
+    max_hamming: int = 3,
+    stride: int = 1,
+    max_block_freq: int | None = None,
 ) -> DataFrame:
     """Cross-video near-duplicate frame matching (r07): the video member
     of the near-dup family (dedup.py's simhash pigeonhole, applied to
@@ -2836,7 +2839,7 @@ def video_near_dup_pairs(
     Returns (doc_a, doc_b, matching_frames, min_hamming) for doc_a <
     doc_b."""
     verified = _phash_verified_pairs(
-        frame_phash(media, stride=stride), max_hamming
+        frame_phash(media, stride=stride), max_hamming, max_block_freq
     )
     return (
         verified.groupBy("doc_a", "doc_b")
@@ -2848,7 +2851,9 @@ def video_near_dup_pairs(
     )
 
 
-def _phash_verified_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
+def _phash_verified_pairs(
+    ph: DataFrame, max_hamming: int, max_block_freq: int | None = None
+) -> DataFrame:
     """Banded candidate generation + exact verify shared by the video and
     image near-dup ops: explode each 64-bit hash into four 16-bit blocks
     (pigeonhole: hamming <= 3 guarantees one exact block match), candidate
@@ -2862,7 +2867,15 @@ def _phash_verified_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
     title cards) are dropped before the join: they carry no perceptual
     signal, every constant frame "matches" every other one, and at
     corpus scale they are the classic hot key that turns the banded join
-    into one quadratic straggler task."""
+    into one quadratic straggler task.
+
+    `max_block_freq` extends that guard to NON-constant hot keys: when
+    set, (block_idx, block) keys occurring more often are dropped before
+    the join (count + left-semi, one extra keyed shuffle) — the standard
+    saturated-LSH-band tradeoff. A pair survives if ANY of its four
+    blocks stays under the cap; recall is lost only for pairs whose
+    every shared block is corpus-saturated, which at that frequency is
+    near-boilerplate anyway."""
     if max_hamming > 3:
         raise ValueError(
             "4x16-bit pigeonhole banding only guarantees candidate "
@@ -2883,6 +2896,14 @@ def _phash_verified_pairs(ph: DataFrame, max_hamming: int) -> DataFrame:
             )
         ).alias("block_idx", "block"),
     )
+    if max_block_freq is not None:
+        keep = (
+            blocks.groupBy("block_idx", "block")
+            .agg(F.count(F.lit(1)).alias("bf"))
+            .filter(F.col("bf") <= max_block_freq)
+            .select("block_idx", "block")
+        )
+        blocks = blocks.join(keep, ["block_idx", "block"], "left_semi")
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (
@@ -2982,25 +3003,29 @@ def audio_phash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_hashes, schema="doc_id long, phash long")
 
 
-def audio_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def audio_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, max_block_freq: int | None = None
+) -> DataFrame:
     """Cross-audio near-duplicate pairs: audio_phash through the shared
     pigeonhole-banded join. Returns (doc_a, doc_b, hamming), doc_a <
     doc_b."""
     ph = audio_phash(media).withColumn("frame_idx", F.lit(0))
     return (
-        _phash_verified_pairs(ph, max_hamming)
+        _phash_verified_pairs(ph, max_hamming, max_block_freq)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
 
 
-def image_near_dup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, max_block_freq: int | None = None
+) -> DataFrame:
     """Cross-image near-duplicate pairs: image_phash through the same
     pigeonhole-banded join as the video path. Returns (doc_a, doc_b,
     hamming) for doc_a < doc_b."""
     ph = image_phash(media).withColumn("frame_idx", F.lit(0))
     return (
-        _phash_verified_pairs(ph, max_hamming)
+        _phash_verified_pairs(ph, max_hamming, max_block_freq)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )

@@ -3953,3 +3953,36 @@ def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
     with _pytest.raises(ValueError, match="hamming"):
         image_near_dup_pairs(media, max_hamming=7)
     assert video_near_dup_pairs(media, max_hamming=3).collect() == []
+
+
+def test_phash_block_saturation_cap(spark):
+    """max_block_freq drops corpus-saturated block keys before the join:
+    a 12-way identical image floods all four of its blocks past the cap
+    and stops pairing, while a distinct near-dup pair (unique content,
+    under the cap) still pairs."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(47)
+    boiler = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    uniq = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    uniq2 = uniq.copy()
+    uniq2[0, 0] ^= 1
+    rows = [(i, _pgm_p5(boiler), "img") for i in range(1, 13)]
+    rows += [(100, _pgm_p5(uniq), "img"), (101, _pgm_p5(uniq2), "img")]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string"
+    )
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in image_near_dup_pairs(media, max_block_freq=8).collect()
+    }
+    assert capped == {(100, 101)}  # boilerplate flood dropped, pair kept
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in image_near_dup_pairs(media).collect()
+    }
+    assert (1, 2) in uncapped and (100, 101) in uncapped
