@@ -775,6 +775,13 @@ def _pixel_decoder():
 
         mcux = -(-fw // (8 * max_h))
         mcuy = -(-fh // (8 * max_v))
+        # fh*fw alone caps ONE plane: a sub-KB 3-component 4:4:4 header at
+        # the 64 Mpx limit would still demand ~800 MB of int32 coefficient
+        # arrays (plus float64 IDCT temporaries) before any entropy data is
+        # read (ADVICE r07) — so the SUM of padded per-component plane
+        # pixels obeys the same geometry bound, rejected before allocation.
+        if sum(mcuy * v0 * mcux * h0 * 64 for _, h0, v0, _ in comps) > max_pixels:
+            return None
         blocks: dict[int, "np.ndarray"] = {}
         for cid, h0, v0, tq in comps:
             if tq not in qt:
@@ -835,47 +842,52 @@ def _pixel_decoder():
             return -(-ch // 8), -(-cw // 8)
 
         def decode_seq_scan(sel, sri):
-            # sequential: full DC+AC per block, interleaved MCU order
+            # sequential: full DC+AC per block. Interleaved MCU order for a
+            # multi-component scan; a ONE-component scan is always
+            # non-interleaved per T.81 A.2 (one data unit per MCU over the
+            # component's own ceil grid) — a grayscale file with sampling
+            # factors > 1 desynced or silently scrambled block order under
+            # the interleaved walk (ADVICE r07). dc_block_iter implements
+            # exactly this dual order.
             for cs, dct, act in sel:
                 if cs not in comp_by_id or dct is None or act is None:
                     raise ValueError
+            act_by_cs = {cs: act for cs, _, act in sel}
             dc_pred = {cs: 0 for cs, _, _ in sel}
-            mcus = 0
-            for my in range(mcuy):
-                for mx in range(mcux):
-                    if sri and mcus and mcus % sri == 0:
+            units = -1
+            for cs, dct, blk, new_unit in dc_block_iter(sel):
+                if new_unit:
+                    units += 1
+                    if sri and units and units % sri == 0:
                         next_segment()
-                        dc_pred = {cs: 0 for cs, _, _ in sel}
-                    for cs, dct, act in sel:
-                        _, h0, v0, _ = comp_by_id[cs]
-                        for vy in range(v0):
-                            for vx in range(h0):
-                                t = read_sym(dct)
-                                if t > 11:
-                                    raise ValueError
-                                dc_pred[cs] += extend(receive(t), t) if t else 0
-                                blk = blocks[cs][my * v0 + vy, mx * h0 + vx]
-                                blk[0] = dc_pred[cs]
-                                k = 1
-                                while k < 64:
-                                    rs = read_sym(act)
-                                    r, s = rs >> 4, rs & 15
-                                    if s == 0:
-                                        if r != 15:
-                                            break  # EOB
-                                        k += 16  # ZRL
-                                        continue
-                                    k += r
-                                    if k > 63:
-                                        raise ValueError
-                                    blk[k] = extend(receive(s), s)
-                                    k += 1
-                    mcus += 1
+                        dc_pred = {c: 0 for c, _, _ in sel}
+                act = act_by_cs[cs]
+                t = read_sym(dct)
+                if t > 11:
+                    raise ValueError
+                dc_pred[cs] += extend(receive(t), t) if t else 0
+                blk[0] = dc_pred[cs]
+                k = 1
+                while k < 64:
+                    rs = read_sym(act)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r != 15:
+                            break  # EOB
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > 63:
+                        raise ValueError
+                    blk[k] = extend(receive(s), s)
+                    k += 1
 
         def dc_block_iter(sel):
-            # block visit order for a DC scan: interleaved MCU order when
-            # multi-component, the component's own raster when single.
-            # new_unit marks restart-interval units (an MCU / a block).
+            # block visit order for a DC or full sequential scan:
+            # interleaved MCU order when multi-component, the component's
+            # own raster when single (T.81 A.2: one-component scans are
+            # always non-interleaved). new_unit marks restart-interval
+            # units (an MCU / a block).
             if len(sel) > 1:
                 for my in range(mcuy):
                     for mx in range(mcux):
@@ -2614,8 +2626,9 @@ def keyframe_sample(media: DataFrame, stride: int = 4) -> DataFrame:
     a Y4M stream, one output ROW per sampled frame with its index, integer
     mean luma (floored) and the md5 of the full luma plane — the
     video→frame-token step before per-frame embedding/dedup, exploded
-    directly from the Arrow stage like patch_grid. Real formats: Y4M and
-    MJPEG/AVI (r07, _video_decoder). Non-video payloads emit ZERO rows (a
+    directly from the Arrow stage like patch_grid. Real formats: Y4M,
+    MJPEG/AVI and animated GIF (r07, _video_decoder — ADVICE r07: the GIF
+    branch was live but undocumented here). Non-video payloads emit ZERO rows (a
     video sampler on non-video has nothing to sample — the byte-stride
     stand-in `frame_sample` remains the format-agnostic fallback)."""
     decode_y4m = _video_decoder()
@@ -2663,8 +2676,8 @@ def scene_changes(media: DataFrame, threshold: int = 24) -> DataFrame:
     over-samples static shots and misses fast cuts).
 
     Emits (doc_id, frame_idx, mad, mean_luma, fps_ppm); non-video payloads
-    emit ZERO rows, same contract as keyframe_sample (real formats: Y4M and
-    MJPEG/AVI via _video_decoder). Scale shape: per-payload Arrow batches,
+    emit ZERO rows, same contract as keyframe_sample (real formats: Y4M,
+    MJPEG/AVI and animated GIF via _video_decoder). Scale shape: per-payload Arrow batches,
     sequential frame walk inside numpy — no shuffle, no state across
     rows."""
     decode_y4m = _video_decoder()
@@ -2875,7 +2888,18 @@ def _phash_verified_pairs(
     saturated-LSH-band tradeoff. A pair survives if ANY of its four
     blocks stays under the cap; recall is lost only for pairs whose
     every shared block is corpus-saturated, which at that frequency is
-    near-boilerplate anyway."""
+    near-boilerplate anyway.
+
+    Multi-block dedup (VERDICT r07 item 2): a pair whose hashes agree in
+    several blocks joins once per agreeing block, so duplicates are
+    removed by keeping only the row whose block_idx equals the FIRST
+    agreeing block of xor(ph_a, ph_b) — a per-row filter (the
+    interval_overlap emit-once trick), replacing a full `.distinct()`
+    shuffle of the candidate set, the one table that scales with match
+    volume. Under `max_block_freq` the first agreeing block may itself
+    have been dropped by the cap (a row cannot know which OTHER blocks
+    survived), so that path keeps the `.distinct()` — correctness over
+    the saved exchange."""
     if max_hamming > 3:
         raise ValueError(
             "4x16-bit pigeonhole banding only guarantees candidate "
@@ -2906,28 +2930,46 @@ def _phash_verified_pairs(
         blocks = blocks.join(keep, ["block_idx", "block"], "left_semi")
     a = blocks.alias("a")
     b = blocks.alias("b")
-    cand = (
-        a.join(
-            b,
-            on=[
-                F.col("a.block_idx") == F.col("b.block_idx"),
-                F.col("a.block") == F.col("b.block"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("a.frame_idx").alias("idx_a"),
-            F.col("a.phash").alias("ph_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("b.frame_idx").alias("idx_b"),
-            F.col("b.phash").alias("ph_b"),
-        )
-        .distinct()  # a pair can match in several blocks
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.block_idx") == F.col("b.block_idx"),
+            F.col("a.block") == F.col("b.block"),
+            F.col("a.doc_id") < F.col("b.doc_id"),
+        ],
+    ).select(
+        F.col("a.block_idx").alias("block_idx"),
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("a.frame_idx").alias("idx_a"),
+        F.col("a.phash").alias("ph_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("b.frame_idx").alias("idx_b"),
+        F.col("b.phash").alias("ph_b"),
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
-    ).filter(F.col("hamming") <= max_hamming)
+    if max_block_freq is None:
+        # emit-once: keep only the row joined via the FIRST agreeing block
+        # (no exchange; see docstring)
+        xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
+        first_eq = F.coalesce(
+            *[
+                F.when(
+                    F.shiftright(xor, 16 * i).bitwiseAND(F.lit(0xFFFF)) == 0,
+                    F.lit(i),
+                )
+                for i in range(4)
+            ],
+            F.lit(-1),
+        )
+        cand = cand.filter(F.col("block_idx") == first_eq)
+    else:
+        cand = cand.drop("block_idx").distinct()
+    return (
+        cand.select("doc_a", "idx_a", "ph_a", "doc_b", "idx_b", "ph_b")
+        .withColumn(
+            "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
 
 
 def image_phash(media: DataFrame) -> DataFrame:

@@ -1154,13 +1154,18 @@ def test_decode_features_real_gif_histogram(spark):
 # --- JPEG (r07: baseline DCT decode in pure Python+numpy) ------------------
 
 
-def _jpeg_encode(img, quant=None, sampling=None, restart=0) -> bytes:
+def _jpeg_encode(img, quant=None, sampling=None, restart=0,
+                 gray_sampling=None) -> bytes:
     """Minimal baseline JPEG encoder for tests: forward DCT + quantize +
     canonical Huffman with flat custom tables (12 DC categories at 4 bits,
     all 162 AC run/size symbols at 8 bits — legal DHT, trivially canonical).
     Grayscale when img.ndim == 2, YCbCr 3-channel when img.ndim == 3 (input
     IS the YCbCr planes, pre-subsampled per `sampling`, so tests control
-    exact coefficients). `restart` emits DRI + RSTn markers every N MCUs."""
+    exact coefficients). `restart` emits DRI + RSTn markers every N MCUs.
+    `gray_sampling=(h, v)` declares sampling factors > 1 on a grayscale
+    frame; per T.81 A.2 the single-component scan is then encoded
+    NON-interleAVED (one block per MCU over the component's own ceil grid
+    — ADVICE r07 regression surface)."""
     import numpy as np
 
     zz = np.array(
@@ -1174,7 +1179,8 @@ def _jpeg_encode(img, quant=None, sampling=None, restart=0) -> bytes:
     A = (cu / 2.0) * np.cos((2 * xs[:, None] + 1) * xs[None, :] * np.pi / 16)
 
     if isinstance(img, np.ndarray) and img.ndim == 2:
-        comps = [(1, 1, 1, np.asarray(img, dtype=np.float64))]
+        gh, gv = gray_sampling or (1, 1)
+        comps = [(1, gh, gv, np.asarray(img, dtype=np.float64))]
     else:  # sequence of (pre-subsampled) Y, Cb, Cr planes
         comps = [
             (cid + 1, hs, vs, np.asarray(img[cid], dtype=np.float64))
@@ -1277,42 +1283,60 @@ def _jpeg_encode(img, quant=None, sampling=None, restart=0) -> bytes:
         return bytes(raw)
 
     dc_pred = dict.fromkeys(coef, 0)
-    mcus = 0
-    for my in range(mcuy):
-        for mx in range(mcux):
-            if restart and mcus and mcus % restart == 0:
-                out += flush_segment()
-                out += bytes([0xFF, 0xD0 + ((mcus // restart - 1) % 8)])
-                dc_pred = dict.fromkeys(coef, 0)
-            for cid, hs, vs, _ in comps:
-                for vy in range(vs):
-                    for vx in range(hs):
-                        blk = coef[cid][my * vs + vy, mx * hs + vx]
-                        diff = int(blk[0]) - dc_pred[cid]
-                        dc_pred[cid] = int(blk[0])
-                        t = mag(diff)
-                        c, nb = dc_code[t]
-                        put(c, nb)
-                        put_val(diff, t)
-                        run = 0
-                        for k in range(1, 64):
-                            v = int(blk[k])
-                            if v == 0:
-                                run += 1
-                                continue
-                            while run > 15:
-                                c, nb = ac_code[0xF0]
-                                put(c, nb)
-                                run -= 16
-                            s = mag(v)
-                            c, nb = ac_code[(run << 4) | s]
-                            put(c, nb)
-                            put_val(v, s)
-                            run = 0
-                        if run:
-                            c, nb = ac_code[0x00]
-                            put(c, nb)
-            mcus += 1
+
+    def emit_block(cid, blk):
+        diff = int(blk[0]) - dc_pred[cid]
+        dc_pred[cid] = int(blk[0])
+        t = mag(diff)
+        c, nb = dc_code[t]
+        put(c, nb)
+        put_val(diff, t)
+        run = 0
+        for k in range(1, 64):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, nb = ac_code[0xF0]
+                put(c, nb)
+                run -= 16
+            s = mag(v)
+            c, nb = ac_code[(run << 4) | s]
+            put(c, nb)
+            put_val(v, s)
+            run = 0
+        if run:
+            c, nb = ac_code[0x00]
+            put(c, nb)
+
+    def maybe_restart(mcus):
+        nonlocal dc_pred
+        if restart and mcus and mcus % restart == 0:
+            out.extend(flush_segment())
+            out.extend(bytes([0xFF, 0xD0 + ((mcus // restart - 1) % 8)]))
+            dc_pred = dict.fromkeys(coef, 0)
+
+    if len(comps) == 1 and (comps[0][1] > 1 or comps[0][2] > 1):
+        # one-component scan with factors > 1: NON-interleaved raster over
+        # the component's own ceil(h/8) x ceil(w/8) grid, one block per MCU
+        cid = comps[0][0]
+        mcus = 0
+        for by in range(-(-fh // 8)):
+            for bx in range(-(-fw // 8)):
+                maybe_restart(mcus)
+                emit_block(cid, coef[cid][by, bx])
+                mcus += 1
+    else:
+        mcus = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcus)
+                for cid, hs, vs, _ in comps:
+                    for vy in range(vs):
+                        for vx in range(hs):
+                            emit_block(cid, coef[cid][my * vs + vy, mx * hs + vx])
+                mcus += 1
     out += flush_segment()
     out += b"\xff\xd9"
     return bytes(out)
@@ -1423,6 +1447,52 @@ def test_jpeg_rejects():
     prog[sof_at + 1] = 0xC2
     assert decode(bytes(prog)) is None
     assert decode(b"\xff\xd8\xff\xd9") is None  # no frame
+
+
+def test_jpeg_gray_sampling_factors_noninterleaved():
+    """ADVICE r07: a one-component sequential scan is ALWAYS
+    non-interleaved (T.81 A.2) even when the component declares sampling
+    factors > 1. 32x32 (block counts coincide with the interleaved walk:
+    silently scrambled order before the fix) and 24x40 (counts differ:
+    desynced to the fake path before the fix) both decode exactly, and
+    match the (1,1)-factor encoding of the same pixels."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    rng = np.random.default_rng(19)
+    for shape in [(4, 4), (3, 5)]:  # -> 32x32, 24x40 pixel dims
+        tiles = rng.integers(0, 256, shape, dtype=np.uint8)
+        img = np.repeat(np.repeat(tiles, 8, 0), 8, 1)  # constant blocks
+        got = decode(_jpeg_encode(img, gray_sampling=(2, 2)))
+        assert got is not None and got.shape == img.shape, shape
+        assert (got == img).all(), shape
+        assert (got == decode(_jpeg_encode(img))).all(), shape
+    # restart markers count MCUs = blocks in the non-interleaved walk
+    img = np.repeat(np.repeat(rng.integers(0, 256, (2, 6), dtype=np.uint8), 8, 0), 8, 1)
+    got = decode(_jpeg_encode(img, gray_sampling=(2, 2), restart=5))
+    assert got is not None and (got == img).all()
+
+
+def test_jpeg_total_coefficient_memory_capped():
+    """ADVICE r07: the 64 Mpx cap bounds ONE plane; a 3-component 4:4:4
+    header at that limit would still demand ~800 MB of coefficient arrays
+    before any entropy byte. The SUM of padded per-component plane pixels
+    now obeys the same bound — a crafted sub-KB header is rejected (fake
+    fallback) instead of allocating."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    planes = [np.full((16, 16), v, dtype=np.uint8) for v in (64, 128, 192)]
+    ok = _jpeg_encode(planes, sampling=[(1, 1)] * 3)
+    assert decode(ok) is not None  # sanity: the small original decodes
+    bomb = bytearray(ok)
+    sof_at = bomb.index(b"\xff\xc0")
+    bomb[sof_at + 5 : sof_at + 9] = (8000).to_bytes(2, "big") * 2  # 64 Mpx
+    assert decode(bytes(bomb)) is None  # 3 x 64 Mpx planes > total cap
 
 
 def test_jpeg_through_arrow_stage(spark):
@@ -3953,6 +4023,63 @@ def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
     with _pytest.raises(ValueError, match="hamming"):
         image_near_dup_pairs(media, max_hamming=7)
     assert video_near_dup_pairs(media, max_hamming=3).collect() == []
+
+
+def test_phash_pairs_emit_once_no_distinct_exchange(spark):
+    """VERDICT r07 item 2: a pair agreeing in several blocks joins once
+    per agreeing block; the default path dedupes with the per-row
+    first-agreeing-block filter instead of a `.distinct()` — identical
+    hashes (all four blocks agree) emit EXACTLY one row, and the plan
+    carries no aggregate on the candidate subtree."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        _phash_verified_pairs,
+    )
+
+    h = 0x1234_5678_9ABC_DEF0
+    ph = spark.createDataFrame(
+        [(1, 0, h), (2, 0, h), (3, 0, h ^ 1)],
+        "doc_id long, frame_idx int, phash long",
+    )
+    rows = _phash_verified_pairs(ph, 3).collect()
+    got = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in rows)
+    # one row per pair: (1,2) agrees in all 4 blocks, (1,3)/(2,3) in 3
+    assert got == [(1, 2, 0), (1, 3, 1), (2, 3, 1)]
+    plan = _phash_verified_pairs(ph, 3)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "Deduplicate" not in plan
+
+
+def test_phash_saturation_cap_keeps_distinct_for_correctness(spark):
+    """Why the max_block_freq path keeps `.distinct()`: a pair whose
+    FIRST agreeing block is corpus-saturated (dropped by the cap) must
+    still surface via a later surviving block — the first-agreeing-block
+    filter would discard that row (it cannot know the earlier block was
+    capped), losing the pair."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        _phash_verified_pairs,
+    )
+
+    def s64(v):  # two's-complement into a Spark long
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    sat = 0xBEEF  # block 0 value shared by the flood AND the planted pair
+    rng_hi = [0x1111, 0x2222, 0x3333, 0x4444, 0x5555, 0x6666, 0x7777,
+              0x8888, 0x9999, 0xAAAA]
+    rows = [
+        # flood: 10 docs share block 0, differ wildly in blocks 1..3
+        (i, 0, s64((hi << 48) | ((hi ^ 0xFFFF) << 32) | ((i * 0x0101) << 16) | sat))
+        for i, hi in enumerate(rng_hi, start=1)
+    ]
+    # planted pair: agree in block 0 (saturated) and block 2 (unique);
+    # blocks 1 and 3 differ by one bit each -> hamming 2
+    a = (0x0F0F << 48) | (0x00AA << 32) | (0x3C3C << 16) | sat
+    rows += [(100, 0, a), (101, 0, a ^ (1 << 16) ^ (1 << 48))]
+    ph = spark.createDataFrame(rows, "doc_id long, frame_idx int, phash long")
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in _phash_verified_pairs(ph, 3, max_block_freq=8).collect()
+    }
+    assert (100, 101) in capped  # found via block 2 despite capped block 0
+    assert not any(d_a <= 10 and d_b <= 10 for d_a, d_b in capped)
 
 
 def test_phash_block_saturation_cap(spark):
