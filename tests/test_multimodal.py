@@ -4000,6 +4000,101 @@ def test_flac_wasted_bits_shift_respects_bound():
     assert decode(payload) is None
 
 
+def test_audio_phash_onset_anchor_matches_time_shifted_copy(spark):
+    """VERDICT r07 item 4: anchor="onset" trims both ends to the onset
+    span (|s|*16 >= peak) before bucketing, so a copy of the same track
+    with silence prepended AND appended hashes IDENTICALLY — across
+    containers (WAV original vs FLAC shifted copy) — while the default
+    fixed grid misses it and a distinct track never pairs either way."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        audio_near_dup_pairs,
+        audio_phash,
+    )
+
+    rng = np.random.default_rng(53)
+    t = np.arange(4000)
+    s = (12000 * np.sin(t / 11) + rng.integers(-700, 700, 4000)).astype(
+        np.int64
+    )
+    shifted = np.concatenate(
+        [np.zeros(1200, dtype=np.int64), s, np.zeros(800, dtype=np.int64)]
+    )
+    other = (9000 * np.cos(t / 5) + rng.integers(-700, 700, 4000)).astype(
+        np.int64
+    )
+    media = spark.createDataFrame(
+        [
+            (1, _wav(s.astype(np.int32)), "audio/wav"),
+            (2, _flac(shifted), "audio/flac"),
+            (3, _wav(other.astype(np.int32)), "audio/wav"),
+            (4, _wav(np.zeros(200, dtype=np.int32)), "audio/silence"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    fixed = {r["doc_id"]: r["phash"] for r in audio_phash(media).collect()}
+    onset = {
+        r["doc_id"]: r["phash"]
+        for r in audio_phash(media, anchor="onset").collect()
+    }
+    assert fixed[1] != fixed[2]  # the shift breaks the fixed grid
+    assert onset[1] == onset[2]  # onset trim cancels the padding exactly
+    assert 4 not in onset  # pure silence: no onset to anchor on
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in audio_near_dup_pairs(media, anchor="onset").collect()
+    }
+    assert (1, 2) in pairs
+    assert not any(3 in p for p in pairs)
+    with _pytest.raises(ValueError, match="anchor"):
+        audio_phash(media, anchor="argmax")
+
+
+def test_suggested_block_freq_cap_formula_and_small_corpus_noop(spark):
+    """VERDICT r07 item 5 (documented decision): max_block_freq stays
+    opt-in — the certified contract is the exact hamming<=k pair set —
+    and suggested_block_freq_cap gives the principled production value:
+    max(64, ceil(multiple * n / 2^16)). On a small corpus the floor makes
+    the suggested cap a no-op (capped == uncapped pair set)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        suggested_block_freq_cap,
+    )
+
+    assert suggested_block_freq_cap(100) == 64          # floor
+    assert suggested_block_freq_cap(1_000_000) == 153   # ceil(1e7/65536)
+    assert suggested_block_freq_cap(10_000_000) == 1526
+    assert suggested_block_freq_cap(1 << 16, multiple=640) == 640
+
+    rng = np.random.default_rng(59)
+    base = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] ^= 1
+    rows = [(1, _pgm_p5(base), "img"), (2, _pgm_p5(near), "img")]
+    rows += [
+        (10 + i, _pgm_p5(rng.integers(0, 256, (16, 18), dtype=np.uint8)), "img")
+        for i in range(6)
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary, media_type string"
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"]) for r in image_near_dup_pairs(media).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in image_near_dup_pairs(
+            media, max_block_freq=suggested_block_freq_cap(len(rows))
+        ).collect()
+    }
+    assert (1, 2) in uncapped and capped == uncapped
+
+
 def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
     """max_hamming > 3 raises (pigeonhole banding would silently miss
     pairs); constant black frames (phash 0) are dropped before the join,
