@@ -2838,6 +2838,7 @@ def video_near_dup_pairs(
     max_hamming: int = 3,
     stride: int = 1,
     max_block_freq: int | None = None,
+    phash: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-video near-duplicate frame matching (r07): the video member
     of the near-dup family (dedup.py's simhash pigeonhole, applied to
@@ -2849,10 +2850,18 @@ def video_near_dup_pairs(
     one row per video pair. 100 TB shape: the explode is x4, the join
     shuffles on a derived key, no driver state, no Python in the join.
 
+    `phash` takes a precomputed frame_phash table instead of re-hashing
+    `media` — the hash-once-join-many path a production pipeline (and the
+    decode gate) uses when the same hashes also feed other consumers;
+    decode is the expensive stage, so re-running it per consumer is the
+    waste to avoid.
+
     Returns (doc_a, doc_b, matching_frames, min_hamming) for doc_a <
     doc_b."""
     verified = _phash_verified_pairs(
-        frame_phash(media, stride=stride), max_hamming, max_block_freq
+        phash if phash is not None else frame_phash(media, stride=stride),
+        max_hamming,
+        max_block_freq,
     )
     return (
         verified.groupBy("doc_a", "doc_b")
@@ -3093,12 +3102,17 @@ def audio_near_dup_pairs(
     max_hamming: int = 3,
     max_block_freq: int | None = None,
     anchor: str = "fixed",
+    phash: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-audio near-duplicate pairs: audio_phash through the shared
     pigeonhole-banded join. anchor="onset" additionally matches
-    time-shifted / silence-padded copies (see audio_phash). Returns
-    (doc_a, doc_b, hamming), doc_a < doc_b."""
-    ph = audio_phash(media, anchor=anchor).withColumn("frame_idx", F.lit(0))
+    time-shifted / silence-padded copies (see audio_phash). `phash`
+    reuses a precomputed audio_phash table (hash once, join many — see
+    video_near_dup_pairs). Returns (doc_a, doc_b, hamming), doc_a <
+    doc_b."""
+    ph = (
+        phash if phash is not None else audio_phash(media, anchor=anchor)
+    ).withColumn("frame_idx", F.lit(0))
     return (
         _phash_verified_pairs(ph, max_hamming, max_block_freq)
         .select("doc_a", "doc_b", "hamming")
@@ -3107,17 +3121,139 @@ def audio_near_dup_pairs(
 
 
 def image_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 3, max_block_freq: int | None = None
+    media: DataFrame,
+    max_hamming: int = 3,
+    max_block_freq: int | None = None,
+    phash: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-image near-duplicate pairs: image_phash through the same
-    pigeonhole-banded join as the video path. Returns (doc_a, doc_b,
-    hamming) for doc_a < doc_b."""
-    ph = image_phash(media).withColumn("frame_idx", F.lit(0))
+    pigeonhole-banded join as the video path. `phash` reuses a
+    precomputed image_phash table (hash once, join many — see
+    video_near_dup_pairs). Returns (doc_a, doc_b, hamming) for doc_a <
+    doc_b."""
+    ph = (
+        phash if phash is not None else image_phash(media)
+    ).withColumn("frame_idx", F.lit(0))
     return (
         _phash_verified_pairs(ph, max_hamming, max_block_freq)
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+#: Near-dup gate fixtures (VERDICT r07 item 1): every PHASH_SAMPLE_MODth doc
+#: is a media fixture; PHASH_GROUP/PHASH_SAMPLE_MOD consecutive fixtures form
+#: a GROUP whose payloads all derive from the GROUP-BASE doc's text (the
+#: member with doc_id % PHASH_GROUP == 0), one member per construction rule:
+#:   m=0 base pixels as binary PGM (P5)
+#:   m=1 the SAME pixels as binary PPM (P6, tripled bytes -> identical luma):
+#:       a guaranteed hamming-0 pair certifying format invariance IN-GATE
+#:   m=2 base pixels with the last 16 bytes overwritten (borderline pair —
+#:       may or may not land within the hamming bound, data-dependent but
+#:       exactly reproduced by the oracle) under a '#'-comment P5 header
+#:   m=3 decorrelated pixels (REVERSED text walk): a non-pair control
+#: The video fixture applies the same members to a 3-frame Y4M Cmono stream
+#: (m=1 varies only the fps header field -> same luma, hamming-0 frames).
+#: Payload bytes come from documents.text via ascii(substr)==byte (pure-ASCII
+#: contract pinned by tests/test_testdata_contract.py).
+PHASH_SAMPLE_MOD = 25
+PHASH_GROUP = 100
+PHASH_IMG_W, PHASH_IMG_H = 32, 16
+PHASH_VID_W, PHASH_VID_H, PHASH_VID_FRAMES = 24, 16, 3
+
+
+def _phash_fixture_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled fixture spine (doc_id, m, t, n) shared by the image and
+    video near-dup gate legs: member index m plus the group-base text the
+    payload derives from. Empty-text bases drop their whole group (both
+    the Spark side and the oracle apply the same inner join + filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = docs.filter((F.col("doc_id") % PHASH_SAMPLE_MOD) == 0).select(
+        "doc_id",
+        (F.col("doc_id") - F.col("doc_id") % PHASH_GROUP).alias("base_id"),
+    )
+    base = docs.filter(
+        ((F.col("doc_id") % PHASH_GROUP) == 0) & (F.length("text") > 0)
+    ).select(F.col("doc_id").alias("base_id"), F.col("text").alias("t"))
+    return sampled.join(base, "base_id").select(
+        "doc_id",
+        F.expr(
+            f"CAST((doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} AS INT)"
+        ).alias("m"),
+        "t",
+        F.length("t").alias("n"),
+    )
+
+
+def phash_image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content) REAL still-image payloads for the near-dup gate
+    leg: binary PGM/PPM built with NATIVE string algebra — wrap via
+    repeat+substring, decorrelate via reverse, triple P6 bytes via one
+    regexp_replace — so construction is a handful of codegen'd string ops
+    per row (a per-pixel `transform` HOF was ~3 s of interpreted lambda
+    evals at sf0.1) and the DuckDB oracle restates every byte as text
+    arithmetic while the Spark side runs the REAL _pixel_decoder + dHash
+    + banded join."""
+    fx = _phash_fixture_base(spark, sf_dir)
+    w, h = PHASH_IMG_W, PHASH_IMG_H
+    npx = w * h
+    m = F.col("m")
+    reps = f"CAST(({npx} + n - 1) DIV n AS INT)"
+    wrap = F.expr(f"substring(repeat(t, {reps}), 1, {npx})")
+    wrap_rev = F.expr(f"substring(repeat(reverse(t), {reps}), 1, {npx})")
+    body = (
+        F.when(m == 3, wrap_rev)
+        .when(
+            m == 2,
+            F.concat(F.substring(wrap, 1, npx - 16), F.lit("M" * 16)),
+        )
+        .otherwise(wrap)
+    )
+    # P6 carries the SAME pixels tripled (r=g=b -> identical mean luma):
+    # (?s) so '.' also matches newline bytes inside the pixel plane
+    body3 = F.regexp_replace(wrap, r"(?s)(.)", r"$1$1$1")
+    header5 = F.when(
+        m == 2, F.lit(f"P5\n# near-dup fixture\n{w} {h}\n255\n")
+    ).otherwise(F.lit(f"P5\n{w} {h}\n255\n"))
+    payload = F.when(
+        m == 1, F.concat(F.lit(f"P6\n{w} {h}\n255\n"), body3)
+    ).otherwise(F.concat(header5, body))
+    return fx.select("doc_id", payload.cast("binary").alias("content"))
+
+
+def phash_video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content) REAL Y4M Cmono video payloads for the near-dup
+    gate leg — 3 luma frames per doc, frame f walking the base text at
+    offset 17*f (distinct per-frame hashes), same member rules as the
+    image fixture (native repeat/substring/reverse string algebra)."""
+    fx = _phash_fixture_base(spark, sf_dir)
+    w, h, nf = PHASH_VID_W, PHASH_VID_H, PHASH_VID_FRAMES
+    fpx = w * h
+    m = F.col("m")
+
+    def frame_body(f):
+        reps = f"CAST(({17 * f} + {fpx} + n - 1) DIV n AS INT)"
+        wrap = F.expr(f"substring(repeat(t, {reps}), {17 * f + 1}, {fpx})")
+        wrap_rev = F.expr(
+            f"substring(repeat(reverse(t), {reps}), {17 * f + 1}, {fpx})"
+        )
+        return (
+            F.when(m == 3, wrap_rev)
+            .when(
+                m == 2,
+                F.concat(F.substring(wrap, 1, fpx - 16), F.lit("X" * 16)),
+            )
+            .otherwise(wrap)
+        )
+
+    frames = [
+        F.concat(F.lit("FRAME\n"), frame_body(f)) for f in range(nf)
+    ]
+    header = F.when(
+        m == 1, F.lit(f"YUV4MPEG2 W{w} H{h} F30:1 Cmono\n")
+    ).otherwise(F.lit(f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n"))
+    payload = F.concat(header, *frames)
+    return fx.select("doc_id", payload.cast("binary").alias("content"))
 
 
 #: Patch-grid gate leg samples every Nth doc: the leg certifies patch_grid's
@@ -3143,7 +3279,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`decode_features`, `frame_sample`, `patch_grid`) stay available for
     programmatic use. Plan: two narrow passes over one scan side + a
     single doc_id sort-merge; the patch aggregate is a tiny (n_docs/100
-    rows) side that AQE broadcast-joins onto the per-doc spine."""
+    rows) side that AQE broadcast-joins onto the per-doc spine.
+
+    r08 adds the phash near-dup legs (VERDICT r07 item 1): per-doc
+    img_phash + symmetrized image-pair digests and per-doc video
+    frame-hash + video-pair digests, computed by the REAL operator family
+    (image_phash / image_near_dup_pairs / frame_phash /
+    video_near_dup_pairs) over REAL constructed PGM/PPM/Y4M payloads
+    (see phash_image_fixture) — the DuckDB oracle recomputes the exact
+    dHash integer math from the same text arithmetic and restates the
+    banded join as full pairwise hamming (equivalent for max_hamming<=3
+    by pigeonhole)."""
     media = binary_docs(spark, sf_dir)
     # Frame sampling is column algebra, so it rides along in the SAME
     # projection that feeds the single mapInPandas pass — one scan of the
@@ -3226,8 +3372,99 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("patches_md5"),
         )
     )
+    # phash near-dup legs (VERDICT r07 item 1): REAL constructed payloads
+    # (PGM/PPM stills, Y4M video) through the REAL decoders, dHash, and
+    # pigeonhole-banded joins — image_phash / image_near_dup_pairs /
+    # frame_phash / video_near_dup_pairs — folded per-doc the same way as
+    # the patch leg (hash values + symmetrized pair digests), so the
+    # driver hash pins the exact 64-bit hashes, the pair sets, and every
+    # hamming/matching-frame count. All four folds are tiny
+    # (n_docs/PHASH_SAMPLE_MOD rows): AQE broadcast-joins them onto the
+    # per-doc spine.
+    img_media = phash_image_fixture(spark, sf_dir)
+    vid_media = phash_video_fixture(spark, sf_dir)
+    # hash once per modality: the Arrow decode stage is the expensive part
+    # and feeds THREE consumers each (the fold + both sides of the banded
+    # self-join) — a lazy localCheckpoint materializes it a single time
+    # per gate call (the engine's >2-consumers rule, see dedup.py)
+    img_ph = image_phash(img_media).localCheckpoint(eager=False)
+    vid_ph = frame_phash(vid_media).localCheckpoint(eager=False)
+    img_fold = img_ph.select("doc_id", F.col("phash").alias("img_phash"))
+    ip = image_near_dup_pairs(img_media, phash=img_ph)
+    ip_sides = ip.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "hamming",
+    ).unionAll(
+        ip.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "hamming",
+        )
+    )
+    img_pair_fold = ip_sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_img_pairs"),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string("%09d:%d", "partner", "hamming")
+                    )
+                ),
+            )
+        ).alias("img_pairs_md5"),
+    )
+    vid_ph_fold = vid_ph.groupBy("doc_id").agg(
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string("%03d:%d", "frame_idx", "phash")
+                    )
+                ),
+            )
+        ).alias("vid_phash_md5"),
+    )
+    vp = video_near_dup_pairs(vid_media, phash=vid_ph)
+    vp_sides = vp.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "matching_frames",
+        "min_hamming",
+    ).unionAll(
+        vp.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "matching_frames",
+            "min_hamming",
+        )
+    )
+    vid_pair_fold = vp_sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_vid_pairs"),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string(
+                            "%09d:%d:%d",
+                            "partner",
+                            "matching_frames",
+                            "min_hamming",
+                        )
+                    )
+                ),
+            )
+        ).alias("vid_pairs_md5"),
+    )
     return (
         spine.join(per_doc, "doc_id", "left")
+        .join(img_fold, "doc_id", "left")
+        .join(img_pair_fold, "doc_id", "left")
+        .join(vid_ph_fold, "doc_id", "left")
+        .join(vid_pair_fold, "doc_id", "left")
         .select(
             spine["doc_id"],
             "features_csv",
@@ -3240,6 +3477,12 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("patch_n", F.lit(0)).cast("long").alias("patch_n"),
             F.coalesce("patch_sum_total", F.lit(0)).cast("long").alias("patch_sum_total"),
             F.coalesce("patches_md5", F.lit("")).alias("patches_md5"),
+            F.coalesce("img_phash", F.lit(0)).cast("long").alias("img_phash"),
+            F.coalesce("n_img_pairs", F.lit(0)).cast("long").alias("n_img_pairs"),
+            F.coalesce("img_pairs_md5", F.lit("")).alias("img_pairs_md5"),
+            F.coalesce("vid_phash_md5", F.lit("")).alias("vid_phash_md5"),
+            F.coalesce("n_vid_pairs", F.lit(0)).cast("long").alias("n_vid_pairs"),
+            F.coalesce("vid_pairs_md5", F.lit("")).alias("vid_pairs_md5"),
         )
         .orderBy("doc_id")
     )
@@ -3304,15 +3547,144 @@ WITH bytes AS (
            printf('%03d,%03d,', py, px) || CAST(patch_sum AS VARCHAR) || ',' || patch_digest,
            ';' ORDER BY py, px)) AS patches_md5
   FROM per_patch GROUP BY doc_id
+),
+-- phash near-dup legs (r08): recompute the EXACT dHash integer math from
+-- the same text arithmetic the Spark fixtures encode as PGM/PPM/Y4M bytes
+-- (ascii(substr)==byte: pure-ASCII contract), then full pairwise hamming —
+-- equivalent to the 4x16-bit pigeonhole banded join for max_hamming <= 3.
+ph_docs AS (
+  SELECT d.doc_id AS doc_id,
+         CAST((d.doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD} AS INT) AS m,
+         b.text AS t,
+         length(b.text) AS n
+  FROM documents d
+  JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % {PHASH_GROUP})
+  WHERE d.doc_id % {PHASH_SAMPLE_MOD} = 0 AND length(b.text) > 0
+), img_px AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {PHASH_IMG_W * PHASH_IMG_H - 1}), i ->
+      CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST(i % n AS INT) + 1, 1))
+           WHEN m = 2 AND i >= {PHASH_IMG_W * PHASH_IMG_H - 16} THEN 77
+           ELSE ascii(substr(t, CAST(i % n AS INT) + 1, 1)) END) AS px
+  FROM ph_docs
+), img_cells AS (
+  -- 8x9 area-mean grid: cell (r, c) = mean over pixel rows
+  -- [r*h/8, (r+1)*h/8) x cols [c*w//9, (c+1)*w//9)  (h divisible by 8)
+  SELECT doc_id,
+    list_transform(generate_series(0, 71), ci ->
+      list_sum(list_transform(generate_series(
+          (ci // 9) * {PHASH_IMG_H // 8},
+          (ci // 9) * {PHASH_IMG_H // 8} + {PHASH_IMG_H // 8 - 1}, 1), yy ->
+        list_sum(list_transform(generate_series(
+            (ci % 9) * {PHASH_IMG_W} // 9,
+            ((ci % 9) + 1) * {PHASH_IMG_W} // 9 - 1, 1), xx ->
+          px[yy * {PHASH_IMG_W} + xx + 1]))))
+      // ({PHASH_IMG_H // 8} * (((ci % 9) + 1) * {PHASH_IMG_W} // 9
+          - (ci % 9) * {PHASH_IMG_W} // 9))) AS cells
+  FROM img_px
+), img_ph AS (
+  -- 64 gradient sign bits packed MSB-first as a two's-complement BIGINT
+  -- (hi/lo 32-bit halves keep every shift inside BIGINT range)
+  SELECT doc_id,
+    CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         * 4294967296 + lo AS BIGINT) AS img_phash
+  FROM (
+    SELECT doc_id,
+      CAST(list_sum(list_transform(generate_series(0, 31), k ->
+        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
+             THEN CAST(1 AS BIGINT) << (31 - k) ELSE 0 END)) AS BIGINT) AS hi,
+      CAST(list_sum(list_transform(generate_series(32, 63), k ->
+        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
+             THEN CAST(1 AS BIGINT) << (63 - k) ELSE 0 END)) AS BIGINT) AS lo
+    FROM img_cells)
+), img_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.img_phash, b.img_phash)) AS hamming
+  FROM img_ph a JOIN img_ph b ON a.doc_id < b.doc_id
+  WHERE a.img_phash != 0 AND b.img_phash != 0
+    AND bit_count(xor(a.img_phash, b.img_phash)) <= 3
+), img_pair_fold AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_img_pairs,
+         md5(string_agg(printf('%09d:%d', partner, hamming), ';'
+             ORDER BY printf('%09d:%d', partner, hamming))) AS img_pairs_md5
+  FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM img_pairs
+        UNION ALL SELECT doc_b, doc_a, hamming FROM img_pairs)
+  GROUP BY doc_id
+), vid_px AS (
+  SELECT doc_id, f,
+    list_transform(generate_series(0, {PHASH_VID_W * PHASH_VID_H - 1}), i ->
+      CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST((i + 17*f) % n AS INT) + 1, 1))
+           WHEN m = 2 AND i >= {PHASH_VID_W * PHASH_VID_H - 16} THEN 88
+           ELSE ascii(substr(t, CAST((i + 17*f) % n AS INT) + 1, 1)) END) AS px
+  FROM ph_docs, (SELECT unnest(generate_series(0, {PHASH_VID_FRAMES - 1})) AS f)
+), vid_cells AS (
+  SELECT doc_id, f,
+    list_transform(generate_series(0, 71), ci ->
+      list_sum(list_transform(generate_series(
+          (ci // 9) * {PHASH_VID_H // 8},
+          (ci // 9) * {PHASH_VID_H // 8} + {PHASH_VID_H // 8 - 1}, 1), yy ->
+        list_sum(list_transform(generate_series(
+            (ci % 9) * {PHASH_VID_W} // 9,
+            ((ci % 9) + 1) * {PHASH_VID_W} // 9 - 1, 1), xx ->
+          px[yy * {PHASH_VID_W} + xx + 1]))))
+      // ({PHASH_VID_H // 8} * (((ci % 9) + 1) * {PHASH_VID_W} // 9
+          - (ci % 9) * {PHASH_VID_W} // 9))) AS cells
+  FROM vid_px
+), vid_fph AS (
+  SELECT doc_id, f,
+    CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         * 4294967296 + lo AS BIGINT) AS phash
+  FROM (
+    SELECT doc_id, f,
+      CAST(list_sum(list_transform(generate_series(0, 31), k ->
+        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
+             THEN CAST(1 AS BIGINT) << (31 - k) ELSE 0 END)) AS BIGINT) AS hi,
+      CAST(list_sum(list_transform(generate_series(32, 63), k ->
+        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
+             THEN CAST(1 AS BIGINT) << (63 - k) ELSE 0 END)) AS BIGINT) AS lo
+    FROM vid_cells)
+), vid_ph_fold AS (
+  SELECT doc_id,
+         md5(string_agg(printf('%03d:%d', f, phash), ';'
+             ORDER BY printf('%03d:%d', f, phash))) AS vid_phash_md5
+  FROM vid_fph GROUP BY doc_id
+), vid_fpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM vid_fph a JOIN vid_fph b ON a.doc_id < b.doc_id
+  WHERE a.phash != 0 AND b.phash != 0
+    AND bit_count(xor(a.phash, b.phash)) <= 3
+), vid_pairs AS (
+  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS matching_frames,
+         MIN(hamming) AS min_hamming
+  FROM vid_fpairs GROUP BY doc_a, doc_b
+), vid_pair_fold AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_vid_pairs,
+         md5(string_agg(printf('%09d:%d:%d', partner, mf, mh), ';'
+             ORDER BY printf('%09d:%d:%d', partner, mf, mh))) AS vid_pairs_md5
+  FROM (SELECT doc_a AS doc_id, doc_b AS partner,
+               matching_frames AS mf, min_hamming AS mh FROM vid_pairs
+        UNION ALL SELECT doc_b, doc_a, matching_frames, min_hamming FROM vid_pairs)
+  GROUP BY doc_id
 )
 SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
        frames_md5, CAST(n_frames AS INT) AS n_frames,
        content_md5, width, height,
        COALESCE(patch_n, 0) AS patch_n,
        COALESCE(patch_sum_total, 0) AS patch_sum_total,
-       COALESCE(patches_md5, '') AS patches_md5
+       COALESCE(patches_md5, '') AS patches_md5,
+       COALESCE(img_ph.img_phash, 0) AS img_phash,
+       COALESCE(n_img_pairs, 0) AS n_img_pairs,
+       COALESCE(img_pairs_md5, '') AS img_pairs_md5,
+       COALESCE(vid_phash_md5, '') AS vid_phash_md5,
+       COALESCE(n_vid_pairs, 0) AS n_vid_pairs,
+       COALESCE(vid_pairs_md5, '') AS vid_pairs_md5
 FROM feat JOIN fr ON feat.doc_id = fr.doc_id
 LEFT JOIN pagg ON feat.doc_id = pagg.doc_id
+LEFT JOIN img_ph ON feat.doc_id = img_ph.doc_id
+LEFT JOIN img_pair_fold ON feat.doc_id = img_pair_fold.doc_id
+LEFT JOIN vid_ph_fold ON feat.doc_id = vid_ph_fold.doc_id
+LEFT JOIN vid_pair_fold ON feat.doc_id = vid_pair_fold.doc_id
 ORDER BY feat.doc_id
 """
 

@@ -4095,6 +4095,91 @@ def test_suggested_block_freq_cap_formula_and_small_corpus_noop(spark):
     assert (1, 2) in uncapped and capped == uncapped
 
 
+def test_phash_fixture_payloads_match_reference(spark, sf_dir):
+    """r08 gate-leg fixtures: the column-algebra PGM/PPM/Y4M payloads are
+    byte-identical to an independent Python construction of the same
+    member rules (regression for the F.transform two-parameter-lambda
+    trap, where the array INDEX silently replaced the frame number)."""
+    import duckdb
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        PHASH_GROUP,
+        PHASH_IMG_H,
+        PHASH_IMG_W,
+        PHASH_SAMPLE_MOD,
+        PHASH_VID_FRAMES,
+        PHASH_VID_H,
+        PHASH_VID_W,
+        phash_image_fixture,
+        phash_video_fixture,
+    )
+
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('{sf_dir}/documents.parquet')"
+        ).fetchall()
+    )
+
+    def ref_img(doc_id):
+        t = docs[doc_id - doc_id % PHASH_GROUP]
+        m = (doc_id % PHASH_GROUP) // PHASH_SAMPLE_MOD
+        w, h, n = PHASH_IMG_W, PHASH_IMG_H, len(t)
+        npx = w * h
+        rev = t[::-1]
+        px = bytearray()
+        for i in range(npx):
+            if m == 3:
+                px.append(ord(rev[i % n]))
+            elif m == 2 and i >= npx - 16:
+                px.append(ord("M"))
+            else:
+                px.append(ord(t[i % n]))
+        if m == 1:
+            return (
+                f"P6\n{w} {h}\n255\n".encode()
+                + bytes(b for v in px for b in (v, v, v))
+            )
+        head = (
+            f"P5\n# near-dup fixture\n{w} {h}\n255\n"
+            if m == 2
+            else f"P5\n{w} {h}\n255\n"
+        )
+        return head.encode() + bytes(px)
+
+    def ref_vid(doc_id):
+        t = docs[doc_id - doc_id % PHASH_GROUP]
+        m = (doc_id % PHASH_GROUP) // PHASH_SAMPLE_MOD
+        w, h, n = PHASH_VID_W, PHASH_VID_H, len(t)
+        fpx = w * h
+        fps = "F30:1" if m == 1 else "F25:1"
+        out = bytearray(f"YUV4MPEG2 W{w} H{h} {fps} Cmono\n".encode())
+        rev = t[::-1]
+        for f in range(PHASH_VID_FRAMES):
+            out += b"FRAME\n"
+            for i in range(fpx):
+                if m == 3:
+                    out.append(ord(rev[(i + 17 * f) % n]))
+                elif m == 2 and i >= fpx - 16:
+                    out.append(ord("X"))
+                else:
+                    out.append(ord(t[(i + 17 * f) % n]))
+        return bytes(out)
+
+    img = {
+        r["doc_id"]: bytes(r["content"])
+        for r in phash_image_fixture(spark, sf_dir).collect()
+    }
+    vid = {
+        r["doc_id"]: bytes(r["content"])
+        for r in phash_video_fixture(spark, sf_dir).collect()
+    }
+    assert img, "fixture sampled no docs"
+    assert set(img) == set(vid)
+    for doc_id in sorted(img)[:8]:  # all four members of the first groups
+        assert img[doc_id] == ref_img(doc_id), f"img payload drift doc {doc_id}"
+        assert vid[doc_id] == ref_vid(doc_id), f"vid payload drift doc {doc_id}"
+
+
 def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
     """max_hamming > 3 raises (pigeonhole banding would silently miss
     pairs); constant black frames (phash 0) are dropped before the join,
