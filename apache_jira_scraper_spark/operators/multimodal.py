@@ -1041,6 +1041,13 @@ def _pixel_decoder():
 
         try:
             for sel, ss, se, ah, al, sl, sri in scans:
+                # one scan may name each component at most once (T.81
+                # B.2.3 Csj distinct): a duplicate would double-decode one
+                # grid with a shared DC predictor (and act_by_cs would
+                # collapse its tables) — confidently-wrong pixels instead
+                # of a reject (review r08)
+                if len({cs for cs, _, _ in sel}) != len(sel):
+                    return None
                 use_segs(sl)
                 if not progressive:
                     if ss != 0 or se != 63 or ah or al:
@@ -2858,6 +2865,11 @@ def video_near_dup_pairs(
 
     Returns (doc_a, doc_b, matching_frames, min_hamming) for doc_a <
     doc_b."""
+    if phash is not None and stride != 1:
+        raise ValueError(
+            "stride applies when hashing `media`; a precomputed `phash` "
+            "table was hashed with its own stride — pass one or the other"
+        )
     verified = _phash_verified_pairs(
         phash if phash is not None else frame_phash(media, stride=stride),
         max_hamming,
@@ -3110,6 +3122,11 @@ def audio_near_dup_pairs(
     reuses a precomputed audio_phash table (hash once, join many — see
     video_near_dup_pairs). Returns (doc_a, doc_b, hamming), doc_a <
     doc_b."""
+    if phash is not None and anchor != "fixed":
+        raise ValueError(
+            "anchor applies when hashing `media`; a precomputed `phash` "
+            "table was hashed with its own anchor — pass one or the other"
+        )
     ph = (
         phash if phash is not None else audio_phash(media, anchor=anchor)
     ).withColumn("frame_idx", F.lit(0))

@@ -1495,6 +1495,28 @@ def test_jpeg_total_coefficient_memory_capped():
     assert decode(bytes(bomb)) is None  # 3 x 64 Mpx planes > total cap
 
 
+def test_jpeg_duplicate_scan_component_rejected():
+    """Review r08: an SOS naming the same component several times passes
+    the one-scan/all-components count check but would double-decode one
+    block grid with a shared DC predictor (and collapse its AC tables) —
+    a non-conforming file must reject (T.81 B.2.3: Csj distinct), not
+    decode to confidently-wrong pixels."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import _pixel_decoder
+
+    decode = _pixel_decoder()
+    planes = [np.full((16, 16), v, dtype=np.uint8) for v in (64, 128, 192)]
+    ok = _jpeg_encode(planes, sampling=[(1, 1)] * 3)
+    assert decode(ok) is not None
+    dup = bytearray(ok)
+    sos_at = dup.index(b"\xff\xda")
+    # SOS: marker(2) len(2) ns(1) then (cid, tables) pairs at +5, +7, +9
+    assert dup[sos_at + 4] == 3
+    dup[sos_at + 5] = dup[sos_at + 7] = dup[sos_at + 9] = 1
+    assert decode(bytes(dup)) is None
+
+
 def test_jpeg_through_arrow_stage(spark):
     """A JPEG payload through decode_features yields the PIXEL histogram."""
     import numpy as np
@@ -4051,6 +4073,18 @@ def test_audio_phash_onset_anchor_matches_time_shifted_copy(spark):
     assert not any(3 in p for p in pairs)
     with _pytest.raises(ValueError, match="anchor"):
         audio_phash(media, anchor="argmax")
+    # review r08: hashing params must not be silently ignored alongside a
+    # precomputed phash table (the phash branch would win and the caller
+    # would believe onset/stride matching was active)
+    from apache_jira_scraper_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    ph = audio_phash(media)
+    with _pytest.raises(ValueError, match="anchor"):
+        audio_near_dup_pairs(media, anchor="onset", phash=ph)
+    with _pytest.raises(ValueError, match="stride"):
+        video_near_dup_pairs(media, stride=2, phash=ph)
 
 
 def test_suggested_block_freq_cap_formula_and_small_corpus_noop(spark):
