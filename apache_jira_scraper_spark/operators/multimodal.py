@@ -3173,10 +3173,32 @@ def image_near_dup_pairs(
 #: (m=1 varies only the fps header field -> same luma, hamming-0 frames).
 #: Payload bytes come from documents.text via ascii(substr)==byte (pure-ASCII
 #: contract pinned by tests/test_testdata_contract.py).
+#: The audio fixture applies the members to an 8-bit PCM mono WAV (samples
+#: are the text bytes; decoder yields byte-128, so mag = 128-byte >= 1 for
+#: ASCII text). m=1 is the TIME-SHIFTED copy — PHASH_AUD_SHIFT bytes of
+#: 0x7F "quiet" (mag 1, under the |s|*16 >= peak onset threshold for any
+#: text with a character <= 'o') prepended to the same samples — so the
+#: audio leg certifies audio_phash(anchor="onset") collision under the
+#: driver hash (a guaranteed hamming-0 pair the fixed grid would miss).
 PHASH_SAMPLE_MOD = 25
 PHASH_GROUP = 100
 PHASH_IMG_W, PHASH_IMG_H = 32, 16
 PHASH_VID_W, PHASH_VID_H, PHASH_VID_FRAMES = 24, 16, 3
+PHASH_AUD_SAMPLES, PHASH_AUD_SHIFT = 512, 64
+
+
+def _wav_pcm8_header(datasize: int) -> str:
+    """44-byte canonical RIFF/WAVE header for 8-bit PCM mono 8 kHz as a
+    str of single-byte chars (every byte < 128 for the chosen sizes, so
+    Spark's UTF-8 string -> binary cast is byte-exact)."""
+    h = b"RIFF" + (36 + datasize).to_bytes(4, "little") + b"WAVE"
+    h += b"fmt " + (16).to_bytes(4, "little")
+    h += (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    h += (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+    h += (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    h += b"data" + datasize.to_bytes(4, "little")
+    assert all(b < 128 for b in h)
+    return h.decode("ascii")
 
 
 def _phash_fixture_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3273,6 +3295,35 @@ def phash_video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fx.select("doc_id", payload.cast("binary").alias("content"))
 
 
+def phash_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content) REAL 8-bit PCM WAV payloads for the near-dup
+    gate's audio leg: samples are text bytes under a canonical 44-byte
+    header (same member rules, except m=1 is the time-shifted copy —
+    PHASH_AUD_SHIFT quiet bytes prepended — certifying the onset
+    anchor)."""
+    fx = _phash_fixture_base(spark, sf_dir)
+    ns, pre = PHASH_AUD_SAMPLES, PHASH_AUD_SHIFT
+    m = F.col("m")
+    reps = f"CAST(({ns} + n - 1) DIV n AS INT)"
+    wrap = F.expr(f"substring(repeat(t, {reps}), 1, {ns})")
+    wrap_rev = F.expr(f"substring(repeat(reverse(t), {reps}), 1, {ns})")
+    body = (
+        F.when(m == 3, wrap_rev)
+        .when(
+            m == 2,
+            F.concat(F.substring(wrap, 1, ns - 16), F.lit("M" * 16)),
+        )
+        .when(m == 1, F.concat(F.lit("\x7f" * pre), wrap))
+        .otherwise(wrap)
+    )
+    header = F.when(
+        m == 1, F.lit(_wav_pcm8_header(ns + pre))
+    ).otherwise(F.lit(_wav_pcm8_header(ns)))
+    return fx.select(
+        "doc_id", F.concat(header, body).cast("binary").alias("content")
+    )
+
+
 #: Patch-grid gate leg samples every Nth doc: the leg certifies patch_grid's
 #: SEMANTICS (tile layout, wrap padding, per-tile digest) under the driver
 #: hash, not its volume — full-corpus tiling would put ~150M substr() calls
@@ -3298,13 +3349,16 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     single doc_id sort-merge; the patch aggregate is a tiny (n_docs/100
     rows) side that AQE broadcast-joins onto the per-doc spine.
 
-    r08 adds the phash near-dup legs (VERDICT r07 item 1): per-doc
-    img_phash + symmetrized image-pair digests and per-doc video
-    frame-hash + video-pair digests, computed by the REAL operator family
-    (image_phash / image_near_dup_pairs / frame_phash /
-    video_near_dup_pairs) over REAL constructed PGM/PPM/Y4M payloads
-    (see phash_image_fixture) — the DuckDB oracle recomputes the exact
-    dHash integer math from the same text arithmetic and restates the
+    r08 adds the TRI-MODAL phash near-dup legs (VERDICT r07 item 1):
+    per-doc img_phash / aud_phash + symmetrized pair digests and per-doc
+    video frame-hash + video-pair digests, computed by the REAL operator
+    family (image_phash / image_near_dup_pairs / frame_phash /
+    video_near_dup_pairs / audio_phash(anchor="onset") /
+    audio_near_dup_pairs) over REAL constructed PGM/PPM/Y4M/WAV payloads
+    (see phash_image_fixture and siblings) — the DuckDB oracle recomputes
+    the exact dHash/envelope integer math from the same text arithmetic
+    (including the onset trim, so the audio leg certifies the
+    time-shifted-copy collision under the driver hash) and restates the
     banded join as full pairwise hamming (equivalent for max_hamming<=3
     by pigeonhole)."""
     media = binary_docs(spark, sf_dir)
@@ -3400,12 +3454,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc spine.
     img_media = phash_image_fixture(spark, sf_dir)
     vid_media = phash_video_fixture(spark, sf_dir)
+    aud_media = phash_audio_fixture(spark, sf_dir)
     # hash once per modality: the Arrow decode stage is the expensive part
     # and feeds THREE consumers each (the fold + both sides of the banded
     # self-join) — a lazy localCheckpoint materializes it a single time
     # per gate call (the engine's >2-consumers rule, see dedup.py)
     img_ph = image_phash(img_media).localCheckpoint(eager=False)
     vid_ph = frame_phash(vid_media).localCheckpoint(eager=False)
+    # the onset anchor is what the audio leg certifies: member 1 is the
+    # time-shifted copy and must collide at hamming 0
+    aud_ph = audio_phash(aud_media, anchor="onset").localCheckpoint(
+        eager=False
+    )
     img_fold = img_ph.select("doc_id", F.col("phash").alias("img_phash"))
     ip = image_near_dup_pairs(img_media, phash=img_ph)
     ip_sides = ip.select(
@@ -3476,12 +3536,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vid_pairs_md5"),
     )
+    aud_fold = aud_ph.select("doc_id", F.col("phash").alias("aud_phash"))
+    ap = audio_near_dup_pairs(aud_media, phash=aud_ph)
+    ap_sides = ap.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        "hamming",
+    ).unionAll(
+        ap.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            "hamming",
+        )
+    )
+    aud_pair_fold = ap_sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_aud_pairs"),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string("%09d:%d", "partner", "hamming")
+                    )
+                ),
+            )
+        ).alias("aud_pairs_md5"),
+    )
     return (
         spine.join(per_doc, "doc_id", "left")
         .join(img_fold, "doc_id", "left")
         .join(img_pair_fold, "doc_id", "left")
         .join(vid_ph_fold, "doc_id", "left")
         .join(vid_pair_fold, "doc_id", "left")
+        .join(aud_fold, "doc_id", "left")
+        .join(aud_pair_fold, "doc_id", "left")
         .select(
             spine["doc_id"],
             "features_csv",
@@ -3500,6 +3588,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("vid_phash_md5", F.lit("")).alias("vid_phash_md5"),
             F.coalesce("n_vid_pairs", F.lit(0)).cast("long").alias("n_vid_pairs"),
             F.coalesce("vid_pairs_md5", F.lit("")).alias("vid_pairs_md5"),
+            F.coalesce("aud_phash", F.lit(0)).cast("long").alias("aud_phash"),
+            F.coalesce("n_aud_pairs", F.lit(0)).cast("long").alias("n_aud_pairs"),
+            F.coalesce("aud_pairs_md5", F.lit("")).alias("aud_pairs_md5"),
         )
         .orderBy("doc_id")
     )
@@ -3683,6 +3774,61 @@ ph_docs AS (
                matching_frames AS mf, min_hamming AS mh FROM vid_pairs
         UNION ALL SELECT doc_b, doc_a, matching_frames, min_hamming FROM vid_pairs)
   GROUP BY doc_id
+), aud_mag AS (
+  -- 8-bit PCM: decoder sample = byte - 128, so |s| = 128 - byte for ASCII;
+  -- member 1 prepends PHASH_AUD_SHIFT quiet bytes (0x7F -> mag 1)
+  SELECT doc_id,
+    list_transform(generate_series(0,
+        CASE WHEN m = 1 THEN {PHASH_AUD_SHIFT + PHASH_AUD_SAMPLES - 1}
+             ELSE {PHASH_AUD_SAMPLES - 1} END), i ->
+      CASE
+        WHEN m = 1 THEN CASE WHEN i < {PHASH_AUD_SHIFT} THEN 1
+             ELSE 128 - ascii(substr(t, CAST((i - {PHASH_AUD_SHIFT}) % n AS INT) + 1, 1)) END
+        WHEN m = 2 THEN CASE WHEN i >= {PHASH_AUD_SAMPLES - 16} THEN 51
+             ELSE 128 - ascii(substr(t, CAST(i % n AS INT) + 1, 1)) END
+        WHEN m = 3 THEN 128 - ascii(substr(reverse(t), CAST(i % n AS INT) + 1, 1))
+        ELSE 128 - ascii(substr(t, CAST(i % n AS INT) + 1, 1))
+      END) AS mag
+  FROM ph_docs
+), aud_span AS (
+  -- onset trim: first..last sample with |s|*16 >= peak (anchor="onset")
+  SELECT doc_id, list_slice(mag, keep[1], keep[len(keep)]) AS span
+  FROM (
+    SELECT doc_id, mag,
+      list_filter(generate_series(1, len(mag)), ii -> mag[ii] * 16 >= list_max(mag)) AS keep
+    FROM aud_mag WHERE list_max(mag) > 0)
+), aud_env AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, 64), k ->
+      list_sum(list_slice(span, k * n2 // 65 + 1, (k + 1) * n2 // 65))
+      // ((k + 1) * n2 // 65 - k * n2 // 65)) AS env
+  FROM (SELECT doc_id, span, len(span) AS n2 FROM aud_span WHERE len(span) >= 65)
+), aud_ph AS (
+  SELECT doc_id,
+    CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         * 4294967296 + lo AS BIGINT) AS aud_phash
+  FROM (
+    SELECT doc_id,
+      CAST(list_sum(list_transform(generate_series(0, 31), k ->
+        CASE WHEN env[k + 2] > env[k + 1]
+             THEN CAST(1 AS BIGINT) << (31 - k) ELSE 0 END)) AS BIGINT) AS hi,
+      CAST(list_sum(list_transform(generate_series(32, 63), k ->
+        CASE WHEN env[k + 2] > env[k + 1]
+             THEN CAST(1 AS BIGINT) << (63 - k) ELSE 0 END)) AS BIGINT) AS lo
+    FROM aud_env)
+), aud_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.aud_phash, b.aud_phash)) AS hamming
+  FROM aud_ph a JOIN aud_ph b ON a.doc_id < b.doc_id
+  WHERE a.aud_phash != 0 AND b.aud_phash != 0
+    AND bit_count(xor(a.aud_phash, b.aud_phash)) <= 3
+), aud_pair_fold AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_aud_pairs,
+         md5(string_agg(printf('%09d:%d', partner, hamming), ';'
+             ORDER BY printf('%09d:%d', partner, hamming))) AS aud_pairs_md5
+  FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM aud_pairs
+        UNION ALL SELECT doc_b, doc_a, hamming FROM aud_pairs)
+  GROUP BY doc_id
 )
 SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
        frames_md5, CAST(n_frames AS INT) AS n_frames,
@@ -3695,13 +3841,18 @@ SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
        COALESCE(img_pairs_md5, '') AS img_pairs_md5,
        COALESCE(vid_phash_md5, '') AS vid_phash_md5,
        COALESCE(n_vid_pairs, 0) AS n_vid_pairs,
-       COALESCE(vid_pairs_md5, '') AS vid_pairs_md5
+       COALESCE(vid_pairs_md5, '') AS vid_pairs_md5,
+       COALESCE(aud_ph.aud_phash, 0) AS aud_phash,
+       COALESCE(n_aud_pairs, 0) AS n_aud_pairs,
+       COALESCE(aud_pairs_md5, '') AS aud_pairs_md5
 FROM feat JOIN fr ON feat.doc_id = fr.doc_id
 LEFT JOIN pagg ON feat.doc_id = pagg.doc_id
 LEFT JOIN img_ph ON feat.doc_id = img_ph.doc_id
 LEFT JOIN img_pair_fold ON feat.doc_id = img_pair_fold.doc_id
 LEFT JOIN vid_ph_fold ON feat.doc_id = vid_ph_fold.doc_id
 LEFT JOIN vid_pair_fold ON feat.doc_id = vid_pair_fold.doc_id
+LEFT JOIN aud_ph ON feat.doc_id = aud_ph.doc_id
+LEFT JOIN aud_pair_fold ON feat.doc_id = aud_pair_fold.doc_id
 ORDER BY feat.doc_id
 """
 

@@ -4137,6 +4137,8 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
     import duckdb
 
     from apache_jira_scraper_spark.operators.multimodal import (
+        PHASH_AUD_SAMPLES,
+        PHASH_AUD_SHIFT,
         PHASH_GROUP,
         PHASH_IMG_H,
         PHASH_IMG_W,
@@ -4144,6 +4146,7 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
         PHASH_VID_FRAMES,
         PHASH_VID_H,
         PHASH_VID_W,
+        phash_audio_fixture,
         phash_image_fixture,
         phash_video_fixture,
     )
@@ -4199,6 +4202,28 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
                     out.append(ord(t[(i + 17 * f) % n]))
         return bytes(out)
 
+    def ref_aud(doc_id):
+        t = docs[doc_id - doc_id % PHASH_GROUP]
+        m = (doc_id % PHASH_GROUP) // PHASH_SAMPLE_MOD
+        ns, pre, n = PHASH_AUD_SAMPLES, PHASH_AUD_SHIFT, len(t)
+        rev = t[::-1]
+        data = bytearray(b"\x7f" * pre if m == 1 else b"")
+        for i in range(ns):
+            if m == 3:
+                data.append(ord(rev[i % n]))
+            elif m == 2 and i >= ns - 16:
+                data.append(ord("M"))
+            else:
+                data.append(ord(t[i % n]))
+        ds = len(data)
+        head = b"RIFF" + (36 + ds).to_bytes(4, "little") + b"WAVE"
+        head += b"fmt " + (16).to_bytes(4, "little")
+        head += (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        head += (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        head += (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+        head += b"data" + ds.to_bytes(4, "little")
+        return head + bytes(data)
+
     img = {
         r["doc_id"]: bytes(r["content"])
         for r in phash_image_fixture(spark, sf_dir).collect()
@@ -4207,11 +4232,16 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
         r["doc_id"]: bytes(r["content"])
         for r in phash_video_fixture(spark, sf_dir).collect()
     }
+    aud = {
+        r["doc_id"]: bytes(r["content"])
+        for r in phash_audio_fixture(spark, sf_dir).collect()
+    }
     assert img, "fixture sampled no docs"
-    assert set(img) == set(vid)
+    assert set(img) == set(vid) == set(aud)
     for doc_id in sorted(img)[:8]:  # all four members of the first groups
         assert img[doc_id] == ref_img(doc_id), f"img payload drift doc {doc_id}"
         assert vid[doc_id] == ref_vid(doc_id), f"vid payload drift doc {doc_id}"
+        assert aud[doc_id] == ref_aud(doc_id), f"aud payload drift doc {doc_id}"
 
 
 def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
