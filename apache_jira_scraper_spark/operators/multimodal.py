@@ -3224,30 +3224,46 @@ def _phash_fixture_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_member_body(npx: int, tail_char: str, offset: int = 0):
+    """Shared member-rule body construction over the fixture spine's
+    (t, n, m) columns: `npx` bytes of the group-base text wrapped from
+    `offset` (m=0/1), with the last 16 overwritten by `tail_char` (m=2)
+    or walked over REVERSED text (m=3) — native repeat/substring/reverse
+    string algebra (a per-pixel transform HOF was ~3 s of interpreted
+    lambda evals at sf0.1). Returns (body, wrap) so callers can reuse the
+    unperturbed wrap (P6 tripling, the audio shifted copy). One
+    definition serves all three modality fixtures so a member-rule change
+    cannot desynchronize them (review r08)."""
+    m = F.col("m")
+    reps = f"CAST(({offset} + {npx} + n - 1) DIV n AS INT)"
+    wrap = F.expr(f"substring(repeat(t, {reps}), {offset + 1}, {npx})")
+    wrap_rev = F.expr(
+        f"substring(repeat(reverse(t), {reps}), {offset + 1}, {npx})"
+    )
+    body = (
+        F.when(m == 3, wrap_rev)
+        .when(
+            m == 2,
+            F.concat(
+                F.substring(wrap, 1, npx - 16), F.lit(tail_char * 16)
+            ),
+        )
+        .otherwise(wrap)
+    )
+    return body, wrap
+
+
 def phash_image_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, content) REAL still-image payloads for the near-dup gate
-    leg: binary PGM/PPM built with NATIVE string algebra — wrap via
-    repeat+substring, decorrelate via reverse, triple P6 bytes via one
-    regexp_replace — so construction is a handful of codegen'd string ops
-    per row (a per-pixel `transform` HOF was ~3 s of interpreted lambda
-    evals at sf0.1) and the DuckDB oracle restates every byte as text
+    leg: binary PGM/PPM built from the shared member-rule string algebra
+    (_phash_member_body) so the DuckDB oracle restates every byte as text
     arithmetic while the Spark side runs the REAL _pixel_decoder + dHash
     + banded join."""
     fx = _phash_fixture_base(spark, sf_dir)
     w, h = PHASH_IMG_W, PHASH_IMG_H
     npx = w * h
     m = F.col("m")
-    reps = f"CAST(({npx} + n - 1) DIV n AS INT)"
-    wrap = F.expr(f"substring(repeat(t, {reps}), 1, {npx})")
-    wrap_rev = F.expr(f"substring(repeat(reverse(t), {reps}), 1, {npx})")
-    body = (
-        F.when(m == 3, wrap_rev)
-        .when(
-            m == 2,
-            F.concat(F.substring(wrap, 1, npx - 16), F.lit("M" * 16)),
-        )
-        .otherwise(wrap)
-    )
+    body, wrap = _phash_member_body(npx, "M")
     # P6 carries the SAME pixels tripled (r=g=b -> identical mean luma):
     # (?s) so '.' also matches newline bytes inside the pixel plane
     body3 = F.regexp_replace(wrap, r"(?s)(.)", r"$1$1$1")
@@ -3269,24 +3285,12 @@ def phash_video_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, h, nf = PHASH_VID_W, PHASH_VID_H, PHASH_VID_FRAMES
     fpx = w * h
     m = F.col("m")
-
-    def frame_body(f):
-        reps = f"CAST(({17 * f} + {fpx} + n - 1) DIV n AS INT)"
-        wrap = F.expr(f"substring(repeat(t, {reps}), {17 * f + 1}, {fpx})")
-        wrap_rev = F.expr(
-            f"substring(repeat(reverse(t), {reps}), {17 * f + 1}, {fpx})"
-        )
-        return (
-            F.when(m == 3, wrap_rev)
-            .when(
-                m == 2,
-                F.concat(F.substring(wrap, 1, fpx - 16), F.lit("X" * 16)),
-            )
-            .otherwise(wrap)
-        )
-
     frames = [
-        F.concat(F.lit("FRAME\n"), frame_body(f)) for f in range(nf)
+        F.concat(
+            F.lit("FRAME\n"),
+            _phash_member_body(fpx, "X", offset=17 * f)[0],
+        )
+        for f in range(nf)
     ]
     header = F.when(
         m == 1, F.lit(f"YUV4MPEG2 W{w} H{h} F30:1 Cmono\n")
@@ -3304,23 +3308,53 @@ def phash_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     fx = _phash_fixture_base(spark, sf_dir)
     ns, pre = PHASH_AUD_SAMPLES, PHASH_AUD_SHIFT
     m = F.col("m")
-    reps = f"CAST(({ns} + n - 1) DIV n AS INT)"
-    wrap = F.expr(f"substring(repeat(t, {reps}), 1, {ns})")
-    wrap_rev = F.expr(f"substring(repeat(reverse(t), {reps}), 1, {ns})")
-    body = (
-        F.when(m == 3, wrap_rev)
-        .when(
-            m == 2,
-            F.concat(F.substring(wrap, 1, ns - 16), F.lit("M" * 16)),
-        )
-        .when(m == 1, F.concat(F.lit("\x7f" * pre), wrap))
-        .otherwise(wrap)
+    base_body, wrap = _phash_member_body(ns, "M")
+    # member 1 overrides the shared rule: the SHIFTED copy (quiet prefix +
+    # the same unperturbed samples) instead of a container variant
+    body = F.when(m == 1, F.concat(F.lit("\x7f" * pre), wrap)).otherwise(
+        base_body
     )
     header = F.when(
         m == 1, F.lit(_wav_pcm8_header(ns + pre))
     ).otherwise(F.lit(_wav_pcm8_header(ns)))
     return fx.select(
         "doc_id", F.concat(header, body).cast("binary").alias("content")
+    )
+
+
+def _phash_pair_fold(
+    pairs: DataFrame, value_cols: list[str], n_name: str, md5_name: str
+) -> DataFrame:
+    """Symmetrized per-doc fold of a near-dup pair table shared by the
+    three gate legs (review r08: one definition instead of three copies):
+    each (doc_a, doc_b) row attaches to BOTH endpoints, then per doc_id a
+    count plus an md5 over the lexically-sorted '%09d:<values>' records —
+    zero-padded partner first so lexical order IS numeric order, matching
+    the oracle's string_agg ORDER BY of the identical printf."""
+    sides = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner"),
+        *value_cols,
+    ).unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner"),
+            *value_cols,
+        )
+    )
+    fmt = "%09d" + ":%d" * len(value_cols)
+    return sides.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias(n_name),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string(fmt, "partner", *value_cols)
+                    )
+                ),
+            )
+        ).alias(md5_name),
     )
 
 
@@ -3467,30 +3501,11 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=False
     )
     img_fold = img_ph.select("doc_id", F.col("phash").alias("img_phash"))
-    ip = image_near_dup_pairs(img_media, phash=img_ph)
-    ip_sides = ip.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("partner"),
-        "hamming",
-    ).unionAll(
-        ip.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("partner"),
-            "hamming",
-        )
-    )
-    img_pair_fold = ip_sides.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_img_pairs"),
-        F.md5(
-            F.concat_ws(
-                ";",
-                F.array_sort(
-                    F.collect_list(
-                        F.format_string("%09d:%d", "partner", "hamming")
-                    )
-                ),
-            )
-        ).alias("img_pairs_md5"),
+    img_pair_fold = _phash_pair_fold(
+        image_near_dup_pairs(img_media, phash=img_ph),
+        ["hamming"],
+        "n_img_pairs",
+        "img_pairs_md5",
     )
     vid_ph_fold = vid_ph.groupBy("doc_id").agg(
         F.md5(
@@ -3504,63 +3519,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vid_phash_md5"),
     )
-    vp = video_near_dup_pairs(vid_media, phash=vid_ph)
-    vp_sides = vp.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("partner"),
-        "matching_frames",
-        "min_hamming",
-    ).unionAll(
-        vp.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("partner"),
-            "matching_frames",
-            "min_hamming",
-        )
-    )
-    vid_pair_fold = vp_sides.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_vid_pairs"),
-        F.md5(
-            F.concat_ws(
-                ";",
-                F.array_sort(
-                    F.collect_list(
-                        F.format_string(
-                            "%09d:%d:%d",
-                            "partner",
-                            "matching_frames",
-                            "min_hamming",
-                        )
-                    )
-                ),
-            )
-        ).alias("vid_pairs_md5"),
+    vid_pair_fold = _phash_pair_fold(
+        video_near_dup_pairs(vid_media, phash=vid_ph),
+        ["matching_frames", "min_hamming"],
+        "n_vid_pairs",
+        "vid_pairs_md5",
     )
     aud_fold = aud_ph.select("doc_id", F.col("phash").alias("aud_phash"))
-    ap = audio_near_dup_pairs(aud_media, phash=aud_ph)
-    ap_sides = ap.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("partner"),
-        "hamming",
-    ).unionAll(
-        ap.select(
-            F.col("doc_b").alias("doc_id"),
-            F.col("doc_a").alias("partner"),
-            "hamming",
-        )
-    )
-    aud_pair_fold = ap_sides.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_aud_pairs"),
-        F.md5(
-            F.concat_ws(
-                ";",
-                F.array_sort(
-                    F.collect_list(
-                        F.format_string("%09d:%d", "partner", "hamming")
-                    )
-                ),
-            )
-        ).alias("aud_pairs_md5"),
+    aud_pair_fold = _phash_pair_fold(
+        audio_near_dup_pairs(aud_media, phash=aud_ph),
+        ["hamming"],
+        "n_aud_pairs",
+        "aud_pairs_md5",
     )
     return (
         spine.join(per_doc, "doc_id", "left")

@@ -4244,6 +4244,61 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
         assert aud[doc_id] == ref_aud(doc_id), f"aud payload drift doc {doc_id}"
 
 
+def test_phash_gate_fixture_premises(spark, sf_dir):
+    """Review r08: the driver gate certifies Spark/DuckDB AGREEMENT — it
+    would stay green if both sides agreed on an empty pair set. This pins
+    the fixture's data-dependent premises against the actual testdata:
+    in every group the m=0 and m=1 payloads collide at hamming 0 in all
+    three modalities (P5 vs P6 tripled luma; Y4M fps-header variant; the
+    audio onset trim cancelling the quiet prefix — which relies on each
+    group-base text containing a character <= 'o'), so every leg's pair
+    set is structurally non-empty."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        PHASH_SAMPLE_MOD,
+        audio_phash,
+        frame_phash,
+        image_phash,
+        phash_audio_fixture,
+        phash_image_fixture,
+        phash_video_fixture,
+    )
+
+    img = {
+        r["doc_id"]: r["phash"]
+        for r in image_phash(phash_image_fixture(spark, sf_dir)).collect()
+    }
+    aud = {
+        r["doc_id"]: r["phash"]
+        for r in audio_phash(
+            phash_audio_fixture(spark, sf_dir), anchor="onset"
+        ).collect()
+    }
+    vid = {}
+    for r in frame_phash(phash_video_fixture(spark, sf_dir)).collect():
+        vid.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["phash"]
+
+    bases = sorted(d for d in img if d % (4 * PHASH_SAMPLE_MOD) == 0)
+    assert bases, "no fixture groups sampled"
+    checked = 0
+    for g in bases:
+        m1 = g + PHASH_SAMPLE_MOD
+        if m1 not in img:
+            continue  # last partial group
+        assert img[g] == img[m1], f"P5/P6 luma collision broken, group {g}"
+        assert vid[g] == vid[m1], f"Y4M fps-variant collision broken, group {g}"
+        assert aud[g] == aud[m1], (
+            f"onset-anchored shifted-copy collision broken, group {g} — "
+            "did the quiet byte or trim threshold change, or does the "
+            "base text lack any character <= 'o'?"
+        )
+        checked += 1
+    assert checked > 0
+    # degenerate (phash 0) rows are dropped before the banded join, so a
+    # non-empty PAIR set also needs at least one non-zero colliding hash
+    assert any(img[g] != 0 for g in bases)
+    assert any(aud[g] != 0 for g in bases)
+
+
 def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
     """max_hamming > 3 raises (pigeonhole banding would silently miss
     pairs); constant black frames (phash 0) are dropped before the join,
