@@ -2993,6 +2993,33 @@ def _phash_verified_pairs(
     )
 
 
+def media_near_dup_clusters(pairs: DataFrame) -> DataFrame:
+    """Media dedup end-to-end tail (r08): connect a near-dup PAIR graph
+    (the output of image/video/audio_near_dup_pairs — any DataFrame with
+    doc_a/doc_b columns) into components with the same hash-to-min
+    machinery the text corpus certifies (dedup.connected_components,
+    driver gate `dedup_clusters`), and mark the min-doc_id keeper per
+    cluster. Returns (doc_id, cluster_id, is_keeper) for every doc that
+    appears in at least one pair — isolated docs have no edges and are
+    their own trivial keepers by definition, so they are not emitted
+    (same contract as the text-side cluster gate).
+
+    Scale shape inherits from connected_components: one shuffle join +
+    one min-agg per round, rounds = component diameter (near-dup piles
+    are near-cliques, diameter 2-3), lineage truncated per round."""
+    from .dedup import connected_components
+
+    edges = pairs.select(
+        F.col("doc_a").alias("d1"), F.col("doc_b").alias("d2")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    ).orderBy("cluster_id", "doc_id")
+
+
 def suggested_block_freq_cap(n_hashes: int, multiple: int = 10) -> int:
     """Principled `max_block_freq` for the phash near-dup family at
     corpus scale (VERDICT r07 item 5). Under uniform hashing each

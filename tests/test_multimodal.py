@@ -4244,6 +4244,48 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
         assert aud[doc_id] == ref_aud(doc_id), f"aud payload drift doc {doc_id}"
 
 
+def test_media_near_dup_clusters_end_to_end(spark):
+    """r08: media dedup end-to-end tail — near-dup pairs (real decode +
+    banded join) connect into components via the certified hash-to-min
+    machinery; min-doc_id keeper marked per cluster; isolated docs carry
+    no edges and are absent (their own trivial keepers)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        image_near_dup_pairs,
+        media_near_dup_clusters,
+    )
+
+    rng = np.random.default_rng(61)
+    a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    b = a.copy()  # identical -> hamming 0 with a
+    c = a.copy()
+    c[0, 0] ^= 1  # near a (and transitively clustered with b)
+    d = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    e = d.copy()
+    f = rng.integers(0, 256, (16, 18), dtype=np.uint8)  # isolated
+    media = spark.createDataFrame(
+        [
+            (10, _pgm_p5(a), "i"),
+            (11, _pgm_p5(b), "i"),
+            (12, _pgm_p5(c), "i"),
+            (20, _pgm_p5(d), "i"),
+            (21, _pgm_p5(e), "i"),
+            (30, _pgm_p5(f), "i"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    rows = media_near_dup_clusters(image_near_dup_pairs(media)).collect()
+    got = {(r["doc_id"], r["cluster_id"], r["is_keeper"]) for r in rows}
+    assert got == {
+        (10, 10, True),
+        (11, 10, False),
+        (12, 10, False),
+        (20, 20, True),
+        (21, 20, False),
+    }
+
+
 def test_phash_gate_fixture_premises(spark, sf_dir):
     """Review r08: the driver gate certifies Spark/DuckDB AGREEMENT — it
     would stay green if both sides agreed on an empty pair set. This pins
