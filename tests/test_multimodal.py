@@ -1548,12 +1548,15 @@ def test_jpeg_roundtrip_property():
         w=st.integers(1, 40),
         h=st.integers(1, 30),
         restart=st.sampled_from([0, 2]),
+        gray_sampling=st.sampled_from([None, (2, 2), (2, 1), (1, 2)]),
         seed=st.integers(0, 2**31 - 1),
     )
-    def check(w, h, restart, seed):
+    def check(w, h, restart, gray_sampling, seed):
         rng = np.random.default_rng(seed)
         img = rng.integers(0, 256, (h, w), dtype=np.uint8)
-        got = decode(_jpeg_encode(img, restart=restart))
+        got = decode(
+            _jpeg_encode(img, restart=restart, gray_sampling=gray_sampling)
+        )
         assert got is not None and got.shape == (h, w)
         assert np.abs(got.astype(np.int32) - img.astype(np.int32)).max() <= 4
 
