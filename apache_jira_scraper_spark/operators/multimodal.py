@@ -3041,10 +3041,11 @@ def suggested_block_freq_cap(n_hashes: int, multiple: int = 10) -> int:
     suggested_block_freq_cap(<approx corpus hash count>) explicitly and
     accept the documented recall tradeoff.
 
-    Scale envelope: 16-bit bands collide by birthday at ~n^2/2^17
-    candidate rows even for content-independent hashes, so past ~10^8
-    hashes the uncapped join's candidate volume (not its shuffle shape)
-    becomes the cost driver — exactly the regime this cap exists for."""
+    Scale envelope: each 16-bit band collides by birthday at ~n^2/2^17
+    candidate rows even for content-independent hashes — ~n^2/2^15 total
+    across the four bands — so past ~10^8 hashes the uncapped join's
+    candidate volume (not its shuffle shape) becomes the cost driver;
+    exactly the regime this cap exists for."""
     return max(64, -(-n_hashes * multiple // (1 << 16)))
 
 

@@ -4299,6 +4299,7 @@ def test_phash_gate_fixture_premises(spark, sf_dir):
     group-base text containing a character <= 'o'), so every leg's pair
     set is structurally non-empty."""
     from apache_jira_scraper_spark.operators.multimodal import (
+        PHASH_GROUP,
         PHASH_SAMPLE_MOD,
         audio_phash,
         frame_phash,
@@ -4322,9 +4323,9 @@ def test_phash_gate_fixture_premises(spark, sf_dir):
     for r in frame_phash(phash_video_fixture(spark, sf_dir)).collect():
         vid.setdefault(r["doc_id"], {})[r["frame_idx"]] = r["phash"]
 
-    bases = sorted(d for d in img if d % (4 * PHASH_SAMPLE_MOD) == 0)
+    bases = sorted(d for d in img if d % PHASH_GROUP == 0)
     assert bases, "no fixture groups sampled"
-    checked = 0
+    complete = []  # groups whose m=1 member exists (trailing group may not)
     for g in bases:
         m1 = g + PHASH_SAMPLE_MOD
         if m1 not in img:
@@ -4336,12 +4337,14 @@ def test_phash_gate_fixture_premises(spark, sf_dir):
             "did the quiet byte or trim threshold change, or does the "
             "base text lack any character <= 'o'?"
         )
-        checked += 1
-    assert checked > 0
+        complete.append(g)
+    assert complete
     # degenerate (phash 0) rows are dropped before the banded join, so a
-    # non-empty PAIR set also needs at least one non-zero colliding hash
-    assert any(img[g] != 0 for g in bases)
-    assert any(aud[g] != 0 for g in bases)
+    # structurally non-empty PAIR set also needs at least one COMPLETE
+    # group whose colliding hash is non-zero — in every modality
+    assert any(img[g] != 0 for g in complete)
+    assert any(aud[g] != 0 for g in complete)
+    assert any(ph != 0 for g in complete for ph in vid[g].values())
 
 
 def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
