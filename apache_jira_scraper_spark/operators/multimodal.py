@@ -2927,20 +2927,7 @@ def _phash_verified_pairs(
             "generation for hamming <= 3; got max_hamming="
             f"{max_hamming}"
         )
-    ph = ph.filter(F.col("phash") != 0)
-    blocks = ph.select(
-        "doc_id",
-        "frame_idx",
-        "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("block_idx", "block"),
-    )
+    blocks = _phash_block_rows(ph)
     if max_block_freq is not None:
         keep = (
             blocks.groupBy("block_idx", "block")
@@ -2967,9 +2954,36 @@ def _phash_verified_pairs(
         F.col("b.frame_idx").alias("idx_b"),
         F.col("b.phash").alias("ph_b"),
     )
-    if max_block_freq is None:
-        # emit-once: keep only the row joined via the FIRST agreeing block
-        # (no exchange; see docstring)
+    return _phash_dedup_verify(cand, max_hamming, max_block_freq is None)
+
+
+def _phash_block_rows(ph: DataFrame) -> DataFrame:
+    """Degenerate-hash drop + 4x16-bit block explode shared by the
+    self-join and the new-vs-index candidate generators."""
+    return ph.filter(F.col("phash") != 0).select(
+        "doc_id",
+        "frame_idx",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block_idx", "block"),
+    )
+
+
+def _phash_dedup_verify(
+    cand: DataFrame, max_hamming: int, emit_once: bool
+) -> DataFrame:
+    """Shared candidate dedup + exact-hamming verify: `emit_once` keeps
+    only the row joined via the FIRST agreeing block of xor(ph_a, ph_b)
+    (per-row filter, no exchange — valid only when every agreeing block
+    survived candidate generation, i.e. no frequency cap); otherwise a
+    full distinct (see _phash_verified_pairs docstring)."""
+    if emit_once:
         xor = F.col("ph_a").bitwiseXOR(F.col("ph_b"))
         first_eq = F.coalesce(
             *[
@@ -2985,12 +2999,79 @@ def _phash_verified_pairs(
     else:
         cand = cand.drop("block_idx").distinct()
     return (
-        cand.select("doc_a", "idx_a", "ph_a", "doc_b", "idx_b", "ph_b")
+        cand.drop("block_idx")
         .withColumn(
             "hamming", F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def media_near_dup_against_index(
+    new_ph: DataFrame,
+    index_ph: DataFrame,
+    max_hamming: int = 3,
+    max_block_freq: int | None = None,
+) -> DataFrame:
+    """Incremental media near-dup (r08): match a NEW batch's perceptual
+    hashes against a stored corpus INDEX without re-hashing the index —
+    the media analog of dedup.incremental_dedup's never-re-shingle
+    discipline (at 100 TB the index phash table is a materialized silver
+    table; only the new batch pays a decode).
+
+    Inputs are phash tables from image_phash / frame_phash / audio_phash
+    ((doc_id, phash) rows gain frame_idx 0 when absent). Candidate
+    generation is the same 4x16-bit pigeonhole banded EQUI-join as the
+    self-join path — never a cross-product — with the same degenerate
+    phash-0 drop and emit-once multi-block dedup; `max_block_freq`
+    counts keys across BOTH sides (corpus-wide frequency semantics) and
+    falls back to distinct for the same reason as the self-join. A doc
+    present on both sides with an identical hash surfaces as a
+    hamming-0 row ("already indexed").
+
+    Returns (new_doc, new_idx, index_doc, index_idx, hamming)."""
+    if max_hamming > 3:
+        raise ValueError(
+            "4x16-bit pigeonhole banding only guarantees candidate "
+            "generation for hamming <= 3; got max_hamming="
+            f"{max_hamming}"
+        )
+    if "frame_idx" not in new_ph.columns:
+        new_ph = new_ph.withColumn("frame_idx", F.lit(0))
+    if "frame_idx" not in index_ph.columns:
+        index_ph = index_ph.withColumn("frame_idx", F.lit(0))
+    a = _phash_block_rows(new_ph).alias("a")
+    b = _phash_block_rows(index_ph).alias("b")
+    if max_block_freq is not None:
+        both = a.select("block_idx", "block").unionAll(
+            b.select("block_idx", "block")
+        )
+        keep = (
+            both.groupBy("block_idx", "block")
+            .agg(F.count(F.lit(1)).alias("bf"))
+            .filter(F.col("bf") <= max_block_freq)
+            .select("block_idx", "block")
+        )
+        a = a.join(keep, ["block_idx", "block"], "left_semi").alias("a")
+        b = b.join(keep, ["block_idx", "block"], "left_semi").alias("b")
+    cand = a.join(
+        b,
+        on=[
+            F.col("a.block_idx") == F.col("b.block_idx"),
+            F.col("a.block") == F.col("b.block"),
+        ],
+    ).select(
+        F.col("a.block_idx").alias("block_idx"),
+        F.col("a.doc_id").alias("new_doc"),
+        F.col("a.frame_idx").alias("new_idx"),
+        F.col("a.phash").alias("ph_a"),
+        F.col("b.doc_id").alias("index_doc"),
+        F.col("b.frame_idx").alias("index_idx"),
+        F.col("b.phash").alias("ph_b"),
+    )
+    return _phash_dedup_verify(
+        cand, max_hamming, max_block_freq is None
+    ).select("new_doc", "new_idx", "index_doc", "index_idx", "hamming")
 
 
 def media_near_dup_clusters(pairs: DataFrame) -> DataFrame:

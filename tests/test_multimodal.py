@@ -4247,6 +4247,65 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
         assert aud[doc_id] == ref_aud(doc_id), f"aud payload drift doc {doc_id}"
 
 
+def test_media_near_dup_against_index(spark):
+    """r08 incremental media near-dup: a new batch's phash table joins a
+    stored index WITHOUT re-hashing it — banded equi-join (plan-pinned no
+    cartesian / no aggregate on the default path), emit-once multi-block
+    dedup, exact hamming verify, degenerate drop; the union-side
+    frequency cap still finds a pair whose first agreeing block is
+    saturated."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        media_near_dup_against_index,
+    )
+
+    import pytest as _pytest
+
+    h = 0x1234_5678_9ABC_DEF0
+    index = spark.createDataFrame(
+        [(1, h), (2, h ^ 0b11), (3, 0x7EAD_BEEF_0BAD_F00D), (4, 0)],
+        "doc_id long, phash long",
+    )
+    new = spark.createDataFrame(
+        [(100, h), (101, 0x0123_4567_89AB_CDEF), (102, 0)],
+        "doc_id long, phash long",
+    )
+    out = media_near_dup_against_index(new, index)
+    got = sorted(
+        (r["new_doc"], r["index_doc"], r["hamming"]) for r in out.collect()
+    )
+    # 100 matches index 1 exactly (all four blocks agree -> ONE row) and
+    # index 2 at hamming 2; degenerate hashes (4, 102) never pair
+    assert got == [(100, 1, 0), (100, 2, 2)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" not in plan and "Deduplicate" not in plan
+    with _pytest.raises(ValueError, match="hamming"):
+        media_near_dup_against_index(new, index, max_hamming=5)
+
+    def s64(v):
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    # capped path: the planted pair agrees in block 0 (saturated by a
+    # 10-doc index flood) AND block 2 (unique) — found via block 2
+    sat = 0xBEEF
+    flood = [
+        (i, s64((hi << 48) | ((hi ^ 0xFFFF) << 32) | ((i * 0x0101) << 16) | sat))
+        for i, hi in enumerate(
+            [0x1111, 0x2222, 0x3333, 0x4444, 0x5555,
+             0x6666, 0x7777, 0x8888, 0x9999, 0xAAAA], start=1)
+    ]
+    pa = (0x0F0F << 48) | (0x00AA << 32) | (0x3C3C << 16) | sat
+    index2 = spark.createDataFrame(
+        flood + [(50, pa)], "doc_id long, phash long"
+    )
+    new2 = spark.createDataFrame(
+        [(200, pa ^ (1 << 16) ^ (1 << 48))], "doc_id long, phash long"
+    )
+    capped = media_near_dup_against_index(new2, index2, max_block_freq=8)
+    got2 = {(r["new_doc"], r["index_doc"]) for r in capped.collect()}
+    assert got2 == {(200, 50)}
+
+
 def test_media_near_dup_clusters_end_to_end(spark):
     """r08: media dedup end-to-end tail — near-dup pairs (real decode +
     banded join) connect into components via the certified hash-to-min
