@@ -323,6 +323,111 @@ def streaming_dedup_ingest(
     )
 
 
+def streaming_media_dedup_ingest(
+    media_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    hash_fn=None,
+    max_hamming: int = 3,
+    initial_index=None,
+):
+    """Streaming MEDIA ingestion with cross-batch perceptual near-dup
+    state (r08) — the media analog of streaming_dedup_ingest: each
+    micro-batch of (doc_id, content) payloads is hashed ONCE (image_phash
+    by default; pass frame_phash / audio_phash via `hash_fn` for the
+    other modalities), a doc is dropped when it near-matches
+    (hamming <= max_hamming) either the phash INDEX of every previously
+    KEPT doc (media_near_dup_against_index — the index is never
+    re-decoded) or a SMALLER-id doc in the same batch (single-pass
+    within-batch policy: deterministic; a transitive chain may drop a
+    doc whose smaller partner was itself dropped — near-dup piles are
+    cliques in practice, the same trade the text-side greedy makes),
+    survivors land idempotently (overwrite-by-batch-id), and the index
+    advances only after the write succeeds. Committed-replay directories
+    (_SUCCESS present) are SKIPPED — identical contract and rationale as
+    streaming_dedup_ingest.
+
+    Payloads with no hash row (undecodable) or a degenerate hash
+    (phash 0, dropped inside the banded join) are KEPT: perceptual
+    near-dup has no opinion on them — route those through exact
+    content-hash dedup instead."""
+    from ..operators.multimodal import (
+        _phash_verified_pairs,
+        image_phash,
+        media_near_dup_against_index,
+    )
+
+    hasher = hash_fn or image_phash
+    state = {"index": initial_index}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if _fs_exists(
+            batch_df.sparkSession, f"{out_dir}/batch_id={batch_id}/_SUCCESS"
+        ):
+            return  # committed replay: output and index already have it
+        n = batch_df.sparkSession.sparkContext.defaultParallelism
+        if batch_df.rdd.getNumPartitions() < n:
+            batch_df = batch_df.repartition(n)
+        ph = hasher(batch_df)
+        if "frame_idx" not in ph.columns:
+            ph = ph.withColumn("frame_idx", F.lit(0))
+        # the hash table feeds three consumers (within-batch self-join
+        # sides + the index join + the kept-index advance): decode once
+        ph = ph.localCheckpoint(eager=True)
+        drops = (
+            _phash_verified_pairs(ph, max_hamming)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        if state["index"] is not None:
+            drops = drops.unionByName(
+                media_near_dup_against_index(ph, state["index"], max_hamming)
+                .select(F.col("new_doc").alias("doc_id"))
+                .distinct()
+            ).distinct()
+        kept = batch_df.join(drops, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        kept_ph = ph.join(kept.select("doc_id"), "doc_id", "left_semi")
+        new_index = (
+            kept_ph
+            if state["index"] is None
+            else state["index"].unionByName(kept_ph)
+        )
+        state["index"] = new_index.localCheckpoint(eager=True)
+
+    return (
+        media_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def rebuild_media_ingest_state(spark, out_dir: str, hash_fn=None):
+    """Restart-time state rebuild for streaming_media_dedup_ingest: hash
+    every COMMITTED batch directory's kept payloads (one decode pass over
+    the survivors — exactly the index the sink would hold; partial
+    directories without _SUCCESS are excluded and will be replayed).
+    Returns None when nothing has committed yet."""
+    from ..operators.multimodal import image_phash
+
+    committed = [
+        d
+        for d in _fs_listdir(spark, out_dir)
+        if d.rsplit("/", 1)[-1].startswith("batch_id=")
+        and _fs_exists(spark, f"{d}/_SUCCESS")
+    ]
+    if not committed:
+        return None
+    kept = spark.read.parquet(*committed).select("doc_id", "content")
+    ph = (hash_fn or image_phash)(kept)
+    if "frame_idx" not in ph.columns:
+        ph = ph.withColumn("frame_idx", F.lit(0))
+    return ph.localCheckpoint(eager=True)
+
+
 def rebuild_dedup_ingest_state(spark, out_dir: str):
     """Restart-time state rebuild for streaming_dedup_ingest: the
     (shingle, signature) index over every COMMITTED batch directory —

@@ -290,6 +290,74 @@ def test_streaming_dedup_ingest_cross_batch_state(spark, tmp_path):
     assert {b for _, b in landed} == {0, 1}
 
 
+def test_streaming_media_dedup_ingest_cross_batch_state(spark, tmp_path):
+    """r08: two micro-batches of REAL image payloads through
+    streaming_media_dedup_ingest — batch B near-dups against batch A's
+    KEPT phash index (never re-decoded), within-batch near-dups drop the
+    larger id, undecodable payloads are kept (perceptual policy has no
+    opinion), and a restart-time rebuild reproduces the index."""
+    import os
+    import time
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        rebuild_media_ingest_state,
+        streaming_media_dedup_ingest,
+    )
+
+    def pgm(img):
+        h, w = img.shape
+        return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    rng = np.random.default_rng(71)
+    a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    a_near = a.copy()
+    a_near[0, 0] ^= 1
+    c = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    d = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    batch_a = [
+        (10, bytearray(pgm(a))),
+        (11, bytearray(pgm(a_near))),  # within-batch near-dup of 10
+        (12, bytearray(pgm(c))),
+    ]
+    batch_b = [
+        (20, bytearray(pgm(a))),  # exact dup of KEPT index doc 10
+        (21, bytearray(pgm(d))),  # new content
+        (22, bytearray(pgm(c))),  # dup of kept index doc 12
+        (23, bytearray(b"not an image at all")),  # undecodable: kept
+    ]
+    landing = str(tmp_path / "media")
+    os.makedirs(landing)
+    schema = "doc_id long, content binary"
+    spark.createDataFrame(batch_a, schema).coalesce(1).write.parquet(f"{landing}/a")
+    time.sleep(1.1)
+    spark.createDataFrame(batch_b, schema).coalesce(1).write.parquet(f"{landing}/b")
+    for sub, ts in (("a", 1_000), ("b", 2_000)):
+        for f in os.listdir(f"{landing}/{sub}"):
+            os.utime(f"{landing}/{sub}/{f}", (ts, ts))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/*")
+    )
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = streaming_media_dedup_ingest(stream, out_dir, ckpt)
+    q.awaitTermination()
+
+    landed = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert landed == {(10, 0), (12, 0), (21, 1), (23, 1)}
+
+    # restart-time rebuild: the index over committed survivors holds
+    # exactly the kept DECODABLE docs' hashes
+    idx = rebuild_media_ingest_state(spark, out_dir)
+    assert {r["doc_id"] for r in idx.collect()} == {10, 12, 21}
+
+
 def test_streaming_dedup_ingest_replay_preserves_committed_batch(spark, tmp_path):
     """The crash-replay case the r04 review caught: the batch-N write
     COMMITTED but the streaming checkpoint did not. On restart the state
