@@ -289,20 +289,12 @@ def streaming_dedup_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import incremental_dedup
 
-        # Hadoop FileSystem existence check, NOT os.path: out_dir may be
-        # HDFS/object-store on a cluster, where a driver-local stat would
-        # silently never fire and a replayed committed batch would be
-        # re-deduped against an index that already contains it (r04 advice).
-        if _fs_exists(batch_df.sparkSession, f"{out_dir}/batch_id={batch_id}/_SUCCESS"):
+        # committed-replay skip + under-parallel fan-out: shared with the
+        # media sink (_ingest_batch_guard — the single-partition batch was
+        # measured as the ingest leg's whole critical path at sf0.1)
+        batch_df = _ingest_batch_guard(batch_df, out_dir, batch_id)
+        if batch_df is None:
             return  # committed replay: exactly-once output, state already has it
-        # A micro-batch often arrives as ONE file -> one partition, and the
-        # per-shingle md5/minhash projection inside incremental_dedup would
-        # then run on one core (measured: the single-partition batch was the
-        # ingest leg's whole critical path at sf0.1). Fan out first — same
-        # guard as io.load_table_parallel: only when actually under-parallel.
-        n = batch_df.sparkSession.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < n:
-            batch_df = batch_df.repartition(n)
         kept, (sh, sig) = incremental_dedup(batch_df, state["index"])
         kept = kept.localCheckpoint(eager=True)
         # batch_id lives ONLY in the directory name: writing it as a data
@@ -323,34 +315,62 @@ def streaming_dedup_ingest(
     )
 
 
+def _ingest_batch_guard(batch_df: DataFrame, out_dir: str, batch_id: int):
+    """Shared per-batch preamble for the ingest sinks (review r08: one
+    definition, two sinks). Returns None when the batch directory already
+    COMMITTED (exactly-once replay skip — Hadoop FileSystem check, NOT
+    os.path: out_dir may be HDFS/object-store, r04 advice), else the
+    batch fanned out to full parallelism (a micro-batch often arrives as
+    ONE file -> one partition, putting the per-doc hash work on one
+    core)."""
+    if _fs_exists(batch_df.sparkSession, f"{out_dir}/batch_id={batch_id}/_SUCCESS"):
+        return None
+    n = batch_df.sparkSession.sparkContext.defaultParallelism
+    if batch_df.rdd.getNumPartitions() < n:
+        batch_df = batch_df.repartition(n)
+    return batch_df
+
+
 def streaming_media_dedup_ingest(
     media_stream: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     hash_fn=None,
     max_hamming: int = 3,
-    initial_index=None,
+    max_block_freq: int | None = None,
+    initial_state=None,
 ):
     """Streaming MEDIA ingestion with cross-batch perceptual near-dup
     state (r08) — the media analog of streaming_dedup_ingest: each
     micro-batch of (doc_id, content) payloads is hashed ONCE (image_phash
     by default; pass frame_phash / audio_phash via `hash_fn` for the
-    other modalities), a doc is dropped when it near-matches
-    (hamming <= max_hamming) either the phash INDEX of every previously
-    KEPT doc (media_near_dup_against_index — the index is never
-    re-decoded) or a SMALLER-id doc in the same batch (single-pass
-    within-batch policy: deterministic; a transitive chain may drop a
-    doc whose smaller partner was itself dropped — near-dup piles are
-    cliques in practice, the same trade the text-side greedy makes),
-    survivors land idempotently (overwrite-by-batch-id), and the index
-    advances only after the write succeeds. Committed-replay directories
-    (_SUCCESS present) are SKIPPED — identical contract and rationale as
-    streaming_dedup_ingest.
+    other modalities), a doc is dropped when its doc_id was ALREADY KEPT
+    (at-least-once id-replay guard, same contract as the text side), when
+    it near-matches (hamming <= max_hamming) the phash INDEX of every
+    previously kept doc (media_near_dup_against_index — the index is
+    never re-decoded), or when it matches a SMALLER-id doc in the same
+    batch (single-pass within-batch policy: deterministic; a transitive
+    chain may drop a doc whose smaller partner was itself dropped —
+    near-dup piles are cliques in practice, the same trade the text-side
+    greedy makes). Survivors land idempotently (overwrite-by-batch-id)
+    and the state advances only after the write succeeds.
+    Committed-replay directories (_SUCCESS present) are SKIPPED.
+
+    `max_block_freq` passes through to both banded joins (review r08: at
+    corpus scale a saturated index block is exactly the hot key the cap
+    exists for). State is a LIST of per-batch checkpointed segments
+    unioned lazily, so each batch checkpoints only its own kept hashes —
+    O(batch), not O(corpus), per advance (review r08). `initial_state`
+    takes the (kept_ids, phash_segments) pair returned by
+    rebuild_media_ingest_state.
 
     Payloads with no hash row (undecodable) or a degenerate hash
-    (phash 0, dropped inside the banded join) are KEPT: perceptual
-    near-dup has no opinion on them — route those through exact
-    content-hash dedup instead."""
+    (phash 0, dropped inside the banded join) are KEPT — perceptual
+    near-dup has no opinion on them (route those through exact
+    content-hash dedup) — but their doc_ids still join the id-replay
+    guard."""
+    from functools import reduce
+
     from ..operators.multimodal import (
         _phash_verified_pairs,
         image_phash,
@@ -358,44 +378,54 @@ def streaming_media_dedup_ingest(
     )
 
     hasher = hash_fn or image_phash
-    state = {"index": initial_index}
+    kept_ids, segments = initial_state if initial_state is not None else (None, [])
+    segments = [
+        s if "frame_idx" in s.columns else s.withColumn("frame_idx", F.lit(0))
+        for s in segments
+    ]
+    state = {"kept_ids": kept_ids, "segments": segments}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if _fs_exists(
-            batch_df.sparkSession, f"{out_dir}/batch_id={batch_id}/_SUCCESS"
-        ):
-            return  # committed replay: output and index already have it
-        n = batch_df.sparkSession.sparkContext.defaultParallelism
-        if batch_df.rdd.getNumPartitions() < n:
-            batch_df = batch_df.repartition(n)
+        batch_df = _ingest_batch_guard(batch_df, out_dir, batch_id)
+        if batch_df is None:
+            return  # committed replay: output and state already have it
+        if state["kept_ids"] is not None:
+            # id-replay guard: re-delivered docs (including undecodable /
+            # degenerate ones the perceptual path cannot see) drop here
+            batch_df = batch_df.join(state["kept_ids"], "doc_id", "left_anti")
+        batch_df = batch_df.localCheckpoint(eager=True)
         ph = hasher(batch_df)
         if "frame_idx" not in ph.columns:
             ph = ph.withColumn("frame_idx", F.lit(0))
         # the hash table feeds three consumers (within-batch self-join
-        # sides + the index join + the kept-index advance): decode once
+        # sides + the index join + the kept-segment advance): decode once
         ph = ph.localCheckpoint(eager=True)
-        drops = (
-            _phash_verified_pairs(ph, max_hamming)
-            .select(F.col("doc_b").alias("doc_id"))
-            .distinct()
+        # left_anti is duplicate-insensitive: no distinct needed on drops
+        drops = _phash_verified_pairs(ph, max_hamming, max_block_freq).select(
+            F.col("doc_b").alias("doc_id")
         )
-        if state["index"] is not None:
+        if state["segments"]:
+            index_ph = reduce(DataFrame.unionByName, state["segments"])
             drops = drops.unionByName(
-                media_near_dup_against_index(ph, state["index"], max_hamming)
-                .select(F.col("new_doc").alias("doc_id"))
-                .distinct()
-            ).distinct()
+                media_near_dup_against_index(
+                    ph, index_ph, max_hamming, max_block_freq
+                ).select(F.col("new_doc").alias("doc_id"))
+            )
         kept = batch_df.join(drops, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        kept_ph = ph.join(kept.select("doc_id"), "doc_id", "left_semi")
-        new_index = (
-            kept_ph
-            if state["index"] is None
-            else state["index"].unionByName(kept_ph)
+        new_ids = kept.select("doc_id")
+        state["kept_ids"] = (
+            new_ids
+            if state["kept_ids"] is None
+            else state["kept_ids"].unionByName(new_ids)
+        ).localCheckpoint(eager=True)
+        state["segments"].append(
+            ph.join(kept.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
+                eager=True
+            )
         )
-        state["index"] = new_index.localCheckpoint(eager=True)
 
     return (
         media_stream.writeStream.foreachBatch(sink)
@@ -406,11 +436,11 @@ def streaming_media_dedup_ingest(
 
 
 def rebuild_media_ingest_state(spark, out_dir: str, hash_fn=None):
-    """Restart-time state rebuild for streaming_media_dedup_ingest: hash
-    every COMMITTED batch directory's kept payloads (one decode pass over
-    the survivors — exactly the index the sink would hold; partial
-    directories without _SUCCESS are excluded and will be replayed).
-    Returns None when nothing has committed yet."""
+    """Restart-time state rebuild for streaming_media_dedup_ingest:
+    (kept_ids, [phash_segment]) over every COMMITTED batch directory —
+    one decode pass over the survivors, exactly the state the sink would
+    hold (partial directories without _SUCCESS are excluded and will be
+    replayed). Returns None when nothing has committed yet."""
     from ..operators.multimodal import image_phash
 
     committed = [
@@ -425,7 +455,10 @@ def rebuild_media_ingest_state(spark, out_dir: str, hash_fn=None):
     ph = (hash_fn or image_phash)(kept)
     if "frame_idx" not in ph.columns:
         ph = ph.withColumn("frame_idx", F.lit(0))
-    return ph.localCheckpoint(eager=True)
+    return (
+        kept.select("doc_id").localCheckpoint(eager=True),
+        [ph.localCheckpoint(eager=True)],
+    )
 
 
 def rebuild_dedup_ingest_state(spark, out_dir: str):

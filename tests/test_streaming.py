@@ -326,6 +326,7 @@ def test_streaming_media_dedup_ingest_cross_batch_state(spark, tmp_path):
         (21, bytearray(pgm(d))),  # new content
         (22, bytearray(pgm(c))),  # dup of kept index doc 12
         (23, bytearray(b"not an image at all")),  # undecodable: kept
+        (10, bytearray(pgm(a))),  # at-least-once id replay: dropped
     ]
     landing = str(tmp_path / "media")
     os.makedirs(landing)
@@ -352,10 +353,13 @@ def test_streaming_media_dedup_ingest_cross_batch_state(spark, tmp_path):
     }
     assert landed == {(10, 0), (12, 0), (21, 1), (23, 1)}
 
-    # restart-time rebuild: the index over committed survivors holds
-    # exactly the kept DECODABLE docs' hashes
-    idx = rebuild_media_ingest_state(spark, out_dir)
-    assert {r["doc_id"] for r in idx.collect()} == {10, 12, 21}
+    # restart-time rebuild: kept ids cover EVERY survivor (incl. the
+    # undecodable 23, so the id-replay guard can see it); the phash
+    # segments hold exactly the kept DECODABLE docs' hashes
+    kept_ids, segments = rebuild_media_ingest_state(spark, out_dir)
+    assert {r["doc_id"] for r in kept_ids.collect()} == {10, 12, 21, 23}
+    assert len(segments) == 1
+    assert {r["doc_id"] for r in segments[0].collect()} == {10, 12, 21}
 
 
 def test_streaming_dedup_ingest_replay_preserves_committed_batch(spark, tmp_path):
