@@ -339,6 +339,7 @@ def streaming_media_dedup_ingest(
     max_hamming: int = 3,
     max_block_freq: int | None = None,
     initial_state=None,
+    compact_every: int = 16,
 ):
     """Streaming MEDIA ingestion with cross-batch perceptual near-dup
     state (r08) — the media analog of streaming_dedup_ingest: each
@@ -360,9 +361,13 @@ def streaming_media_dedup_ingest(
     corpus scale a saturated index block is exactly the hot key the cap
     exists for). State is a LIST of per-batch checkpointed segments
     unioned lazily, so each batch checkpoints only its own kept hashes —
-    O(batch), not O(corpus), per advance (review r08). `initial_state`
-    takes the (kept_ids, phash_segments) pair returned by
-    rebuild_media_ingest_state.
+    O(batch), not O(corpus), per advance (review r08); every
+    `compact_every` segments the list is merged into one checkpoint so
+    the join plan never unions an unbounded number of branches
+    (amortized O(corpus / compact_every) per batch — the pragmatic
+    middle between per-batch full re-materialization and LSM-style
+    tiered merging). `initial_state` takes the (kept_ids,
+    phash_segments) pair returned by rebuild_media_ingest_state.
 
     Payloads with no hash row (undecodable) or a degenerate hash
     (phash 0, dropped inside the banded join) are KEPT — perceptual
@@ -426,6 +431,12 @@ def streaming_media_dedup_ingest(
                 eager=True
             )
         )
+        if len(state["segments"]) >= compact_every:
+            state["segments"] = [
+                reduce(DataFrame.unionByName, state["segments"]).localCheckpoint(
+                    eager=True
+                )
+            ]
 
     return (
         media_stream.writeStream.foreachBatch(sink)

@@ -362,6 +362,64 @@ def test_streaming_media_dedup_ingest_cross_batch_state(spark, tmp_path):
     assert {r["doc_id"] for r in segments[0].collect()} == {10, 12, 21}
 
 
+def test_streaming_media_dedup_ingest_segment_compaction(spark, tmp_path):
+    """Three micro-batches with compact_every=2: the segment compaction
+    path runs mid-stream and cross-batch dedup still holds across the
+    compaction boundary (batch C dupes batch A content AFTER batches A+B
+    merged into one segment)."""
+    import os
+    import time
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        streaming_media_dedup_ingest,
+    )
+
+    def pgm(img):
+        h, w = img.shape
+        return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    rng = np.random.default_rng(73)
+    a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    c = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    landing = str(tmp_path / "media")
+    os.makedirs(landing)
+    schema = "doc_id long, content binary"
+    batches = [
+        ("x", 1_000, [(1, bytearray(pgm(a)))]),
+        ("y", 2_000, [(2, bytearray(pgm(b)))]),
+        ("z", 3_000, [(3, bytearray(pgm(a))), (4, bytearray(pgm(c)))]),
+    ]
+    for sub, ts, rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{landing}/{sub}"
+        )
+        time.sleep(0.05)
+        for f in os.listdir(f"{landing}/{sub}"):
+            os.utime(f"{landing}/{sub}/{f}", (ts, ts))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/*")
+    )
+    q = streaming_media_dedup_ingest(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        compact_every=2,
+    )
+    q.awaitTermination()
+    landed = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # doc 3 dupes batch-0 content and must drop via the COMPACTED segment
+    assert landed == {(1, 0), (2, 1), (4, 2)}
+
+
 def test_streaming_dedup_ingest_replay_preserves_committed_batch(spark, tmp_path):
     """The crash-replay case the r04 review caught: the batch-N write
     COMMITTED but the streaming checkpoint did not. On restart the state
