@@ -2863,8 +2863,14 @@ def video_near_dup_pairs(
     decode is the expensive stage, so re-running it per consumer is the
     waste to avoid.
 
-    Returns (doc_a, doc_b, matching_frames, min_hamming) for doc_a <
-    doc_b."""
+    Returns (doc_a, doc_b, matching_frames, min_hamming, aligned_frames)
+    for doc_a < doc_b. `aligned_frames` (r08) is the max number of frame
+    matches at ONE consistent frame-index offset — a shifted copy of the
+    same video matches consistently (aligned == matching) while
+    coincidental matches between unrelated videos scatter across offsets
+    (aligned << matching), the standard temporal-consistency rerank
+    signal. Same two-stage aggregate shape: a partial-combined groupBy on
+    (pair, offset) then the pair rollup — no extra joins."""
     if phash is not None and stride != 1:
         raise ValueError(
             "stride applies when hashing `media`; a precomputed `phash` "
@@ -2875,11 +2881,18 @@ def video_near_dup_pairs(
         max_hamming,
         max_block_freq,
     )
+    per_offset = verified.groupBy(
+        "doc_a", "doc_b", (F.col("idx_b") - F.col("idx_a")).alias("off")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("hamming").alias("mh"),
+    )
     return (
-        verified.groupBy("doc_a", "doc_b")
+        per_offset.groupBy("doc_a", "doc_b")
         .agg(
-            F.count("*").alias("matching_frames"),
-            F.min("hamming").alias("min_hamming"),
+            F.sum("n").alias("matching_frames"),
+            F.min("mh").alias("min_hamming"),
+            F.max("n").alias("aligned_frames"),
         )
         .orderBy("doc_a", "doc_b")
     )
@@ -3635,7 +3648,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vid_pair_fold = _phash_pair_fold(
         video_near_dup_pairs(vid_media, phash=vid_ph),
-        ["matching_frames", "min_hamming"],
+        ["matching_frames", "min_hamming", "aligned_frames"],
         "n_vid_pairs",
         "vid_pairs_md5",
     )
@@ -3841,22 +3854,28 @@ ph_docs AS (
              ORDER BY printf('%03d:%d', f, phash))) AS vid_phash_md5
   FROM vid_fph GROUP BY doc_id
 ), vid_fpairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS fa, b.f AS fb,
          bit_count(xor(a.phash, b.phash)) AS hamming
   FROM vid_fph a JOIN vid_fph b ON a.doc_id < b.doc_id
   WHERE a.phash != 0 AND b.phash != 0
     AND bit_count(xor(a.phash, b.phash)) <= 3
 ), vid_pairs AS (
-  SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS matching_frames,
-         MIN(hamming) AS min_hamming
-  FROM vid_fpairs GROUP BY doc_a, doc_b
+  -- aligned_frames: max matches at ONE consistent frame offset (r08)
+  SELECT doc_a, doc_b, CAST(SUM(n) AS BIGINT) AS matching_frames,
+         MIN(mh) AS min_hamming, CAST(MAX(n) AS BIGINT) AS aligned_frames
+  FROM (SELECT doc_a, doc_b, fb - fa AS off, COUNT(*) AS n,
+               MIN(hamming) AS mh
+        FROM vid_fpairs GROUP BY doc_a, doc_b, fb - fa)
+  GROUP BY doc_a, doc_b
 ), vid_pair_fold AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_vid_pairs,
-         md5(string_agg(printf('%09d:%d:%d', partner, mf, mh), ';'
-             ORDER BY printf('%09d:%d:%d', partner, mf, mh))) AS vid_pairs_md5
+         md5(string_agg(printf('%09d:%d:%d:%d', partner, mf, mh, af), ';'
+             ORDER BY printf('%09d:%d:%d:%d', partner, mf, mh, af))) AS vid_pairs_md5
   FROM (SELECT doc_a AS doc_id, doc_b AS partner,
-               matching_frames AS mf, min_hamming AS mh FROM vid_pairs
-        UNION ALL SELECT doc_b, doc_a, matching_frames, min_hamming FROM vid_pairs)
+               matching_frames AS mf, min_hamming AS mh,
+               aligned_frames AS af FROM vid_pairs
+        UNION ALL SELECT doc_b, doc_a, matching_frames, min_hamming,
+                         aligned_frames FROM vid_pairs)
   GROUP BY doc_id
 ), aud_mag AS (
   -- 8-bit PCM: decoder sample = byte - 128, so |s| = 128 - byte for ASCII;

@@ -4247,6 +4247,46 @@ def test_phash_fixture_payloads_match_reference(spark, sf_dir):
         assert aud[doc_id] == ref_aud(doc_id), f"aud payload drift doc {doc_id}"
 
 
+def test_video_aligned_frames_temporal_consistency(spark):
+    """r08 aligned_frames: a consistently time-shifted copy matches at
+    ONE frame offset (aligned == matching) while a scrambled cut matches
+    the same frames scattered across offsets (aligned < matching) — the
+    temporal-consistency rerank signal frame-set counting cannot see."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(67)
+    f0, f1, f2, tail = (
+        rng.integers(0, 256, (16, 18), dtype=np.uint8) for _ in range(4)
+    )
+    original = np.stack([f0, f1, f2])
+    shifted = np.stack([f1, f2, tail])  # original minus head, plus new tail
+    scrambled = np.stack([f0, f2, f1])  # same frames, reordered
+    media = spark.createDataFrame(
+        [
+            (1, _y4m(original), "v"),
+            (2, _y4m(shifted), "v"),
+            (3, _y4m(scrambled), "v"),
+        ],
+        "doc_id long, content binary, media_type string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): (
+            r["matching_frames"],
+            r["min_hamming"],
+            r["aligned_frames"],
+        )
+        for r in video_near_dup_pairs(media).collect()
+    }
+    # shifted copy: f1/f2 both match at offset -1 -> fully aligned
+    assert rows[(1, 2)] == (2, 0, 2)
+    # scrambled cut: all three frames match but at offsets 0, +1, -1
+    assert rows[(1, 3)] == (3, 0, 1)
+
+
 def test_media_near_dup_against_index(spark):
     """r08 incremental media near-dup: a new batch's phash table joins a
     stored index WITHOUT re-hashing it — banded equi-join (plan-pinned no
