@@ -302,10 +302,19 @@ def streaming_dedup_ingest(
         # (COLUMN_ALREADY_EXISTS warning; partition schema happened to win
         # — review r06). Partition discovery reconstitutes the column.
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        old = state["index"]
         state["index"] = (
             sh.localCheckpoint(eager=True),
             sig.localCheckpoint(eager=True),
         )
+        # deterministic storage hygiene (review r08): the replaced index
+        # and this batch's kept snapshot are never read again — free them
+        # instead of waiting on driver GC + ContextCleaner (ownership of
+        # initial_index transfers to the sink for the same reason)
+        if old is not None:
+            _free_local_checkpoint(old[0])
+            _free_local_checkpoint(old[1])
+        _free_local_checkpoint(kept)
 
     return (
         doc_stream.writeStream.foreachBatch(sink)
@@ -313,6 +322,24 @@ def streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _free_local_checkpoint(df: DataFrame | None) -> None:
+    """Best-effort deterministic unpersist of a localCheckpoint's storage
+    blocks. Dataset.unpersist only clears cacheManager entries — the
+    checkpoint RDD otherwise waits for driver GC + ContextCleaner, which
+    can pin ~2x the ingest state in executor storage indefinitely on an
+    idle driver heap (review r08). Reaches through the analyzed LogicalRDD
+    (verified on this Spark: getPersistentRDDs drops immediately); the
+    freed DataFrame is UNUSABLE afterward (truncated lineage cannot
+    recompute), so call only on state the sink has replaced. Failures are
+    swallowed — the fallback is exactly the GC path this accelerates."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def _ingest_batch_guard(batch_df: DataFrame, out_dir: str, batch_id: int):
@@ -367,7 +394,10 @@ def streaming_media_dedup_ingest(
     (amortized O(corpus / compact_every) per batch — the pragmatic
     middle between per-batch full re-materialization and LSM-style
     tiered merging). `initial_state` takes the (kept_ids,
-    phash_segments) pair returned by rebuild_media_ingest_state.
+    phash_segments) pair returned by rebuild_media_ingest_state;
+    OWNERSHIP TRANSFERS to the sink — replaced state checkpoints are
+    deterministically unpersisted as the state advances
+    (_free_local_checkpoint), so callers must not reuse the handles.
 
     Payloads with no hash row (undecodable) or a degenerate hash
     (phash 0, dropped inside the banded join) are KEPT — perceptual
@@ -382,6 +412,12 @@ def streaming_media_dedup_ingest(
         media_near_dup_against_index,
     )
 
+    if compact_every < 2:
+        raise ValueError(
+            "compact_every < 2 degrades every batch advance to a full "
+            "index re-materialization — the O(corpus)-per-batch cost the "
+            f"segment design exists to avoid; got {compact_every}"
+        )
     hasher = hash_fn or image_phash
     kept_ids, segments = initial_state if initial_state is not None else (None, [])
     segments = [
@@ -421,22 +457,28 @@ def streaming_media_dedup_ingest(
         )
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         new_ids = kept.select("doc_id")
+        old_ids = state["kept_ids"]
         state["kept_ids"] = (
-            new_ids
-            if state["kept_ids"] is None
-            else state["kept_ids"].unionByName(new_ids)
+            new_ids if old_ids is None else old_ids.unionByName(new_ids)
         ).localCheckpoint(eager=True)
+        _free_local_checkpoint(old_ids)  # replaced AFTER the new snapshot
         state["segments"].append(
             ph.join(kept.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
                 eager=True
             )
         )
         if len(state["segments"]) >= compact_every:
-            state["segments"] = [
-                reduce(DataFrame.unionByName, state["segments"]).localCheckpoint(
-                    eager=True
-                )
-            ]
+            merged = reduce(
+                DataFrame.unionByName, state["segments"]
+            ).localCheckpoint(eager=True)
+            for old in state["segments"]:  # freed only post-merge (r08)
+                _free_local_checkpoint(old)
+            state["segments"] = [merged]
+        # per-batch intermediates: every eager derivative (write, ids
+        # snapshot, segment) has materialized — free deterministically
+        _free_local_checkpoint(ph)
+        _free_local_checkpoint(kept)
+        _free_local_checkpoint(batch_df)
 
     return (
         media_stream.writeStream.foreachBatch(sink)

@@ -362,6 +362,25 @@ def test_streaming_media_dedup_ingest_cross_batch_state(spark, tmp_path):
     assert {r["doc_id"] for r in segments[0].collect()} == {10, 12, 21}
 
 
+def test_free_local_checkpoint_drops_storage(spark):
+    """_free_local_checkpoint releases a localCheckpoint's persisted
+    blocks immediately (Dataset.unpersist wouldn't — the RDD otherwise
+    waits on driver GC + ContextCleaner), and swallows objects it cannot
+    reach through."""
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        _free_local_checkpoint,
+    )
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(10).localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == before + 1
+    _free_local_checkpoint(df)
+    assert jsc.getPersistentRDDs().size() == before
+    _free_local_checkpoint(None)  # no-op
+    _free_local_checkpoint(spark.range(3))  # not checkpointed: swallowed
+
+
 def test_streaming_media_dedup_ingest_segment_compaction(spark, tmp_path):
     """Three micro-batches with compact_every=2: the segment compaction
     path runs mid-stream and cross-batch dedup still holds across the
