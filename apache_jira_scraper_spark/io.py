@@ -64,6 +64,25 @@ def pin_utc_session(spark: SparkSession, why: str) -> None:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+def free_local_checkpoint(df: DataFrame | None) -> None:
+    """Best-effort deterministic unpersist of a localCheckpoint's storage
+    blocks. Dataset.unpersist only clears cacheManager entries — the
+    checkpoint RDD otherwise waits for driver GC + ContextCleaner, which
+    can pin superseded iterative/ingest state in executor storage
+    indefinitely on an idle driver heap (review r08). Reaches through the
+    analyzed LogicalRDD (verified on this Spark: getPersistentRDDs drops
+    immediately); the freed DataFrame is UNUSABLE afterward (truncated
+    lineage cannot recompute), so call only on state that has been
+    replaced. Failures are swallowed — the fallback is exactly the GC
+    path this accelerates."""
+    if df is None:
+        return
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 # Monotonic count of session_cached() calls (hits AND builds). bench.py
 # snapshots it around each gate's samples to mark gates whose benched plan
 # may be a scan of a pre-materialized artifact (ADVICE r06: min-of-N over

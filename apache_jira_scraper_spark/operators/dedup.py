@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load_table, load_table_parallel
+from ..io import free_local_checkpoint, load_table, load_table_parallel
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime), minhash modulus
 NUM_HASHES = 8
@@ -1195,6 +1195,10 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             .filter(F.col("lbl") != F.col("old"))
             .count()
         )
+        # the superseded round's label checkpoint is never read again —
+        # free it now instead of pinning O(rounds * nodes) storage until
+        # driver GC + ContextCleaner (review r08, io.free_local_checkpoint)
+        free_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
@@ -1206,6 +1210,7 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             "(component diameter exceeds the round budget); raise max_iter "
             "or use connected_components_twophase (O(log n) rounds)"
         )
+    free_local_checkpoint(edges)  # converged: the edge checkpoint is done
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
@@ -1373,6 +1378,7 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 32) -> DataF
         )
         # converged when the edge set is stable (scalar-only check)
         changed = e2.exceptAll(e).count() + e.exceptAll(e2).count()
+        free_local_checkpoint(e)  # superseded round's edges (review r08)
         e = e2
         if changed == 0:
             break

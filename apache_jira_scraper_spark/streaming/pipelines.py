@@ -19,6 +19,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# deterministic unpersist of superseded state checkpoints (shared with
+# the iterative operators — see io.free_local_checkpoint's contract)
+from ..io import free_local_checkpoint as _free_local_checkpoint
+
 
 def _hadoop_fs(spark, path: str):
     """(FileSystem, Path) for `path` via the JVM Hadoop API — resolves the
@@ -322,24 +326,6 @@ def streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
-
-
-def _free_local_checkpoint(df: DataFrame | None) -> None:
-    """Best-effort deterministic unpersist of a localCheckpoint's storage
-    blocks. Dataset.unpersist only clears cacheManager entries — the
-    checkpoint RDD otherwise waits for driver GC + ContextCleaner, which
-    can pin ~2x the ingest state in executor storage indefinitely on an
-    idle driver heap (review r08). Reaches through the analyzed LogicalRDD
-    (verified on this Spark: getPersistentRDDs drops immediately); the
-    freed DataFrame is UNUSABLE afterward (truncated lineage cannot
-    recompute), so call only on state the sink has replaced. Failures are
-    swallowed — the fallback is exactly the GC path this accelerates."""
-    if df is None:
-        return
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
 
 
 def _ingest_batch_guard(batch_df: DataFrame, out_dir: str, batch_id: int):
