@@ -401,6 +401,7 @@ def _verify_jaccard(
 def incremental_dedup(
     new_docs: DataFrame,
     index: tuple[DataFrame, DataFrame] | None = None,
+    scratch_out: list | None = None,
 ) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
     """Dedupe a NEW crawl batch against the already-kept corpus without
     recomputing anything over the old data — the operational 100 TB shape
@@ -430,7 +431,13 @@ def incremental_dedup(
     would be (i, i), which verification rightly ignores). Content dupes
     arriving under NEW ids go through LSH as usual.
 
-    Returns (kept_new_docs, updated_index).
+    Returns (kept_new_docs, updated_index). `scratch_out`, when given,
+    receives this call's INTERNAL checkpoints (the batch shingle/signature
+    tables and the losers set) so a caller that re-materializes the
+    returned frames (the streaming sink) can deterministically free them
+    afterwards (io.free_local_checkpoint) instead of pinning three
+    superseded checkpoints per batch until driver GC (review r08); only
+    free them once every returned frame has been eagerly re-checkpointed.
     """
     if index is not None:
         sh_idx, sig_idx = index
@@ -487,6 +494,8 @@ def incremental_dedup(
         if sig_idx is None
         else (sh_idx.unionByName(sh_kept), sig_idx.unionByName(sig_kept))
     )
+    if scratch_out is not None:
+        scratch_out.extend([sh_new, sig_new, losers])
     return kept, new_index
 
 
@@ -1204,7 +1213,12 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             break
     else:
         # Silent non-convergence would masquerade as a valid clustering —
-        # labels are only partial fixpoints after max_iter rounds.
+        # labels are only partial fixpoints after max_iter rounds. Free
+        # the still-live checkpoints first: a caller catching this to
+        # retry (e.g. with the twophase variant) should not retry on a
+        # heap pinning the dead state (review r08).
+        free_local_checkpoint(labels)
+        free_local_checkpoint(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds the round budget); raise max_iter "
@@ -1383,6 +1397,7 @@ def connected_components_twophase(edges: DataFrame, max_iter: int = 32) -> DataF
         if changed == 0:
             break
     else:
+        free_local_checkpoint(e)  # don't leave the dead state pinned (r08)
         raise RuntimeError(
             f"connected_components_twophase did not converge in {max_iter} "
             "rounds — O(log n) contraction should need far fewer; the edge "

@@ -287,6 +287,11 @@ def streaming_dedup_ingest(
     directory, silently erasing the batch from the corpus. A partial
     (no _SUCCESS) directory is re-written from scratch, and the rebuild
     helper never indexed it — normal first-attempt semantics.
+
+    OWNERSHIP of ``initial_index`` TRANSFERS to the sink (r08): replaced
+    state checkpoints are deterministically unpersisted as the index
+    advances, so a restart must call rebuild_dedup_ingest_state again —
+    never reuse a tuple a previous (even failed) stream consumed.
     """
     state = {"index": initial_index}
 
@@ -299,7 +304,10 @@ def streaming_dedup_ingest(
         batch_df = _ingest_batch_guard(batch_df, out_dir, batch_id)
         if batch_df is None:
             return  # committed replay: exactly-once output, state already has it
-        kept, (sh, sig) = incremental_dedup(batch_df, state["index"])
+        scratch: list = []
+        kept, (sh, sig) = incremental_dedup(
+            batch_df, state["index"], scratch_out=scratch
+        )
         kept = kept.localCheckpoint(eager=True)
         # batch_id lives ONLY in the directory name: writing it as a data
         # column too made every read of out_dir resolve a duplicate
@@ -319,6 +327,8 @@ def streaming_dedup_ingest(
             _free_local_checkpoint(old[0])
             _free_local_checkpoint(old[1])
         _free_local_checkpoint(kept)
+        for df in scratch:  # incremental_dedup's internal checkpoints —
+            _free_local_checkpoint(df)  # superseded once sh/sig landed
 
     return (
         doc_stream.writeStream.foreachBatch(sink)
@@ -406,11 +416,20 @@ def streaming_media_dedup_ingest(
         )
     hasher = hash_fn or image_phash
     kept_ids, segments = initial_state if initial_state is not None else (None, [])
-    segments = [
-        s if "frame_idx" in s.columns else s.withColumn("frame_idx", F.lit(0))
-        for s in segments
-    ]
-    state = {"kept_ids": kept_ids, "segments": segments}
+    normed = []
+    for s in segments:
+        if "frame_idx" not in s.columns:
+            # re-checkpoint to a BARE LogicalRDD: a withColumn wrapper
+            # would make the compaction-time free a silent no-op
+            # (free_local_checkpoint only reaches through an unwrapped
+            # checkpoint), stranding the caller's blocks until GC
+            fixed = s.withColumn("frame_idx", F.lit(0)).localCheckpoint(
+                eager=True
+            )
+            _free_local_checkpoint(s)  # ownership transferred
+            s = fixed
+        normed.append(s)
+    state = {"kept_ids": kept_ids, "segments": normed}
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _ingest_batch_guard(batch_df, out_dir, batch_id)

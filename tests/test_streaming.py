@@ -371,12 +371,22 @@ def test_free_local_checkpoint_drops_storage(spark):
         _free_local_checkpoint,
     )
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        # track SPECIFIC RDD ids, not counts: the shared session's async
+        # ContextCleaner may reclaim unrelated leaked checkpoints between
+        # snapshots (review r08 flake)
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = persistent_ids()
     df = spark.range(10).localCheckpoint(eager=True)
-    assert jsc.getPersistentRDDs().size() == before + 1
+    new_ids = persistent_ids() - before
+    assert len(new_ids) == 1
     _free_local_checkpoint(df)
-    assert jsc.getPersistentRDDs().size() == before
+    assert not (new_ids & persistent_ids())
     _free_local_checkpoint(None)  # no-op
     _free_local_checkpoint(spark.range(3))  # not checkpointed: swallowed
 
