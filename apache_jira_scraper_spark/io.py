@@ -74,13 +74,44 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
     immediately); the freed DataFrame is UNUSABLE afterward (truncated
     lineage cannot recompute), so call only on state that has been
     replaced. Failures are swallowed — the fallback is exactly the GC
-    path this accelerates."""
+    path this accelerates — but NOT silently: the first failure per
+    process warns once and every failure increments
+    FREE_CHECKPOINT_FAILURES (ADVICE r08: a Spark upgrade that changes
+    the analyzed-plan shape would otherwise silently demote the entire
+    storage-hygiene mechanism to GC-paced eviction, and the unit test
+    pins only the current version's happy path)."""
+    global FREE_CHECKPOINT_FAILURES
     if df is None:
         return
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:
+        try:
+            # A frame that never was a localCheckpoint has no LogicalRDD
+            # to reach — a benign call (shutdown/best-effort paths free
+            # whatever handle they hold), not a mechanism failure.
+            node = df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            if "RDD" not in node:
+                return
+        except Exception:
+            pass  # cannot even inspect the plan: treat as mechanism failure
+        FREE_CHECKPOINT_FAILURES += 1
+        if FREE_CHECKPOINT_FAILURES == 1:
+            import warnings
+
+            warnings.warn(
+                "io.free_local_checkpoint reach-through failed "
+                f"({type(exc).__name__}: {exc}); falling back to GC-paced "
+                "eviction for ALL checkpoint frees this process — probably "
+                "a Spark upgrade changed the analyzed-plan Py4J shape",
+                stacklevel=2,
+            )
+
+
+# Monotonic count of free_local_checkpoint reach-through failures — a
+# nonzero value means deterministic storage hygiene has degraded to the
+# GC path (see free_local_checkpoint docstring).
+FREE_CHECKPOINT_FAILURES = 0
 
 
 # Monotonic count of session_cached() calls (hits AND builds). bench.py

@@ -391,6 +391,45 @@ def test_free_local_checkpoint_drops_storage(spark):
     _free_local_checkpoint(spark.range(3))  # not checkpointed: swallowed
 
 
+def test_free_local_checkpoint_failure_is_detectable(spark):
+    """ADVICE r08: a Spark upgrade that breaks the Py4J reach-through must
+    be DETECTABLE, not a silent revert to GC-paced eviction. A genuine
+    localCheckpoint whose reach-through raises increments
+    FREE_CHECKPOINT_FAILURES and warns once per process; a
+    never-checkpointed frame stays a benign swallow (previous test)."""
+    import warnings
+
+    from apache_jira_scraper_spark import io as io_mod
+
+    class _BrokenJdf:
+        def queryExecution(self):
+            raise RuntimeError("plan shape changed")
+
+        def isLocalCheckpoint(self):
+            return True
+
+    class _BrokenFrame:
+        _jdf = _BrokenJdf()
+
+    before = io_mod.FREE_CHECKPOINT_FAILURES
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        io_mod.free_local_checkpoint(_BrokenFrame())
+    assert io_mod.FREE_CHECKPOINT_FAILURES == before + 1
+    # warns on the FIRST process-wide failure only; later ones just count
+    if before == 0:
+        assert any("reach-through failed" in str(w.message) for w in caught)
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        io_mod.free_local_checkpoint(_BrokenFrame())
+    assert io_mod.FREE_CHECKPOINT_FAILURES == before + 2
+    assert not any("reach-through failed" in str(w.message) for w in caught2)
+    # benign path: never-checkpointed frame does not count as a failure
+    n = io_mod.FREE_CHECKPOINT_FAILURES
+    io_mod.free_local_checkpoint(spark.range(2))
+    assert io_mod.FREE_CHECKPOINT_FAILURES == n
+
+
 def test_streaming_media_dedup_ingest_segment_compaction(spark, tmp_path):
     """Three micro-batches with compact_every=2: the segment compaction
     path runs mid-stream and cross-batch dedup still holds across the
