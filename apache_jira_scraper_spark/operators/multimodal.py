@@ -3455,9 +3455,11 @@ def _phash_pair_fold(
     """Symmetrized per-doc fold of a near-dup pair table shared by the
     three gate legs (review r08: one definition instead of three copies):
     each (doc_a, doc_b) row attaches to BOTH endpoints, then per doc_id a
-    count plus an md5 over the lexically-sorted '%09d:<values>' records —
-    zero-padded partner first so lexical order IS numeric order, matching
-    the oracle's string_agg ORDER BY of the identical printf."""
+    count plus an md5 over the lexically-sorted '%018d:<values>' records —
+    zero-padded partner first so lexical order IS numeric order for every
+    non-negative BIGINT doc_id (ADVICE r08: the previous 9-digit pad silently
+    broke the sort equivalence past 1e9), matching the oracle's
+    string_agg ORDER BY of the identical printf."""
     sides = pairs.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("partner"),
@@ -3469,7 +3471,7 @@ def _phash_pair_fold(
             *value_cols,
         )
     )
-    fmt = "%09d" + ":%d" * len(value_cols)
+    fmt = "%018d" + ":%d" * len(value_cols)
     return sides.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias(n_name),
         F.md5(
@@ -3521,7 +3523,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (including the onset trim, so the audio leg certifies the
     time-shifted-copy collision under the driver hash) and restates the
     banded join as full pairwise hamming (equivalent for max_hamming<=3
-    by pigeonhole)."""
+    by pigeonhole).
+
+    r09 adds the pipeline-TAIL legs (VERDICT r08 item 1): the same
+    certified pair tables drive media_near_dup_clusters (cross-modal
+    edge union -> connected components -> min-id keeper flags; oracle =
+    the dedup_clusters recursive-CTE closure) and
+    media_near_dup_against_index (odd/even member split of the image
+    hash table as new-batch x stored-index; oracle = exact pairwise
+    hamming between the splits), so every operator of the media-dedup
+    pipeline — decode, hash, pair, cluster, incremental match — is
+    under the driver hash."""
     media = binary_docs(spark, sf_dir)
     # Frame sampling is column algebra, so it rides along in the SAME
     # projection that feeds the single mapInPandas pass — one scan of the
@@ -3627,9 +3639,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud_ph = audio_phash(aud_media, anchor="onset").localCheckpoint(
         eager=False
     )
+    # each pair table now feeds TWO consumers (its per-doc fold + the
+    # cross-modal cluster edge union below) — lazy localCheckpoint keeps
+    # the banded join from running twice per gate call
+    img_pairs = image_near_dup_pairs(img_media, phash=img_ph).localCheckpoint(
+        eager=False
+    )
+    vid_pairs = video_near_dup_pairs(vid_media, phash=vid_ph).localCheckpoint(
+        eager=False
+    )
+    aud_pairs = audio_near_dup_pairs(aud_media, phash=aud_ph).localCheckpoint(
+        eager=False
+    )
     img_fold = img_ph.select("doc_id", F.col("phash").alias("img_phash"))
     img_pair_fold = _phash_pair_fold(
-        image_near_dup_pairs(img_media, phash=img_ph),
+        img_pairs,
         ["hamming"],
         "n_img_pairs",
         "img_pairs_md5",
@@ -3647,17 +3671,69 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("vid_phash_md5"),
     )
     vid_pair_fold = _phash_pair_fold(
-        video_near_dup_pairs(vid_media, phash=vid_ph),
+        vid_pairs,
         ["matching_frames", "min_hamming", "aligned_frames"],
         "n_vid_pairs",
         "vid_pairs_md5",
     )
     aud_fold = aud_ph.select("doc_id", F.col("phash").alias("aud_phash"))
     aud_pair_fold = _phash_pair_fold(
-        audio_near_dup_pairs(aud_media, phash=aud_ph),
+        aud_pairs,
         ["hamming"],
         "n_aud_pairs",
         "aud_pairs_md5",
+    )
+    # pipeline-TAIL legs (VERDICT r08 item 1): the operators a real media
+    # dedup run executes AFTER pair generation, driven by the same
+    # certified pair tables. (a) media_near_dup_clusters over the
+    # cross-modal edge union — a doc near-dup in ANY modality joins the
+    # component (pairs -> connected components -> min-id keeper flags);
+    # the oracle restates the closure as the same recursive CTE the
+    # dedup_clusters / semantic_dedup gates certify. (b)
+    # media_near_dup_against_index over an odd/even member split of the
+    # image hash table — the incremental new-batch x stored-index banded
+    # join (the index side is never re-decoded), which the oracle
+    # restates as exact pairwise hamming between the two splits.
+    edges = (
+        img_pairs.select("doc_a", "doc_b")
+        .unionAll(vid_pairs.select("doc_a", "doc_b"))
+        .unionAll(aud_pairs.select("doc_a", "doc_b"))
+    )
+    # connected_components executes EAGERLY (per-round checkpoints), so
+    # the shuffle-partition conf window is effective here — the edge set
+    # is n_docs/PHASH_SAMPLE_MOD-sized, and 32-partition exchanges per
+    # round are pure fixed cost at that volume (the r03 stream_stateful
+    # sizing argument; at production volume size it UP the same way).
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        clus = media_near_dup_clusters(edges).select(
+            "doc_id",
+            F.col("cluster_id").alias("media_cluster"),
+            F.col("is_keeper").cast("long").alias("media_keeper"),
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    m_parity = F.expr(
+        f"(doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} % 2"
+    )
+    idx_matches = media_near_dup_against_index(
+        img_ph.filter(m_parity == 1), img_ph.filter(m_parity == 0)
+    )
+    idx_fold = idx_matches.groupBy(
+        F.col("new_doc").alias("doc_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_idx_matches"),
+        F.md5(
+            F.concat_ws(
+                ";",
+                F.array_sort(
+                    F.collect_list(
+                        F.format_string("%018d:%d", "index_doc", "hamming")
+                    )
+                ),
+            )
+        ).alias("idx_matches_md5"),
     )
     return (
         spine.join(per_doc, "doc_id", "left")
@@ -3667,6 +3743,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(vid_pair_fold, "doc_id", "left")
         .join(aud_fold, "doc_id", "left")
         .join(aud_pair_fold, "doc_id", "left")
+        .join(clus, "doc_id", "left")
+        .join(idx_fold, "doc_id", "left")
         .select(
             spine["doc_id"],
             "features_csv",
@@ -3688,13 +3766,17 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("aud_phash", F.lit(0)).cast("long").alias("aud_phash"),
             F.coalesce("n_aud_pairs", F.lit(0)).cast("long").alias("n_aud_pairs"),
             F.coalesce("aud_pairs_md5", F.lit("")).alias("aud_pairs_md5"),
+            F.coalesce("media_cluster", F.lit(-1)).cast("long").alias("media_cluster"),
+            F.coalesce("media_keeper", F.lit(0)).cast("long").alias("media_keeper"),
+            F.coalesce("n_idx_matches", F.lit(0)).cast("long").alias("n_idx_matches"),
+            F.coalesce("idx_matches_md5", F.lit("")).alias("idx_matches_md5"),
         )
         .orderBy("doc_id")
     )
 
 
 MULTIMODAL_DECODE_SQL = f"""
-WITH bytes AS (
+WITH RECURSIVE bytes AS (
   SELECT doc_id,
          list_transform(generate_series(1, length(text), 1),
                         i -> ascii(substr(text, i, 1))) AS bl
@@ -3810,8 +3892,8 @@ ph_docs AS (
     AND bit_count(xor(a.img_phash, b.img_phash)) <= 3
 ), img_pair_fold AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_img_pairs,
-         md5(string_agg(printf('%09d:%d', partner, hamming), ';'
-             ORDER BY printf('%09d:%d', partner, hamming))) AS img_pairs_md5
+         md5(string_agg(printf('%018d:%d', partner, hamming), ';'
+             ORDER BY printf('%018d:%d', partner, hamming))) AS img_pairs_md5
   FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM img_pairs
         UNION ALL SELECT doc_b, doc_a, hamming FROM img_pairs)
   GROUP BY doc_id
@@ -3869,8 +3951,8 @@ ph_docs AS (
   GROUP BY doc_a, doc_b
 ), vid_pair_fold AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_vid_pairs,
-         md5(string_agg(printf('%09d:%d:%d:%d', partner, mf, mh, af), ';'
-             ORDER BY printf('%09d:%d:%d:%d', partner, mf, mh, af))) AS vid_pairs_md5
+         md5(string_agg(printf('%018d:%d:%d:%d', partner, mf, mh, af), ';'
+             ORDER BY printf('%018d:%d:%d:%d', partner, mf, mh, af))) AS vid_pairs_md5
   FROM (SELECT doc_a AS doc_id, doc_b AS partner,
                matching_frames AS mf, min_hamming AS mh,
                aligned_frames AS af FROM vid_pairs
@@ -3927,11 +4009,44 @@ ph_docs AS (
     AND bit_count(xor(a.aud_phash, b.aud_phash)) <= 3
 ), aud_pair_fold AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_aud_pairs,
-         md5(string_agg(printf('%09d:%d', partner, hamming), ';'
-             ORDER BY printf('%09d:%d', partner, hamming))) AS aud_pairs_md5
+         md5(string_agg(printf('%018d:%d', partner, hamming), ';'
+             ORDER BY printf('%018d:%d', partner, hamming))) AS aud_pairs_md5
   FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM aud_pairs
         UNION ALL SELECT doc_b, doc_a, hamming FROM aud_pairs)
   GROUP BY doc_id
+),
+-- pipeline-tail legs (r09): (a) cross-modal connected components over the
+-- union of the three certified pair sets (min-reachable-id label, the same
+-- recursive closure the dedup_clusters / semantic_dedup oracles use);
+-- (b) the incremental new-batch x stored-index match restated as exact
+-- pairwise hamming between the odd- and even-member image-hash splits.
+media_edges AS (
+  SELECT doc_a AS node, doc_b AS nbr FROM img_pairs
+  UNION SELECT doc_b, doc_a FROM img_pairs
+  UNION SELECT doc_a, doc_b FROM vid_pairs
+  UNION SELECT doc_b, doc_a FROM vid_pairs
+  UNION SELECT doc_a, doc_b FROM aud_pairs
+  UNION SELECT doc_b, doc_a FROM aud_pairs
+), media_reach(node, nbr) AS (
+  SELECT node, nbr FROM media_edges
+  UNION
+  SELECT r.node, g.nbr FROM media_reach r JOIN media_edges g ON r.nbr = g.node
+), media_lbl AS (
+  SELECT node AS doc_id, LEAST(node, MIN(nbr)) AS media_cluster
+  FROM media_reach GROUP BY node
+), idx_pairs AS (
+  SELECT a.doc_id AS new_doc, b.doc_id AS index_doc,
+         bit_count(xor(a.img_phash, b.img_phash)) AS hamming
+  FROM img_ph a JOIN img_ph b
+    ON ((a.doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD}) % 2 = 1
+   AND ((b.doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD}) % 2 = 0
+  WHERE a.img_phash != 0 AND b.img_phash != 0
+    AND bit_count(xor(a.img_phash, b.img_phash)) <= 3
+), idx_fold AS (
+  SELECT new_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_idx_matches,
+         md5(string_agg(printf('%018d:%d', index_doc, hamming), ';'
+             ORDER BY printf('%018d:%d', index_doc, hamming))) AS idx_matches_md5
+  FROM idx_pairs GROUP BY new_doc
 )
 SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
        frames_md5, CAST(n_frames AS INT) AS n_frames,
@@ -3947,7 +4062,11 @@ SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
        COALESCE(vid_pairs_md5, '') AS vid_pairs_md5,
        COALESCE(aud_ph.aud_phash, 0) AS aud_phash,
        COALESCE(n_aud_pairs, 0) AS n_aud_pairs,
-       COALESCE(aud_pairs_md5, '') AS aud_pairs_md5
+       COALESCE(aud_pairs_md5, '') AS aud_pairs_md5,
+       COALESCE(media_cluster, -1) AS media_cluster,
+       CAST(COALESCE(media_lbl.doc_id = media_cluster, FALSE) AS BIGINT) AS media_keeper,
+       COALESCE(n_idx_matches, 0) AS n_idx_matches,
+       COALESCE(idx_matches_md5, '') AS idx_matches_md5
 FROM feat JOIN fr ON feat.doc_id = fr.doc_id
 LEFT JOIN pagg ON feat.doc_id = pagg.doc_id
 LEFT JOIN img_ph ON feat.doc_id = img_ph.doc_id
@@ -3956,6 +4075,8 @@ LEFT JOIN vid_ph_fold ON feat.doc_id = vid_ph_fold.doc_id
 LEFT JOIN vid_pair_fold ON feat.doc_id = vid_pair_fold.doc_id
 LEFT JOIN aud_ph ON feat.doc_id = aud_ph.doc_id
 LEFT JOIN aud_pair_fold ON feat.doc_id = aud_pair_fold.doc_id
+LEFT JOIN media_lbl ON feat.doc_id = media_lbl.doc_id
+LEFT JOIN idx_fold ON feat.doc_id = idx_fold.doc_id
 ORDER BY feat.doc_id
 """
 

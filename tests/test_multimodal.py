@@ -4446,6 +4446,59 @@ def test_phash_gate_fixture_premises(spark, sf_dir):
     assert any(ph != 0 for g in complete for ph in vid[g].values())
 
 
+def test_media_tail_gate_fixture_premises(spark, sf_dir):
+    """r09 pipeline-tail legs premise pin (same defense as
+    test_phash_gate_fixture_premises): the clusters leg and the
+    against-index leg of the multimodal_decode gate must be structurally
+    NON-EMPTY on the actual testdata, or both gate sides could drift to
+    an all-sentinel agreement. In every complete group: (a) m=0 and m=1
+    share a cluster whose keeper is the min doc_id (m=0), via the REAL
+    operators over the cross-modal edge union; (b) the odd/even member
+    split puts m=1 in the new batch and m=0 in the index, so
+    media_near_dup_against_index surfaces the planted hamming-0 match."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        PHASH_GROUP,
+        PHASH_SAMPLE_MOD,
+        image_near_dup_pairs,
+        image_phash,
+        media_near_dup_against_index,
+        media_near_dup_clusters,
+        phash_image_fixture,
+    )
+
+    img_media = phash_image_fixture(spark, sf_dir)
+    ph = image_phash(img_media).localCheckpoint(eager=False)
+    pairs = image_near_dup_pairs(img_media, phash=ph)
+    clus = {
+        r["doc_id"]: (r["cluster_id"], r["is_keeper"])
+        for r in media_near_dup_clusters(pairs).collect()
+    }
+    assert clus, "cluster leg empty: pair set lost its planted collisions"
+    from pyspark.sql import functions as F
+
+    parity = F.expr(f"(doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} % 2")
+    hits = media_near_dup_against_index(
+        ph.filter(parity == 1), ph.filter(parity == 0)
+    ).collect()
+    assert hits, "against-index leg empty: odd/even split lost its match"
+    hashes = {r["doc_id"]: r["phash"] for r in ph.collect()}
+    checked = 0
+    for g in sorted(d for d in hashes if d % PHASH_GROUP == 0):
+        m1 = g + PHASH_SAMPLE_MOD
+        if m1 not in hashes or hashes[g] == 0:
+            continue
+        # (a) planted pair => same cluster, min-id keeper
+        assert clus[g] == (g, True), f"group {g}: base not its own keeper"
+        assert clus[m1][0] == g and not clus[m1][1], f"group {g}: m1 keeper wrong"
+        # (b) m1 (new) matches g (index) at hamming 0
+        assert any(
+            r["new_doc"] == m1 and r["index_doc"] == g and r["hamming"] == 0
+            for r in hits
+        ), f"group {g}: planted new-vs-index match missing"
+        checked += 1
+    assert checked
+
+
 def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
     """max_hamming > 3 raises (pigeonhole banding would silently miss
     pairs); constant black frames (phash 0) are dropped before the join,
