@@ -354,6 +354,54 @@ def _ingest_batch_guard(batch_df: DataFrame, out_dir: str, batch_id: int):
     return batch_df
 
 
+class _TieredSegments:
+    """Size-tiered (LSM-style) checkpoint segment store for the media
+    ingest sink's phash index AND kept-id guard (VERDICT r08 item 3 +
+    ADVICE r08): level-0 segments hold ONE batch each; when any level
+    accumulates `fanout` segments they merge into a single segment one
+    level up, cascading. A compaction therefore rewrites only the merged
+    tier — per-row write amplification is O(log_fanout(n_batches)) and no
+    single compaction re-materializes the full index (the previous
+    merge-everything design rewrote O(corpus) every `fanout` batches).
+    The read side unions at most fanout * n_levels branches, so the join
+    plan stays bounded. Segments must be EAGER localCheckpoints;
+    ownership transfers here — replaced segments are freed
+    deterministically AFTER their merged successor materializes."""
+
+    def __init__(self, fanout: int, initial=None, initial_level: int = 1):
+        # a restart rebuild's full-corpus segment enters ABOVE the
+        # per-batch level so the first level-0 merge does not rewrite it
+        self.fanout = fanout
+        self.tiers: dict[int, list[DataFrame]] = {}
+        for df in initial or []:
+            self.tiers.setdefault(initial_level, []).append(df)
+
+    def dataframes(self) -> list[DataFrame]:
+        return [df for lvl in sorted(self.tiers) for df in self.tiers[lvl]]
+
+    def union(self):
+        from functools import reduce
+
+        dfs = self.dataframes()
+        return reduce(DataFrame.unionByName, dfs) if dfs else None
+
+    def add(self, segment: DataFrame) -> None:
+        from functools import reduce
+
+        self.tiers.setdefault(0, []).append(segment)
+        lvl = 0
+        while len(self.tiers.get(lvl, ())) >= self.fanout:
+            olds = self.tiers[lvl]
+            merged = reduce(DataFrame.unionByName, olds).localCheckpoint(
+                eager=True
+            )
+            self.tiers[lvl] = []
+            self.tiers.setdefault(lvl + 1, []).append(merged)
+            for old in olds:  # freed only post-merge
+                _free_local_checkpoint(old)
+            lvl += 1
+
+
 def streaming_media_dedup_ingest(
     media_stream: DataFrame,
     out_dir: str,
@@ -363,6 +411,7 @@ def streaming_media_dedup_ingest(
     max_block_freq: int | None = None,
     initial_state=None,
     compact_every: int = 16,
+    min_matching_frames: int = 1,
 ):
     """Streaming MEDIA ingestion with cross-batch perceptual near-dup
     state (r08) — the media analog of streaming_dedup_ingest: each
@@ -382,26 +431,36 @@ def streaming_media_dedup_ingest(
 
     `max_block_freq` passes through to both banded joins (review r08: at
     corpus scale a saturated index block is exactly the hot key the cap
-    exists for). State is a LIST of per-batch checkpointed segments
-    unioned lazily, so each batch checkpoints only its own kept hashes —
-    O(batch), not O(corpus), per advance (review r08); every
-    `compact_every` segments the list is merged into one checkpoint so
-    the join plan never unions an unbounded number of branches
-    (amortized O(corpus / compact_every) per batch — the pragmatic
-    middle between per-batch full re-materialization and LSM-style
-    tiered merging). `initial_state` takes the (kept_ids,
-    phash_segments) pair returned by rebuild_media_ingest_state;
-    OWNERSHIP TRANSFERS to the sink — replaced state checkpoints are
-    deterministically unpersisted as the state advances
-    (_free_local_checkpoint), so callers must not reuse the handles.
+    exists for). BOTH state tables — the phash index and the kept-id
+    replay guard — are SIZE-TIERED segment stores (_TieredSegments,
+    VERDICT r08 item 3 + ADVICE r08): each batch checkpoints only its own
+    kept hashes/ids (O(batch) per advance), and when a tier accumulates
+    `compact_every` segments it merges into one segment a level up, so a
+    compaction rewrites only the merged tier (O(log) amortized write
+    amplification) and never the full index; the guard's previous
+    full-snapshot-per-batch advance is gone. `initial_state` takes the
+    (kept_ids, phash_segments) pair returned by
+    rebuild_media_ingest_state; OWNERSHIP TRANSFERS to the sink —
+    replaced state checkpoints are deterministically unpersisted as the
+    state advances (_free_local_checkpoint), so callers must not reuse
+    the handles.
+
+    Drop policy for multi-hash documents (ADVICE r08): by DEFAULT a
+    single matching frame pair within max_hamming drops the whole new
+    document — deliberately aggressive, matching the pair family's
+    "any frame collides => candidate pair" semantics, and exact for
+    single-hash docs (stills, whole-clip audio). For frame-level
+    hash_fns where one coincidental frame collision shouldn't discard a
+    document, set `min_matching_frames` > 1: a new doc then drops only
+    when at least that many frame pairs match ONE existing doc (the pair
+    family's matching_frames measure, applied to both the within-batch
+    and the against-index decision).
 
     Payloads with no hash row (undecodable) or a degenerate hash
     (phash 0, dropped inside the banded join) are KEPT — perceptual
     near-dup has no opinion on them (route those through exact
     content-hash dedup) — but their doc_ids still join the id-replay
     guard."""
-    from functools import reduce
-
     from ..operators.multimodal import (
         _phash_verified_pairs,
         image_phash,
@@ -410,14 +469,18 @@ def streaming_media_dedup_ingest(
 
     if compact_every < 2:
         raise ValueError(
-            "compact_every < 2 degrades every batch advance to a full "
-            "index re-materialization — the O(corpus)-per-batch cost the "
-            f"segment design exists to avoid; got {compact_every}"
+            "compact_every < 2 makes every tier merge immediately — the "
+            "O(corpus)-per-batch cost the tiered design exists to avoid; "
+            f"got {compact_every}"
         )
+    if min_matching_frames < 1:
+        raise ValueError(f"min_matching_frames must be >= 1, got {min_matching_frames}")
     hasher = hash_fn or image_phash
-    kept_ids, segments = initial_state if initial_state is not None else (None, [])
+    init_ids, init_segments = (
+        initial_state if initial_state is not None else (None, [])
+    )
     normed = []
-    for s in segments:
+    for s in init_segments:
         if "frame_idx" not in s.columns:
             # re-checkpoint to a BARE LogicalRDD: a withColumn wrapper
             # would make the compaction-time free a silent no-op
@@ -429,16 +492,34 @@ def streaming_media_dedup_ingest(
             _free_local_checkpoint(s)  # ownership transferred
             s = fixed
         normed.append(s)
-    state = {"kept_ids": kept_ids, "segments": normed}
+    seg_tier = _TieredSegments(compact_every, normed)
+    ids_tier = _TieredSegments(
+        compact_every, [init_ids] if init_ids is not None else []
+    )
+
+    def _pair_drops(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
+        """Per-pair matched-frame-count threshold -> doc_ids to drop.
+        left_anti consumers are duplicate-insensitive, and at the default
+        threshold of 1 the groupBy is skipped entirely (no extra
+        exchange)."""
+        if min_matching_frames <= 1:
+            return pairs.select(F.col(b_col).alias("doc_id"))
+        return (
+            pairs.groupBy(a_col, b_col)
+            .agg(F.count(F.lit(1)).alias("mf"))
+            .filter(F.col("mf") >= min_matching_frames)
+            .select(F.col(b_col).alias("doc_id"))
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = _ingest_batch_guard(batch_df, out_dir, batch_id)
         if batch_df is None:
             return  # committed replay: output and state already have it
-        if state["kept_ids"] is not None:
+        ids_union = ids_tier.union()
+        if ids_union is not None:
             # id-replay guard: re-delivered docs (including undecodable /
             # degenerate ones the perceptual path cannot see) drop here
-            batch_df = batch_df.join(state["kept_ids"], "doc_id", "left_anti")
+            batch_df = batch_df.join(ids_union, "doc_id", "left_anti")
         batch_df = batch_df.localCheckpoint(eager=True)
         ph = hasher(batch_df)
         if "frame_idx" not in ph.columns:
@@ -447,40 +528,35 @@ def streaming_media_dedup_ingest(
         # sides + the index join + the kept-segment advance): decode once
         ph = ph.localCheckpoint(eager=True)
         # left_anti is duplicate-insensitive: no distinct needed on drops
-        drops = _phash_verified_pairs(ph, max_hamming, max_block_freq).select(
-            F.col("doc_b").alias("doc_id")
+        drops = _pair_drops(
+            _phash_verified_pairs(ph, max_hamming, max_block_freq),
+            "doc_a",
+            "doc_b",
         )
-        if state["segments"]:
-            index_ph = reduce(DataFrame.unionByName, state["segments"])
+        index_ph = seg_tier.union()
+        if index_ph is not None:
             drops = drops.unionByName(
-                media_near_dup_against_index(
-                    ph, index_ph, max_hamming, max_block_freq
-                ).select(F.col("new_doc").alias("doc_id"))
+                _pair_drops(
+                    media_near_dup_against_index(
+                        ph, index_ph, max_hamming, max_block_freq
+                    ),
+                    "index_doc",
+                    "new_doc",
+                )
             )
         kept = batch_df.join(drops, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        new_ids = kept.select("doc_id")
-        old_ids = state["kept_ids"]
-        state["kept_ids"] = (
-            new_ids if old_ids is None else old_ids.unionByName(new_ids)
-        ).localCheckpoint(eager=True)
-        _free_local_checkpoint(old_ids)  # replaced AFTER the new snapshot
-        state["segments"].append(
+        # state advances are O(batch) on BOTH tables; tier merges amortize
+        ids_tier.add(kept.select("doc_id").localCheckpoint(eager=True))
+        seg_tier.add(
             ph.join(kept.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
                 eager=True
             )
         )
-        if len(state["segments"]) >= compact_every:
-            merged = reduce(
-                DataFrame.unionByName, state["segments"]
-            ).localCheckpoint(eager=True)
-            for old in state["segments"]:  # freed only post-merge (r08)
-                _free_local_checkpoint(old)
-            state["segments"] = [merged]
         # per-batch intermediates: every eager derivative (write, ids
-        # snapshot, segment) has materialized — free deterministically
+        # segment, hash segment) has materialized — free deterministically
         _free_local_checkpoint(ph)
         _free_local_checkpoint(kept)
         _free_local_checkpoint(batch_df)

@@ -488,6 +488,114 @@ def test_streaming_media_dedup_ingest_segment_compaction(spark, tmp_path):
     assert landed == {(1, 0), (2, 1), (4, 2)}
 
 
+def test_tiered_segments_compaction_touches_only_merged_tier(spark):
+    """VERDICT r08 item 3: the LSM-style tier store merges ONLY the tier
+    that filled — higher-level segments are neither rewritten nor freed
+    by a lower-level compaction — and a full cascade merges upward one
+    level at a time. Freed segments are tracked by SPECIFIC RDD id
+    (asserting counts on the shared session flakes, review r08)."""
+    from apache_jira_scraper_spark.streaming.pipelines import _TieredSegments
+
+    def rdd_id(df):
+        return df._jdf.queryExecution().analyzed().rdd().id()
+
+    def persisted(ids):
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+        live = set()
+        while it.hasNext():
+            live.add(it.next())
+        return ids & live
+
+    def seg(lo, hi):
+        return spark.range(lo, hi).localCheckpoint(eager=True)
+
+    tiers = _TieredSegments(fanout=2)
+    tiers.add(seg(0, 1))
+    tiers.add(seg(1, 2))  # level-0 full -> merge to level 1
+    assert [lvl for lvl, dfs in sorted(tiers.tiers.items()) if dfs] == [1]
+    l1 = tiers.tiers[1][0]
+    l1_id = rdd_id(l1)
+    s2 = seg(2, 3)
+    s2_id = rdd_id(s2)
+    tiers.add(s2)  # level 0 holds one segment; level 1 untouched
+    assert tiers.tiers[1][0] is l1, "level-1 segment rewritten by level-0 add"
+    assert persisted({l1_id, s2_id}) == {l1_id, s2_id}
+    union_rows = {r["id"] for r in tiers.union().collect()}
+    assert union_rows == {0, 1, 2}
+    # 4th segment: level 0 fills -> merge -> level 1 fills -> cascade to 2
+    tiers.add(seg(3, 4))
+    assert [lvl for lvl, dfs in sorted(tiers.tiers.items()) if dfs] == [2]
+    assert {r["id"] for r in tiers.union().collect()} == {0, 1, 2, 3}
+    # the cascade consumed and freed the old level-1 and level-0 segments
+    assert not persisted({l1_id, s2_id})
+
+
+def test_media_ingest_min_matching_frames_threshold(spark, tmp_path):
+    """ADVICE r08: with a frame-level hash_fn, the DEFAULT policy drops a
+    new video on ANY single frame collision; min_matching_frames=2 keeps
+    a video that shares only one coincidental frame with the index while
+    still dropping a true near-dup sharing two."""
+    import os
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import frame_phash
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        streaming_media_dedup_ingest,
+    )
+
+    w, h = 24, 16
+    rng = np.random.default_rng(79)
+    fr = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(7)]
+
+    def y4m(frames):
+        out = f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+        for f in frames:
+            out += b"FRAME\n" + f.tobytes()
+        return bytearray(out)
+
+    vid_a = y4m([fr[0], fr[1], fr[2]])
+    vid_b = y4m([fr[1], fr[3], fr[4]])  # 1 shared frame with A
+    vid_c = y4m([fr[0], fr[2], fr[5]])  # 2 shared frames with A
+    schema = "doc_id long, content binary"
+
+    def run(sub, **kw):
+        landing = str(tmp_path / sub / "land")
+        os.makedirs(landing)
+        spark.createDataFrame([(1, vid_a)], schema).coalesce(1).write.parquet(
+            f"{landing}/a"
+        )
+        spark.createDataFrame(
+            [(2, vid_b), (3, vid_c)], schema
+        ).coalesce(1).write.parquet(f"{landing}/b")
+        for d, ts in (("a", 1_000), ("b", 2_000)):
+            for f in os.listdir(f"{landing}/{d}"):
+                os.utime(f"{landing}/{d}/{f}", (ts, ts))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{landing}/*")
+        )
+        q = streaming_media_dedup_ingest(
+            stream,
+            str(tmp_path / sub / "out"),
+            str(tmp_path / sub / "ckpt"),
+            hash_fn=frame_phash,
+            **kw,
+        )
+        q.awaitTermination()
+        return {
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / sub / "out")).collect()
+        }
+
+    # default: one colliding frame discards the whole doc (documented)
+    assert run("default") == {1}
+    # threshold 2: the single-frame coincidence survives, the true
+    # near-dup (2 matching frames) still drops
+    assert run("thresh", min_matching_frames=2) == {1, 2}
+
+
 def test_streaming_dedup_ingest_replay_preserves_committed_batch(spark, tmp_path):
     """The crash-replay case the r04 review caught: the batch-N write
     COMMITTED but the streaming checkpoint did not. On restart the state
