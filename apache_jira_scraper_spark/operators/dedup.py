@@ -402,6 +402,7 @@ def incremental_dedup(
     new_docs: DataFrame,
     index: tuple[DataFrame, DataFrame] | None = None,
     scratch_out: list | None = None,
+    kept_parts_out: list | None = None,
 ) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
     """Dedupe a NEW crawl batch against the already-kept corpus without
     recomputing anything over the old data — the operational 100 TB shape
@@ -438,6 +439,11 @@ def incremental_dedup(
     afterwards (io.free_local_checkpoint) instead of pinning three
     superseded checkpoints per batch until driver GC (review r08); only
     free them once every returned frame has been eagerly re-checkpointed.
+    `kept_parts_out`, when given, receives the LAZY (sh_kept, sig_kept)
+    pair covering ONLY this batch's kept docs — the per-batch index
+    SEGMENT a tiered-state caller (streaming_dedup_ingest, r09)
+    checkpoints instead of re-materializing the full unioned index every
+    advance.
     """
     if index is not None:
         sh_idx, sig_idx = index
@@ -496,6 +502,8 @@ def incremental_dedup(
     )
     if scratch_out is not None:
         scratch_out.extend([sh_new, sig_new, losers])
+    if kept_parts_out is not None:
+        kept_parts_out.extend([sh_kept, sig_kept])
     return kept, new_index
 
 

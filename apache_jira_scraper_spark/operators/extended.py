@@ -254,20 +254,23 @@ ORDER BY window_start, event_type
 # io.session_cached store: (applicationId, sf_dir) -> landing dir for the
 # ingest leg's deterministic two-batch corpus split (q_stream_stateful)
 _INGEST_LANDING: dict[tuple[str, str], str] = {}
+_MEDIA_LANDING: dict[tuple[str, str], str] = {}
 
 
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+T5 stateful streaming in one gate: gap-based session_window
     aggregation, dropDuplicatesWithinWatermark dedup, the custom
     applyInPandasWithState lifetime counters, the two-watermark
-    stream-stream interval join, the trending-terms monitor, AND (r06)
-    the cross-batch near-dup ingest, tagged and union-ALL'd. Legs are
+    stream-stream interval join, the trending-terms monitor, (r06) the
+    cross-batch near-dup TEXT ingest, AND (r09) the cross-batch
+    perceptual MEDIA ingest, tagged and union-ALL'd. Legs are
     normalized to a common (op, id, aux, n) shape; sessions keyed by user
     with the start second as aux, dedup rows keyed by event with the
     event_type as aux, lifetime rows keyed by user with the value-cents
     sum as aux, attribution rows keyed by the view event with the purchase
     event as aux, ingest rows keyed by kept doc with the landing batch id
-    as aux.
+    as aux, media-ingest rows keyed by kept doc with the batch id as aux
+    and the doc's exact 64-bit dHash as n.
 
     ORACLE-CHECKED since round 3 (was rows-only): with the bounded
     single-file input every leg provably equals its batch twin (pinned in
@@ -279,8 +282,10 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     that; the streaming machinery (watermarks, state eviction) still runs
     for real on the Spark side.
 
-    The six legs START concurrently and are awaited together, so the gate
-    pays the slowest streaming query once instead of all six in series.
+    The seven legs START concurrently and are awaited together, so the
+    gate pays the slowest streaming query once instead of all seven in
+    series (r09 profile: the text-ingest leg IS the critical path — every
+    other leg fits under it, so the media leg rides in its shadow).
 
     State partitions are sized to the STREAM'S state volume, not the batch
     session default: each stateful operator instantiates one state store
@@ -343,6 +348,45 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_ingest = pipelines.streaming_dedup_ingest(
             doc_stream, ingest_out, f"{ingest_tmp}/ckpt"
         )
+
+        # 7th leg (r09, VERDICT r08 item 1): cross-batch MEDIA near-dup
+        # ingest — streaming_media_dedup_ingest over the phash image
+        # fixture, split by member parity (m even lands first, m odd
+        # second), so batch 1's m=1 near-copies provably drop against
+        # batch 0's KEPT phash index (never re-decoded) while the m=3
+        # decorrelated controls land. The oracle restates the greedy
+        # keep-against-index policy over the SAME dHash CTE chain the
+        # multimodal gate certifies (IMG_PHASH_SQL_CTES) — policy
+        # validated against an independent Python simulation first.
+        def _land_media() -> str:
+            from .multimodal import (
+                PHASH_GROUP,
+                PHASH_SAMPLE_MOD,
+                phash_image_fixture,
+            )
+
+            mlanding = f"{ingest_tmp}/mlanding"
+            media = phash_image_fixture(spark, sf_dir)
+            parity = F.expr(
+                f"(doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} % 2"
+            )
+            media.filter(parity == 0).coalesce(1).write.parquet(f"{mlanding}/a")
+            media.filter(parity == 1).coalesce(1).write.parquet(f"{mlanding}/b")
+            for d, mtime in (("a", 1_000_000), ("b", 2_000_000)):
+                for fname in os.listdir(f"{mlanding}/{d}"):
+                    os.utime(f"{mlanding}/{d}/{fname}", (mtime, mtime))
+            return mlanding
+
+        mlanding = session_cached(_MEDIA_LANDING, spark, (sf_dir,), _land_media)
+        media_out = f"{ingest_tmp}/mout"
+        media_stream = (
+            spark.readStream.schema("doc_id long, content binary")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{mlanding}/*")
+        )
+        q_mingest = pipelines.streaming_media_dedup_ingest(
+            media_stream, media_out, f"{ingest_tmp}/mckpt"
+        )
         q_sess, t_sess = _start_to_memory(
             pipelines.session_counts(_events_stream(spark, sf_dir)), "complete"
         )
@@ -366,7 +410,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_trend, t_trend = _start_to_memory(
             pipelines.trending_terms(_events_stream(spark, sf_dir)), "complete"
         )
-        for q in (q_sess, q_dedup, q_life, q_join, q_trend, q_ingest):
+        for q in (q_sess, q_dedup, q_life, q_join, q_trend, q_ingest, q_mingest):
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -406,12 +450,30 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").cast("string").alias("aux"),
         F.col("n_chars").cast("bigint").alias("n"),
     )
+    # media survivors re-hashed through the REAL decoder so the leg pins
+    # every kept doc's exact 64-bit dHash (n) alongside its landing batch
+    # (aux); a missing hash surfaces as -1 and hash-mismatches loudly
+    from .multimodal import image_phash
+
+    kept_media = spark.read.parquet(media_out)
+    mingest = (
+        kept_media.join(
+            image_phash(kept_media.select("doc_id", "content")), "doc_id", "left"
+        )
+        .select(
+            F.lit("mingest").alias("op"),
+            F.col("doc_id").alias("id"),
+            F.col("batch_id").cast("string").alias("aux"),
+            F.coalesce(F.col("phash"), F.lit(-1)).alias("n"),
+        )
+    )
     return (
         sessions.unionAll(dedup)
         .unionAll(lifetime)
         .unionAll(attrib)
         .unionAll(trend)
         .unionAll(ingest)
+        .unionAll(mingest)
         .orderBy("op", "id", "aux")
     )
 
@@ -423,12 +485,48 @@ def stream_stateful_sql() -> str:
     batch, or ANY KEPT doc of the prior batch's index) over the exact
     verified-pair SQL the dedup gates certify — LSH candidate generation
     and jaccard verification are pairwise, so restricting the full-corpus
-    pair set by batch parity is exactly the per-batch pair set."""
+    pair set by batch parity is exactly the per-batch pair set.
+
+    The media-ingest leg (r09) restates streaming_media_dedup_ingest's
+    greedy policy the same way — a doc drops iff its dHash lands within
+    hamming 3 of a smaller-id doc of its own batch or of ANY kept doc of
+    the prior batch (degenerate phash-0 docs neither match nor block) —
+    over the SAME dHash CTE chain the multimodal gate certifies
+    (IMG_PHASH_SQL_CTES), with each survivor's exact 64-bit hash pinned
+    as n. Policy SQL validated against an independent Python simulation
+    of the sink before wiring (r09)."""
     from .dedup import DEDUP_MINHASH_SQL
+    from .multimodal import IMG_PHASH_SQL_CTES, PHASH_GROUP, PHASH_SAMPLE_MOD
 
     pair_sql = DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")
     return f"""
-WITH ingest_pairs AS (
+WITH {IMG_PHASH_SQL_CTES},
+mph AS (
+  SELECT doc_id, img_phash,
+         ((doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD}) % 2 AS par
+  FROM img_ph
+), m_kept_a AS (
+  SELECT doc_id, img_phash FROM mph y
+  WHERE par = 0
+    AND NOT EXISTS (SELECT 1 FROM mph x
+                    WHERE x.par = 0 AND x.doc_id < y.doc_id
+                      AND x.img_phash != 0 AND y.img_phash != 0
+                      AND bit_count(xor(x.img_phash, y.img_phash)) <= 3)
+), m_kept_b AS (
+  SELECT doc_id, img_phash FROM mph y
+  WHERE par = 1
+    AND NOT EXISTS (SELECT 1 FROM mph x
+                    WHERE x.par = 1 AND x.doc_id < y.doc_id
+                      AND x.img_phash != 0 AND y.img_phash != 0
+                      AND bit_count(xor(x.img_phash, y.img_phash)) <= 3)
+    AND NOT EXISTS (SELECT 1 FROM m_kept_a k
+                    WHERE k.img_phash != 0 AND y.img_phash != 0
+                      AND bit_count(xor(k.img_phash, y.img_phash)) <= 3)
+), mingest AS (
+  SELECT 'mingest' AS op, doc_id AS id, '0' AS aux, img_phash AS n FROM m_kept_a
+  UNION ALL
+  SELECT 'mingest' AS op, doc_id AS id, '1' AS aux, img_phash AS n FROM m_kept_b
+), ingest_pairs AS (
   SELECT d1, d2 FROM ({pair_sql}) vp
 ), kept_a AS (
   SELECT d.doc_id FROM documents d
@@ -500,6 +598,7 @@ UNION ALL SELECT * FROM lifetime
 UNION ALL SELECT * FROM attrib
 UNION ALL SELECT * FROM trend
 UNION ALL SELECT * FROM ingest
+UNION ALL SELECT * FROM mingest
 ORDER BY op, id, aux
 """
 

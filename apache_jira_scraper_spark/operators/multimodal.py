@@ -3775,6 +3775,60 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Shared oracle CTE chain (documents -> fixture-member image dHash):
+#: used verbatim by MULTIMODAL_DECODE_SQL and by the stream_stateful
+#: gate's media-ingest leg oracle (operators/extended.py), so the two
+#: driver gates can never drift on the dHash integer math. Yields CTEs
+#: ph_docs (doc_id, m, t, n), img_px, img_cells, img_ph (doc_id,
+#: img_phash).
+IMG_PHASH_SQL_CTES = f"""ph_docs AS (
+  SELECT d.doc_id AS doc_id,
+         CAST((d.doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD} AS INT) AS m,
+         b.text AS t,
+         length(b.text) AS n
+  FROM documents d
+  JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % {PHASH_GROUP})
+  WHERE d.doc_id % {PHASH_SAMPLE_MOD} = 0 AND length(b.text) > 0
+), img_px AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {PHASH_IMG_W * PHASH_IMG_H - 1}), i ->
+      CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST(i % n AS INT) + 1, 1))
+           WHEN m = 2 AND i >= {PHASH_IMG_W * PHASH_IMG_H - 16} THEN 77
+           ELSE ascii(substr(t, CAST(i % n AS INT) + 1, 1)) END) AS px
+  FROM ph_docs
+), img_cells AS (
+  -- 8x9 area-mean grid: cell (r, c) = mean over pixel rows
+  -- [r*h/8, (r+1)*h/8) x cols [c*w//9, (c+1)*w//9)  (h divisible by 8)
+  SELECT doc_id,
+    list_transform(generate_series(0, 71), ci ->
+      list_sum(list_transform(generate_series(
+          (ci // 9) * {PHASH_IMG_H // 8},
+          (ci // 9) * {PHASH_IMG_H // 8} + {PHASH_IMG_H // 8 - 1}, 1), yy ->
+        list_sum(list_transform(generate_series(
+            (ci % 9) * {PHASH_IMG_W} // 9,
+            ((ci % 9) + 1) * {PHASH_IMG_W} // 9 - 1, 1), xx ->
+          px[yy * {PHASH_IMG_W} + xx + 1]))))
+      // ({PHASH_IMG_H // 8} * (((ci % 9) + 1) * {PHASH_IMG_W} // 9
+          - (ci % 9) * {PHASH_IMG_W} // 9))) AS cells
+  FROM img_px
+), img_ph AS (
+  -- 64 gradient sign bits packed MSB-first as a two's-complement BIGINT
+  -- (hi/lo 32-bit halves keep every shift inside BIGINT range)
+  SELECT doc_id,
+    CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
+         * 4294967296 + lo AS BIGINT) AS img_phash
+  FROM (
+    SELECT doc_id,
+      CAST(list_sum(list_transform(generate_series(0, 31), k ->
+        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
+             THEN CAST(1 AS BIGINT) << (31 - k) ELSE 0 END)) AS BIGINT) AS hi,
+      CAST(list_sum(list_transform(generate_series(32, 63), k ->
+        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
+             THEN CAST(1 AS BIGINT) << (63 - k) ELSE 0 END)) AS BIGINT) AS lo
+    FROM img_cells)
+)"""
+
+
 MULTIMODAL_DECODE_SQL = f"""
 WITH RECURSIVE bytes AS (
   SELECT doc_id,
@@ -3839,52 +3893,7 @@ WITH RECURSIVE bytes AS (
 -- the same text arithmetic the Spark fixtures encode as PGM/PPM/Y4M bytes
 -- (ascii(substr)==byte: pure-ASCII contract), then full pairwise hamming —
 -- equivalent to the 4x16-bit pigeonhole banded join for max_hamming <= 3.
-ph_docs AS (
-  SELECT d.doc_id AS doc_id,
-         CAST((d.doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD} AS INT) AS m,
-         b.text AS t,
-         length(b.text) AS n
-  FROM documents d
-  JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % {PHASH_GROUP})
-  WHERE d.doc_id % {PHASH_SAMPLE_MOD} = 0 AND length(b.text) > 0
-), img_px AS (
-  SELECT doc_id,
-    list_transform(generate_series(0, {PHASH_IMG_W * PHASH_IMG_H - 1}), i ->
-      CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST(i % n AS INT) + 1, 1))
-           WHEN m = 2 AND i >= {PHASH_IMG_W * PHASH_IMG_H - 16} THEN 77
-           ELSE ascii(substr(t, CAST(i % n AS INT) + 1, 1)) END) AS px
-  FROM ph_docs
-), img_cells AS (
-  -- 8x9 area-mean grid: cell (r, c) = mean over pixel rows
-  -- [r*h/8, (r+1)*h/8) x cols [c*w//9, (c+1)*w//9)  (h divisible by 8)
-  SELECT doc_id,
-    list_transform(generate_series(0, 71), ci ->
-      list_sum(list_transform(generate_series(
-          (ci // 9) * {PHASH_IMG_H // 8},
-          (ci // 9) * {PHASH_IMG_H // 8} + {PHASH_IMG_H // 8 - 1}, 1), yy ->
-        list_sum(list_transform(generate_series(
-            (ci % 9) * {PHASH_IMG_W} // 9,
-            ((ci % 9) + 1) * {PHASH_IMG_W} // 9 - 1, 1), xx ->
-          px[yy * {PHASH_IMG_W} + xx + 1]))))
-      // ({PHASH_IMG_H // 8} * (((ci % 9) + 1) * {PHASH_IMG_W} // 9
-          - (ci % 9) * {PHASH_IMG_W} // 9))) AS cells
-  FROM img_px
-), img_ph AS (
-  -- 64 gradient sign bits packed MSB-first as a two's-complement BIGINT
-  -- (hi/lo 32-bit halves keep every shift inside BIGINT range)
-  SELECT doc_id,
-    CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
-         * 4294967296 + lo AS BIGINT) AS img_phash
-  FROM (
-    SELECT doc_id,
-      CAST(list_sum(list_transform(generate_series(0, 31), k ->
-        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
-             THEN CAST(1 AS BIGINT) << (31 - k) ELSE 0 END)) AS BIGINT) AS hi,
-      CAST(list_sum(list_transform(generate_series(32, 63), k ->
-        CASE WHEN cells[(k // 8) * 9 + (k % 8) + 2] > cells[(k // 8) * 9 + (k % 8) + 1]
-             THEN CAST(1 AS BIGINT) << (63 - k) ELSE 0 END)) AS BIGINT) AS lo
-    FROM img_cells)
-), img_pairs AS (
+{IMG_PHASH_SQL_CTES}, img_pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.img_phash, b.img_phash)) AS hamming
   FROM img_ph a JOIN img_ph b ON a.doc_id < b.doc_id

@@ -263,6 +263,7 @@ def streaming_dedup_ingest(
     out_dir: str,
     checkpoint_dir: str,
     initial_index=None,
+    compact_every: int = 16,
 ):
     """Streaming corpus ingestion with CROSS-BATCH near-dup state: each
     micro-batch of (doc_id, text) rows is deduped against the index of
@@ -273,8 +274,14 @@ def streaming_dedup_ingest(
 
     The index is (shingles, signatures) — the custom streaming state that
     dropDuplicatesWithinWatermark cannot express (near-dup, unbounded
-    horizon). Both tables are localCheckpoint'ed per batch so batch N's
-    plan never chains N lineages deep (the classic iterative-state bug).
+    horizon). Both tables live in SIZE-TIERED segment stores
+    (_TieredSegments, r09 — same shape as the media sink): each batch
+    checkpoints only ITS OWN kept shingles/signatures (O(batch) per
+    advance; the previous design re-materialized the full unioned index
+    every batch — O(corpus), the very cost incremental_dedup exists to
+    avoid), tiers of `compact_every` segments merge one level up, and
+    batch N's plan never chains N lineages deep (the classic
+    iterative-state bug).
 
     Replay contract (crash between the parquet write and the streaming
     checkpoint commit): on restart, rebuild state with
@@ -288,12 +295,21 @@ def streaming_dedup_ingest(
     (no _SUCCESS) directory is re-written from scratch, and the rebuild
     helper never indexed it — normal first-attempt semantics.
 
-    OWNERSHIP of ``initial_index`` TRANSFERS to the sink (r08): replaced
-    state checkpoints are deterministically unpersisted as the index
-    advances, so a restart must call rebuild_dedup_ingest_state again —
-    never reuse a tuple a previous (even failed) stream consumed.
+    OWNERSHIP of ``initial_index`` TRANSFERS to the sink (r08): its
+    checkpoints enter the tier store and are deterministically
+    unpersisted when their tier merges, so a restart must call
+    rebuild_dedup_ingest_state again — never reuse a tuple a previous
+    (even failed) stream consumed.
     """
-    state = {"index": initial_index}
+    init_sh, init_sig = (
+        initial_index if initial_index is not None else (None, None)
+    )
+    sh_tier = _TieredSegments(
+        compact_every, [init_sh] if init_sh is not None else []
+    )
+    sig_tier = _TieredSegments(
+        compact_every, [init_sig] if init_sig is not None else []
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import incremental_dedup
@@ -304,31 +320,30 @@ def streaming_dedup_ingest(
         batch_df = _ingest_batch_guard(batch_df, out_dir, batch_id)
         if batch_df is None:
             return  # committed replay: exactly-once output, state already has it
+        sh_u, sig_u = sh_tier.union(), sig_tier.union()
         scratch: list = []
-        kept, (sh, sig) = incremental_dedup(
-            batch_df, state["index"], scratch_out=scratch
+        parts: list = []
+        kept, _ = incremental_dedup(
+            batch_df,
+            (sh_u, sig_u) if sh_u is not None else None,
+            scratch_out=scratch,
+            kept_parts_out=parts,
         )
-        kept = kept.localCheckpoint(eager=True)
         # batch_id lives ONLY in the directory name: writing it as a data
         # column too made every read of out_dir resolve a duplicate
         # (COLUMN_ALREADY_EXISTS warning; partition schema happened to win
         # — review r06). Partition discovery reconstitutes the column.
+        # `kept` feeds ONLY this write (the index advance derives from the
+        # batch shingle/signature checkpoints, not from kept), so no
+        # re-checkpoint before it — one fewer job per batch (r09 profile).
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        old = state["index"]
-        state["index"] = (
-            sh.localCheckpoint(eager=True),
-            sig.localCheckpoint(eager=True),
-        )
-        # deterministic storage hygiene (review r08): the replaced index
-        # and this batch's kept snapshot are never read again — free them
-        # instead of waiting on driver GC + ContextCleaner (ownership of
-        # initial_index transfers to the sink for the same reason)
-        if old is not None:
-            _free_local_checkpoint(old[0])
-            _free_local_checkpoint(old[1])
-        _free_local_checkpoint(kept)
+        # O(batch) state advance: checkpoint only this batch's kept index
+        # segment; tier merges amortize the rest (r09)
+        sh_kept, sig_kept = parts
+        sh_tier.add(sh_kept.localCheckpoint(eager=True))
+        sig_tier.add(sig_kept.localCheckpoint(eager=True))
         for df in scratch:  # incremental_dedup's internal checkpoints —
-            _free_local_checkpoint(df)  # superseded once sh/sig landed
+            _free_local_checkpoint(df)  # superseded once the segments landed
 
     return (
         doc_stream.writeStream.foreachBatch(sink)

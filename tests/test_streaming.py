@@ -596,6 +596,67 @@ def test_media_ingest_min_matching_frames_threshold(spark, tmp_path):
     assert run("thresh", min_matching_frames=2) == {1, 2}
 
 
+def test_stream_stateful_media_leg_fixture_premises(spark, tmp_path):
+    """r09 media-ingest leg premise pin (agreement-only-oracle defense):
+    on the actual testdata the leg must exercise the CROSS-BATCH drop —
+    every complete group's m=1 near-copy (landing in batch 1) drops
+    against batch 0's kept index, and any m=3 decorrelated control
+    survives. Runs the REAL sink over the REAL fixture split, not the
+    gate, so it stays cheap and failure points at the data premise."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        PHASH_GROUP,
+        PHASH_SAMPLE_MOD,
+        image_phash,
+        phash_image_fixture,
+    )
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        streaming_media_dedup_ingest,
+    )
+    from tests.conftest import TEST_SF_DIR
+
+    media = phash_image_fixture(spark, TEST_SF_DIR)
+    parity = F.expr(f"(doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} % 2")
+    landing = str(tmp_path / "mland")
+    os.makedirs(landing)
+    media.filter(parity == 0).coalesce(1).write.parquet(f"{landing}/a")
+    media.filter(parity == 1).coalesce(1).write.parquet(f"{landing}/b")
+    for d, ts in (("a", 1_000), ("b", 2_000)):
+        for f in os.listdir(f"{landing}/{d}"):
+            os.utime(f"{landing}/{d}/{f}", (ts, ts))
+    stream = (
+        spark.readStream.schema("doc_id long, content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/*")
+    )
+    q = streaming_media_dedup_ingest(
+        stream, str(tmp_path / "mout"), str(tmp_path / "mckpt")
+    )
+    q.awaitTermination()
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "mout")).collect()
+    }
+    hashes = {
+        r["doc_id"]: r["phash"] for r in image_phash(media).collect()
+    }
+    m1_checked = m3_present = 0
+    for g in sorted(d for d in hashes if d % PHASH_GROUP == 0):
+        m1 = g + PHASH_SAMPLE_MOD
+        if m1 in hashes and hashes[g] != 0:
+            # m1's hash equals SOME kept batch-0 doc's hash within 3
+            # (m0's, or whatever m0 itself matched), so it must drop
+            assert m1 not in kept, f"group {g}: m=1 survived the index"
+            m1_checked += 1
+        m3 = g + 3 * PHASH_SAMPLE_MOD
+        if m3 in hashes:
+            m3_present += 1
+            assert m3 in kept, f"group {g}: decorrelated control dropped"
+    assert m1_checked, "no complete groups: cross-batch premise untested"
+
+
 def test_streaming_dedup_ingest_replay_preserves_committed_batch(spark, tmp_path):
     """The crash-replay case the r04 review caught: the batch-N write
     COMMITTED but the streaming checkpoint did not. On restart the state
