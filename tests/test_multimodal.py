@@ -4499,6 +4499,191 @@ def test_media_tail_gate_fixture_premises(spark, sf_dir):
     assert checked
 
 
+def test_cross_modal_image_matches_video_frame(spark):
+    """VERDICT r08 item 6: image stills, video frames, and audio all hash
+    into the same 64-bit dHash space, so media_near_dup_against_index
+    accepts ANY pair of phash tables — the logo/watermark-in-video case a
+    real pipeline hits. A still whose pixels equal frame 1 of an indexed
+    video surfaces at hamming 0 against exactly that frame; a decorrelated
+    still stays silent."""
+    import numpy as np
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        frame_phash,
+        image_phash,
+        media_near_dup_against_index,
+    )
+
+    w, h = 24, 16
+    rng = np.random.default_rng(83)
+    frames = [rng.integers(0, 256, (h, w), dtype=np.uint8) for _ in range(3)]
+    y4m = f"YUV4MPEG2 W{w} H{h} F25:1 Cmono\n".encode()
+    for f in frames:
+        y4m += b"FRAME\n" + f.tobytes()
+
+    def pgm(img):
+        return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    stills = spark.createDataFrame(
+        [
+            (100, bytearray(pgm(frames[1]))),  # the watermark/logo still
+            (101, bytearray(pgm(rng.integers(0, 256, (h, w), dtype=np.uint8)))),
+        ],
+        "doc_id long, content binary",
+    )
+    video = spark.createDataFrame(
+        [(7, bytearray(y4m))], "doc_id long, content binary"
+    )
+    hits = media_near_dup_against_index(
+        image_phash(stills), frame_phash(video)
+    ).collect()
+    assert {
+        (r["new_doc"], r["index_doc"], r["index_idx"], r["hamming"])
+        for r in hits
+    } == {(100, 7, 1, 0)}
+
+
+def _fold64(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _phash_stress_table(spark, mult: int):
+    """Controlled synthetic hash corpus for the banded-join volume pin
+    (VERDICT r08 item 2): doc i's four 16-bit bands all carry the value i
+    (band-distinct across docs by construction, so content-diverse docs
+    contribute ZERO accidental band collisions and the measured candidate
+    volume isolates the JOIN's scaling), and every 10th doc gets a
+    planted near-dup with 3 bits flipped in band 0 (hamming 3 — the
+    certified bound's edge). The planted rate is scale-invariant so the
+    per-hash candidate rate c is directly comparable across mults.
+    Content-independent birthday collisions are pinned separately
+    (test_phash_birthday_envelope_matches_prediction)."""
+    rows, planted = [], []
+    dup_off = 10**9
+    n = 3000 * mult
+    for i in range(1, n + 1):
+        h = _fold64(i | (i << 16) | (i << 32) | (i << 48))
+        rows.append((i, 0, h))
+        if i % 10 == 0:
+            hd = _fold64((i ^ 7) | (i << 16) | (i << 32) | (i << 48))
+            rows.append((dup_off + i, 0, hd))
+            planted.append((i, dup_off + i))
+    return (
+        spark.createDataFrame(rows, "doc_id long, frame_idx int, phash long"),
+        planted,
+    )
+
+
+def test_phash_candidate_volume_linear_at_10x(spark):
+    """VERDICT r08 item 2 — the phash analog of the text family's
+    test_candidate_volume_linear_at_10x: per-hash banded-candidate rate
+    is pinned scale-invariant (c_10x <= 1.5 * c_1x) on a controlled
+    corpus, the candidate join is plan-pinned equi-only (no
+    cartesian/BNLJ, no broadcast under threshold -1), and end-to-end
+    recall of planted hamming-3 near-dups is EXACTLY 1.0 at the 10x
+    scale — banding is deterministic for hamming <= 3 by pigeonhole,
+    so unlike the probabilistic MinHash pin (>= 0.9) any missed pair
+    is a bug."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        _phash_block_rows,
+        _phash_verified_pairs,
+    )
+    from apache_jira_scraper_spark.plans.inspect import (
+        operator_counts,
+        physical_plan,
+    )
+    from pyspark.sql import functions as F
+
+    stats = {}
+    for mult in (1, 10):
+        ph, planted = _phash_stress_table(spark, mult)
+        n_hashes = ph.count()
+        blocks = _phash_block_rows(ph)
+        a, b = blocks.alias("a"), blocks.alias("b")
+        cand = a.join(
+            b,
+            on=[
+                F.col("a.block_idx") == F.col("b.block_idx"),
+                F.col("a.block") == F.col("b.block"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+
+        ops = operator_counts(cand)
+        assert "CartesianProduct" not in ops, ops
+        assert "BroadcastNestedLoopJoin" not in ops, ops
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = physical_plan(cand, "simple")
+            assert "BroadcastExchange" not in plan, plan[:1500]
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+        n_cand = cand.count()  # RAW join output — the actual cost driver
+        stats[mult] = {"hashes": n_hashes, "cand": n_cand, "c": n_cand / n_hashes}
+
+        if mult == 10:
+            got = {
+                (r["doc_a"], r["doc_b"])
+                for r in _phash_verified_pairs(ph, 3).collect()
+            }
+            missed = [p for p in planted if p not in got]
+            assert not missed, f"pigeonhole recall broken: {missed[:5]}"
+            stats[mult]["recall"] = 1.0
+
+    c1, c10 = stats[1]["c"], stats[10]["c"]
+    assert c10 <= 1.5 * c1, stats
+    print(f"PHASH_STRESS_STATS {stats}")
+
+
+def test_phash_birthday_envelope_matches_prediction(spark):
+    """The OTHER term of the phash join's cost model: uniform random
+    hashes collide per 16-bit band at the birthday rate, so accidental
+    candidates grow ~ 4 * C(n,2) / 2^16 (~n^2/2^15) REGARDLESS of
+    content — the envelope EXPLAIN.md states and
+    suggested_block_freq_cap exists to bound. Measured volume must track
+    the prediction within 2x at 1x and 10x scale, pinning the documented
+    constant against the implementation (a silent banding change — say
+    8-bit blocks — would blow the envelope by 256x and fail loudly)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import (
+        _phash_block_rows,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(9)
+    for n in (2000, 20000):
+        hashes = rng.integers(-(2**63), 2**63, n, dtype=np.int64)
+        ph = spark.createDataFrame(
+            [(i, 0, int(h)) for i, h in enumerate(hashes) if h != 0],
+            "doc_id long, frame_idx int, phash long",
+        )
+        blocks = _phash_block_rows(ph)
+        n_cand = (
+            blocks.alias("a")
+            .join(
+                blocks.alias("b"),
+                on=[
+                    F.col("a.block_idx") == F.col("b.block_idx"),
+                    F.col("a.block") == F.col("b.block"),
+                    F.col("a.doc_id") < F.col("b.doc_id"),
+                ],
+            )
+            .count()
+        )
+        predicted = 4 * n * (n - 1) / 2 / 65536
+        assert 0.5 * predicted <= n_cand <= 2.0 * predicted, (
+            n,
+            n_cand,
+            predicted,
+        )
+        print(f"BIRTHDAY n={n} cand={n_cand} predicted={predicted:.0f}")
+
+
 def test_phash_pairs_hamming_cap_and_degenerate_filter(spark):
     """max_hamming > 3 raises (pigeonhole banding would silently miss
     pairs); constant black frames (phash 0) are dropped before the join,
