@@ -94,7 +94,14 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
             if "RDD" not in node:
                 return
         except Exception:
-            pass  # cannot even inspect the plan: treat as mechanism failure
+            # Cannot even inspect the plan: the JVM/SparkContext is gone
+            # (teardown-time best-effort free) — benign, and the GC
+            # fallback is moot on a stopped context. Trade-off (review
+            # r09): an upgrade that renames queryExecution()/analyzed()
+            # itself goes undetected here; the detectable-failure contract
+            # covers the live-session case (plan inspectable, unpersist
+            # reach-through broken), which is the r08-advice scenario.
+            return
         FREE_CHECKPOINT_FAILURES += 1
         if FREE_CHECKPOINT_FAILURES == 1:
             import warnings

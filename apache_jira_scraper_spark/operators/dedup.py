@@ -1162,7 +1162,9 @@ ORDER BY v1, v2
 """
 
 
-def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 32, scratch_out: list | None = None
+) -> DataFrame:
     """Connected components over an undirected pair graph by iterative
     min-label propagation (hash-to-min): each node's label starts as its own
     id; every round each node takes the min of its own label and its
@@ -1183,6 +1185,13 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     if the edge set ever carries long chains. Lineage is
     truncated each round with localCheckpoint (cluster analog: reliable
     checkpoint / intermediate table), or the plan tree doubles per round.
+
+    `scratch_out`, when given, receives the CONVERGED labels checkpoint
+    that backs the returned frame — a caller that eagerly re-materializes
+    the result (the multimodal gate's session-cached clusters leg, r09)
+    can then free it deterministically instead of leaving one dead
+    labels-sized RDD per call to driver GC; callers that consume the
+    returned frame lazily must NOT free it.
     """
     # Materialize the edge list ONCE up front: every union branch / round
     # below re-reads stored blocks instead of re-running the (potentially
@@ -1233,6 +1242,8 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             "or use connected_components_twophase (O(log n) rounds)"
         )
     free_local_checkpoint(edges)  # converged: the edge checkpoint is done
+    if scratch_out is not None:
+        scratch_out.append(labels)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 

@@ -257,6 +257,20 @@ _INGEST_LANDING: dict[tuple[str, str], str] = {}
 _MEDIA_LANDING: dict[tuple[str, str], str] = {}
 
 
+def _land_two_batches(landing: str, first: DataFrame, second: DataFrame) -> str:
+    """Write two single-file parquet landing dirs with pinned mtimes so a
+    maxFilesPerTrigger=1 stream delivers them in order — the micro-batch
+    landing ritual shared by the text and media ingest legs (review r09:
+    previously duplicated inline)."""
+    import os
+
+    for sub, df, mtime in (("a", first, 1_000_000), ("b", second, 2_000_000)):
+        df.coalesce(1).write.parquet(f"{landing}/{sub}")
+        for fname in os.listdir(f"{landing}/{sub}"):
+            os.utime(f"{landing}/{sub}/{fname}", (mtime, mtime))
+    return landing
+
+
 def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4+T5 stateful streaming in one gate: gap-based session_window
     aggregation, dropDuplicatesWithinWatermark dedup, the custom
@@ -296,7 +310,6 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     start, so this is a per-query sizing decision exactly like choosing
     shuffle partitions for a batch job — at production volume you'd size
     it UP the same way. The conf is restored before the batch union runs."""
-    import os
     import tempfile
 
     from ..io import load_table, session_cached
@@ -324,20 +337,14 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state) are per-call, keeping the gate idempotent under bench
         # min-of-N re-sampling without re-landing the corpus each sample.
         def _land() -> str:
-            landing = f"{ingest_tmp}/landing"
             docs = load_table(spark, sf_dir, "documents").select(
                 "doc_id", "text", "n_chars"
             )
-            docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
-                f"{landing}/a"
+            return _land_two_batches(
+                f"{ingest_tmp}/landing",
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
             )
-            docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
-                f"{landing}/b"
-            )
-            for d, mtime in (("a", 1_000_000), ("b", 2_000_000)):
-                for fname in os.listdir(f"{landing}/{d}"):
-                    os.utime(f"{landing}/{d}/{fname}", (mtime, mtime))
-            return landing
 
         landing = session_cached(_INGEST_LANDING, spark, (sf_dir,), _land)
         doc_stream = (
@@ -365,17 +372,15 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 phash_image_fixture,
             )
 
-            mlanding = f"{ingest_tmp}/mlanding"
             media = phash_image_fixture(spark, sf_dir)
             parity = F.expr(
                 f"(doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} % 2"
             )
-            media.filter(parity == 0).coalesce(1).write.parquet(f"{mlanding}/a")
-            media.filter(parity == 1).coalesce(1).write.parquet(f"{mlanding}/b")
-            for d, mtime in (("a", 1_000_000), ("b", 2_000_000)):
-                for fname in os.listdir(f"{mlanding}/{d}"):
-                    os.utime(f"{mlanding}/{d}/{fname}", (mtime, mtime))
-            return mlanding
+            return _land_two_batches(
+                f"{ingest_tmp}/mlanding",
+                media.filter(parity == 0),
+                media.filter(parity == 1),
+            )
 
         mlanding = session_cached(_MEDIA_LANDING, spark, (sf_dir,), _land_media)
         media_out = f"{ingest_tmp}/mout"

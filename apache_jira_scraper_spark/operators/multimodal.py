@@ -42,7 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load_table
+from ..io import free_local_checkpoint, load_table, session_cached
 
 # Set True only in an environment with real codecs (PIL etc.); the container
 # deliberately has none, so the deterministic fake below is the active path.
@@ -3087,7 +3087,9 @@ def media_near_dup_against_index(
     ).select("new_doc", "new_idx", "index_doc", "index_idx", "hamming")
 
 
-def media_near_dup_clusters(pairs: DataFrame) -> DataFrame:
+def media_near_dup_clusters(
+    pairs: DataFrame, scratch_out: list | None = None
+) -> DataFrame:
     """Media dedup end-to-end tail (r08): connect a near-dup PAIR graph
     (the output of image/video/audio_near_dup_pairs — any DataFrame with
     doc_a/doc_b columns) into components with the same hash-to-min
@@ -3100,13 +3102,16 @@ def media_near_dup_clusters(pairs: DataFrame) -> DataFrame:
 
     Scale shape inherits from connected_components: one shuffle join +
     one min-agg per round, rounds = component diameter (near-dup piles
-    are near-cliques, diameter 2-3), lineage truncated per round."""
+    are near-cliques, diameter 2-3), lineage truncated per round.
+    `scratch_out` forwards to connected_components (receives the
+    converged labels checkpoint backing the result — free it only after
+    eagerly re-materializing)."""
     from .dedup import connected_components
 
     edges = pairs.select(
         F.col("doc_a").alias("d1"), F.col("doc_b").alias("d2")
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, scratch_out=scratch_out)
     return comp.select(
         "doc_id",
         "cluster_id",
@@ -3455,11 +3460,12 @@ def _phash_pair_fold(
     """Symmetrized per-doc fold of a near-dup pair table shared by the
     three gate legs (review r08: one definition instead of three copies):
     each (doc_a, doc_b) row attaches to BOTH endpoints, then per doc_id a
-    count plus an md5 over the lexically-sorted '%018d:<values>' records —
-    zero-padded partner first so lexical order IS numeric order for every
-    non-negative BIGINT doc_id (ADVICE r08: the previous 9-digit pad silently
-    broke the sort equivalence past 1e9), matching the oracle's
-    string_agg ORDER BY of the identical printf."""
+    count plus an md5 over the lexically-sorted '%019d:<values>' records —
+    zero-padded partner first so lexical order IS numeric order for EVERY
+    non-negative BIGINT doc_id (max 9223372036854775807 is 19 digits;
+    ADVICE r08 flagged the original 9-digit pad breaking past 1e9, and
+    review r09 caught the first widening to 18 still breaking at 1e18),
+    matching the oracle's string_agg ORDER BY of the identical printf."""
     sides = pairs.select(
         F.col("doc_a").alias("doc_id"),
         F.col("doc_b").alias("partner"),
@@ -3471,7 +3477,7 @@ def _phash_pair_fold(
             *value_cols,
         )
     )
-    fmt = "%018d" + ":%d" * len(value_cols)
+    fmt = "%019d" + ":%d" * len(value_cols)
     return sides.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias(n_name),
         F.md5(
@@ -3494,6 +3500,10 @@ def _phash_pair_fold(
 #: 1-in-100 keeps both sides sub-second while still exercising multi-doc,
 #: multi-shape grids (5 docs / 1306 patches at sf0.01).
 PATCH_SAMPLE_MOD = 100
+
+#: Session cache for the multimodal gate's eager clusters leg (keyed
+#: (applicationId, sf_dir) by io.session_cached).
+_MEDIA_CLUSTERS: dict = {}
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3699,21 +3709,45 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(vid_pairs.select("doc_a", "doc_b"))
         .unionAll(aud_pairs.select("doc_a", "doc_b"))
     )
-    # connected_components executes EAGERLY (per-round checkpoints), so
-    # the shuffle-partition conf window is effective here — the edge set
-    # is n_docs/PHASH_SAMPLE_MOD-sized, and 32-partition exchanges per
-    # round are pure fixed cost at that volume (the r03 stream_stateful
-    # sizing argument; at production volume size it UP the same way).
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        clus = media_near_dup_clusters(edges).select(
-            "doc_id",
-            F.col("cluster_id").alias("media_cluster"),
-            F.col("is_keeper").cast("long").alias("media_keeper"),
-        ).localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    # connected_components executes EAGERLY (per-round checkpoints +
+    # convergence counts), which would otherwise run at gate
+    # CONSTRUCTION on every call — including plan-inspection sweeps
+    # (review r09). The clusters leg is a pure function of (session,
+    # sf_dir), so it builds ONCE per session via THE session-cache
+    # discipline (io.session_cached, the _emb_pairs_cached precedent);
+    # bench marks cache touches, keeping min-of-N honest.
+    def _build_clusters() -> DataFrame:
+        # Materialize the pair tables at SESSION partitioning BEFORE
+        # narrowing the conf window (review r09: the first action inside
+        # the window would otherwise compile the certified banded joins
+        # 8-way); only the component rounds — tiny fixed-cost exchanges
+        # over the n_docs/PHASH_SAMPLE_MOD edge set — run at 8 (the r03
+        # sizing argument; at production volume size it UP the same way).
+        edges_ck = edges.localCheckpoint(eager=True)
+        scratch: list = []
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            clus = (
+                media_near_dup_clusters(edges_ck, scratch_out=scratch)
+                .select(
+                    "doc_id",
+                    F.col("cluster_id").alias("media_cluster"),
+                    F.col("is_keeper").cast("long").alias("media_keeper"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        # the edge snapshot and the converged labels checkpoint are both
+        # superseded by the eager clus frame — free deterministically
+        free_local_checkpoint(edges_ck)
+        for df in scratch:
+            free_local_checkpoint(df)
+        return clus
+
+    clus = session_cached(_MEDIA_CLUSTERS, spark, (sf_dir,), _build_clusters)
     m_parity = F.expr(
         f"(doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} % 2"
     )
@@ -3729,7 +3763,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ";",
                 F.array_sort(
                     F.collect_list(
-                        F.format_string("%018d:%d", "index_doc", "hamming")
+                        F.format_string("%019d:%d", "index_doc", "hamming")
                     )
                 ),
             )
@@ -3901,8 +3935,8 @@ WITH RECURSIVE bytes AS (
     AND bit_count(xor(a.img_phash, b.img_phash)) <= 3
 ), img_pair_fold AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_img_pairs,
-         md5(string_agg(printf('%018d:%d', partner, hamming), ';'
-             ORDER BY printf('%018d:%d', partner, hamming))) AS img_pairs_md5
+         md5(string_agg(printf('%019d:%d', partner, hamming), ';'
+             ORDER BY printf('%019d:%d', partner, hamming))) AS img_pairs_md5
   FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM img_pairs
         UNION ALL SELECT doc_b, doc_a, hamming FROM img_pairs)
   GROUP BY doc_id
@@ -3960,8 +3994,8 @@ WITH RECURSIVE bytes AS (
   GROUP BY doc_a, doc_b
 ), vid_pair_fold AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_vid_pairs,
-         md5(string_agg(printf('%018d:%d:%d:%d', partner, mf, mh, af), ';'
-             ORDER BY printf('%018d:%d:%d:%d', partner, mf, mh, af))) AS vid_pairs_md5
+         md5(string_agg(printf('%019d:%d:%d:%d', partner, mf, mh, af), ';'
+             ORDER BY printf('%019d:%d:%d:%d', partner, mf, mh, af))) AS vid_pairs_md5
   FROM (SELECT doc_a AS doc_id, doc_b AS partner,
                matching_frames AS mf, min_hamming AS mh,
                aligned_frames AS af FROM vid_pairs
@@ -4018,8 +4052,8 @@ WITH RECURSIVE bytes AS (
     AND bit_count(xor(a.aud_phash, b.aud_phash)) <= 3
 ), aud_pair_fold AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_aud_pairs,
-         md5(string_agg(printf('%018d:%d', partner, hamming), ';'
-             ORDER BY printf('%018d:%d', partner, hamming))) AS aud_pairs_md5
+         md5(string_agg(printf('%019d:%d', partner, hamming), ';'
+             ORDER BY printf('%019d:%d', partner, hamming))) AS aud_pairs_md5
   FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM aud_pairs
         UNION ALL SELECT doc_b, doc_a, hamming FROM aud_pairs)
   GROUP BY doc_id
@@ -4053,8 +4087,8 @@ media_edges AS (
     AND bit_count(xor(a.img_phash, b.img_phash)) <= 3
 ), idx_fold AS (
   SELECT new_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_idx_matches,
-         md5(string_agg(printf('%018d:%d', index_doc, hamming), ';'
-             ORDER BY printf('%018d:%d', index_doc, hamming))) AS idx_matches_md5
+         md5(string_agg(printf('%019d:%d', index_doc, hamming), ';'
+             ORDER BY printf('%019d:%d', index_doc, hamming))) AS idx_matches_md5
   FROM idx_pairs GROUP BY new_doc
 )
 SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,

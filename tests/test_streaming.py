@@ -393,23 +393,46 @@ def test_free_local_checkpoint_drops_storage(spark):
 
 def test_free_local_checkpoint_failure_is_detectable(spark):
     """ADVICE r08: a Spark upgrade that breaks the Py4J reach-through must
-    be DETECTABLE, not a silent revert to GC-paced eviction. A genuine
-    localCheckpoint whose reach-through raises increments
-    FREE_CHECKPOINT_FAILURES and warns once per process; a
-    never-checkpointed frame stays a benign swallow (previous test)."""
+    be DETECTABLE, not a silent revert to GC-paced eviction. A
+    checkpoint-backed plan (LogicalRDD) whose rdd() accessor raises in a
+    LIVE session increments FREE_CHECKPOINT_FAILURES and warns once per
+    process; a never-checkpointed frame stays a benign swallow (previous
+    test), and a fully-uninspectable frame (stopped context at teardown)
+    is also benign (review r09)."""
     import warnings
 
     from apache_jira_scraper_spark import io as io_mod
 
+    class _BrokenAnalyzed:
+        # plan IS inspectable (live session, LogicalRDD) but the
+        # unpersist reach-through accessor is gone — the upgrade scenario
+        def rdd(self):
+            raise RuntimeError("accessor renamed")
+
+        def getClass(self):
+            class _Cls:
+                def getSimpleName(self):
+                    return "LogicalRDD"
+
+            return _Cls()
+
+    class _BrokenQE:
+        def analyzed(self):
+            return _BrokenAnalyzed()
+
     class _BrokenJdf:
         def queryExecution(self):
-            raise RuntimeError("plan shape changed")
-
-        def isLocalCheckpoint(self):
-            return True
+            return _BrokenQE()
 
     class _BrokenFrame:
         _jdf = _BrokenJdf()
+
+    class _DeadJdf:  # stopped context: nothing is inspectable
+        def queryExecution(self):
+            raise RuntimeError("SparkContext was shut down")
+
+    class _DeadFrame:
+        _jdf = _DeadJdf()
 
     before = io_mod.FREE_CHECKPOINT_FAILURES
     with warnings.catch_warnings(record=True) as caught:
@@ -424,9 +447,11 @@ def test_free_local_checkpoint_failure_is_detectable(spark):
         io_mod.free_local_checkpoint(_BrokenFrame())
     assert io_mod.FREE_CHECKPOINT_FAILURES == before + 2
     assert not any("reach-through failed" in str(w.message) for w in caught2)
-    # benign path: never-checkpointed frame does not count as a failure
+    # benign paths: never-checkpointed frame and teardown-dead frame
+    # do not count as failures
     n = io_mod.FREE_CHECKPOINT_FAILURES
     io_mod.free_local_checkpoint(spark.range(2))
+    io_mod.free_local_checkpoint(_DeadFrame())
     assert io_mod.FREE_CHECKPOINT_FAILURES == n
 
 
