@@ -74,12 +74,14 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
     immediately); the freed DataFrame is UNUSABLE afterward (truncated
     lineage cannot recompute), so call only on state that has been
     replaced. Failures are swallowed — the fallback is exactly the GC
-    path this accelerates — but NOT silently: the first failure per
-    process warns once and every failure increments
-    FREE_CHECKPOINT_FAILURES (ADVICE r08: a Spark upgrade that changes
-    the analyzed-plan shape would otherwise silently demote the entire
-    storage-hygiene mechanism to GC-paced eviction, and the unit test
-    pins only the current version's happy path)."""
+    path this accelerates — but NOT silently: with a live SparkContext,
+    the first failure per process warns once and every failure
+    increments FREE_CHECKPOINT_FAILURES (ADVICE r08: a Spark upgrade
+    that changes the analyzed-plan shape would otherwise silently demote
+    the entire storage-hygiene mechanism to GC-paced eviction). Benign
+    non-failures stay silent: freeing a never-checkpointed frame (no
+    LogicalRDD to reach), and any failure after the process-global
+    context stopped (teardown-time best-effort frees)."""
     global FREE_CHECKPOINT_FAILURES
     if df is None:
         return
@@ -94,14 +96,22 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
             if "RDD" not in node:
                 return
         except Exception:
-            # Cannot even inspect the plan: the JVM/SparkContext is gone
-            # (teardown-time best-effort free) — benign, and the GC
-            # fallback is moot on a stopped context. Trade-off (review
-            # r09): an upgrade that renames queryExecution()/analyzed()
-            # itself goes undetected here; the detectable-failure contract
-            # covers the live-session case (plan inspectable, unpersist
-            # reach-through broken), which is the r08-advice scenario.
-            return
+            # Cannot even inspect the plan. With the process-global
+            # SparkContext gone/stopped this is a teardown-time
+            # best-effort free — benign, and the GC fallback is moot.
+            # With a LIVE context it is indistinguishable from an
+            # upgrade that renamed the inspection accessors themselves,
+            # so it COUNTS (review r09 follow-up: err on detectability —
+            # the r08 contract is that live-session breakage never goes
+            # silent).
+            try:
+                from pyspark import SparkContext
+
+                sc = SparkContext._active_spark_context
+                if sc is None or sc._jsc.sc().isStopped():
+                    return
+            except Exception:
+                return
         FREE_CHECKPOINT_FAILURES += 1
         if FREE_CHECKPOINT_FAILURES == 1:
             import warnings

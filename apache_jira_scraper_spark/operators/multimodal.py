@@ -3740,11 +3740,13 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        # the edge snapshot and the converged labels checkpoint are both
-        # superseded by the eager clus frame — free deterministically
-        free_local_checkpoint(edges_ck)
-        for df in scratch:
-            free_local_checkpoint(df)
+            # superseded by the eager clus frame on success; on failure
+            # (e.g. non-convergence) a retrying caller must not rebuild
+            # on a heap pinning the dead state (review r09 follow-up —
+            # the same rule connected_components applies internally)
+            free_local_checkpoint(edges_ck)
+            for df in scratch:
+                free_local_checkpoint(df)
         return clus
 
     clus = session_cached(_MEDIA_CLUSTERS, spark, (sf_dir,), _build_clusters)

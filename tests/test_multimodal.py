@@ -4499,6 +4499,30 @@ def test_media_tail_gate_fixture_premises(spark, sf_dir):
     assert checked
 
 
+def test_multimodal_clusters_leg_builds_once_per_session(spark, sf_dir):
+    """Review r09: the gate's clusters leg is session-cached — building
+    the gate twice must run the eager connected-components build ONCE
+    (second construction reuses the same checkpointed frame), keeping
+    plan-inspection sweeps and bench re-samples from re-paying the
+    iterative compute, and the cached frame must still be alive
+    (consumable) after the build's scratch frees."""
+    from apache_jira_scraper_spark.operators import multimodal as M
+
+    M._MEDIA_CLUSTERS.clear()
+    try:
+        M.q_multimodal_decode(spark, sf_dir)
+        assert len(M._MEDIA_CLUSTERS) == 1
+        (key, cached) = next(iter(M._MEDIA_CLUSTERS.items()))
+        assert key[0] == spark.sparkContext.applicationId and sf_dir in key
+        n_rows = cached.count()  # alive: scratch frees spared the result
+        M.q_multimodal_decode(spark, sf_dir)
+        assert len(M._MEDIA_CLUSTERS) == 1
+        assert M._MEDIA_CLUSTERS[key] is cached, "clusters leg rebuilt"
+        assert cached.count() == n_rows
+    finally:
+        M._MEDIA_CLUSTERS.clear()
+
+
 def test_cross_modal_image_matches_video_frame(spark):
     """VERDICT r08 item 6: image stills, video frames, and audio all hash
     into the same 64-bit dHash space, so media_near_dup_against_index

@@ -447,12 +447,25 @@ def test_free_local_checkpoint_failure_is_detectable(spark):
         io_mod.free_local_checkpoint(_BrokenFrame())
     assert io_mod.FREE_CHECKPOINT_FAILURES == before + 2
     assert not any("reach-through failed" in str(w.message) for w in caught2)
-    # benign paths: never-checkpointed frame and teardown-dead frame
-    # do not count as failures
+    # never-checkpointed frame: benign
     n = io_mod.FREE_CHECKPOINT_FAILURES
     io_mod.free_local_checkpoint(spark.range(2))
-    io_mod.free_local_checkpoint(_DeadFrame())
     assert io_mod.FREE_CHECKPOINT_FAILURES == n
+    # fully-uninspectable frame with a LIVE context: indistinguishable
+    # from a renamed inspection accessor -> COUNTS (err on detectability)
+    io_mod.free_local_checkpoint(_DeadFrame())
+    assert io_mod.FREE_CHECKPOINT_FAILURES == n + 1
+    # same frame with the process-global context gone: teardown-time
+    # best-effort free -> benign
+    from pyspark import SparkContext
+
+    real_sc = SparkContext._active_spark_context
+    try:
+        SparkContext._active_spark_context = None
+        io_mod.free_local_checkpoint(_DeadFrame())
+    finally:
+        SparkContext._active_spark_context = real_sc
+    assert io_mod.FREE_CHECKPOINT_FAILURES == n + 1
 
 
 def test_streaming_media_dedup_ingest_segment_compaction(spark, tmp_path):
