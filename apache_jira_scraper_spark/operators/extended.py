@@ -506,7 +506,7 @@ def stream_stateful_sql() -> str:
     pair_sql = DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")
     return f"""
 WITH {IMG_PHASH_SQL_CTES},
-mph AS (
+mph AS MATERIALIZED (
   SELECT doc_id, img_phash,
          ((doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD}) % 2 AS par
   FROM img_ph

@@ -3817,7 +3817,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: driver gates can never drift on the dHash integer math. Yields CTEs
 #: ph_docs (doc_id, m, t, n), img_px, img_cells, img_ph (doc_id,
 #: img_phash).
-IMG_PHASH_SQL_CTES = f"""ph_docs AS (
+IMG_PHASH_SQL_CTES = f"""ph_docs AS MATERIALIZED (
   SELECT d.doc_id AS doc_id,
          CAST((d.doc_id % {PHASH_GROUP}) // {PHASH_SAMPLE_MOD} AS INT) AS m,
          b.text AS t,
@@ -3825,14 +3825,14 @@ IMG_PHASH_SQL_CTES = f"""ph_docs AS (
   FROM documents d
   JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % {PHASH_GROUP})
   WHERE d.doc_id % {PHASH_SAMPLE_MOD} = 0 AND length(b.text) > 0
-), img_px AS (
+), img_px AS MATERIALIZED (
   SELECT doc_id,
     list_transform(generate_series(0, {PHASH_IMG_W * PHASH_IMG_H - 1}), i ->
       CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST(i % n AS INT) + 1, 1))
            WHEN m = 2 AND i >= {PHASH_IMG_W * PHASH_IMG_H - 16} THEN 77
            ELSE ascii(substr(t, CAST(i % n AS INT) + 1, 1)) END) AS px
   FROM ph_docs
-), img_cells AS (
+), img_cells AS MATERIALIZED (
   -- 8x9 area-mean grid: cell (r, c) = mean over pixel rows
   -- [r*h/8, (r+1)*h/8) x cols [c*w//9, (c+1)*w//9)  (h divisible by 8)
   SELECT doc_id,
@@ -3847,7 +3847,7 @@ IMG_PHASH_SQL_CTES = f"""ph_docs AS (
       // ({PHASH_IMG_H // 8} * (((ci % 9) + 1) * {PHASH_IMG_W} // 9
           - (ci % 9) * {PHASH_IMG_W} // 9))) AS cells
   FROM img_px
-), img_ph AS (
+), img_ph AS MATERIALIZED (
   -- 64 gradient sign bits packed MSB-first as a two's-complement BIGINT
   -- (hi/lo 32-bit halves keep every shift inside BIGINT range)
   SELECT doc_id,
@@ -3929,7 +3929,7 @@ WITH RECURSIVE bytes AS (
 -- the same text arithmetic the Spark fixtures encode as PGM/PPM/Y4M bytes
 -- (ascii(substr)==byte: pure-ASCII contract), then full pairwise hamming —
 -- equivalent to the 4x16-bit pigeonhole banded join for max_hamming <= 3.
-{IMG_PHASH_SQL_CTES}, img_pairs AS (
+{IMG_PHASH_SQL_CTES}, img_pairs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.img_phash, b.img_phash)) AS hamming
   FROM img_ph a JOIN img_ph b ON a.doc_id < b.doc_id
@@ -3942,14 +3942,14 @@ WITH RECURSIVE bytes AS (
   FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM img_pairs
         UNION ALL SELECT doc_b, doc_a, hamming FROM img_pairs)
   GROUP BY doc_id
-), vid_px AS (
+), vid_px AS MATERIALIZED (
   SELECT doc_id, f,
     list_transform(generate_series(0, {PHASH_VID_W * PHASH_VID_H - 1}), i ->
       CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST((i + 17*f) % n AS INT) + 1, 1))
            WHEN m = 2 AND i >= {PHASH_VID_W * PHASH_VID_H - 16} THEN 88
            ELSE ascii(substr(t, CAST((i + 17*f) % n AS INT) + 1, 1)) END) AS px
   FROM ph_docs, (SELECT unnest(generate_series(0, {PHASH_VID_FRAMES - 1})) AS f)
-), vid_cells AS (
+), vid_cells AS MATERIALIZED (
   SELECT doc_id, f,
     list_transform(generate_series(0, 71), ci ->
       list_sum(list_transform(generate_series(
@@ -3962,7 +3962,7 @@ WITH RECURSIVE bytes AS (
       // ({PHASH_VID_H // 8} * (((ci % 9) + 1) * {PHASH_VID_W} // 9
           - (ci % 9) * {PHASH_VID_W} // 9))) AS cells
   FROM vid_px
-), vid_fph AS (
+), vid_fph AS MATERIALIZED (
   SELECT doc_id, f,
     CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
          * 4294967296 + lo AS BIGINT) AS phash
@@ -3980,13 +3980,13 @@ WITH RECURSIVE bytes AS (
          md5(string_agg(printf('%03d:%d', f, phash), ';'
              ORDER BY printf('%03d:%d', f, phash))) AS vid_phash_md5
   FROM vid_fph GROUP BY doc_id
-), vid_fpairs AS (
+), vid_fpairs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS fa, b.f AS fb,
          bit_count(xor(a.phash, b.phash)) AS hamming
   FROM vid_fph a JOIN vid_fph b ON a.doc_id < b.doc_id
   WHERE a.phash != 0 AND b.phash != 0
     AND bit_count(xor(a.phash, b.phash)) <= 3
-), vid_pairs AS (
+), vid_pairs AS MATERIALIZED (
   -- aligned_frames: max matches at ONE consistent frame offset (r08)
   SELECT doc_a, doc_b, CAST(SUM(n) AS BIGINT) AS matching_frames,
          MIN(mh) AS min_hamming, CAST(MAX(n) AS BIGINT) AS aligned_frames
@@ -4004,7 +4004,7 @@ WITH RECURSIVE bytes AS (
         UNION ALL SELECT doc_b, doc_a, matching_frames, min_hamming,
                          aligned_frames FROM vid_pairs)
   GROUP BY doc_id
-), aud_mag AS (
+), aud_mag AS MATERIALIZED (
   -- 8-bit PCM: decoder sample = byte - 128, so |s| = 128 - byte for ASCII;
   -- member 1 prepends PHASH_AUD_SHIFT quiet bytes (0x7F -> mag 1)
   SELECT doc_id,
@@ -4020,20 +4020,20 @@ WITH RECURSIVE bytes AS (
         ELSE 128 - ascii(substr(t, CAST(i % n AS INT) + 1, 1))
       END) AS mag
   FROM ph_docs
-), aud_span AS (
+), aud_span AS MATERIALIZED (
   -- onset trim: first..last sample with |s|*16 >= peak (anchor="onset")
   SELECT doc_id, list_slice(mag, keep[1], keep[len(keep)]) AS span
   FROM (
     SELECT doc_id, mag,
       list_filter(generate_series(1, len(mag)), ii -> mag[ii] * 16 >= list_max(mag)) AS keep
     FROM aud_mag WHERE list_max(mag) > 0)
-), aud_env AS (
+), aud_env AS MATERIALIZED (
   SELECT doc_id,
     list_transform(generate_series(0, 64), k ->
       list_sum(list_slice(span, k * n2 // 65 + 1, (k + 1) * n2 // 65))
       // ((k + 1) * n2 // 65 - k * n2 // 65)) AS env
   FROM (SELECT doc_id, span, len(span) AS n2 FROM aud_span WHERE len(span) >= 65)
-), aud_ph AS (
+), aud_ph AS MATERIALIZED (
   SELECT doc_id,
     CAST((hi - CASE WHEN hi >= 2147483648 THEN 4294967296 ELSE 0 END)
          * 4294967296 + lo AS BIGINT) AS aud_phash
@@ -4046,7 +4046,7 @@ WITH RECURSIVE bytes AS (
         CASE WHEN env[k + 2] > env[k + 1]
              THEN CAST(1 AS BIGINT) << (63 - k) ELSE 0 END)) AS BIGINT) AS lo
     FROM aud_env)
-), aud_pairs AS (
+), aud_pairs AS MATERIALIZED (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          bit_count(xor(a.aud_phash, b.aud_phash)) AS hamming
   FROM aud_ph a JOIN aud_ph b ON a.doc_id < b.doc_id
@@ -4065,7 +4065,7 @@ WITH RECURSIVE bytes AS (
 -- recursive closure the dedup_clusters / semantic_dedup oracles use);
 -- (b) the incremental new-batch x stored-index match restated as exact
 -- pairwise hamming between the odd- and even-member image-hash splits.
-media_edges AS (
+media_edges AS MATERIALIZED (
   SELECT doc_a AS node, doc_b AS nbr FROM img_pairs
   UNION SELECT doc_b, doc_a FROM img_pairs
   UNION SELECT doc_a, doc_b FROM vid_pairs
