@@ -642,6 +642,32 @@ def test_tiered_segments_compaction_touches_only_merged_tier(spark):
     assert not persisted({l1_id, s2_id})
 
 
+def test_tiered_segments_preserves_content_and_bounds_branches(spark):
+    """_TieredSegments invariants over a long add sequence at two
+    fanouts: the lazy union always equals exactly the rows added so far
+    (no row lost or duplicated across cascaded merges), and the branch
+    count the read side pays stays <= fanout * n_levels."""
+    import math
+
+    from apache_jira_scraper_spark.streaming.pipelines import _TieredSegments
+
+    for fanout in (2, 3):
+        tiers = _TieredSegments(fanout=fanout)
+        expected: set[int] = set()
+        for i in range(10):
+            lo, hi = i * 7, i * 7 + (i % 3) + 1  # ragged segment sizes
+            tiers.add(spark.range(lo, hi).localCheckpoint(eager=True))
+            expected |= set(range(lo, hi))
+            got = {r["id"] for r in tiers.union().collect()}
+            assert got == expected, (fanout, i, got ^ expected)
+            n_levels = math.floor(math.log(i + 1, fanout)) + 1
+            assert len(tiers.dataframes()) <= fanout * n_levels, (
+                fanout,
+                i,
+                len(tiers.dataframes()),
+            )
+
+
 def test_media_ingest_min_matching_frames_threshold(spark, tmp_path):
     """ADVICE r08: with a frame-level hash_fn, the DEFAULT policy drops a
     new video on ANY single frame collision; min_matching_frames=2 keeps
