@@ -53,6 +53,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scheduler.mode stays FIFO (default), MEASURED r09: FAIR tightened
+        # the 7-concurrent-query streaming gate's dispersion ([19.6, 10.0,
+        # 11.9] -> [10.9, 9.7, 10.1] at sf0.1) but cost ~6 s across the
+        # other 49 gates (two full benches: 63.6/64.1 s FAIR vs 57.8 FIFO)
+        # — AQE submits concurrent stages inside single queries, and FAIR
+        # round-robins those instead of clearing the critical path. On a
+        # multi-tenant cluster FAIR pools are still the right knob; for
+        # this single-tenant bench FIFO wins.
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as raw nanos and convert in io.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
