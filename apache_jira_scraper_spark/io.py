@@ -9,6 +9,7 @@ single-file inputs.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -131,6 +132,10 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
 FREE_CHECKPOINT_FAILURES = 0
 
 
+# Re-entrant: cached builders may consult another session cache
+# (see session_cached docstring).
+_SESSION_CACHE_LOCK = threading.RLock()
+
 # Monotonic count of session_cached() calls (hits AND builds). bench.py
 # snapshots it around each gate's samples to mark gates whose benched plan
 # may be a scan of a pre-materialized artifact (ADVICE r06: min-of-N over
@@ -146,16 +151,25 @@ def session_cached(cache: dict, spark: SparkSession, extra_key: tuple, build):
     applicationIds are evicted on insert: they reference stopped
     SparkContexts whose checkpoint blocks are already gone, and would
     otherwise accumulate one dead DataFrame per session restart for the
-    process lifetime."""
+    process lifetime.
+
+    Serialized by a process-wide RLock (review r09): concurrent first
+    calls would otherwise BOTH run the builder and the loser's eager
+    checkpoints would be overwritten in the dict without ever being
+    freed — a permanent leak per race. Re-entrant because cached
+    builders may themselves consult another session cache; the coarse
+    grain is fine at this cache's call rate (a handful of builds per
+    session, at gate construction)."""
     global SESSION_CACHE_TOUCHES
-    SESSION_CACHE_TOUCHES += 1
-    app = spark.sparkContext.applicationId
-    key = (app, *extra_key)
-    got = cache.get(key)
-    if got is None:
-        for k in [k for k in cache if k[0] != app]:
-            del cache[k]
-        got = build()
+    with _SESSION_CACHE_LOCK:
+        SESSION_CACHE_TOUCHES += 1
+        app = spark.sparkContext.applicationId
+        key = (app, *extra_key)
+        got = cache.get(key)
+        if got is None:
+            for k in [k for k in cache if k[0] != app]:
+                del cache[k]
+            got = build()
         cache[key] = got
     return got
 

@@ -3647,18 +3647,33 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each table still feeds multiple consumers (fold + both sides of the
     # banded self-join + the tail legs), hence the eager checkpoints.
     def _build_phash_tables():
-        img_media = phash_image_fixture(spark, sf_dir)
-        vid_media = phash_video_fixture(spark, sf_dir)
-        aud_media = phash_audio_fixture(spark, sf_dir)
-        return (
-            image_phash(img_media).localCheckpoint(eager=True),
-            frame_phash(vid_media).localCheckpoint(eager=True),
+        built: list = []
+        try:
+            built.append(
+                image_phash(phash_image_fixture(spark, sf_dir)).localCheckpoint(
+                    eager=True
+                )
+            )
+            built.append(
+                frame_phash(phash_video_fixture(spark, sf_dir)).localCheckpoint(
+                    eager=True
+                )
+            )
             # the onset anchor is what the audio leg certifies: member 1
             # is the time-shifted copy and must collide at hamming 0
-            audio_phash(aud_media, anchor="onset").localCheckpoint(
-                eager=True
-            ),
-        )
+            built.append(
+                audio_phash(
+                    phash_audio_fixture(spark, sf_dir), anchor="onset"
+                ).localCheckpoint(eager=True)
+            )
+        except BaseException:
+            # a later checkpoint failing must not strand the earlier ones
+            # (nothing cached on failure; a retry would rebuild on a heap
+            # pinning dead state — same rule as _build_clusters)
+            for df in built:
+                free_local_checkpoint(df)
+            raise
+        return tuple(built)
 
     img_ph, vid_ph, aud_ph = session_cached(
         _PHASH_TABLES, spark, (sf_dir,), _build_phash_tables
@@ -3841,14 +3856,14 @@ IMG_PHASH_SQL_CTES = f"""ph_docs AS MATERIALIZED (
   FROM documents d
   JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % {PHASH_GROUP})
   WHERE d.doc_id % {PHASH_SAMPLE_MOD} = 0 AND length(b.text) > 0
-), img_px AS MATERIALIZED (
+), img_px AS (
   SELECT doc_id,
     list_transform(generate_series(0, {PHASH_IMG_W * PHASH_IMG_H - 1}), i ->
       CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST(i % n AS INT) + 1, 1))
            WHEN m = 2 AND i >= {PHASH_IMG_W * PHASH_IMG_H - 16} THEN 77
            ELSE ascii(substr(t, CAST(i % n AS INT) + 1, 1)) END) AS px
   FROM ph_docs
-), img_cells AS MATERIALIZED (
+), img_cells AS (
   -- 8x9 area-mean grid: cell (r, c) = mean over pixel rows
   -- [r*h/8, (r+1)*h/8) x cols [c*w//9, (c+1)*w//9)  (h divisible by 8)
   SELECT doc_id,
@@ -3958,14 +3973,14 @@ WITH RECURSIVE bytes AS (
   FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM img_pairs
         UNION ALL SELECT doc_b, doc_a, hamming FROM img_pairs)
   GROUP BY doc_id
-), vid_px AS MATERIALIZED (
+), vid_px AS (
   SELECT doc_id, f,
     list_transform(generate_series(0, {PHASH_VID_W * PHASH_VID_H - 1}), i ->
       CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST((i + 17*f) % n AS INT) + 1, 1))
            WHEN m = 2 AND i >= {PHASH_VID_W * PHASH_VID_H - 16} THEN 88
            ELSE ascii(substr(t, CAST((i + 17*f) % n AS INT) + 1, 1)) END) AS px
   FROM ph_docs, (SELECT unnest(generate_series(0, {PHASH_VID_FRAMES - 1})) AS f)
-), vid_cells AS MATERIALIZED (
+), vid_cells AS (
   SELECT doc_id, f,
     list_transform(generate_series(0, 71), ci ->
       list_sum(list_transform(generate_series(
@@ -3996,7 +4011,7 @@ WITH RECURSIVE bytes AS (
          md5(string_agg(printf('%03d:%d', f, phash), ';'
              ORDER BY printf('%03d:%d', f, phash))) AS vid_phash_md5
   FROM vid_fph GROUP BY doc_id
-), vid_fpairs AS MATERIALIZED (
+), vid_fpairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.f AS fa, b.f AS fb,
          bit_count(xor(a.phash, b.phash)) AS hamming
   FROM vid_fph a JOIN vid_fph b ON a.doc_id < b.doc_id
@@ -4020,7 +4035,7 @@ WITH RECURSIVE bytes AS (
         UNION ALL SELECT doc_b, doc_a, matching_frames, min_hamming,
                          aligned_frames FROM vid_pairs)
   GROUP BY doc_id
-), aud_mag AS MATERIALIZED (
+), aud_mag AS (
   -- 8-bit PCM: decoder sample = byte - 128, so |s| = 128 - byte for ASCII;
   -- member 1 prepends PHASH_AUD_SHIFT quiet bytes (0x7F -> mag 1)
   SELECT doc_id,
@@ -4036,14 +4051,14 @@ WITH RECURSIVE bytes AS (
         ELSE 128 - ascii(substr(t, CAST(i % n AS INT) + 1, 1))
       END) AS mag
   FROM ph_docs
-), aud_span AS MATERIALIZED (
+), aud_span AS (
   -- onset trim: first..last sample with |s|*16 >= peak (anchor="onset")
   SELECT doc_id, list_slice(mag, keep[1], keep[len(keep)]) AS span
   FROM (
     SELECT doc_id, mag,
       list_filter(generate_series(1, len(mag)), ii -> mag[ii] * 16 >= list_max(mag)) AS keep
     FROM aud_mag WHERE list_max(mag) > 0)
-), aud_env AS MATERIALIZED (
+), aud_env AS (
   SELECT doc_id,
     list_transform(generate_series(0, 64), k ->
       list_sum(list_slice(span, k * n2 // 65 + 1, (k + 1) * n2 // 65))

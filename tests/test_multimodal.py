@@ -4509,18 +4509,27 @@ def test_multimodal_clusters_leg_builds_once_per_session(spark, sf_dir):
     from apache_jira_scraper_spark.operators import multimodal as M
 
     M._MEDIA_CLUSTERS.clear()
+    M._PHASH_TABLES.clear()
     try:
         M.q_multimodal_decode(spark, sf_dir)
         assert len(M._MEDIA_CLUSTERS) == 1
+        assert len(M._PHASH_TABLES) == 1
         (key, cached) = next(iter(M._MEDIA_CLUSTERS.items()))
         assert key[0] == spark.sparkContext.applicationId and sf_dir in key
+        tables = next(iter(M._PHASH_TABLES.values()))
+        assert len(tables) == 3
         n_rows = cached.count()  # alive: scratch frees spared the result
         M.q_multimodal_decode(spark, sf_dir)
         assert len(M._MEDIA_CLUSTERS) == 1
         assert M._MEDIA_CLUSTERS[key] is cached, "clusters leg rebuilt"
+        # the hash tables — the gate's dominant per-call cost — must be
+        # the SAME checkpointed frames, not a rebuilt tuple (review r09)
+        assert next(iter(M._PHASH_TABLES.values())) is tables, "phash rebuilt"
+        assert all(t.count() > 0 for t in tables)
         assert cached.count() == n_rows
     finally:
         M._MEDIA_CLUSTERS.clear()
+        M._PHASH_TABLES.clear()
 
 
 def test_cross_modal_image_matches_video_frame(spark):

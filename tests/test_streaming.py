@@ -40,6 +40,13 @@ def _run(spark, sdf, name: str, mode: str = "append"):
     return spark.table(name)
 
 
+def _pgm(img):
+    """Binary P5 payload for a numpy grayscale image — shared by the
+    media-ingest tests (review r09: was three inline copies)."""
+    h, w = img.shape
+    return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
 def test_tumbling_counts_match_batch(spark, events_batch, events_stream):
     out = _run(spark, pipelines.tumbling_counts(events_stream), "t_tumbling", "append")
     got = {
@@ -306,10 +313,6 @@ def test_streaming_media_dedup_ingest_cross_batch_state(spark, tmp_path):
         streaming_media_dedup_ingest,
     )
 
-    def pgm(img):
-        h, w = img.shape
-        return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
-
     rng = np.random.default_rng(71)
     a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
     a_near = a.copy()
@@ -317,16 +320,16 @@ def test_streaming_media_dedup_ingest_cross_batch_state(spark, tmp_path):
     c = rng.integers(0, 256, (16, 18), dtype=np.uint8)
     d = rng.integers(0, 256, (16, 18), dtype=np.uint8)
     batch_a = [
-        (10, bytearray(pgm(a))),
-        (11, bytearray(pgm(a_near))),  # within-batch near-dup of 10
-        (12, bytearray(pgm(c))),
+        (10, bytearray(_pgm(a))),
+        (11, bytearray(_pgm(a_near))),  # within-batch near-dup of 10
+        (12, bytearray(_pgm(c))),
     ]
     batch_b = [
-        (20, bytearray(pgm(a))),  # exact dup of KEPT index doc 10
-        (21, bytearray(pgm(d))),  # new content
-        (22, bytearray(pgm(c))),  # dup of kept index doc 12
+        (20, bytearray(_pgm(a))),  # exact dup of KEPT index doc 10
+        (21, bytearray(_pgm(d))),  # new content
+        (22, bytearray(_pgm(c))),  # dup of kept index doc 12
         (23, bytearray(b"not an image at all")),  # undecodable: kept
-        (10, bytearray(pgm(a))),  # at-least-once id replay: dropped
+        (10, bytearray(_pgm(a))),  # at-least-once id replay: dropped
     ]
     landing = str(tmp_path / "media")
     os.makedirs(landing)
@@ -482,10 +485,6 @@ def test_streaming_media_dedup_ingest_segment_compaction(spark, tmp_path):
         streaming_media_dedup_ingest,
     )
 
-    def pgm(img):
-        h, w = img.shape
-        return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
-
     rng = np.random.default_rng(73)
     a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
     b = rng.integers(0, 256, (16, 18), dtype=np.uint8)
@@ -494,9 +493,9 @@ def test_streaming_media_dedup_ingest_segment_compaction(spark, tmp_path):
     os.makedirs(landing)
     schema = "doc_id long, content binary"
     batches = [
-        ("x", 1_000, [(1, bytearray(pgm(a)))]),
-        ("y", 2_000, [(2, bytearray(pgm(b)))]),
-        ("z", 3_000, [(3, bytearray(pgm(a))), (4, bytearray(pgm(c)))]),
+        ("x", 1_000, [(1, bytearray(_pgm(a)))]),
+        ("y", 2_000, [(2, bytearray(_pgm(b)))]),
+        ("z", 3_000, [(3, bytearray(_pgm(a))), (4, bytearray(_pgm(c)))]),
     ]
     for sub, ts, rows in batches:
         spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
@@ -531,8 +530,9 @@ def test_media_ingest_restart_continues_from_rebuilt_state(spark, tmp_path):
     fed rebuild_media_ingest_state's (kept_ids, segments) — which enter
     the tier store at level 1 — still drops re-delivered ids (replay
     guard) and near-dups of PRE-restart content, and keeps new content.
-    Exercises the initial-state frame_idx normalization path too (image
-    hashes rebuild without a frame_idx column)."""
+    (rebuild_media_ingest_state normalizes frame_idx itself, so the
+    sink's own normalization branch is NOT on this path — it has its own
+    directed test below: test_media_ingest_normalizes_bare_segments.)"""
     import os
 
     import numpy as np
@@ -541,10 +541,6 @@ def test_media_ingest_restart_continues_from_rebuilt_state(spark, tmp_path):
         rebuild_media_ingest_state,
         streaming_media_dedup_ingest,
     )
-
-    def pgm(img):
-        h, w = img.shape
-        return f"P5\n{w} {h}\n255\n".encode() + img.tobytes()
 
     rng = np.random.default_rng(91)
     a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
@@ -571,7 +567,7 @@ def test_media_ingest_restart_continues_from_rebuilt_state(spark, tmp_path):
         )
         q.awaitTermination()
 
-    spark.createDataFrame([(1, bytearray(pgm(a)))], schema).coalesce(
+    spark.createDataFrame([(1, bytearray(_pgm(a)))], schema).coalesce(
         1
     ).write.parquet(f"{landing}/x")
     for f in os.listdir(f"{landing}/x"):
@@ -584,9 +580,9 @@ def test_media_ingest_restart_continues_from_rebuilt_state(spark, tmp_path):
     a_near[0, 0] ^= 1
     spark.createDataFrame(
         [
-            (1, bytearray(pgm(a))),  # id replay of a pre-restart keeper
-            (2, bytearray(pgm(a_near))),  # near-dup of pre-restart content
-            (3, bytearray(pgm(b))),  # new content
+            (1, bytearray(_pgm(a))),  # id replay of a pre-restart keeper
+            (2, bytearray(_pgm(a_near))),  # near-dup of pre-restart content
+            (3, bytearray(_pgm(b))),  # new content
         ],
         schema,
     ).coalesce(1).write.parquet(f"{landing}/y")
@@ -598,6 +594,64 @@ def test_media_ingest_restart_continues_from_rebuilt_state(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out")).collect()
     }
     assert landed == {(1, 0), (3, 1)}
+
+
+def test_media_ingest_normalizes_bare_segments(spark, tmp_path):
+    """The sink's OWN initial-state normalization branch (review r09: it
+    was previously claimed-covered but unreachable via rebuild, which
+    normalizes first): a caller-supplied image-hash segment WITHOUT
+    frame_idx is re-checkpointed to a bare LogicalRDD with frame_idx 0 —
+    the index join still drops a near-dup of the indexed content — and
+    the caller's original checkpoint is freed (ownership transfer)."""
+    import os
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.multimodal import image_phash
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        streaming_media_dedup_ingest,
+    )
+
+    rng = np.random.default_rng(97)
+    a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    schema = "doc_id long, content binary"
+    indexed = spark.createDataFrame([(1, bytearray(_pgm(a)))], schema)
+    seg = image_phash(indexed).localCheckpoint(eager=True)  # no frame_idx
+    assert "frame_idx" not in seg.columns
+    seg_rdd_id = seg._jdf.queryExecution().analyzed().rdd().id()
+    ids = indexed.select("doc_id").localCheckpoint(eager=True)
+
+    landing = str(tmp_path / "land")
+    os.makedirs(landing)
+    a_near = a.copy()
+    a_near[0, 0] ^= 1
+    spark.createDataFrame(
+        [(2, bytearray(_pgm(a_near))), (3, bytearray(_pgm(b)))], schema
+    ).coalesce(1).write.parquet(f"{landing}/x")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{landing}/*")
+    )
+    q = streaming_media_dedup_ingest(
+        stream,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        initial_state=(ids, [seg]),
+    )
+    # normalization happens at sink construction: the caller's bare
+    # segment must already be freed (specific RDD id, review-r08 style)
+    live = set()
+    it = spark.sparkContext._jsc.sc().getPersistentRDDs().keySet().iterator()
+    while it.hasNext():
+        live.add(it.next())
+    assert seg_rdd_id not in live, "caller's bare segment not freed"
+    q.awaitTermination()
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert kept == {3}, kept  # 2 dropped via the normalized index segment
 
 
 def test_tiered_segments_compaction_touches_only_merged_tier(spark):
