@@ -170,7 +170,7 @@ def session_cached(cache: dict, spark: SparkSession, extra_key: tuple, build):
             for k in [k for k in cache if k[0] != app]:
                 del cache[k]
             got = build()
-        cache[key] = got
+            cache[key] = got
     return got
 
 

@@ -4506,10 +4506,19 @@ def test_multimodal_clusters_leg_builds_once_per_session(spark, sf_dir):
     plan-inspection sweeps and bench re-samples from re-paying the
     iterative compute, and the cached frame must still be alive
     (consumable) after the build's scratch frees."""
+    from apache_jira_scraper_spark.io import free_local_checkpoint
     from apache_jira_scraper_spark.operators import multimodal as M
 
-    M._MEDIA_CLUSTERS.clear()
-    M._PHASH_TABLES.clear()
+    def _drain(cache):
+        # dropping the only reference without freeing would strand the
+        # eager checkpoint blocks until GC — the leak io.py documents
+        for v in cache.values():
+            for df in v if isinstance(v, tuple) else (v,):
+                free_local_checkpoint(df)
+        cache.clear()
+
+    _drain(M._MEDIA_CLUSTERS)
+    _drain(M._PHASH_TABLES)
     try:
         M.q_multimodal_decode(spark, sf_dir)
         assert len(M._MEDIA_CLUSTERS) == 1
@@ -4528,8 +4537,8 @@ def test_multimodal_clusters_leg_builds_once_per_session(spark, sf_dir):
         assert all(t.count() > 0 for t in tables)
         assert cached.count() == n_rows
     finally:
-        M._MEDIA_CLUSTERS.clear()
-        M._PHASH_TABLES.clear()
+        _drain(M._MEDIA_CLUSTERS)
+        _drain(M._PHASH_TABLES)
 
 
 def test_cross_modal_image_matches_video_frame(spark):
