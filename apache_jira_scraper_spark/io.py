@@ -113,8 +113,14 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
                     return
             except Exception:
                 return
-        FREE_CHECKPOINT_FAILURES += 1
-        if FREE_CHECKPOINT_FAILURES == 1:
+        # Locked read-modify-write: frees run concurrently from the
+        # streaming legs' foreachBatch threads, and an unsynchronized
+        # increment can undercount (losing the ==1 warn entirely) or
+        # double-warn (ADVICE r09).
+        with _FREE_FAILURES_LOCK:
+            FREE_CHECKPOINT_FAILURES += 1
+            first = FREE_CHECKPOINT_FAILURES == 1
+        if first:
             import warnings
 
             warnings.warn(
@@ -128,8 +134,18 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
 
 # Monotonic count of free_local_checkpoint reach-through failures — a
 # nonzero value means deterministic storage hygiene has degraded to the
-# GC path (see free_local_checkpoint docstring).
+# GC path (see free_local_checkpoint docstring). Guarded by
+# _FREE_FAILURES_LOCK (concurrent foreachBatch frees).
 FREE_CHECKPOINT_FAILURES = 0
+_FREE_FAILURES_LOCK = threading.Lock()
+
+# Serializes the two save-narrow-restore windows over the session-global
+# spark.sql.shuffle.partitions conf (multimodal._build_clusters and
+# extended._land_stream_corpus's component rounds): if two such windows
+# ever overlapped, the save/restore would race and the session could be
+# left compiled at the narrowed width (ADVICE r09). Gate execution is
+# single-threaded today — this is cheap insurance, not a hot lock.
+SHUFFLE_CONF_LOCK = threading.RLock()
 
 
 # Re-entrant: cached builders may consult another session cache

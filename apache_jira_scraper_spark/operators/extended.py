@@ -25,6 +25,7 @@ paginated search + scraper.py:190-259's extraction, executed by executors.
 from __future__ import annotations
 
 import itertools
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -173,7 +174,40 @@ ORDER BY l_returnflag
 # Structured Streaming under the driver gate
 # ---------------------------------------------------------------------------
 
-_STREAM_DIRS: dict[str, str] = {}
+_LANDING_ROOT: list[str] = []
+_LANDING_LOCK = threading.Lock()
+
+
+def _deterministic_landing(key: str, kind: str, build) -> str:
+    """Scratch landing dir derived deterministically from `key` under ONE
+    per-process tmp root (ADVICE r09: the previous session_cached mkdtemp
+    paths were fragile under tmp reapers — a removed dir poisoned the
+    cache for the session — and allocated a fresh unused dir per call).
+    Same key → same path; re-lands if the dir no longer exists; `build`
+    writes into a private scratch path that is renamed into place, so a
+    concurrent or crashed builder never exposes a half-written corpus."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    with _LANDING_LOCK:
+        if not _LANDING_ROOT or not os.path.isdir(_LANDING_ROOT[0]):
+            _LANDING_ROOT.clear()
+            _LANDING_ROOT.append(tempfile.mkdtemp(prefix="spark_graft_landing_"))
+        root = _LANDING_ROOT[0]
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    path = f"{root}/{kind}_{tag}"
+    if os.path.isdir(path):
+        return path
+    scratch = f"{path}.build.{os.getpid()}.{threading.get_ident()}"
+    build(scratch)
+    try:
+        os.rename(scratch, path)
+    except OSError:
+        # a concurrent builder won the rename; its dir is complete
+        shutil.rmtree(scratch, ignore_errors=True)
+    return path
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -183,18 +217,21 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's file stream source requires a *directory* landing zone, so the
     single events file is staged into a scratch dir once per process — the
     local stand-in for the S3/HDFS landing prefix a deployment would watch.
-    """
+    The dir is a pure copy of an immutable input file, so its key is just
+    sf_dir (no applicationId: sessions can share it)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
-    if sf_dir not in _STREAM_DIRS:
-        import shutil
-        import tempfile
 
-        d = tempfile.mkdtemp(prefix="events_stream_")
+    def _stage(d: str) -> None:
+        import os
+        import shutil
+
+        os.makedirs(d, exist_ok=True)
         shutil.copy(path, f"{d}/events.parquet")
-        _STREAM_DIRS[sf_dir] = d
+
+    staged = _deterministic_landing(sf_dir, "events", _stage)
     raw_schema = spark.read.parquet(path).schema
-    raw = spark.readStream.schema(raw_schema).parquet(_STREAM_DIRS[sf_dir])
+    raw = spark.readStream.schema(raw_schema).parquet(staged)
     # ONE shared ts dispatch with the batch loader (io.normalize_events_ts):
     # a storage-type change handled only on the batch side would make
     # stream gates read different wall-clock values than the batch oracle.
@@ -251,10 +288,6 @@ ORDER BY window_start, event_type
 """
 
 
-# io.session_cached store: (applicationId, sf_dir) -> landing dir for the
-# ingest leg's deterministic two-batch corpus split (q_stream_stateful)
-_INGEST_LANDING: dict[tuple[str, str], str] = {}
-_MEDIA_LANDING: dict[tuple[str, str], str] = {}
 
 
 def _land_two_batches(landing: str, first: DataFrame, second: DataFrame) -> str:
@@ -312,8 +345,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     it UP the same way. The conf is restored before the batch union runs."""
     import tempfile
 
-    from ..io import load_table, session_cached
+    from ..io import SHUFFLE_CONF_LOCK, load_table
 
+    # The save-narrow-restore window over the session-global shuffle conf
+    # is serialized against multimodal._build_clusters's identical window
+    # (ADVICE r09: overlapping windows would race the save/restore and
+    # could leave the session compiled 8-wide).
+    SHUFFLE_CONF_LOCK.acquire()
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
@@ -330,23 +368,24 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         ingest_out = f"{ingest_tmp}/out"
 
         # The landing files are a pure deterministic function of the input
-        # corpus, so they're written ONCE per (session, sf_dir) via THE
-        # session cache discipline (io.session_cached — review r06: the
-        # first cut hand-rolled the dict and evicted live same-session
-        # entries). Only the out/checkpoint dirs (the query's mutable
+        # corpus (pinned mtimes, parity-split rows), so they're written
+        # ONCE per sf_dir at a DETERMINISTIC path and re-landed only if a
+        # tmp reaper removed them (ADVICE r09: the previous session_cached
+        # mkdtemp path was reaper-fragile and allocated an unused dir per
+        # later call). Only the out/checkpoint dirs (the query's mutable
         # state) are per-call, keeping the gate idempotent under bench
         # min-of-N re-sampling without re-landing the corpus each sample.
-        def _land() -> str:
+        def _land(d: str) -> None:
             docs = load_table(spark, sf_dir, "documents").select(
                 "doc_id", "text", "n_chars"
             )
-            return _land_two_batches(
-                f"{ingest_tmp}/landing",
+            _land_two_batches(
+                d,
                 docs.filter(F.col("doc_id") % 2 == 0),
                 docs.filter(F.col("doc_id") % 2 == 1),
             )
 
-        landing = session_cached(_INGEST_LANDING, spark, (sf_dir,), _land)
+        landing = _deterministic_landing(sf_dir, "text_ingest", _land)
         doc_stream = (
             spark.readStream.schema("doc_id long, text string, n_chars long")
             .option("maxFilesPerTrigger", "1")
@@ -365,7 +404,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         # keep-against-index policy over the SAME dHash CTE chain the
         # multimodal gate certifies (IMG_PHASH_SQL_CTES) — policy
         # validated against an independent Python simulation first.
-        def _land_media() -> str:
+        def _land_media(d: str) -> None:
             from .multimodal import (
                 PHASH_GROUP,
                 PHASH_SAMPLE_MOD,
@@ -376,13 +415,13 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             parity = F.expr(
                 f"(doc_id % {PHASH_GROUP}) DIV {PHASH_SAMPLE_MOD} % 2"
             )
-            return _land_two_batches(
-                f"{ingest_tmp}/mlanding",
+            _land_two_batches(
+                d,
                 media.filter(parity == 0),
                 media.filter(parity == 1),
             )
 
-        mlanding = session_cached(_MEDIA_LANDING, spark, (sf_dir,), _land_media)
+        mlanding = _deterministic_landing(sf_dir, "media_ingest", _land_media)
         media_out = f"{ingest_tmp}/mout"
         media_stream = (
             spark.readStream.schema("doc_id long, content binary")
@@ -419,6 +458,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        SHUFFLE_CONF_LOCK.release()
     sessions = spark.table(t_sess).select(
         F.lit("session").alias("op"),
         F.col("user_id").alias("id"),

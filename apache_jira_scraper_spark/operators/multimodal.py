@@ -42,7 +42,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import free_local_checkpoint, load_table, session_cached
+from ..io import (
+    SHUFFLE_CONF_LOCK,
+    free_local_checkpoint,
+    load_table,
+    session_cached,
+)
 
 # Set True only in an environment with real codecs (PIL etc.); the container
 # deliberately has none, so the deterministic fake below is the active path.
@@ -3508,6 +3513,7 @@ PATCH_SAMPLE_MOD = 100
 #: the input corpus).
 _MEDIA_CLUSTERS: dict = {}
 _PHASH_TABLES: dict = {}
+_PHASH_PAIRS: dict = {}
 
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3678,19 +3684,32 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     img_ph, vid_ph, aud_ph = session_cached(
         _PHASH_TABLES, spark, (sf_dir,), _build_phash_tables
     )
-    # each pair table now feeds TWO consumers (its per-doc fold + the
-    # cross-modal cluster edge union below) — lazy localCheckpoint keeps
-    # the banded join from running twice per gate call
+    # each pair table feeds multiple consumers (its per-doc fold + the
+    # cross-modal cluster edge union below), and like the hash tables it
+    # is a pure function of (session, sf_dir) — so the three are
+    # session-cached EAGER checkpoints (VERDICT r09 item 2: the previous
+    # per-call lazy checkpoints re-ran the banded self-joins every gate
+    # call and left one unfreed trio per call to driver GC).
     # media=None is safe here: with phash= given the pair ops never touch
     # the payload side (the decode already happened in the cached tables)
-    img_pairs = image_near_dup_pairs(None, phash=img_ph).localCheckpoint(
-        eager=False
-    )
-    vid_pairs = video_near_dup_pairs(None, phash=vid_ph).localCheckpoint(
-        eager=False
-    )
-    aud_pairs = audio_near_dup_pairs(None, phash=aud_ph).localCheckpoint(
-        eager=False
+    def _build_pair_tables():
+        built: list = []
+        try:
+            for op, ph in (
+                (image_near_dup_pairs, img_ph),
+                (video_near_dup_pairs, vid_ph),
+                (audio_near_dup_pairs, aud_ph),
+            ):
+                built.append(op(None, phash=ph).localCheckpoint(eager=True))
+        except BaseException:
+            # partial-free-on-failure, same rule as _build_phash_tables
+            for df in built:
+                free_local_checkpoint(df)
+            raise
+        return tuple(built)
+
+    img_pairs, vid_pairs, aud_pairs = session_cached(
+        _PHASH_PAIRS, spark, (sf_dir,), _build_pair_tables
     )
     img_fold = img_ph.select("doc_id", F.col("phash").alias("img_phash"))
     img_pair_fold = _phash_pair_fold(
@@ -3757,6 +3776,10 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sizing argument; at production volume size it UP the same way).
         edges_ck = edges.localCheckpoint(eager=True)
         scratch: list = []
+        # serialized against extended.q_stream_stateful's identical
+        # save-narrow-restore window (ADVICE r09: an overlap would race
+        # the restore and leave the session compiled 8-wide)
+        SHUFFLE_CONF_LOCK.acquire()
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         try:
@@ -3771,6 +3794,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            SHUFFLE_CONF_LOCK.release()
             # superseded by the eager clus frame on success; on failure
             # (e.g. non-convergence) a retrying caller must not rebuild
             # on a heap pinning the dead state (review r09 follow-up —
