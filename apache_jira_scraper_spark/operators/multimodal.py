@@ -3459,6 +3459,36 @@ def phash_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Audio-features gate fixture (VERDICT r09 item 1): sample count and the
+#: translate() mapping printable-ASCII char -> hex digit of its LOW NIBBLE.
+#: unhex() of the translated char stream yields one byte per CHAR PAIR
+#: (byte = 16*(ascii(c0)%16) + ascii(c1)%16), spanning the full 0..255
+#: range — raw text bytes as PCM would decode all-negative (ASCII < 0x80,
+#: sample = byte-128), making zcr trivially 0 and silence unreachable.
+AFEAT_SAMPLES = 512
+_AFEAT_CHARS = "".join(chr(c) for c in range(32, 127))
+_AFEAT_NIBS = "".join("0123456789abcdef"[c % 16] for c in range(32, 127))
+
+
+def afeat_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, content) REAL 8-bit PCM WAV payloads for the
+    audio_features gate leg. Same member spine and wrap rules as the
+    phash fixtures (_phash_member_body), but the body is nibble-paired
+    (see _AFEAT_NIBS) so the decoded samples genuinely cross zero: the
+    driver hash then pins nontrivial zcr_ppm (~2-5e5 at sf0.01),
+    silence_ppm and peak values, not degenerate constants. The DuckDB
+    oracle restates byte j as 16*(ascii(c_2j)%16) + ascii(c_2j+1)%16
+    over the identical member CASE (validated standalone against an
+    independent Python reference first, r08 workflow)."""
+    fx = _phash_fixture_base(spark, sf_dir)
+    body, _ = _phash_member_body(2 * AFEAT_SAMPLES, "Z")
+    payload = F.concat(
+        F.lit(_wav_pcm8_header(AFEAT_SAMPLES)).cast("binary"),
+        F.unhex(F.translate(body, _AFEAT_CHARS, _AFEAT_NIBS)),
+    )
+    return fx.select("doc_id", payload.alias("content"))
+
+
 def _phash_pair_fold(
     pairs: DataFrame, value_cols: list[str], n_name: str, md5_name: str
 ) -> DataFrame:
@@ -3826,6 +3856,56 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("idx_matches_md5"),
     )
+    # decode-feature summary legs (r10, VERDICT r09 item 1): the REAL
+    # audio_features / video_features / scene_changes operators — the
+    # summaries a curation pipeline filters on — run over fixture
+    # payloads (nibble-paired WAV for audio, the certified Y4M fixture
+    # for video) and fold to integer columns under the driver hash. All
+    # three results are tiny (n_docs/PHASH_SAMPLE_MOD rows): AQE
+    # broadcast-joins onto the spine like the other fixture legs.
+    af = audio_features(afeat_audio_fixture(spark, sf_dir)).select(
+        "doc_id",
+        F.col("sample_rate").cast("long").alias("af_rate"),
+        F.col("n_samples").cast("long").alias("af_nsamp"),
+        F.col("peak_abs").cast("long").alias("af_peak"),
+        F.col("rms_x100").cast("long").alias("af_rms_x100"),
+        F.col("zcr_ppm").cast("long").alias("af_zcr_ppm"),
+        F.col("silence_ppm").cast("long").alias("af_silence_ppm"),
+    )
+    vfx = phash_video_fixture(spark, sf_dir)
+    vf = video_features(vfx).select(
+        "doc_id",
+        F.col("n_frames").cast("long").alias("vf_frames"),
+        F.col("width").cast("long").alias("vf_width"),
+        F.col("height").cast("long").alias("vf_height"),
+        F.col("fps_ppm").cast("long").alias("vf_fps_ppm"),
+        F.col("mean_luma").cast("long").alias("vf_mean_luma"),
+        F.col("scene_count").cast("long").alias("vf_scenes"),
+        F.col("max_mad").cast("long").alias("vf_max_mad"),
+    )
+    # per-doc fold of the scene-cut ROWS (frame 0 + every frame at MAD >=
+    # the default threshold 24 — which genuinely splits on this corpus:
+    # scene counts 1/2/3 at sf0.01): %03d pad keeps array_sort's lexical
+    # order numeric for frame_idx <= 999 (fixture streams have 3 frames)
+    sc = (
+        scene_changes(vfx)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("sc_n"),
+            F.md5(
+                F.concat_ws(
+                    ";",
+                    F.array_sort(
+                        F.collect_list(
+                            F.format_string(
+                                "%03d:%d:%d", "frame_idx", "mad", "mean_luma"
+                            )
+                        )
+                    ),
+                )
+            ).alias("sc_md5"),
+        )
+    )
     return (
         spine.join(per_doc, "doc_id", "left")
         .join(img_fold, "doc_id", "left")
@@ -3836,6 +3916,9 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(aud_pair_fold, "doc_id", "left")
         .join(clus, "doc_id", "left")
         .join(idx_fold, "doc_id", "left")
+        .join(af, "doc_id", "left")
+        .join(vf, "doc_id", "left")
+        .join(sc, "doc_id", "left")
         .select(
             spine["doc_id"],
             "features_csv",
@@ -3861,6 +3944,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("media_keeper", F.lit(0)).cast("long").alias("media_keeper"),
             F.coalesce("n_idx_matches", F.lit(0)).cast("long").alias("n_idx_matches"),
             F.coalesce("idx_matches_md5", F.lit("")).alias("idx_matches_md5"),
+            F.coalesce("af_rate", F.lit(-1)).cast("long").alias("af_rate"),
+            F.coalesce("af_nsamp", F.lit(-1)).cast("long").alias("af_nsamp"),
+            F.coalesce("af_peak", F.lit(-1)).cast("long").alias("af_peak"),
+            F.coalesce("af_rms_x100", F.lit(-1)).cast("long").alias("af_rms_x100"),
+            F.coalesce("af_zcr_ppm", F.lit(-1)).cast("long").alias("af_zcr_ppm"),
+            F.coalesce("af_silence_ppm", F.lit(-1)).cast("long").alias("af_silence_ppm"),
+            F.coalesce("vf_frames", F.lit(-1)).cast("long").alias("vf_frames"),
+            F.coalesce("vf_width", F.lit(-1)).cast("long").alias("vf_width"),
+            F.coalesce("vf_height", F.lit(-1)).cast("long").alias("vf_height"),
+            F.coalesce("vf_fps_ppm", F.lit(-1)).cast("long").alias("vf_fps_ppm"),
+            F.coalesce("vf_mean_luma", F.lit(-1)).cast("long").alias("vf_mean_luma"),
+            F.coalesce("vf_scenes", F.lit(-1)).cast("long").alias("vf_scenes"),
+            F.coalesce("vf_max_mad", F.lit(-1)).cast("long").alias("vf_max_mad"),
+            F.coalesce("sc_n", F.lit(0)).cast("long").alias("sc_n"),
+            F.coalesce("sc_md5", F.lit("")).alias("sc_md5"),
         )
         .orderBy("doc_id")
     )
@@ -3997,7 +4095,9 @@ WITH RECURSIVE bytes AS (
   FROM (SELECT doc_a AS doc_id, doc_b AS partner, hamming FROM img_pairs
         UNION ALL SELECT doc_b, doc_a, hamming FROM img_pairs)
   GROUP BY doc_id
-), vid_px AS (
+), vid_px AS MATERIALIZED (
+  -- MATERIALIZED: consumed by vid_cells AND the r10 feature CTEs
+  -- (vf_mean/vf_mad/vf_tot) — DuckDB inlines plain CTEs per reference
   SELECT doc_id, f,
     list_transform(generate_series(0, {PHASH_VID_W * PHASH_VID_H - 1}), i ->
       CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST((i + 17*f) % n AS INT) + 1, 1))
@@ -4115,6 +4215,89 @@ WITH RECURSIVE bytes AS (
         UNION ALL SELECT doc_b, doc_a, hamming FROM aud_pairs)
   GROUP BY doc_id
 ),
+-- decode-feature summary legs (r10, VERDICT r09 item 1). Audio: the
+-- nibble-paired WAV fixture's sample j is 16*(ascii(c_2j)%16) +
+-- ascii(c_2j+1)%16 - 128 over the shared member CASE; rms_x100 is the
+-- EXACT integer sqrt (float sqrt corrected by +-1 so floor(100*rms)
+-- never drifts on near-perfect squares). Validated standalone against
+-- an independent Python reference before wiring (r08 workflow).
+af_chars AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {2 * AFEAT_SAMPLES - 1}), i ->
+      CASE WHEN m = 3 THEN ascii(substr(reverse(t), CAST(i % n AS INT) + 1, 1))
+           WHEN m = 2 AND i >= {2 * AFEAT_SAMPLES - 16} THEN 90
+           ELSE ascii(substr(t, CAST(i % n AS INT) + 1, 1)) END % 16) AS nb
+  FROM ph_docs
+), af_samp AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, {AFEAT_SAMPLES - 1}), j ->
+      16 * nb[2*j + 1] + nb[2*j + 2] - 128) AS s
+  FROM af_chars
+), af_stats AS (
+  SELECT doc_id,
+    list_max(list_transform(s, x -> abs(x))) AS af_peak,
+    CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sq,
+    len(list_filter(generate_series(1, {AFEAT_SAMPLES - 1}),
+        i -> s[i] * s[i + 1] < 0)) AS flips,
+    len(list_filter(s, x -> abs(x) <= 1)) AS silent
+  FROM af_samp
+), af AS (
+  SELECT doc_id, CAST(8000 AS BIGINT) AS af_rate,
+    CAST({AFEAT_SAMPLES} AS BIGINT) AS af_nsamp,
+    CAST(af_peak AS BIGINT) AS af_peak,
+    CASE WHEN (r0 + 1) * (r0 + 1) <= v THEN r0 + 1
+         WHEN r0 * r0 > v THEN r0 - 1 ELSE r0 END AS af_rms_x100,
+    CAST(flips * 1000000 // {AFEAT_SAMPLES - 1} AS BIGINT) AS af_zcr_ppm,
+    CAST(silent * 1000000 // {AFEAT_SAMPLES} AS BIGINT) AS af_silence_ppm
+  FROM (SELECT doc_id, af_peak, flips, silent,
+               10000 * sq // {AFEAT_SAMPLES} AS v,
+               CAST(floor(sqrt(CAST(10000 * sq // {AFEAT_SAMPLES} AS DOUBLE)))
+                    AS BIGINT) AS r0
+        FROM af_stats)
+),
+-- Video: per-frame mean luma and consecutive-frame integer MAD over the
+-- SAME vid_px pixel CTE the dHash leg certifies; scene rows are frame 0
+-- plus every frame at MAD >= 24 (scene_changes' default threshold,
+-- which genuinely splits on this corpus).
+vf_mean AS MATERIALIZED (
+  SELECT doc_id, f,
+    CAST(list_sum(px) // {PHASH_VID_W * PHASH_VID_H} AS BIGINT) AS ml
+  FROM vid_px
+), vf_mad AS MATERIALIZED (
+  SELECT a.doc_id AS doc_id, b.f AS f,
+    CAST(list_sum(list_transform(generate_series(1, {PHASH_VID_W * PHASH_VID_H}),
+         i -> abs(b.px[i] - a.px[i]))) // {PHASH_VID_W * PHASH_VID_H}
+         AS BIGINT) AS mad
+  FROM vid_px a JOIN vid_px b ON a.doc_id = b.doc_id AND b.f = a.f + 1
+), vf_tot AS (
+  SELECT doc_id,
+    CAST(SUM(CAST(list_sum(px) AS BIGINT))
+         // {PHASH_VID_FRAMES * PHASH_VID_W * PHASH_VID_H} AS BIGINT)
+      AS vf_mean_luma
+  FROM vid_px GROUP BY doc_id
+), vf_agg AS (
+  SELECT doc_id, MAX(mad) AS vf_max_mad,
+         CAST(SUM(CASE WHEN mad >= 24 THEN 1 ELSE 0 END) AS BIGINT) AS cuts
+  FROM vf_mad GROUP BY doc_id
+), vf AS (
+  SELECT d.doc_id, CAST({PHASH_VID_FRAMES} AS BIGINT) AS vf_frames,
+    CAST({PHASH_VID_W} AS BIGINT) AS vf_width,
+    CAST({PHASH_VID_H} AS BIGINT) AS vf_height,
+    CAST(CASE WHEN d.m = 1 THEN 30000000 ELSE 25000000 END AS BIGINT)
+      AS vf_fps_ppm,
+    t.vf_mean_luma, 1 + a.cuts AS vf_scenes, a.vf_max_mad
+  FROM ph_docs d JOIN vf_tot t USING (doc_id) JOIN vf_agg a USING (doc_id)
+), sc_rows AS (
+  SELECT doc_id, 0 AS fi, CAST(0 AS BIGINT) AS mad, ml FROM vf_mean WHERE f = 0
+  UNION ALL
+  SELECT m.doc_id, m.f AS fi, m.mad, v.ml
+  FROM vf_mad m JOIN vf_mean v ON v.doc_id = m.doc_id AND v.f = m.f
+  WHERE m.mad >= 24
+), sc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sc_n,
+    md5(string_agg(printf('%03d:%d:%d', fi, mad, ml), ';' ORDER BY fi)) AS sc_md5
+  FROM sc_rows GROUP BY doc_id
+),
 -- pipeline-tail legs (r09): (a) cross-modal connected components over the
 -- union of the three certified pair sets (min-reachable-id label, the same
 -- recursive closure the dedup_clusters / semantic_dedup oracles use);
@@ -4166,7 +4349,22 @@ SELECT feat.doc_id AS doc_id, features_csv, CAST(n_bytes AS INT) AS n_bytes,
        COALESCE(media_cluster, -1) AS media_cluster,
        CAST(COALESCE(media_lbl.doc_id = media_cluster, FALSE) AS BIGINT) AS media_keeper,
        COALESCE(n_idx_matches, 0) AS n_idx_matches,
-       COALESCE(idx_matches_md5, '') AS idx_matches_md5
+       COALESCE(idx_matches_md5, '') AS idx_matches_md5,
+       COALESCE(af_rate, -1) AS af_rate,
+       COALESCE(af_nsamp, -1) AS af_nsamp,
+       COALESCE(af_peak, -1) AS af_peak,
+       COALESCE(af_rms_x100, -1) AS af_rms_x100,
+       COALESCE(af_zcr_ppm, -1) AS af_zcr_ppm,
+       COALESCE(af_silence_ppm, -1) AS af_silence_ppm,
+       COALESCE(vf_frames, -1) AS vf_frames,
+       COALESCE(vf_width, -1) AS vf_width,
+       COALESCE(vf_height, -1) AS vf_height,
+       COALESCE(vf_fps_ppm, -1) AS vf_fps_ppm,
+       COALESCE(vf_mean_luma, -1) AS vf_mean_luma,
+       COALESCE(vf_scenes, -1) AS vf_scenes,
+       COALESCE(vf_max_mad, -1) AS vf_max_mad,
+       COALESCE(sc_n, 0) AS sc_n,
+       COALESCE(sc_md5, '') AS sc_md5
 FROM feat JOIN fr ON feat.doc_id = fr.doc_id
 LEFT JOIN pagg ON feat.doc_id = pagg.doc_id
 LEFT JOIN img_ph ON feat.doc_id = img_ph.doc_id
@@ -4177,6 +4375,9 @@ LEFT JOIN aud_ph ON feat.doc_id = aud_ph.doc_id
 LEFT JOIN aud_pair_fold ON feat.doc_id = aud_pair_fold.doc_id
 LEFT JOIN media_lbl ON feat.doc_id = media_lbl.doc_id
 LEFT JOIN idx_fold ON feat.doc_id = idx_fold.doc_id
+LEFT JOIN af ON feat.doc_id = af.doc_id
+LEFT JOIN vf ON feat.doc_id = vf.doc_id
+LEFT JOIN sc ON feat.doc_id = sc.doc_id
 ORDER BY feat.doc_id
 """
 

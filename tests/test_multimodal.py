@@ -4839,3 +4839,60 @@ def test_phash_block_saturation_cap(spark):
         for r in image_near_dup_pairs(media).collect()
     }
     assert (1, 2) in uncapped and (100, 101) in uncapped
+
+
+def test_feature_trio_gate_fixture_premises(spark, sf_dir):
+    """r10 decode-feature summary legs premise pin (same defense as
+    test_phash_gate_fixture_premises): the af_*/vf_*/sc_* gate columns
+    certify Spark/DuckDB AGREEMENT only — both sides could drift to
+    degenerate constants (zcr 0 everywhere, no scene cuts) and stay
+    green. Pins on the actual testdata: the nibble-paired WAV fixture
+    decodes through the REAL wav path (rate 8000, n=AFEAT_SAMPLES) with
+    nonzero, VARIED zcr on every doc and nonzero silence somewhere; the
+    video summaries detect at least one sub-maximal scene count (the
+    default threshold 24 genuinely splits) with varied MADs."""
+    from apache_jira_scraper_spark.operators.multimodal import (
+        AFEAT_SAMPLES,
+        afeat_audio_fixture,
+        audio_features,
+        phash_video_fixture,
+        scene_changes,
+        video_features,
+    )
+
+    af = audio_features(afeat_audio_fixture(spark, sf_dir)).collect()
+    assert af, "audio fixture empty"
+    assert all(r["sample_rate"] == 8000 for r in af), (
+        "a fixture payload missed the REAL wav decode path (rate 0 marks "
+        "the deterministic fallback)"
+    )
+    assert all(r["n_samples"] == AFEAT_SAMPLES for r in af)
+    assert all(r["zcr_ppm"] > 0 for r in af), (
+        "zcr degenerated to 0 — did the fixture lose its nibble pairing "
+        "(raw ASCII PCM bytes are all-negative samples)?"
+    )
+    assert len({r["zcr_ppm"] for r in af}) > 1, "zcr constant across docs"
+    assert any(r["silence_ppm"] > 0 for r in af)
+    assert all(r["peak_abs"] > 0 and r["rms_x100"] > 0 for r in af)
+
+    vfx = phash_video_fixture(spark, sf_dir)
+    vf = video_features(vfx).collect()
+    assert vf, "video fixture empty"
+    assert all(r["n_frames"] == 3 and r["width"] == 24 for r in vf)
+    assert all(1 <= r["scene_count"] <= 3 for r in vf)
+    assert any(r["scene_count"] < 3 for r in vf), (
+        "threshold 24 stopped splitting: every frame is a cut, the "
+        "scene-count column certifies nothing"
+    )
+    assert len({r["max_mad"] for r in vf}) > 1, "max_mad constant"
+
+    sc = scene_changes(vfx).collect()
+    by_doc = {}
+    for r in sc:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == {r["doc_id"] for r in vf}
+    for did, rows in by_doc.items():
+        assert any(r["frame_idx"] == 0 and r["mad"] == 0 for r in rows)
+    # scene_changes row counts must agree with video_features' scene_count
+    counts = {r["doc_id"]: r["scene_count"] for r in vf}
+    assert all(len(rows) == counts[d] for d, rows in by_doc.items())
