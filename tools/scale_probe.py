@@ -1,0 +1,224 @@
+"""10x relational scale probe (VERDICT r09 item 3).
+
+The dedup/phash families have measured 10x volume-linearity pins; this
+script builds the RELATIONAL analog: deterministically explode the fact
+tables (lineitem / orders / customer / events) 10x with consistent key
+remaps (new_key = old_key*10 + replica, so joins stay aligned and key
+cardinality grows like a real TPC-H scale-up — duplicating keys verbatim
+would instead grow per-key density and push user-keyed operators
+quadratic), keep the dimensions fixed, then time the most expensive
+UNBOUNDED relational/event gates at 1x vs 10x and diff their executed
+plan shapes.
+
+Bounded-by-design gates (fuzzy_name_join's FUZZY_GATE_MAX_KEY cap,
+interval_overlap's INTERVAL_GATE_MAX_USER cap) are excluded: their gate
+input is constant across SF — that IS their documented scale contract.
+
+Pass criteria per gate (reported, and summarized for PERF.md):
+  - time_10x <= SLOPE_CAP * time_1x   (SLOPE_CAP = 15, judge's bound)
+  - no CartesianProduct / BroadcastNestedLoopJoin at either scale
+  - no broadcast of an exploded-fact side at 10x that wasn't one at 1x
+    (plan-shape summary printed for both scales)
+
+Usage:  python tools/scale_probe.py [sf_dir] [out_dir]
+        (defaults /root/testdata/sf0.1, /tmp/scale10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ["PYTHONPATH"] = REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+SLOPE_CAP = 15.0
+GATES = [
+    "returnflag_stats",
+    "q1_pricing_summary",
+    "rollup_cube",
+    "event_funnel_retention",
+    "above_avg_orders",
+    "q3_shipping_priority",
+]
+EXPLODED = {"lineitem", "orders", "customer", "events"}
+
+
+def build_exploded(sf_dir: str, out_dir: str) -> None:
+    """DuckDB fan-out: CROSS JOIN range(10), remap every key column that
+    identifies a fact row or links two exploded tables. Dimensions are
+    copied verbatim (dims grow far slower than facts at 100 TB)."""
+    import duckdb
+
+    os.makedirs(out_dir, exist_ok=True)
+    con = duckdb.connect()
+    remap = {
+        "lineitem": "l_orderkey * 10 + k AS l_orderkey",
+        "orders": "o_orderkey * 10 + k AS o_orderkey, "
+        "o_custkey * 10 + k AS o_custkey",
+        "customer": "c_custkey * 10 + k AS c_custkey",
+        "events": "event_id * 10 + k AS event_id, "
+        "user_id * 10 + k AS user_id",
+    }
+    for t in (
+        "region nation supplier part documents embeddings "
+        "lineitem orders customer events"
+    ).split():
+        src = f"{sf_dir}/{t}.parquet"
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(dst):
+            # a stale/foreign dir must not silently demote the probe to
+            # 1x-vs-1x (exactly what a leftover symlink dir did on the
+            # first run): validate the row-count factor before reusing
+            n_src = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{src}')"
+            ).fetchone()[0]
+            n_dst = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{dst}')"
+            ).fetchone()[0]
+            want = n_src * 10 if t in EXPLODED else n_src
+            if n_dst != want:
+                raise SystemExit(
+                    f"{dst} exists with {n_dst} rows (want {want}) — "
+                    "stale out_dir, pick a fresh one"
+                )
+            continue
+        if t in EXPLODED:
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"SELECT column_name FROM "
+                    f"(DESCRIBE SELECT * FROM read_parquet('{src}'))"
+                ).fetchall()
+            ]
+            remapped_targets = {
+                frag.split(" AS ")[1].strip(): frag.strip()
+                for frag in remap[t].split(",")
+            }
+            sel = ", ".join(remapped_targets.get(c, c) for c in cols)
+            con.execute(
+                f"COPY (SELECT {sel} FROM read_parquet('{src}'), "
+                f"(SELECT unnest(range(10)) AS k)) TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src}')) TO '{dst}' "
+                "(FORMAT PARQUET)"
+            )
+
+
+def plan_shape(df) -> dict:
+    """Execute, then summarize the EXECUTED plan (AQE-final): multiset of
+    operator names, join strategies, exchange count."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    ops: dict[str, int] = {}
+    for line in plan.splitlines():
+        m = re.search(r"^[\s:+\-*(\d)]*([A-Za-z]+[A-Za-z0-9]*)", line)
+        if not m:
+            continue
+        name = m.group(1)
+        if name in ("Arguments", "Input", "Output", "Condition", "Results"):
+            continue
+        ops[name] = ops.get(name, 0) + 1
+    joins = {k: v for k, v in ops.items() if "Join" in k}
+    return {
+        "exchanges": sum(v for k, v in ops.items() if "Exchange" in k),
+        "joins": joins,
+        "cartesian": any(k.startswith("CartesianProduct") for k in ops),
+    }
+
+
+def time_gate(fn, spark, sf_dir: str, samples: int = 3) -> float:
+    best = float("inf")
+    for _ in range(samples):
+        t0 = time.time()
+        fn(spark, sf_dir).collect()
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
+    print(f"building 10x exploded tables under {out_dir} ...", flush=True)
+    build_exploded(sf_dir, out_dir)
+
+    from pyspark.sql import SparkSession
+
+    from apache_jira_scraper_spark import registry
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .appName("scale_probe")
+        .getOrCreate()
+    )
+    qs = registry.queries()
+    # warm the JVM off the measured path
+    spark.range(1000).count()
+
+    results = {}
+    ok = True
+    for g in GATES:
+        fn = qs[g]
+        # untimed warmup at BOTH scales first: the first execution of a
+        # gate pays plan compile + JIT, which otherwise lands entirely on
+        # the 1x sample and understates the ratio
+        fn(spark, sf_dir).collect()
+        fn(spark, out_dir).collect()
+        t1 = time_gate(fn, spark, sf_dir)
+        s1 = plan_shape(fn(spark, sf_dir))
+        t10 = time_gate(fn, spark, out_dir)
+        s10 = plan_shape(fn(spark, out_dir))
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        # BNLJ appears in two gates as the documented 1-row broadcast
+        # total (above_avg_orders, funnel conversion denominator) — the
+        # probe's contract is therefore a shape DIFF, directional: no
+        # NEW exchanges at 10x, no PROMOTION toward broadcast (BHJ/BNLJ
+        # counts may only fall as AQE demotes grown sides to shuffle
+        # joins — q3 does exactly this, the scale-correct adaptation),
+        # total join count unchanged, and never a CartesianProduct.
+        def n(shape, key):
+            return sum(v for k, v in shape["joins"].items() if key in k)
+
+        gate_ok = (
+            ratio <= SLOPE_CAP
+            and s10["exchanges"] <= s1["exchanges"]
+            and sum(s10["joins"].values()) == sum(s1["joins"].values())
+            and n(s10, "BroadcastHashJoin") <= n(s1, "BroadcastHashJoin")
+            and n(s10, "BroadcastNestedLoop") <= n(s1, "BroadcastNestedLoop")
+            and not s1["cartesian"]
+            and not s10["cartesian"]
+        )
+        ok &= gate_ok
+        results[g] = {
+            "t_1x": round(t1, 3),
+            "t_10x": round(t10, 3),
+            "ratio": round(ratio, 2),
+            "shape_1x": s1,
+            "shape_10x": s10,
+            "ok": gate_ok,
+        }
+        print(
+            f"{g}: 1x={t1:.2f}s 10x={t10:.2f}s ratio={ratio:.2f} "
+            f"exch {s1['exchanges']}->{s10['exchanges']} "
+            f"joins {s1['joins']}->{s10['joins']} "
+            f"{'OK' if gate_ok else 'FAIL'}",
+            flush=True,
+        )
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
