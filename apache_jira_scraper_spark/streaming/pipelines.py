@@ -264,6 +264,7 @@ def streaming_dedup_ingest(
     checkpoint_dir: str,
     initial_index=None,
     compact_every: int = 16,
+    durable_state_dir: str | None = None,
 ):
     """Streaming corpus ingestion with CROSS-BATCH near-dup state: each
     micro-batch of (doc_id, text) rows is deduped against the index of
@@ -300,16 +301,36 @@ def streaming_dedup_ingest(
     unpersisted when their tier merges, so a restart must call
     rebuild_dedup_ingest_state again — never reuse a tuple a previous
     (even failed) stream consumed.
+
+    ``durable_state_dir`` (r10, VERDICT r09 item 4) opts into
+    parquet-backed segment state (DurableSegmentStore): restart recovery
+    becomes a manifest read + segment scans instead of the corpus
+    re-shingle rebuild_dedup_ingest_state performs; committed output
+    batches the recovered manifests don't cover (the documented
+    write-then-crash window) are re-indexed INDIVIDUALLY on resume.
+    Mutually exclusive with ``initial_index`` — the durable path derives
+    all state from disk, including the first-run migration of an
+    existing out_dir.
     """
-    init_sh, init_sig = (
-        initial_index if initial_index is not None else (None, None)
-    )
-    sh_tier = _TieredSegments(
-        compact_every, [init_sh] if init_sh is not None else []
-    )
-    sig_tier = _TieredSegments(
-        compact_every, [init_sig] if init_sig is not None else []
-    )
+    if durable_state_dir is not None:
+        if initial_index is not None:
+            raise ValueError(
+                "durable_state_dir derives all state from disk; "
+                "initial_index must be None"
+            )
+        sh_tier, sig_tier = _resume_durable_text_state(
+            doc_stream.sparkSession, durable_state_dir, out_dir, compact_every
+        )
+    else:
+        init_sh, init_sig = (
+            initial_index if initial_index is not None else (None, None)
+        )
+        sh_tier = _TieredSegments(
+            compact_every, [init_sh] if init_sh is not None else []
+        )
+        sig_tier = _TieredSegments(
+            compact_every, [init_sig] if init_sig is not None else []
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import incremental_dedup
@@ -340,8 +361,8 @@ def streaming_dedup_ingest(
         # O(batch) state advance: checkpoint only this batch's kept index
         # segment; tier merges amortize the rest (r09)
         sh_kept, sig_kept = parts
-        sh_tier.add(sh_kept.localCheckpoint(eager=True))
-        sig_tier.add(sig_kept.localCheckpoint(eager=True))
+        sh_tier.add(sh_kept.localCheckpoint(eager=True), batch_id)
+        sig_tier.add(sig_kept.localCheckpoint(eager=True), batch_id)
         for df in scratch:  # incremental_dedup's internal checkpoints —
             _free_local_checkpoint(df)  # superseded once the segments landed
 
@@ -351,6 +372,127 @@ def streaming_dedup_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _committed_batches(spark, out_dir: str) -> list[tuple[str, int]]:
+    """(dir, batch_id) for every COMMITTED batch directory under an
+    ingest sink's out_dir, batch order — the one definition behind the
+    replay skip, the rebuild helpers and durable-state top-up."""
+    out = []
+    for d in _fs_listdir(spark, out_dir):
+        name = d.rsplit("/", 1)[-1]
+        if name.startswith("batch_id=") and _fs_exists(spark, f"{d}/_SUCCESS"):
+            out.append((d, int(name.split("=", 1)[1])))
+    return sorted(out, key=lambda x: x[1])
+
+
+class DurableSegmentStore:
+    """Opt-in parquet persistence for a _TieredSegments store (VERDICT
+    r09 item 4): localCheckpoint segments are executor-resident and die
+    with the session, so the default restart recovery is a full re-hash
+    of the committed output (rebuild_*_ingest_state) — fine for hundreds
+    of batches, a corpus-sized decode for a 10 000-batch production
+    ingest. With a durable store attached, every segment (per-batch
+    level-0 adds AND compaction outputs) is also written as parquet
+    under `root`, and a VERSIONED manifest (manifest_v{N}, _SUCCESS
+    parquet write, highest committed version wins) records the live
+    segment set plus the covered batch_ids — restart recovery is then a
+    manifest read + parquet segment SCANS, no re-hash.
+
+    Write cost per batch: one small segment parquet + one tiny manifest
+    (compactions add one merged-tier parquet — the same O(log_fanout)
+    amortized write amplification as the in-memory design, now on
+    durable storage). All filesystem ops go through the Hadoop FS API,
+    so the contract holds on HDFS/object stores as on local disk.
+
+    Crash windows: a segment parquet no manifest references is an
+    ORPHAN (ignored and deleted on the next load); a crash before the
+    new manifest commits leaves the previous manifest live, so the
+    store recovers to the pre-batch state — any output batch that
+    committed past the recovered manifest is detected by the sink's
+    resume path via the covered-batch set and re-hashed INDIVIDUALLY
+    (O(missing batch), not O(corpus))."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.counter = 0
+        self.version = 0
+        self.batches: set[int] = set()
+
+    def _delete(self, path: str) -> None:
+        fs, jp = _hadoop_fs(self.spark, path)
+        fs.delete(jp, True)
+
+    def persist(self, df: DataFrame, level: int) -> str:
+        self.counter += 1
+        path = f"{self.root}/seg_{self.counter:09d}_L{level}"
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def commit(self, entries: list[tuple[str, int]], batch_id=None) -> None:
+        """Write manifest_v{N+1}: live (path, level) rows, the covered
+        batch_id set, and a meta row carrying the segment counter (in
+        the `level` column). Old manifests beyond the previous one are
+        GC'd after the write succeeds."""
+        if batch_id is not None:
+            self.batches.add(int(batch_id))
+        self.version += 1
+        rows = [("seg", p, lvl, None) for p, lvl in entries]
+        rows += [("batch", None, None, b) for b in sorted(self.batches)]
+        rows += [("meta", None, self.counter, None)]
+        (
+            self.spark.createDataFrame(
+                rows, "kind string, path string, level long, batch_id long"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{self.root}/manifest_v{self.version:09d}")
+        )
+        for v, p in self._manifests():
+            if v < self.version - 1:
+                self._delete(p)
+
+    def _manifests(self) -> list[tuple[int, str]]:
+        out = []
+        for p in _fs_listdir(self.spark, self.root):
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith("manifest_v") and _fs_exists(
+                self.spark, f"{p}/_SUCCESS"
+            ):
+                out.append((int(name[len("manifest_v"):]), p))
+        return sorted(out)
+
+    def load(self):
+        """Latest committed manifest -> [(df, path, level), ...] with
+        segments as plain parquet scans (the disk copy IS the
+        materialization — no re-hash, no checkpoint), restoring the
+        counter/version/covered-batch state. Returns None when no
+        manifest has ever committed. Orphan segments and superseded
+        manifests are deleted."""
+        ms = self._manifests()
+        if not ms:
+            return None
+        self.version, mpath = ms[-1]
+        entries = []
+        live_names = set()
+        for r in self.spark.read.parquet(mpath).collect():
+            if r["kind"] == "seg":
+                entries.append(
+                    (self.spark.read.parquet(r["path"]), r["path"], int(r["level"]))
+                )
+                live_names.add(r["path"].rsplit("/", 1)[-1])
+            elif r["kind"] == "batch":
+                self.batches.add(int(r["batch_id"]))
+            elif r["kind"] == "meta":
+                self.counter = int(r["level"])
+        for p in _fs_listdir(self.spark, self.root):
+            name = p.rsplit("/", 1)[-1]
+            if name.startswith("seg_") and name not in live_names:
+                self._delete(p)  # orphan from a crash window
+            elif name.startswith("manifest_v") and name != mpath.rsplit("/", 1)[-1]:
+                self._delete(p)
+        return entries
 
 
 def _ingest_batch_guard(batch_df: DataFrame, out_dir: str, batch_id: int):
@@ -381,18 +523,47 @@ class _TieredSegments:
     The read side unions at most fanout * n_levels branches, so the join
     plan stays bounded. Segments must be EAGER localCheckpoints;
     ownership transfers here — replaced segments are freed
-    deterministically AFTER their merged successor materializes."""
+    deterministically AFTER their merged successor materializes.
 
-    def __init__(self, fanout: int, initial=None, initial_level: int = 1):
+    With a DurableSegmentStore attached (r10, VERDICT r09 item 4) every
+    segment is ALSO persisted as parquet and the live set committed to a
+    versioned manifest per add(); replaced segment files are deleted only
+    after the manifest that drops them commits. `initial` then accepts
+    the store's load() entries — (df, path, level) tuples, resumed at
+    their recorded levels — alongside plain DataFrames (persisted on
+    entry when a store is attached). Freeing a resumed parquet-scan
+    segment is a benign no-op inside free_local_checkpoint."""
+
+    def __init__(self, fanout: int, initial=None, initial_level: int = 1,
+                 store: "DurableSegmentStore | None" = None):
         # a restart rebuild's full-corpus segment enters ABOVE the
         # per-batch level so the first level-0 merge does not rewrite it
         self.fanout = fanout
-        self.tiers: dict[int, list[DataFrame]] = {}
-        for df in initial or []:
-            self.tiers.setdefault(initial_level, []).append(df)
+        self.store = store
+        self.tiers: dict[int, list[tuple[DataFrame, str | None]]] = {}
+        fresh = False
+        for item in initial or []:
+            if isinstance(item, tuple):
+                df, path, lvl = item  # a DurableSegmentStore.load() entry
+                self.tiers.setdefault(lvl, []).append((df, path))
+            else:
+                path = store.persist(item, initial_level) if store else None
+                self.tiers.setdefault(initial_level, []).append((item, path))
+                fresh = True
+        if store and fresh:
+            # rebuild-provided initial state becomes durable immediately
+            store.commit(self._entries())
+
+    def _entries(self) -> list[tuple[str, int]]:
+        return [
+            (path, lvl)
+            for lvl in sorted(self.tiers)
+            for _, path in self.tiers[lvl]
+            if path is not None
+        ]
 
     def dataframes(self) -> list[DataFrame]:
-        return [df for lvl in sorted(self.tiers) for df in self.tiers[lvl]]
+        return [df for lvl in sorted(self.tiers) for df, _ in self.tiers[lvl]]
 
     def union(self):
         from functools import reduce
@@ -400,21 +571,84 @@ class _TieredSegments:
         dfs = self.dataframes()
         return reduce(DataFrame.unionByName, dfs) if dfs else None
 
-    def add(self, segment: DataFrame) -> None:
+    def add(self, segment: DataFrame, batch_id: int | None = None) -> None:
         from functools import reduce
 
-        self.tiers.setdefault(0, []).append(segment)
+        path = self.store.persist(segment, 0) if self.store else None
+        self.tiers.setdefault(0, []).append((segment, path))
         lvl = 0
+        replaced: list[str] = []
         while len(self.tiers.get(lvl, ())) >= self.fanout:
             olds = self.tiers[lvl]
-            merged = reduce(DataFrame.unionByName, olds).localCheckpoint(
-                eager=True
-            )
+            merged = reduce(
+                DataFrame.unionByName, [df for df, _ in olds]
+            ).localCheckpoint(eager=True)
+            mpath = self.store.persist(merged, lvl + 1) if self.store else None
             self.tiers[lvl] = []
-            self.tiers.setdefault(lvl + 1, []).append(merged)
-            for old in olds:  # freed only post-merge
+            self.tiers.setdefault(lvl + 1, []).append((merged, mpath))
+            for old, opath in olds:  # freed only post-merge
                 _free_local_checkpoint(old)
+                if opath is not None:
+                    replaced.append(opath)
             lvl += 1
+        if self.store:
+            # one manifest commit covers the add + every cascade merge;
+            # replaced files are deleted only after it succeeds (a crash
+            # before the commit leaves them live under the old manifest)
+            self.store.commit(self._entries(), batch_id)
+            for p in replaced:
+                self.store._delete(p)
+
+
+def _resume_durable_text_state(spark, durable_state_dir, out_dir, fanout):
+    """Durable-mode state for streaming_dedup_ingest: resume the shingle
+    and signature tier stores from their manifests (segment scans, no
+    re-hash), then re-index ONLY the committed output batches a
+    recovered manifest doesn't cover (the write-then-crash window, or a
+    first run over a pre-existing out_dir — the migration path)."""
+    from ..operators.dedup import build_dedup_index
+
+    sh_store = DurableSegmentStore(spark, f"{durable_state_dir}/shingles")
+    sig_store = DurableSegmentStore(spark, f"{durable_state_dir}/signatures")
+    sh_tier = _TieredSegments(fanout, sh_store.load() or [], store=sh_store)
+    sig_tier = _TieredSegments(fanout, sig_store.load() or [], store=sig_store)
+    for bdir, bid in _committed_batches(spark, out_dir):
+        if bid in sh_store.batches and bid in sig_store.batches:
+            continue
+        kept = spark.read.parquet(bdir).select("doc_id", "text")
+        sh, sig = build_dedup_index(kept)
+        if bid not in sh_store.batches:
+            sh_tier.add(sh.localCheckpoint(eager=True), bid)
+        if bid not in sig_store.batches:
+            sig_tier.add(sig.localCheckpoint(eager=True), bid)
+    return sh_tier, sig_tier
+
+
+def _resume_durable_media_state(
+    spark, durable_state_dir, out_dir, fanout, hasher
+):
+    """Durable-mode state for streaming_media_dedup_ingest: the media
+    analog of _resume_durable_text_state — kept-id guard and phash index
+    resumed from manifests; uncovered committed batches re-hashed
+    individually (one decode pass per missing batch, never the corpus)."""
+    ids_store = DurableSegmentStore(spark, f"{durable_state_dir}/kept_ids")
+    ph_store = DurableSegmentStore(spark, f"{durable_state_dir}/phash")
+    ids_tier = _TieredSegments(fanout, ids_store.load() or [], store=ids_store)
+    ph_tier = _TieredSegments(fanout, ph_store.load() or [], store=ph_store)
+    for bdir, bid in _committed_batches(spark, out_dir):
+        if bid in ids_store.batches and bid in ph_store.batches:
+            continue
+        kept = spark.read.parquet(bdir).select("doc_id", "content")
+        if bid not in ids_store.batches:
+            ids_tier.add(
+                kept.select("doc_id").localCheckpoint(eager=True), bid
+            )
+        if bid not in ph_store.batches:
+            ph = hasher(kept)
+            if "frame_idx" not in ph.columns:
+                ph = ph.withColumn("frame_idx", F.lit(0))
+            ph_tier.add(ph.localCheckpoint(eager=True), bid)
+    return ids_tier, ph_tier
 
 
 def streaming_media_dedup_ingest(
@@ -427,6 +661,7 @@ def streaming_media_dedup_ingest(
     initial_state=None,
     compact_every: int = 16,
     min_matching_frames: int = 1,
+    durable_state_dir: str | None = None,
 ):
     """Streaming MEDIA ingestion with cross-batch perceptual near-dup
     state (r08) — the media analog of streaming_dedup_ingest: each
@@ -475,7 +710,15 @@ def streaming_media_dedup_ingest(
     (phash 0, dropped inside the banded join) are KEPT — perceptual
     near-dup has no opinion on them (route those through exact
     content-hash dedup) — but their doc_ids still join the id-replay
-    guard."""
+    guard.
+
+    ``durable_state_dir`` (r10, VERDICT r09 item 4) opts into
+    parquet-backed segment state (DurableSegmentStore) for BOTH state
+    tables: restart recovery becomes a manifest read + segment scans
+    instead of rebuild_media_ingest_state's full re-decode of the kept
+    corpus; committed output batches a recovered manifest doesn't cover
+    are re-hashed individually. Mutually exclusive with
+    ``initial_state``."""
     from ..operators.multimodal import (
         _phash_verified_pairs,
         image_phash,
@@ -491,26 +734,43 @@ def streaming_media_dedup_ingest(
     if min_matching_frames < 1:
         raise ValueError(f"min_matching_frames must be >= 1, got {min_matching_frames}")
     hasher = hash_fn or image_phash
-    init_ids, init_segments = (
-        initial_state if initial_state is not None else (None, [])
-    )
-    normed = []
-    for s in init_segments:
-        if "frame_idx" not in s.columns:
-            # re-checkpoint to a BARE LogicalRDD: a withColumn wrapper
-            # would make the compaction-time free a silent no-op
-            # (free_local_checkpoint only reaches through an unwrapped
-            # checkpoint), stranding the caller's blocks until GC
-            fixed = s.withColumn("frame_idx", F.lit(0)).localCheckpoint(
-                eager=True
+    if durable_state_dir is not None:
+        # parquet-backed segment state (r10, VERDICT r09 item 4): resume
+        # from manifests, top up uncovered committed batches; mutually
+        # exclusive with initial_state (all state derives from disk)
+        if initial_state is not None:
+            raise ValueError(
+                "durable_state_dir derives all state from disk; "
+                "initial_state must be None"
             )
-            _free_local_checkpoint(s)  # ownership transferred
-            s = fixed
-        normed.append(s)
-    seg_tier = _TieredSegments(compact_every, normed)
-    ids_tier = _TieredSegments(
-        compact_every, [init_ids] if init_ids is not None else []
-    )
+        ids_tier, seg_tier = _resume_durable_media_state(
+            media_stream.sparkSession,
+            durable_state_dir,
+            out_dir,
+            compact_every,
+            hasher,
+        )
+    else:
+        init_ids, init_segments = (
+            initial_state if initial_state is not None else (None, [])
+        )
+        normed = []
+        for s in init_segments:
+            if "frame_idx" not in s.columns:
+                # re-checkpoint to a BARE LogicalRDD: a withColumn wrapper
+                # would make the compaction-time free a silent no-op
+                # (free_local_checkpoint only reaches through an unwrapped
+                # checkpoint), stranding the caller's blocks until GC
+                fixed = s.withColumn("frame_idx", F.lit(0)).localCheckpoint(
+                    eager=True
+                )
+                _free_local_checkpoint(s)  # ownership transferred
+                s = fixed
+            normed.append(s)
+        seg_tier = _TieredSegments(compact_every, normed)
+        ids_tier = _TieredSegments(
+            compact_every, [init_ids] if init_ids is not None else []
+        )
 
     def _pair_drops(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
         """Per-pair matched-frame-count threshold -> doc_ids to drop.
@@ -564,11 +824,12 @@ def streaming_media_dedup_ingest(
         )
         kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
         # state advances are O(batch) on BOTH tables; tier merges amortize
-        ids_tier.add(kept.select("doc_id").localCheckpoint(eager=True))
+        ids_tier.add(kept.select("doc_id").localCheckpoint(eager=True), batch_id)
         seg_tier.add(
             ph.join(kept.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
                 eager=True
-            )
+            ),
+            batch_id,
         )
         # per-batch intermediates: every eager derivative (write, ids
         # segment, hash segment) has materialized — free deterministically
@@ -592,12 +853,7 @@ def rebuild_media_ingest_state(spark, out_dir: str, hash_fn=None):
     replayed). Returns None when nothing has committed yet."""
     from ..operators.multimodal import image_phash
 
-    committed = [
-        d
-        for d in _fs_listdir(spark, out_dir)
-        if d.rsplit("/", 1)[-1].startswith("batch_id=")
-        and _fs_exists(spark, f"{d}/_SUCCESS")
-    ]
+    committed = [d for d, _ in _committed_batches(spark, out_dir)]
     if not committed:
         return None
     kept = spark.read.parquet(*committed).select("doc_id", "content")
@@ -620,12 +876,7 @@ def rebuild_dedup_ingest_state(spark, out_dir: str):
     local disk, HDFS, and object stores."""
     from ..operators.dedup import build_dedup_index
 
-    committed = [
-        d
-        for d in _fs_listdir(spark, out_dir)
-        if d.rsplit("/", 1)[-1].startswith("batch_id=")
-        and _fs_exists(spark, f"{d}/_SUCCESS")
-    ]
+    committed = [d for d, _ in _committed_batches(spark, out_dir)]
     if not committed:
         return None
     kept = spark.read.parquet(*committed).select("doc_id", "text")

@@ -679,12 +679,12 @@ def test_tiered_segments_compaction_touches_only_merged_tier(spark):
     tiers.add(seg(0, 1))
     tiers.add(seg(1, 2))  # level-0 full -> merge to level 1
     assert [lvl for lvl, dfs in sorted(tiers.tiers.items()) if dfs] == [1]
-    l1 = tiers.tiers[1][0]
+    l1 = tiers.tiers[1][0][0]  # entries are (df, durable_path) since r10
     l1_id = rdd_id(l1)
     s2 = seg(2, 3)
     s2_id = rdd_id(s2)
     tiers.add(s2)  # level 0 holds one segment; level 1 untouched
-    assert tiers.tiers[1][0] is l1, "level-1 segment rewritten by level-0 add"
+    assert tiers.tiers[1][0][0] is l1, "level-1 segment rewritten by level-0 add"
     assert persisted({l1_id, s2_id}) == {l1_id, s2_id}
     union_rows = {r["id"] for r in tiers.union().collect()}
     assert union_rows == {0, 1, 2}
@@ -966,3 +966,206 @@ def test_trending_terms_stream_matches_batch(spark, events_batch, events_stream)
         assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
         ns = [n for _, n in rows]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_media_ingest_durable_state_resumes_without_rehash(spark, tmp_path):
+    """r10 (VERDICT r09 item 4): with durable_state_dir set, restart
+    recovery is a manifest read + parquet segment scans — the second run
+    must (a) drop an id-replay and a near-dup of pre-restart content via
+    the RESUMED state, (b) keep new content, and (c) not re-hash the
+    pre-restart corpus (asserted by poisoning the batch-0 output payloads
+    on disk AFTER the manifests committed: a re-hash would read them —
+    and crash the decode or change the index — while a segment scan
+    never touches payload bytes)."""
+    import os
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        streaming_media_dedup_ingest,
+    )
+
+    rng = np.random.default_rng(113)
+    a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    schema = "doc_id long, content binary"
+    landing = str(tmp_path / "land")
+    durable = str(tmp_path / "durable")
+    os.makedirs(landing)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{landing}/*")
+        )
+        q = streaming_media_dedup_ingest(
+            stream,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            durable_state_dir=durable,
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, bytearray(_pgm(a)))], schema).coalesce(
+        1
+    ).write.parquet(f"{landing}/x")
+    for f in os.listdir(f"{landing}/x"):
+        os.utime(f"{landing}/x/{f}", (1_000, 1_000))
+    run()
+    assert os.path.isdir(f"{durable}/kept_ids") and os.path.isdir(
+        f"{durable}/phash"
+    )
+    # poison the committed batch-0 payloads: resume must NOT re-read them
+    out0 = str(tmp_path / "out" / "batch_id=0")
+    for f in os.listdir(out0):
+        if f.endswith(".parquet"):
+            with open(f"{out0}/{f}", "r+b") as fh:
+                fh.write(b"\x00" * 16)
+
+    a_near = a.copy()
+    a_near[0, 0] ^= 1
+    spark.createDataFrame(
+        [
+            (1, bytearray(_pgm(a))),  # id replay of a pre-restart keeper
+            (2, bytearray(_pgm(a_near))),  # near-dup of pre-restart content
+            (3, bytearray(_pgm(b))),  # new content
+        ],
+        schema,
+    ).coalesce(1).write.parquet(f"{landing}/y")
+    for f in os.listdir(f"{landing}/y"):
+        os.utime(f"{landing}/y/{f}", (2_000, 2_000))
+    run()  # fresh sink instance: in-memory state gone, durable state resumed
+    landed = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(
+            str(tmp_path / "out" / "batch_id=1")
+        ).withColumn("batch_id", F.lit(1)).select("doc_id", "batch_id").collect()
+    }
+    assert landed == {(3, 1)}
+
+
+def test_media_ingest_durable_tops_up_uncovered_batch(spark, tmp_path):
+    """The write-then-crash window: batch output committed (_SUCCESS) but
+    the durable manifests never saw it. Resume must re-hash ONLY that
+    batch (top-up) so its content still dedups the next batch. Simulated
+    by running batch 0 WITHOUT durable state (no manifests at all), then
+    restarting WITH durable_state_dir — the migration path exercises the
+    same top-up code."""
+    import os
+
+    import numpy as np
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        streaming_media_dedup_ingest,
+    )
+
+    rng = np.random.default_rng(117)
+    a = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    b = rng.integers(0, 256, (16, 18), dtype=np.uint8)
+    schema = "doc_id long, content binary"
+    landing = str(tmp_path / "land")
+    os.makedirs(landing)
+
+    def run(durable):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{landing}/*")
+        )
+        q = streaming_media_dedup_ingest(
+            stream,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            durable_state_dir=durable,
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, bytearray(_pgm(a)))], schema).coalesce(
+        1
+    ).write.parquet(f"{landing}/x")
+    for f in os.listdir(f"{landing}/x"):
+        os.utime(f"{landing}/x/{f}", (1_000, 1_000))
+    run(None)  # batch 0 lands with NO durable store — uncovered
+
+    a_near = a.copy()
+    a_near[0, 0] ^= 1
+    spark.createDataFrame(
+        [(2, bytearray(_pgm(a_near))), (3, bytearray(_pgm(b)))], schema
+    ).coalesce(1).write.parquet(f"{landing}/y")
+    for f in os.listdir(f"{landing}/y"):
+        os.utime(f"{landing}/y/{f}", (2_000, 2_000))
+    run(str(tmp_path / "durable"))  # resume: top-up re-hashes batch 0 only
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert kept == {1, 3}, kept  # 2 dropped via the topped-up index
+
+
+def test_text_ingest_durable_state_cross_run(spark, tmp_path):
+    """Text-side durable mode: near-dup text landed in run 1 still drops
+    a near-copy delivered in run 2 through the resumed shingle/signature
+    segment scans; passing initial_index alongside durable_state_dir is
+    rejected (state must have exactly one source of truth)."""
+    import os
+
+    import pytest as _pytest
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        streaming_dedup_ingest,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "and the crowd watches the long parade through the old town square"
+    )
+    near = base.replace("crowd", "crowds")
+    other = (
+        "completely different content about spark structured streaming "
+        "state stores and log structured merge trees for index segments"
+    )
+    schema = "doc_id long, text string, n_chars long"
+    landing = str(tmp_path / "land")
+    durable = str(tmp_path / "durable")
+    os.makedirs(landing)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{landing}/*")
+        )
+        q = streaming_dedup_ingest(
+            stream,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            durable_state_dir=durable,
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(1, base, len(base))], schema).coalesce(
+        1
+    ).write.parquet(f"{landing}/x")
+    for f in os.listdir(f"{landing}/x"):
+        os.utime(f"{landing}/x/{f}", (1_000, 1_000))
+    run()
+    spark.createDataFrame(
+        [(2, near, len(near)), (3, other, len(other))], schema
+    ).coalesce(1).write.parquet(f"{landing}/y")
+    for f in os.listdir(f"{landing}/y"):
+        os.utime(f"{landing}/y/{f}", (2_000, 2_000))
+    run()
+    kept = {
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert kept == {1, 3}, kept
+
+    with _pytest.raises(ValueError, match="durable_state_dir"):
+        streaming_dedup_ingest(
+            spark.readStream.schema(schema).parquet(f"{landing}/*"),
+            str(tmp_path / "out2"),
+            str(tmp_path / "ckpt2"),
+            initial_index=(None, None),
+            durable_state_dir=durable,
+        )
