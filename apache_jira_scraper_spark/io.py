@@ -141,7 +141,7 @@ _FREE_FAILURES_LOCK = threading.Lock()
 
 # Serializes the two save-narrow-restore windows over the session-global
 # spark.sql.shuffle.partitions conf (multimodal._build_clusters and
-# extended._land_stream_corpus's component rounds): if two such windows
+# extended.q_stream_stateful's streaming-leg window): if two such windows
 # ever overlapped, the save/restore would race and the session could be
 # left compiled at the narrowed width (ADVICE r09). Gate execution is
 # single-threaded today — this is cheap insurance, not a hot lock.

@@ -201,12 +201,22 @@ def _deterministic_landing(key: str, kind: str, build) -> str:
     if os.path.isdir(path):
         return path
     scratch = f"{path}.build.{os.getpid()}.{threading.get_ident()}"
-    build(scratch)
+    try:
+        build(scratch)
+    except BaseException:
+        # a failed build must not strand a half-written scratch dir
+        shutil.rmtree(scratch, ignore_errors=True)
+        raise
     try:
         os.rename(scratch, path)
     except OSError:
-        # a concurrent builder won the rename; its dir is complete
         shutil.rmtree(scratch, ignore_errors=True)
+        # only a concurrent builder winning the rename is benign — any
+        # other failure (reaped root, EACCES) must surface HERE, not as
+        # a confusing path-not-found in the downstream reader (review
+        # r10: the first cut swallowed every OSError)
+        if not os.path.isdir(path):
+            raise
     return path
 
 
@@ -350,11 +360,14 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The save-narrow-restore window over the session-global shuffle conf
     # is serialized against multimodal._build_clusters's identical window
     # (ADVICE r09: overlapping windows would race the save/restore and
-    # could leave the session compiled 8-wide).
+    # could leave the session compiled 8-wide). The conf get/set live
+    # INSIDE the try so a Py4J failure between them cannot leak the lock
+    # (review r10); old_sp=None marks "nothing to restore".
     SHUFFLE_CONF_LOCK.acquire()
-    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    old_sp = None
     try:
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
         # 6th leg (r06, VERDICT r05 item 5): cross-batch near-dup ingest —
         # the one north-star streaming op that had no CORRECTNESS row. The
         # corpus lands as TWO micro-batches (even doc_ids, then odd;
@@ -457,8 +470,12 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         for q in (q_sess, q_dedup, q_life, q_join, q_trend, q_ingest, q_mingest):
             q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        SHUFFLE_CONF_LOCK.release()
+        try:
+            if old_sp is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        finally:
+            # release even when the restore itself raises (review r10)
+            SHUFFLE_CONF_LOCK.release()
     sessions = spark.table(t_sess).select(
         F.lit("session").alias("op"),
         F.col("user_id").alias("id"),

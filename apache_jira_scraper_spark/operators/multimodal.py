@@ -3466,8 +3466,16 @@ def phash_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: range — raw text bytes as PCM would decode all-negative (ASCII < 0x80,
 #: sample = byte-128), making zcr trivially 0 and silence unreachable.
 AFEAT_SAMPLES = 512
-_AFEAT_CHARS = "".join(chr(c) for c in range(32, 127))
-_AFEAT_NIBS = "".join("0123456789abcdef"[c % 16] for c in range(32, 127))
+#: The mapping covers EVERY byte the testdata contract permits (<128,
+#: test_testdata_contract pins pure ASCII — which includes control
+#: chars like \t\n\r): an unmapped char would pass through translate,
+#: make unhex() NULL the whole body, and crash the decode while the
+#: oracle computed merrily on (review r10 — the first cut mapped only
+#: printable 32..126). NUL is excluded (Spark strings are not
+#: NUL-transparent through every codepath); the contract test would
+#: fail loudly first if a regeneration ever emitted one.
+_AFEAT_CHARS = "".join(chr(c) for c in range(1, 128))
+_AFEAT_NIBS = "".join("0123456789abcdef"[c % 16] for c in range(1, 128))
 
 
 def afeat_audio_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3808,11 +3816,15 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch: list = []
         # serialized against extended.q_stream_stateful's identical
         # save-narrow-restore window (ADVICE r09: an overlap would race
-        # the restore and leave the session compiled 8-wide)
+        # the restore and leave the session compiled 8-wide); conf
+        # get/set INSIDE the try so a Py4J failure between acquire and
+        # the body cannot leak the lock, and the release/frees run even
+        # when the restore itself raises (review r10)
         SHUFFLE_CONF_LOCK.acquire()
-        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        old_sp = None
         try:
+            old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
             clus = (
                 media_near_dup_clusters(edges_ck, scratch_out=scratch)
                 .select(
@@ -3823,15 +3835,19 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .localCheckpoint(eager=True)
             )
         finally:
-            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-            SHUFFLE_CONF_LOCK.release()
-            # superseded by the eager clus frame on success; on failure
-            # (e.g. non-convergence) a retrying caller must not rebuild
-            # on a heap pinning the dead state (review r09 follow-up —
-            # the same rule connected_components applies internally)
-            free_local_checkpoint(edges_ck)
-            for df in scratch:
-                free_local_checkpoint(df)
+            try:
+                if old_sp is not None:
+                    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            finally:
+                SHUFFLE_CONF_LOCK.release()
+                # superseded by the eager clus frame on success; on
+                # failure (e.g. non-convergence) a retrying caller must
+                # not rebuild on a heap pinning the dead state (review
+                # r09 follow-up — the same rule connected_components
+                # applies internally)
+                free_local_checkpoint(edges_ck)
+                for df in scratch:
+                    free_local_checkpoint(df)
         return clus
 
     clus = session_cached(_MEDIA_CLUSTERS, spark, (sf_dir,), _build_clusters)

@@ -432,18 +432,35 @@ class DurableSegmentStore:
 
     def commit(self, entries: list[tuple[str, int]], batch_id=None) -> None:
         """Write manifest_v{N+1}: live (path, level) rows, the covered
-        batch_id set, and a meta row carrying the segment counter (in
-        the `level` column). Old manifests beyond the previous one are
-        GC'd after the write succeeds."""
+        batch_ids as MERGED [lo, hi] ranges (batch_ids are assigned
+        monotonically by the streaming engine, so coverage is one row in
+        the common case — one row PER batch would make total manifest
+        rows quadratic over exactly the 10 000-batch run this store
+        exists for, review r10), and a meta row carrying the segment
+        counter in `lo`. Old manifests beyond the previous one are GC'd
+        after the write succeeds, so the per-commit listing stays O(live
+        segments + 2)."""
         if batch_id is not None:
             self.batches.add(int(batch_id))
         self.version += 1
-        rows = [("seg", p, lvl, None) for p, lvl in entries]
-        rows += [("batch", None, None, b) for b in sorted(self.batches)]
-        rows += [("meta", None, self.counter, None)]
+        rows = [("seg", p, lvl, None, None) for p, lvl in entries]
+        lo = None
+        prev = None
+        for b in sorted(self.batches):
+            if lo is None:
+                lo = prev = b
+            elif b == prev + 1:
+                prev = b
+            else:
+                rows.append(("batches", None, None, lo, prev))
+                lo = prev = b
+        if lo is not None:
+            rows.append(("batches", None, None, lo, prev))
+        rows.append(("meta", None, None, self.counter, None))
         (
             self.spark.createDataFrame(
-                rows, "kind string, path string, level long, batch_id long"
+                rows,
+                "kind string, path string, level long, lo long, hi long",
             )
             .coalesce(1)
             .write.mode("overwrite")
@@ -482,10 +499,10 @@ class DurableSegmentStore:
                     (self.spark.read.parquet(r["path"]), r["path"], int(r["level"]))
                 )
                 live_names.add(r["path"].rsplit("/", 1)[-1])
-            elif r["kind"] == "batch":
-                self.batches.add(int(r["batch_id"]))
+            elif r["kind"] == "batches":
+                self.batches.update(range(int(r["lo"]), int(r["hi"]) + 1))
             elif r["kind"] == "meta":
-                self.counter = int(r["level"])
+                self.counter = int(r["lo"])
         for p in _fs_listdir(self.spark, self.root):
             name = p.rsplit("/", 1)[-1]
             if name.startswith("seg_") and name not in live_names:
