@@ -349,10 +349,14 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     per shuffle partition per micro-batch, and with ~10 stateful operators
     across the four legs, 32-partition state stores dominate wall time
     3-4x over the actual work at this input size (measured 18 s -> 5 s at
-    sf0.1). A streaming query BAKES the number into its checkpoint at
-    start, so this is a per-query sizing decision exactly like choosing
-    shuffle partitions for a batch job — at production volume you'd size
-    it UP the same way. The conf is restored before the batch union runs."""
+    sf0.1; the r10 A/B trimmed it again, 8 -> 4 wide: warm minima
+    9.0/9.0 -> 8.1/8.6 s across two sessions each — state-store
+    instantiation is the residual the r09 profile identified, and the
+    per-leg work is far below 4 partitions of data). A streaming query
+    BAKES the number into its checkpoint at start, so this is a
+    per-query sizing decision exactly like choosing shuffle partitions
+    for a batch job — at production volume you'd size it UP the same
+    way. The conf is restored before the batch union runs."""
     import tempfile
 
     from ..io import SHUFFLE_CONF_LOCK, load_table
@@ -367,7 +371,7 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sp = None
     try:
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         # 6th leg (r06, VERDICT r05 item 5): cross-batch near-dup ingest —
         # the one north-star streaming op that had no CORRECTNESS row. The
         # corpus lands as TWO micro-batches (even doc_ids, then odd;
