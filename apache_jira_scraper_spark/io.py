@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import threading
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -139,13 +140,36 @@ def free_local_checkpoint(df: DataFrame | None) -> None:
 FREE_CHECKPOINT_FAILURES = 0
 _FREE_FAILURES_LOCK = threading.Lock()
 
-# Serializes the two save-narrow-restore windows over the session-global
+# Serializes the save-narrow-restore windows over the session-global
 # spark.sql.shuffle.partitions conf (multimodal._build_clusters and
 # extended.q_stream_stateful's streaming-leg window): if two such windows
 # ever overlapped, the save/restore would race and the session could be
 # left compiled at the narrowed width (ADVICE r09). Gate execution is
 # single-threaded today — this is cheap insurance, not a hot lock.
 SHUFFLE_CONF_LOCK = threading.RLock()
+
+
+@contextmanager
+def narrowed_shuffle_partitions(spark: SparkSession, n: int):
+    """THE save-narrow-restore window over the session-global shuffle
+    conf — one definition for every caller (review r10: two hand-rolled
+    copies needed the same two exception-safety fixes applied twice).
+    Serialized by SHUFFLE_CONF_LOCK; the conf get/set live INSIDE the
+    try so a Py4J failure cannot leak the lock, and the restore is
+    wrapped so the release runs even when the restore itself raises.
+    old=None marks "nothing to restore"."""
+    SHUFFLE_CONF_LOCK.acquire()
+    old = None
+    try:
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        yield
+    finally:
+        try:
+            if old is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+        finally:
+            SHUFFLE_CONF_LOCK.release()
 
 
 # Re-entrant: cached builders may consult another session cache

@@ -359,19 +359,14 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     way. The conf is restored before the batch union runs."""
     import tempfile
 
-    from ..io import SHUFFLE_CONF_LOCK, load_table
+    from ..io import load_table, narrowed_shuffle_partitions
 
-    # The save-narrow-restore window over the session-global shuffle conf
-    # is serialized against multimodal._build_clusters's identical window
-    # (ADVICE r09: overlapping windows would race the save/restore and
-    # could leave the session compiled 8-wide). The conf get/set live
-    # INSIDE the try so a Py4J failure between them cannot leak the lock
-    # (review r10); old_sp=None marks "nothing to restore".
-    SHUFFLE_CONF_LOCK.acquire()
-    old_sp = None
-    try:
-        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+    # One shared save-narrow-restore window (io.narrowed_shuffle_partitions,
+    # review r10: the hand-rolled copies here and in _build_clusters needed
+    # the same exception-safety fixes twice): serialized against
+    # multimodal._build_clusters (ADVICE r09), lock-leak- and
+    # restore-failure-safe.
+    with narrowed_shuffle_partitions(spark, 4):
         # 6th leg (r06, VERDICT r05 item 5): cross-batch near-dup ingest —
         # the one north-star streaming op that had no CORRECTNESS row. The
         # corpus lands as TWO micro-batches (even doc_ids, then odd;
@@ -473,13 +468,6 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for q in (q_sess, q_dedup, q_life, q_join, q_trend, q_ingest, q_mingest):
             q.awaitTermination()
-    finally:
-        try:
-            if old_sp is not None:
-                spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-        finally:
-            # release even when the restore itself raises (review r10)
-            SHUFFLE_CONF_LOCK.release()
     sessions = spark.table(t_sess).select(
         F.lit("session").alias("op"),
         F.col("user_id").alias("id"),

@@ -43,9 +43,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import (
-    SHUFFLE_CONF_LOCK,
     free_local_checkpoint,
     load_table,
+    narrowed_shuffle_partitions,
     session_cached,
 )
 
@@ -3814,40 +3814,29 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sizing argument; at production volume size it UP the same way).
         edges_ck = edges.localCheckpoint(eager=True)
         scratch: list = []
-        # serialized against extended.q_stream_stateful's identical
-        # save-narrow-restore window (ADVICE r09: an overlap would race
-        # the restore and leave the session compiled 8-wide); conf
-        # get/set INSIDE the try so a Py4J failure between acquire and
-        # the body cannot leak the lock, and the release/frees run even
-        # when the restore itself raises (review r10)
-        SHUFFLE_CONF_LOCK.acquire()
-        old_sp = None
+        # One shared save-narrow-restore window
+        # (io.narrowed_shuffle_partitions — serialized against
+        # extended.q_stream_stateful's window, ADVICE r09; lock-leak- and
+        # restore-failure-safe, review r10).
         try:
-            old_sp = spark.conf.get("spark.sql.shuffle.partitions")
-            spark.conf.set("spark.sql.shuffle.partitions", "8")
-            clus = (
-                media_near_dup_clusters(edges_ck, scratch_out=scratch)
-                .select(
-                    "doc_id",
-                    F.col("cluster_id").alias("media_cluster"),
-                    F.col("is_keeper").cast("long").alias("media_keeper"),
+            with narrowed_shuffle_partitions(spark, 8):
+                clus = (
+                    media_near_dup_clusters(edges_ck, scratch_out=scratch)
+                    .select(
+                        "doc_id",
+                        F.col("cluster_id").alias("media_cluster"),
+                        F.col("is_keeper").cast("long").alias("media_keeper"),
+                    )
+                    .localCheckpoint(eager=True)
                 )
-                .localCheckpoint(eager=True)
-            )
         finally:
-            try:
-                if old_sp is not None:
-                    spark.conf.set("spark.sql.shuffle.partitions", old_sp)
-            finally:
-                SHUFFLE_CONF_LOCK.release()
-                # superseded by the eager clus frame on success; on
-                # failure (e.g. non-convergence) a retrying caller must
-                # not rebuild on a heap pinning the dead state (review
-                # r09 follow-up — the same rule connected_components
-                # applies internally)
-                free_local_checkpoint(edges_ck)
-                for df in scratch:
-                    free_local_checkpoint(df)
+            # superseded by the eager clus frame on success; on failure
+            # (e.g. non-convergence) a retrying caller must not rebuild
+            # on a heap pinning the dead state (review r09 follow-up —
+            # the same rule connected_components applies internally)
+            free_local_checkpoint(edges_ck)
+            for df in scratch:
+                free_local_checkpoint(df)
         return clus
 
     clus = session_cached(_MEDIA_CLUSTERS, spark, (sf_dir,), _build_clusters)

@@ -413,12 +413,24 @@ class DurableSegmentStore:
     resume path via the covered-batch set and re-hashed INDIVIDUALLY
     (O(missing batch), not O(corpus))."""
 
+    #: manifest schema — a load() that finds a manifest WITHOUT these
+    #: columns treats it as an unreadable foreign/legacy format: deletes
+    #: it and falls back to the next older one (review r10: a format
+    #: change must degrade to the top-up re-hash path, never crash the
+    #: recovery the store exists for)
+    _SCHEMA = "kind string, path string, level long, lo long, hi long"
+
     def __init__(self, spark, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
         self.counter = 0
         self.version = 0
         self.batches: set[int] = set()
+        # merged [lo, hi] coverage ranges, maintained INCREMENTALLY (the
+        # common case appends hi+1) — rebuilding by sorting the full set
+        # per commit would be O(n log n) per batch over exactly the
+        # 10k-batch run this store targets (review r10)
+        self.ranges: list[list[int]] = []
 
     def _delete(self, path: str) -> None:
         fs, jp = _hadoop_fs(self.spark, path)
@@ -441,27 +453,13 @@ class DurableSegmentStore:
         after the write succeeds, so the per-commit listing stays O(live
         segments + 2)."""
         if batch_id is not None:
-            self.batches.add(int(batch_id))
+            self._cover(int(batch_id))
         self.version += 1
         rows = [("seg", p, lvl, None, None) for p, lvl in entries]
-        lo = None
-        prev = None
-        for b in sorted(self.batches):
-            if lo is None:
-                lo = prev = b
-            elif b == prev + 1:
-                prev = b
-            else:
-                rows.append(("batches", None, None, lo, prev))
-                lo = prev = b
-        if lo is not None:
-            rows.append(("batches", None, None, lo, prev))
+        rows += [("batches", None, None, lo, hi) for lo, hi in self.ranges]
         rows.append(("meta", None, None, self.counter, None))
         (
-            self.spark.createDataFrame(
-                rows,
-                "kind string, path string, level long, lo long, hi long",
-            )
+            self.spark.createDataFrame(rows, self._SCHEMA)
             .coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{self.root}/manifest_v{self.version:09d}")
@@ -469,6 +467,31 @@ class DurableSegmentStore:
         for v, p in self._manifests():
             if v < self.version - 1:
                 self._delete(p)
+
+    def _cover(self, b: int) -> None:
+        """Add a batch_id to the coverage set + merged ranges: O(1) for
+        the monotone streaming case (extend the last range or append),
+        full re-merge only for out-of-order backfill (top-up of an old
+        uncovered batch — rare by construction)."""
+        if b in self.batches:
+            return
+        self.batches.add(b)
+        if self.ranges and b == self.ranges[-1][1] + 1:
+            self.ranges[-1][1] = b
+        elif not self.ranges or b > self.ranges[-1][1] + 1:
+            self.ranges.append([b, b])
+        else:
+            self.ranges = self._merge_ranges(self.batches)
+
+    @staticmethod
+    def _merge_ranges(ids) -> list[list[int]]:
+        out: list[list[int]] = []
+        for b in sorted(ids):
+            if out and b == out[-1][1] + 1:
+                out[-1][1] = b
+            else:
+                out.append([b, b])
+        return out
 
     def _manifests(self) -> list[tuple[int, str]]:
         out = []
@@ -487,13 +510,25 @@ class DurableSegmentStore:
         counter/version/covered-batch state. Returns None when no
         manifest has ever committed. Orphan segments and superseded
         manifests are deleted."""
-        ms = self._manifests()
-        if not ms:
+        mpath = None
+        rows = None
+        for v, p in reversed(self._manifests()):
+            df = self.spark.read.parquet(p)
+            if not {"kind", "path", "lo", "hi"} <= set(df.columns):
+                # foreign/legacy manifest format: unusable — drop it and
+                # fall back to the next older one (worst case: no
+                # manifest at all, and the caller's top-up re-hashes the
+                # committed batches — degraded, never wrong; review r10)
+                self._delete(p)
+                continue
+            self.version, mpath = v, p
+            rows = df.collect()
+            break
+        if mpath is None:
             return None
-        self.version, mpath = ms[-1]
         entries = []
         live_names = set()
-        for r in self.spark.read.parquet(mpath).collect():
+        for r in rows:
             if r["kind"] == "seg":
                 entries.append(
                     (self.spark.read.parquet(r["path"]), r["path"], int(r["level"]))
@@ -503,6 +538,7 @@ class DurableSegmentStore:
                 self.batches.update(range(int(r["lo"]), int(r["hi"]) + 1))
             elif r["kind"] == "meta":
                 self.counter = int(r["lo"])
+        self.ranges = self._merge_ranges(self.batches)
         for p in _fs_listdir(self.spark, self.root):
             name = p.rsplit("/", 1)[-1]
             if name.startswith("seg_") and name not in live_names:

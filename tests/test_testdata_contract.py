@@ -38,11 +38,13 @@ def test_documents_text_is_pure_ascii(sf_dir):
            OR length(list_filter(
                   list_transform(generate_series(1, length(text), 1),
                                  i -> ascii(substr(text, i, 1))),
-                  b -> b >= 128 OR b < 0)) > 0
+                  b -> b >= 128 OR b < 1)) > 0
         """
     ).fetchone()[0]
     assert bad == 0, (
-        f"{sf_dir}/documents.parquet holds non-ASCII text in {bad} docs: "
-        "the byte/patch/phash oracles' ascii(substr)==byte identity is "
-        "broken — regenerate or rewrite the oracles byte-wise"
+        f"{sf_dir}/documents.parquet holds non-ASCII (or NUL) text in {bad} "
+        "docs: the byte/patch/phash oracles' ascii(substr)==byte identity "
+        "(and the afeat fixture's translate map, which excludes NUL — "
+        "Spark strings are not NUL-transparent everywhere) is broken — "
+        "regenerate or rewrite the oracles byte-wise"
     )
