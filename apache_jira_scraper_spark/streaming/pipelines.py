@@ -510,20 +510,49 @@ class DurableSegmentStore:
         counter/version/covered-batch state. Returns None when no
         manifest has ever committed. Orphan segments and superseded
         manifests are deleted."""
+        ms = self._manifests()
         mpath = None
         rows = None
-        for v, p in reversed(self._manifests()):
-            df = self.spark.read.parquet(p)
-            if not {"kind", "path", "lo", "hi"} <= set(df.columns):
-                # foreign/legacy manifest format: unusable — drop it and
-                # fall back to the next older one (worst case: no
-                # manifest at all, and the caller's top-up re-hashes the
-                # committed batches — degraded, never wrong; review r10)
-                self._delete(p)
+        newest_seen = 0
+        skipped_foreign = False
+        for v, p in reversed(ms):
+            newest_seen = max(newest_seen, v)
+            # A manifest that cannot be read as parquet OR lacks the
+            # current columns is a foreign/legacy format. SKIP it — never
+            # delete it: on a software-version rollback it is the newer
+            # build's live state, and destroying it (plus the segments
+            # only it references, via the orphan sweep) would silently
+            # lose that state where a crash would at least have preserved
+            # it for operator intervention (review r10 pass 3). Fall back
+            # to the next older manifest; worst case the caller's top-up
+            # re-hashes the committed batches — degraded, never wrong.
+            try:
+                df = self.spark.read.parquet(p)
+                got = (
+                    df.collect()
+                    if {"kind", "path", "level", "lo", "hi"} <= set(df.columns)
+                    else None
+                )
+            except Exception:
+                got = None
+            if got is None:
+                skipped_foreign = True
                 continue
             self.version, mpath = v, p
-            rows = df.collect()
+            rows = got
             break
+        if skipped_foreign or mpath is None:
+            # commits must never overwrite a skipped (newer/foreign)
+            # manifest version, and persist() must never overwrite its
+            # segment files: bump both counters past everything on disk
+            self.version = max(self.version, newest_seen)
+            for p in _fs_listdir(self.spark, self.root):
+                name = p.rsplit("/", 1)[-1]
+                if name.startswith("seg_"):
+                    try:
+                        self.counter = max(self.counter, int(name.split("_")[1]))
+                    except ValueError:
+                        pass
         if mpath is None:
             return None
         entries = []
@@ -537,14 +566,21 @@ class DurableSegmentStore:
             elif r["kind"] == "batches":
                 self.batches.update(range(int(r["lo"]), int(r["hi"]) + 1))
             elif r["kind"] == "meta":
-                self.counter = int(r["lo"])
+                self.counter = max(self.counter, int(r["lo"]))
         self.ranges = self._merge_ranges(self.batches)
-        for p in _fs_listdir(self.spark, self.root):
-            name = p.rsplit("/", 1)[-1]
-            if name.startswith("seg_") and name not in live_names:
-                self._delete(p)  # orphan from a crash window
-            elif name.startswith("manifest_v") and name != mpath.rsplit("/", 1)[-1]:
-                self._delete(p)
+        if not skipped_foreign:
+            # GC runs ONLY when the loaded manifest is the newest on
+            # disk — under a skipped foreign manifest, "orphan" segments
+            # may be the foreign version's live state
+            for p in _fs_listdir(self.spark, self.root):
+                name = p.rsplit("/", 1)[-1]
+                if name.startswith("seg_") and name not in live_names:
+                    self._delete(p)  # orphan from a crash window
+                elif (
+                    name.startswith("manifest_v")
+                    and name != mpath.rsplit("/", 1)[-1]
+                ):
+                    self._delete(p)
         return entries
 
 

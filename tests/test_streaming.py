@@ -1169,3 +1169,64 @@ def test_text_ingest_durable_state_cross_run(spark, tmp_path):
             initial_index=(None, None),
             durable_state_dir=durable,
         )
+
+
+def test_durable_store_skips_foreign_manifest_without_destroying_it(
+    spark, tmp_path
+):
+    """Review r10 pass 3: a manifest the current build cannot read (a
+    newer/legacy format — wrong columns, or not parquet at all) must be
+    SKIPPED, never deleted: on a version rollback it is the newer
+    build's live state. load() falls back to the older readable
+    manifest, suppresses the orphan sweep (the foreign version's
+    segments must survive), and bumps version/counter past everything
+    on disk so later commits/persists can't overwrite foreign files."""
+    import os
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        DurableSegmentStore,
+    )
+
+    root = str(tmp_path / "store")
+    s1 = DurableSegmentStore(spark, root)
+    seg = spark.range(0, 3).localCheckpoint(eager=True)
+    p = s1.persist(seg, 0)
+    s1.commit([(p, 0)], batch_id=0)
+
+    # a "newer build" writes a manifest with a different schema plus a
+    # segment file only it references
+    spark.range(0, 1).select(
+        F.lit("seg").alias("kind"), F.lit("x").alias("path")
+    ).write.parquet(f"{root}/manifest_v000000099")
+    spark.range(7, 9).write.parquet(f"{root}/seg_000000050_L0")
+
+    s2 = DurableSegmentStore(spark, root)
+    entries = s2.load()
+    assert entries is not None and len(entries) == 1
+    df, path, lvl = entries[0]
+    assert lvl == 0 and {r["id"] for r in df.collect()} == {0, 1, 2}
+    assert s2.batches == {0}
+    # the foreign manifest and its segment survived the load
+    assert os.path.isdir(f"{root}/manifest_v000000099")
+    assert os.path.isdir(f"{root}/seg_000000050_L0")
+    # version/counter bumped past the foreign files: a new commit/persist
+    # must not overwrite them
+    assert s2.version >= 99 and s2.counter >= 50
+    seg2 = spark.range(3, 5).localCheckpoint(eager=True)
+    p2 = s2.persist(seg2, 0)
+    assert p2.rsplit("/", 1)[-1] != "seg_000000050_L0"
+    s2.commit([(path, 0), (p2, 0)], batch_id=1)
+    assert os.path.isdir(f"{root}/manifest_v000000099"), (
+        "commit GC destroyed the foreign manifest"
+    )
+
+    # a corrupt (non-parquet) newest manifest dir is also skipped
+    os.makedirs(f"{root}/manifest_v000000200")
+    with open(f"{root}/manifest_v000000200/_SUCCESS", "w"):
+        pass
+    with open(f"{root}/manifest_v000000200/part-00000.parquet", "wb") as fh:
+        fh.write(b"not parquet")
+    s3 = DurableSegmentStore(spark, root)
+    entries3 = s3.load()
+    assert entries3 is not None and len(entries3) == 2
+    assert s3.batches == {0, 1}
