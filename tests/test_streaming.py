@@ -1230,3 +1230,61 @@ def test_durable_store_skips_foreign_manifest_without_destroying_it(
     entries3 = s3.load()
     assert entries3 is not None and len(entries3) == 2
     assert s3.batches == {0, 1}
+
+
+def test_durable_store_random_crash_resume_model(spark, tmp_path):
+    """Model-based randomized check of the durable tier store (r10): a
+    random interleaving of segment adds, simulated crashes (fresh store
+    + load — in-memory state discarded), compactions (small fanout) and
+    a foreign-manifest injection must always satisfy the model: the
+    resumed union contains exactly the rows of every committed add, and
+    the covered-batch set equals the added batch_ids. Deterministic
+    seed — this is a model test, not a fuzz lottery."""
+    import random
+
+    from apache_jira_scraper_spark.streaming.pipelines import (
+        DurableSegmentStore,
+        _TieredSegments,
+    )
+
+    rng = random.Random(20260815)
+    root = str(tmp_path / "store")
+
+    def fresh():
+        store = DurableSegmentStore(spark, root)
+        loaded = store.load() or []
+        return _TieredSegments(3, loaded, store=store)
+
+    tier = fresh()
+    expected_rows: set[int] = set()
+    expected_batches: set[int] = set()
+    next_row = 0
+    for step in range(18):
+        action = rng.random()
+        if action < 0.55 or not expected_batches:
+            # add one batch segment (1-3 rows)
+            n = rng.randint(1, 3)
+            seg = spark.range(next_row, next_row + n).localCheckpoint(
+                eager=True
+            )
+            bid = len(expected_batches)
+            tier.add(seg, bid)
+            expected_rows |= set(range(next_row, next_row + n))
+            expected_batches.add(bid)
+            next_row += n
+        elif action < 0.85:
+            # crash + resume: all in-memory state discarded
+            tier = fresh()
+        else:
+            # foreign manifest lands (newer build) mid-life, then crash +
+            # resume: must be skipped, not break recovery
+            spark.range(0, 1).select(F.lit("zz").alias("weird")).write.mode(
+                "overwrite"
+            ).parquet(f"{root}/manifest_v{900 + step:09d}")
+            tier = fresh()
+        got = {r["id"] for r in tier.union().collect()} if tier.union() is not None else set()
+        assert got == expected_rows, (step, got ^ expected_rows)
+        assert tier.store.batches == expected_batches, (
+            step,
+            tier.store.batches ^ expected_batches,
+        )
