@@ -324,6 +324,58 @@ def ann_lsh_topk_multi(
     )
 
 
+#: RRF rank constant (Cormack/Clarke/Buettcher's k=60 convention). The
+#: integer contribution round(1e6/(k+rank)) is exactly engine-stable for
+#: every rank the gate produces: 1e6/(61..65) never lands on a .5
+#: boundary (64 divides 1e6 exactly), so Spark's HALF_UP and DuckDB's
+#: half-even ROUND agree without a decimal detour.
+RRF_K = 60
+
+
+def hybrid_rrf_topk(
+    lex: DataFrame, sem: DataFrame, top_k: int = TOP_K, k_rrf: int = RRF_K
+) -> DataFrame:
+    """Reciprocal-rank fusion of a lexical and a semantic ranked list —
+    the standard hybrid-retrieval merge a curation/retrieval pipeline
+    runs over BM25 and embedding neighbors (dedup catches near-copies,
+    embeddings catch paraphrases, BM25 catches keyword overlap; RRF is
+    how the branches COMBINE): score(q, d) = Σ_branches
+    round(1e6 / (k_rrf + rank_branch(d))), summed only over branches
+    where d appears. Contributions are integers BEFORE the sum
+    (the bm25/unigram quantization trick), so the cross-engine
+    aggregation is order-independent and the DuckDB twin hashes
+    identically.
+
+    Inputs are ranked lists (qid, rank, did|nid, ...); returns
+    (qid, rank, did, rrf_e6), rank re-assigned by fused score with
+    did ASC tie-break. Scale shape: the expensive work lives in the
+    BRANCHES — the fusion itself is a union of two n_queries×k-row
+    lists, one (qid, did) aggregation and a per-query top-k window;
+    at 100 TB both branch lists are already tiny."""
+    def contrib(branch: DataFrame) -> DataFrame:
+        id_col = "did" if "did" in branch.columns else "nid"
+        return branch.select(
+            "qid",
+            F.col(id_col).alias("did"),
+            F.round(F.lit(1_000_000.0) / (F.col("rank") + F.lit(k_rrf)))
+            .cast("bigint")
+            .alias("c"),
+        )
+
+    fused = (
+        contrib(lex)
+        .unionByName(contrib(sem))
+        .groupBy("qid", "did")
+        .agg(F.sum("c").cast("bigint").alias("rrf_e6"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_e6"), F.asc("did"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "did", "rrf_e6")
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate: exact brute-force top-k, LSH-bucketed approximate top-k, and
     the k-NN majority-label vote as union-tagged legs on a common

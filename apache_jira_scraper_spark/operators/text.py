@@ -991,12 +991,102 @@ ORDER BY qid, rank
 """
 
 
+#: session cache for the gate's BM25 top-k table (50 rows, pure function
+#: of (session, sf_dir) — the similarity family's q_cosine_topk
+#: precedent): it feeds BOTH gate legs, and caching also bounds the
+#: inverted-index checkpoint inside bm25_topk to one per session.
+_BM25_TOPK_CACHE: dict = {}
+
+
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 top-k retrieval gate over the documents table (defaults:
-    first 10 docs as queries, top 5 per query)."""
-    return bm25_topk(
-        load_table_parallel(spark, sf_dir, "documents"), materialize_tf=True
+    """BM25 retrieval gate, union-tagged since r10 (leg, qid, rank, did,
+    score_en4): the certified BM25 top-k list (leg='bm25', defaults:
+    first 10 docs as queries, top 5 per query) PLUS the hybrid
+    reciprocal-rank fusion of that list with the exact cosine top-k
+    over the aligned embeddings table (leg='rrf', score =
+    similarity.hybrid_rrf_topk's integer rrf_e6) — certifying the
+    hybrid-retrieval merge under the driver hash. vec_id == doc_id by
+    testdata construction, so the two branches rank the same document
+    collection; the fused order genuinely differs from the lexical
+    branch (45/50 slots at sf0.01 — pinned in tests so a degenerate
+    agreement fails loudly). The semantic branch re-reads the
+    session-cached exact top-k the similarity gates already
+    materialize; the DuckDB oracle restates the fusion over the same
+    two branch queries (validated against an independent Python RRF
+    before wiring)."""
+    from ..io import session_cached
+    from .similarity import hybrid_rrf_topk, q_cosine_topk
+
+    def _build() -> DataFrame:
+        return bm25_topk(
+            load_table_parallel(spark, sf_dir, "documents"),
+            materialize_tf=True,
+        ).localCheckpoint(eager=True)
+
+    bm = session_cached(_BM25_TOPK_CACHE, spark, (sf_dir,), _build)
+    fused = hybrid_rrf_topk(bm, q_cosine_topk(spark, sf_dir))
+    return (
+        bm.select(
+            F.lit("bm25").alias("leg"), "qid", "rank", "did", "score_en4"
+        )
+        .unionByName(
+            fused.select(
+                F.lit("rrf").alias("leg"),
+                "qid",
+                "rank",
+                "did",
+                F.col("rrf_e6").alias("score_en4"),
+            )
+        )
+        .orderBy("leg", "qid", "rank")
     )
+
+
+def hybrid_bm25_rrf_sql() -> str:
+    """DuckDB twin of the union-tagged q_bm25_topk: the bm25_topk_sql
+    chain embedded as a subquery (hyb_-prefixed outer CTEs — an outer
+    name colliding with an embedded WITH binds wrong, the r06 lesson),
+    the exact-cosine branch restated from the similarity gate's SQL,
+    and the identical integer RRF fusion."""
+    from .similarity import N_QUERIES, RRF_K, TOP_K
+
+    return f"""
+WITH hyb_bm AS MATERIALIZED (SELECT * FROM ({bm25_topk_sql()})),
+hyb_sem AS (
+  SELECT qid, did,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did ASC)
+           AS rank
+  FROM (
+    SELECT q.vec_id AS qid, c.vec_id AS did,
+           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+    FROM embeddings q JOIN embeddings c
+      ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id)
+  QUALIFY rank <= {TOP_K}
+),
+hyb_fused AS (
+  SELECT qid, did, CAST(SUM(c) AS BIGINT) AS rrf_e6
+  FROM (
+    SELECT qid, did,
+           CAST(ROUND(1000000.0 / (rank + {RRF_K})) AS BIGINT) AS c
+    FROM hyb_bm
+    UNION ALL
+    SELECT qid, did, CAST(ROUND(1000000.0 / (rank + {RRF_K})) AS BIGINT)
+    FROM hyb_sem)
+  GROUP BY qid, did
+),
+hyb_ranked AS (
+  SELECT qid, did, rrf_e6,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_e6 DESC, did ASC)
+           AS rank
+  FROM hyb_fused
+)
+SELECT 'bm25' AS leg, qid, rank, did, score_en4 FROM hyb_bm
+UNION ALL
+SELECT 'rrf' AS leg, qid, rank, did, rrf_e6 AS score_en4
+FROM hyb_ranked WHERE rank <= {TOP_K}
+ORDER BY leg, qid, rank
+"""
 
 
 def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1117,4 +1207,5 @@ def register_all() -> None:
     register("text_quality_signals", q_text_quality_signals, text_quality_signals_sql())
     # doc_bpe_token_count merged into doc_stats (r05 gate rotation);
     # q_bpe_token_count + BPE_TOKEN_SQL stay the library API, pytest-pinned.
-    register("bm25_topk", q_bm25_topk, bm25_topk_sql())
+    # union-tagged since r10: bm25 leg + hybrid RRF fusion leg
+    register("bm25_topk", q_bm25_topk, hybrid_bm25_rrf_sql())

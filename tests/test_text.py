@@ -230,3 +230,51 @@ def test_bm25_semantics(spark):
     # doc 12 shares no term -> never a candidate
     assert 12 not in {r["did"] for r in rows}
     assert all(r["score_en4"] > 0 for r in rows)
+
+
+def test_hybrid_rrf_topk_hand_computed(spark):
+    """RRF fusion semantics on a hand-computed example: contributions are
+    round(1e6/(60+rank)) per branch, summed where a doc appears in both,
+    fused rank by score desc with did-asc tie-break."""
+    from apache_jira_scraper_spark.operators.similarity import (
+        hybrid_rrf_topk,
+    )
+
+    lex = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 200), (0, 3, 300)],
+        "qid long, rank long, did long",
+    )
+    sem = spark.createDataFrame(
+        [(0, 1, 200), (0, 2, 400)], "qid long, rank long, nid long"
+    )
+    got = {
+        (r["rank"], r["did"]): r["rrf_e6"]
+        for r in hybrid_rrf_topk(lex, sem, top_k=4).collect()
+    }
+    c = {r: round(1_000_000 / (60 + r)) for r in (1, 2, 3)}
+    # doc 200: lex rank 2 + sem rank 1; 100: lex 1; 400: sem 2; 300: lex 3
+    assert got == {
+        (1, 200): c[2] + c[1],
+        (2, 100): c[1],
+        (3, 400): c[2],
+        (4, 300): c[3],
+    }, got
+
+
+def test_hybrid_gate_fusion_is_not_degenerate(spark, sf_dir):
+    """Premise pin for the r10 bm25_topk gate rotation: the rrf leg must
+    genuinely reorder relative to the lexical branch (45/50 slots at
+    sf0.01) — if the embedding branch ever stopped contributing, both
+    gate sides could agree on a fusion that equals bm25 and the driver
+    hash would stay green while certifying nothing."""
+    from apache_jira_scraper_spark.operators.text import q_bm25_topk
+
+    rows = q_bm25_topk(spark, sf_dir).collect()
+    bm = {(r["qid"], r["rank"]): r["did"] for r in rows if r["leg"] == "bm25"}
+    rrf = {(r["qid"], r["rank"]): r["did"] for r in rows if r["leg"] == "rrf"}
+    assert bm and rrf and set(bm) == set(rrf)
+    diff = sum(1 for k in bm if bm[k] != rrf[k])
+    assert diff >= len(bm) // 3, (
+        f"fusion reordered only {diff}/{len(bm)} slots — embedding branch "
+        "contribution degenerated"
+    )
