@@ -324,11 +324,15 @@ def ann_lsh_topk_multi(
     )
 
 
-#: RRF rank constant (Cormack/Clarke/Buettcher's k=60 convention). The
-#: integer contribution round(1e6/(k+rank)) is exactly engine-stable for
-#: every rank the gate produces: 1e6/(61..65) never lands on a .5
-#: boundary (64 divides 1e6 exactly), so Spark's HALF_UP and DuckDB's
-#: half-even ROUND agree without a decimal detour.
+#: RRF rank constant (Cormack/Clarke/Buettcher's k=60 convention).
+#: Rounding note (corrected, review r10): Spark's ROUND and DuckDB's
+#: ROUND(DOUBLE) are BOTH half-away-from-zero for positive values, so
+#: the two ENGINES agree even at a .5 boundary — it is PYTHON's
+#: banker's round (used by hand-computed test oracles) that would
+#: disagree there. At the gate's parameters no boundary exists anyway:
+#: 1e6/(61..65) never lands on .5 (64 divides 1e6 exactly). A caller
+#: choosing k_rrf/top_k where 1e6/(k+rank) can hit .5 must not build a
+#: test oracle with Python round().
 RRF_K = 60
 
 

@@ -876,6 +876,7 @@ def bm25_topk(
     k1: float = BM25_K1,
     b: float = BM25_B,
     materialize_tf: bool = False,
+    scratch_out: list | None = None,
 ) -> DataFrame:
     """BM25 text retrieval over an inverted index — the lexical similarity
     tier beside the embedding family (cosine/LSH/IVF): dedup catches
@@ -909,8 +910,13 @@ def bm25_topk(
         # query terms); without materialization Spark re-tokenizes the
         # corpus once per consumer. The production analog is landing the
         # inverted index between pipeline stages — same contract as
-        # dedup.shingle_index.
+        # dedup.shingle_index. A caller that eagerly materializes the
+        # RESULT can free this corpus-scale scratch via scratch_out (the
+        # incremental_dedup convention, review r10 — otherwise it stays
+        # pinned in executor storage until driver GC).
         tf = tf.localCheckpoint(eager=True)
+        if scratch_out is not None:
+            scratch_out.append(tf)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
@@ -1008,20 +1014,29 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hybrid-retrieval merge under the driver hash. vec_id == doc_id by
     testdata construction, so the two branches rank the same document
     collection; the fused order genuinely differs from the lexical
-    branch (45/50 slots at sf0.01 — pinned in tests so a degenerate
-    agreement fails loudly). The semantic branch re-reads the
+    branch (42-46/50 slots across sf0.001-0.1, pinned at >= 60% in
+    tests so a degenerate agreement fails loudly). The semantic branch
+    re-reads the
     session-cached exact top-k the similarity gates already
     materialize; the DuckDB oracle restates the fusion over the same
     two branch queries (validated against an independent Python RRF
     before wiring)."""
-    from ..io import session_cached
+    from ..io import free_local_checkpoint, session_cached
     from .similarity import hybrid_rrf_topk, q_cosine_topk
 
     def _build() -> DataFrame:
-        return bm25_topk(
+        scratch: list = []
+        out = bm25_topk(
             load_table_parallel(spark, sf_dir, "documents"),
             materialize_tf=True,
+            scratch_out=scratch,
         ).localCheckpoint(eager=True)
+        # the per-(doc,term) inverted-index checkpoint is orders of
+        # magnitude larger than the 50-row result it built — free it
+        # once the result materializes (review r10)
+        for df in scratch:
+            free_local_checkpoint(df)
+        return out
 
     bm = session_cached(_BM25_TOPK_CACHE, spark, (sf_dir,), _build)
     fused = hybrid_rrf_topk(bm, q_cosine_topk(spark, sf_dir))
@@ -1046,23 +1061,16 @@ def hybrid_bm25_rrf_sql() -> str:
     """DuckDB twin of the union-tagged q_bm25_topk: the bm25_topk_sql
     chain embedded as a subquery (hyb_-prefixed outer CTEs — an outer
     name colliding with an embedded WITH binds wrong, the r06 lesson),
-    the exact-cosine branch restated from the similarity gate's SQL,
+    the exact-cosine branch embedded as similarity.COSINE_TOPK_SQL
+    VERBATIM (review r10: a hand restatement could silently drift from
+    the shared convention the Spark side consumes via q_cosine_topk),
     and the identical integer RRF fusion."""
-    from .similarity import N_QUERIES, RRF_K, TOP_K
+    from .similarity import COSINE_TOPK_SQL, RRF_K, TOP_K
 
     return f"""
 WITH hyb_bm AS MATERIALIZED (SELECT * FROM ({bm25_topk_sql()})),
 hyb_sem AS (
-  SELECT qid, did,
-         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, did ASC)
-           AS rank
-  FROM (
-    SELECT q.vec_id AS qid, c.vec_id AS did,
-           ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                 CAST(c.embedding AS DOUBLE[])), 6) AS cosine
-    FROM embeddings q JOIN embeddings c
-      ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id)
-  QUALIFY rank <= {TOP_K}
+  SELECT qid, nid AS did, rank FROM ({COSINE_TOPK_SQL})
 ),
 hyb_fused AS (
   SELECT qid, did, CAST(SUM(c) AS BIGINT) AS rrf_e6

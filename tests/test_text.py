@@ -263,10 +263,12 @@ def test_hybrid_rrf_topk_hand_computed(spark):
 
 def test_hybrid_gate_fusion_is_not_degenerate(spark, sf_dir):
     """Premise pin for the r10 bm25_topk gate rotation: the rrf leg must
-    genuinely reorder relative to the lexical branch (45/50 slots at
-    sf0.01) — if the embedding branch ever stopped contributing, both
-    gate sides could agree on a fusion that equals bm25 and the driver
-    hash would stay green while certifying nothing."""
+    genuinely reorder relative to the lexical branch — measured 42/45/46
+    of 50 slots at sf0.001/0.01/0.1, pinned at >= 60% so a partial
+    degeneration of the embedding branch's contribution fails loudly
+    (if it stopped contributing entirely, both gate sides could agree
+    on a fusion that equals bm25 and the driver hash would stay green
+    while certifying nothing)."""
     from apache_jira_scraper_spark.operators.text import q_bm25_topk
 
     rows = q_bm25_topk(spark, sf_dir).collect()
@@ -274,7 +276,7 @@ def test_hybrid_gate_fusion_is_not_degenerate(spark, sf_dir):
     rrf = {(r["qid"], r["rank"]): r["did"] for r in rows if r["leg"] == "rrf"}
     assert bm and rrf and set(bm) == set(rrf)
     diff = sum(1 for k in bm if bm[k] != rrf[k])
-    assert diff >= len(bm) // 3, (
+    assert diff >= len(bm) * 3 // 5, (
         f"fusion reordered only {diff}/{len(bm)} slots — embedding branch "
-        "contribution degenerated"
+        "contribution degenerated (measured band: 42-46/50)"
     )
