@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import free_local_checkpoint, load_table, load_table_parallel
+from .graph import PAGERANK_FINAL_CTE, pagerank, pagerank_sql_ctes
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime), minhash modulus
 NUM_HASHES = 8
@@ -1163,7 +1164,10 @@ ORDER BY v1, v2
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 32, scratch_out: list | None = None
+    edges: DataFrame,
+    max_iter: int = 32,
+    scratch_out: list | None = None,
+    own_edges: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected pair graph by iterative
     min-label propagation (hash-to-min): each node's label starts as its own
@@ -1192,11 +1196,17 @@ def connected_components(
     can then free it deterministically instead of leaving one dead
     labels-sized RDD per call to driver GC; callers that consume the
     returned frame lazily must NOT free it.
+
+    `own_edges=False` means the caller already holds an eager checkpoint
+    of `edges` and keeps ownership (no re-checkpoint here, no free on
+    either exit path) — the dedup_clusters gate shares one edge
+    checkpoint between this and `graph.pagerank`.
     """
     # Materialize the edge list ONCE up front: every union branch / round
     # below re-reads stored blocks instead of re-running the (potentially
     # expensive) pair-generation subtree per reference.
-    edges = edges.localCheckpoint(eager=True)
+    if own_edges:
+        edges = edges.localCheckpoint(eager=True)
     sym = edges.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")).unionByName(
         edges.select(F.col("d2").alias("node"), F.col("d1").alias("nbr"))
     )
@@ -1235,13 +1245,15 @@ def connected_components(
         # retry (e.g. with the twophase variant) should not retry on a
         # heap pinning the dead state (review r08).
         free_local_checkpoint(labels)
-        free_local_checkpoint(edges)
+        if own_edges:
+            free_local_checkpoint(edges)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds "
             "(component diameter exceeds the round budget); raise max_iter "
             "or use connected_components_twophase (O(log n) rounds)"
         )
-    free_local_checkpoint(edges)  # converged: the edge checkpoint is done
+    if own_edges:
+        free_local_checkpoint(edges)  # converged: the edge checkpoint is done
     if scratch_out is not None:
         scratch_out.append(labels)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
@@ -1256,26 +1268,51 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle computes the same closure with a recursive CTE over
     the identical pair SQL, so the check is exact end-to-end: shingles →
     signatures → LSH candidates → verified pairs → components.
+
+    r10: the gate also certifies `graph.pagerank` — fixed-point integer
+    centrality over the SAME edge checkpoint — plus `keeper_by_rank`, the
+    centrality-argmax canonical-doc flag (highest pagerank in the
+    cluster, ties to the lowest doc_id): the selection policy a curation
+    pipeline uses when "most central member" beats "lowest id".
     """
-    edges = minhash_pairs(spark, sf_dir).select("d1", "d2")
-    labels = connected_components(edges)
+    # ONE eager edge checkpoint shared by both consumers (own_edges=False):
+    # components and pagerank each iterate over stored blocks instead of
+    # re-running the LSH pair-generation subtree.
+    edges = minhash_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    try:
+        labels = connected_components(edges, own_edges=False)
+        ranks = pagerank(edges, own_edges=False)
+    finally:
+        # Both consumers are fully materialized (their results are eager
+        # checkpoints), so the shared edge blocks are dead either way.
+        free_local_checkpoint(edges)
     # Per-cluster size via a window — cluster count is O(dup_rate * n)
     # (corpus cardinality on a dup-heavy crawl), so no broadcast of a sizes
-    # table; the COUNT lands in one cluster_id shuffle of the labels table.
+    # table; the COUNT and the rank-argmax land in ONE cluster_id shuffle
+    # of the labels⋈ranks table (same-key windows share the exchange).
+    w = Window.partitionBy("cluster_id")
+    w_rank = w.orderBy(F.desc("pagerank_ppb"), F.asc("doc_id"))
     return (
-        labels.withColumn(
-            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        labels.join(ranks, "doc_id")
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "keeper_by_rank", (F.row_number().over(w_rank) == 1).cast("long")
         )
-        .select("cluster_id", "doc_id", "cluster_size")
+        .select("cluster_id", "doc_id", "cluster_size", "pagerank_ppb", "keeper_by_rank")
         .orderBy("cluster_id", "doc_id")
     )
 
 
+# pairs/e are multiply-referenced (e by the closure AND every pagerank
+# round) — MATERIALIZED, or DuckDB re-inlines the full LSH pair pipeline
+# per reference (the r09 25s->0.17s lesson). The pr_* CTE chain comes
+# from graph.pagerank_sql_ctes, the single source the Spark loop and the
+# oracle both derive their constants from (twins can't drift).
 DEDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE pairs AS (
+WITH RECURSIVE pairs AS MATERIALIZED (
   SELECT d1, d2 FROM ({DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")}) p
 ),
-e AS (
+e AS MATERIALIZED (
   SELECT d1 AS node, d2 AS nbr FROM pairs
   UNION
   SELECT d2 AS node, d1 AS nbr FROM pairs
@@ -1288,10 +1325,17 @@ reach(node, nbr) AS (
 lbl AS (
   SELECT node AS doc_id, LEAST(node, MIN(nbr)) AS cluster_id
   FROM reach GROUP BY node
-)
-SELECT cluster_id, doc_id,
-       COUNT(1) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM lbl
+),
+{pagerank_sql_ctes()}
+SELECT l.cluster_id, l.doc_id,
+       COUNT(1) OVER (PARTITION BY l.cluster_id) AS cluster_size,
+       p.r AS pagerank_ppb,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY l.cluster_id
+              ORDER BY p.r DESC, l.doc_id ASC
+            ) = 1 AS BIGINT) AS keeper_by_rank
+FROM lbl l
+JOIN {PAGERANK_FINAL_CTE} p ON p.node = l.doc_id
 ORDER BY cluster_id, doc_id
 """
 

@@ -1,0 +1,172 @@
+"""Link-analysis centrality over document pair graphs.
+
+PageRank (Page et al. 1999, "The PageRank Citation Ranking: Bringing
+Order to the Web") over the UNDIRECTED near-dup pair graph, in
+fixed-point parts-per-billion (ppb) BIGINT arithmetic so the result is
+EXACTLY reproducible across engines: Spark's ``div`` and DuckDB's ``//``
+agree (floor == truncate) for the non-negative operands used here, and
+integer sums are order-independent, so the driver's value-hash check is
+exact — no float-drift tolerance needed.
+
+Why it's in the engine: after near-dup pair generation, a curation
+pipeline picks ONE canonical document per duplicate cluster. Min-id (the
+``dedup_clusters`` default) is arbitrary; centrality-based selection
+keeps the member most connected to the rest of its cluster — the same
+link-analysis signal crawl pipelines use for page quality (cf. Common
+Crawl's harmonic-centrality rankings). The reference repo has no graph
+operator at all (its ``transformer.py`` is row-at-a-time text shaping),
+so this is engine-side added surface, certified like everything else.
+
+Semantics (K fixed iterations, damping d = 0.85 in ppb):
+
+    N        = |nodes appearing in any edge|   (degree >= 1, no dangling)
+    r0(v)    = 10^9 div N
+    share(u) = r(u) div deg(u)
+    r'(v)    = (1.5*10^8 div N) + (85*10^7 * sum_{u~v} share(u)) div 10^9
+
+Every op is BIGINT; the damped product is bounded by 8.5e8 * 1e9 < 2^63.
+Floor losses only ever shrink total mass, so sum(r) <= 10^9 invariantly.
+
+Scale shape: each round is ONE equi-join (symmetric edges ⋈ ranks on the
+node key) + ONE sum-aggregate keyed by neighbor — the exact shuffle
+footprint of a ``connected_components`` round, linear in |E| per round,
+no driver-side data beyond the one bounded N scalar. Lineage is
+truncated per round with localCheckpoint (cluster analog: reliable
+checkpoint / intermediate table) and the superseded round's blocks are
+freed deterministically, so peak storage is O(|V|), not O(rounds*|V|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..io import free_local_checkpoint
+
+PAGERANK_ITERS = 5
+MASS_PPB = 1_000_000_000
+DAMP_PPB = 850_000_000
+TELEPORT_PPB = MASS_PPB - DAMP_PPB
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    own_edges: bool = True,
+    scratch_out: list | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Fixed-point PageRank over an undirected (d1, d2) pair graph.
+
+    Returns (doc_id, pagerank_ppb) for every node appearing in an edge.
+    ``own_edges=False`` means the caller already holds an eager
+    checkpoint of ``edges`` and keeps ownership (the ``dedup_clusters``
+    gate shares one edge checkpoint between components and pagerank).
+    ``scratch_out``, when given, receives the final ranks checkpoint
+    backing the returned frame so an eager consumer can free it
+    deterministically (the ``connected_components`` contract).
+
+    ``checkpoint_every`` bounds lineage depth: unlike the convergence
+    loop in ``connected_components`` (which needs a per-round action for
+    its changed-count anyway), a fixed-K rank loop needs NO per-round
+    action — so short runs build one lazy K-deep join chain that AQE
+    executes as a single job at the final materialization, instead of
+    paying K job-scheduling round trips. Long runs (iters > this) still
+    truncate periodically so the plan tree and recovery cost stay
+    bounded.
+    """
+    if own_edges:
+        edges = edges.localCheckpoint(eager=True)
+    sym = edges.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")).unionByName(
+        edges.select(F.col("d2").alias("node"), F.col("d1").alias("nbr"))
+    )
+    # Degree table is read every round — materialize once. The count()
+    # is the one bounded driver scalar (node cardinality), same budget
+    # class as connected_components' per-round convergence counts.
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(eager=True)
+    n = deg.count()
+    if n == 0:
+        free_local_checkpoint(deg)
+        if own_edges:
+            free_local_checkpoint(edges)
+        return deg.select(
+            F.col("node").alias("doc_id"), F.col("deg").cast("long").alias("pagerank_ppb")
+        )
+    base = TELEPORT_PPB // n
+    ranks = deg.select("node", F.lit(MASS_PPB // n).cast("long").alias("r"))
+    mid_ckpts: list[DataFrame] = []
+    for k in range(1, iters + 1):
+        shares = (
+            ranks.join(deg, "node")
+            .select("node", F.expr("r div deg").alias("share"))
+        )
+        ranks = (
+            sym.join(shares, "node")
+            .groupBy("nbr")
+            .agg(
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({DAMP_PPB} * sum(share)) div {MASS_PPB}")
+                ).alias("r")
+            )
+            .select(F.col("nbr").alias("node"), "r")
+        )
+        if k % checkpoint_every == 0 and k < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+            mid_ckpts.append(ranks)
+    # The final materialization is the loop's ONLY action for short runs.
+    ranks = ranks.localCheckpoint(eager=True)
+    for c in mid_ckpts:  # superseded truncation points, never read again
+        free_local_checkpoint(c)
+    free_local_checkpoint(deg)
+    if own_edges:
+        free_local_checkpoint(edges)
+    if scratch_out is not None:
+        scratch_out.append(ranks)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("r").cast("long").alias("pagerank_ppb")
+    )
+
+
+def pagerank_sql_ctes(iters: int = PAGERANK_ITERS) -> str:
+    """DuckDB CTE chain mirroring :func:`pagerank` exactly, for embedding
+    in gate oracles. Expects an ``e(node, nbr)`` symmetric-edge CTE in
+    scope (the ``dedup_clusters`` oracle already defines one). Emits
+    ``pr_deg``, ``pr_n`` and ``pr_r0`` .. ``pr_r{iters}``; the final CTE
+    holds (node, r). The ``pr_`` prefix keeps these names clear of every
+    embedded-oracle namespace (ritual: stream_stateful embeds other
+    oracles' CTEs at its top level — prefixes must not collide).
+
+    ``pr_deg`` is multiply-referenced (every round) — MATERIALIZED, or
+    DuckDB re-inlines the whole upstream pair pipeline per reference
+    (the r09 25s->0.17s lesson).
+    """
+    parts = [
+        "pr_deg AS MATERIALIZED (\n"
+        "  SELECT node, COUNT(1) AS deg FROM e GROUP BY node\n"
+        ")",
+        "pr_n AS (SELECT COUNT(1) AS n FROM pr_deg)",
+        f"pr_r0 AS (\n"
+        f"  SELECT node, CAST({MASS_PPB} // (SELECT n FROM pr_n) AS BIGINT) AS r\n"
+        f"  FROM pr_deg\n"
+        f")",
+    ]
+    prev = "pr_r0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"pr_r{k} AS (\n"
+            f"  SELECT e.nbr AS node,\n"
+            f"         CAST({TELEPORT_PPB} // (SELECT n FROM pr_n)\n"
+            f"              + ({DAMP_PPB} * SUM(p.r // d.deg)) // {MASS_PPB}\n"
+            f"              AS BIGINT) AS r\n"
+            f"  FROM e\n"
+            f"  JOIN {prev} p ON p.node = e.node\n"
+            f"  JOIN pr_deg d ON d.node = e.node\n"
+            f"  GROUP BY e.nbr\n"
+            f")"
+        )
+        prev = f"pr_r{k}"
+    return ",\n".join(parts)
+
+
+PAGERANK_FINAL_CTE = f"pr_r{PAGERANK_ITERS}"

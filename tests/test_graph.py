@@ -1,0 +1,166 @@
+"""graph.pagerank: fixed-point integer PageRank vs an independent Python
+reference (adjacency-dict power iteration — no shared code with the Spark
+loop or the SQL CTE chain), plus the gate-level keeper contract."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_jira_scraper_spark.operators.graph import (
+    DAMP_PPB,
+    MASS_PPB,
+    PAGERANK_ITERS,
+    TELEPORT_PPB,
+    pagerank,
+)
+
+
+def _py_pagerank(edges: list[tuple[int, int]], iters: int = PAGERANK_ITERS) -> dict[int, int]:
+    """Independent reference: plain-dict integer power iteration."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    n = len(adj)
+    rank = {v: MASS_PPB // n for v in adj}
+    base = TELEPORT_PPB // n
+    for _ in range(iters):
+        share = {v: rank[v] // len(adj[v]) for v in adj}
+        rank = {
+            v: base + (DAMP_PPB * sum(share[u] for u in adj[v])) // MASS_PPB
+            for v in adj
+        }
+    return rank
+
+
+def _spark_pagerank(spark, edges: list[tuple[int, int]], **kw) -> dict[int, int]:
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    return {
+        r["doc_id"]: r["pagerank_ppb"] for r in pagerank(df, **kw).collect()
+    }
+
+
+CRAFTED = [(0, 1), (1, 2), (0, 2), (3, 4), (5, 6), (6, 7), (7, 8), (8, 5), (2, 9)]
+
+
+def test_pagerank_matches_reference_crafted(spark):
+    """Triangle + isolated pair + 4-cycle + pendant: exercises deg 1..3,
+    multiple components, and a hub (node 2) that must outrank its
+    satellites."""
+    got = _spark_pagerank(spark, CRAFTED)
+    assert got == _py_pagerank(CRAFTED)
+    # sanity on the semantics, not just twin agreement: the hub outranks
+    # its triangle peers and the pendant; mass never exceeds 1e9 (floors
+    # only shrink it)
+    assert got[2] > got[0] == got[1] > got[9]
+    assert sum(got.values()) <= MASS_PPB
+
+
+def test_pagerank_matches_reference_random(spark):
+    """Seeded 200-node / ~400-edge random graph — enough collisions and
+    degree spread that an arithmetic-order or floor-placement drift
+    between engines cannot hide."""
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(200), 2))) for _ in range(400)})
+    assert _spark_pagerank(spark, edges) == _py_pagerank(edges)
+
+
+def test_pagerank_exact_at_10x_volume(spark):
+    """Volume-evidence discipline (the phash/LSH 10x pins): at 10x the
+    node/edge volume the result stays EXACTLY the reference's — integer
+    arithmetic means a partition-order or combine-order change at larger
+    volume cannot silently perturb ranks, and the loop stays the same
+    one-lazy-chain plan (join count is iteration-bound, not data-bound).
+    The returned frame is checkpoint-backed, so the join shape isn't
+    introspectable here — it's pinned at build time in
+    test_pagerank_plan_is_equi_join_chain instead."""
+    rng = random.Random(11)
+    edges = sorted({tuple(sorted(rng.sample(range(2000), 2))) for _ in range(4000)})
+    df = spark.createDataFrame(edges, "d1 long, d2 long")
+    out = pagerank(df)
+    assert {r["doc_id"]: r["pagerank_ppb"] for r in out.collect()} == _py_pagerank(edges)
+
+
+def test_pagerank_plan_is_equi_join_chain(spark):
+    """Pin the PRE-checkpoint plan shape: K iterations compile to exactly
+    K (edges ⋈ ranks) + K (ranks ⋈ deg) equi-joins and zero cartesian /
+    broadcast-nested-loop nodes — the banned-shape sweep can't see inside
+    the checkpoint, so this rebuilds the lazy chain the way the loop does."""
+    from pyspark.sql import functions as F  # noqa: F811 (test-local alias)
+
+    df = spark.createDataFrame(CRAFTED, "d1 long, d2 long").localCheckpoint(eager=True)
+    sym = df.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")).unionByName(
+        df.select(F.col("d2").alias("node"), F.col("d1").alias("nbr"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("node", F.lit(100_000_000).cast("long").alias("r"))
+    iters = 5
+    for _ in range(iters):
+        shares = ranks.join(deg, "node").select(
+            "node", F.expr("r div deg").alias("share")
+        )
+        ranks = (
+            sym.join(shares, "node")
+            .groupBy("nbr")
+            .agg(F.sum("share").alias("r"))
+            .select(F.col("nbr").alias("node"), "r")
+        )
+    plan = ranks._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join Inner") == 2 * iters, plan
+    assert "Cartesian" not in plan and "Nested" not in plan, plan
+
+
+def test_pagerank_clique_is_uniform_and_deterministic(spark):
+    """On a k-clique every node is symmetric, so ranks must be exactly
+    equal — and two independent runs must be bit-identical (integer
+    arithmetic has no accumulation-order noise)."""
+    k = 6
+    clique = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    a = _spark_pagerank(spark, clique)
+    b = _spark_pagerank(spark, clique)
+    assert a == b
+    assert len(set(a.values())) == 1
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "d1 long, d2 long")
+    assert pagerank(df).collect() == []
+
+
+def test_pagerank_shared_edge_checkpoint_contract(spark):
+    """own_edges=False: the result must be checkpoint-backed so the
+    caller can free the shared edge checkpoint immediately after the
+    build (the dedup_clusters gate's pattern) and still read the result."""
+    from apache_jira_scraper_spark.io import free_local_checkpoint
+
+    df = spark.createDataFrame(CRAFTED, "d1 long, d2 long").localCheckpoint(eager=True)
+    ranks = pagerank(df, own_edges=False)
+    free_local_checkpoint(df)
+    assert {r["doc_id"]: r["pagerank_ppb"] for r in ranks.collect()} == _py_pagerank(
+        CRAFTED
+    )
+
+
+def test_cluster_gate_keeper_by_rank_contract(spark, sf_dir):
+    """Exactly one keeper_by_rank per cluster, and it is the argmax-rank /
+    min-id member — recomputed here from the gate's own collected rows,
+    independent of the window that produced the flag."""
+    from apache_jira_scraper_spark.operators.dedup import q_dedup_clusters
+
+    rows = q_dedup_clusters(spark, sf_dir).collect()
+    assert rows, "fixture premise: the near-dup graph must be non-empty"
+    clusters: dict[int, list] = {}
+    for r in rows:
+        clusters.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in clusters.items():
+        keepers = [r["doc_id"] for r in members if r["keeper_by_rank"] == 1]
+        expect = min(
+            (r for r in members), key=lambda r: (-r["pagerank_ppb"], r["doc_id"])
+        )["doc_id"]
+        assert keepers == [expect], (cid, keepers, expect)
+        # every member of a multi-doc cluster has >= 2 neighbors' worth of
+        # structure behind its rank; at minimum ranks are positive
+        assert all(r["pagerank_ppb"] > 0 for r in members)
