@@ -183,3 +183,175 @@ def test_ivf_quantized_topk_recall(emb, sf_dir):
     assert hits / total >= 0.6, f"recall {hits}/{total}"
     # all 10 queries produced a ranking
     assert got.select("qid").distinct().count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r10)
+# ---------------------------------------------------------------------------
+
+
+def _pq_py_adist(vec, code, books):
+    """Independent ADC reference: sum of per-subspace query-to-centroid
+    squared distances for an encoded neighbor."""
+    m = len(books)
+    dsub = len(books[0][0])
+    return sum(
+        sum(
+            (x - y) * (x - y)
+            for x, y in zip(vec[j * dsub : (j + 1) * dsub], books[j][code[j]])
+        )
+        for j in range(m)
+    )
+
+
+def test_pq_encode_matches_python_model_both_paths(emb):
+    """Both assignment paths — the literal-argmin narrow map (small
+    m*ksub) and the broadcast-join form (production-sized model) — must
+    match the pure-Python argmin exactly, including the lowest-cid
+    tie-break."""
+    from apache_jira_scraper_spark.operators.quantize import (
+        _PQ_LITERAL_MK_MAX,
+        pq_encode,
+        pq_model,
+        pq_train,
+    )
+
+    rows = {r["vec_id"]: list(r["e"]) for r in emb.orderBy("vec_id").limit(30).collect()}
+    for m, ksub in ((4, 8), (16, 32)):  # 32 <= cap -> literal; 512 -> join
+        books = pq_train(emb, m=m, ksub=ksub)
+        assert (m * ksub <= _PQ_LITERAL_MK_MAX) == (m * ksub == 32)
+        got = {
+            r["vec_id"]: list(r["pq_code"])
+            for r in pq_encode(emb, books).filter(F.col("vec_id") < 30).collect()
+        }
+        for vid, vec in rows.items():
+            assert got[vid] == pq_model(vec, books)[0], (m, ksub, vid)
+
+
+def test_pq_assignment_paths_agree(emb):
+    """The join path and the literal expression are the SAME function:
+    run the literal kernel directly on the production-sized model (past
+    the cap, so pq_encode would not choose it) and compare codes."""
+    from apache_jira_scraper_spark.operators.quantize import (
+        pq_code_col,
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb)  # m=16, ksub=32 -> join path in pq_encode
+    join_codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in pq_encode(emb, books).filter(F.col("vec_id") < 40).collect()
+    }
+    lit_codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in emb.filter(F.col("vec_id") < 40)
+        .select("vec_id", pq_code_col("e", books).alias("pq_code"))
+        .collect()
+    }
+    assert join_codes == lit_codes
+
+
+def test_pq_adc_matches_python_brute_force(emb):
+    """Full ADC ranking parity: top-5 per query by (adist, nid) computed
+    independently in Python over every encoded vector."""
+    from apache_jira_scraper_spark.operators.quantize import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb)
+    vecs = {r["vec_id"]: list(r["e"]) for r in emb.collect()}
+    codes = {r["vec_id"]: list(r["pq_code"]) for r in pq_encode(emb, books).collect()}
+    got = [
+        (r["qid"], r["rank"], r["nid"])
+        for r in pq_adc_topk(emb, books, n_queries=5, top_k=5).collect()
+    ]
+    want = []
+    for qid in range(5):
+        scored = sorted(
+            (round(_pq_py_adist(vecs[qid], code, books), 6), nid)
+            for nid, code in codes.items()
+            if nid != qid
+        )
+        want += [(qid, rank + 1, nid) for rank, (_, nid) in enumerate(scored[:5])]
+    assert got == want
+
+
+def test_pq_gate_envelope_premise(emb, sf_dir):
+    """The two_stage gate's pq_recall_ok envelope must hold with margin on
+    the fixtures — and be NON-VACUOUS: the ADC shortlist must genuinely
+    reorder vs exact (if PQ were secretly exact the envelope certifies
+    nothing)."""
+    from apache_jira_scraper_spark.operators.quantize import (
+        PQ_GATE_SHORTLIST_K,
+        PQ_MIN_HITS,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    books = pq_train(emb)
+    short = pq_adc_topk(emb, books, n_queries=10, top_k=PQ_GATE_SHORTLIST_K)
+    exact = q_cosine_topk(emb.sparkSession, sf_dir)
+    per_q = {
+        r["qid"]: r["hits"]
+        for r in exact.join(
+            short.select("qid", "nid"), ["qid", "nid"], "left_semi"
+        )
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .collect()
+    }
+    nq = exact.select("qid").distinct().count()
+    assert nq > 0 and len(per_q) == nq
+    assert min(per_q.values()) >= PQ_MIN_HITS, per_q
+    # non-vacuous: the quantized TOP-5 ordering differs somewhere from exact
+    pq5 = {(r["qid"], r["rank"], r["nid"]) for r in short.filter(F.col("rank") <= 5).collect()}
+    ex5 = {(r["qid"], r["rank"], r["nid"]) for r in exact.collect()}
+    assert pq5 != ex5
+
+
+def test_pq_train_input_guards(spark):
+    from apache_jira_scraper_spark.operators.quantize import pq_train
+
+    empty = spark.createDataFrame([], "vec_id long, e array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(empty)
+    bad_dim = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, e array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(bad_dim, m=2)
+
+
+def test_ivf_pq_topk_recall_and_subset(emb, sf_dir):
+    """IVF+PQ composed, measured at its production contract — SHORTLIST
+    generation for an exact re-rank (a PQ top-5 is coarse by design; what
+    matters is that the exact top-5 survives into the 4x shortlist):
+    recall@(5 in 20) >= 0.7 on the test embeddings (observed 38-42/50),
+    all queries ranked, and the composition is CONSISTENT with plain ADC:
+    a (qid, nid) the composed search scores must carry the same adist the
+    brute-force ADC assigns (cell pruning changes WHICH pairs are priced,
+    never the price)."""
+    from apache_jira_scraper_spark.operators.ivf import ivf_build
+    from apache_jira_scraper_spark.operators.quantize import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_train,
+    )
+
+    cent = ivf_build(emb, k=8, n_iter=3)
+    books = pq_train(emb)
+    got = ivf_pq_topk(emb, cent, books, n_queries=10, top_k=20, nprobe=2)
+    exact = q_cosine_topk(emb.sparkSession, sf_dir)
+    hits = exact.join(got.select("qid", "nid"), ["qid", "nid"], "left_semi").count()
+    total = exact.count()
+    assert total > 0 and hits / total >= 0.7, f"recall {hits}/{total}"
+    assert got.select("qid").distinct().count() == 10
+    brute = {
+        (r["qid"], r["nid"]): r["adist"]
+        for r in pq_adc_topk(emb, books, n_queries=10, top_k=2000).collect()
+    }
+    for r in got.collect():
+        assert brute[(r["qid"], r["nid"])] == r["adist"], (r["qid"], r["nid"])
