@@ -1026,7 +1026,7 @@ def build_training_corpus(
     plus the (session-shared) dedup subtrees — nothing quadratic, nothing
     driver-side.
     """
-    from .dedup import q_dedup_clusters
+    from .dedup import dedup_cluster_labels
     from .text import q_quality_score
 
     from ..io import load_table
@@ -1057,7 +1057,9 @@ def build_training_corpus(
         .join(quality, "doc_id", "left_semi")
         .join(exact_keep, "doc_id", "left_semi")
     )
-    clusters = q_dedup_clusters(spark, sf_dir)
+    # labels-only entry point: assemble_corpus reads membership only,
+    # so it must not pay the gate's pagerank/sizes/keeper folds (r10)
+    clusters = dedup_cluster_labels(spark, sf_dir)
     surviving_members = clusters.select("doc_id", "cluster_id").join(
         survivors12, "doc_id", "left_semi"
     )

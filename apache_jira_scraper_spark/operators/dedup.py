@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import free_local_checkpoint, load_table, load_table_parallel
-from .graph import PAGERANK_FINAL_CTE, pagerank, pagerank_sql_ctes
+from .graph import PAGERANK_FINAL_CTE, pagerank, pagerank_sql_ctes, symmetric_edges
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime), minhash modulus
 NUM_HASHES = 8
@@ -1207,9 +1207,7 @@ def connected_components(
     # expensive) pair-generation subtree per reference.
     if own_edges:
         edges = edges.localCheckpoint(eager=True)
-    sym = edges.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")).unionByName(
-        edges.select(F.col("d2").alias("node"), F.col("d1").alias("nbr"))
-    )
+    sym = symmetric_edges(edges)
     labels = (
         sym.select("node").distinct().withColumn("lbl", F.col("node")).localCheckpoint(eager=True)
     )
@@ -1257,6 +1255,17 @@ def connected_components(
     if scratch_out is not None:
         scratch_out.append(labels)
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) near-dup component labels only — the entry
+    point for consumers that need the membership and nothing else
+    (corpus assembly's keeper selection): no pagerank rounds, no sizes
+    window, no rank join (review r10 — the gate's centrality fold was
+    making every assemble_corpus call pay 5 rank iterations it then
+    projected away)."""
+    edges = minhash_pairs(spark, sf_dir).select("d1", "d2")
+    return connected_components(edges)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

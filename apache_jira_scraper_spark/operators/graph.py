@@ -49,6 +49,18 @@ DAMP_PPB = 850_000_000
 TELEPORT_PPB = MASS_PPB - DAMP_PPB
 
 
+def symmetric_edges(edges: DataFrame) -> DataFrame:
+    """(node, nbr) symmetric closure of an undirected (d1, d2) pair table —
+    THE edge normalization shared by connected_components and pagerank
+    (pair generators emit distinct d1 < d2 rows, so the two directed
+    copies cannot collide; pagerank's degree math is sensitive to
+    duplicate edges, so any future change to this normalization must stay
+    shared)."""
+    return edges.select(
+        F.col("d1").alias("node"), F.col("d2").alias("nbr")
+    ).unionByName(edges.select(F.col("d2").alias("node"), F.col("d1").alias("nbr")))
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = PAGERANK_ITERS,
@@ -77,9 +89,7 @@ def pagerank(
     """
     if own_edges:
         edges = edges.localCheckpoint(eager=True)
-    sym = edges.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")).unionByName(
-        edges.select(F.col("d2").alias("node"), F.col("d1").alias("nbr"))
-    )
+    sym = symmetric_edges(edges)
     # Degree table is read every round — materialize once. The count()
     # is the one bounded driver scalar (node cardinality), same budget
     # class as connected_components' per-round convergence counts.
@@ -89,8 +99,12 @@ def pagerank(
         free_local_checkpoint(deg)
         if own_edges:
             free_local_checkpoint(edges)
-        return deg.select(
-            F.col("node").alias("doc_id"), F.col("deg").cast("long").alias("pagerank_ppb")
+        # a literal empty frame, NOT a select over the freed deg
+        # checkpoint — a freed DataFrame is unusable by contract (reading
+        # it throws CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND whenever AQE's
+        # empty-partition coalescing doesn't happen to mask it)
+        return edges.sparkSession.createDataFrame(
+            [], "doc_id long, pagerank_ppb long"
         )
     base = TELEPORT_PPB // n
     ranks = deg.select("node", F.lit(MASS_PPB // n).cast("long").alias("r"))

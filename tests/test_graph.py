@@ -89,12 +89,10 @@ def test_pagerank_plan_is_equi_join_chain(spark):
     K (edges ⋈ ranks) + K (ranks ⋈ deg) equi-joins and zero cartesian /
     broadcast-nested-loop nodes — the banned-shape sweep can't see inside
     the checkpoint, so this rebuilds the lazy chain the way the loop does."""
-    from pyspark.sql import functions as F  # noqa: F811 (test-local alias)
+    from apache_jira_scraper_spark.operators.graph import symmetric_edges
 
     df = spark.createDataFrame(CRAFTED, "d1 long, d2 long").localCheckpoint(eager=True)
-    sym = df.select(F.col("d1").alias("node"), F.col("d2").alias("nbr")).unionByName(
-        df.select(F.col("d2").alias("node"), F.col("d1").alias("nbr"))
-    )
+    sym = symmetric_edges(df)
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     ranks = deg.select("node", F.lit(100_000_000).cast("long").alias("r"))
     iters = 5
@@ -126,8 +124,20 @@ def test_pagerank_clique_is_uniform_and_deterministic(spark):
 
 
 def test_pagerank_empty_edges(spark):
+    """The empty branch must return a frame that is READABLE — with AQE
+    disabled, so its empty-partition coalescing can't mask a result built
+    over a freed checkpoint (review r10: the original branch selected
+    from the freed deg checkpoint and threw
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND on any non-AQE read)."""
     df = spark.createDataFrame([], "d1 long, d2 long")
-    assert pagerank(df).collect() == []
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = pagerank(df)
+        assert out.collect() == []
+        assert [f.name for f in out.schema.fields] == ["doc_id", "pagerank_ppb"]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 def test_pagerank_shared_edge_checkpoint_contract(spark):

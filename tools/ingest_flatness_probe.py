@@ -20,12 +20,20 @@ from EARLIER batches, so the cross-batch index genuinely drops rows and
 genuinely grows), driven through streaming_dedup_ingest with
 maxFilesPerTrigger=1. Per-batch durations come from the query's
 recentProgress (triggerExecution ms — the same number the streaming UI
-shows). Verdict: median over the last non-merge quartile of batches
-must be <= FLATNESS_BAR x the median over the first non-merge quartile
-(after a warmup skip); exits nonzero otherwise.
+shows). Verdict: per-batch time is a sawtooth whose period is the
+compaction fanout, so the comparison is between PHASE-ALIGNED windows —
+the median of one COMPLETE fanout period (all `compact_every` batches,
+merge included) against the median of the last complete period; period
+0 is excluded wholesale as warmup. The late median must be <=
+FLATNESS_BAR x the early one; exits nonzero otherwise. (A raw
+early-window/late-window comparison mixes sawtooth phases — truncated
+windows sample only the cheap head or expensive tail of a period and
+systematically understate growth.)
 
-Usage: python tools/ingest_flatness_probe.py [--batches 60]
+Usage: python tools/ingest_flatness_probe.py [--batches 64]
        [--docs-per-batch 40] [--compact-every 16] [--durable]
+Needs >= 3 full periods (batches >= 3*compact_every); the default 64
+gives periods 1 and 3 as the compared pair.
 """
 
 from __future__ import annotations
@@ -42,8 +50,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-FLATNESS_BAR = 2.0  # late-quartile median / early-quartile median, non-merge
-WARMUP_BATCHES = 4  # JVM/codegen warmup — excluded from the early quartile
+FLATNESS_BAR = 2.0  # late-period median / early-period median, full periods
 
 
 def synth_batches(n_batches: int, docs_per_batch: int, seed: int = 7):
@@ -76,7 +83,7 @@ def synth_batches(n_batches: int, docs_per_batch: int, seed: int = 7):
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batches", type=int, default=60)
+    ap.add_argument("--batches", type=int, default=64)
     ap.add_argument("--docs-per-batch", type=int, default=40)
     ap.add_argument("--compact-every", type=int, default=16)
     ap.add_argument("--durable", action="store_true",
@@ -145,16 +152,25 @@ def main() -> int:
     # phase. The O(batch) claim is about PERIODS: the median over one full
     # fanout period must not grow period-over-period (the pre-r09 bug made
     # every batch O(kept corpus), which grows monotonically across periods
-    # and cannot hide in the sawtooth).
-    period = {bid: bid // args.compact_every for bid, _, _ in prog}
+    # and cannot hide in the sawtooth). Only COMPLETE periods are
+    # comparable (a truncated one samples only the cheap head of the
+    # sawtooth and biases the ratio down — review r10); period 0 carries
+    # JVM/codegen warmup and is excluded wholesale, which keeps the
+    # compared windows phase-aligned batch-for-batch.
     by_period: dict[int, list[int]] = {}
     for bid, ms, _ in prog:
-        if bid >= WARMUP_BATCHES:
-            by_period.setdefault(period[bid], []).append(ms)
-    full = [p for p, v in sorted(by_period.items())
-            if len(v) >= args.compact_every - WARMUP_BATCHES]
+        by_period.setdefault(bid // args.compact_every, []).append(ms)
+    full = [
+        p
+        for p, v in sorted(by_period.items())
+        if p > 0 and len(v) == args.compact_every
+    ]
     if len(full) < 2:
-        print("need >= 2 full fanout periods; raise --batches", file=sys.stderr)
+        print(
+            "need >= 2 full fanout periods after warmup; raise --batches to"
+            f" >= {3 * args.compact_every}",
+            file=sys.stderr,
+        )
         return 2
     early = statistics.median(by_period[full[0]])
     late = statistics.median(by_period[full[-1]])
