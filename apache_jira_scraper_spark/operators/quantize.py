@@ -354,14 +354,18 @@ def _cb_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
     )
 
 
-def _subvec_rows(emb: DataFrame, codebooks, vec_col: str, id_col: str) -> DataFrame:
-    """(id, sub, qsub) — one row per subspace, via a single posexplode of
-    the m slice expressions (narrow; the slice is column algebra)."""
+def _subvec_rows(
+    emb: DataFrame, codebooks, vec_col: str, id_col, keys: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *keys, sub, qsub) — one row per subspace, via a single
+    posexplode of the m slice expressions (narrow; the slice is column
+    algebra). `keys` carries extra grouping columns through (the residual
+    path's per-probe cell id)."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     slices = ",".join(f"slice({vec_col}, {j * dsub + 1}, {dsub})" for j in range(m))
     return emb.select(
-        id_col, F.posexplode(F.expr(f"array({slices})")).alias("sub", "qsub")
+        id_col, *keys, F.posexplode(F.expr(f"array({slices})")).alias("sub", "qsub")
     )
 
 
@@ -477,6 +481,57 @@ def pq_adc_topk(
     )
 
 
+def pq_train_residual(
+    emb: DataFrame,
+    centroids: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = 8,
+    train_sample: int = 4096,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+) -> list[list[list[float]]]:
+    """Codebooks trained on CELL RESIDUALS (x - nearest centroid) — the
+    by_residual=True half of FAISS IVFPQ: residuals concentrate around
+    the origin regardless of which cell a vector lives in, so one shared
+    codebook set prices all cells' local geometry instead of the global
+    spread the coarse quantizer already explained.
+
+    Same bounded driver-side shape as pq_train: one Spark job collects
+    the sample, the nearest-centroid assignment and subtraction run in
+    numpy, then the per-subspace Lloyd rounds are the pq_train GEMM
+    loop on the residual matrix."""
+    import numpy as np
+
+    from .ivf import _centroid_rows
+
+    sample = emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    if not sample:
+        raise ValueError("pq_train_residual: empty embeddings input")
+    x = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    cents = np.asarray([c for _, c in sorted(_centroid_rows(centroids))], dtype=np.float64)
+    d2 = (
+        (x**2).sum(axis=1)[:, None]
+        + (cents**2).sum(axis=1)[None, :]
+        - 2.0 * (x @ cents.T)
+    )
+    res = x - cents[d2.argmin(axis=1)]
+    spark = emb.sparkSession
+    res_df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(res)],
+        f"{id_col} long, {vec_col} array<double>",
+    )
+    return pq_train(
+        res_df,
+        m=m,
+        ksub=ksub,
+        n_iter=n_iter,
+        train_sample=train_sample,
+        vec_col=vec_col,
+        id_col=id_col,
+    )
+
+
 def ivf_pq_topk(
     emb: DataFrame,
     centroids: DataFrame,
@@ -491,9 +546,8 @@ def ivf_pq_topk(
     """IVF + PQ composed — the canonical billion-scale ANN configuration
     (FAISS IVFPQ, here the by_residual=False variant: codes quantize the
     raw vectors, not the cell residuals — one shared codebook set, no
-    per-cell re-encode on cell rebalance; residual coding is the recall
-    refinement to layer on when the corpus distribution is strongly
-    multi-modal).
+    per-cell re-encode on cell rebalance; `ivf_pq_residual_topk` is the
+    by_residual=True refinement).
 
     The coarse quantizer prunes WHICH vectors are priced (nprobe/k of the
     corpus per query); PQ prices them at m bytes each. Search-time corpus
@@ -541,6 +595,101 @@ def ivf_pq_topk(
     )
     scored = (
         cands.join(F.broadcast(lut), ["qid", "sub", "code"])
+        .groupBy("qid", "nid")
+        .agg(F.round(F.sum("d"), 6).alias("adist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("qid", "rank", "nid", "adist")
+        .orderBy("qid", "rank")
+    )
+
+
+def ivf_pq_residual_topk(
+    emb: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    n_queries: int = 10,
+    top_k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFPQ with residual coding (FAISS by_residual=True — the canonical
+    production configuration): the corpus stores PQ codes of x - c(x)
+    (codebooks from pq_train_residual), and a query builds one LUT PER
+    PROBED CELL from its own residual against that cell's centroid, so
+    the priced distance is ||(q - c) - cb[code]||² with both sides
+    expressed in the same cell-local frame.
+
+    Still equi-joins only: the LUT is keyed (qid, cid, sub, code) —
+    n_queries * nprobe * m * ksub rows, bounded by construction,
+    broadcast — and candidates join it on all four keys. Search-time
+    corpus representation stays (cid, pq_code); the float column is read
+    only at build time (assignment + residual encode), exactly the FAISS
+    storage contract.
+
+    Returns (qid, rank, nid, adist).
+    """
+    from .ivf import ivf_assign
+
+    resid = (
+        ivf_assign(emb, centroids, vec_col=vec_col, nprobe=1, id_col=id_col)
+        .join(F.broadcast(centroids), "cid")
+        .select(
+            id_col,
+            "cid",
+            F.zip_with(vec_col, "centroid", lambda x, y: x - y).alias("res"),
+        )
+    )
+    corpus = resid.select(F.col(id_col).alias("nid"), "cid").join(
+        pq_encode(resid, codebooks, vec_col="res", id_col=id_col).withColumnRenamed(
+            id_col, "nid"
+        ),
+        "nid",
+    )
+    q = emb.filter(F.col(id_col) < n_queries)
+    probes = ivf_assign(q, centroids, vec_col=vec_col, nprobe=nprobe, id_col=id_col).select(
+        F.col(id_col).alias("qid"), "cid"
+    )
+    qres = (
+        probes.join(q.select(F.col(id_col).alias("qid"), vec_col), "qid")
+        .join(F.broadcast(centroids), "cid")
+        .select(
+            "qid",
+            "cid",
+            F.zip_with(vec_col, "centroid", lambda x, y: x - y).alias("qres"),
+        )
+    )
+    lut = _subvec_rows(qres, codebooks, "qres", "qid", keys=("cid",)).join(
+        _cb_df(emb.sparkSession, codebooks).withColumnRenamed("cid", "code").withColumnRenamed("sub", "csub"),
+        F.col("sub") == F.col("csub"),
+    ).select(
+        "qid",
+        "cid",
+        "sub",
+        "code",
+        F.aggregate(
+            F.zip_with("qsub", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ).alias("d"),
+    )
+    cands = (
+        F.broadcast(probes)
+        .join(corpus, "cid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "nid",
+            "cid",
+            F.posexplode(F.col("pq_code").cast("array<int>")).alias("sub", "code"),
+        )
+    )
+    scored = (
+        cands.join(F.broadcast(lut), ["qid", "cid", "sub", "code"])
         .groupBy("qid", "nid")
         .agg(F.round(F.sum("d"), 6).alias("adist"))
     )

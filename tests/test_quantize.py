@@ -355,3 +355,66 @@ def test_ivf_pq_topk_recall_and_subset(emb, sf_dir):
     }
     for r in got.collect():
         assert brute[(r["qid"], r["nid"])] == r["adist"], (r["qid"], r["nid"])
+
+
+def test_ivf_pq_residual_topk_recall_and_price_parity(emb, sf_dir):
+    """by_residual=True IVFPQ: shortlist recall holds the same 0.7 floor
+    (the synthetic embeddings are not multi-modal, so residual coding is
+    expected to roughly MATCH the plain variant here, not beat it — its
+    value case is cell-clustered corpora), and the priced distance is
+    EXACTLY the python reference ||(q - c(nid)) - rcb[code(res(nid))]||²
+    for every returned pair — cell-local frames on both sides, computed
+    end-to-end independently of the Spark column algebra."""
+    from apache_jira_scraper_spark.operators.ivf import ivf_build, ivf_assign
+    from apache_jira_scraper_spark.operators.quantize import (
+        ivf_pq_residual_topk,
+        pq_model,
+        pq_train_residual,
+    )
+
+    cent = ivf_build(emb, k=8, n_iter=3)
+    rbooks = pq_train_residual(emb, cent)
+    got = ivf_pq_residual_topk(emb, cent, rbooks, n_queries=10, top_k=20, nprobe=2)
+    exact = q_cosine_topk(emb.sparkSession, sf_dir)
+    hits = exact.join(got.select("qid", "nid"), ["qid", "nid"], "left_semi").count()
+    total = exact.count()
+    assert total > 0 and hits / total >= 0.7, f"recall {hits}/{total}"
+    assert got.select("qid").distinct().count() == 10
+
+    cents = {r["cid"]: list(r["centroid"]) for r in cent.collect()}
+    cell = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assign(emb, cent, nprobe=1).select("vec_id", "cid").collect()
+    }
+    vecs = {r["vec_id"]: list(r["e"]) for r in emb.collect()}
+    m = len(rbooks)
+    dsub = len(rbooks[0][0])
+    for r in got.collect():
+        c = cents[cell[r["nid"]]]
+        res = [x - y for x, y in zip(vecs[r["nid"]], c)]
+        code = pq_model(res, rbooks)[0]
+        qres = [x - y for x, y in zip(vecs[r["qid"]], c)]
+        want = round(
+            sum(
+                sum(
+                    (x - y) * (x - y)
+                    for x, y in zip(
+                        qres[j * dsub : (j + 1) * dsub], rbooks[j][code[j]]
+                    )
+                )
+                for j in range(m)
+            ),
+            6,
+        )
+        assert abs(want - r["adist"]) <= 1e-6, (r["qid"], r["nid"], want, r["adist"])
+
+
+def test_pq_train_residual_guards(spark):
+    from apache_jira_scraper_spark.operators.quantize import pq_train_residual
+
+    cent = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0] * 4)], "cid int, centroid array<double>"
+    )
+    empty = spark.createDataFrame([], "vec_id long, e array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        pq_train_residual(empty, cent)
