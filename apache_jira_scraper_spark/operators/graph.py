@@ -142,6 +142,92 @@ def pagerank(
     )
 
 
+def pagerank_weighted(
+    edges: DataFrame,
+    weight_col: str = "w_ppm",
+    iters: int = PAGERANK_ITERS,
+    own_edges: bool = True,
+    scratch_out: list | None = None,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Similarity-weighted PageRank over an undirected (d1, d2, weight)
+    pair graph — mass flows proportionally to edge weight, so the most
+    central member of a near-dup cluster is the one most STRONGLY similar
+    to the rest, not merely the most connected (the natural refinement
+    when edges carry verified jaccard/cosine: weight = the similarity in
+    integer ppm).
+
+    Fixed-point semantics, all BIGINT (weights must be positive integers,
+    e.g. CAST(round(jaccard * 1e6)) — the pair tables' rounded-6 doubles
+    scale to exact ppm):
+
+        W(u)          = sum of u's incident weights
+        share(u -> v) = (r(u) * w(uv)) div W(u)        [per edge]
+        r'(v)         = TELEPORT div N + (DAMP * sum share) div MASS
+
+    With constant weights this reproduces `pagerank` EXACTLY
+    (floor((r*c)/(deg*c)) == floor(r/deg)) — pinned in tests, so the two
+    functions cannot drift. Bounds: r <= 10^9 inductively and w <= 10^6
+    ppm keep r*w <= 10^15 < 2^63. Same shuffle shape as the unweighted
+    loop — one equi-join + one neighbor-keyed sum per round — with the
+    per-edge multiply replacing the per-node share projection.
+    """
+    if own_edges:
+        edges = edges.localCheckpoint(eager=True)
+    w = F.col(weight_col)
+    sym = edges.select(
+        F.col("d1").alias("node"), F.col("d2").alias("nbr"), w.cast("long").alias("w")
+    ).unionByName(
+        edges.select(
+            F.col("d2").alias("node"), F.col("d1").alias("nbr"), w.cast("long").alias("w")
+        )
+    )
+    wsum = (
+        sym.groupBy("node").agg(F.sum("w").alias("wsum")).localCheckpoint(eager=True)
+    )
+    n = wsum.count()
+    if n == 0:
+        free_local_checkpoint(wsum)
+        if own_edges:
+            free_local_checkpoint(edges)
+        return edges.sparkSession.createDataFrame(
+            [], "doc_id long, pagerank_ppb long"
+        )
+    base = TELEPORT_PPB // n
+    ranks = wsum.select("node", F.lit(MASS_PPB // n).cast("long").alias("r"))
+    mid_ckpts: list[DataFrame] = []
+    for k in range(1, iters + 1):
+        contrib = (
+            sym.join(ranks, "node")
+            .join(wsum, "node")
+            .select("nbr", F.expr("(r * w) div wsum").alias("share"))
+        )
+        ranks = (
+            contrib.groupBy("nbr")
+            .agg(
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(f"({DAMP_PPB} * sum(share)) div {MASS_PPB}")
+                ).alias("r")
+            )
+            .select(F.col("nbr").alias("node"), "r")
+        )
+        if k % checkpoint_every == 0 and k < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+            mid_ckpts.append(ranks)
+    ranks = ranks.localCheckpoint(eager=True)
+    for c in mid_ckpts:
+        free_local_checkpoint(c)
+    free_local_checkpoint(wsum)
+    if own_edges:
+        free_local_checkpoint(edges)
+    if scratch_out is not None:
+        scratch_out.append(ranks)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("r").cast("long").alias("pagerank_ppb")
+    )
+
+
 def pagerank_sql_ctes(iters: int = PAGERANK_ITERS) -> str:
     """DuckDB CTE chain mirroring :func:`pagerank` exactly, for embedding
     in gate oracles. Expects an ``e(node, nbr)`` symmetric-edge CTE in

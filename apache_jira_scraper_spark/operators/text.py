@@ -865,6 +865,121 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+def bigram_logprob(docs: DataFrame) -> DataFrame:
+    """Corpus-trained BIGRAM log-probability per document — the KenLM-style
+    perplexity filter one order up from unigram_logprob (fluency: a doc
+    whose word PAIRS are improbable under the corpus's own bigram model is
+    shuffled/templated/gibberish even when its unigrams look normal).
+
+    Model: Laplace-smoothed p(w2|w1) = (c(w1,w2) + 1) / (ctx(w1) + V),
+    ctx(w1) = number of bigrams starting with w1, V = unigram vocabulary
+    size. Per-bigram log-probs round to integer 1e-4 nats BEFORE summing
+    (the unigram_logprob discipline: order-independent integer aggregation,
+    and Spark `div` == DuckDB `//` for the truncating average — verified
+    on negative operands, which log-probs always are). Docs with < 2
+    tokens carry zero bigrams and emit (0, 0, 0) via the left join back
+    to the doc spine.
+
+    Plan shape: bigram construction is a ZERO-SHUFFLE narrow map
+    (zip_with over two slices of the one split — no posexplode self-join);
+    the model is one bigram-keyed partial-agg shuffle + a context
+    re-aggregation of the (vocabulary²-bounded) count table; scoring joins
+    the exploded bigrams to the count table on the bigram key (shuffle
+    join — a bigram table is NOT assumed broadcastable at 100 TB) and
+    re-aggregates per doc. V rides a 1-row broadcast (the accepted
+    totals-crossJoin shape).
+
+    Returns (doc_id, n_bigrams, sum_logprob_en4, avg_logprob_en4).
+    """
+    toks = docs.select("doc_id", tokens_col().alias("ts"))
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.expr("slice(ts, 1, size(ts) - 1)"),
+                F.expr("slice(ts, 2, size(ts) - 1)"),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cbg = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    ctx = cbg.groupBy("w1").agg(F.sum("c").alias("cw"))
+    vocab = (
+        docs.select(F.explode(tokens_col()).alias("t"))
+        .agg(F.count_distinct("t").alias("V"))
+    )
+    scored = (
+        pairs.join(cbg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c") + 1).cast("double") / (F.col("cw") + F.col("V")))
+                * 10_000
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp").alias("sum_lp")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("sum_lp", F.lit(0)).cast("bigint").alias("sum_logprob_en4"),
+            F.coalesce(F.expr("sum_lp DIV n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("avg_logprob_en4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# bigram keys concatenate with ' ' — tokens are whitespace-split, so the
+# separator cannot occur inside a token and the key is collision-free;
+# split_part recovers w1 exactly (same argument on both engines).
+BIGRAM_LOGPROB_SQL = """
+WITH btoks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+bgr AS (
+  SELECT doc_id, u.bg
+  FROM (
+    SELECT doc_id,
+           list_transform(list_zip(l[:-2], l[2:]), p -> p[1] || ' ' || p[2]) AS z
+    FROM btoks
+  ), unnest(z) AS u(bg)
+),
+cbg AS (SELECT bg, COUNT(1) AS c FROM bgr GROUP BY bg),
+bctx AS (SELECT split_part(bg, ' ', 1) AS w1, SUM(c) AS cw FROM cbg GROUP BY 1),
+bvocab AS (
+  SELECT COUNT(DISTINCT u.t) AS V
+  FROM documents, unnest(string_split(text, ' ')) AS u(t)
+),
+bscored AS (
+  SELECT g.doc_id,
+         CAST(ROUND(ln(CAST(c.c + 1 AS DOUBLE) / (x.cw + v.V)) * 10000) AS BIGINT) AS lp
+  FROM bgr g
+  JOIN cbg c USING (bg)
+  JOIN bctx x ON split_part(g.bg, ' ', 1) = x.w1
+  CROSS JOIN bvocab v
+),
+bagg AS (
+  SELECT doc_id, COUNT(1) AS n_bigrams, SUM(lp) AS sum_lp
+  FROM bscored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(a.sum_lp, 0) AS BIGINT) AS sum_logprob_en4,
+       CAST(COALESCE(a.sum_lp // a.n_bigrams, 0) AS BIGINT) AS avg_logprob_en4
+FROM documents d LEFT JOIN bagg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
@@ -1164,11 +1279,20 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_logprob_en4").cast("bigint").alias("m2"),
         F.col("avg_logprob_en4").cast("bigint").alias("m3"),
     )
+    bg = bigram_logprob(docs).select(
+        F.lit("bigram").alias("leg"),
+        F.col("doc_id").alias("id"),
+        empty,
+        F.col("n_bigrams").cast("bigint").alias("m1"),
+        F.col("sum_logprob_en4").cast("bigint").alias("m2"),
+        F.col("avg_logprob_en4").cast("bigint").alias("m3"),
+    )
     return (
         rep.unionByName(sweep)
         .unionByName(vocab)
         .unionByName(enc)
         .unionByName(uni)
+        .unionByName(bg)
         .orderBy("leg", "id", "txt")
     )
 
@@ -1198,6 +1322,11 @@ SELECT 'unigram' AS leg, doc_id AS id, '' AS txt,
        CAST(n_tokens AS BIGINT), CAST(sum_logprob_en4 AS BIGINT),
        CAST(avg_logprob_en4 AS BIGINT)
 FROM ({UNIGRAM_LOGPROB_SQL})
+UNION ALL
+SELECT 'bigram' AS leg, doc_id AS id, '' AS txt,
+       CAST(n_bigrams AS BIGINT), CAST(sum_logprob_en4 AS BIGINT),
+       CAST(avg_logprob_en4 AS BIGINT)
+FROM ({BIGRAM_LOGPROB_SQL})
 ORDER BY leg, id, txt
 """
 

@@ -174,3 +174,66 @@ def test_cluster_gate_keeper_by_rank_contract(spark, sf_dir):
         # every member of a multi-doc cluster has >= 2 neighbors' worth of
         # structure behind its rank; at minimum ranks are positive
         assert all(r["pagerank_ppb"] > 0 for r in members)
+
+
+def _py_pagerank_weighted(
+    edges: list[tuple[int, int, int]], iters: int = PAGERANK_ITERS
+) -> dict[int, int]:
+    """Independent reference for the weighted variant (per-edge shares)."""
+    adj: dict[int, dict[int, int]] = {}
+    for a, b, w in edges:
+        adj.setdefault(a, {})[b] = w
+        adj.setdefault(b, {})[a] = w
+    n = len(adj)
+    rank = {v: MASS_PPB // n for v in adj}
+    base = TELEPORT_PPB // n
+    for _ in range(iters):
+        wsum = {v: sum(adj[v].values()) for v in adj}
+        rank = {
+            v: base
+            + (
+                DAMP_PPB
+                * sum((rank[u] * w) // wsum[u] for u, w in adj[v].items())
+            )
+            // MASS_PPB
+            for v in adj
+        }
+    return rank
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    from apache_jira_scraper_spark.operators.graph import pagerank_weighted
+
+    rng = random.Random(13)
+    edges = [
+        (a, b, rng.randint(500_000, 1_000_000))
+        for a, b in sorted({tuple(sorted(rng.sample(range(100), 2))) for _ in range(250)})
+    ]
+    df = spark.createDataFrame(edges, "d1 long, d2 long, w_ppm long")
+    got = {r["doc_id"]: r["pagerank_ppb"] for r in pagerank_weighted(df).collect()}
+    assert got == _py_pagerank_weighted(edges)
+
+
+def test_pagerank_weighted_constant_weights_equal_unweighted(spark):
+    """floor((r*c)/(deg*c)) == floor(r/deg): constant weights must
+    reproduce the unweighted ranks BIT-FOR-BIT, so the two loops cannot
+    drift apart — and a weight that matters must CHANGE the ranking
+    (non-vacuity: doubling one pendant edge's weight reroutes mass)."""
+    from apache_jira_scraper_spark.operators.graph import pagerank_weighted
+
+    const = [(a, b, 700_000) for a, b in CRAFTED]
+    df_u = spark.createDataFrame(CRAFTED, "d1 long, d2 long")
+    df_w = spark.createDataFrame(const, "d1 long, d2 long, w_ppm long")
+    unweighted = {r["doc_id"]: r["pagerank_ppb"] for r in pagerank(df_u).collect()}
+    weighted = {
+        r["doc_id"]: r["pagerank_ppb"] for r in pagerank_weighted(df_w).collect()
+    }
+    assert weighted == unweighted
+
+    skew = [
+        (a, b, 1_000_000 if (a, b) == (2, 9) else 200_000) for a, b in CRAFTED
+    ]
+    df_s = spark.createDataFrame(skew, "d1 long, d2 long, w_ppm long")
+    skewed = {r["doc_id"]: r["pagerank_ppb"] for r in pagerank_weighted(df_s).collect()}
+    assert skewed != unweighted
+    assert skewed[9] > unweighted[9]  # the upweighted pendant pulls more mass

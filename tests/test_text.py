@@ -280,3 +280,61 @@ def test_hybrid_gate_fusion_is_not_degenerate(spark, sf_dir):
         f"fusion reordered only {diff}/{len(bm)} slots — embedding branch "
         "contribution degenerated (measured band: 42-46/50)"
     )
+
+
+def test_bigram_logprob_matches_oracle(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        BIGRAM_LOGPROB_SQL,
+        bigram_logprob,
+    )
+
+    assert_matches_oracle(
+        bigram_logprob(load_table(spark, sf_dir, "documents")),
+        BIGRAM_LOGPROB_SQL,
+        sf_dir,
+        name="bigram_logprob",
+    )
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Exact arithmetic on a corpus small enough to verify by hand, plus
+    the fluency ordering unigrams cannot see: doc 4 reuses exactly doc 1's
+    tokens but in a never-seen order, so its unigram stats match doc 1
+    while its bigram score must fall strictly below."""
+    import math
+
+    from apache_jira_scraper_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b"),  # bigrams: ab ba ab
+            (2, "a b"),  # bigram: ab
+            (3, "x"),  # no bigram -> (0, 0, 0)
+            (4, "b a b a"),  # same tokens as 1, different order: ba ab ba
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    # corpus bigrams: doc1 ab,ba,ab; doc2 ab; doc4 ba,ab,ba
+    # -> c(ab)=4, c(ba)=3; ctx(a)=c(ab)=4, ctx(b)=c(ba)=3; V=3 (a, b, x)
+    lp_ab = round(math.log((4 + 1) / (4 + 3)) * 10_000)
+    lp_ba = round(math.log((3 + 1) / (3 + 3)) * 10_000)
+    assert (got[3]["n_bigrams"], got[3]["sum_logprob_en4"], got[3]["avg_logprob_en4"]) == (0, 0, 0)
+    assert got[2]["n_bigrams"] == 1 and got[2]["sum_logprob_en4"] == lp_ab
+    assert got[1]["n_bigrams"] == 3
+    assert got[1]["sum_logprob_en4"] == 2 * lp_ab + lp_ba
+
+    # the fluency case: tokens of 5 == tokens of 6, orders differ
+    docs2 = spark.createDataFrame(
+        [(5, "the cat sat on the mat"), (6, "mat the on sat cat the"),
+         (7, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    uni = {r["doc_id"]: r["avg_logprob_en4"] for r in unigram_logprob(docs2).collect()}
+    bg = {r["doc_id"]: r["avg_logprob_en4"] for r in bigram_logprob(docs2).collect()}
+    assert uni[5] == uni[6]  # unigram model is order-blind
+    assert bg[5] > bg[6]  # the bigram model is not
