@@ -298,7 +298,13 @@ def pq_train(
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"pq_train: dim {dim} not divisible by m {m}")
-    dsub = dim // m
+    return _np_pq_books(x, m, ksub, n_iter)
+
+
+def _np_pq_books(x, m: int, ksub: int, n_iter: int) -> list[list[list[float]]]:
+    """The per-subspace GEMM Lloyd core, on an in-memory sample matrix —
+    shared by pq_train and the OPQ alternation."""
+    dsub = x.shape[1] // m
     books: list[list[list[float]]] = []
     for j in range(m):
         xs = x[:, j * dsub : (j + 1) * dsub]
@@ -314,6 +320,25 @@ def pq_train(
                     cents[cid] = members.mean(axis=0)
         books.append([[float(v) for v in c] for c in cents])
     return books
+
+
+def _np_pq_reconstruct(x, books: list[list[list[float]]]):
+    """Nearest-codeword reconstruction of every row (numpy, training-time)."""
+    import numpy as np
+
+    m = len(books)
+    dsub = len(books[0][0])
+    out = np.empty_like(x)
+    for j, book in enumerate(books):
+        cents = np.asarray(book)
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        d2 = (
+            (xs**2).sum(axis=1)[:, None]
+            + (cents**2).sum(axis=1)[None, :]
+            - 2.0 * (xs @ cents.T)
+        )
+        out[:, j * dsub : (j + 1) * dsub] = cents[d2.argmin(axis=1)]
+    return out
 
 
 def _pq_sqdist_sql(vec_sql: str, c: list[float]) -> str:
@@ -604,6 +629,111 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= top_k)
         .select("qid", "rank", "nid", "adist")
         .orderBy("qid", "rank")
+    )
+
+
+def opq_train(
+    emb: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    n_iter: int = 8,
+    opq_iters: int = 6,
+    train_sample: int = 4096,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ — Optimized Product Quantization (Ge et al. 2013, the
+    non-parametric alternation): learn an ORTHOGONAL rotation R jointly
+    with the codebooks so the subspace split falls along the sample's
+    natural axes; quantization then happens in the rotated frame
+    (encode Rx, price ||Rq - cb[code]||²).
+
+    Alternation on the bounded driver-side sample: (1) train codebooks
+    on the rotated sample (the shared GEMM Lloyd core), (2) reconstruct,
+    (3) solve the orthogonal Procrustes problem min_R ||R X - Y||_F via
+    one d×d SVD (R = U Vᵀ of Y Xᵀ). Each step does not increase the
+    quantization error, so the trained-sample MSE is <= plain PQ's with
+    the same (m, ksub) — pinned in tests. The model is O(dim² + dim*ksub)
+    — driver-sized; R starts at identity so opq_iters=0 degrades to PQ
+    exactly.
+
+    Returns (R as dim×dim row-major lists, codebooks).
+    """
+    import numpy as np
+
+    sample = emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    if not sample:
+        raise ValueError("opq_train: empty embeddings input")
+    x = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"opq_train: dim {dim} not divisible by m {m}")
+    r = np.eye(dim)
+    books = _np_pq_books(x, m, ksub, n_iter)
+    for _ in range(opq_iters):
+        xr = x @ r.T
+        books = _np_pq_books(xr, m, ksub, n_iter)
+        y = _np_pq_reconstruct(xr, books)
+        u, _, vt = np.linalg.svd(y.T @ x)
+        r = u @ vt
+    return [[float(v) for v in row] for row in r], books
+
+
+def rotate_col(vec_col: str, rotation: list[list[float]]) -> Column:
+    """Rx as a column expression — dim aggregate folds (one per output
+    coordinate) over the literal rotation rows, O(dim²) flops per row
+    JVM-side: the honest everywhere-cost of OPQ, paid once at encode and
+    once per query at LUT build. Sequential left-to-right fold order, so
+    a Python reference summing in the same order matches BIT-for-bit."""
+    rows = ",".join(
+        f"aggregate(zip_with({vec_col}, {_arr_sql_q(row)}, (x, y) -> x * y),"
+        f" 0D, (a, v) -> a + v)"
+        for row in rotation
+    )
+    return F.expr(f"array({rows})")
+
+
+def _arr_sql_q(c: list[float]) -> str:
+    return "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+
+
+def opq_encode(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, pq_code) under the learned rotation: project Rx (narrow map),
+    then the standard pq_encode paths on the rotated column."""
+    rotated = emb.select(id_col, rotate_col(vec_col, rotation).alias("_re"))
+    return pq_encode(rotated, codebooks, vec_col="_re", id_col=id_col)
+
+
+def opq_adc_topk(
+    emb: DataFrame,
+    rotation: list[list[float]],
+    codebooks: list[list[list[float]]],
+    n_queries: int = 10,
+    top_k: int = 5,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k in the rotated frame — rotation is a narrow projection on
+    both sides (corpus once at encode, queries once at LUT build), after
+    which the search IS pq_adc_topk: rotations preserve L2, so
+    ||Rq - Rx||² == ||q - x||² and the ADC approximation quality is the
+    rotated codebooks' to win."""
+    rotated = emb.select(id_col, rotate_col(vec_col, rotation).alias("_re"))
+    return pq_adc_topk(
+        rotated,
+        codebooks,
+        n_queries=n_queries,
+        top_k=top_k,
+        vec_col="_re",
+        id_col=id_col,
+        codes=codes,
     )
 
 
