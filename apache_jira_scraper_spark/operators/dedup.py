@@ -1257,15 +1257,35 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+_LABELS_CACHE: dict = {}
+
+
 def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, cluster_id) near-dup component labels only — the entry
     point for consumers that need the membership and nothing else
     (corpus assembly's keeper selection): no pagerank rounds, no sizes
     window, no rank join (review r10 — the gate's centrality fold was
     making every assemble_corpus call pay 5 rank iterations it then
-    projected away)."""
-    edges = minhash_pairs(spark, sf_dir).select("d1", "d2")
-    return connected_components(edges)
+    projected away).
+
+    Session-cached (the silver-table discipline): a pure function of
+    (session, sf_dir), and un-cached every assemble_corpus call would
+    re-run the multi-round hash-to-min loop AND pin a fresh converged-
+    labels checkpoint per call (connected_components returns it lazily,
+    so the caller can never free it — review r10)."""
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        edges = minhash_pairs(spark, sf_dir).select("d1", "d2")
+        scratch: list = []
+        labels = connected_components(edges, scratch_out=scratch).localCheckpoint(
+            eager=True
+        )
+        for df in scratch:  # the converged-labels scratch is superseded
+            free_local_checkpoint(df)  # by the cached projection above
+        return labels
+
+    return session_cached(_LABELS_CACHE, spark, (sf_dir,), _build)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -169,8 +169,10 @@ def pagerank_weighted(
     (floor((r*c)/(deg*c)) == floor(r/deg)) — pinned in tests, so the two
     functions cannot drift. Bounds: r <= 10^9 inductively and w <= 10^6
     ppm keep r*w <= 10^15 < 2^63. Same shuffle shape as the unweighted
-    loop — one equi-join + one neighbor-keyed sum per round — with the
-    per-edge multiply replacing the per-node share projection.
+    loop — the node-sized ranks⋈wsum join happens FIRST, then ONE
+    edge-sized equi-join + one neighbor-keyed sum per round (joining
+    wsum to the expanded edge table instead would drag 2|E| rows through
+    a second join every round — review r10).
     """
     if own_edges:
         edges = edges.localCheckpoint(eager=True)
@@ -197,10 +199,8 @@ def pagerank_weighted(
     ranks = wsum.select("node", F.lit(MASS_PPB // n).cast("long").alias("r"))
     mid_ckpts: list[DataFrame] = []
     for k in range(1, iters + 1):
-        contrib = (
-            sym.join(ranks, "node")
-            .join(wsum, "node")
-            .select("nbr", F.expr("(r * w) div wsum").alias("share"))
+        contrib = sym.join(ranks.join(wsum, "node"), "node").select(
+            "nbr", F.expr("(r * w) div wsum").alias("share")
         )
         ranks = (
             contrib.groupBy("nbr")

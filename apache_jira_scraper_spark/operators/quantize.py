@@ -301,14 +301,26 @@ def pq_train(
     return _np_pq_books(x, m, ksub, n_iter)
 
 
-def _np_pq_books(x, m: int, ksub: int, n_iter: int) -> list[list[list[float]]]:
+def _np_pq_books(
+    x, m: int, ksub: int, n_iter: int, init: list[list[list[float]]] | None = None
+) -> list[list[list[float]]]:
     """The per-subspace GEMM Lloyd core, on an in-memory sample matrix —
-    shared by pq_train and the OPQ alternation."""
+    shared by pq_train and the OPQ alternation. `init` warm-starts each
+    subspace's centroids (the OPQ alternation's requirement: restarting
+    from the fixed first-ksub init after a rotation can land in a WORSE
+    local optimum, which would break the alternation's monotone
+    non-increase — review r10)."""
+    import numpy as np
+
     dsub = x.shape[1] // m
     books: list[list[list[float]]] = []
     for j in range(m):
         xs = x[:, j * dsub : (j + 1) * dsub]
-        cents = xs[:ksub].copy()
+        cents = (
+            np.asarray(init[j], dtype=np.float64).copy()
+            if init is not None
+            else xs[:ksub].copy()
+        )
         k_eff = cents.shape[0]
         xs2 = (xs**2).sum(axis=1)[:, None]
         for _ in range(n_iter):
@@ -541,20 +553,16 @@ def pq_train_residual(
         - 2.0 * (x @ cents.T)
     )
     res = x - cents[d2.argmin(axis=1)]
-    spark = emb.sparkSession
-    res_df = spark.createDataFrame(
-        [(i, [float(v) for v in row]) for i, row in enumerate(res)],
-        f"{id_col} long, {vec_col} array<double>",
-    )
-    return pq_train(
-        res_df,
-        m=m,
-        ksub=ksub,
-        n_iter=n_iter,
-        train_sample=train_sample,
-        vec_col=vec_col,
-        id_col=id_col,
-    )
+    # the residual matrix is already driver-resident — train on it
+    # directly instead of round-tripping 4096×dim rows through a Spark
+    # DataFrame just so pq_train can collect them back (review r10)
+    if not np.isfinite(res).all():
+        raise ValueError("pq_train_residual: non-finite residual in the sample")
+    if res.shape[1] % m:
+        raise ValueError(
+            f"pq_train_residual: dim {res.shape[1]} not divisible by m {m}"
+        )
+    return _np_pq_books(res, m, ksub, n_iter)
 
 
 def ivf_pq_topk(
@@ -648,14 +656,16 @@ def opq_train(
     natural axes; quantization then happens in the rotated frame
     (encode Rx, price ||Rq - cb[code]||²).
 
-    Alternation on the bounded driver-side sample: (1) train codebooks
-    on the rotated sample (the shared GEMM Lloyd core), (2) reconstruct,
-    (3) solve the orthogonal Procrustes problem min_R ||R X - Y||_F via
-    one d×d SVD (R = U Vᵀ of Y Xᵀ). Each step does not increase the
-    quantization error, so the trained-sample MSE is <= plain PQ's with
-    the same (m, ksub) — pinned in tests. The model is O(dim² + dim*ksub)
-    — driver-sized; R starts at identity so opq_iters=0 degrades to PQ
-    exactly.
+    Alternation on the bounded driver-side sample: (1) refine codebooks
+    on the rotated sample (the shared GEMM Lloyd core, WARM-STARTED from
+    the previous round's codebooks — a cold restart after a rotation can
+    land in a worse local optimum and void the guarantee), (2)
+    reconstruct, (3) solve the orthogonal Procrustes problem
+    min_R ||R X - Y||_F via one d×d SVD (R = U Vᵀ of Y Xᵀ). Warm-started,
+    no step increases the quantization error, so the trained-sample MSE
+    is <= plain PQ's with the same (m, ksub) — pinned in tests. The
+    model is O(dim² + dim*ksub) — driver-sized; R starts at identity so
+    opq_iters=0 degrades to PQ exactly.
 
     Returns (R as dim×dim row-major lists, codebooks).
     """
@@ -665,14 +675,22 @@ def opq_train(
     if not sample:
         raise ValueError("opq_train: empty embeddings input")
     x = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    if not np.isfinite(x).all():
+        raise ValueError(
+            "opq_train: non-finite coordinate in the training sample - a NaN/Inf "
+            "rotation row would render as 'nanD' inside rotate_col's literal "
+            "expression and fail far from the cause"
+        )
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"opq_train: dim {dim} not divisible by m {m}")
     r = np.eye(dim)
+    # round 0 (identity rotation) IS plain PQ — later rounds refine these
+    # books in place rather than retraining from the fixed init
     books = _np_pq_books(x, m, ksub, n_iter)
     for _ in range(opq_iters):
         xr = x @ r.T
-        books = _np_pq_books(xr, m, ksub, n_iter)
+        books = _np_pq_books(xr, m, ksub, n_iter, init=books)
         y = _np_pq_reconstruct(xr, books)
         u, _, vt = np.linalg.svd(y.T @ x)
         r = u @ vt
@@ -746,6 +764,7 @@ def ivf_pq_residual_topk(
     nprobe: int = 2,
     vec_col: str = "e",
     id_col: str = "vec_id",
+    scratch_out: list | None = None,
 ) -> DataFrame:
     """IVFPQ with residual coding (FAISS by_residual=True — the canonical
     production configuration): the corpus stores PQ codes of x - c(x)
@@ -761,6 +780,14 @@ def ivf_pq_residual_topk(
     only at build time (assignment + residual encode), exactly the FAISS
     storage contract.
 
+    The residual table feeds TWO consumers (the (nid, cid) spine and the
+    encoder), so it is materialized once — un-checkpointed, the
+    full-corpus assignment + residual map would execute once per
+    reference (the q_two_stage_topk double-execution class, review r10).
+    `scratch_out`, when given, receives that checkpoint so an eager
+    consumer can free it (the connected_components contract); lazy
+    consumers leave it to driver GC.
+
     Returns (qid, rank, nid, adist).
     """
     from .ivf import ivf_assign
@@ -773,7 +800,10 @@ def ivf_pq_residual_topk(
             "cid",
             F.zip_with(vec_col, "centroid", lambda x, y: x - y).alias("res"),
         )
+        .localCheckpoint(eager=True)
     )
+    if scratch_out is not None:
+        scratch_out.append(resid)
     corpus = resid.select(F.col(id_col).alias("nid"), "cid").join(
         pq_encode(resid, codebooks, vec_col="res", id_col=id_col).withColumnRenamed(
             id_col, "nid"

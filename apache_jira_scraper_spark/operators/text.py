@@ -1227,11 +1227,16 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   m1=n_pieces
       unigram     id=doc_id, m1=n_tokens, m2=sum_logprob_en4,
                   m3=avg_logprob_en4
+      bigram      id=doc_id, m1=n_bigrams, m2=sum_logprob_en4,
+                  m3=avg_logprob_en4 (r10 — the fluency leg; <2-token
+                  docs emit (0, 0, 0))
 
     Scale shapes are the standalone operators', unchanged: repetition's
     zero-shuffle narrow map, the sweep's ~21-row band table, vocab's
     TakeOrderedAndProject top-k, encode's broadcast-vocab join + one
-    doc-keyed reassembly shuffle, unigram's token-count shuffle join.
+    doc-keyed reassembly shuffle, unigram's token-count shuffle join,
+    bigram's bigram-keyed shuffle join over the zero-shuffle zip_with
+    pair construction.
     """
     docs = load_table_parallel(spark, sf_dir, "documents")
     zero = F.lit(0).cast("bigint")
