@@ -915,6 +915,7 @@ PQ_GATE_SHORTLIST_K = 40
 PQ_MIN_HITS = 2
 
 _PQ_MODEL: dict = {}
+_OPQ_MODEL: dict = {}
 _TS_SPINE: dict = {}
 
 
@@ -934,6 +935,22 @@ def _pq_model_cached(spark, sf_dir: str):
     return session_cached(_PQ_MODEL, spark, (sf_dir,), _build)
 
 
+def _opq_model_cached(spark, sf_dir: str):
+    """Session-cached (rotation, codebooks, rotated-corpus codes) — the
+    OPQ counterpart of _pq_model_cached; the O(dim²) corpus rotation runs
+    once per session inside the cached encode."""
+    from ..io import session_cached
+    from .similarity import _emb
+
+    def _build():
+        emb = _emb(spark, sf_dir)
+        r, books = opq_train(emb)
+        codes = opq_encode(emb, r, books).localCheckpoint(eager=True)
+        return (r, books, codes)
+
+    return session_cached(_OPQ_MODEL, spark, (sf_dir,), _build)
+
+
 def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
     """Driver gate: int8 candidate scan -> exact float re-rank, certified
     against the exact brute-force oracle (same (qid, rank, nid, cosine)
@@ -941,9 +958,11 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
 
     r10: the gate also certifies the PQ family — `pq_recall_ok` is TRUE
     per query iff the product-quantized ADC shortlist recovered >=
-    PQ_MIN_HITS of the exact top-k. The oracle emits literal TRUE, so the
-    row only hash-matches if the trained codebooks actually met the
-    envelope (the ivf_recall_ok pattern)."""
+    PQ_MIN_HITS of the exact top-k, and `opq_recall_ok` certifies the
+    learned-rotation variant the same way (observed min hits 3-4 at all
+    three SFs vs the 2/5 envelope). The oracle emits literal TRUE for
+    both, so the row only hash-matches if each trained model actually
+    met its envelope (the ivf_recall_ok pattern)."""
     from ..io import session_cached
     from .similarity import N_QUERIES, TOP_K, _emb
 
@@ -965,18 +984,25 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
     short = pq_adc_topk(
         emb, books, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=codes
     )
-    hits = (
-        ts.select("qid", "nid")
-        .join(short.select("qid", "nid"), ["qid", "nid"], "left_semi")
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    r, obooks, ocodes = _opq_model_cached(spark, sf_dir)
+    oshort = opq_adc_topk(
+        emb, r, obooks, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=ocodes
     )
-    return (
-        ts.join(hits, "qid", "left")
-        .withColumn(
-            "pq_recall_ok", F.coalesce(F.col("hits"), F.lit(0)) >= PQ_MIN_HITS
+
+    def _hits(shortlist: DataFrame, name: str) -> DataFrame:
+        return (
+            ts.select("qid", "nid")
+            .join(shortlist.select("qid", "nid"), ["qid", "nid"], "left_semi")
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias(name))
         )
-        .drop("hits")
+
+    return (
+        ts.join(_hits(short, "_ph"), "qid", "left")
+        .join(_hits(oshort, "_oh"), "qid", "left")
+        .withColumn("pq_recall_ok", F.coalesce(F.col("_ph"), F.lit(0)) >= PQ_MIN_HITS)
+        .withColumn("opq_recall_ok", F.coalesce(F.col("_oh"), F.lit(0)) >= PQ_MIN_HITS)
+        .drop("_ph", "_oh")
         .orderBy("qid", "rank")
     )
 
@@ -993,7 +1019,7 @@ WITH scored AS (
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
   FROM scored
 )
-SELECT qid, rank, nid, cosine, TRUE AS pq_recall_ok
+SELECT qid, rank, nid, cosine, TRUE AS pq_recall_ok, TRUE AS opq_recall_ok
 FROM ranked WHERE rank <= {TOP_K} ORDER BY qid, rank
 """
 
