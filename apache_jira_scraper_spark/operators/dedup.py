@@ -28,7 +28,15 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import free_local_checkpoint, load_table, load_table_parallel
-from .graph import PAGERANK_FINAL_CTE, pagerank, pagerank_sql_ctes, symmetric_edges
+from .graph import (
+    PAGERANK_FINAL_CTE,
+    PAGERANK_W_FINAL_CTE,
+    pagerank,
+    pagerank_sql_ctes,
+    pagerank_weighted,
+    pagerank_weighted_sql_ctes,
+    symmetric_edges,
+)
 
 P31 = 2_147_483_647  # 2^31 - 1 (Mersenne prime), minhash modulus
 NUM_HASHES = 8
@@ -1303,31 +1311,65 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality-argmax canonical-doc flag (highest pagerank in the
     cluster, ties to the lowest doc_id): the selection policy a curation
     pipeline uses when "most central member" beats "lowest id".
+
+    r11: also certifies `graph.pagerank_weighted` with REAL similarity
+    weights — the verified pair table's jaccard scaled to exact integer
+    ppm — as `pagerank_w_ppb` + `keeper_by_weighted_rank`: mass flows
+    proportionally to similarity, so the weighted keeper is the member
+    most STRONGLY similar to its cluster, not merely the most connected.
     """
-    # ONE eager edge checkpoint shared by both consumers (own_edges=False):
-    # components and pagerank each iterate over stored blocks instead of
-    # re-running the LSH pair-generation subtree.
-    edges = minhash_pairs(spark, sf_dir).select("d1", "d2").localCheckpoint(eager=True)
+    # ONE eager edge checkpoint shared by all three consumers
+    # (own_edges=False): components and both pagerank loops each iterate
+    # over stored blocks instead of re-running the LSH pair-generation
+    # subtree. jaccard ppm rides the checkpoint as the weight column:
+    # round(jaccard*1e6) is exact in both engines because the 6-decimal
+    # jaccard doubles are already hash-certified identical (dedup_near_pairs).
+    edges = (
+        minhash_pairs(spark, sf_dir)
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("jaccard") * 1_000_000).cast("long").alias("w_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
     try:
-        labels = connected_components(edges, own_edges=False)
-        ranks = pagerank(edges, own_edges=False)
+        labels = connected_components(edges.select("d1", "d2"), own_edges=False)
+        ranks = pagerank(edges.select("d1", "d2"), own_edges=False)
+        ranks_w = pagerank_weighted(edges, own_edges=False).withColumnRenamed(
+            "pagerank_ppb", "pagerank_w_ppb"
+        )
     finally:
-        # Both consumers are fully materialized (their results are eager
+        # All consumers are fully materialized (their results are eager
         # checkpoints), so the shared edge blocks are dead either way.
         free_local_checkpoint(edges)
     # Per-cluster size via a window — cluster count is O(dup_rate * n)
     # (corpus cardinality on a dup-heavy crawl), so no broadcast of a sizes
-    # table; the COUNT and the rank-argmax land in ONE cluster_id shuffle
+    # table; the COUNT and both rank-argmaxes land in ONE cluster_id shuffle
     # of the labels⋈ranks table (same-key windows share the exchange).
     w = Window.partitionBy("cluster_id")
     w_rank = w.orderBy(F.desc("pagerank_ppb"), F.asc("doc_id"))
+    w_rank_w = w.orderBy(F.desc("pagerank_w_ppb"), F.asc("doc_id"))
     return (
         labels.join(ranks, "doc_id")
+        .join(ranks_w, "doc_id")
         .withColumn("cluster_size", F.count(F.lit(1)).over(w))
         .withColumn(
             "keeper_by_rank", (F.row_number().over(w_rank) == 1).cast("long")
         )
-        .select("cluster_id", "doc_id", "cluster_size", "pagerank_ppb", "keeper_by_rank")
+        .withColumn(
+            "keeper_by_weighted_rank",
+            (F.row_number().over(w_rank_w) == 1).cast("long"),
+        )
+        .select(
+            "cluster_id",
+            "doc_id",
+            "cluster_size",
+            "pagerank_ppb",
+            "keeper_by_rank",
+            "pagerank_w_ppb",
+            "keeper_by_weighted_rank",
+        )
         .orderBy("cluster_id", "doc_id")
     )
 
@@ -1339,12 +1381,18 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle both derive their constants from (twins can't drift).
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE pairs AS MATERIALIZED (
-  SELECT d1, d2 FROM ({DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")}) p
+  SELECT d1, d2, CAST(ROUND(jaccard * 1000000) AS BIGINT) AS w
+  FROM ({DEDUP_MINHASH_SQL.replace("ORDER BY d1, d2", "")}) p
 ),
 e AS MATERIALIZED (
   SELECT d1 AS node, d2 AS nbr FROM pairs
   UNION
   SELECT d2 AS node, d1 AS nbr FROM pairs
+),
+we AS MATERIALIZED (
+  SELECT d1 AS node, d2 AS nbr, w FROM pairs
+  UNION ALL
+  SELECT d2 AS node, d1 AS nbr, w FROM pairs
 ),
 reach(node, nbr) AS (
   SELECT node, nbr FROM e
@@ -1355,16 +1403,23 @@ lbl AS (
   SELECT node AS doc_id, LEAST(node, MIN(nbr)) AS cluster_id
   FROM reach GROUP BY node
 ),
-{pagerank_sql_ctes()}
+{pagerank_sql_ctes()},
+{pagerank_weighted_sql_ctes()}
 SELECT l.cluster_id, l.doc_id,
        COUNT(1) OVER (PARTITION BY l.cluster_id) AS cluster_size,
        p.r AS pagerank_ppb,
        CAST(ROW_NUMBER() OVER (
               PARTITION BY l.cluster_id
               ORDER BY p.r DESC, l.doc_id ASC
-            ) = 1 AS BIGINT) AS keeper_by_rank
+            ) = 1 AS BIGINT) AS keeper_by_rank,
+       pw.r AS pagerank_w_ppb,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY l.cluster_id
+              ORDER BY pw.r DESC, l.doc_id ASC
+            ) = 1 AS BIGINT) AS keeper_by_weighted_rank
 FROM lbl l
 JOIN {PAGERANK_FINAL_CTE} p ON p.node = l.doc_id
+JOIN {PAGERANK_W_FINAL_CTE} pw ON pw.node = l.doc_id
 ORDER BY cluster_id, doc_id
 """
 

@@ -599,7 +599,13 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (events.props) and the date/interval-arithmetic leg (orders dates),
     union-tagged to (leg, k, s1, n1, n2, n3). Both constituent operators
     stay the library API; merging the two tiny gates frees the slot that
-    certifies the skew/salting patterns (scale_patterns.py)."""
+    certifies the skew/salting patterns (scale_patterns.py).
+
+    r11 rotation (VERDICT r10 item 2): a third `argmax` leg certifies
+    q_argmax — max_by/min_by over the packed (days, orderkey) composite
+    key (relational.py's A5 row, ARGMAX_SQL's twin) — under the driver
+    hash; it had been pytest/library-only since r05."""
+    from .relational import q_argmax
     from .relational2 import q_date_arithmetic
 
     zero = F.lit(0).cast("bigint")
@@ -619,10 +625,19 @@ def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_day_offset").cast("bigint").alias("n2"),
         F.col("min_unix").cast("bigint").alias("n3"),
     )
-    return js.unionByName(dt).orderBy("leg", "k")
+    am = q_argmax(spark, sf_dir).select(
+        F.lit("argmax").alias("leg"),
+        F.col("o_custkey").cast("string").alias("k"),
+        F.col("latest_date").cast("string").alias("s1"),
+        F.col("latest_order").cast("bigint").alias("n1"),
+        F.col("first_order").cast("bigint").alias("n2"),
+        zero.alias("n3"),
+    )
+    return js.unionByName(dt).unionByName(am).orderBy("leg", "k")
 
 
 def scalar_funcs_sql() -> str:
+    from .relational import ARGMAX_SQL
     from .relational2 import DATE_ARITH_SQL
 
     return f"""
@@ -634,6 +649,12 @@ UNION ALL
 SELECT 'date' AS leg, month AS k, earliest_due AS s1,
        CAST(n AS BIGINT), CAST(max_day_offset AS BIGINT), CAST(min_unix AS BIGINT)
 FROM ({DATE_ARITH_SQL})
+UNION ALL
+SELECT 'argmax' AS leg, CAST(o_custkey AS VARCHAR) AS k,
+       CAST(latest_date AS VARCHAR) AS s1,
+       CAST(latest_order AS BIGINT), CAST(first_order AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM ({ARGMAX_SQL.replace("ORDER BY o_custkey", "")})
 ORDER BY leg, k
 """
 

@@ -173,10 +173,30 @@ def pagerank_weighted(
     edge-sized equi-join + one neighbor-keyed sum per round (joining
     wsum to the expanded edge table instead would drag 2|E| rows through
     a second join every round — review r10).
+
+    Weights are VALIDATED up front (ADVICE r10): a NULL / zero / negative
+    weight would make ``(r * w) div wsum`` yield NULL, which ``sum``
+    silently skips — ranks silently lose mass instead of erroring — and a
+    fractional weight would be silently truncated by the BIGINT cast. One
+    limit-1 scan over the (checkpointed) edge blocks fails loudly instead.
     """
     if own_edges:
         edges = edges.localCheckpoint(eager=True)
     w = F.col(weight_col)
+    wd = w.cast("double")
+    bad = (
+        edges.filter(wd.isNull() | (wd <= 0) | (wd != F.floor(wd).cast("double")))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        if own_edges:
+            free_local_checkpoint(edges)
+        raise ValueError(
+            f"pagerank_weighted: {weight_col} must be a positive integer "
+            "(e.g. similarity in ppm: CAST(round(jaccard * 1e6) AS BIGINT)); "
+            "found a NULL, non-positive, or fractional weight"
+        )
     sym = edges.select(
         F.col("d1").alias("node"), F.col("d2").alias("nbr"), w.cast("long").alias("w")
     ).unionByName(
@@ -270,3 +290,47 @@ def pagerank_sql_ctes(iters: int = PAGERANK_ITERS) -> str:
 
 
 PAGERANK_FINAL_CTE = f"pr_r{PAGERANK_ITERS}"
+
+
+def pagerank_weighted_sql_ctes(iters: int = PAGERANK_ITERS) -> str:
+    """DuckDB CTE chain mirroring :func:`pagerank_weighted` exactly, for
+    embedding in gate oracles. Expects a ``we(node, nbr, w)`` symmetric
+    WEIGHTED edge CTE in scope (w = positive integer, e.g. jaccard ppm).
+    Emits ``prw_wsum``, ``prw_n`` and ``prw_r0`` .. ``prw_r{iters}``; the
+    final CTE holds (node, r). The ``prw_`` prefix is reserved alongside
+    ``pr_`` (ritual: embedded-oracle CTE names must not collide).
+
+    DuckDB ``//`` is floor division and Spark ``div`` truncates — they
+    agree because every operand here is non-negative (w validated > 0,
+    r >= teleport > 0 inductively). ``prw_wsum`` is multiply-referenced
+    (every round) — MATERIALIZED per the r09 re-inlining lesson.
+    """
+    parts = [
+        "prw_wsum AS MATERIALIZED (\n"
+        "  SELECT node, SUM(w) AS wsum FROM we GROUP BY node\n"
+        ")",
+        "prw_n AS (SELECT COUNT(1) AS n FROM prw_wsum)",
+        f"prw_r0 AS (\n"
+        f"  SELECT node, CAST({MASS_PPB} // (SELECT n FROM prw_n) AS BIGINT) AS r\n"
+        f"  FROM prw_wsum\n"
+        f")",
+    ]
+    prev = "prw_r0"
+    for k in range(1, iters + 1):
+        parts.append(
+            f"prw_r{k} AS (\n"
+            f"  SELECT we.nbr AS node,\n"
+            f"         CAST({TELEPORT_PPB} // (SELECT n FROM prw_n)\n"
+            f"              + ({DAMP_PPB} * SUM((p.r * we.w) // s.wsum)) // {MASS_PPB}\n"
+            f"              AS BIGINT) AS r\n"
+            f"  FROM we\n"
+            f"  JOIN {prev} p ON p.node = we.node\n"
+            f"  JOIN prw_wsum s ON s.node = we.node\n"
+            f"  GROUP BY we.nbr\n"
+            f")"
+        )
+        prev = f"prw_r{k}"
+    return ",\n".join(parts)
+
+
+PAGERANK_W_FINAL_CTE = f"prw_r{PAGERANK_ITERS}"

@@ -907,12 +907,20 @@ def quantize_model(vec: list[float]) -> tuple[list[int], float]:
 GATE_SHORTLIST_K = 40
 
 
-# PQ envelope (r10): the PQ-ADC shortlist (8x top_k) must recover at least
-# PQ_MIN_HITS of the exact top-k per query. Observed min hits at the gate
-# model (m=16, ksub=32): 4/5 at sf0.01, 3/5 at sf0.1 — the 2/5 envelope
-# leaves seed-regeneration margin, same sizing as the IVF gate's.
+# PQ/OPQ envelopes, MEASURED (r11, VERDICT r10 item 4): the ADC shortlist
+# (8x top_k) must recover at least *_MIN_HITS of the exact top-5 per query.
+# tools/pq_envelope_probe.py measures the min-hits floor across 18 runs —
+# 3 SFs x 3 fixture-composition variants x 2 models (training is
+# deterministic, so composition IS the regeneration axis): PQ floor 3
+# (3 at sf0.001-full, sf0.01-drop23, all sf0.1 variants), OPQ floor 2
+# (the single sf0.1-drop17 dip; 3+ everywhere else; both floors are 3 at
+# the driver's sf0.01 hash gate). Envelope = observed floor - 1 (the IVF
+# gate's sizing rule), so each constant sits exactly one under its own
+# measured floor instead of sharing a guessed cushion. Full table in
+# PERF.md; re-run the probe if the embeddings fixture family regenerates.
 PQ_GATE_SHORTLIST_K = 40
 PQ_MIN_HITS = 2
+OPQ_MIN_HITS = 1
 
 _PQ_MODEL: dict = {}
 _OPQ_MODEL: dict = {}
@@ -959,8 +967,9 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
     r10: the gate also certifies the PQ family — `pq_recall_ok` is TRUE
     per query iff the product-quantized ADC shortlist recovered >=
     PQ_MIN_HITS of the exact top-k, and `opq_recall_ok` certifies the
-    learned-rotation variant the same way (observed min hits 3-4 at all
-    three SFs vs the 2/5 envelope). The oracle emits literal TRUE for
+    learned-rotation variant against OPQ_MIN_HITS (r11: both envelopes
+    sized floor-1 from tools/pq_envelope_probe.py's 18-run measurement —
+    see the constants' comment). The oracle emits literal TRUE for
     both, so the row only hash-matches if each trained model actually
     met its envelope (the ivf_recall_ok pattern)."""
     from ..io import session_cached
@@ -1001,7 +1010,7 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
         ts.join(_hits(short, "_ph"), "qid", "left")
         .join(_hits(oshort, "_oh"), "qid", "left")
         .withColumn("pq_recall_ok", F.coalesce(F.col("_ph"), F.lit(0)) >= PQ_MIN_HITS)
-        .withColumn("opq_recall_ok", F.coalesce(F.col("_oh"), F.lit(0)) >= PQ_MIN_HITS)
+        .withColumn("opq_recall_ok", F.coalesce(F.col("_oh"), F.lit(0)) >= OPQ_MIN_HITS)
         .drop("_ph", "_oh")
         .orderBy("qid", "rank")
     )

@@ -1,0 +1,157 @@
+"""Session-cache inventory (VERDICT r10 item 3): ONE listing test that
+enumerates every module-level dict in the package and asserts each one is
+either (a) a session cache whose ONLY mutation path is io.session_cached —
+keyed (applicationId, *extra), dead-app-evicted, RLock-serialized, all
+properties pinned functionally in tests/test_io_cache.py — or (b) an
+explicitly exempted non-cache (the query registry). Today every cache is
+individually disciplined; this test is what stops the NEXT one from
+leaking: adding a module-level dict that is mutated directly (cache[k]=v,
+.setdefault, .update) fails here, as does adding a cache without updating
+the inventory below.
+
+Static (AST) rather than runtime: monkeypatching session_cached and
+triggering every builder would cost minutes of Spark time per run and
+still only cover the caches a test happens to touch; the discipline being
+asserted — "no write-site outside session_cached" — is a source property.
+"""
+
+from __future__ import annotations
+
+import ast
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "apache_jira_scraper_spark"
+
+# The full session-cache inventory. A new cache dict must be added here
+# (and be session_cached-disciplined) or this test fails on discovery.
+EXPECTED_CACHES = {
+    "operators/corpus.py": {"_DOCS_PROJ_CACHE"},
+    "operators/dedup.py": {
+        "_SHINGLE_CACHE",
+        "_PAIRS_CACHE",
+        "_SIMHASH_CACHE",
+        "_EMB_PROJ_CACHE",
+        "_EMB_PAIRS_CACHE",
+        "_LABELS_CACHE",
+    },
+    "operators/multimodal.py": {"_PHASH_TABLES", "_PHASH_PAIRS", "_MEDIA_CLUSTERS"},
+    "operators/pipeline_queries.py": {"_ISSUES_CACHE"},
+    "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE"},
+    "operators/similarity.py": {"_EXACT_TOPK_CACHE", "_IVF_CENTROIDS"},
+    "operators/text.py": {"_BM25_TOPK_CACHE"},
+}
+
+# Module-level dicts that are NOT session caches (never hold DataFrames
+# keyed by applicationId). Each exemption must say why.
+EXEMPT = {
+    # the query-name -> Entry registry: process-lifetime by design,
+    # mutated only by registry.register() at import time
+    "registry.py": {"_REGISTRY"},
+    # immutable constant: per-source mix weights for the corpus gate
+    "operators/corpus.py": {"GATE_MIX_WEIGHTS"},
+    # _MOCK holds the in-process MockJira server singleton (plain Python
+    # object, no Spark checkpoints — survives session restarts by design
+    # so the mock corpus stays identical); MOCK_TOTALS is a constant
+    "operators/extended.py": {"_MOCK", "MOCK_TOTALS"},
+    # immutable constant: reference-literal instruction templates
+    "operators/tasks.py": {"_INSTRUCTIONS"},
+    # immutable constant: oracle SQL strings for the pipeline gates
+    "operators/pipeline_queries.py": {"ORACLES"},
+}
+
+
+def _module_level_dicts(tree: ast.Module) -> set[str]:
+    names: set[str] = set()
+    for node in tree.body:
+        if isinstance(node, ast.Assign) and isinstance(node.value, ast.Dict):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.add(t.id)
+        elif (
+            isinstance(node, ast.AnnAssign)
+            and isinstance(node.value, ast.Dict)
+            and isinstance(node.target, ast.Name)
+        ):
+            names.add(node.target.id)
+    return names
+
+
+def _is_session_cached_call(node: ast.Call) -> bool:
+    f = node.func
+    return (isinstance(f, ast.Name) and f.id == "session_cached") or (
+        isinstance(f, ast.Attribute) and f.attr == "session_cached"
+    )
+
+
+_MUTATORS = {"setdefault", "update", "pop", "popitem", "clear", "__setitem__"}
+
+
+def _violations(tree: ast.Module, caches: set[str]) -> list[str]:
+    """Every use of a cache name other than its definition must be as the
+    first argument of a session_cached(...) call. Direct subscript stores,
+    deletes, and mutating method calls are violations; so is ANY other
+    read (passing the dict somewhere else is how an undisciplined write
+    path starts)."""
+    bad: list[str] = []
+    allowed_use: set[int] = set()  # id() of Name nodes used legitimately
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Call) and _is_session_cached_call(node):
+            if node.args and isinstance(node.args[0], ast.Name):
+                allowed_use.add(id(node.args[0]))
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Name) and node.id in caches:
+            if isinstance(node.ctx, (ast.Store,)):
+                continue  # the module-level definition itself
+            if id(node) not in allowed_use:
+                bad.append(f"{node.id} used outside session_cached at line {node.lineno}")
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Subscript) and isinstance(node.value, ast.Name):
+            if node.value.id in caches and isinstance(
+                node.ctx, (ast.Store, ast.Del)
+            ):
+                bad.append(
+                    f"{node.value.id} subscript-mutated at line {node.lineno}"
+                )
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id in caches
+            and node.func.attr in _MUTATORS
+        ):
+            bad.append(
+                f"{node.func.value.id}.{node.func.attr}() at line {node.lineno}"
+            )
+    return bad
+
+
+def test_every_module_level_dict_is_inventoried_and_disciplined():
+    found: dict[str, set[str]] = {}
+    problems: list[str] = []
+    for py in sorted(PKG.rglob("*.py")):
+        rel = str(py.relative_to(PKG))
+        tree = ast.parse(py.read_text())
+        dicts = _module_level_dicts(tree)
+        if not dicts:
+            continue
+        exempt = EXEMPT.get(rel, set())
+        caches = dicts - exempt
+        if caches:
+            found[rel] = caches
+            problems += [f"{rel}: {v}" for v in _violations(tree, caches)]
+    assert found == EXPECTED_CACHES, (
+        "module-level dict inventory drifted — new session caches must be "
+        f"added to EXPECTED_CACHES (and use io.session_cached): {found}"
+    )
+    assert not problems, "undisciplined cache access:\n" + "\n".join(problems)
+
+
+def test_session_cached_is_the_only_cache_writer_in_io():
+    """io.session_cached's own body is the one legitimate write site; pin
+    that it actually keys by applicationId and evicts dead apps (source
+    guard — the functional twin lives in tests/test_io_cache.py)."""
+    src = (PKG / "io.py").read_text()
+    assert "applicationId" in src
+    body = src.split("def session_cached", 1)[1]
+    assert "del cache[k]" in body  # dead-app eviction
+    assert "_SESSION_CACHE_LOCK" in body  # serialized builds

@@ -237,3 +237,95 @@ def test_pagerank_weighted_constant_weights_equal_unweighted(spark):
     skewed = {r["doc_id"]: r["pagerank_ppb"] for r in pagerank_weighted(df_s).collect()}
     assert skewed != unweighted
     assert skewed[9] > unweighted[9]  # the upweighted pendant pulls more mass
+
+
+@pytest.mark.parametrize(
+    "bad_w",
+    [0, -3, None],
+    ids=["zero", "negative", "null"],
+)
+def test_pagerank_weighted_rejects_nonpositive_weights(spark, bad_w):
+    """ADVICE r10: a NULL/zero/negative weight makes (r*w) div wsum yield
+    NULL, which sum() silently skips — so bad weights must fail LOUDLY
+    instead of silently dropping rank mass."""
+    from apache_jira_scraper_spark.operators.graph import pagerank_weighted
+
+    edges = [(0, 1, 500_000), (1, 2, bad_w), (0, 2, 700_000)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long, w_ppm long")
+    with pytest.raises(ValueError, match="positive integer"):
+        pagerank_weighted(df)
+
+
+def test_pagerank_weighted_rejects_fractional_weights(spark):
+    """Fractional weights would be silently truncated by the BIGINT cast
+    (0.9 -> 0: a strong edge becomes a dropped edge) — fail loudly."""
+    from apache_jira_scraper_spark.operators.graph import pagerank_weighted
+
+    edges = [(0, 1, 0.9), (1, 2, 0.7)]
+    df = spark.createDataFrame(edges, "d1 long, d2 long, w_ppm double")
+    with pytest.raises(ValueError, match="positive integer"):
+        pagerank_weighted(df)
+
+
+def test_pagerank_weighted_sql_ctes_match_spark(spark):
+    """The prw_* DuckDB CTE chain (the dedup_clusters oracle's weighted
+    half) reproduces pagerank_weighted BIT-FOR-BIT on a random weighted
+    graph — the same cross-engine pin pagerank_sql_ctes has via the gate,
+    checked here standalone so a CTE edit can't drift before gate time."""
+    import duckdb
+
+    from apache_jira_scraper_spark.operators.graph import (
+        PAGERANK_W_FINAL_CTE,
+        pagerank_weighted,
+        pagerank_weighted_sql_ctes,
+    )
+
+    rng = random.Random(41)
+    edges = [
+        (a, b, rng.randint(1, 1_000_000))
+        for a, b in sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(150)})
+    ]
+    df = spark.createDataFrame(edges, "d1 long, d2 long, w_ppm long")
+    got = {r["doc_id"]: r["pagerank_ppb"] for r in pagerank_weighted(df).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pairs(d1 BIGINT, d2 BIGINT, w BIGINT)"
+    )
+    con.executemany("INSERT INTO pairs VALUES (?, ?, ?)", edges)
+    rows = con.execute(
+        f"""
+WITH we AS (
+  SELECT d1 AS node, d2 AS nbr, w FROM pairs
+  UNION ALL
+  SELECT d2 AS node, d1 AS nbr, w FROM pairs
+),
+{pagerank_weighted_sql_ctes()}
+SELECT node, r FROM {PAGERANK_W_FINAL_CTE}
+"""
+    ).fetchall()
+    assert {n: r for n, r in rows} == got
+
+
+def test_cluster_gate_weighted_keeper_contract(spark, sf_dir):
+    """r11 gate fold: exactly one keeper_by_weighted_rank per cluster, it
+    argmaxes pagerank_w_ppb (ties to lowest doc_id), weighted ranks are
+    positive, and the weighted ranking genuinely differs somewhere from
+    the unweighted one at this SF (non-vacuity: real jaccard weights must
+    MATTER, or the gate is certifying a constant-weight clone)."""
+    from apache_jira_scraper_spark.operators.dedup import q_dedup_clusters
+
+    out = q_dedup_clusters(spark, sf_dir).collect()
+    assert out
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for members in by_cluster.values():
+        keepers = [r for r in members if r["keeper_by_weighted_rank"] == 1]
+        assert len(keepers) == 1
+        best = min(members, key=lambda r: (-r["pagerank_w_ppb"], r["doc_id"]))
+        assert keepers[0]["doc_id"] == best["doc_id"]
+        assert all(r["pagerank_w_ppb"] > 0 for r in members)
+    assert any(
+        r["pagerank_w_ppb"] != r["pagerank_ppb"] for r in out
+    ), "weighted ranks identical to unweighted everywhere — weights vacuous"
