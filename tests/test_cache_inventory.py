@@ -38,7 +38,7 @@ EXPECTED_CACHES = {
     "operators/pipeline_queries.py": {"_ISSUES_CACHE"},
     "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE"},
     "operators/similarity.py": {"_EXACT_TOPK_CACHE", "_IVF_CENTROIDS"},
-    "operators/text.py": {"_BM25_TOPK_CACHE"},
+    "operators/text.py": {"_BM25_TOPK_CACHE", "_BIGRAM_LEG_CACHE"},
 }
 
 # Module-level dicts that are NOT session caches (never hold DataFrames

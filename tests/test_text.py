@@ -7,6 +7,8 @@ standalone operator keeps oracle parity HERE so the F1 truncation contract
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from apache_jira_scraper_spark.operators.text import DOC_CLEAN_SQL, q_doc_clean
 from tests.oracle_utils import assert_matches_oracle
 
@@ -338,3 +340,55 @@ def test_bigram_logprob_hand_computed(spark):
     bg = {r["doc_id"]: r["avg_logprob_en4"] for r in bigram_logprob(docs2).collect()}
     assert uni[5] == uni[6]  # unigram model is order-blind
     assert bg[5] > bg[6]  # the bigram model is not
+
+
+def test_contamination_report_crafted(spark):
+    """Independent reference on a crafted corpus (n=3 for readability):
+    exact copy of an eval doc is fully contaminated, a doc sharing one
+    3-gram is partially contaminated, a disjoint doc is clean, a
+    too-short doc emits zeros instead of vanishing."""
+    from apache_jira_scraper_spark.operators.text import contamination_report
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),     # exact copy: all 2 grams hit
+            (2, "x alpha beta gamma y"),       # shares 'alpha beta gamma'
+            (3, "p q r s t"),                  # disjoint: clean
+            (4, "a b"),                        # < n tokens: zero grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in contamination_report(tr, ev, n=3).collect()
+    }
+    assert (got[1]["n_grams"], got[1]["n_contam"], got[1]["contaminated"]) == (2, 2, 1)
+    assert got[1]["contam_ppm"] == 1_000_000
+    assert (got[2]["n_grams"], got[2]["n_contam"], got[2]["contaminated"]) == (3, 1, 1)
+    assert got[2]["contam_ppm"] == 1_000_000 // 3
+    assert (got[3]["n_contam"], got[3]["contaminated"]) == (0, 0)
+    assert (got[4]["n_grams"], got[4]["n_contam"], got[4]["contam_ppm"]) == (0, 0, 0)
+    assert set(got) == {1, 2, 3, 4}  # every train doc surfaces, eval doc absent
+
+
+def test_contamination_gate_leg_nonvacuous(spark, sf_dir):
+    """The gate's mod-7 split must flag SOME but not ALL docs at the test
+    SF (measured: 7/9/57 at sf0.001/0.01/0.1) — an all-zero or all-one
+    leg would certify nothing (the r02 lesson)."""
+    from apache_jira_scraper_spark.operators.text import (
+        DECONTAM_EVAL_MOD,
+        contamination_report,
+    )
+    from apache_jira_scraper_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = contamination_report(
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0),
+    )
+    agg = rep.agg(
+        F.sum("contaminated").alias("c"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert 0 < agg["c"] < agg["n"]

@@ -22,6 +22,32 @@ Pass criteria per gate (reported, and summarized for PERF.md):
 
 Usage:  python tools/scale_probe.py [sf_dir] [out_dir]
         (defaults /root/testdata/sf0.1, /tmp/scale10)
+
+r11 (VERDICT r10 item 5) — the TEXT/DEDUP twin:
+
+        python tools/scale_probe.py text [sf_dir] [out_base]
+
+explodes the documents corpus 10x under two disciplines and probes the
+three most expensive text-family gates at 1x vs 10x with the same
+ratio/plan-shape criteria:
+
+  - `txt` dir (text_quality_signals, bm25_topk): documents AND embeddings
+    duplicated verbatim with BLOCK id remap (id + k*N) — per-doc map work
+    and term/posting statistics scale exactly 10x, and the "first 10 ids"
+    query sets stay literally the originals (an interleaved *10+k remap
+    would turn them into 10 replicas of doc 0).
+  - `ded` dir (dedup_near_pairs): block id remap PLUS per-replica token
+    tagging ('r{k}' prefixed to every space-token) — each replica's
+    shingle space is disjoint from every other replica's, so near-dup
+    pairs scale 10x LINEARLY (verbatim copies would make every 10-replica
+    group a 45-pair clique: a duplication-rate probe, not a scale probe —
+    the text analog of the relational probe's key-remap discipline).
+
+Session-cache discipline: dedup_near_pairs and bm25_topk build
+session-cached silver tables (pair table, shingle index, bm25 top-k,
+exact cosine top-k) keyed (app, sf_dir) — every timed sample clears and
+frees those caches first, so both scales pay the FULL cold pipeline
+instead of a warm checkpoint scan.
 """
 
 from __future__ import annotations
@@ -142,6 +168,165 @@ def time_gate(fn, spark, sf_dir: str, samples: int = 3) -> float:
     return best
 
 
+TEXT_GATES = {
+    "text_quality_signals": "txt",
+    "bm25_topk": "txt",
+    "dedup_near_pairs": "ded",
+}
+
+
+def build_exploded_docs(sf_dir: str, out_base: str) -> dict[str, str]:
+    """Build the `txt` (verbatim x10, block id remap) and `ded` (block id
+    remap + per-replica token tagging) document corpora. Returns
+    {"txt": dir, "ded": dir}. Embeddings ride the txt dir (bm25's rrf leg
+    joins the cosine top-k over vec_id == doc_id); every other table is
+    untouched by these gates and not copied."""
+    import duckdb
+
+    con = duckdb.connect()
+    dirs = {}
+    n_docs = con.execute(
+        f"SELECT MAX(doc_id) + 1 FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()[0]
+    n_vecs = con.execute(
+        f"SELECT MAX(vec_id) + 1 FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    doc_cols = [
+        r[0]
+        for r in con.execute(
+            f"SELECT column_name FROM (DESCRIBE SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet'))"
+        ).fetchall()
+    ]
+    for tag in ("txt", "ded"):
+        d = f"{out_base}_{tag}"
+        os.makedirs(d, exist_ok=True)
+        dirs[tag] = d
+        dst = f"{d}/documents.parquet"
+        if not os.path.exists(dst):
+            if tag == "txt":
+                text_expr = "text"
+            else:
+                # tag every space-token with the replica id: replica
+                # shingle spaces become pairwise disjoint, so the pair
+                # graph scales 10x linearly instead of quadratically
+                text_expr = (
+                    "'r' || k || replace(text, ' ', ' r' || k) AS text"
+                )
+            sel = ", ".join(
+                f"doc_id * 0 + doc_id + k * {n_docs} AS doc_id"
+                if c == "doc_id"
+                else (text_expr if c == "text" else c)
+                for c in doc_cols
+            )
+            con.execute(
+                f"COPY (SELECT {sel} FROM "
+                f"read_parquet('{sf_dir}/documents.parquet'), "
+                f"(SELECT unnest(range(10)) AS k)) TO '{dst}' (FORMAT PARQUET)"
+            )
+    edst = f"{dirs['txt']}/embeddings.parquet"
+    if not os.path.exists(edst):
+        con.execute(
+            f"COPY (SELECT vec_id + k * {n_vecs} AS vec_id, "
+            f"* EXCLUDE (vec_id) FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet'), "
+            f"(SELECT unnest(range(10)) AS k)) TO '{edst}' (FORMAT PARQUET)"
+        )
+    return dirs
+
+
+def _clear_text_session_caches() -> None:
+    """Free + clear every session cache the probed text gates build, so a
+    timed sample pays the full cold pipeline (values are checkpointed
+    DataFrames or tuples containing them)."""
+    from apache_jira_scraper_spark.io import free_local_checkpoint
+    from apache_jira_scraper_spark.operators import dedup, similarity, text
+
+    for cache in (
+        dedup._SHINGLE_CACHE,
+        dedup._PAIRS_CACHE,
+        text._BM25_TOPK_CACHE,
+        similarity._EXACT_TOPK_CACHE,
+    ):
+        for v in list(cache.values()):
+            for x in v if isinstance(v, tuple) else (v,):
+                if hasattr(x, "unpersist"):
+                    free_local_checkpoint(x)
+        cache.clear()
+
+
+def main_text() -> int:
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_base = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale10"
+    print(f"building 10x document corpora under {out_base}_{{txt,ded}} ...", flush=True)
+    dirs = build_exploded_docs(sf_dir, out_base)
+
+    from pyspark.sql import SparkSession
+
+    from apache_jira_scraper_spark import registry
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .appName("scale_probe_text")
+        .getOrCreate()
+    )
+    qs = registry.queries()
+    spark.range(1000).count()
+
+    results = {}
+    ok = True
+    for g, tag in TEXT_GATES.items():
+        fn = qs[g]
+        dir10 = dirs[tag]
+
+        def cold(d):
+            _clear_text_session_caches()
+            t0 = time.time()
+            fn(spark, d).collect()
+            return time.time() - t0
+
+        # untimed warmup at both scales (plan compile + JIT off the clock)
+        cold(sf_dir), cold(dir10)
+        t1 = min(cold(sf_dir) for _ in range(3))
+        _clear_text_session_caches()
+        s1 = plan_shape(fn(spark, sf_dir))
+        t10 = min(cold(dir10) for _ in range(3))
+        _clear_text_session_caches()
+        s10 = plan_shape(fn(spark, dir10))
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        gate_ok = (
+            ratio <= SLOPE_CAP
+            and s10["exchanges"] <= s1["exchanges"]
+            and sum(s10["joins"].values()) == sum(s1["joins"].values())
+            and not s1["cartesian"]
+            and not s10["cartesian"]
+        )
+        ok &= gate_ok
+        results[g] = {
+            "t_1x": round(t1, 3),
+            "t_10x": round(t10, 3),
+            "ratio": round(ratio, 2),
+            "shape_1x": s1,
+            "shape_10x": s10,
+            "ok": gate_ok,
+        }
+        print(
+            f"{g}: 1x={t1:.2f}s 10x={t10:.2f}s ratio={ratio:.2f} "
+            f"exch {s1['exchanges']}->{s10['exchanges']} "
+            f"joins {s1['joins']}->{s10['joins']} "
+            f"{'OK' if gate_ok else 'FAIL'}",
+            flush=True,
+        )
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
@@ -221,4 +406,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(main_text() if sys.argv[1:2] == ["text"] else main())
