@@ -1030,6 +1030,15 @@ def contamination_report(
     8-token overlap rule; reference repo has no analog — engine-side
     surface for the LLM-data pipeline like the dedup family).
 
+    Sibling: corpus.eval_decontamination is the broadcast fast-path for
+    benchmark-sized eval sets (3-gram shingles, contaminated rows only,
+    eval side broadcast by construction). THIS is the full-report form —
+    published 8-gram width, one row per train doc including clean ones
+    (the shape a filter stage consumes), and a shuffle semi-join so the
+    eval side may be another SHARD of the corpus, not just a benchmark.
+    This one is driver-hash-certified (text_quality_signals 'contam'
+    leg); the broadcast sibling stays value-tested library API.
+
     Returns one row per train doc:
       (doc_id, n_grams, n_contam, contam_ppm, contaminated)
     n_grams = distinct n-grams in the doc (0 for docs under n tokens),
@@ -1113,6 +1122,110 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % {DECONTAM_EVAL_MOD} != 0) d
 LEFT JOIN dc_tot t USING (doc_id)
 LEFT JOIN dc_hit h USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+# --- sequence packing ------------------------------------------------------
+
+# training context window (tokens) for the gate; any power-of-two works —
+# the math is exact integer division either way
+PACK_CONTEXT = 1024
+# prefix-sum bucket width (doc_ids per bucket): the two-phase split point.
+# At corpus cardinality N the bucket table has N / PACK_BUCKET rows — the
+# only part of the plan that rides a single-partition window, so it must
+# stay driver-tiny relative to the corpus (4096 keeps it < 25k rows even
+# at 100M docs; recurse the same trick one level if that ever grows).
+PACK_BUCKET = 4096
+
+
+def pack_sequences(docs: DataFrame, context_len: int = PACK_CONTEXT) -> DataFrame:
+    """Sequence packing for training batches: concatenate every document's
+    tokens in doc_id order and chunk the stream into fixed `context_len`
+    windows — the standard concat-and-chunk batching step of an LLM
+    pre-training pipeline (each doc maps to the pack range it lands in;
+    a doc spanning a boundary is split across adjacent packs). Returns
+    per doc: (doc_id, n_tokens, cum_start, pack_first, pack_last,
+    n_packs) where cum_start is the doc's offset in the global token
+    stream and pack_first/last = floor division by context_len.
+
+    The whole operator is one GLOBAL PREFIX SUM — the naive Spark
+    expression (`sum() over (order by doc_id)` with no partition) drags
+    the entire corpus through a SINGLE partition. This implementation is
+    the distributed two-phase scan instead:
+
+      1. bucket docs by `doc_id div PACK_BUCKET` and partial-sum each
+         bucket's tokens (one map-side-combined shuffle, corpus-wide
+         parallelism);
+      2. run the unpartitioned running sum over the BUCKET PARTIALS only
+         (corpus/4096 rows — the bounded single-partition step, same
+         budget class as a convergence count);
+      3. join the bucket offsets back and finish with a cumsum window
+         PARTITIONED by bucket (parallel again), so every doc's global
+         offset = bucket offset + local prefix.
+
+    Exactness: integer token counts, order-independent partial sums, and
+    floor division agree across engines — the oracle is DuckDB's plain
+    global-window cumsum, so the two-phase decomposition is hash-checked
+    against the direct form.
+    """
+    t = docs.select(
+        "doc_id",
+        F.size(tokens_col()).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_BUCKET}").alias("bucket"),
+    )
+    partials = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum"))
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = partials.select(
+        "bucket", F.coalesce(F.sum("bsum").over(w_b), F.lit(0)).alias("boff")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        t.join(offsets, "bucket")
+        .withColumn(
+            "cum_start",
+            F.col("boff") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
+        )
+    )
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_start",
+        F.expr(f"cum_start div {context_len}").alias("pack_first"),
+        F.expr(f"(cum_start + n_tokens - 1) div {context_len}").alias("pack_last"),
+        (
+            F.expr(f"(cum_start + n_tokens - 1) div {context_len}")
+            - F.expr(f"cum_start div {context_len}")
+            + 1
+        ).alias("n_packs"),
+    )
+
+
+PACK_SQL = f"""
+WITH pk AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+pkc AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_start
+  FROM pk
+)
+SELECT doc_id, n_tokens, cum_start,
+       cum_start // {PACK_CONTEXT} AS pack_first,
+       (cum_start + n_tokens - 1) // {PACK_CONTEXT} AS pack_last,
+       (cum_start + n_tokens - 1) // {PACK_CONTEXT}
+         - cum_start // {PACK_CONTEXT} + 1 AS n_packs
+FROM pkc
 ORDER BY doc_id
 """
 
@@ -1392,6 +1505,11 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
       contam      id=doc_id, m1=n_grams, m2=n_contam, m3=contam_ppm
                   (r11 — benchmark decontamination against the
                   deterministic mod-7 eval split; 8-gram overlap)
+      pack        id=doc_id, m1=cum_start, m2=pack_first, m3=pack_last
+                  (r11 — concat-and-chunk sequence packing; the Spark
+                  side is the distributed two-phase prefix sum, the
+                  oracle the direct global cumsum, so the decomposition
+                  itself is what the hash certifies)
 
     Scale shapes are the standalone operators', unchanged: repetition's
     zero-shuffle narrow map, the sweep's ~21-row band table, vocab's
@@ -1468,6 +1586,16 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_contam").alias("m2"),
         F.col("contam_ppm").alias("m3"),
     )
+    # 8th leg (r11): sequence packing — the two-phase distributed prefix
+    # sum vs the oracle's direct global cumsum.
+    pack = pack_sequences(docs).select(
+        F.lit("pack").alias("leg"),
+        F.col("doc_id").alias("id"),
+        empty,
+        F.col("cum_start").alias("m1"),
+        F.col("pack_first").alias("m2"),
+        F.col("pack_last").alias("m3"),
+    )
     return (
         rep.unionByName(sweep)
         .unionByName(vocab)
@@ -1475,6 +1603,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(uni)
         .unionByName(bg)
         .unionByName(contam)
+        .unionByName(pack)
         .orderBy("leg", "id", "txt")
     )
 
@@ -1514,6 +1643,11 @@ SELECT 'contam' AS leg, doc_id AS id, '' AS txt,
        CAST(n_grams AS BIGINT), CAST(n_contam AS BIGINT),
        CAST(contam_ppm AS BIGINT)
 FROM ({DECONTAM_SQL.replace("ORDER BY doc_id", "")})
+UNION ALL
+SELECT 'pack' AS leg, doc_id AS id, '' AS txt,
+       CAST(cum_start AS BIGINT), CAST(pack_first AS BIGINT),
+       CAST(pack_last AS BIGINT)
+FROM ({PACK_SQL.replace("ORDER BY doc_id", "")})
 ORDER BY leg, id, txt
 """
 

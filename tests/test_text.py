@@ -392,3 +392,62 @@ def test_contamination_gate_leg_nonvacuous(spark, sf_dir):
         F.sum("contaminated").alias("c"), F.count(F.lit(1)).alias("n")
     ).first()
     assert 0 < agg["c"] < agg["n"]
+
+
+def test_pack_sequences_crafted(spark):
+    """Independent check of the two-phase prefix sum: crafted token
+    counts with a doc spanning a pack boundary, plus bucket-boundary
+    doc_ids (4095/4096/4097) so the cross-bucket offset join is exercised
+    for real, not just bucket 0."""
+    from apache_jira_scraper_spark.operators.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a " * 6),        # 7 tokens (trailing '' token) cum 0
+            (1, "b " * 2),        # 3 tokens, cum 7 -> crosses 8-boundary
+            (4095, "c"),          # 1 token, cum 10 (last doc of bucket 0)
+            (4096, "d " * 4),     # 5 tokens, cum 11 (first doc of bucket 1)
+            (4097, "e"),          # 1 token, cum 16 -> pack 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in pack_sequences(docs, context_len=8).collect()
+    }
+    exp = {
+        # doc_id: (n_tokens, cum_start, pack_first, pack_last, n_packs)
+        0: (7, 0, 0, 0, 1),
+        1: (3, 7, 0, 1, 2),     # spans packs 0-1
+        4095: (1, 10, 1, 1, 1),
+        4096: (5, 11, 1, 1, 1),
+        4097: (1, 16, 2, 2, 1),
+    }
+    for d, (nt, cs, pf, pl, np_) in exp.items():
+        r = got[d]
+        assert (
+            r["n_tokens"], r["cum_start"], r["pack_first"],
+            r["pack_last"], r["n_packs"],
+        ) == (nt, cs, pf, pl, np_), d
+
+
+def test_pack_sequences_no_global_single_partition_window(spark, sf_dir):
+    """The scale contract: no unpartitioned window over the CORPUS — the
+    executed plan's only non-partitioned window must consume the bucket
+    partials (corpus/4096 rows). Pin: every Window node that has no
+    partition spec sits above the bucket aggregate, never above the raw
+    doc scan; cheapest robust proxy is that the plan contains at most one
+    'Window' without 'bucket' in its partition args."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import pack_sequences
+
+    df = pack_sequences(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    wins = [l for l in plan.splitlines() if re.search(r"\bWindow\b", l)]
+    assert wins, "expected window nodes in the pack plan"
+    unpartitioned = [l for l in wins if "bucket" not in l]
+    # the global running sum over bucket PARTIALS is the only allowed
+    # partition-free window; the per-doc cumsum must be bucket-partitioned
+    assert len(unpartitioned) <= 1, plan
