@@ -1334,11 +1334,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     try:
-        labels = connected_components(edges.select("d1", "d2"), own_edges=False)
-        ranks = pagerank(edges.select("d1", "d2"), own_edges=False)
-        ranks_w = pagerank_weighted(edges, own_edges=False).withColumnRenamed(
-            "pagerank_ppb", "pagerank_w_ppb"
-        )
+        # The three consumers are independent jobs over the same stored
+        # edge blocks — run them on concurrent driver threads so the gate
+        # pays the slowest one, not the sum (Spark schedules concurrent
+        # jobs fine; measured 3.56 -> ~2.3 s warm at sf0.1, r11). The
+        # same overlap a cluster scheduler would give three reads of one
+        # landed silver table.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_lbl = ex.submit(
+                connected_components, edges.select("d1", "d2"), own_edges=False
+            )
+            f_rk = ex.submit(pagerank, edges.select("d1", "d2"), own_edges=False)
+            f_rw = ex.submit(pagerank_weighted, edges, own_edges=False)
+            labels = f_lbl.result()
+            ranks = f_rk.result()
+            ranks_w = f_rw.result().withColumnRenamed(
+                "pagerank_ppb", "pagerank_w_ppb"
+            )
     finally:
         # All consumers are fully materialized (their results are eager
         # checkpoints), so the shared edge blocks are dead either way.
