@@ -653,3 +653,37 @@ def test_bm25_matches_python_model(spark, texts):
         for rank, (did, s) in enumerate(scores[:top_k], 1):
             expected[(qid, rank)] = (did, s)
     assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20_000),  # doc_ids span buckets
+            st.integers(min_value=0, max_value=50),      # words per doc
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_pack_sequences_matches_python_prefix_sum(spark, docs_spec):
+    """The two-phase distributed prefix sum equals the direct Python
+    cumsum over doc_id order for ANY id distribution — including ids that
+    straddle PACK_BUCKET boundaries and sparse buckets (the decomposition
+    cases the crafted test can't enumerate). n_tokens is len(split(' '))
+    per engine semantics: ''.split(' ') == [''] has length 1, so a
+    0-word doc still carries one token."""
+    from apache_jira_scraper_spark.operators.text import pack_sequences
+
+    rows = [(i, "w " * k) for i, k in docs_spec]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["cum_start"], r["pack_first"], r["pack_last"])
+        for r in pack_sequences(df, context_len=7).collect()
+    }
+    cum = 0
+    for i, k in sorted(docs_spec):
+        nt = len(("w " * k).split(" "))
+        assert got[i] == (nt, cum, cum // 7, (cum + nt - 1) // 7), i
+        cum += nt

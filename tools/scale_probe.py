@@ -175,7 +175,7 @@ TEXT_GATES = {
 }
 
 
-def build_exploded_docs(sf_dir: str, out_base: str) -> dict[str, str]:
+def build_exploded_docs(sf_dir: str, out_base: str, factor: int = 10) -> dict[str, str]:
     """Build the `txt` (verbatim x10, block id remap) and `ded` (block id
     remap + per-replica token tagging) document corpora. Returns
     {"txt": dir, "ded": dir}. Embeddings ride the txt dir (bm25's rrf leg
@@ -199,7 +199,7 @@ def build_exploded_docs(sf_dir: str, out_base: str) -> dict[str, str]:
         ).fetchall()
     ]
     for tag in ("txt", "ded"):
-        d = f"{out_base}_{tag}"
+        d = f"{out_base}_{tag}" if factor == 10 else f"{out_base}_{tag}{factor}"
         os.makedirs(d, exist_ok=True)
         dirs[tag] = d
         dst = f"{d}/documents.parquet"
@@ -222,7 +222,7 @@ def build_exploded_docs(sf_dir: str, out_base: str) -> dict[str, str]:
             con.execute(
                 f"COPY (SELECT {sel} FROM "
                 f"read_parquet('{sf_dir}/documents.parquet'), "
-                f"(SELECT unnest(range(10)) AS k)) TO '{dst}' (FORMAT PARQUET)"
+                f"(SELECT unnest(range({factor})) AS k)) TO '{dst}' (FORMAT PARQUET)"
             )
     edst = f"{dirs['txt']}/embeddings.parquet"
     if not os.path.exists(edst):
@@ -230,7 +230,7 @@ def build_exploded_docs(sf_dir: str, out_base: str) -> dict[str, str]:
             f"COPY (SELECT vec_id + k * {n_vecs} AS vec_id, "
             f"* EXCLUDE (vec_id) FROM "
             f"read_parquet('{sf_dir}/embeddings.parquet'), "
-            f"(SELECT unnest(range(10)) AS k)) TO '{edst}' (FORMAT PARQUET)"
+            f"(SELECT unnest(range({factor})) AS k)) TO '{edst}' (FORMAT PARQUET)"
         )
     return dirs
 
@@ -258,8 +258,14 @@ def _clear_text_session_caches() -> None:
 def main_text() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out_base = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale10"
-    print(f"building 10x document corpora under {out_base}_{{txt,ded}} ...", flush=True)
-    dirs = build_exploded_docs(sf_dir, out_base)
+    factor = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    samples = int(os.environ.get("SCALE_PROBE_SAMPLES", "3"))
+    only = set(os.environ.get("SCALE_PROBE_GATES", "").split(",")) - {""}
+    print(
+        f"building {factor}x document corpora under {out_base}_{{txt,ded}} ...",
+        flush=True,
+    )
+    dirs = build_exploded_docs(sf_dir, out_base, factor)
 
     from pyspark.sql import SparkSession
 
@@ -282,6 +288,8 @@ def main_text() -> int:
     results = {}
     ok = True
     for g, tag in TEXT_GATES.items():
+        if only and g not in only:
+            continue
         fn = qs[g]
         dir10 = dirs[tag]
 
@@ -293,10 +301,10 @@ def main_text() -> int:
 
         # untimed warmup at both scales (plan compile + JIT off the clock)
         cold(sf_dir), cold(dir10)
-        t1 = min(cold(sf_dir) for _ in range(3))
+        t1 = min(cold(sf_dir) for _ in range(samples))
         _clear_text_session_caches()
         s1 = plan_shape(fn(spark, sf_dir))
-        t10 = min(cold(dir10) for _ in range(3))
+        t10 = min(cold(dir10) for _ in range(samples))
         _clear_text_session_caches()
         s10 = plan_shape(fn(spark, dir10))
         ratio = t10 / t1 if t1 > 0 else float("inf")
