@@ -1438,20 +1438,73 @@ ORDER BY cluster_id, doc_id
 """
 
 
+_SEM_IVF_CACHE: dict = {}
+
+
+def _sem_ivf_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached IVF leg of the semantic-dedup gate: exact-discipline
+    training (ivf_build_exact — one bounded collect + driver numpy) +
+    nprobe-2 blocked pair generation + components, checkpointed once per
+    (session, sf_dir); the converged-labels scratch frees after the
+    checkpoint (the _LABELS_CACHE pattern)."""
+    from ..io import session_cached
+    from .ivf import ivf_build_exact, ivf_near_dup_pairs_exact, semantic_dedup
+    from .similarity import _emb
+
+    def _build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        cents = ivf_build_exact(emb)
+        scratch: list = []
+        out = semantic_dedup(
+            emb.select("vec_id"),
+            pairs=ivf_near_dup_pairs_exact(emb, cents),
+            scratch_out=scratch,
+        ).localCheckpoint(eager=True)
+        for df in scratch:
+            free_local_checkpoint(df)
+        return out
+
+    return session_cached(_SEM_IVF_CACHE, spark, (sf_dir,), _build)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup driver gate (certified r06): embedding near-dup pairs from
-    the deterministic sign-LSH blocking (exactly SQL-expressible, unlike
-    IVF's recall-bounded cells) → connected components → one kept vector
-    per semantic cluster. End-to-end exact against DuckDB's recursive-CTE
-    closure over the identical pair SQL."""
+    """SemDeDup driver gate, two union-tagged legs since r11 on
+    (leg, vec_id, cluster_id, kept):
+
+      lsh   (certified r06) pairs from the deterministic sign-LSH
+            blocking → connected components → one kept vector per
+            semantic cluster.
+      ivf   (r11 rotation — the handoff's open candidate) the SAME
+            composition over IVF-cell-blocked pairs from the
+            cross-engine-EXACT quantizer (ivf.ivf_build_exact: 6-decimal
+            half-away rounding of every assignment distance and centroid
+            mean, cid tie-breaks — see the exact-family comment in
+            ivf.py). The oracle TRAINS THE SAME MODEL IN SQL
+            (ivf_exact_sql_ctes' fixed-depth Lloyd CTE chain — no literal
+            centroids, so the string stays SF-generic) and closes the
+            pair graph with a second recursive CTE. Bit-equal pair sets
+            verified at all three SFs before wiring (21 526 pairs at
+            sf0.1).
+
+    Both legs end-to-end exact against DuckDB's recursive-CTE closures
+    over the identical pair SQL."""
     from .ivf import semantic_dedup
 
     proj = _emb_projection(spark, sf_dir, EMB_N_BITS)
     pairs = _emb_pairs_cached(spark, sf_dir)
-    return semantic_dedup(proj.select("vec_id"), pairs=pairs)
+    lsh = semantic_dedup(proj.select("vec_id"), pairs=pairs).select(
+        F.lit("lsh").alias("leg"), "vec_id", "cluster_id", "kept"
+    )
+    ivf = _sem_ivf_leg_cached(spark, sf_dir).select(
+        F.lit("ivf").alias("leg"), "vec_id", "cluster_id", "kept"
+    )
+    return lsh.unionByName(ivf).orderBy("leg", "vec_id")
 
 
-SEMANTIC_DEDUP_SQL = f"""
+def _semantic_dedup_sql() -> str:
+    from .ivf import ivf_exact_sql_ctes
+
+    return f"""
 WITH RECURSIVE sem_pairs AS (
   -- CTE names here must not collide with the embedded pair SQL's own
   -- CTE (named `e`): DuckDB resolves the inner `FROM e` to the OUTER
@@ -1471,13 +1524,35 @@ reach(node, nbr) AS (
 ),
 lbl AS (
   SELECT node, LEAST(node, MIN(nbr)) AS cluster_id FROM reach GROUP BY node
+),
+{ivf_exact_sql_ctes()},
+iedges AS (
+  SELECT v1 AS node, v2 AS nbr FROM ivq_pairs
+  UNION
+  SELECT v2 AS node, v1 AS nbr FROM ivq_pairs
+),
+ireach(node, nbr) AS (
+  SELECT node, nbr FROM iedges
+  UNION
+  SELECT r.node, g.nbr FROM ireach r JOIN iedges g ON r.nbr = g.node
+),
+ilbl AS (
+  SELECT node, LEAST(node, MIN(nbr)) AS cluster_id FROM ireach GROUP BY node
 )
-SELECT v.vec_id,
+SELECT 'lsh' AS leg, v.vec_id,
        COALESCE(l.cluster_id, v.vec_id) AS cluster_id,
        v.vec_id = COALESCE(l.cluster_id, v.vec_id) AS kept
 FROM embeddings v LEFT JOIN lbl l ON v.vec_id = l.node
-ORDER BY vec_id
+UNION ALL
+SELECT 'ivf' AS leg, v.vec_id,
+       COALESCE(il.cluster_id, v.vec_id) AS cluster_id,
+       v.vec_id = COALESCE(il.cluster_id, v.vec_id) AS kept
+FROM embeddings v LEFT JOIN ilbl il ON v.vec_id = il.node
+ORDER BY leg, vec_id
 """
+
+
+SEMANTIC_DEDUP_SQL = _semantic_dedup_sql()
 
 
 def register_all() -> None:

@@ -245,6 +245,7 @@ def semantic_dedup(
     threshold: float = 0.25,
     nprobe: int = 2,
     pairs: DataFrame | None = None,
+    scratch_out: list | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: drop all but one vector from
     every group of embedding-space near-duplicates — the embedding twin of
@@ -273,8 +274,13 @@ def semantic_dedup(
         if centroids is None:
             raise ValueError("semantic_dedup needs either centroids or pairs")
         pairs = ivf_near_dup_pairs(emb, centroids, threshold=threshold, nprobe=nprobe)
+    # scratch_out forwards connected_components' converged-labels
+    # checkpoint to callers that eagerly re-materialize the result (the
+    # session-cached ivf gate leg) so they can free it deterministically;
+    # lazy consumers must NOT free it (the components contract).
     comp = connected_components(
-        pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2"))
+        pairs.select(F.col("v1").alias("d1"), F.col("v2").alias("d2")),
+        scratch_out=scratch_out,
     )
     return (
         emb.select("vec_id")
@@ -412,3 +418,227 @@ def ivf_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("v1", "v2")
     )
+
+
+# --- cross-engine-EXACT IVF (r11 groundwork for the r12 gate rotation) -----
+#
+# ivf_build's numpy GEMM training is deterministic but NOT cross-engine
+# reproducible: expansion-form distances (||x||²+||c||²-2x·c, pairwise
+# numpy summation) and unrounded argmins differ from a SQL twin's direct
+# sequential folds in final ulps, and one flipped assignment cascades into
+# a different model. The *_exact family below buys bit-stable parity with
+# two disciplines, at zero cost to the existing envelope-certified path
+# (ivf_build and its gates are untouched):
+#
+#   1. every assignment distance is the DIRECT form sum((x-c)²) ROUNDED
+#      half-away-from-zero to 6 decimals, ties broken by cid — matching
+#      Spark's struct(d, cid) array_sort and DuckDB's (d, cid) ORDER BY;
+#   2. every centroid mean is rounded the same way after each Lloyd round
+#      (empty cells keep the previous centroid), so ulp-level differences
+#      between Python's sequential fold and DuckDB's AVG cannot cascade.
+#
+# Residual risk: a pre-round value landing within ~1e-15·|v| of a 0.5e-6
+# rounding boundary can still flip (~1e-9 per value; ~4e-6 per model at
+# k=16, dim=64, n_iter=4) — the same accepted class as every round(x, 6)
+# gate. Fixed n_iter (no tol early-stop: a data-dependent round count
+# can't be mirrored by a fixed-depth CTE chain).
+
+IVF_EXACT_K = 16
+IVF_EXACT_ITERS = 4
+IVF_EXACT_SAMPLE = 4096
+
+
+def _round_half_away(v: float, digits: int = 6) -> float:
+    """Python's round() is banker's; Spark F.round and DuckDB ROUND are
+    half-away-from-zero. One definition for the exact-IVF trainer."""
+    import math
+
+    scale = 10.0**digits
+    return math.copysign(math.floor(abs(v) * scale + 0.5), v) / scale
+
+
+def ivf_build_exact(
+    emb: DataFrame,
+    k: int = IVF_EXACT_K,
+    n_iter: int = IVF_EXACT_ITERS,
+    train_sample: int = IVF_EXACT_SAMPLE,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cross-engine-exact coarse quantizer: pure-Python Lloyd rounds under
+    the rounding discipline above, mirrored term-for-term by
+    ivf_exact_sql_ctes. Returns (cid, centroid) like ivf_build."""
+    import numpy as np
+
+    sample = emb.select(id_col, vec_col).orderBy(id_col).limit(train_sample).collect()
+    if not sample:
+        raise ValueError("ivf_build_exact: empty embeddings input")
+    x = np.asarray([list(r[1]) for r in sample], dtype=np.float64)
+    if not np.isfinite(x).all():
+        raise ValueError("ivf_build_exact: non-finite coordinate in sample")
+
+    def r6(a):
+        # vectorized half-away-from-zero to 6 decimals (Spark F.round /
+        # DuckDB ROUND semantics; np.round is banker's)
+        return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+
+    cents = x[:k].copy()
+    for _ in range(n_iter):
+        # DIRECT-form distances (sum over dim of (x-c)^2), rounded before
+        # the argmin: numpy's pairwise summation differs from a sequential
+        # fold only in final ulps, which the rounding heals — so the
+        # vectorized trainer stays bit-equal to the SQL twin while running
+        # ~100x faster than a pure-Python loop. np.argmin first-occurrence
+        # = lowest-cid tie-break, matching the (d, cid) ORDER BY.
+        d2 = r6(((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=-1))
+        assign = d2.argmin(axis=1)
+        for cid in range(cents.shape[0]):
+            mem = x[assign == cid]
+            if len(mem):  # empty cell keeps its previous centroid
+                cents[cid] = r6(mem.sum(axis=0) / len(mem))
+    return emb.sparkSession.createDataFrame(
+        [(i, [float(v) for v in cents[i]]) for i in range(cents.shape[0])],
+        "cid int, centroid array<double>",
+    )
+
+
+def ivf_assign_exact(
+    emb: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "e",
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """nprobe-way assignment under the exact discipline: distances rounded
+    to 6 decimals before the (d, cid) argsort — the literal narrow-map
+    path only (the exact family exists for hash-gate parity; the >128-cell
+    broadcast branch stays the envelope path's concern)."""
+    rows = _centroid_rows(centroids)
+    structs = ",".join(
+        f"named_struct('d', round(aggregate(zip_with({vec_col}, {_arr_sql(c)},"
+        f" (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v), 6), 'cid', {cid})"
+        for cid, c in rows
+    )
+    keys = list(emb.columns)
+    probes = emb.select(
+        *keys,
+        F.slice(F.array_sort(F.expr(f"array({structs})")), 1, nprobe).alias("_p"),
+    )
+    return probes.select(*keys, F.explode(F.col("_p.cid")).alias("cid"))
+
+
+def ivf_near_dup_pairs_exact(
+    emb: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.25,
+    nprobe: int = 2,
+) -> DataFrame:
+    """ivf_near_dup_pairs over the exact assignment — the hash-checkable
+    IVF-blocked pair generator (pair verification was already exact; the
+    blocking now is too)."""
+    assigned = ivf_assign_exact(emb, centroids, nprobe=nprobe)
+    a = assigned.select(
+        F.col("vec_id").alias("v1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"),
+        "cid",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("v2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"),
+        "cid",
+    )
+    return (
+        a.join(b, "cid")
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            "v1",
+            "v2",
+            F.round(
+                _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 4
+            ).alias("cosine"),
+        )
+        .groupBy("v1", "v2")
+        .agg(F.first("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("v1", "v2")
+    )
+
+
+def ivf_exact_sql_ctes(
+    k: int = IVF_EXACT_K,
+    n_iter: int = IVF_EXACT_ITERS,
+    train_sample: int = IVF_EXACT_SAMPLE,
+    nprobe: int = 2,
+    threshold: float = 0.25,
+) -> str:
+    """DuckDB CTE chain training the SAME exact model IN SQL (fixed-depth,
+    like pagerank_sql_ctes — no literal centroids, so the oracle string
+    stays SF-generic) and emitting the blocked-verified pair set as
+    ``ivq_pairs(v1, v2, cosine)``. Prefix ``ivq_`` reserved (embedded-
+    oracle namespace ritual). Expects the ``embeddings`` view."""
+
+    def dist(v: str, c: str) -> str:
+        return (
+            f"ROUND(list_sum(list_transform(list_zip({v}, {c}),"
+            f" p -> (p[1] - p[2]) * (p[1] - p[2]))), 6)"
+        )
+
+    parts = [
+        "ivq_emb AS MATERIALIZED (\n"
+        "  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings\n"
+        ")",
+        f"ivq_samp AS MATERIALIZED (\n"
+        f"  SELECT vec_id, e FROM ivq_emb ORDER BY vec_id LIMIT {train_sample}\n"
+        f")",
+        f"ivq_c0 AS (\n"
+        f"  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, e AS c\n"
+        f"  FROM (SELECT vec_id, e FROM ivq_samp ORDER BY vec_id LIMIT {k})\n"
+        f")",
+    ]
+    prev = "ivq_c0"
+    for r in range(1, n_iter + 1):
+        parts.append(
+            f"ivq_a{r} AS (\n"
+            f"  SELECT vec_id, e, cid FROM (\n"
+            f"    SELECT s.vec_id, s.e, c.cid,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY s.vec_id\n"
+            f"             ORDER BY {dist('s.e', 'c.c')}, c.cid) AS rn\n"
+            f"    FROM ivq_samp s CROSS JOIN {prev} c\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+        parts.append(
+            f"ivq_m{r} AS (\n"
+            f"  SELECT cid, list(mv ORDER BY pos) AS c FROM (\n"
+            f"    SELECT a.cid, g.pos, ROUND(SUM(list_extract(a.e, g.pos))\n"
+            f"             / COUNT(1), 6) AS mv\n"
+            f"    FROM ivq_a{r} a, unnest(generate_series(1, len(a.e))) AS g(pos)\n"
+            f"    GROUP BY a.cid, g.pos\n"
+            f"  ) GROUP BY cid\n"
+            f")"
+        )
+        parts.append(
+            f"ivq_c{r} AS (\n"
+            f"  SELECT p.cid, COALESCE(m.c, p.c) AS c\n"
+            f"  FROM {prev} p LEFT JOIN ivq_m{r} m USING (cid)\n"
+            f")"
+        )
+        prev = f"ivq_c{r}"
+    parts.append(
+        f"ivq_asg AS (\n"
+        f"  SELECT vec_id, e, cid FROM (\n"
+        f"    SELECT v.vec_id, v.e, c.cid,\n"
+        f"           ROW_NUMBER() OVER (PARTITION BY v.vec_id\n"
+        f"             ORDER BY {dist('v.e', 'c.c')}, c.cid) AS rn\n"
+        f"    FROM ivq_emb v CROSS JOIN {prev} c\n"
+        f"  ) WHERE rn <= {nprobe}\n"
+        f")",
+    )
+    parts.append(
+        f"ivq_pairs AS (\n"
+        f"  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2,\n"
+        f"         ROUND(list_cosine_similarity(a.e, b.e), 4) AS cosine\n"
+        f"  FROM ivq_asg a JOIN ivq_asg b\n"
+        f"    ON a.cid = b.cid AND a.vec_id < b.vec_id\n"
+        f"  WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= {threshold}\n"
+        f")"
+    )
+    return ",\n".join(parts)

@@ -33,6 +33,7 @@ EXPECTED_CACHES = {
         "_EMB_PROJ_CACHE",
         "_EMB_PAIRS_CACHE",
         "_LABELS_CACHE",
+        "_SEM_IVF_CACHE",
     },
     "operators/multimodal.py": {"_PHASH_TABLES", "_PHASH_PAIRS", "_MEDIA_CLUSTERS"},
     "operators/pipeline_queries.py": {"_ISSUES_CACHE"},

@@ -235,3 +235,66 @@ def test_bucket_bits_validation(spark):
     for bad in (0, -1, 33):
         with pytest.raises(ValueError, match="n_bits"):
             _bucket_t(F.col("e"), bad, 0)
+
+
+def test_exact_ivf_cross_engine_parity(spark, sf_dir):
+    """The r11 exact-IVF family: Python-trained model + Spark-assigned
+    blocked pairs must equal, BIT FOR BIT, the DuckDB CTE chain that
+    trains the same model in SQL (ivf_exact_sql_ctes) — the property the
+    semantic_dedup gate's ivf leg rests on. Checked standalone so an edit
+    to either twin fails here before gate time."""
+    import duckdb
+
+    from apache_jira_scraper_spark.operators.ivf import (
+        ivf_build_exact,
+        ivf_exact_sql_ctes,
+        ivf_near_dup_pairs_exact,
+    )
+    from apache_jira_scraper_spark.operators.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_build_exact(emb)
+    got = [
+        (r["v1"], r["v2"], r["cosine"])
+        for r in ivf_near_dup_pairs_exact(emb, cents).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [
+        (a, b, float(c))
+        for a, b, c in con.execute(
+            f"WITH {ivf_exact_sql_ctes()} "
+            "SELECT v1, v2, cosine FROM ivq_pairs ORDER BY v1, v2"
+        ).fetchall()
+    ]
+    assert got == want
+    assert got, "exact-IVF pair set empty — the parity certifies nothing"
+
+
+def test_exact_ivf_leg_differs_from_lsh_leg(spark, sf_dir):
+    """Non-vacuity: IVF-cell blocking must produce a genuinely different
+    clustering from sign-LSH blocking somewhere at this SF, or the second
+    gate leg certifies a clone (the r02 lesson)."""
+    from apache_jira_scraper_spark.operators.dedup import q_semantic_dedup
+
+    rows = q_semantic_dedup(spark, sf_dir).collect()
+    legs: dict = {"lsh": {}, "ivf": {}}
+    for r in rows:
+        legs[r["leg"]][r["vec_id"]] = (r["cluster_id"], r["kept"])
+    assert set(legs["lsh"]) == set(legs["ivf"])  # same vector universe
+    assert legs["lsh"] != legs["ivf"]
+
+
+def test_round_half_away_matches_engines():
+    """_round_half_away must agree with Spark F.round / DuckDB ROUND
+    (half away from zero) — NOT Python's banker's round."""
+    from apache_jira_scraper_spark.operators.ivf import _round_half_away
+
+    assert _round_half_away(0.0000005) == 0.000001
+    assert _round_half_away(-0.0000005) == -0.000001
+    assert _round_half_away(1.0000015) == 1.000002  # banker's would give 1.000002 too
+    assert _round_half_away(2.5, 0) == 3.0  # banker's gives 2.0
+    assert _round_half_away(-2.5, 0) == -3.0
