@@ -91,31 +91,35 @@ def _toks() -> Column:
     return F.split(F.col("text"), " ")
 
 
-def _gram3(toks: Column) -> Column:
-    """Distinct word-3-gram shingle array over a token-array column; [] for
-    docs under 3 tokens. THE shingle definition — _shingles, _doc_shingle_df,
-    and build_dedup_index all call this one builder, so a shingling change
-    (gram width, guard, separator) cannot desynchronize the batch LSH path
-    from the persisted incremental index.
+def _gramn(toks: Column, n: int) -> Column:
+    """Distinct word-n-gram array over a token-array column; [] for docs
+    under n tokens. THE gram builder — _gram3 (the shingle definition for
+    the whole MinHash family) and text.contamination_report's 8-grams both
+    derive from this one function, so a change to the guard, separator, or
+    distinctness cannot desynchronize the shingle space from the
+    decontamination gram space (review r11: they were two copies).
 
     The short-doc case needs an explicit CASE: Spark's sequence(1, 0) is a
     DESCENDING [1, 0] (not empty like DuckDB's generate_series), so without
-    the guard a 2-token doc asks element_at for index 3 and the query
+    the guard a too-short doc asks element_at past the end and the query
     errors out.
     """
-    n = F.size(toks)
+    size = F.size(toks)
     grams = F.transform(
-        F.sequence(F.lit(1), n - 2),
+        F.sequence(F.lit(1), size - (n - 1)),
         lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
     return F.array_distinct(
-        F.when(n >= 3, grams).otherwise(F.array().cast("array<string>"))
+        F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
     )
+
+
+def _gram3(toks: Column) -> Column:
+    """Distinct word-3-gram shingle array — THE shingle definition
+    (_shingles, _doc_shingle_df, build_dedup_index); see _gramn."""
+    return _gramn(toks, 3)
 
 
 def _shingles() -> Column:

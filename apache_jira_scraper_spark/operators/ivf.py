@@ -448,13 +448,17 @@ IVF_EXACT_ITERS = 4
 IVF_EXACT_SAMPLE = 4096
 
 
-def _round_half_away(v: float, digits: int = 6) -> float:
+def _round_half_away(v, digits: int = 6):
     """Python's round() is banker's; Spark F.round and DuckDB ROUND are
-    half-away-from-zero. One definition for the exact-IVF trainer."""
-    import math
+    half-away-from-zero. THE one rounding definition for the exact-IVF
+    family — numpy-vectorized so the trainer calls literally this
+    function (review r11: a scalar helper plus a separate inline
+    vectorized copy meant the unit test pinned the dead copy)."""
+    import numpy as np
 
     scale = 10.0**digits
-    return math.copysign(math.floor(abs(v) * scale + 0.5), v) / scale
+    out = np.copysign(np.floor(np.abs(v) * scale + 0.5), v) / scale
+    return float(out) if np.isscalar(v) or getattr(v, "ndim", 1) == 0 else out
 
 
 def ivf_build_exact(
@@ -477,10 +481,7 @@ def ivf_build_exact(
     if not np.isfinite(x).all():
         raise ValueError("ivf_build_exact: non-finite coordinate in sample")
 
-    def r6(a):
-        # vectorized half-away-from-zero to 6 decimals (Spark F.round /
-        # DuckDB ROUND semantics; np.round is banker's)
-        return np.copysign(np.floor(np.abs(a) * 1e6 + 0.5), a) / 1e6
+    r6 = _round_half_away  # THE definition — see its docstring
 
     cents = x[:k].copy()
     for _ in range(n_iter):

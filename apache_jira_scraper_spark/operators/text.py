@@ -1005,20 +1005,12 @@ DECONTAM_EVAL_MOD = 7
 
 
 def _gramn(toks: Column, n: int) -> Column:
-    """Distinct word-n-gram array over a token-array column; [] for docs
-    under n tokens (dedup._gram3 generalized — same explicit short-doc
-    CASE, because Spark's sequence(1, 0) is a DESCENDING [1, 0], not empty
-    like DuckDB's generate_series)."""
-    size = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), size - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
-    return F.array_distinct(
-        F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
-    )
+    """THE gram builder, shared with the MinHash shingle family — one
+    definition so the shingle space and the decontamination gram space
+    cannot desynchronize (review r11; lives in dedup.py next to _gram3)."""
+    from .dedup import _gramn as _dedup_gramn
+
+    return _dedup_gramn(toks, n)
 
 
 def contamination_report(
@@ -1059,9 +1051,15 @@ def contamination_report(
     """
 
     def grams(d: DataFrame) -> DataFrame:
-        return d.select(
-            "doc_id", F.explode(_gramn(tokens_col(), n)).alias("g")
-        ).select("doc_id", token_hash60(F.col("g")).alias("gh"))
+        # distinct on the HASH, not just the gram string: counts must be
+        # per distinct 60-bit hash in BOTH engines, or a within-doc
+        # collision makes Spark count 2 where the oracle's
+        # GROUP BY (doc_id, gh) counts 1 (review r11)
+        return (
+            d.select("doc_id", F.explode(_gramn(tokens_col(), n)).alias("g"))
+            .select("doc_id", token_hash60(F.col("g")).alias("gh"))
+            .distinct()
+        )
 
     eval_grams = grams(eval_docs).select("gh").distinct()
     train_grams = grams(train_docs)
@@ -1091,23 +1089,30 @@ def decontam_sql_ctes(n: int = DECONTAM_N, eval_mod: int = DECONTAM_EVAL_MOD) ->
     """DuckDB CTE chain mirroring contamination_report over the mod-split
     documents table. Emits dc_grams / dc_eval / dc_tot / dc_hit; the
     caller selects from dc_tot LEFT JOIN dc_hit against the train spine.
-    dc_ prefix reserved (embedded-oracle namespace ritual)."""
+    dc_ prefix reserved (embedded-oracle namespace ritual).
+
+    The overlap join runs on the SAME 60-bit gram hash the Spark side
+    joins on (TOKEN_HASH60_SQL — the ritual every hashed operator
+    follows; review r11: joining raw strings here while Spark joins
+    hashes meant any 60-bit collision would diverge the engines instead
+    of being shared behavior)."""
     idx = ", ".join(f"list_extract(toks, i + {j})" for j in range(n))
+    gh = TOKEN_HASH60_SQL.format(t="concat_ws(' ', " + idx + ")")
     return f"""
 dc_grams AS MATERIALIZED (
-  SELECT doc_id, concat_ws(' ', {idx}) AS g
+  SELECT doc_id, {gh} AS gh
   FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents) t,
        unnest(generate_series(1, greatest(len(toks) - {n - 1}, 0))) AS u(i)
-  GROUP BY doc_id, g
+  GROUP BY doc_id, gh
 ),
-dc_eval AS (SELECT DISTINCT g FROM dc_grams WHERE doc_id % {eval_mod} = 0),
+dc_eval AS (SELECT DISTINCT gh FROM dc_grams WHERE doc_id % {eval_mod} = 0),
 dc_tot AS (
   SELECT doc_id, COUNT(1) AS n_grams FROM dc_grams
   WHERE doc_id % {eval_mod} != 0 GROUP BY doc_id
 ),
 dc_hit AS (
   SELECT doc_id, COUNT(1) AS n_contam
-  FROM dc_grams JOIN dc_eval USING (g)
+  FROM dc_grams JOIN dc_eval USING (gh)
   WHERE doc_id % {eval_mod} != 0 GROUP BY doc_id
 )"""
 
@@ -1208,7 +1213,12 @@ def pack_sequences(docs: DataFrame, context_len: int = PACK_CONTEXT) -> DataFram
     )
 
 
-PACK_SQL = f"""
+# Body/full split (review r11): the gate oracle embeds the UNORDERED body.
+# A naive PACK_SQL.replace("ORDER BY doc_id", "") also stripped the window
+# frame's ORDER BY inside pkc, silently turning the oracle's cumulative
+# sum into an undefined-order scan that only passed because the fixture
+# happens to be doc_id-ordered.
+_PACK_BODY_SQL = f"""
 WITH pk AS (
   SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents
@@ -1226,8 +1236,9 @@ SELECT doc_id, n_tokens, cum_start,
        (cum_start + n_tokens - 1) // {PACK_CONTEXT}
          - cum_start // {PACK_CONTEXT} + 1 AS n_packs
 FROM pkc
-ORDER BY doc_id
 """
+
+PACK_SQL = _PACK_BODY_SQL + "ORDER BY doc_id\n"
 
 
 BM25_K1 = 1.2
@@ -1647,7 +1658,7 @@ UNION ALL
 SELECT 'pack' AS leg, doc_id AS id, '' AS txt,
        CAST(cum_start AS BIGINT), CAST(pack_first AS BIGINT),
        CAST(pack_last AS BIGINT)
-FROM ({PACK_SQL.replace("ORDER BY doc_id", "")})
+FROM ({_PACK_BODY_SQL})
 ORDER BY leg, id, txt
 """
 

@@ -298,3 +298,17 @@ def test_round_half_away_matches_engines():
     assert _round_half_away(1.0000015) == 1.000002  # banker's would give 1.000002 too
     assert _round_half_away(2.5, 0) == 3.0  # banker's gives 2.0
     assert _round_half_away(-2.5, 0) == -3.0
+
+
+def test_round_half_away_vectorized_is_same_definition():
+    """The trainer calls _round_half_away on numpy arrays; pin that the
+    vectorized path equals the scalar path on a sign/boundary grid so the
+    one definition genuinely serves both (review r11)."""
+    import numpy as np
+
+    from apache_jira_scraper_spark.operators.ivf import _round_half_away
+
+    grid = [-2.5e-6, -5e-7, -1e-7, 0.0, 1e-7, 5e-7, 2.5e-6, 1.0000005, -3.14159265]
+    vec = _round_half_away(np.asarray(grid))
+    for g, v in zip(grid, vec):
+        assert _round_half_away(g) == v

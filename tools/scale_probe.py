@@ -246,6 +246,10 @@ def _clear_text_session_caches() -> None:
         dedup._SHINGLE_CACHE,
         dedup._PAIRS_CACHE,
         text._BM25_TOPK_CACHE,
+        # review r11: the bigram leg cache was added in the same change
+        # set as this probe and missed the clear list — the probe's
+        # "cold" samples silently reused the warm bigram checkpoint
+        text._BIGRAM_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
