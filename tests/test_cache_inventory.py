@@ -39,7 +39,12 @@ EXPECTED_CACHES = {
     "operators/pipeline_queries.py": {"_ISSUES_CACHE"},
     "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE"},
     "operators/similarity.py": {"_EXACT_TOPK_CACHE", "_IVF_CENTROIDS"},
-    "operators/text.py": {"_BM25_TOPK_CACHE", "_BIGRAM_LEG_CACHE"},
+    "operators/text.py": {
+        "_BM25_TOPK_CACHE",
+        "_BIGRAM_LEG_CACHE",
+        "_DOCS_TOK_CACHE",
+        "_CONTAM_LEG_CACHE",
+    },
 }
 
 # Module-level dicts that are NOT session caches (never hold DataFrames
