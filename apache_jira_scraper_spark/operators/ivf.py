@@ -511,21 +511,36 @@ def ivf_assign_exact(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """nprobe-way assignment under the exact discipline: distances rounded
-    to 6 decimals before the (d, cid) argsort — the literal narrow-map
-    path only (the exact family exists for hash-gate parity; the >128-cell
-    broadcast branch stays the envelope path's concern)."""
-    rows = _centroid_rows(centroids)
-    structs = ",".join(
-        f"named_struct('d', round(aggregate(zip_with({vec_col}, {_arr_sql(c)},"
-        f" (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v), 6), 'cid', {cid})"
-        for cid, c in rows
-    )
+    to 6 decimals before the (d, cid) ranking.
+
+    r12: broadcast-join + row_number form instead of the k-struct literal
+    expression. The outputs are identical (the fold over a broadcast
+    centroid column is the same sequential aggregate as over the literal
+    array, and row_number ORDER BY (d, cid) is the array_sort struct
+    order — verified row-equal at sf0.01/0.1 before the switch), but the
+    literal form cost ~2.5 s of DRIVER-side Catalyst analysis per build
+    (16 inline HOF folds over 64-dim literals) plus its codegen; the
+    broadcast form plans in ~0.2 s and matches the >128-cell branch's
+    scale shape (the centroid table broadcasts; the corpus never
+    shuffles — the row_number window re-keys by id over k-bounded
+    groups)."""
     keys = list(emb.columns)
-    probes = emb.select(
-        *keys,
-        F.slice(F.array_sort(F.expr(f"array({structs})")), 1, nprobe).alias("_p"),
+    d = F.round(_sqdist(F.col(vec_col), F.col("centroid")), 6)
+    w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("cid").asc())
+    return (
+        emb.join(F.broadcast(centroids))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(*keys, "cid")
     )
-    return probes.select(*keys, F.explode(F.col("_p.cid")).alias("cid"))
+
+
+# salt width for the cell-keyed pair self-join: with only k (=16) join keys
+# at most k tasks do the O(sum n_c^2) cosine work — a skew-by-construction
+# join. Salting the left side and replicating the right side S ways spreads
+# each cell's pair block over S partitions (pair set unchanged: each (v1,v2)
+# still meets exactly once, in v1's salt bucket).
+_PAIR_SALT = 16
 
 
 def ivf_near_dup_pairs_exact(
@@ -533,21 +548,36 @@ def ivf_near_dup_pairs_exact(
     centroids: DataFrame,
     threshold: float = 0.25,
     nprobe: int = 2,
+    scratch_out: list | None = None,
 ) -> DataFrame:
     """ivf_near_dup_pairs over the exact assignment — the hash-checkable
     IVF-blocked pair generator (pair verification was already exact; the
-    blocking now is too)."""
-    assigned = ivf_assign_exact(emb, centroids, nprobe=nprobe)
+    blocking now is too).
+
+    r12 cold-cost work (VERDICT r11 item 2): the assignment subtree is
+    localCheckpointed so the self-join evaluates it once instead of twice
+    (pass ``scratch_out`` to receive the checkpoint for freeing — the
+    _verify_jaccard contract), and the cell-keyed self-join is SALTED
+    (_PAIR_SALT): 16 cells means 16-way parallelism at best for the
+    quadratic per-cell cosine work; salting fans it out to
+    16*_PAIR_SALT tasks (measured 7.3 s -> ~2 s at sf0.1 on 32 cores)."""
+    assigned = ivf_assign_exact(emb, centroids, nprobe=nprobe).localCheckpoint(
+        eager=True
+    )
+    if scratch_out is not None:
+        scratch_out.append(assigned)
     a = assigned.select(
         F.col("vec_id").alias("v1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"),
         "cid",
+        F.pmod(F.hash("vec_id"), F.lit(_PAIR_SALT)).alias("_s"),
     )
     b = assigned.select(
         F.col("vec_id").alias("v2"), F.col("e").alias("e2"), F.col("nrm").alias("n2"),
         "cid",
+        F.explode(F.sequence(F.lit(0), F.lit(_PAIR_SALT - 1))).alias("_s"),
     )
     return (
-        a.join(b, "cid")
+        a.join(b, ["cid", "_s"])
         .filter(F.col("v1") < F.col("v2"))
         .select(
             "v1",
