@@ -184,8 +184,20 @@ def pagerank_weighted(
         edges = edges.localCheckpoint(eager=True)
     w = F.col(weight_col)
     wd = w.cast("double")
+    # Magnitude bound (ADVICE r11): the share expression computes r * w in
+    # BIGINT with r <= MASS_PPB inductively, so any w above
+    # (2^63 - 1) div MASS_PPB can wrap int64 — silently, in non-ANSI
+    # Spark, while DuckDB raises, diverging the twins instead of failing
+    # loudly. ppm-scaled similarities (<= 1e6) sit 4 orders of magnitude
+    # under the bound; a caller passing raw large integers hits it here.
+    w_max = (2**63 - 1) // MASS_PPB
     bad = (
-        edges.filter(wd.isNull() | (wd <= 0) | (wd != F.floor(wd).cast("double")))
+        edges.filter(
+            wd.isNull()
+            | (wd <= 0)
+            | (wd != F.floor(wd).cast("double"))
+            | (wd > float(w_max))
+        )
         .limit(1)
         .count()
     )
@@ -194,8 +206,10 @@ def pagerank_weighted(
             free_local_checkpoint(edges)
         raise ValueError(
             f"pagerank_weighted: {weight_col} must be a positive integer "
-            "(e.g. similarity in ppm: CAST(round(jaccard * 1e6) AS BIGINT)); "
-            "found a NULL, non-positive, or fractional weight"
+            f"<= {w_max} (= (2^63 - 1) div MASS_PPB, the r * w int64 "
+            "overflow bound; similarities in ppm are well inside it: "
+            "CAST(round(jaccard * 1e6) AS BIGINT)); found a NULL, "
+            "non-positive, fractional, or oversized weight"
         )
     sym = edges.select(
         F.col("d1").alias("node"), F.col("d2").alias("nbr"), w.cast("long").alias("w")

@@ -921,6 +921,16 @@ GATE_SHORTLIST_K = 40
 PQ_GATE_SHORTLIST_K = 40
 PQ_MIN_HITS = 2
 OPQ_MIN_HITS = 1
+# Sum-of-hits envelopes (r12, VERDICT r11 item 3): the per-query min-hits
+# floor is a thin certificate at OPQ_MIN_HITS=1 (a ≥1-of-top-5 hit in a
+# 40-of-~200 shortlist is satisfied by a near-random shortlist ~66% of the
+# time PER QUERY); the TOTAL across the 10 queries certifies real recall.
+# r12 probe re-run (18 configs, sum_hits recorded per run): PQ total floor
+# 39 (sf0.1-drop17), OPQ total floor 42 (sf0.1-full); envelope = floor - 2
+# (the sum-scale analog of the minus-one rule — see the probe's summary
+# comment). Max possible total = 10 queries x top-5 = 50.
+PQ_HITS_TOTAL_MIN = 37
+OPQ_HITS_TOTAL_MIN = 40
 
 _PQ_MODEL: dict = {}
 _OPQ_MODEL: dict = {}
@@ -971,7 +981,14 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
     sized floor-1 from tools/pq_envelope_probe.py's 18-run measurement —
     see the constants' comment). The oracle emits literal TRUE for
     both, so the row only hash-matches if each trained model actually
-    met its envelope (the ivf_recall_ok pattern)."""
+    met its envelope (the ivf_recall_ok pattern).
+
+    r12: two more certified columns, `pq_hits_total_ok` /
+    `opq_hits_total_ok` — the SUM of recovered exact-top-5 hits across
+    all queries vs the measured total envelopes (PQ_HITS_TOTAL_MIN /
+    OPQ_HITS_TOTAL_MIN). The per-query min floor tolerates a near-random
+    shortlist when the floor is 1; the total is satisfied only by real
+    aggregate recall (>= 37/50 and 40/50 respectively)."""
     from ..io import session_cached
     from .similarity import N_QUERIES, TOP_K, _emb
 
@@ -1006,11 +1023,26 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(name))
         )
 
+    # The sum-of-hits totals ride the SAME joined frame: each qid appears
+    # exactly TOP_K times in ts, so the all-rows window sum is TOP_K x the
+    # per-query-hit total — integer-exact after `div TOP_K`. The window is
+    # unpartitioned but runs over the N_QUERIES*TOP_K-row gate result
+    # (bounded by construction, the sweep-band-table budget class).
     return (
         ts.join(_hits(short, "_ph"), "qid", "left")
         .join(_hits(oshort, "_oh"), "qid", "left")
         .withColumn("pq_recall_ok", F.coalesce(F.col("_ph"), F.lit(0)) >= PQ_MIN_HITS)
         .withColumn("opq_recall_ok", F.coalesce(F.col("_oh"), F.lit(0)) >= OPQ_MIN_HITS)
+        .withColumn(
+            "pq_hits_total_ok",
+            F.expr(f"sum(coalesce(_ph, 0)) over () div {TOP_K}")
+            >= PQ_HITS_TOTAL_MIN,
+        )
+        .withColumn(
+            "opq_hits_total_ok",
+            F.expr(f"sum(coalesce(_oh, 0)) over () div {TOP_K}")
+            >= OPQ_HITS_TOTAL_MIN,
+        )
         .drop("_ph", "_oh")
         .orderBy("qid", "rank")
     )
@@ -1028,7 +1060,8 @@ WITH scored AS (
          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
   FROM scored
 )
-SELECT qid, rank, nid, cosine, TRUE AS pq_recall_ok, TRUE AS opq_recall_ok
+SELECT qid, rank, nid, cosine, TRUE AS pq_recall_ok, TRUE AS opq_recall_ok,
+       TRUE AS pq_hits_total_ok, TRUE AS opq_hits_total_ok
 FROM ranked WHERE rank <= {TOP_K} ORDER BY qid, rank
 """
 

@@ -267,6 +267,27 @@ def test_pagerank_weighted_rejects_fractional_weights(spark):
         pagerank_weighted(df)
 
 
+def test_pagerank_weighted_rejects_oversized_weights(spark):
+    """ADVICE r11: weights above (2^63-1) div MASS_PPB can wrap r*w in
+    int64 — silently in non-ANSI Spark while DuckDB raises, so the twins
+    would diverge instead of failing loudly. The bound itself must pass."""
+    from apache_jira_scraper_spark.operators.graph import (
+        MASS_PPB,
+        pagerank_weighted,
+    )
+
+    w_max = (2**63 - 1) // MASS_PPB
+    bad = spark.createDataFrame(
+        [(0, 1, w_max + 1), (1, 2, 500_000)], "d1 long, d2 long, w_ppm long"
+    )
+    with pytest.raises(ValueError, match="overflow bound"):
+        pagerank_weighted(bad)
+    ok = spark.createDataFrame(
+        [(0, 1, w_max), (1, 2, 500_000)], "d1 long, d2 long, w_ppm long"
+    )
+    assert pagerank_weighted(ok).count() == 3
+
+
 def test_pagerank_weighted_sql_ctes_match_spark(spark):
     """The prw_* DuckDB CTE chain (the dedup_clusters oracle's weighted
     half) reproduces pagerank_weighted BIT-FOR-BIT on a random weighted

@@ -94,6 +94,7 @@ def main() -> None:
         ("drop23", (F.col("vec_id") < N_QUERIES) | (F.col("vec_id") % 23 != 0)),
     ]
     floor = {"pq": 99, "opq": 99}
+    floor_sum = {"pq": 9999, "opq": 9999}
     for sf in sfs:
         base = _emb(spark, sf)
         for tag, pred in variants:
@@ -117,6 +118,7 @@ def main() -> None:
                     per_q = [hits.get(q, 0) for q in range(N_QUERIES)]
                     mn = min(per_q)
                     floor[model] = min(floor[model], mn)
+                    floor_sum[model] = min(floor_sum[model], sum(per_q))
                     print(
                         json.dumps(
                             {
@@ -124,6 +126,7 @@ def main() -> None:
                                 "variant": tag,
                                 "model": model,
                                 "min_hits": mn,
+                                "sum_hits": sum(per_q),
                                 "hits": per_q,
                             }
                         ),
@@ -132,13 +135,24 @@ def main() -> None:
                 free_local_checkpoint(exact)
             finally:
                 free_local_checkpoint(emb)
+    # Per-model recommendations (ADVICE r11: a single cross-model value
+    # silently weakens the stronger model's envelope on regeneration) —
+    # each envelope is its own measured floor minus one; the sum-of-hits
+    # envelopes take the minimum observed per-run TOTAL minus 2 (the
+    # sum-scale analog of the minus-one rule: totals aggregate 10 queries,
+    # so one unit of slack per axis of variation we could not exercise).
     print(
         json.dumps(
             {
                 "summary": True,
                 "floor_pq": floor["pq"],
                 "floor_opq": floor["opq"],
-                "recommended_min_hits": min(floor.values()) - 1,
+                "floor_sum_pq": floor_sum["pq"],
+                "floor_sum_opq": floor_sum["opq"],
+                "recommended_pq_min_hits": floor["pq"] - 1,
+                "recommended_opq_min_hits": floor["opq"] - 1,
+                "recommended_pq_hits_total": floor_sum["pq"] - 2,
+                "recommended_opq_hits_total": floor_sum["opq"] - 2,
             }
         ),
         flush=True,

@@ -339,6 +339,88 @@ def main_text() -> int:
     return 0 if ok else 1
 
 
+STREAM_GATES = ["stream_tumbling_counts", "stream_stateful"]
+
+
+def main_stream() -> int:
+    """10x STREAMING scale probe (VERDICT r11 item 6): events exploded 10x
+    with the same key-remap discipline as the relational probe (event_id /
+    user_id * 10 + k — user cardinality grows 10x, per-user event density
+    stays constant, so per-key state size is flat BY CONSTRUCTION and the
+    probe measures whether the machinery honors that), then the two
+    streaming gates timed at 1x vs 10x.
+
+    What is (and is not) pinned:
+      - wall ratio <= SLOPE_CAP (the relational probe's bound);
+      - micro-batch count is STRUCTURAL here — the events stream is one
+        landing file (one availableNow batch) and the ingest legs land
+        exactly two files — so the probe asserts output-row growth is
+        sane instead: stream_stateful rows scale ~10x (per-user/per-event
+        legs), tumbling-count rows stay constant (same time span, same
+        window grid — only counts grow).
+    Per-batch state-advance flatness over a LONG run is the ingest
+    flatness probe's job (tools/ingest_flatness_probe.py — run it with
+    --docs-per-batch 400 for the 10x-volume variant); this probe covers
+    the driver-gate path end-to-end.
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    out_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale10"
+    samples = int(os.environ.get("SCALE_PROBE_SAMPLES", "2"))
+    print(f"building 10x exploded tables under {out_dir} ...", flush=True)
+    build_exploded(sf_dir, out_dir)
+
+    from pyspark.sql import SparkSession
+
+    from apache_jira_scraper_spark import registry
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .appName("scale_probe_stream")
+        .getOrCreate()
+    )
+    qs = registry.queries()
+    spark.range(1000).count()
+
+    results = {}
+    ok = True
+    for g in STREAM_GATES:
+        fn = qs[g]
+        # untimed warmup at both scales (plan compile + JIT off the clock)
+        n1 = fn(spark, sf_dir).count()
+        n10 = fn(spark, out_dir).count()
+        t1 = min(time_gate(fn, spark, sf_dir, samples=1) for _ in range(samples))
+        t10 = min(time_gate(fn, spark, out_dir, samples=1) for _ in range(samples))
+        ratio = t10 / t1 if t1 > 0 else float("inf")
+        row_ratio = n10 / n1 if n1 else float("inf")
+        if g == "stream_tumbling_counts":
+            rows_ok = n10 == n1  # same window grid, only counts grow
+        else:
+            rows_ok = 5.0 <= row_ratio <= 15.0  # per-key legs scale ~10x
+        gate_ok = ratio <= SLOPE_CAP and rows_ok
+        ok &= gate_ok
+        results[g] = {
+            "t_1x": round(t1, 3),
+            "t_10x": round(t10, 3),
+            "ratio": round(ratio, 2),
+            "rows_1x": n1,
+            "rows_10x": n10,
+            "ok": gate_ok,
+        }
+        print(
+            f"{g}: 1x={t1:.2f}s 10x={t10:.2f}s ratio={ratio:.2f} "
+            f"rows {n1}->{n10} {'OK' if gate_ok else 'FAIL'}",
+            flush=True,
+        )
+    print(json.dumps(results))
+    return 0 if ok else 1
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
@@ -418,4 +500,8 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    raise SystemExit(main_text() if sys.argv[1:2] == ["text"] else main())
+    if sys.argv[1:2] == ["text"]:
+        raise SystemExit(main_text())
+    if sys.argv[1:2] == ["stream"]:
+        raise SystemExit(main_stream())
+    raise SystemExit(main())
