@@ -655,9 +655,7 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("jaccard").alias("v"),
         F.lit("").alias("h"),
     )
-    sub = exact_substring_dedup(
-        load_table_parallel(spark, sf_dir, "documents"), ordered=False
-    ).select(
+    sub = _substr_leg_cached(spark, sf_dir).select(
         F.lit("substr").alias("leg"),
         F.col("doc_id").alias("a"),
         F.col("n_removed").cast("bigint").alias("b"),
@@ -665,6 +663,25 @@ def q_dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("cleaned_text").alias("h"),
     )
     return lsh.unionByName(ng).unionByName(sub).orderBy("leg", "a", "b")
+
+
+_SUBSTR_LEG_CACHE: dict = {}
+
+
+def _substr_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached substr leg of the near-dup gate (r12): the
+    exact-substring pass explodes every 50-token window of the corpus and
+    reassembles cleaned text — per-call recompute of a per-session-constant
+    result, the same pattern the bigram/contam/semantic legs fixed. The
+    checkpoint is docs-sized (one row per doc)."""
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        return exact_substring_dedup(
+            load_table_parallel(spark, sf_dir, "documents"), ordered=False
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_SUBSTR_LEG_CACHE, spark, (sf_dir,), _build)
 
 
 _BANDS_SQL = f"""

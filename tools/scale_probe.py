@@ -245,11 +245,18 @@ def _clear_text_session_caches() -> None:
     for cache in (
         dedup._SHINGLE_CACHE,
         dedup._PAIRS_CACHE,
+        # r12: the substr leg rode a new session cache — same clear-list
+        # rule as the bigram lesson below
+        dedup._SUBSTR_LEG_CACHE,
         text._BM25_TOPK_CACHE,
         # review r11: the bigram leg cache was added in the same change
         # set as this probe and missed the clear list — the probe's
         # "cold" samples silently reused the warm bigram checkpoint
         text._BIGRAM_LEG_CACHE,
+        # r12: the shared tokenized-docs checkpoint and the contam leg
+        # cache feed text_quality_signals
+        text._DOCS_TOK_CACHE,
+        text._CONTAM_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
