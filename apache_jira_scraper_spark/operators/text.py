@@ -1000,6 +1000,239 @@ ORDER BY doc_id
 """
 
 
+# --- stupid-backoff trigram LM (held-out scoring) --------------------------
+
+# Brants et al. 2007 ("Large Language Models in Machine Translation",
+# public): score(w3 | w1 w2) backs off through the n-gram ladder with a
+# FIXED multiplier instead of learned discounts — the standard web-scale
+# LM for corpus quality filtering (CCNet's perplexity filter shape).
+# alpha = 0.4, the published constant.
+BACKOFF_ALPHA = 0.4
+# Held-out split so backoff genuinely fires: the model trains on
+# doc_id % BACKOFF_HELDOUT_MOD != 0 and scores EVERY doc — eval-split
+# docs contain trigrams the train split never saw (a same-corpus model
+# would have c3 >= 1 for every scored trigram and the backoff branches
+# would be dead code). Same mod-7 split as decontamination for coherence.
+BACKOFF_HELDOUT_MOD = 7
+
+
+def trigram_backoff_logprob(
+    docs: DataFrame, heldout_mod: int = BACKOFF_HELDOUT_MOD
+) -> DataFrame:
+    """Stupid-backoff trigram log-score per document, model trained on the
+    mod-split train partition and scored over the WHOLE corpus:
+
+        s(w3|w1w2) = c3(w1w2w3) / c2(w1w2)                 if c3 > 0
+                   = 0.4 * c2(w2w3) / c1(w2)               elif c2(w2w3) > 0
+                   = 0.16 * (c1(w3) + 1) / (N + V)         otherwise
+
+    (the base level is Laplace-smoothed so an unseen w3 scores finitely —
+    the unigram_logprob discipline; upper levels never need smoothing
+    because their numerator > 0 guards the branch). Per-trigram log-scores
+    round to integer 1e-4 nats BEFORE summing — order-independent integer
+    aggregation, and the 1e-4 grid heals libm last-digit drift between
+    engines (the unigram/bigram contract). Docs with < 3 tokens emit
+    (0, 0, 0) via the spine left-join.
+
+    Plan shape: trigram construction is a zero-shuffle narrow map
+    (zip_with over three slices of one split); the model is three
+    partial-agg shuffles over the TRAIN split (trigram-, bigram-, and
+    unigram-keyed — each bounded by vocabulary^n, not corpus size);
+    scoring left-joins the exploded corpus trigrams to the three count
+    tables on their own keys (shuffle joins — no level is assumed
+    broadcastable at 100 TB) and re-aggregates per doc. N/V ride a 1-row
+    broadcast (the accepted totals-crossJoin shape).
+
+    Returns (doc_id, n_trigrams, sum_logprob_en4, avg_logprob_en4).
+    """
+
+    def tri(d: DataFrame) -> DataFrame:
+        staged = d.select("doc_id", _toks_of(d).alias("ts"))
+        return staged.select(
+            "doc_id",
+            F.explode(
+                # greatest(..., 0): a 1-token doc's size-2 is negative and
+                # Spark's slice throws on negative length (bigram's size-1
+                # bottoms out at 0 naturally; the trigram form does not)
+                F.zip_with(
+                    F.expr("slice(ts, 1, greatest(size(ts) - 2, 0))"),
+                    F.zip_with(
+                        F.expr("slice(ts, 2, greatest(size(ts) - 2, 0))"),
+                        F.expr("slice(ts, 3, greatest(size(ts) - 2, 0))"),
+                        lambda b, c: F.struct(b.alias("w2"), c.alias("w3")),
+                    ),
+                    lambda a, bc: F.struct(
+                        a.alias("w1"), bc["w2"].alias("w2"), bc["w3"].alias("w3")
+                    ),
+                )
+            ).alias("t"),
+        ).select(
+            "doc_id",
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+
+    train = docs.filter(F.col("doc_id") % heldout_mod != 0)
+    tri_train = tri(train)
+    c3 = tri_train.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    toks_train = train.select("doc_id", F.explode(_toks_of(train)).alias("t"))
+    c1 = toks_train.groupBy("t").agg(F.count(F.lit(1)).alias("c1"))
+    # bigram counts over the train TOKEN stream (not derived from c3's
+    # context sums: the last bigram of each doc starts no trigram, so
+    # sum(c3) over w3 undercounts c2 at doc tails)
+    b_train = (
+        train.select(_toks_of(train).alias("ts"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(ts, 1, size(ts) - 1)"),
+                    F.expr("slice(ts, 2, size(ts) - 1)"),
+                    lambda a, b: F.struct(a.alias("wa"), b.alias("wb")),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+    )
+    c2 = b_train.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2"))
+    totals = c1.agg(F.sum("c1").alias("N"), F.count(F.lit(1)).alias("V"))
+
+    scored = (
+        tri(docs)
+        .join(c3, ["w1", "w2", "w3"], "left")
+        .join(
+            c2.select(
+                F.col("wa").alias("w1"), F.col("wb").alias("w2"),
+                F.col("c2").alias("c2_ctx"),
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            c2.select(
+                F.col("wa").alias("w2"), F.col("wb").alias("w3"),
+                F.col("c2").alias("c2_bo"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("t").alias("w2"), F.col("c1").alias("c1_ctx")), "w2", "left")
+        .join(c1.select(F.col("t").alias("w3"), F.col("c1").alias("c1_w3")), "w3", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.round(
+                F.when(
+                    F.col("c3").isNotNull(),
+                    F.log(F.col("c3").cast("double") / F.col("c2_ctx")),
+                )
+                .when(
+                    F.col("c2_bo").isNotNull(),
+                    F.log(
+                        F.lit(BACKOFF_ALPHA)
+                        * F.col("c2_bo").cast("double")
+                        / F.col("c1_ctx")
+                    ),
+                )
+                .otherwise(
+                    F.log(
+                        F.lit(BACKOFF_ALPHA * BACKOFF_ALPHA)
+                        * (F.coalesce(F.col("c1_w3"), F.lit(0)) + 1).cast("double")
+                        / (F.col("N") + F.col("V"))
+                    )
+                )
+                * 10_000
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"), F.sum("lp").alias("sum_lp")
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+            F.coalesce("sum_lp", F.lit(0)).cast("bigint").alias("sum_logprob_en4"),
+            F.coalesce(F.expr("sum_lp DIV n_trigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("avg_logprob_en4"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TRIGRAM_BACKOFF_SQL = f"""
+WITH tb_toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+tb_tri AS (
+  SELECT doc_id, u.t3[1] AS w1, u.t3[2] AS w2, u.t3[3] AS w3
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(l) - 2, 0)),
+                          i -> [l[i], l[i + 1], l[i + 2]]) AS z
+    FROM tb_toks
+  ), unnest(z) AS u(t3)
+),
+tb_c3 AS (
+  SELECT w1, w2, w3, COUNT(1) AS c3 FROM tb_tri
+  WHERE doc_id % {BACKOFF_HELDOUT_MOD} != 0 GROUP BY w1, w2, w3
+),
+tb_bi AS (
+  SELECT doc_id, u.p[1] AS wa, u.p[2] AS wb
+  FROM (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(len(l) - 1, 0)),
+                          i -> [l[i], l[i + 1]]) AS z
+    FROM tb_toks
+  ), unnest(z) AS u(p)
+),
+tb_c2 AS (
+  SELECT wa, wb, COUNT(1) AS c2 FROM tb_bi
+  WHERE doc_id % {BACKOFF_HELDOUT_MOD} != 0 GROUP BY wa, wb
+),
+tb_c1 AS (
+  SELECT u.t, COUNT(1) AS c1
+  FROM tb_toks, unnest(l) AS u(t)
+  WHERE doc_id % {BACKOFF_HELDOUT_MOD} != 0 GROUP BY u.t
+),
+tb_tot AS (SELECT SUM(c1) AS N, COUNT(1) AS V FROM tb_c1),
+tb_scored AS (
+  SELECT g.doc_id,
+         CAST(ROUND(
+           CASE
+             WHEN c3.c3 IS NOT NULL
+               THEN ln(CAST(c3.c3 AS DOUBLE) / ctx.c2)
+             WHEN bo.c2 IS NOT NULL
+               THEN ln({BACKOFF_ALPHA!r} * CAST(bo.c2 AS DOUBLE) / w2c.c1)
+             ELSE ln({BACKOFF_ALPHA * BACKOFF_ALPHA!r}
+                     * CAST(COALESCE(w3c.c1, 0) + 1 AS DOUBLE) / (t.N + t.V))
+           END * 10000) AS BIGINT) AS lp
+  FROM tb_tri g
+  LEFT JOIN tb_c3 c3 ON g.w1 = c3.w1 AND g.w2 = c3.w2 AND g.w3 = c3.w3
+  LEFT JOIN tb_c2 ctx ON g.w1 = ctx.wa AND g.w2 = ctx.wb
+  LEFT JOIN tb_c2 bo ON g.w2 = bo.wa AND g.w3 = bo.wb
+  LEFT JOIN tb_c1 w2c ON g.w2 = w2c.t
+  LEFT JOIN tb_c1 w3c ON g.w3 = w3c.t
+  CROSS JOIN tb_tot t
+),
+tb_agg AS (
+  SELECT doc_id, COUNT(1) AS n_trigrams, SUM(lp) AS sum_lp
+  FROM tb_scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(COALESCE(a.sum_lp, 0) AS BIGINT) AS sum_logprob_en4,
+       CAST(COALESCE(a.sum_lp // a.n_trigrams, 0) AS BIGINT) AS avg_logprob_en4
+FROM documents d LEFT JOIN tb_agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # --- benchmark decontamination -------------------------------------------
 
 # n-gram width: the published decontamination range is 8-13 word-grams

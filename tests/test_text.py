@@ -451,3 +451,90 @@ def test_pack_sequences_no_global_single_partition_window(spark, sf_dir):
     # the global running sum over bucket PARTIALS is the only allowed
     # partition-free window; the per-doc cumsum must be bucket-partitioned
     assert len(unpartitioned) <= 1, plan
+
+
+def test_trigram_backoff_matches_oracle(spark, sf_dir):
+    """Cross-engine parity of the held-out stupid-backoff trigram scorer
+    (all three backoff branches live on the real corpus: the mod-7 eval
+    docs carry trigrams/bigrams the train split never saw)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        TRIGRAM_BACKOFF_SQL,
+        trigram_backoff_logprob,
+    )
+
+    assert_matches_oracle(
+        trigram_backoff_logprob(load_table(spark, sf_dir, "documents")),
+        TRIGRAM_BACKOFF_SQL,
+        sf_dir,
+        name="trigram_backoff",
+    )
+
+
+def test_trigram_backoff_hand_computed(spark):
+    """Exact arithmetic on a crafted corpus exercising ALL THREE backoff
+    branches: doc 7 (eval split: 7 % 7 == 0) contains a trigram whose
+    full form was seen in train (branch 1), one whose trigram is novel
+    but whose (w2,w3) bigram was seen (branch 2), and one whose w3 never
+    occurs in train at all (branch 3, Laplace base)."""
+    import math
+
+    from apache_jira_scraper_spark.operators.text import (
+        BACKOFF_ALPHA,
+        trigram_backoff_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),  # train: trigrams abc bcd; bigrams ab bc cd
+            (2, "b c e"),    # train: trigram bce; bigrams bc ce
+            (3, "x"),        # train: no trigram (1 token)
+            (7, "a b c"),    # EVAL (7%7==0): scored, not trained
+            (14, "e b c"),   # EVAL: trigram ebc novel, bigram bc seen
+            (21, "a b z"),   # EVAL: z unseen anywhere in train
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in trigram_backoff_logprob(docs).collect()}
+    # train tokens: a b c d b c e x -> N=8; vocab {a,b,c,d,e,x} V=6
+    # train trigram counts: abc=1 bcd=1 bce=1
+    # train bigram counts: ab=1 bc=2 cd=1 ce=1
+    # train unigram counts: a=1 b=2 c=2 d=1 e=1 x=1
+    lp = lambda v: round(math.log(v) * 10_000)
+    # doc 7 "a b c": trigram abc seen -> c3/c2(ab) = 1/1
+    assert got[7]["n_trigrams"] == 1
+    assert got[7]["sum_logprob_en4"] == lp(1 / 1)
+    # doc 14 "e b c": trigram ebc unseen; bigram (b,c) seen ->
+    # 0.4 * c2(bc)/c1(b) = 0.4 * 2/2
+    assert got[14]["sum_logprob_en4"] == lp(BACKOFF_ALPHA * 2 / 2)
+    # doc 21 "a b z": z unseen -> 0.16 * (0+1)/(N+V) = 0.16/14
+    assert got[21]["sum_logprob_en4"] == lp(
+        BACKOFF_ALPHA * BACKOFF_ALPHA * 1 / (8 + 6)
+    )
+    # short docs emit zeros
+    assert (
+        got[3]["n_trigrams"],
+        got[3]["sum_logprob_en4"],
+        got[3]["avg_logprob_en4"],
+    ) == (0, 0, 0)
+    # train docs are scored too (against the model they trained)
+    assert got[1]["n_trigrams"] == 2
+
+
+def test_trigram_backoff_heldout_orders(spark):
+    """The fluency property one order above the bigram test: an eval doc
+    repeating a train doc verbatim outscores an eval doc with the same
+    tokens shuffled into never-seen trigrams."""
+    from apache_jira_scraper_spark.operators.text import trigram_backoff_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (7, "the cat sat on the mat"),   # eval, fluent
+            (14, "mat the on sat cat the"),  # eval, shuffled
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["avg_logprob_en4"] for r in trigram_backoff_logprob(docs).collect()}
+    assert got[7] > got[14]
