@@ -1165,7 +1165,11 @@ def trigram_backoff_logprob(
     )
 
 
-TRIGRAM_BACKOFF_SQL = f"""
+# Body/full split (the _PACK_BODY_SQL lesson, r11): the gate oracle embeds
+# the UNORDERED body; a naive .replace("ORDER BY doc_id", "") on the full
+# string is exactly the class of edit that silently stripped a window's
+# ORDER BY once before.
+_TRIGRAM_BACKOFF_BODY_SQL = f"""
 WITH tb_toks AS (
   SELECT doc_id, string_split(text, ' ') AS l FROM documents
 ),
@@ -1229,8 +1233,9 @@ SELECT d.doc_id,
        CAST(COALESCE(a.sum_lp, 0) AS BIGINT) AS sum_logprob_en4,
        CAST(COALESCE(a.sum_lp // a.n_trigrams, 0) AS BIGINT) AS avg_logprob_en4
 FROM documents d LEFT JOIN tb_agg a USING (doc_id)
-ORDER BY doc_id
 """
+
+TRIGRAM_BACKOFF_SQL = _TRIGRAM_BACKOFF_BODY_SQL + "ORDER BY doc_id\n"
 
 
 # --- benchmark decontamination -------------------------------------------
@@ -1667,6 +1672,24 @@ def _contam_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(_CONTAM_LEG_CACHE, spark, (sf_dir,), _build)
 
 
+_BACKOFF_LEG_CACHE: dict = {}
+
+
+def _backoff_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached stupid-backoff leg (r12, 9th gate leg): five
+    key-partitioned joins over the exploded trigram stream per build —
+    per-session-constant, so it rides the bigram/contam discipline and
+    consumes the shared tokenized checkpoint."""
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        return trigram_backoff_logprob(
+            _docs_tokenized_cached(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_BACKOFF_LEG_CACHE, spark, (sf_dir,), _build)
+
+
 def _bigram_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached bigram-LM leg of the quality gate (ADVICE r10): the
     exploded pair subtree persists for the single build, the docs-sized
@@ -1807,6 +1830,10 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   side is the distributed two-phase prefix sum, the
                   oracle the direct global cumsum, so the decomposition
                   itself is what the hash certifies)
+      backoff     id=doc_id, m1=n_trigrams, m2=sum_logprob_en4,
+                  m3=avg_logprob_en4 (r12 — held-out stupid-backoff
+                  trigram LM; the mod-7 train/score split makes all
+                  three backoff branches live under the hash)
 
     Scale shapes are the standalone operators', unchanged: repetition's
     zero-shuffle narrow map, the sweep's ~21-row band table, vocab's
@@ -1815,10 +1842,11 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram's bigram-keyed shuffle join over the zero-shuffle zip_with
     pair construction.
 
-    r12: all eight legs consume ONE shared tokenized checkpoint
-    (_docs_tokenized_cached) instead of eight independent scan+split
-    subtrees, and the contam leg — the widest explode — is session-cached
-    like the bigram leg (ADVICE r11).
+    r12: all legs consume ONE shared tokenized checkpoint
+    (_docs_tokenized_cached) instead of independent scan+split subtrees;
+    the contam leg — the widest explode — is session-cached like the
+    bigram leg (ADVICE r11); and the 9th 'backoff' leg certifies the
+    held-out stupid-backoff trigram LM (session-cached build).
     """
     docs = _docs_tokenized_cached(spark, sf_dir)
     zero = F.lit(0).cast("bigint")
@@ -1895,6 +1923,15 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pack_first").alias("m2"),
         F.col("pack_last").alias("m3"),
     )
+    # 9th leg (r12): held-out stupid-backoff trigram LM.
+    backoff = _backoff_leg_cached(spark, sf_dir).select(
+        F.lit("backoff").alias("leg"),
+        F.col("doc_id").alias("id"),
+        empty,
+        F.col("n_trigrams").alias("m1"),
+        F.col("sum_logprob_en4").alias("m2"),
+        F.col("avg_logprob_en4").alias("m3"),
+    )
     return (
         rep.unionByName(sweep)
         .unionByName(vocab)
@@ -1903,6 +1940,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bg)
         .unionByName(contam)
         .unionByName(pack)
+        .unionByName(backoff)
         .orderBy("leg", "id", "txt")
     )
 
@@ -1947,6 +1985,11 @@ SELECT 'pack' AS leg, doc_id AS id, '' AS txt,
        CAST(cum_start AS BIGINT), CAST(pack_first AS BIGINT),
        CAST(pack_last AS BIGINT)
 FROM ({_PACK_BODY_SQL})
+UNION ALL
+SELECT 'backoff' AS leg, doc_id AS id, '' AS txt,
+       CAST(n_trigrams AS BIGINT), CAST(sum_logprob_en4 AS BIGINT),
+       CAST(avg_logprob_en4 AS BIGINT)
+FROM ({_TRIGRAM_BACKOFF_BODY_SQL})
 ORDER BY leg, id, txt
 """
 

@@ -46,6 +46,7 @@ EXPECTED_CACHES = {
         "_BIGRAM_LEG_CACHE",
         "_DOCS_TOK_CACHE",
         "_CONTAM_LEG_CACHE",
+        "_BACKOFF_LEG_CACHE",
     },
 }
 

@@ -253,10 +253,11 @@ def _clear_text_session_caches() -> None:
         # set as this probe and missed the clear list — the probe's
         # "cold" samples silently reused the warm bigram checkpoint
         text._BIGRAM_LEG_CACHE,
-        # r12: the shared tokenized-docs checkpoint and the contam leg
-        # cache feed text_quality_signals
+        # r12: the shared tokenized-docs checkpoint and the contam/backoff
+        # leg caches feed text_quality_signals
         text._DOCS_TOK_CACHE,
         text._CONTAM_LEG_CACHE,
+        text._BACKOFF_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
