@@ -187,7 +187,10 @@ def quality_classifier_report(docs: DataFrame) -> DataFrame:
     from .text import quality_score_bp_col
 
     w = qc_train(docs)
-    scored = qc_score(docs, w)
+    # ordered=False: the join re-partitions by doc_id and the final
+    # orderBy re-sorts — the presentation sort here would be a wasted
+    # corpus-wide range shuffle (review r12)
+    scored = qc_score(docs, w, ordered=False)
     labels = docs.select(
         "doc_id", (quality_score_bp_col() >= QC_LABEL_BP).alias("_y")
     )

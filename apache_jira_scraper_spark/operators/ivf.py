@@ -521,9 +521,13 @@ def ivf_assign_exact(
     literal form cost ~2.5 s of DRIVER-side Catalyst analysis per build
     (16 inline HOF folds over 64-dim literals) plus its codegen; the
     broadcast form plans in ~0.2 s and matches the >128-cell branch's
-    scale shape (the centroid table broadcasts; the corpus never
-    shuffles — the row_number window re-keys by id over k-bounded
-    groups)."""
+    scale shape. Shuffle honesty (review r12): the row_number window DOES
+    re-key by id — corpus x nprobe rows cross one hashpartitioning
+    exchange (Spark plans the nprobe filter as WindowGroupLimit, so only
+    nprobe of the k distance rows per id survive to that exchange). The
+    replaced literal form was genuinely zero-shuffle; this form trades
+    that one bounded exchange for the driver-side analysis win, and the
+    production path for literal-friendly k remains ivf_assign."""
     keys = list(emb.columns)
     d = F.round(_sqdist(F.col(vec_col), F.col("centroid")), 6)
     w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("cid").asc())
@@ -554,17 +558,19 @@ def ivf_near_dup_pairs_exact(
     IVF-blocked pair generator (pair verification was already exact; the
     blocking now is too).
 
-    r12 cold-cost work (VERDICT r11 item 2): the assignment subtree is
-    localCheckpointed so the self-join evaluates it once instead of twice
-    (pass ``scratch_out`` to receive the checkpoint for freeing — the
-    _verify_jaccard contract), and the cell-keyed self-join is SALTED
-    (_PAIR_SALT): 16 cells means 16-way parallelism at best for the
-    quadratic per-cell cosine work; salting fans it out to
-    16*_PAIR_SALT tasks (measured 7.3 s -> ~2 s at sf0.1 on 32 cores)."""
-    assigned = ivf_assign_exact(emb, centroids, nprobe=nprobe).localCheckpoint(
-        eager=True
-    )
+    r12 cold-cost work (VERDICT r11 item 2): when ``scratch_out`` is
+    given, the assignment subtree is localCheckpointed so the self-join
+    evaluates it once instead of twice, and the caller owns freeing the
+    checkpoint (the bigram_logprob scratch convention — an unconditional
+    eager checkpoint would leak one assignment-sized RDD per call for
+    default-signature callers and run jobs at plan-construction time,
+    review r12). The cell-keyed self-join is SALTED (_PAIR_SALT): 16
+    cells means 16-way parallelism at best for the quadratic per-cell
+    cosine work; salting fans it out to 16*_PAIR_SALT tasks (measured
+    4.4 s -> 1.4 s warm at sf0.1 on 32 cores)."""
+    assigned = ivf_assign_exact(emb, centroids, nprobe=nprobe)
     if scratch_out is not None:
+        assigned = assigned.localCheckpoint(eager=True)
         scratch_out.append(assigned)
     a = assigned.select(
         F.col("vec_id").alias("v1"), F.col("e").alias("e1"), F.col("nrm").alias("n1"),

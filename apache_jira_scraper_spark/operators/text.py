@@ -47,8 +47,15 @@ def _toks_of(docs: DataFrame) -> Column:
     the shared tokenized checkpoint `_docs_tokenized_cached` feeds the
     quality-gate legs), else split in place. One helper so every text
     operator can consume the shared subtree without changing its
-    standalone (raw-docs) behavior."""
-    return F.col("ts") if "ts" in docs.columns else tokens_col()
+    standalone (raw-docs) behavior.
+
+    The dispatch requires `ts` to actually BE a string array (review
+    r12): `ts` is also the events table's timestamp column name, and a
+    name-only check would silently misread an enriched documents frame
+    carrying an event timestamp as pre-tokenized."""
+    if dict(docs.dtypes).get("ts") == "array<string>":
+        return F.col("ts")
+    return tokens_col()
 
 
 def token_hash60(col: Column) -> Column:
