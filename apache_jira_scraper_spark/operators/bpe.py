@@ -1,0 +1,169 @@
+"""Distributed BPE merge training (SURVEY.md §2.11 extension — real
+byte-pair-encoding tokenizer training, Sennrich et al. 2016, completing
+the tokenizer story past build_vocab's frequency top-k: build_vocab picks
+pieces, THIS learns the merge rules that define pieces).
+
+Spark-first decomposition — the shape HuggingFace tokenizers uses, made
+distributed:
+
+  word table   ONE corpus-sized shuffle up front: whitespace words ->
+               (word, freq). Everything after runs over this
+               VOCABULARY-SIZED table, never the corpus again — at
+               100 TB the corpus pass is the only heavy stage, and it is
+               a plain partial-agg count.
+  merge round  symbols start as characters; each round (a) explodes
+               each word's adjacent symbol pairs weighted by freq and
+               partial-agg counts them (a vocabulary-sized shuffle),
+               (b) lands exactly ONE row on the driver (the argmax pair,
+               ties broken count DESC then pair lexicographic — fully
+               deterministic), (c) applies the merge to every word's
+               symbol array as a zero-shuffle left-to-right greedy fold
+               (pure column algebra), localCheckpointing the word table
+               so the plan stays flat across rounds (the Lloyd/pagerank
+               iteration discipline).
+
+No SQL twin: the merge loop is inherently iterative (each round's
+tokenization depends on the previous round's argmax), the same class as
+connected components' closure — correctness is pinned against a
+pure-Python Sennrich reference instead (tests/test_bpe.py), which must
+reproduce the merge SEQUENCE and the encoded corpus exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default merge budget for the library demo — real tokenizers run 30k+
+#: rounds with the same per-round shape; the budget only bounds rounds,
+#: not correctness (pinned vs the reference at any count)
+BPE_MERGES = 20
+
+#: merge-pair separator inside the driver-side merge table; symbols are
+#: built from whitespace-split words, so a space can never occur inside
+#: a symbol and the key is collision-free (the bigram-key argument)
+_SEP = " "
+
+
+def _chars_col(word: Column) -> Column:
+    """Initial symbol sequence: the word's characters. split on the empty
+    pattern yields leading/trailing '' entries on some engines — filter
+    keeps exactly the characters."""
+    return F.filter(F.split(word, ""), lambda c: c != "")
+
+
+def _merge_fold(symbols: Column, left: str, right: str) -> Column:
+    """Apply ONE merge (left, right) -> left||right to a symbol array as
+    a left-to-right greedy fold: walk the symbols, and whenever the last
+    emitted symbol is `left` and the incoming one is `right`, replace the
+    pair with the merged symbol. Overlaps resolve left-first exactly like
+    the reference implementation ('aaa' under (a,a) -> ['aa', 'a']):
+    the merged symbol differs from `left`, so it cannot chain."""
+    merged = left + right
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda out, x: F.when(
+            (F.size(out) > 0)
+            & (F.element_at(out, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(out, 1, F.size(out) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(out, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn `n_merges` BPE merges from the corpus. Returns
+    (merges, encoded_words) where merges is the ordered driver-side rule
+    list [(left, right), ...] (O(n_merges) — model-sized by construction)
+    and encoded_words is the final (word, freq, symbols) DataFrame (the
+    trained segmentation of the word vocabulary, checkpointed).
+
+    Every iteration is: one vocabulary-sized pair-count shuffle + a
+    1-row driver collect + a zero-shuffle merge fold. A merge that no
+    longer has any pair to merge (count 0 / empty table) stops training
+    early — returning fewer merges than budgeted, never a dummy rule.
+    """
+    from ..io import free_local_checkpoint
+
+    words = (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select("w", "freq", _chars_col(F.col("w")).alias("symbols"))
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(symbols, 1, size(symbols) - 1)"),
+                    F.expr("slice(symbols, 2, size(symbols) - 1)"),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["l"], top[0]["r"]
+        merges.append((left, right))
+        nxt = words.select(
+            "w", "freq", _merge_fold(F.col("symbols"), left, right).alias("symbols")
+        ).localCheckpoint(eager=True)
+        free_local_checkpoint(words)
+        words = nxt
+    return merges, words
+
+
+def bpe_segment(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Segment a corpus under a trained merge list: per doc, the
+    whitespace words' BPE symbols concatenated in order. Returns
+    (id, n_pieces, pieces array<string>).
+
+    Applies merges rank-by-rank exactly like training did (BPE's apply
+    order IS the training order). Each merge is a zero-shuffle narrow
+    fold; `checkpoint_every` truncates the projection chain so Catalyst
+    never sees an n_merges-deep nested-HOF expression (the lazy-Lloyd
+    lesson: analysis over a deep expression tree, not the data, becomes
+    the cost)."""
+    out = df.select(
+        id_col,
+        F.transform(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != ""),
+            lambda w: _chars_col(w),
+        ).alias("_ws"),
+    )
+    for i, (left, right) in enumerate(merges):
+        out = out.select(
+            id_col,
+            F.transform(
+                F.col("_ws"), lambda s: _merge_fold(s, left, right)
+            ).alias("_ws"),
+        )
+        if (i + 1) % checkpoint_every == 0:
+            out = out.localCheckpoint(eager=False)
+    return out.select(
+        id_col,
+        F.size(F.flatten(F.col("_ws"))).alias("n_pieces"),
+        F.flatten(F.col("_ws")).alias("pieces"),
+    ).orderBy(id_col)

@@ -1,0 +1,154 @@
+"""BPE merge training (operators/bpe.py) vs the classic pure-Python
+Sennrich reference: merge SEQUENCE equality, segmentation equality,
+determinism, and the greedy-fold edge cases."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Sennrich et al. 2016 reference: pair counts over the word-freq
+    table, argmax with (count DESC, pair lexicographic) tie-break,
+    left-to-right greedy merge application."""
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in segs:
+            s = segs[w]
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            segs[w] = out
+    return merges, segs
+
+
+def _ref_segment(text: str, merges) -> list[str]:
+    pieces: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        s = list(w)
+        for a, b in merges:
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            s = out
+        pieces.extend(s)
+    return pieces
+
+
+CORPUS = [
+    (0, "low lower lowest low low"),
+    (1, "new newer newest new"),
+    (2, "wide wider widest"),
+    (3, "low new wide"),
+    (4, "aaa aa a aaa"),  # the overlap case: (a,a) merges left-first
+]
+
+
+def _word_freqs():
+    c: Counter = Counter()
+    for _, t in CORPUS:
+        for w in t.split(" "):
+            if w:
+                c[w] += 1
+    return dict(c)
+
+
+def test_bpe_train_matches_reference_merge_sequence(spark):
+    from apache_jira_scraper_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, words = bpe_train(docs, n_merges=12)
+    ref_merges, ref_segs = _ref_bpe(_word_freqs(), 12)
+    assert merges == ref_merges
+    got_segs = {r["w"]: list(r["symbols"]) for r in words.collect()}
+    assert got_segs == ref_segs
+
+
+def test_bpe_segment_matches_reference(spark):
+    from apache_jira_scraper_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, _ = bpe_train(docs, n_merges=10)
+    got = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe_segment(docs, merges).collect()
+    }
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == _ref_segment(text, merges), doc_id
+    # checkpoint_every must not change results (plan hygiene only)
+    got2 = {
+        r["doc_id"]: list(r["pieces"])
+        for r in bpe_segment(docs, merges, checkpoint_every=2).collect()
+    }
+    assert got2 == got
+
+
+def test_bpe_train_deterministic_and_early_stop(spark):
+    from apache_jira_scraper_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    m1, _ = bpe_train(docs, n_merges=6)
+    m2, _ = bpe_train(docs, n_merges=6)
+    assert m1 == m2
+    # a corpus of single characters runs out of pairs: early stop, no
+    # dummy rules
+    tiny = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    m, words = bpe_train(tiny, n_merges=5)
+    assert m == []
+    assert {r["w"]: list(r["symbols"]) for r in words.collect()} == {
+        "a": ["a"], "b": ["b"], "c": ["c"]
+    }
+
+
+def test_bpe_train_on_corpus_sample(spark, sf_dir):
+    """Real-corpus smoke at the test SF: merges learn, segmentation
+    round-trips (concatenated pieces == the whitespace-joined words),
+    and the reference agrees on the merge sequence."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.bpe import bpe_segment, bpe_train
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").limit(100)
+    merges, _ = bpe_train(docs, n_merges=8)
+    assert len(merges) == 8
+    wf: Counter = Counter()
+    for r in docs.select("text").collect():
+        for w in r["text"].split(" "):
+            if w:
+                wf[w] += 1
+    ref_merges, _ = _ref_bpe(dict(wf), 8)
+    assert merges == ref_merges
+    seg = bpe_segment(docs, merges)
+    joined = seg.select(
+        "doc_id", F.concat_ws("", "pieces").alias("glued")
+    )
+    orig = docs.select(
+        "doc_id", F.regexp_replace("text", " ", "").alias("glued")
+    )
+    assert (
+        joined.join(orig, "doc_id")
+        .filter(joined["glued"] != orig["glued"])
+        .count()
+        == 0
+    )
