@@ -89,10 +89,14 @@ def main() -> None:
     # per-gate minima (steady-state engine cost). A gate whose first run
     # exceeds the cutoff is not re-sampled, bounding total bench wall.
     n_samples = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "3"))
-    # 30 s: above stream_stateful's ~12-20 s cold first run (the heaviest
-    # gate must still get its warm samples) but low enough that a
-    # pathological gate can't eat minutes of bench wall
-    resample_cutoff_s = 30.0
+    # 45 s: above the heaviest cold first runs (stream_stateful ~12-20 s;
+    # text_quality_signals ~19-24 s on the build host after its r12 cache
+    # family — four session caches build serially in sample 1, and a
+    # slower driver host could push that past the old 30 s cutoff, which
+    # would record the COLD build as the gate's min instead of resampling
+    # to warm) but low enough that a pathological gate can't eat minutes
+    # of bench wall
+    resample_cutoff_s = 45.0
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     cached: list[str] = []
