@@ -687,3 +687,99 @@ def test_pack_sequences_matches_python_prefix_sum(spark, docs_spec):
         nt = len(("w " * k).split(" "))
         assert got[i] == (nt, cum, cum // 7, (cum + nt - 1) // 7), i
         cum += nt
+
+
+# --- r12 property pins: BPE and stupid-backoff ------------------------------
+
+# word corpora from a tiny alphabet so merges genuinely collide/compete
+# (a wide alphabet makes every pair unique and the argmax degenerate)
+_BPE_WORD = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(_BPE_WORD, min_size=1, max_size=6),
+                min_size=1, max_size=5))
+def test_bpe_train_matches_sennrich_reference(spark, docs_words):
+    """Merge SEQUENCE equality vs the pure-Python Sennrich reference on
+    random tiny-alphabet corpora — ties, overlaps, and early stops land
+    wherever hypothesis puts them."""
+    from collections import Counter
+
+    from apache_jira_scraper_spark.operators.bpe import bpe_train
+    from tests.test_bpe import _ref_bpe
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    wf: Counter = Counter(w for ws in docs_words for w in ws)
+    got_merges, got_words = bpe_train(docs, n_merges=5)
+    ref_merges, ref_segs = _ref_bpe(dict(wf), 5)
+    assert got_merges == ref_merges
+    assert {r["w"]: list(r["symbols"]) for r in got_words.collect()} == ref_segs
+
+
+def _py_backoff(docs: list[tuple[int, str]], mod: int = 7):
+    """Independent pure-Python stupid-backoff model (mirrors the operator
+    contract, not its code): train on doc_id % mod != 0, score all."""
+    import math
+    from collections import Counter
+
+    tri_c: Counter = Counter()
+    bi_c: Counter = Counter()
+    uni_c: Counter = Counter()
+    for did, text in docs:
+        if did % mod == 0:
+            continue
+        ts = text.split(" ")
+        uni_c.update(ts)
+        for i in range(len(ts) - 1):
+            bi_c[(ts[i], ts[i + 1])] += 1
+        for i in range(len(ts) - 2):
+            tri_c[(ts[i], ts[i + 1], ts[i + 2])] += 1
+    n_tok = sum(uni_c.values())
+    v = len(uni_c)
+    out = {}
+    for did, text in docs:
+        ts = text.split(" ")
+        lps = []
+        for i in range(len(ts) - 2):
+            w1, w2, w3 = ts[i], ts[i + 1], ts[i + 2]
+            if tri_c[(w1, w2, w3)]:
+                s = math.log(tri_c[(w1, w2, w3)] / bi_c[(w1, w2)])
+            elif bi_c[(w2, w3)]:
+                s = math.log(0.4 * bi_c[(w2, w3)] / uni_c[w2])
+            else:
+                s = math.log(0.16 * (uni_c[w3] + 1) / (n_tok + v))
+            lps.append(round(s * 10_000))
+        # (count, sum) only: the truncating average is pinned in the
+        # hand-computed test (Spark DIV truncates toward zero on negative
+        # operands; Python // floors — not a fair model here)
+        out[did] = (len(lps), sum(lps))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                         min_size=0, max_size=8),
+                min_size=1, max_size=12))
+def test_trigram_backoff_matches_python_model(spark, docs_tokens):
+    """Random tiny-vocab corpora: the Spark operator's (n, sum) must match
+    the independent Python model for every doc; the truncating average is
+    pinned separately by the hand-computed test (Spark DIV vs Python //
+    differ on negative operands, so the model compares sum and count)."""
+    from apache_jira_scraper_spark.operators.text import trigram_backoff_logprob
+
+    rows = [(i, " ".join(ts) if ts else "x") for i, ts in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # the train split must be non-empty for the model to exist
+    if all(i % 7 == 0 for i, _ in rows):
+        rows.append((1, "a b"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = _py_backoff(rows)
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["sum_logprob_en4"])
+        for r in trigram_backoff_logprob(docs).collect()
+    }
+    for did, (n, total) in ref.items():
+        assert got[did] == (n, total), (did, got[did], (n, total))
