@@ -1103,6 +1103,16 @@ def trigram_backoff_logprob(
     )
     c2 = b_train.groupBy("wa", "wb").agg(F.count(F.lit(1)).alias("c2"))
     totals = c1.agg(F.sum("c1").alias("N"), F.count(F.lit(1)).alias("V"))
+    # Loud guard (review r12 follow-up, the pagerank_weighted limit-1
+    # discipline): with an EMPTY train split, SUM over zero rows makes N
+    # NULL, every base-branch log goes NULL, and the per-doc sums would
+    # silently read (n_trigrams, 0, 0) instead of erroring.
+    if train.limit(1).count() == 0:
+        raise ValueError(
+            "trigram_backoff_logprob: empty train split (every doc_id is "
+            f"0 mod {heldout_mod}) - the model has nothing to train on; "
+            "choose a different heldout_mod or widen the corpus"
+        )
 
     scored = (
         tri(docs)

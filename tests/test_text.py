@@ -7,6 +7,7 @@ standalone operator keeps oracle parity HERE so the F1 truncation contract
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from apache_jira_scraper_spark.operators.text import DOC_CLEAN_SQL, q_doc_clean
@@ -538,3 +539,16 @@ def test_trigram_backoff_heldout_orders(spark):
     )
     got = {r["doc_id"]: r["avg_logprob_en4"] for r in trigram_backoff_logprob(docs).collect()}
     assert got[7] > got[14]
+
+
+def test_trigram_backoff_rejects_empty_train_split(spark):
+    """An all-eval corpus (every doc_id = 0 mod 7) must fail loudly — an
+    empty train split nulls N and the sums would silently zero."""
+    from apache_jira_scraper_spark.operators.text import trigram_backoff_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (7, "b c d"), (14, "c d e")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="empty train split"):
+        trigram_backoff_logprob(docs)
