@@ -129,6 +129,79 @@ def bpe_train(
     return merges, words
 
 
+def bpe_vocab(
+    merges: list[tuple[str, str]], encoded_words: DataFrame
+) -> DataFrame:
+    """The id table a trained BPE model ships: base alphabet first
+    (lexicographic, ids 0..A-1 — deterministic), then one token per merge
+    in training order (ids A..A+n_merges-1 — the GPT-2 layout, where a
+    token's id encodes its merge priority). The alphabet comes from the
+    trained word table's symbols re-split to characters, so it covers
+    exactly the training corpus. Returns (id, piece)."""
+    spark = encoded_words.sparkSession
+    alpha = sorted(
+        r["c"]
+        for r in encoded_words.select(
+            F.explode(
+                F.array_distinct(
+                    F.flatten(F.transform("symbols", lambda s: _chars_col(s)))
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    )
+    rows = [(i, c) for i, c in enumerate(alpha)] + [
+        (len(alpha) + i, a + b) for i, (a, b) in enumerate(merges)
+    ]
+    return spark.createDataFrame(rows, "id int, piece string")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk_id: int = -1,
+) -> DataFrame:
+    """Text -> BPE token-id arrays under a trained model: bpe_segment then
+    a BROADCAST join of the exploded pieces to the vocab (a BPE vocab is
+    32k-256k rows — always broadcastable, the encode_with_vocab argument)
+    and ONE doc-keyed reassembly shuffle in piece order. Pieces outside
+    the vocab (unseen characters in new text) map to `unk_id`. Returns
+    (id, n_pieces, ids array<int>) row-aligned with the input corpus."""
+    seg = bpe_segment(df, merges, text_col=text_col, id_col=id_col)
+    pos = seg.select(id_col, F.posexplode("pieces").alias("pos", "piece"))
+    vid = vocab.select("piece", F.col("id").cast("int").alias("_vid"))
+    encoded = (
+        pos.join(F.broadcast(vid), "piece", "left")
+        .select(
+            id_col,
+            F.struct(
+                F.col("pos"),
+                F.coalesce("_vid", F.lit(unk_id).cast("int")).alias("tid"),
+            ).alias("pi"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("pi")), lambda s: s["tid"]
+            ).alias("ids")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
+        )
+        .select(id_col, F.size("ids").alias("n_pieces"), "ids")
+        .orderBy(id_col)
+    )
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],

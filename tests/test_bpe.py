@@ -152,3 +152,40 @@ def test_bpe_train_on_corpus_sample(spark, sf_dir):
         .count()
         == 0
     )
+
+
+def test_bpe_vocab_and_encode(spark):
+    """GPT-2 vocab layout (alphabet lexicographic, then merges in
+    training order), encode parity vs the reference segmentation mapped
+    through the same table, unk for unseen characters, empty-doc
+    alignment."""
+    from apache_jira_scraper_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, words = bpe_train(docs, n_merges=8)
+    vocab = bpe_vocab(merges, words)
+    vrows = {r["piece"]: r["id"] for r in vocab.collect()}
+    # alphabet ids precede merge ids; merges appear in training order
+    alpha = sorted(p for p in vrows if len(p) == 1)
+    assert [vrows[c] for c in alpha] == list(range(len(alpha)))
+    for i, (a, b) in enumerate(merges):
+        assert vrows[a + b] == len(alpha) + i
+    # encode parity: reference segmentation mapped through the same table
+    got = {
+        r["doc_id"]: list(r["ids"])
+        for r in bpe_encode(docs, merges, vocab).collect()
+    }
+    for doc_id, text in CORPUS:
+        ref = [vrows[p] for p in _ref_segment(text, merges)]
+        assert got[doc_id] == ref, doc_id
+    # unseen character -> unk_id; empty text -> empty ids, row preserved
+    new = spark.createDataFrame(
+        [(100, "low Z"), (101, "")], "doc_id long, text string"
+    )
+    enc = {r["doc_id"]: r for r in bpe_encode(new, merges, vocab).collect()}
+    assert -1 in list(enc[100]["ids"])
+    assert list(enc[101]["ids"]) == [] and enc[101]["n_pieces"] == 0
