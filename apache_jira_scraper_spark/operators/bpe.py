@@ -164,14 +164,27 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     unk_id: int = -1,
+    encoded_words: DataFrame | None = None,
 ) -> DataFrame:
     """Text -> BPE token-id arrays under a trained model: bpe_segment then
     a BROADCAST join of the exploded pieces to the vocab (a BPE vocab is
     32k-256k rows — always broadcastable, the encode_with_vocab argument)
     and ONE doc-keyed reassembly shuffle in piece order. Pieces outside
     the vocab (unseen characters in new text) map to `unk_id`. Returns
-    (id, n_pieces, ids array<int>) row-aligned with the input corpus."""
-    seg = bpe_segment(df, merges, text_col=text_col, id_col=id_col)
+    (id, n_pieces, ids array<int>) row-aligned with the input corpus.
+    Pass bpe_train's `encoded_words` table to segment via the word-keyed
+    join (the scale path) instead of the rank-by-rank fold; the inner
+    segmentation runs unordered either way (ADVICE r12: the posexplode +
+    doc-keyed reassembly below makes an inner presentation sort a wasted
+    corpus-wide range shuffle)."""
+    seg = bpe_segment(
+        df,
+        merges,
+        text_col=text_col,
+        id_col=id_col,
+        encoded_words=encoded_words,
+        ordered=False,
+    )
     pos = seg.select(id_col, F.posexplode("pieces").alias("pos", "piece"))
     vid = vocab.select("piece", F.col("id").cast("int").alias("_vid"))
     encoded = (
@@ -202,23 +215,61 @@ def bpe_encode(
     )
 
 
+def _fold_all(symbols: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply every merge rank-by-rank to one symbol array as a single
+    nested expression (no checkpoints — callers bound the depth)."""
+    for left, right in merges:
+        symbols = _merge_fold(symbols, left, right)
+    return symbols
+
+
 def bpe_segment(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_every: int = 8,
+    encoded_words: DataFrame | None = None,
+    oov: str = "fold",
+    ordered: bool = True,
+    scratch_out: list | None = None,
 ) -> DataFrame:
     """Segment a corpus under a trained merge list: per doc, the
     whitespace words' BPE symbols concatenated in order. Returns
     (id, n_pieces, pieces array<string>).
 
-    Applies merges rank-by-rank exactly like training did (BPE's apply
-    order IS the training order). Each merge is a zero-shuffle narrow
-    fold; `checkpoint_every` truncates the projection chain so Catalyst
-    never sees an n_merges-deep nested-HOF expression (the lazy-Lloyd
-    lesson: analysis over a deep expression tree, not the data, becomes
-    the cost)."""
+    Two paths (VERDICT r12 item 3):
+
+    - ``encoded_words`` given (bpe_train's trained (w, freq, symbols)
+      table) — THE SCALE PATH: posexplode the corpus words, equi-join
+      the word table on ``w`` (hint-free: AQE broadcasts the
+      vocabulary-sized side at small SF and demotes to a shuffle join at
+      scale), and reassemble with ONE doc-keyed shuffle. The corpus is
+      touched twice total regardless of n_merges — at a production 30k
+      merge vocabulary the rank-by-rank path below would be 30k
+      sequential corpus passes. Out-of-vocabulary words (absent from
+      training) fall back per ``oov``: ``"fold"`` (default) applies the
+      merge rules inline via coalesce — exact training semantics, plan
+      depth O(n_merges), right for demo-scale rule lists; ``"chars"``
+      emits the raw characters (the UNK-style fallback a 30k-rule
+      production model uses, keeping the plan depth O(1)).
+    - ``encoded_words`` None: rank-by-rank fold over the corpus (BPE's
+      apply order IS the training order). Each merge is a zero-shuffle
+      narrow fold; every ``checkpoint_every`` merges the chain is
+      truncated with an EAGER localCheckpoint and the superseded
+      checkpoint freed once its successor materializes (ADVICE r12 —
+      previously lazy checkpoints pinned corpus-sized blocks for the
+      session lifetime). The FINAL checkpoint backs the returned frame
+      and is caller-owned: appended to ``scratch_out`` when given (free
+      after the result is materialized), else left for GC.
+
+    ``ordered=False`` skips the presentation sort (the
+    exact_substring_dedup contract)."""
+    if encoded_words is not None:
+        out = _bpe_segment_join(
+            df, merges, encoded_words, text_col, id_col, oov
+        )
+        return out.orderBy(id_col) if ordered else out
     out = df.select(
         id_col,
         F.transform(
@@ -226,6 +277,9 @@ def bpe_segment(
             lambda w: _chars_col(w),
         ).alias("_ws"),
     )
+    from ..io import free_local_checkpoint
+
+    prev_ckpt: DataFrame | None = None
     for i, (left, right) in enumerate(merges):
         out = out.select(
             id_col,
@@ -234,9 +288,67 @@ def bpe_segment(
             ).alias("_ws"),
         )
         if (i + 1) % checkpoint_every == 0:
-            out = out.localCheckpoint(eager=False)
-    return out.select(
+            out = out.localCheckpoint(eager=True)
+            free_local_checkpoint(prev_ckpt)
+            prev_ckpt = out
+    if prev_ckpt is not None and scratch_out is not None:
+        scratch_out.append(prev_ckpt)
+    out = out.select(
         id_col,
         F.size(F.flatten(F.col("_ws"))).alias("n_pieces"),
         F.flatten(F.col("_ws")).alias("pieces"),
-    ).orderBy(id_col)
+    )
+    return out.orderBy(id_col) if ordered else out
+
+
+def _bpe_segment_join(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    encoded_words: DataFrame,
+    text_col: str,
+    id_col: str,
+    oov: str,
+) -> DataFrame:
+    """The word-keyed join segmentation (see bpe_segment). Shape: corpus
+    posexplode -> left equi-join on the trained word table -> OOV
+    fallback column -> one doc-keyed reassembly shuffle -> left join back
+    to the input spine so empty/whitespace-only docs keep their row with
+    empty pieces (parity with the fold path)."""
+    if oov not in ("fold", "chars"):
+        raise ValueError(f"bpe_segment: oov must be 'fold' or 'chars', got {oov!r}")
+    pos = df.select(
+        id_col,
+        F.posexplode(
+            F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+        ).alias("_wpos", "_w"),
+    )
+    wt = encoded_words.select(F.col("w").alias("_w"), F.col("symbols").alias("_sym"))
+    fallback = (
+        _fold_all(_chars_col(F.col("_w")), merges)
+        if oov == "fold"
+        else _chars_col(F.col("_w"))
+    )
+    seg = (
+        pos.join(wt, "_w", "left")
+        .select(
+            id_col,
+            F.struct(
+                F.col("_wpos"), F.coalesce("_sym", fallback).alias("s")
+            ).alias("_ps"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(F.array_sort(F.collect_list("_ps")), lambda p: p["s"])
+            ).alias("pieces")
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(seg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
+        )
+        .select(id_col, F.size("pieces").alias("n_pieces"), "pieces")
+    )

@@ -162,7 +162,14 @@ def qc_score(
     """Score the corpus: (doc_id, logit_en4, pred) with the logit rounded
     to integer 1e-4 (the text-family integer discipline; pred = logit > 0).
     Zero-shuffle narrow map — weights are plan literals; `ordered=False`
-    skips the presentation sort (the exact_substring_dedup contract)."""
+    skips the presentation sort (the exact_substring_dedup contract).
+
+    Input contract: `text` must be non-null. A NULL text raises at
+    execution (per-row raise_error branch — ADVICE r12: NULL features
+    would otherwise silently propagate into NULL logits/preds, the exact
+    silent-corruption shape the pagerank weight guard exists to prevent;
+    a branch inside the scoring expression costs nothing on clean rows
+    where a separate limit-1 null scan would re-read the corpus)."""
     if len(weights) != N_FEATURES:
         raise ValueError(
             f"qc_score: expected {N_FEATURES} weights, got {len(weights)}"
@@ -172,6 +179,16 @@ def qc_score(
         (F.lit(float(w)) * f for w, f in zip(weights[1:], feats[1:])),
         F.lit(float(weights[0])),
     )
+    logit = F.when(
+        F.col("text").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("qc_score: NULL text for doc_id="),
+                F.col("doc_id").cast("string"),
+                F.lit(" - the corpus is corrupted upstream"),
+            )
+        ).cast("double"),
+    ).otherwise(logit)
     out = docs.select(
         "doc_id",
         F.round(logit * 10_000).cast("bigint").alias("logit_en4"),

@@ -189,3 +189,80 @@ def test_bpe_vocab_and_encode(spark):
     enc = {r["doc_id"]: r for r in bpe_encode(new, merges, vocab).collect()}
     assert -1 in list(enc[100]["ids"])
     assert list(enc[101]["ids"]) == [] and enc[101]["n_pieces"] == 0
+
+
+def test_bpe_segment_join_path_matches_fold(spark):
+    """The scale path (word-keyed join against bpe_train's table) is
+    row-for-row equal to the rank-by-rank fold, including empty docs."""
+    from apache_jira_scraper_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        CORPUS + [(5, ""), (6, "  ")], "doc_id long, text string"
+    )
+    merges, words = bpe_train(docs, n_merges=10)
+    fold = bpe_segment(docs, merges).collect()
+    join = bpe_segment(docs, merges, encoded_words=words).collect()
+    assert [r.asDict() for r in fold] == [r.asDict() for r in join]
+
+
+def test_bpe_segment_join_path_oov(spark):
+    """OOV words (absent from training) fall back per the `oov` knob:
+    'fold' applies the merge rules exactly like training would have
+    (parity with the fold path), 'chars' emits raw characters."""
+    from apache_jira_scraper_spark.operators.bpe import bpe_segment, bpe_train
+
+    train = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, words = bpe_train(train, n_merges=10)
+    # 'lowest' is in-vocab; 'lowish' and 'aaaa' are OOV
+    new = spark.createDataFrame(
+        [(0, "lowest lowish aaaa")], "doc_id long, text string"
+    )
+    got_fold = bpe_segment(new, merges, encoded_words=words).collect()[0]
+    ref = _ref_segment("lowest lowish aaaa", merges)
+    assert list(got_fold["pieces"]) == ref
+    got_chars = bpe_segment(
+        new, merges, encoded_words=words, oov="chars"
+    ).collect()[0]
+    seg_lowest = _ref_segment("lowest", merges)
+    assert list(got_chars["pieces"]) == seg_lowest + list("lowish") + list("aaaa")
+    with pytest.raises(ValueError, match="oov"):
+        bpe_segment(new, merges, encoded_words=words, oov="nope")
+
+
+def test_bpe_encode_join_path_matches_fold(spark):
+    from apache_jira_scraper_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, words = bpe_train(docs, n_merges=8)
+    vocab = bpe_vocab(merges, words)
+    a = [r.asDict() for r in bpe_encode(docs, merges, vocab).collect()]
+    b = [
+        r.asDict()
+        for r in bpe_encode(
+            docs, merges, vocab, encoded_words=words
+        ).collect()
+    ]
+    assert a == b
+
+
+def test_bpe_segment_fold_scratch_ownership(spark):
+    """ADVICE r12: the fold path's superseded checkpoints are freed as
+    successors materialize; the final checkpoint is handed to the caller
+    via scratch_out (at most one live entry)."""
+    from apache_jira_scraper_spark.io import free_local_checkpoint
+    from apache_jira_scraper_spark.operators.bpe import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, _ = bpe_train(docs, n_merges=10)
+    scratch: list = []
+    out = bpe_segment(docs, merges, checkpoint_every=3, scratch_out=scratch)
+    assert len(scratch) == 1
+    got = {r["doc_id"]: list(r["pieces"]) for r in out.collect()}
+    for doc_id, text in CORPUS:
+        assert got[doc_id] == _ref_segment(text, merges), doc_id
+    for df in scratch:
+        free_local_checkpoint(df)

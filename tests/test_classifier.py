@@ -182,3 +182,19 @@ def test_qc_hand_computed_two_point(spark):
         ref[j] / sd[j - 1] for j in range(1, N_FEATURES)
     ]
     assert all(abs(a - b) < 1e-9 for a, b in zip(w, folded))
+
+
+def test_qc_score_raises_on_null_text(spark):
+    """ADVICE r12: a NULL text must fail loudly at scoring time, not
+    emit NULL logit/pred rows."""
+    from apache_jira_scraper_spark.operators.classifier import (
+        N_FEATURES,
+        qc_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the and of a text", 120), (1, None, 50)],
+        "doc_id long, text string, n_chars int",
+    )
+    with pytest.raises(Exception, match="NULL text"):
+        qc_score(docs, [0.1] * N_FEATURES).collect()
