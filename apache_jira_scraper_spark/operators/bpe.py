@@ -39,6 +39,13 @@ from pyspark.sql import functions as F
 #: not correctness (pinned vs the reference at any count)
 BPE_MERGES = 20
 
+#: merge budget for the DRIVER GATE (the 'bpe_merge'/'bpe_seg' legs of
+#: text_quality_signals): the SQL twin chains one CTE triple per merge
+#: (the ivf_exact_sql_ctes fixed-depth discipline), so the certified
+#: count stays small; the unbounded-merge-count check is the pure-Python
+#: Sennrich parity in tests/test_bpe.py
+BPE_GATE_MERGES = 8
+
 #: merge-pair separator inside the driver-side merge table; symbols are
 #: built from whitespace-split words, so a space can never occur inside
 #: a symbol and the key is collision-free (the bigram-key argument)
@@ -351,4 +358,115 @@ def _bpe_segment_join(
             F.coalesce("pieces", F.array().cast("array<string>")).alias("pieces"),
         )
         .select(id_col, F.size("pieces").alias("n_pieces"), "pieces")
+    )
+
+
+def bpe_gate_sql(n_merges: int = BPE_GATE_MERGES, table: str = "documents") -> str:
+    """DuckDB twin of bpe_train + the join-path bpe_segment for a FIXED
+    merge count — the training loop is inherently sequential, so the
+    oracle chains one CTE triple per merge (pair-count argmax, then the
+    greedy left-to-right merge application) exactly like
+    ivf_exact_sql_ctes chains Lloyd rounds. Fully integer/string math —
+    no float anywhere, so the cross-engine hash has NO rounding-boundary
+    risk class at all.
+
+    The greedy fold is restated as a window selection: a merge applies at
+    symbol position i iff (s[i], s[i+1]) matches AND i sits at an EVEN
+    offset within its maximal run of consecutive matching positions —
+    equivalent to the left-to-right fold because a merged symbol
+    (left||right != left) can never chain into the next pair.
+
+    Emits harmonized gate rows: ('bpe_merge', rank, 'l r', 0, 0, 0) for
+    the learned merge sequence and ('bpe_seg', doc_id, md5(pieces),
+    n_pieces, 0, 0) for the segmented corpus. Prefix ``bq_`` reserved
+    (embedded-oracle namespace ritual)."""
+    parts = [
+        f"bq_w0 AS MATERIALIZED (\n"
+        f"  SELECT w, COUNT(1) AS freq,\n"
+        f"         list_transform(range(1, length(w) + 1),\n"
+        f"                        i -> substr(w, i, 1)) AS symbols\n"
+        f"  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table})\n"
+        f"  WHERE w != '' GROUP BY w\n"
+        f")"
+    ]
+    prev = "bq_w0"
+    for r in range(1, n_merges + 1):
+        parts.append(
+            f"bq_t{r} AS MATERIALIZED (\n"
+            f"  SELECT l, r FROM (\n"
+            f"    SELECT symbols[i] AS l, symbols[i + 1] AS r,\n"
+            f"           SUM(freq) AS c\n"
+            f"    FROM {prev}, unnest(range(1, len(symbols))) AS u(i)\n"
+            f"    GROUP BY 1, 2\n"
+            f"  ) ORDER BY c DESC, l, r LIMIT 1\n"
+            f")"
+        )
+        parts.append(
+            f"bq_x{r} AS (\n"
+            f"  SELECT w, freq, pos, s,\n"
+            f"         COALESCE(s = t.l AND\n"
+            f"           lead(s) OVER (PARTITION BY w ORDER BY pos) = t.r,\n"
+            f"           FALSE) AS mt\n"
+            f"  FROM (SELECT w, freq, UNNEST(symbols) AS s,\n"
+            f"               UNNEST(range(1, len(symbols) + 1)) AS pos\n"
+            f"        FROM {prev})\n"
+            f"  LEFT JOIN bq_t{r} t ON TRUE\n"
+            f")"
+        )
+        parts.append(
+            f"bq_w{r} AS MATERIALIZED (\n"
+            f"  SELECT w, freq,\n"
+            f"         list(CASE WHEN sel THEN s || next_s ELSE s END\n"
+            f"              ORDER BY pos) AS symbols\n"
+            f"  FROM (\n"
+            f"    SELECT w, freq, pos, s, sel,\n"
+            f"           lead(s) OVER (PARTITION BY w ORDER BY pos) AS next_s,\n"
+            f"           lag(sel, 1, FALSE) OVER (PARTITION BY w ORDER BY pos)\n"
+            f"             AS prev_sel\n"
+            f"    FROM (\n"
+            f"      SELECT w, freq, pos, s, mt,\n"
+            f"             CASE WHEN mt THEN\n"
+            f"               ROW_NUMBER() OVER (PARTITION BY w, mt, pos - mrn\n"
+            f"                                  ORDER BY pos) % 2 = 1\n"
+            f"             ELSE FALSE END AS sel\n"
+            f"      FROM (\n"
+            f"        SELECT w, freq, pos, s, mt,\n"
+            f"               CASE WHEN mt THEN ROW_NUMBER() OVER\n"
+            f"                 (PARTITION BY w, mt ORDER BY pos) END AS mrn\n"
+            f"        FROM bq_x{r})\n"
+            f"    )\n"
+            f"  ) WHERE NOT prev_sel GROUP BY w, freq\n"
+            f")"
+        )
+        prev = f"bq_w{r}"
+    merge_arms = " UNION ALL ".join(
+        f"SELECT {r} AS id, l || ' ' || r AS txt FROM bq_t{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+bq_cw AS (
+  SELECT doc_id, UNNEST(ws) AS w,
+         UNNEST(range(1, len(ws) + 1)) AS wpos
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   x -> x != '') AS ws
+        FROM {table})
+),
+bq_seg AS (
+  SELECT c.doc_id, flatten(list(f.symbols ORDER BY c.wpos)) AS pieces
+  FROM bq_cw c JOIN {prev} f ON c.w = f.w GROUP BY c.doc_id
+)
+SELECT 'bpe_merge' AS leg, CAST(id AS BIGINT) AS id, txt,
+       CAST(0 AS BIGINT) AS m1, CAST(0 AS BIGINT) AS m2,
+       CAST(0 AS BIGINT) AS m3
+FROM ({merge_arms})
+UNION ALL
+SELECT 'bpe_seg' AS leg, d.doc_id AS id,
+       md5(COALESCE(array_to_string(s.pieces, ' '), '')) AS txt,
+       CAST(COALESCE(len(s.pieces), 0) AS BIGINT) AS m1,
+       CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+FROM {table} d LEFT JOIN bq_seg s ON d.doc_id = s.doc_id
+"""
     )

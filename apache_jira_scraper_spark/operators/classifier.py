@@ -52,6 +52,14 @@ QC_TRAIN_SAMPLE = 256
 # (measured ~5400 at every SF), so the distillation task is
 # class-balanced
 QC_LABEL_BP = 5400
+# decimal places the GATE-certified weights are rounded to on BOTH
+# engines (numpy here, ROUND(x, 8) in the DuckDB twin): all intra-
+# training float noise (libm exp, summation order) funnels into these
+# six roundings — measured cross-engine weight deltas are ~1e-12, five
+# orders below the 0.5e-8 boundary (the exact-IVF round(x, 6) risk
+# class). 1e-8 weight precision shifts logits < 1e-7, invisible at the
+# 1e-4 logit quantization.
+QC_WEIGHT_DECIMALS = 8
 
 
 def feature_cols(toks: Column) -> list[Column]:
@@ -111,10 +119,11 @@ def qc_train(
     """
     import numpy as np
 
-    from .text import quality_score_bp_col
+    from .text import _toks_of, quality_score_bp_col
 
+    toks = _toks_of(docs)
     label = (
-        (quality_score_bp_col() >= QC_LABEL_BP)
+        (quality_score_bp_col(toks) >= QC_LABEL_BP)
         if label_col is None
         else label_col
     )
@@ -122,7 +131,7 @@ def qc_train(
     rows = (
         docs.orderBy("doc_id")
         .limit(train_sample)
-        .select(label.cast("double").alias("y"), *feature_cols(tokens_col()))
+        .select(label.cast("double").alias("y"), *feature_cols(toks))
         .collect()
     )
     if not rows:
@@ -174,12 +183,25 @@ def qc_score(
         raise ValueError(
             f"qc_score: expected {N_FEATURES} weights, got {len(weights)}"
         )
-    feats = feature_cols(tokens_col())
+    logit = _logit_col(tokens_col(), weights)
+    out = docs.select(
+        "doc_id",
+        F.round(logit * 10_000).cast("bigint").alias("logit_en4"),
+        (logit > 0).alias("pred"),
+    )
+    return out.orderBy("doc_id") if ordered else out
+
+
+def _logit_col(toks: Column, weights: list[float]) -> Column:
+    """The folded dot product over feature_cols, guarded against NULL
+    text (see qc_score docstring). Left-associated sum — the DuckDB twin
+    states the identical association so the doubles agree bit-for-bit."""
+    feats = feature_cols(toks)
     logit = sum(
         (F.lit(float(w)) * f for w, f in zip(weights[1:], feats[1:])),
         F.lit(float(weights[0])),
     )
-    logit = F.when(
+    return F.when(
         F.col("text").isNull(),
         F.raise_error(
             F.concat(
@@ -189,10 +211,40 @@ def qc_score(
             )
         ).cast("double"),
     ).otherwise(logit)
+
+
+def qc_gate_weights(docs: DataFrame, **train_kwargs) -> list[float]:
+    """qc_train, then round every folded weight to QC_WEIGHT_DECIMALS —
+    THE cross-engine weight contract for the driver gate (the DuckDB twin
+    trains the same GD in SQL and applies ROUND(w, 8); see
+    QC_WEIGHT_DECIMALS for the noise-funnel argument)."""
+    return [
+        round(v, QC_WEIGHT_DECIMALS) for v in qc_train(docs, **train_kwargs)
+    ]
+
+
+def qc_report(
+    docs: DataFrame, weights: list[float], ordered: bool = True
+) -> DataFrame:
+    """(doc_id, logit_en4, pred, agree) in ONE zero-shuffle narrow map:
+    the pseudo-label lives on the same row as the score (text/n_chars are
+    both input columns), so the audit report needs NO join — the r12
+    join+orderBy shape re-partitioned the corpus twice for nothing."""
+    from .text import _toks_of, quality_score_bp_col
+
+    if len(weights) != N_FEATURES:
+        raise ValueError(
+            f"qc_report: expected {N_FEATURES} weights, got {len(weights)}"
+        )
+    toks = _toks_of(docs)
+    logit = _logit_col(toks, weights)
+    pred = logit > 0
+    label = quality_score_bp_col(toks) >= QC_LABEL_BP
     out = docs.select(
         "doc_id",
         F.round(logit * 10_000).cast("bigint").alias("logit_en4"),
-        (logit > 0).alias("pred"),
+        pred.alias("pred"),
+        (pred == label).alias("agree"),
     )
     return out.orderBy("doc_id") if ordered else out
 
@@ -201,23 +253,109 @@ def quality_classifier_report(docs: DataFrame) -> DataFrame:
     """Train-and-score in one call: the filter table a curation pipeline
     lands before thresholding (one row per doc, logit + prediction +
     agreement with the pseudo-label for audit)."""
-    from .text import quality_score_bp_col
+    return qc_report(docs, qc_train(docs))
 
-    w = qc_train(docs)
-    # ordered=False: the join re-partitions by doc_id and the final
-    # orderBy re-sorts — the presentation sort here would be a wasted
-    # corpus-wide range shuffle (review r12)
-    scored = qc_score(docs, w, ordered=False)
-    labels = docs.select(
-        "doc_id", (quality_score_bp_col() >= QC_LABEL_BP).alias("_y")
+
+def qc_gate_sql(
+    steps: int = QC_STEPS,
+    lr: float = QC_LR,
+    train_sample: int = QC_TRAIN_SAMPLE,
+    label_bp: int = QC_LABEL_BP,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of qc_gate_weights + qc_report: trains the SAME
+    full-batch logistic GD in SQL (one MATERIALIZED CTE per step — the
+    ivf_exact_sql_ctes fixed-depth discipline; MATERIALIZED is load-
+    bearing: inlining would expand the weight expressions 6^steps-fold),
+    folds the standardization, rounds the weights to QC_WEIGHT_DECIMALS,
+    and scores the whole corpus. Emits (doc_id, logit_en4, pred, agree).
+    Prefix ``qcf_`` reserved (embedded-oracle namespace ritual).
+
+    Cross-engine contract: the feature ratios are exact integer counts
+    over exact integer lengths (bit-equal doubles on both engines), so
+    the ONLY float divergence is intra-training noise (libm exp,
+    summation order), which the weight rounding absorbs — prototype-
+    measured max |Δw| after ROUND(, 8): 0.0 at sf0.01."""
+    from .text import LANG_MARKERS, STOPWORDS
+
+    markers = dict(LANG_MARKERS)
+
+    def lst(words) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    def nfilt(words) -> str:
+        return f"len(list_filter(ts, t -> list_contains({lst(words)}, t)))"
+
+    feats = (
+        "qcf_f AS MATERIALIZED (\n"
+        "  SELECT doc_id,\n"
+        "    1.0 AS f0,\n"
+        f"    CAST({nfilt(STOPWORDS)} AS DOUBLE) / len(ts) AS f1,\n"
+        f"    CAST({nfilt(markers['en'])} AS DOUBLE) / len(ts) AS f2,\n"
+        f"    CAST({nfilt(markers['zh'])} AS DOUBLE) / len(ts) AS f3,\n"
+        "    CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) AS f4,\n"
+        "    LEAST(CAST(len(ts) AS DOUBLE), 100.0) / 100.0 AS f5,\n"
+        "    CAST((CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 4000 ELSE 0 END\n"
+        f"      + CAST(FLOOR({nfilt(STOPWORDS)} * 3000 / len(ts)) AS BIGINT)\n"
+        "      + CAST(FLOOR(len(list_distinct(ts)) * 3000 / len(ts)) AS BIGINT))\n"
+        f"      >= {label_bp} AS DOUBLE) AS y\n"
+        f"  FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS ts\n"
+        f"        FROM {table})\n"
+        ")"
     )
-    return (
-        scored.join(labels, "doc_id")
-        .select(
-            "doc_id",
-            "logit_en4",
-            "pred",
-            (F.col("pred") == F.col("_y")).alias("agree"),
+    parts = [
+        feats,
+        f"qcf_s AS MATERIALIZED (SELECT * FROM qcf_f ORDER BY doc_id"
+        f" LIMIT {train_sample})",
+        "qcf_mu AS MATERIALIZED (SELECT "
+        + ", ".join(f"AVG(f{j}) AS m{j}" for j in range(1, 6))
+        + ", "
+        + ", ".join(
+            f"CASE WHEN stddev_pop(f{j}) = 0 THEN 1.0"
+            f" ELSE stddev_pop(f{j}) END AS s{j}"
+            for j in range(1, 6)
         )
-        .orderBy("doc_id")
+        + " FROM qcf_s)",
+        "qcf_std AS MATERIALIZED (SELECT y, f0, "
+        + ", ".join(f"(f{j} - m{j}) / s{j} AS f{j}" for j in range(1, 6))
+        + " FROM qcf_s, qcf_mu)",
+        "qcf_g0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(6))
+        + ")",
+    ]
+    z = " + ".join(f"g.w{j} * s.f{j}" for j in range(6))
+    for i in range(1, steps + 1):
+        upd = ", ".join(
+            f"w{j} - {lr!r} * AVG(d * f{j}) AS w{j}" for j in range(6)
+        )
+        parts.append(
+            f"qcf_g{i} AS MATERIALIZED (SELECT {upd} FROM ("
+            f"SELECT {', '.join(f'g.w{j}' for j in range(6))}, "
+            f"1.0 / (1.0 + EXP(-({z}))) - s.y AS d, "
+            f"{', '.join(f's.f{j} AS f{j}' for j in range(6))} "
+            f"FROM qcf_g{i - 1} g, qcf_std s"
+            f") GROUP BY {', '.join(f'w{j}' for j in range(6))})"
+        )
+    fold_bias = " + ".join(f"g.w{j} * m{j} / s{j}" for j in range(1, 6))
+    parts.append(
+        "qcf_w AS MATERIALIZED (SELECT "
+        f"ROUND(g.w0 - ({fold_bias}), {QC_WEIGHT_DECIMALS}) AS w0, "
+        + ", ".join(
+            f"ROUND(g.w{j} / s{j}, {QC_WEIGHT_DECIMALS}) AS w{j}"
+            for j in range(1, 6)
+        )
+        + f" FROM qcf_g{steps} g, qcf_mu)"
+    )
+    # scoring: the identical left-associated dot product qc_report states
+    logit = "w.w0 + " + " + ".join(f"w.w{j} * f.f{j}" for j in range(1, 6))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT f.doc_id,
+       CAST(ROUND(({logit}) * 10000) AS BIGINT) AS logit_en4,
+       ({logit}) > 0 AS pred,
+       (({logit}) > 0) = (f.y = 1.0) AS agree
+FROM qcf_f f, qcf_w w
+"""
     )

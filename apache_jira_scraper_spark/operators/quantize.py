@@ -998,19 +998,35 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
     # shortlist + exact re-rank pipeline once per reference (review r10:
     # 28 scans / 32 exchanges with 1 reuse on the executed plan). It is a
     # pure function of (session, sf_dir) — the silver-table discipline.
-    ts = session_cached(
-        _TS_SPINE,
-        spark,
-        (sf_dir,),
-        lambda: two_stage_topk(
-            emb, n_queries=N_QUERIES, top_k=TOP_K, shortlist_k=GATE_SHORTLIST_K
-        ).localCheckpoint(eager=True),
-    )
-    books, codes = _pq_model_cached(spark, sf_dir)
+    # r13 (VERDICT r12 item 4): the three session-cached builds are
+    # independent (ts-spine, pq codebooks+codes, opq rotation+codes) and
+    # each cost ~3.5-4 s cold; under io.session_cached's per-key build
+    # locks they now run on concurrent driver threads (the dedup_clusters
+    # consumer-overlap pattern), so a cold gate pays the slowest build,
+    # not the sum. Warm calls hit the dicts with only three pool submits
+    # of overhead.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ts_build():
+        return session_cached(
+            _TS_SPINE,
+            spark,
+            (sf_dir,),
+            lambda: two_stage_topk(
+                emb, n_queries=N_QUERIES, top_k=TOP_K, shortlist_k=GATE_SHORTLIST_K
+            ).localCheckpoint(eager=True),
+        )
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_ts = ex.submit(_ts_build)
+        f_pq = ex.submit(_pq_model_cached, spark, sf_dir)
+        f_opq = ex.submit(_opq_model_cached, spark, sf_dir)
+        ts = f_ts.result()
+        books, codes = f_pq.result()
+        r, obooks, ocodes = f_opq.result()
     short = pq_adc_topk(
         emb, books, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=codes
     )
-    r, obooks, ocodes = _opq_model_cached(spark, sf_dir)
     oshort = opq_adc_topk(
         emb, r, obooks, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=ocodes
     )

@@ -1690,6 +1690,71 @@ def _contam_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BACKOFF_LEG_CACHE: dict = {}
+_QC_WEIGHTS_CACHE: dict = {}
+_BPE_LEG_CACHE: dict = {}
+
+
+def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached BPE gate leg (r13): train BPE_GATE_MERGES merges
+    over the shared tokenized corpus (8 vocabulary-sized shuffles + 8
+    one-row collects), then segment the corpus via the SCALE PATH — the
+    word-keyed join of corpus words against the trained (word, symbols)
+    table (bpe_segment(encoded_words=...)), so the certified plan is the
+    one a 30k-merge production run would use, not the rank-by-rank fold.
+    Emits harmonized rows for BOTH sub-legs: ('bpe_merge', rank, 'l r')
+    for the learned rule sequence and ('bpe_seg', doc_id, md5 of the
+    pieces) for the segmentation. The trained word table's checkpoint is
+    freed once the leg materializes."""
+    from ..io import free_local_checkpoint, session_cached
+    from .bpe import BPE_GATE_MERGES, bpe_segment, bpe_train
+
+    def _build() -> DataFrame:
+        docs = _docs_tokenized_cached(spark, sf_dir)
+        merges, words = bpe_train(docs, n_merges=BPE_GATE_MERGES)
+        if len(merges) != BPE_GATE_MERGES:
+            raise ValueError(
+                f"bpe gate: corpus ran out of pairs after {len(merges)} "
+                f"merges (budget {BPE_GATE_MERGES}) - degenerate fixture?"
+            )
+        zero = F.lit(0).cast("bigint")
+        merge_rows = spark.createDataFrame(
+            [(i + 1, f"{l} {r}") for i, (l, r) in enumerate(merges)],
+            "id bigint, txt string",
+        ).select(F.lit("bpe_merge").alias("leg"), "id", "txt",
+                 zero.alias("m1"), zero.alias("m2"), zero.alias("m3"))
+        seg = bpe_segment(docs, merges, encoded_words=words, ordered=False)
+        seg_rows = seg.select(
+            F.lit("bpe_seg").alias("leg"),
+            F.col("doc_id").alias("id"),
+            F.md5(F.concat_ws(" ", "pieces")).alias("txt"),
+            F.col("n_pieces").cast("bigint").alias("m1"),
+            zero.alias("m2"),
+            zero.alias("m3"),
+        )
+        out = merge_rows.unionByName(seg_rows).localCheckpoint(eager=True)
+        free_local_checkpoint(words)
+        return out
+
+    return session_cached(_BPE_LEG_CACHE, spark, (sf_dir,), _build)
+
+
+def _qc_weights_cached(spark: SparkSession, sf_dir: str) -> list:
+    """Session-cached trained classifier weights (r13, 'qc' gate leg):
+    training is one 256-row collect + driver GD — constant per
+    (session, sf_dir), and caching keeps the gate's repeat samples to the
+    zero-shuffle scoring map alone. The cached value is the ROUNDED
+    weight list (qc_gate_weights — the cross-engine contract), not a
+    DataFrame: session_cached stores it fine, there is just no
+    checkpoint to free on eviction."""
+    from ..io import session_cached
+    from .classifier import qc_gate_weights
+
+    return session_cached(
+        _QC_WEIGHTS_CACHE,
+        spark,
+        (sf_dir,),
+        lambda: qc_gate_weights(_docs_tokenized_cached(spark, sf_dir)),
+    )
 
 
 def _backoff_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1851,6 +1916,19 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   m3=avg_logprob_en4 (r12 — held-out stupid-backoff
                   trigram LM; the mod-7 train/score split makes all
                   three backoff branches live under the hash)
+      qc          id=doc_id, m1=logit_en4, m2=pred, m3=agree (r13 — the
+                  weak-label-distillation quality classifier: the hash
+                  certifies TRAINING (the oracle re-runs the same
+                  200-step logistic GD in chained SQL CTEs, weights
+                  rounded to QC_WEIGHT_DECIMALS on both engines) and the
+                  zero-shuffle literal-weight scoring)
+      bpe_merge   id=rank, txt='l r' (r13 — the learned BPE merge rule
+                  sequence; the oracle re-trains the same fixed-count
+                  Sennrich loop as chained CTE triples — pure
+                  integer/string math, no rounding-risk class)
+      bpe_seg     id=doc_id, txt=md5 of the space-joined pieces,
+                  m1=n_pieces (r13 — segmentation under the trained
+                  model via the word-keyed JOIN path, the 100 TB shape)
 
     Scale shapes are the standalone operators', unchanged: repetition's
     zero-shuffle narrow map, the sweep's ~21-row band table, vocab's
@@ -1949,6 +2027,25 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_logprob_en4").alias("m2"),
         F.col("avg_logprob_en4").alias("m3"),
     )
+    # 10th leg (r13): the weak-label-distillation quality classifier —
+    # GD-trained weights (session-cached, rounded per the cross-engine
+    # contract) scoring the whole corpus in one zero-shuffle narrow map;
+    # the oracle re-trains the same GD in chained SQL CTEs.
+    from .classifier import qc_report
+
+    qc = qc_report(
+        docs, _qc_weights_cached(spark, sf_dir), ordered=False
+    ).select(
+        F.lit("qc").alias("leg"),
+        F.col("doc_id").alias("id"),
+        empty,
+        F.col("logit_en4").alias("m1"),
+        F.col("pred").cast("bigint").alias("m2"),
+        F.col("agree").cast("bigint").alias("m3"),
+    )
+    # 11th/12th legs (r13): BPE merge training + join-path segmentation
+    # (session-cached; both sub-legs ride one frame).
+    bpe = _bpe_leg_cached(spark, sf_dir)
     return (
         rep.unionByName(sweep)
         .unionByName(vocab)
@@ -1958,8 +2055,19 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(contam)
         .unionByName(pack)
         .unionByName(backoff)
+        .unionByName(qc)
+        .unionByName(bpe)
         .orderBy("leg", "id", "txt")
     )
+
+
+def _qc_gate_body_sql() -> str:
+    """classifier.qc_gate_sql via a late import (classifier imports this
+    module at ITS top level; importing it back at text's module level
+    would be the circular-import shape)."""
+    from .classifier import qc_gate_sql
+
+    return qc_gate_sql()
 
 
 def text_quality_signals_sql() -> str:
@@ -2007,8 +2115,22 @@ SELECT 'backoff' AS leg, doc_id AS id, '' AS txt,
        CAST(n_trigrams AS BIGINT), CAST(sum_logprob_en4 AS BIGINT),
        CAST(avg_logprob_en4 AS BIGINT)
 FROM ({_TRIGRAM_BACKOFF_BODY_SQL})
+UNION ALL
+SELECT 'qc' AS leg, doc_id AS id, '' AS txt,
+       CAST(logit_en4 AS BIGINT), CAST(pred AS BIGINT),
+       CAST(agree AS BIGINT)
+FROM ({_qc_gate_body_sql()})
+UNION ALL
+SELECT leg, id, txt, m1, m2, m3
+FROM ({_bpe_gate_body_sql()})
 ORDER BY leg, id, txt
 """
+
+
+def _bpe_gate_body_sql() -> str:
+    from .bpe import bpe_gate_sql
+
+    return bpe_gate_sql()
 
 
 def register_all() -> None:

@@ -266,3 +266,39 @@ def test_bpe_segment_fold_scratch_ownership(spark):
         assert got[doc_id] == _ref_segment(text, merges), doc_id
     for df in scratch:
         free_local_checkpoint(df)
+
+
+def test_bpe_gate_sql_matches_reference():
+    """The DuckDB CTE-chain twin (window run-parity merge application)
+    reproduces the Sennrich reference merge sequence AND segmentation on
+    the overlap-heavy tiny corpus — no Spark involved, pure oracle pin."""
+    import duckdb
+
+    from apache_jira_scraper_spark.operators.bpe import bpe_gate_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, '{t}')" for i, t in CORPUS)
+        + ") AS v(doc_id, text)"
+    )
+    n = 12
+    rows = con.execute(bpe_gate_sql(n_merges=n)).fetchall()
+    merges = [
+        tuple(r[2].split(" "))
+        for r in sorted(
+            (r for r in rows if r[0] == "bpe_merge"), key=lambda r: r[1]
+        )
+    ]
+    ref_merges, ref_segs = _ref_bpe(_word_freqs(), n)
+    assert merges == ref_merges
+    import hashlib
+
+    seg = {r[1]: (r[2], r[3]) for r in rows if r[0] == "bpe_seg"}
+    for doc_id, text in CORPUS:
+        ref = []
+        for w in text.split(" "):
+            if w:
+                ref.extend(ref_segs[w])
+        md5 = hashlib.md5(" ".join(ref).encode()).hexdigest()
+        assert seg[doc_id] == (md5, len(ref)), doc_id

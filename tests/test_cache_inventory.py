@@ -47,6 +47,8 @@ EXPECTED_CACHES = {
         "_DOCS_TOK_CACHE",
         "_CONTAM_LEG_CACHE",
         "_BACKOFF_LEG_CACHE",
+        "_QC_WEIGHTS_CACHE",
+        "_BPE_LEG_CACHE",
     },
 }
 

@@ -198,3 +198,59 @@ def test_qc_score_raises_on_null_text(spark):
     )
     with pytest.raises(Exception, match="NULL text"):
         qc_score(docs, [0.1] * N_FEATURES).collect()
+
+
+def test_qc_gate_weights_cross_engine(spark, sf_dir):
+    """THE gate contract: the numpy-trained folded weights (rounded to
+    QC_WEIGHT_DECIMALS) must be BIT-EQUAL to the DuckDB CTE-chain GD's
+    qcf_w row — all intra-training float noise funnels into the final
+    roundings (see qc_gate_sql docstring)."""
+    import duckdb
+
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.classifier import (
+        qc_gate_sql,
+        qc_gate_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_spark = qc_gate_weights(docs)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    full = qc_gate_sql()
+    # surface the qcf_w CTE instead of the scored output
+    probe = full[: full.rindex("\nSELECT ")] + "\nSELECT * FROM qcf_w"
+    w_sql = list(con.execute(probe).fetchall()[0])
+    assert w_spark == w_sql
+
+
+def test_qc_report_agrees_with_score_plus_label(spark, sf_dir):
+    """qc_report's one-pass (no-join) output equals the qc_score +
+    label-join composition it replaced."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.classifier import (
+        QC_LABEL_BP,
+        qc_report,
+        qc_score,
+        qc_train,
+    )
+    from apache_jira_scraper_spark.operators.text import quality_score_bp_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = qc_train(docs)
+    rep = {r["doc_id"]: r for r in qc_report(docs, w).collect()}
+    scored = {r["doc_id"]: r for r in qc_score(docs, w).collect()}
+    labels = {
+        r["doc_id"]: r["y"]
+        for r in docs.select(
+            "doc_id", (quality_score_bp_col() >= QC_LABEL_BP).alias("y")
+        ).collect()
+    }
+    assert set(rep) == set(scored)
+    for did, r in rep.items():
+        assert r["logit_en4"] == scored[did]["logit_en4"]
+        assert r["pred"] == scored[did]["pred"]
+        assert r["agree"] == (scored[did]["pred"] == labels[did])

@@ -258,6 +258,10 @@ def _clear_text_session_caches() -> None:
         text._DOCS_TOK_CACHE,
         text._CONTAM_LEG_CACHE,
         text._BACKOFF_LEG_CACHE,
+        # r13: trained classifier weights (a list, not a frame — cleared,
+        # nothing to free) and the BPE gate leg
+        text._QC_WEIGHTS_CACHE,
+        text._BPE_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
