@@ -82,7 +82,10 @@ def _merge_fold(symbols: Column, left: str, right: str) -> Column:
 
 
 def bpe_train(
-    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    batch: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn `n_merges` BPE merges from the corpus. Returns
     (merges, encoded_words) where merges is the ordered driver-side rule
@@ -91,12 +94,26 @@ def bpe_train(
     trained segmentation of the word vocabulary, checkpointed).
 
     Every iteration is: one vocabulary-sized pair-count shuffle + a
-    1-row driver collect + a zero-shuffle merge fold. A merge that no
+    bounded driver collect + a zero-shuffle merge fold. A round that no
     longer has any pair to merge (count 0 / empty table) stops training
     early — returning fewer merges than budgeted, never a dummy rule.
-    """
+
+    ``batch`` > 1 is the standard distributed-BPE round mitigation
+    (VERDICT r12 item 5): per round, accept up to `batch` pairs from the
+    SAME count table, greedily in (count DESC, l, r) order, skipping any
+    pair that shares a symbol with an already-accepted one. Disjointness
+    guarantees every accepted pair's count is still exact at application
+    time (merging (a,b) can neither create nor destroy an occurrence of
+    a symbol-disjoint (c,d)), so rounds — i.e. sequential Spark jobs —
+    drop to ~n_merges/batch. The SELECTION can diverge from strict
+    sequential BPE only when a freshly-merged symbol would immediately
+    have formed a higher-count pair than the next accepted one
+    (tests/test_bpe.py pins batch=1 equivalence exactly and batched
+    equivalence on non-interacting corpora)."""
     from ..io import free_local_checkpoint
 
+    if batch < 1:
+        raise ValueError(f"bpe_train: batch must be >= 1, got {batch}")
     words = (
         docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
@@ -106,7 +123,8 @@ def bpe_train(
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
         pairs = words.select(
             "freq",
             F.explode(
@@ -117,20 +135,35 @@ def bpe_train(
                 )
             ).alias("p"),
         ).select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+        # over-collect 8x the batch: disjointness-rejected candidates are
+        # skipped driver-side without another Spark round trip (top is
+        # model-sized either way; batch=1 degenerates to the argmax row)
         top = (
             pairs.groupBy("l", "r")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(want if want == 1 else want * 8)
             .collect()
         )
         if not top:
             break
-        left, right = top[0]["l"], top[0]["r"]
-        merges.append((left, right))
-        nxt = words.select(
-            "w", "freq", _merge_fold(F.col("symbols"), left, right).alias("symbols")
-        ).localCheckpoint(eager=True)
+        accepted: list[tuple[str, str]] = []
+        used: set[str] = set()
+        for row in top:
+            if row["l"] in used or row["r"] in used:
+                continue
+            accepted.append((row["l"], row["r"]))
+            used.add(row["l"])
+            used.add(row["r"])
+            if len(accepted) == want:
+                break
+        merges.extend(accepted)
+        sym: Column = F.col("symbols")
+        for left, right in accepted:
+            sym = _merge_fold(sym, left, right)
+        nxt = words.select("w", "freq", sym.alias("symbols")).localCheckpoint(
+            eager=True
+        )
         free_local_checkpoint(words)
         words = nxt
     return merges, words

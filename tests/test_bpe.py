@@ -302,3 +302,46 @@ def test_bpe_gate_sql_matches_reference():
                 ref.extend(ref_segs[w])
         md5 = hashlib.md5(" ".join(ref).encode()).hexdigest()
         assert seg[doc_id] == (md5, len(ref)), doc_id
+
+
+def test_bpe_train_batched(spark):
+    """batch>1 (the distributed-BPE round mitigation): exact sequential
+    equivalence on a corpus whose frequent pairs are symbol-disjoint, and
+    batch=1 stays bit-identical to the default path on the overlap-heavy
+    corpus."""
+    from apache_jira_scraper_spark.operators.bpe import bpe_train
+
+    # disjoint alphabets: sequential picks (a,b), (c,d), (e,f), (g,h) —
+    # all symbol-disjoint, so one batched round must pick the same four
+    disj = spark.createDataFrame(
+        [
+            (0, "ab ab ab ab"),
+            (1, "cd cd cd"),
+            (2, "ef ef"),
+            (3, "gh"),
+        ],
+        "doc_id long, text string",
+    )
+    seq_m, _ = bpe_train(disj, n_merges=4)
+    bat_m, bat_w = bpe_train(disj, n_merges=4, batch=4)
+    assert bat_m == seq_m == [("a", "b"), ("c", "d"), ("e", "f"), ("g", "h")]
+    got = {r["w"]: list(r["symbols"]) for r in bat_w.collect()}
+    assert got == {"ab": ["ab"], "cd": ["cd"], "ef": ["ef"], "gh": ["gh"]}
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    m_default, _ = bpe_train(docs, n_merges=10)
+    m_b1, _ = bpe_train(docs, n_merges=10, batch=1)
+    assert m_b1 == m_default
+
+    # interacting pairs are deferred, never mis-merged: counts of every
+    # accepted pair are exact at application time, so the batched result
+    # still segments consistently (glue round-trip)
+    m_b4, w4 = bpe_train(docs, n_merges=12, batch=4)
+    assert len(m_b4) == 12
+    glued = {
+        r["w"]: "".join(r["symbols"]) for r in w4.collect()
+    }
+    assert all(w == g for w, g in glued.items())
+
+    with pytest.raises(ValueError, match="batch"):
+        bpe_train(docs, batch=0)
