@@ -1692,6 +1692,23 @@ def _contam_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BACKOFF_LEG_CACHE: dict = {}
 _QC_WEIGHTS_CACHE: dict = {}
 _BPE_LEG_CACHE: dict = {}
+_DSIR_LEG_CACHE: dict = {}
+
+
+def _dsir_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached DSIR importance-resampling leg (r13): feature
+    explode + two bucket-keyed aggs + bucket join + doc re-agg per build
+    — per-session-constant, so it rides the bigram/contam discipline
+    over the shared tokenized checkpoint."""
+    from ..io import session_cached
+    from .dsir import dsir_logratio
+
+    def _build() -> DataFrame:
+        return dsir_logratio(
+            _docs_tokenized_cached(spark, sf_dir), ordered=False
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_DSIR_LEG_CACHE, spark, (sf_dir,), _build)
 
 
 def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1929,6 +1946,10 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
       bpe_seg     id=doc_id, txt=md5 of the space-joined pieces,
                   m1=n_pieces (r13 — segmentation under the trained
                   model via the word-keyed JOIN path, the 100 TB shape)
+      dsir        id=doc_id, m1=n_feats, m2=logratio_en4, m3=sampled
+                  (r13 — DSIR importance resampling: hashed unigram+
+                  bigram target-vs-background log importance ratio,
+                  integer 1e-4 nats; target = the quality pseudo-label)
 
     Scale shapes are the standalone operators', unchanged: repetition's
     zero-shuffle narrow map, the sweep's ~21-row band table, vocab's
@@ -1953,14 +1974,15 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential training rounds). Warm calls are five dict hits.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=5) as _ex:
+    with ThreadPoolExecutor(max_workers=6) as _ex:
         _f_bg = _ex.submit(_bigram_leg_cached, spark, sf_dir)
         _f_ct = _ex.submit(_contam_leg_cached, spark, sf_dir)
         _f_bk = _ex.submit(_backoff_leg_cached, spark, sf_dir)
         _f_qc = _ex.submit(_qc_weights_cached, spark, sf_dir)
         _f_bpe = _ex.submit(_bpe_leg_cached, spark, sf_dir)
+        _f_ds = _ex.submit(_dsir_leg_cached, spark, sf_dir)
         _bg_df, _ct_df, _bk_df = _f_bg.result(), _f_ct.result(), _f_bk.result()
-        _qc_w, _bpe_df = _f_qc.result(), _f_bpe.result()
+        _qc_w, _bpe_df, _ds_df = _f_qc.result(), _f_bpe.result(), _f_ds.result()
     zero = F.lit(0).cast("bigint")
     empty = F.lit("").alias("txt")
     rep = repetition_signals(docs).select(
@@ -2061,6 +2083,16 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 11th/12th legs (r13): BPE merge training + join-path segmentation
     # (session-cached; both sub-legs ride one frame).
     bpe = _bpe_df
+    # 13th leg (r13): DSIR importance resampling — hashed-n-gram
+    # target-vs-background log importance ratio per doc.
+    dsir = _ds_df.select(
+        F.lit("dsir").alias("leg"),
+        F.col("doc_id").alias("id"),
+        empty,
+        F.col("n_feats").cast("bigint").alias("m1"),
+        F.col("logratio_en4").cast("bigint").alias("m2"),
+        F.col("sampled").cast("bigint").alias("m3"),
+    )
     return (
         rep.unionByName(sweep)
         .unionByName(vocab)
@@ -2072,6 +2104,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(backoff)
         .unionByName(qc)
         .unionByName(bpe)
+        .unionByName(dsir)
         .orderBy("leg", "id", "txt")
     )
 
@@ -2138,8 +2171,19 @@ FROM ({_qc_gate_body_sql()})
 UNION ALL
 SELECT leg, id, txt, m1, m2, m3
 FROM ({_bpe_gate_body_sql()})
+UNION ALL
+SELECT 'dsir' AS leg, doc_id AS id, '' AS txt,
+       CAST(n_feats AS BIGINT), CAST(logratio_en4 AS BIGINT),
+       CAST(sampled AS BIGINT)
+FROM ({_dsir_body_sql()})
 ORDER BY leg, id, txt
 """
+
+
+def _dsir_body_sql() -> str:
+    from .dsir import dsir_sql
+
+    return dsir_sql()
 
 
 def _bpe_gate_body_sql() -> str:

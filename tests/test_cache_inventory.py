@@ -49,6 +49,7 @@ EXPECTED_CACHES = {
         "_BACKOFF_LEG_CACHE",
         "_QC_WEIGHTS_CACHE",
         "_BPE_LEG_CACHE",
+        "_DSIR_LEG_CACHE",
     },
 }
 
@@ -58,6 +59,10 @@ EXEMPT = {
     # the query-name -> Entry registry: process-lifetime by design,
     # mutated only by registry.register() at import time
     "registry.py": {"_REGISTRY"},
+    # r13: the per-(cache, key) build-lock map behind session_cached —
+    # holds threading.RLocks, never DataFrames; maintained (insert +
+    # dead-app eviction) inside session_cached itself
+    "io.py": {"_BUILD_LOCKS"},
     # immutable constant: per-source mix weights for the corpus gate
     "operators/corpus.py": {"GATE_MIX_WEIGHTS"},
     # _MOCK holds the in-process MockJira server singleton (plain Python

@@ -259,9 +259,10 @@ def _clear_text_session_caches() -> None:
         text._CONTAM_LEG_CACHE,
         text._BACKOFF_LEG_CACHE,
         # r13: trained classifier weights (a list, not a frame — cleared,
-        # nothing to free) and the BPE gate leg
+        # nothing to free), the BPE gate leg, and the DSIR leg
         text._QC_WEIGHTS_CACHE,
         text._BPE_LEG_CACHE,
+        text._DSIR_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
