@@ -110,8 +110,12 @@ def dsir_logratio(
         (F.col("c_raw") - F.col("c_tgt") + 1).cast("double")
         / (F.col("n_raw") - F.col("n_tgt") + DSIR_BUCKETS)
     )
+    # counts is bounded at DSIR_BUCKETS rows BY CONSTRUCTION — broadcast
+    # it explicitly so the scoring join never shuffles the exploded
+    # feature stream (at sf0.01 AQE happened to broadcast the FEATURE
+    # side instead — harmless there, a corpus-sized build at 100 TB)
     scored = (
-        fb.join(counts, "b")
+        fb.join(F.broadcast(counts), "b")
         .crossJoin(F.broadcast(totals))
         .select(
             "doc_id",
