@@ -730,7 +730,7 @@ FROM c ORDER BY rank
 
 
 def encode_with_vocab(
-    docs: DataFrame, vocab: DataFrame, unk_id: int = 0
+    docs: DataFrame, vocab: DataFrame, unk_id: int = 0, ordered: bool = True
 ) -> DataFrame:
     """Corpus encoding: text -> integer token-id arrays under the induced
     vocabulary (the production step AFTER build_vocab — what actually
@@ -770,7 +770,7 @@ def encode_with_vocab(
             )
         )
     )
-    return (
+    out = (
         docs.select("doc_id")
         .join(encoded, "doc_id", "left")
         .select(
@@ -778,8 +778,11 @@ def encode_with_vocab(
             F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
         )
         .select("doc_id", F.size("ids").alias("n_pieces"), "ids")
-        .orderBy("doc_id")
     )
+    # ordered=False skips the presentation sort (the
+    # exact_substring_dedup contract) — composition callers
+    # (pack_token_ids, the gate legs) re-shuffle anyway
+    return out.orderBy("doc_id") if ordered else out
 
 
 def encode_with_vocab_sql(
@@ -1408,6 +1411,75 @@ PACK_CONTEXT = 1024
 PACK_BUCKET = 4096
 
 
+def _global_token_offsets(t: DataFrame) -> DataFrame:
+    """THE distributed two-phase prefix sum over (doc_id, n_tokens[, ...])
+    — shared by pack_sequences (bookkeeping) and pack_token_ids
+    (materialization) so the decomposition can't drift between them.
+    Adds `cum_start` = the doc's exclusive global token offset in doc_id
+    order; extra input columns pass through. See pack_sequences for the
+    bucket-partials argument (the only unpartitioned window runs over
+    corpus/PACK_BUCKET rows)."""
+    t = t.withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET}"))
+    partials = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum"))
+    w_b = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = partials.select(
+        "bucket", F.coalesce(F.sum("bsum").over(w_b), F.lit(0)).alias("boff")
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        t.join(offsets, "bucket")
+        .withColumn(
+            "cum_start",
+            F.col("boff") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
+        )
+        .drop("bucket", "boff")
+    )
+
+
+def pack_token_ids(
+    enc: DataFrame, seq_len: int = PACK_CONTEXT
+) -> DataFrame:
+    """Materialize the packed training sequences pack_sequences only
+    BOOKKEEPS: concatenate every document's token ids in doc_id order
+    and emit one row per fixed-length window — (seq_id, n_tokens,
+    ids array<int>), the trailing partial sequence included. This is the
+    artifact an LLM pre-training data pipeline actually lands (the step
+    after encode: tokenize -> pack -> shard).
+
+    Input: (doc_id, ids array<int>) — encode_with_vocab or bpe_encode
+    output. Scale shape: the shared two-phase prefix sum assigns each
+    doc its global offset (no corpus-wide window), then ONE posexplode +
+    ONE seq_id-keyed shuffle reassembles windows via
+    sort_array(collect_list(struct(gpos, id))) — global position is
+    unique by construction, so the sort is total and deterministic."""
+    t = enc.select(
+        "doc_id", "ids", F.size("ids").cast("bigint").alias("n_tokens")
+    )
+    cum = _global_token_offsets(t)
+    tok = cum.select(
+        F.col("cum_start"), F.posexplode("ids").alias("pos", "id")
+    ).select(
+        (F.col("cum_start") + F.col("pos")).alias("gpos"), F.col("id")
+    )
+    return (
+        tok.select(
+            F.expr(f"gpos div {seq_len}").alias("seq_id"),
+            F.struct("gpos", "id").alias("gi"),
+        )
+        .groupBy("seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("gi")), lambda s: s["id"]
+            ).alias("ids")
+        )
+        .select("seq_id", F.size("ids").alias("n_tokens"), "ids")
+    )
+
+
 def pack_sequences(docs: DataFrame, context_len: int = PACK_CONTEXT) -> DataFrame:
     """Sequence packing for training batches: concatenate every document's
     tokens in doc_id order and chunk the stream into fixed `context_len`
@@ -1441,28 +1513,8 @@ def pack_sequences(docs: DataFrame, context_len: int = PACK_CONTEXT) -> DataFram
     t = docs.select(
         "doc_id",
         F.size(_toks_of(docs)).cast("bigint").alias("n_tokens"),
-        F.expr(f"doc_id div {PACK_BUCKET}").alias("bucket"),
     )
-    partials = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bsum"))
-    w_b = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = partials.select(
-        "bucket", F.coalesce(F.sum("bsum").over(w_b), F.lit(0)).alias("boff")
-    )
-    w_local = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = (
-        t.join(offsets, "bucket")
-        .withColumn(
-            "cum_start",
-            F.col("boff") + F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0)),
-        )
-    )
+    cum = _global_token_offsets(t)
     return cum.select(
         "doc_id",
         "n_tokens",
@@ -1503,6 +1555,37 @@ FROM pkc
 """
 
 PACK_SQL = _PACK_BODY_SQL + "ORDER BY doc_id\n"
+
+
+def tokpack_sql(
+    seq_len: int = PACK_CONTEXT, vocab_size: int = 100, table: str = "documents"
+) -> str:
+    """DuckDB twin of encode_with_vocab |> pack_token_ids: the embedded
+    encode twin, the DIRECT global cumsum over n_pieces (the oracle side
+    of the two-phase-prefix-sum contract, the pack-leg precedent), then
+    unnest to global positions and regroup into seq_len windows. Emits
+    (seq_id, n_tokens, ids). Prefix ``tp_`` reserved (embedded-oracle
+    namespace ritual)."""
+    return f"""
+WITH tp_enc AS MATERIALIZED (
+  SELECT * FROM ({encode_with_vocab_sql(vocab_size=vocab_size, table=table)})
+), tp_cum AS (
+  SELECT doc_id, ids,
+         COALESCE(SUM(n_pieces) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_start
+  FROM tp_enc
+), tp_tok AS (
+  -- CAST: cum_start rides a SUM window (HUGEINT), and a HUGEINT seq_id
+  -- reaches the driver's pandas bridge as float64 ('0.0' != '0')
+  SELECT CAST((cum_start + i - 1) // {seq_len} AS BIGINT) AS seq_id,
+         cum_start + i - 1 AS gpos, ids[i] AS id
+  FROM tp_cum, unnest(generate_series(1, len(ids))) AS g(i)
+)
+SELECT seq_id, CAST(COUNT(1) AS BIGINT) AS n_tokens,
+       list(id ORDER BY gpos) AS ids
+FROM tp_tok GROUP BY seq_id
+"""
 
 
 BM25_K1 = 1.2
@@ -1693,6 +1776,24 @@ _BACKOFF_LEG_CACHE: dict = {}
 _QC_WEIGHTS_CACHE: dict = {}
 _BPE_LEG_CACHE: dict = {}
 _DSIR_LEG_CACHE: dict = {}
+_TOKPACK_LEG_CACHE: dict = {}
+
+
+def _tokpack_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached tokenize-and-pack leg (r13): encode the corpus
+    under the induced vocabulary (the certified 'encode' machinery,
+    unordered) and materialize the fixed-length training sequences via
+    pack_token_ids — the artifact a pretraining pipeline actually lands.
+    Sequence-count-sized result (total_tokens / PACK_CONTEXT rows), so
+    the checkpoint is small."""
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        docs = _docs_tokenized_cached(spark, sf_dir)
+        enc = encode_with_vocab(docs, build_vocab(docs), ordered=False)
+        return pack_token_ids(enc).localCheckpoint(eager=True)
+
+    return session_cached(_TOKPACK_LEG_CACHE, spark, (sf_dir,), _build)
 
 
 def _dsir_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1950,6 +2051,10 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (r13 — DSIR importance resampling: hashed unigram+
                   bigram target-vs-background log importance ratio,
                   integer 1e-4 nats; target = the quality pseudo-label)
+      tokpack     id=seq_id, txt=md5 of the packed id window, m1=
+                  n_tokens (r13 — tokenize-and-pack: the materialized
+                  fixed-length training sequences, two-phase prefix sum
+                  vs the oracle's direct cumsum)
 
     Scale shapes are the standalone operators', unchanged: repetition's
     zero-shuffle narrow map, the sweep's ~21-row band table, vocab's
@@ -1974,15 +2079,17 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential training rounds). Warm calls are five dict hits.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=6) as _ex:
+    with ThreadPoolExecutor(max_workers=7) as _ex:
         _f_bg = _ex.submit(_bigram_leg_cached, spark, sf_dir)
         _f_ct = _ex.submit(_contam_leg_cached, spark, sf_dir)
         _f_bk = _ex.submit(_backoff_leg_cached, spark, sf_dir)
         _f_qc = _ex.submit(_qc_weights_cached, spark, sf_dir)
         _f_bpe = _ex.submit(_bpe_leg_cached, spark, sf_dir)
         _f_ds = _ex.submit(_dsir_leg_cached, spark, sf_dir)
+        _f_tp = _ex.submit(_tokpack_leg_cached, spark, sf_dir)
         _bg_df, _ct_df, _bk_df = _f_bg.result(), _f_ct.result(), _f_bk.result()
         _qc_w, _bpe_df, _ds_df = _f_qc.result(), _f_bpe.result(), _f_ds.result()
+        _tp_df = _f_tp.result()
     zero = F.lit(0).cast("bigint")
     empty = F.lit("").alias("txt")
     rep = repetition_signals(docs).select(
@@ -2083,6 +2190,18 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 11th/12th legs (r13): BPE merge training + join-path segmentation
     # (session-cached; both sub-legs ride one frame).
     bpe = _bpe_df
+    # 14th leg (r13): tokenize-and-pack — the materialized fixed-length
+    # training sequences (md5 over each window's id stream).
+    tokpack = _tp_df.select(
+        F.lit("tokpack").alias("leg"),
+        F.col("seq_id").alias("id"),
+        F.md5(
+            F.concat_ws(",", F.transform("ids", lambda x: x.cast("string")))
+        ).alias("txt"),
+        F.col("n_tokens").cast("bigint").alias("m1"),
+        zero.alias("m2"),
+        zero.alias("m3"),
+    )
     # 13th leg (r13): DSIR importance resampling — hashed-n-gram
     # target-vs-background log importance ratio per doc.
     dsir = _ds_df.select(
@@ -2105,6 +2224,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(qc)
         .unionByName(bpe)
         .unionByName(dsir)
+        .unionByName(tokpack)
         .orderBy("leg", "id", "txt")
     )
 
@@ -2176,6 +2296,11 @@ SELECT 'dsir' AS leg, doc_id AS id, '' AS txt,
        CAST(n_feats AS BIGINT), CAST(logratio_en4 AS BIGINT),
        CAST(sampled AS BIGINT)
 FROM ({_dsir_body_sql()})
+UNION ALL
+SELECT 'tokpack' AS leg, seq_id AS id,
+       md5(array_to_string(ids, ',')) AS txt,
+       CAST(n_tokens AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM ({tokpack_sql()})
 ORDER BY leg, id, txt
 """
 

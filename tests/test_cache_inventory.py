@@ -50,6 +50,7 @@ EXPECTED_CACHES = {
         "_QC_WEIGHTS_CACHE",
         "_BPE_LEG_CACHE",
         "_DSIR_LEG_CACHE",
+        "_TOKPACK_LEG_CACHE",
     },
 }
 

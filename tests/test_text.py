@@ -552,3 +552,76 @@ def test_trigram_backoff_rejects_empty_train_split(spark):
     )
     with pytest.raises(ValueError, match="empty train split"):
         trigram_backoff_logprob(docs)
+
+
+def test_pack_token_ids_matches_python_model(spark, sf_dir):
+    """pack_token_ids vs a direct Python concat-and-chunk over the same
+    encoded corpus: identical windows, identical trailing partial."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        build_vocab,
+        encode_with_vocab,
+        pack_token_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    enc = encode_with_vocab(docs, build_vocab(docs), ordered=False)
+    rows = sorted(
+        ((r["doc_id"], list(r["ids"])) for r in enc.collect()),
+        key=lambda x: x[0],
+    )
+    stream: list[int] = []
+    for _, ids in rows:
+        stream.extend(ids)
+    L = 64
+    ref = {
+        i // L: stream[i : i + L]
+        for i in range(0, len(stream), L)
+    }
+    got = {
+        r["seq_id"]: list(r["ids"])
+        for r in pack_token_ids(enc, seq_len=L).collect()
+    }
+    assert got == ref
+    # trailing partial really is partial unless the stream divides evenly
+    last = max(got)
+    assert len(got[last]) == (len(stream) - 1) % L + 1
+
+
+def test_pack_token_ids_no_global_window_on_corpus(spark, sf_dir):
+    """The only unpartitioned window must run over the bucket partials
+    (corpus/PACK_BUCKET rows), never the corpus/token stream."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        build_vocab,
+        encode_with_vocab,
+        pack_token_ids,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_token_ids(
+        encode_with_vocab(docs, build_vocab(docs), ordered=False)
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every unpartitioned Window must consume the bucket-partials agg
+    # (bsum) — the same pin pack_sequences carries in test_plans
+    import re
+
+    for m in re.finditer(r"Window \[[^\]]*\], \[bucket", plan):
+        pass  # partitioned-by-bucket windows are fine
+    unpart = [
+        seg for seg in plan.splitlines()
+        if "Window [" in seg and "windowspecdefinition(bucket" not in seg
+        and "partitionBy" not in seg
+    ]
+    # the bucket-offset window mentions bsum, and build_vocab ranks its
+    # POST-LIMIT 100-row vocabulary (bounded by construction, see its
+    # docstring); nothing else may be unpartitioned
+    for seg in unpart:
+        if (
+            "bsum" not in seg
+            and "boff" not in seg
+            and "row_number" not in seg
+        ):
+            raise AssertionError(f"unexpected unpartitioned window: {seg}")

@@ -263,6 +263,7 @@ def _clear_text_session_caches() -> None:
         text._QC_WEIGHTS_CACHE,
         text._BPE_LEG_CACHE,
         text._DSIR_LEG_CACHE,
+        text._TOKPACK_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
