@@ -503,3 +503,47 @@ SELECT 'bpe_seg' AS leg, d.doc_id AS id,
 FROM {table} d LEFT JOIN bq_seg s ON d.doc_id = s.doc_id
 """
     )
+
+
+def bpe_tokenize_and_pack(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    seq_len: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch: int = 1,
+) -> tuple[list[tuple[str, str]], DataFrame, DataFrame]:
+    """The end-to-end pretraining tokenization pipeline in one call:
+    train the BPE model on the corpus, encode every document to token
+    ids via the JOIN-path segmentation (the scale path), and pack the
+    global id stream into fixed `seq_len` training windows. Returns
+    (merges, vocab, sequences) where sequences is
+    (seq_id, n_tokens, ids) — the artifact a data pipeline lands to
+    object storage for the trainer.
+
+    Every stage is the already-certified machinery composed: bpe_train
+    (driver gate 'bpe_merge'), bpe_segment's word-keyed join inside
+    bpe_encode ('bpe_seg'), and text.pack_token_ids ('tokpack') — so the
+    composition is certified piecewise and this function only owns the
+    plumbing. Note the trained word table's checkpoint stays referenced
+    by the returned sequences' LAZY plan — materialize (or persist)
+    sequences before freeing anything."""
+    from .text import PACK_CONTEXT, pack_token_ids
+
+    merges, words = bpe_train(
+        docs, n_merges=n_merges, text_col=text_col, batch=batch
+    )
+    vocab = bpe_vocab(merges, words)
+    enc = bpe_encode(
+        docs,
+        merges,
+        vocab,
+        text_col=text_col,
+        id_col=id_col,
+        encoded_words=words,
+    )
+    seqs = pack_token_ids(
+        enc.withColumnRenamed(id_col, "doc_id"),
+        seq_len=seq_len or PACK_CONTEXT,
+    )
+    return merges, vocab, seqs

@@ -345,3 +345,19 @@ def test_bpe_train_batched(spark):
 
     with pytest.raises(ValueError, match="batch"):
         bpe_train(docs, batch=0)
+
+
+def test_bpe_tokenize_and_pack_end_to_end(spark):
+    """Full pipeline vs the pure-Python composition: reference merges ->
+    reference segmentation -> vocab ids -> concat-and-chunk."""
+    from apache_jira_scraper_spark.operators.bpe import bpe_tokenize_and_pack
+
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    merges, vocab, seqs = bpe_tokenize_and_pack(docs, n_merges=8, seq_len=7)
+    vrows = {r["piece"]: r["id"] for r in vocab.collect()}
+    stream: list[int] = []
+    for doc_id, text in CORPUS:
+        stream.extend(vrows[p] for p in _ref_segment(text, merges))
+    ref = {i // 7: stream[i : i + 7] for i in range(0, len(stream), 7)}
+    got = {r["seq_id"]: list(r["ids"]) for r in seqs.collect()}
+    assert got == ref
