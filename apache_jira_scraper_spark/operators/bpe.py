@@ -86,6 +86,7 @@ def bpe_train(
     n_merges: int = BPE_MERGES,
     text_col: str = "text",
     batch: int = 1,
+    counts_out: list | None = None,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn `n_merges` BPE merges from the corpus. Returns
     (merges, encoded_words) where merges is the ordered driver-side rule
@@ -109,7 +110,11 @@ def bpe_train(
     sequential BPE only when a freshly-merged symbol would immediately
     have formed a higher-count pair than the next accepted one
     (tests/test_bpe.py pins batch=1 equivalence exactly and batched
-    equivalence on non-interacting corpora)."""
+    equivalence on non-interacting corpora).
+
+    ``counts_out``: when given, receives each accepted pair's exact
+    corpus count at selection time (int, aligned with `merges`) — the
+    gate certifies these under the driver hash."""
     from ..io import free_local_checkpoint
 
     if batch < 1:
@@ -153,6 +158,8 @@ def bpe_train(
             if row["l"] in used or row["r"] in used:
                 continue
             accepted.append((row["l"], row["r"]))
+            if counts_out is not None:
+                counts_out.append(int(row["c"]))
             used.add(row["l"])
             used.add(row["r"])
             if len(accepted) == want:
@@ -426,7 +433,7 @@ def bpe_gate_sql(n_merges: int = BPE_GATE_MERGES, table: str = "documents") -> s
     for r in range(1, n_merges + 1):
         parts.append(
             f"bq_t{r} AS MATERIALIZED (\n"
-            f"  SELECT l, r FROM (\n"
+            f"  SELECT l, r, c FROM (\n"
             f"    SELECT symbols[i] AS l, symbols[i + 1] AS r,\n"
             f"           SUM(freq) AS c\n"
             f"    FROM {prev}, unnest(range(1, len(symbols))) AS u(i)\n"
@@ -473,7 +480,7 @@ def bpe_gate_sql(n_merges: int = BPE_GATE_MERGES, table: str = "documents") -> s
         )
         prev = f"bq_w{r}"
     merge_arms = " UNION ALL ".join(
-        f"SELECT {r} AS id, l || ' ' || r AS txt FROM bq_t{r}"
+        f"SELECT {r} AS id, l || ' ' || r AS txt, c FROM bq_t{r}"
         for r in range(1, n_merges + 1)
     )
     return (
@@ -492,7 +499,7 @@ bq_seg AS (
   FROM bq_cw c JOIN {prev} f ON c.w = f.w GROUP BY c.doc_id
 )
 SELECT 'bpe_merge' AS leg, CAST(id AS BIGINT) AS id, txt,
-       CAST(0 AS BIGINT) AS m1, CAST(0 AS BIGINT) AS m2,
+       CAST(c AS BIGINT) AS m1, CAST(0 AS BIGINT) AS m2,
        CAST(0 AS BIGINT) AS m3
 FROM ({merge_arms})
 UNION ALL

@@ -1828,7 +1828,10 @@ def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _build() -> DataFrame:
         docs = _docs_tokenized_cached(spark, sf_dir)
-        merges, words = bpe_train(docs, n_merges=BPE_GATE_MERGES)
+        counts: list = []
+        merges, words = bpe_train(
+            docs, n_merges=BPE_GATE_MERGES, counts_out=counts
+        )
         if len(merges) != BPE_GATE_MERGES:
             raise ValueError(
                 f"bpe gate: corpus ran out of pairs after {len(merges)} "
@@ -1836,10 +1839,13 @@ def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         zero = F.lit(0).cast("bigint")
         merge_rows = spark.createDataFrame(
-            [(i + 1, f"{l} {r}") for i, (l, r) in enumerate(merges)],
-            "id bigint, txt string",
-        ).select(F.lit("bpe_merge").alias("leg"), "id", "txt",
-                 zero.alias("m1"), zero.alias("m2"), zero.alias("m3"))
+            [
+                (i + 1, f"{l} {r}", c)
+                for i, ((l, r), c) in enumerate(zip(merges, counts))
+            ],
+            "id bigint, txt string, m1 bigint",
+        ).select(F.lit("bpe_merge").alias("leg"), "id", "txt", "m1",
+                 zero.alias("m2"), zero.alias("m3"))
         seg = bpe_segment(docs, merges, encoded_words=words, ordered=False)
         seg_rows = seg.select(
             F.lit("bpe_seg").alias("leg"),
@@ -2040,7 +2046,8 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   200-step logistic GD in chained SQL CTEs, weights
                   rounded to QC_WEIGHT_DECIMALS on both engines) and the
                   zero-shuffle literal-weight scoring)
-      bpe_merge   id=rank, txt='l r' (r13 — the learned BPE merge rule
+      bpe_merge   id=rank, txt='l r', m1=the pair's exact corpus count
+                  at selection time (r13 — the learned BPE merge rule
                   sequence; the oracle re-trains the same fixed-count
                   Sennrich loop as chained CTE triples — pure
                   integer/string math, no rounding-risk class)

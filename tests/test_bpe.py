@@ -284,14 +284,29 @@ def test_bpe_gate_sql_matches_reference():
     )
     n = 12
     rows = con.execute(bpe_gate_sql(n_merges=n)).fetchall()
-    merges = [
-        tuple(r[2].split(" "))
-        for r in sorted(
-            (r for r in rows if r[0] == "bpe_merge"), key=lambda r: r[1]
-        )
-    ]
+    merge_rows = sorted(
+        (r for r in rows if r[0] == "bpe_merge"), key=lambda r: r[1]
+    )
+    merges = [tuple(r[2].split(" ")) for r in merge_rows]
     ref_merges, ref_segs = _ref_bpe(_word_freqs(), n)
     assert merges == ref_merges
+    # m1 carries each argmax pair's exact count at selection time
+    segs = {w: list(w) for w in _word_freqs()}
+    for (a, b), row in zip(ref_merges, merge_rows):
+        counts: Counter = Counter()
+        for w, f in _word_freqs().items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += f
+        assert row[3] == counts[(a, b)], (a, b)
+        for w in segs:
+            out = []
+            for x in segs[w]:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            segs[w] = out
     import hashlib
 
     seg = {r[1]: (r[2], r[3]) for r in rows if r[0] == "bpe_seg"}
