@@ -201,7 +201,17 @@ def bpe_vocab(
     rows = [(i, c) for i, c in enumerate(alpha)] + [
         (len(alpha) + i, a + b) for i, (a, b) in enumerate(merges)
     ]
-    return spark.createDataFrame(rows, "id int, piece string")
+    # two different merges can yield the same SURFACE string (e.g.
+    # (a,bc) and (ab,c) -> 'abc'); a vocab keyed by piece keeps the
+    # FIRST id (dict-insertion semantics, the HF tokenizers convention)
+    # so encode joins stay one-to-one
+    seen: set[str] = set()
+    uniq = []
+    for i, p in rows:
+        if p not in seen:
+            seen.add(p)
+            uniq.append((i, p))
+    return spark.createDataFrame(uniq, "id int, piece string")
 
 
 def bpe_encode(
@@ -483,6 +493,13 @@ def bpe_gate_sql(n_merges: int = BPE_GATE_MERGES, table: str = "documents") -> s
         f"SELECT {r} AS id, l || ' ' || r AS txt, c FROM bq_t{r}"
         for r in range(1, n_merges + 1)
     )
+    # merged pieces take ids AFTER the alphabet in training order (the
+    # GPT-2 layout bpe_vocab states)
+    vocab_merge_arms = " UNION ALL ".join(
+        f"SELECT l || r AS piece,"
+        f" (SELECT COUNT(1) FROM bq_alpha) + {r} - 1 AS vid FROM bq_t{r}"
+        for r in range(1, n_merges + 1)
+    )
     return (
         "WITH "
         + ",\n".join(parts)
@@ -494,9 +511,34 @@ bq_cw AS (
                                    x -> x != '') AS ws
         FROM {table})
 ),
-bq_seg AS (
+bq_seg AS MATERIALIZED (
   SELECT c.doc_id, flatten(list(f.symbols ORDER BY c.wpos)) AS pieces
   FROM bq_cw c JOIN {prev} f ON c.w = f.w GROUP BY c.doc_id
+),
+bq_alpha AS (
+  SELECT c AS piece, ROW_NUMBER() OVER (ORDER BY c) - 1 AS vid
+  FROM (
+    SELECT DISTINCT unnest(list_transform(range(1, length(s) + 1),
+                                          i -> substr(s, i, 1))) AS c
+    FROM (SELECT unnest(symbols) AS s FROM {prev})
+  )
+),
+bq_vocab AS (
+  -- keep-first on duplicate surface strings (bpe_vocab's contract)
+  SELECT piece, MIN(vid) AS vid FROM (
+    SELECT piece, vid FROM bq_alpha
+    UNION ALL
+    SELECT * FROM ({vocab_merge_arms})
+  ) GROUP BY piece
+),
+bq_ids AS (
+  SELECT doc_id,
+         list(CAST(COALESCE(v.vid, -1) AS INT) ORDER BY pos) AS ids
+  FROM (SELECT doc_id, UNNEST(pieces) AS piece,
+               UNNEST(range(1, len(pieces) + 1)) AS pos
+        FROM bq_seg) p
+  LEFT JOIN bq_vocab v USING (piece)
+  GROUP BY doc_id
 )
 SELECT 'bpe_merge' AS leg, CAST(id AS BIGINT) AS id, txt,
        CAST(c AS BIGINT) AS m1, CAST(0 AS BIGINT) AS m2,
@@ -508,6 +550,12 @@ SELECT 'bpe_seg' AS leg, d.doc_id AS id,
        CAST(COALESCE(len(s.pieces), 0) AS BIGINT) AS m1,
        CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
 FROM {table} d LEFT JOIN bq_seg s ON d.doc_id = s.doc_id
+UNION ALL
+SELECT 'bpe_ids' AS leg, d.doc_id AS id,
+       md5(COALESCE(array_to_string(i.ids, ','), '')) AS txt,
+       CAST(COALESCE(len(i.ids), 0) AS BIGINT) AS m1,
+       CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+FROM {table} d LEFT JOIN bq_ids i ON d.doc_id = i.doc_id
 """
     )
 

@@ -1824,7 +1824,13 @@ def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     pieces) for the segmentation. The trained word table's checkpoint is
     freed once the leg materializes."""
     from ..io import free_local_checkpoint, session_cached
-    from .bpe import BPE_GATE_MERGES, bpe_segment, bpe_train
+    from .bpe import (
+        BPE_GATE_MERGES,
+        bpe_encode,
+        bpe_segment,
+        bpe_train,
+        bpe_vocab,
+    )
 
     def _build() -> DataFrame:
         docs = _docs_tokenized_cached(spark, sf_dir)
@@ -1855,7 +1861,27 @@ def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             zero.alias("m2"),
             zero.alias("m3"),
         )
-        out = merge_rows.unionByName(seg_rows).localCheckpoint(eager=True)
+        # r13 late: 'bpe_ids' certifies bpe_vocab + bpe_encode — the
+        # GPT-2 id layout (alphabet lexicographic, merges in training
+        # order) and the broadcast-vocab encode, md5 per id stream.
+        enc = bpe_encode(
+            docs, merges, bpe_vocab(merges, words), encoded_words=words
+        )
+        ids_rows = enc.select(
+            F.lit("bpe_ids").alias("leg"),
+            F.col("doc_id").alias("id"),
+            F.md5(
+                F.concat_ws(",", F.transform("ids", lambda x: x.cast("string")))
+            ).alias("txt"),
+            F.col("n_pieces").cast("bigint").alias("m1"),
+            zero.alias("m2"),
+            zero.alias("m3"),
+        )
+        out = (
+            merge_rows.unionByName(seg_rows)
+            .unionByName(ids_rows)
+            .localCheckpoint(eager=True)
+        )
         free_local_checkpoint(words)
         return out
 
@@ -2054,6 +2080,9 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
       bpe_seg     id=doc_id, txt=md5 of the space-joined pieces,
                   m1=n_pieces (r13 — segmentation under the trained
                   model via the word-keyed JOIN path, the 100 TB shape)
+      bpe_ids     id=doc_id, txt=md5 of the comma-joined token ids,
+                  m1=n_pieces (r13 — bpe_vocab's GPT-2 id layout +
+                  bpe_encode's broadcast-vocab join under the hash)
       dsir        id=doc_id, m1=n_feats, m2=logratio_en4, m3=sampled
                   (r13 — DSIR importance resampling: hashed unigram+
                   bigram target-vs-background log importance ratio,
