@@ -1258,6 +1258,213 @@ FROM documents d LEFT JOIN tb_agg a USING (doc_id)
 TRIGRAM_BACKOFF_SQL = _TRIGRAM_BACKOFF_BODY_SQL + "ORDER BY doc_id\n"
 
 
+# --- CCNet-style perplexity bucketing ------------------------------------
+
+# 1e-2-nat grid for the bucket histogram: avg_logprob_en4 spans roughly
+# [-15e4, 0], so DIV 100 bounds the histogram at ~1.5k cells regardless
+# of corpus size — the value RANGE, not the corpus, is the bound.
+PPL_BUCKET_GRID = 100
+
+
+def ppl_bucket(scores: DataFrame, grid: int = PPL_BUCKET_GRID) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020) over
+    held-out LM scores: docs split head / middle / tail by corpus-wide
+    terciles of average log-probability (head = highest logprob = lowest
+    perplexity — CCNet's keep set), with the tercile cutoffs computed on
+    a bounded VALUE HISTOGRAM instead of a global sort.
+
+    Reference parity: the reference has no LM filtering at all — this is
+    §2.11 extension surface (the north star's "text analysis" family),
+    composing on trigram_backoff_logprob's output schema.
+
+    Scale shape: avg_logprob_en4 is coarsened to a 1e-2-nat grid
+    (integer DIV — truncation toward zero, matching DuckDB `//`), the
+    histogram is one shuffle keyed on ≤~1.5k grid cells, the cumulative
+    window rides that bounded table (the quality_threshold_sweep
+    band-table discipline — bounded by value range, NOT corpus size),
+    and the two cutoffs return to the corpus as a 1-row broadcast. No
+    corpus-sized window, no driver collect.
+
+    Tie policy: bucketing compares grid VALUES only — every doc sharing
+    a cell shares a bucket — so the split is deterministic without a
+    doc_id tie-break; observed shares deviate from exact thirds only at
+    cell boundaries. Docs with no trigrams (< 3 tokens) bucket 'skip'
+    (no LM evidence; CCNet drops them pre-bucketing) and are excluded
+    from the cutoff population.
+
+    Returns (doc_id, bucket, s_grid, cut_lo, cut_hi); the cut_* corpus
+    constants replicate per row so the driver hash certifies the
+    cutoffs themselves, not just the labels.
+    """
+    s_expr = F.expr(f"avg_logprob_en4 DIV {grid}")
+    scored = scores.filter(F.col("n_trigrams") > 0)
+    hist = scored.groupBy(s_expr.alias("s")).agg(F.count(F.lit(1)).alias("c"))
+    # bounded-table window (≤ ~1.5k rows): the single-partition WindowExec
+    # here is by design, like quality_threshold_sweep's band table
+    w_cum = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cuts = (
+        hist.select("s", F.sum("c").over(w_cum).alias("cum"))
+        .crossJoin(F.broadcast(scored.agg(F.count(F.lit(1)).alias("n"))))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 2) DIV 3"), F.col("s"))
+            ).alias("cut_lo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("(2 * n + 2) DIV 3"), F.col("s"))
+            ).alias("cut_hi"),
+        )
+    )
+    return (
+        scores.select("doc_id", "n_trigrams", s_expr.alias("s"))
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            F.when(F.col("n_trigrams") == 0, F.lit("skip"))
+            .when(F.col("s") <= F.col("cut_lo"), F.lit("tail"))
+            .when(F.col("s") <= F.col("cut_hi"), F.lit("middle"))
+            .otherwise(F.lit("head"))
+            .alias("bucket"),
+            F.col("s").cast("bigint").alias("s_grid"),
+            # COALESCE: an all-skip corpus leaves both cutoffs NULL
+            F.coalesce("cut_lo", F.lit(0)).cast("bigint").alias("cut_lo"),
+            F.coalesce("cut_hi", F.lit(0)).cast("bigint").alias("cut_hi"),
+        )
+    )
+
+
+# DuckDB twin reading the backoff scores from a CTE named `tbb` (the
+# gate oracle materializes _TRIGRAM_BACKOFF_BODY_SQL once under that
+# name and feeds BOTH the backoff and ppl_bucket legs from it).
+# `pb_` prefix reserved.
+_PPL_BUCKET_OVER_TBB_SQL = f"""
+WITH pb_g AS (
+  SELECT doc_id, n_trigrams, avg_logprob_en4 // {PPL_BUCKET_GRID} AS s
+  FROM tbb
+),
+pb_h AS (
+  SELECT s, COUNT(1) AS c FROM pb_g WHERE n_trigrams > 0 GROUP BY s
+),
+pb_cum AS (
+  SELECT s, SUM(c) OVER (ORDER BY s) AS cum FROM pb_h
+),
+pb_n AS (SELECT COUNT(1) AS n FROM pb_g WHERE n_trigrams > 0),
+pb_cut AS (
+  SELECT MIN(CASE WHEN cum >= (n + 2) // 3 THEN s END) AS cut_lo,
+         MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN s END) AS cut_hi
+  FROM pb_cum CROSS JOIN pb_n
+)
+SELECT doc_id,
+       CASE WHEN n_trigrams = 0 THEN 'skip'
+            WHEN s <= cut_lo THEN 'tail'
+            WHEN s <= cut_hi THEN 'middle'
+            ELSE 'head' END AS bucket,
+       CAST(s AS BIGINT) AS s_grid,
+       CAST(COALESCE(cut_lo, 0) AS BIGINT) AS cut_lo,
+       CAST(COALESCE(cut_hi, 0) AS BIGINT) AS cut_hi
+FROM pb_g CROSS JOIN pb_cut
+"""
+
+# standalone twin (library surface + pytest): materialize the backoff
+# body under the `tbb` name the pb_ chain expects
+PPL_BUCKET_SQL = (
+    f"WITH tbb AS MATERIALIZED ({_TRIGRAM_BACKOFF_BODY_SQL})\n"
+    f"SELECT * FROM ({_PPL_BUCKET_OVER_TBB_SQL}) ORDER BY doc_id\n"
+)
+
+
+# --- filter verdict (mixer decision) --------------------------------------
+
+# Repetition cut points chosen against the synthetic corpus's measured
+# distribution (sf0.01: dup_token_ppm median 536585 / p90 678571;
+# top_bigram_ppm p99 111111) so the rule fires on the repetitive TAIL
+# (~10% / ~1%), not the corpus baseline — an all-'keep' or all-'repet'
+# verdict would certify nothing (the contam-leg non-vacuity lesson).
+VERDICT_DUP_TOKEN_PPM = 680_000
+VERDICT_TOP_BIGRAM_PPM = 100_000
+
+
+def filter_verdict(
+    docs: DataFrame,
+    contam: DataFrame,
+    rep: DataFrame,
+    ppl: DataFrame,
+    qc: DataFrame,
+    dup_token_ppm: int = VERDICT_DUP_TOKEN_PPM,
+    top_bigram_ppm: int = VERDICT_TOP_BIGRAM_PPM,
+) -> DataFrame:
+    """Dolma-mixer-style keep/drop decision per document: the composition
+    stage every curation pipeline ends with — taggers (the certified
+    signal operators) feed ONE verdict table with a first-failing-rule
+    reason code, fixed precedence:
+
+        contam    shares >=1 8-gram with the eval split (hygiene first:
+                  a contaminated doc is dropped no matter how fluent)
+        repet     Gopher repetition cut (dup_token_ppm or top_bigram_ppm
+                  over the module thresholds)
+        ppl_tail  CCNet bucket 'tail' (or 'skip' — no LM evidence)
+        lowq      quality classifier predicts low quality
+        keep      none of the above
+
+    The reference has no filtering at all — §2.11 extension surface; the
+    operator is pure composition, so its scale shape is its inputs':
+    four doc-keyed equi-joins on the docs spine (co-partitioned on the
+    same key — one shuffle lineage at scale) and a narrow CASE map. No
+    new aggregate, no window, no collect.
+
+    Inputs are the signal frames (caller passes the session-cached gate
+    legs so nothing recomputes): contam = contamination_report rows,
+    rep = repetition_signals rows, ppl = ppl_bucket rows, qc = qc_report
+    rows. Inner joins intersect the coverages — with the gate's inputs
+    that is the contam report's TRAIN split (eval-split docs are not
+    training candidates, so they get no verdict by design). Returns
+    (doc_id, reason, keep).
+    """
+    reason = (
+        F.when(F.col("n_contam") > 0, F.lit("contam"))
+        .when(
+            (F.col("dup_token_ppm") > dup_token_ppm)
+            | (F.col("top_bigram_ppm") > top_bigram_ppm),
+            F.lit("repet"),
+        )
+        .when(F.col("bucket").isin("tail", "skip"), F.lit("ppl_tail"))
+        .when(~F.col("pred"), F.lit("lowq"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(contam.select("doc_id", "n_contam"), "doc_id")
+        .join(rep.select("doc_id", "dup_token_ppm", "top_bigram_ppm"), "doc_id")
+        .join(ppl.select("doc_id", "bucket"), "doc_id")
+        .join(qc.select("doc_id", "pred"), "doc_id")
+        .select(
+            "doc_id",
+            reason.alias("reason"),
+            (reason == F.lit("keep")).cast("bigint").alias("keep"),
+        )
+    )
+
+
+# DuckDB twin reading the four signal tables from gate-oracle CTEs named
+# ctb / rpb / pbb / qcb (the gate hoists each signal body once, like
+# tbb). `vd_` prefix reserved.
+_VERDICT_OVER_CTES_SQL = f"""
+SELECT d.doc_id,
+       CASE WHEN c.n_contam > 0 THEN 'contam'
+            WHEN r.dup_token_ppm > {VERDICT_DUP_TOKEN_PPM}
+                 OR r.top_bigram_ppm > {VERDICT_TOP_BIGRAM_PPM} THEN 'repet'
+            WHEN p.bucket IN ('tail', 'skip') THEN 'ppl_tail'
+            WHEN NOT q.pred THEN 'lowq'
+            ELSE 'keep' END AS reason
+FROM documents d
+JOIN ctb c USING (doc_id)
+JOIN rpb r USING (doc_id)
+JOIN pbb p USING (doc_id)
+JOIN qcb q USING (doc_id)
+"""
+
+
 # --- benchmark decontamination -------------------------------------------
 
 # n-gram width: the published decontamination range is 8-13 word-grams
@@ -1777,6 +1984,24 @@ _QC_WEIGHTS_CACHE: dict = {}
 _BPE_LEG_CACHE: dict = {}
 _DSIR_LEG_CACHE: dict = {}
 _TOKPACK_LEG_CACHE: dict = {}
+_PPL_LEG_CACHE: dict = {}
+
+
+def _ppl_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached CCNet perplexity-bucketing leg (r13): derives
+    purely from the cached backoff scores, but participating UNCACHED in
+    the 15-leg union added ~1 s of per-call plan/exchange overhead at
+    sf0.1 (measured; the standalone leg runs 0.3 s warm) — so the
+    corpus-sized label frame checkpoints once per (session, sf_dir) like
+    its siblings."""
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        return ppl_bucket(
+            _backoff_leg_cached(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_PPL_LEG_CACHE, spark, (sf_dir,), _build)
 
 
 def _tokpack_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2083,6 +2308,14 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
       bpe_ids     id=doc_id, txt=md5 of the comma-joined token ids,
                   m1=n_pieces (r13 — bpe_vocab's GPT-2 id layout +
                   bpe_encode's broadcast-vocab join under the hash)
+      ppl_bucket  id=doc_id, txt=head|middle|tail|skip, m1=1e-2-nat
+                  grid score, m2/m3=the corpus tercile cutoffs (r13 —
+                  CCNet perplexity bucketing over the cached backoff
+                  scores; the hash certifies labels AND cutoffs)
+      verdict     id=doc_id, txt=reason (contam|repet|ppl_tail|lowq|
+                  keep), m1=keep flag (r13 — the Dolma-mixer decision
+                  composing four certified signal frames under a fixed
+                  reason precedence)
       dsir        id=doc_id, m1=n_feats, m2=logratio_en4, m3=sampled
                   (r13 — DSIR importance resampling: hashed unigram+
                   bigram target-vs-background log importance ratio,
@@ -2115,7 +2348,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential training rounds). Warm calls are five dict hits.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=7) as _ex:
+    with ThreadPoolExecutor(max_workers=8) as _ex:
         _f_bg = _ex.submit(_bigram_leg_cached, spark, sf_dir)
         _f_ct = _ex.submit(_contam_leg_cached, spark, sf_dir)
         _f_bk = _ex.submit(_backoff_leg_cached, spark, sf_dir)
@@ -2123,12 +2356,17 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _f_bpe = _ex.submit(_bpe_leg_cached, spark, sf_dir)
         _f_ds = _ex.submit(_dsir_leg_cached, spark, sf_dir)
         _f_tp = _ex.submit(_tokpack_leg_cached, spark, sf_dir)
+        # ppl chains on backoff via session_cached's per-key lock: its
+        # thread blocks on the backoff build, then layers the bounded
+        # histogram pass — still off this thread's critical path
+        _f_ppl = _ex.submit(_ppl_leg_cached, spark, sf_dir)
         _bg_df, _ct_df, _bk_df = _f_bg.result(), _f_ct.result(), _f_bk.result()
         _qc_w, _bpe_df, _ds_df = _f_qc.result(), _f_bpe.result(), _f_ds.result()
-        _tp_df = _f_tp.result()
+        _tp_df, _ppl_df = _f_tp.result(), _f_ppl.result()
     zero = F.lit(0).cast("bigint")
     empty = F.lit("").alias("txt")
-    rep = repetition_signals(docs).select(
+    rep_df = repetition_signals(docs)  # shared: repetition + verdict legs
+    rep = rep_df.select(
         F.lit("repetition").alias("leg"),
         F.col("doc_id").alias("id"),
         empty,
@@ -2209,13 +2447,24 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_logprob_en4").alias("m2"),
         F.col("avg_logprob_en4").alias("m3"),
     )
+    # 15th leg (r13): CCNet perplexity bucketing — rides the same cached
+    # backoff scores; cutoffs from the bounded grid histogram.
+    ppl = _ppl_df.select(
+        F.lit("ppl_bucket").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("bucket").alias("txt"),
+        F.col("s_grid").alias("m1"),
+        F.col("cut_lo").alias("m2"),
+        F.col("cut_hi").alias("m3"),
+    )
     # 10th leg (r13): the weak-label-distillation quality classifier —
     # GD-trained weights (session-cached, rounded per the cross-engine
     # contract) scoring the whole corpus in one zero-shuffle narrow map;
     # the oracle re-trains the same GD in chained SQL CTEs.
     from .classifier import qc_report
 
-    qc = qc_report(docs, _qc_w, ordered=False).select(
+    qc_df = qc_report(docs, _qc_w, ordered=False)  # shared: qc + verdict
+    qc = qc_df.select(
         F.lit("qc").alias("leg"),
         F.col("doc_id").alias("id"),
         empty,
@@ -2238,6 +2487,17 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero.alias("m2"),
         zero.alias("m3"),
     )
+    # 16th leg (r13): the mixer decision — composes four certified
+    # signal frames (contam/repetition/ppl/qc) into one keep/drop
+    # verdict with first-failing-rule reason codes.
+    verdict = filter_verdict(docs, _ct_df, rep_df, _ppl_df, qc_df).select(
+        F.lit("verdict").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("reason").alias("txt"),
+        F.col("keep").alias("m1"),
+        zero.alias("m2"),
+        zero.alias("m3"),
+    )
     # 13th leg (r13): DSIR importance resampling — hashed-n-gram
     # target-vs-background log importance ratio per doc.
     dsir = _ds_df.select(
@@ -2257,6 +2517,8 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(contam)
         .unionByName(pack)
         .unionByName(backoff)
+        .unionByName(ppl)
+        .unionByName(verdict)
         .unionByName(qc)
         .unionByName(bpe)
         .unionByName(dsir)
@@ -2275,12 +2537,23 @@ def _qc_gate_body_sql() -> str:
 
 
 def text_quality_signals_sql() -> str:
-    """DuckDB twin assembled from the same per-leg SQL generators."""
+    """DuckDB twin assembled from the same per-leg SQL generators. Every
+    signal body consumed by MORE THAN ONE leg is hoisted to a top-level
+    MATERIALIZED CTE (tbb = trigram backoff, rpb = repetition, ctb =
+    contamination, qcb = quality classifier, pbb = perplexity buckets —
+    all names reserved): the backoff/ppl legs share tbb, and the r13
+    'verdict' leg re-reads rpb/ctb/qcb/pbb — inlining any of them twice
+    would double the oracle's most expensive chains."""
     return f"""
+WITH tbb AS MATERIALIZED ({_TRIGRAM_BACKOFF_BODY_SQL}),
+rpb AS MATERIALIZED ({REPETITION_SQL}),
+ctb AS MATERIALIZED ({DECONTAM_SQL.replace("ORDER BY doc_id", "")}),
+qcb AS MATERIALIZED ({_qc_gate_body_sql()}),
+pbb AS MATERIALIZED (SELECT * FROM ({_PPL_BUCKET_OVER_TBB_SQL}))
 SELECT 'repetition' AS leg, doc_id AS id, '' AS txt,
        CAST(dup_sent_ppm AS BIGINT) AS m1, CAST(dup_token_ppm AS BIGINT) AS m2,
        CAST(top_bigram_ppm AS BIGINT) AS m3
-FROM ({REPETITION_SQL})
+FROM rpb
 UNION ALL
 SELECT 'sweep' AS leg, threshold_bp AS id, '' AS txt,
        CAST(n_docs_kept AS BIGINT), CAST(n_tokens_kept AS BIGINT),
@@ -2308,7 +2581,7 @@ UNION ALL
 SELECT 'contam' AS leg, doc_id AS id, '' AS txt,
        CAST(n_grams AS BIGINT), CAST(n_contam AS BIGINT),
        CAST(contam_ppm AS BIGINT)
-FROM ({DECONTAM_SQL.replace("ORDER BY doc_id", "")})
+FROM ctb
 UNION ALL
 SELECT 'pack' AS leg, doc_id AS id, '' AS txt,
        CAST(cum_start AS BIGINT), CAST(pack_first AS BIGINT),
@@ -2318,12 +2591,21 @@ UNION ALL
 SELECT 'backoff' AS leg, doc_id AS id, '' AS txt,
        CAST(n_trigrams AS BIGINT), CAST(sum_logprob_en4 AS BIGINT),
        CAST(avg_logprob_en4 AS BIGINT)
-FROM ({_TRIGRAM_BACKOFF_BODY_SQL})
+FROM tbb
+UNION ALL
+SELECT 'ppl_bucket' AS leg, doc_id AS id, bucket AS txt,
+       s_grid AS m1, cut_lo AS m2, cut_hi AS m3
+FROM pbb
+UNION ALL
+SELECT 'verdict' AS leg, doc_id AS id, reason AS txt,
+       CAST(reason = 'keep' AS BIGINT) AS m1,
+       CAST(0 AS BIGINT) AS m2, CAST(0 AS BIGINT) AS m3
+FROM ({_VERDICT_OVER_CTES_SQL})
 UNION ALL
 SELECT 'qc' AS leg, doc_id AS id, '' AS txt,
        CAST(logit_en4 AS BIGINT), CAST(pred AS BIGINT),
        CAST(agree AS BIGINT)
-FROM ({_qc_gate_body_sql()})
+FROM qcb
 UNION ALL
 SELECT leg, id, txt, m1, m2, m3
 FROM ({_bpe_gate_body_sql()})

@@ -51,6 +51,7 @@ EXPECTED_CACHES = {
         "_BPE_LEG_CACHE",
         "_DSIR_LEG_CACHE",
         "_TOKPACK_LEG_CACHE",
+        "_PPL_LEG_CACHE",
     },
 }
 

@@ -554,6 +554,161 @@ def test_trigram_backoff_rejects_empty_train_split(spark):
         trigram_backoff_logprob(docs)
 
 
+def test_ppl_bucket_matches_oracle(spark, sf_dir):
+    """Cross-engine parity of the CCNet tercile bucketing (labels,
+    per-doc grid scores, and the two corpus cutoff constants)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        PPL_BUCKET_SQL,
+        ppl_bucket,
+        trigram_backoff_logprob,
+    )
+
+    assert_matches_oracle(
+        ppl_bucket(trigram_backoff_logprob(load_table(spark, sf_dir, "documents"))),
+        PPL_BUCKET_SQL,
+        sf_dir,
+        name="ppl_bucket",
+    )
+
+
+def test_ppl_bucket_tercile_properties(spark, sf_dir):
+    """Structural properties on the real corpus: buckets partition scored
+    docs into value-ordered bands (every tail grid score <= cut_lo <
+    every middle <= cut_hi < every head), shares are tercile-ish (ties
+    only move boundary CELLS), skip == the <3-token docs, cutoffs are
+    corpus constants."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        ppl_bucket,
+        trigram_backoff_logprob,
+    )
+
+    scores = trigram_backoff_logprob(load_table(spark, sf_dir, "documents"))
+    rows = ppl_bucket(scores).collect()
+    n_tri = {r["doc_id"]: r["n_trigrams"] for r in scores.collect()}
+    assert {r["doc_id"] for r in rows} == set(n_tri)
+    assert len({(r["cut_lo"], r["cut_hi"]) for r in rows}) == 1
+    cut_lo, cut_hi = rows[0]["cut_lo"], rows[0]["cut_hi"]
+    assert cut_lo < cut_hi
+    by = {"head": [], "middle": [], "tail": [], "skip": []}
+    for r in rows:
+        by[r["bucket"]].append(r)
+    assert {r["doc_id"] for r in by["skip"]} == {
+        d for d, n in n_tri.items() if n == 0
+    }
+    assert all(r["s_grid"] <= cut_lo for r in by["tail"])
+    assert all(cut_lo < r["s_grid"] <= cut_hi for r in by["middle"])
+    assert all(r["s_grid"] > cut_hi for r in by["head"])
+    n_scored = len(rows) - len(by["skip"])
+    for b in ("head", "middle", "tail"):
+        # value-only tie policy: shares drift from n/3 by at most the
+        # boundary cells' mass — generous band, catches degenerate splits
+        assert 0.15 * n_scored <= len(by[b]) <= 0.55 * n_scored, (
+            b,
+            len(by[b]),
+            n_scored,
+        )
+
+
+def test_ppl_bucket_hand_computed(spark):
+    """Exact cutoffs on a crafted score table: 6 scored docs -> ranks
+    ceil(6/3)=2 and ceil(12/3)=4 land cut_lo/cut_hi on the 2nd and 4th
+    distinct grid value; a <3-token doc skips; ties share a bucket."""
+    from apache_jira_scraper_spark.operators.text import ppl_bucket
+
+    scores = spark.createDataFrame(
+        # (doc_id, n_trigrams, sum, avg_en4): grid = avg DIV 100
+        [
+            (1, 5, -10_000, -2_000),   # grid -20
+            (2, 5, -10_000, -2_000),   # grid -20 (tie with doc 1)
+            (3, 5, -15_000, -3_000),   # grid -30
+            (4, 5, -40_000, -8_000),   # grid -80
+            (5, 5, -45_000, -9_000),   # grid -90
+            (6, 5, -50_000, -9_999),   # grid -99
+            (7, 0, 0, 0),              # skip
+        ],
+        "doc_id long, n_trigrams long, sum_logprob_en4 long, avg_logprob_en4 long",
+    )
+    got = {r["doc_id"]: r for r in ppl_bucket(scores).collect()}
+    # n=6 scored; cum over ASC grids [-99,-90,-80,-30,-20]:
+    # counts [1,1,1,1,2] -> cum [1,2,3,4,6]; ceil(6/3)=2 -> cut_lo=-90,
+    # ceil(12/3)=4 -> cut_hi=-30
+    assert (got[1]["cut_lo"], got[1]["cut_hi"]) == (-90, -30)
+    assert got[1]["bucket"] == got[2]["bucket"] == "head"   # -20 > -30
+    assert got[3]["bucket"] == "middle"                     # -90 < -30 <= -30
+    assert got[4]["bucket"] == "middle"                     # -80 <= -30? no: -80 <= cut_hi=-30 -> middle
+    assert got[5]["bucket"] == "tail"                       # -90 <= cut_lo
+    assert got[6]["bucket"] == "tail"
+    assert got[7]["bucket"] == "skip" and got[7]["s_grid"] == 0
+
+
+def test_filter_verdict_precedence_and_consistency(spark, sf_dir):
+    """The mixer verdict on the real corpus: every reason code is
+    consistent with its source signal AND respects the fixed precedence
+    (a contaminated doc reads 'contam' even when it would also fail
+    repetition/ppl/qc); keep == 1 iff reason == 'keep'."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.classifier import (
+        quality_classifier_report,
+    )
+    from apache_jira_scraper_spark.operators.text import (
+        DECONTAM_EVAL_MOD,
+        VERDICT_DUP_TOKEN_PPM,
+        VERDICT_TOP_BIGRAM_PPM,
+        contamination_report,
+        filter_verdict,
+        ppl_bucket,
+        repetition_signals,
+        trigram_backoff_logprob,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    contam = contamination_report(
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD != 0),
+        docs.filter(F.col("doc_id") % DECONTAM_EVAL_MOD == 0),
+    )
+    rep = repetition_signals(docs)
+    ppl = ppl_bucket(trigram_backoff_logprob(docs))
+    qc = quality_classifier_report(docs)
+    got = {
+        r["doc_id"]: r
+        for r in filter_verdict(docs, contam, rep, ppl, qc).collect()
+    }
+    sig = {}
+    for r in contam.collect():
+        sig[r["doc_id"]] = {"contam": r["n_contam"] > 0}
+    # rep/ppl/qc cover the WHOLE corpus; the verdict (and sig) only the
+    # contam report's train split — skip eval-split rows here
+    for r in rep.collect():
+        if r["doc_id"] in sig:
+            sig[r["doc_id"]]["repet"] = (
+                r["dup_token_ppm"] > VERDICT_DUP_TOKEN_PPM
+                or r["top_bigram_ppm"] > VERDICT_TOP_BIGRAM_PPM
+            )
+    for r in ppl.collect():
+        if r["doc_id"] in sig:
+            sig[r["doc_id"]]["ppl_tail"] = r["bucket"] in ("tail", "skip")
+    for r in qc.collect():
+        if r["doc_id"] in sig:
+            sig[r["doc_id"]]["lowq"] = not r["pred"]
+    # verdict covers exactly the contam-report docs (the train split)
+    assert set(got) == set(sig)
+    order = ("contam", "repet", "ppl_tail", "lowq")
+    for d, r in got.items():
+        expect = next((c for c in order if sig[d][c]), "keep")
+        assert r["reason"] == expect, (d, r["reason"], expect, sig[d])
+        assert r["keep"] == (1 if expect == "keep" else 0)
+    reasons = {r["reason"] for r in got.values()}
+    # non-vacuity: measured at sf0.001/0.01 — every code fires, and some
+    # contaminated doc would ALSO fail a later rule (precedence is live)
+    assert reasons == {"contam", "repet", "ppl_tail", "lowq", "keep"}
+    assert any(
+        sig[d]["contam"] and (sig[d]["repet"] or sig[d]["ppl_tail"] or sig[d]["lowq"])
+        for d in sig
+    )
+
+
 def test_pack_token_ids_matches_python_model(spark, sf_dir):
     """pack_token_ids vs a direct Python concat-and-chunk over the same
     encoded corpus: identical windows, identical trailing partial."""
