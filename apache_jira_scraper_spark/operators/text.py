@@ -1985,6 +1985,29 @@ _BPE_LEG_CACHE: dict = {}
 _DSIR_LEG_CACHE: dict = {}
 _TOKPACK_LEG_CACHE: dict = {}
 _PPL_LEG_CACHE: dict = {}
+_VERDICT_LEG_CACHE: dict = {}
+
+
+def _verdict_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached mixer-verdict leg (r13): composes three cached
+    signal frames plus two narrow maps; caching the docs-sized result
+    follows the sibling discipline (measured ~0.3 s/warm-call otherwise
+    — the four-join subtree re-plans every gate call)."""
+    from ..io import session_cached
+
+    def _build() -> DataFrame:
+        from .classifier import qc_report
+
+        docs = _docs_tokenized_cached(spark, sf_dir)
+        return filter_verdict(
+            docs,
+            _contam_leg_cached(spark, sf_dir),
+            repetition_signals(docs),
+            _ppl_leg_cached(spark, sf_dir),
+            qc_report(docs, _qc_weights_cached(spark, sf_dir), ordered=False),
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_VERDICT_LEG_CACHE, spark, (sf_dir,), _build)
 
 
 def _ppl_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2348,7 +2371,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sequential training rounds). Warm calls are five dict hits.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=8) as _ex:
+    with ThreadPoolExecutor(max_workers=9) as _ex:
         _f_bg = _ex.submit(_bigram_leg_cached, spark, sf_dir)
         _f_ct = _ex.submit(_contam_leg_cached, spark, sf_dir)
         _f_bk = _ex.submit(_backoff_leg_cached, spark, sf_dir)
@@ -2360,13 +2383,14 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         # thread blocks on the backoff build, then layers the bounded
         # histogram pass — still off this thread's critical path
         _f_ppl = _ex.submit(_ppl_leg_cached, spark, sf_dir)
+        # verdict chains on contam/ppl/qc-weights via their build locks
+        _f_vd = _ex.submit(_verdict_leg_cached, spark, sf_dir)
         _bg_df, _ct_df, _bk_df = _f_bg.result(), _f_ct.result(), _f_bk.result()
         _qc_w, _bpe_df, _ds_df = _f_qc.result(), _f_bpe.result(), _f_ds.result()
-        _tp_df, _ppl_df = _f_tp.result(), _f_ppl.result()
+        _tp_df, _ppl_df, _vd_df = _f_tp.result(), _f_ppl.result(), _f_vd.result()
     zero = F.lit(0).cast("bigint")
     empty = F.lit("").alias("txt")
-    rep_df = repetition_signals(docs)  # shared: repetition + verdict legs
-    rep = rep_df.select(
+    rep = repetition_signals(docs).select(
         F.lit("repetition").alias("leg"),
         F.col("doc_id").alias("id"),
         empty,
@@ -2463,8 +2487,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle re-trains the same GD in chained SQL CTEs.
     from .classifier import qc_report
 
-    qc_df = qc_report(docs, _qc_w, ordered=False)  # shared: qc + verdict
-    qc = qc_df.select(
+    qc = qc_report(docs, _qc_w, ordered=False).select(
         F.lit("qc").alias("leg"),
         F.col("doc_id").alias("id"),
         empty,
@@ -2490,7 +2513,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16th leg (r13): the mixer decision — composes four certified
     # signal frames (contam/repetition/ppl/qc) into one keep/drop
     # verdict with first-failing-rule reason codes.
-    verdict = filter_verdict(docs, _ct_df, rep_df, _ppl_df, qc_df).select(
+    verdict = _vd_df.select(
         F.lit("verdict").alias("leg"),
         F.col("doc_id").alias("id"),
         F.col("reason").alias("txt"),

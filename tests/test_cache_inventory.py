@@ -52,6 +52,7 @@ EXPECTED_CACHES = {
         "_DSIR_LEG_CACHE",
         "_TOKPACK_LEG_CACHE",
         "_PPL_LEG_CACHE",
+        "_VERDICT_LEG_CACHE",
     },
 }
 

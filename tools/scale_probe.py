@@ -265,7 +265,9 @@ def _clear_text_session_caches() -> None:
         text._DSIR_LEG_CACHE,
         text._TOKPACK_LEG_CACHE,
         # r13: the CCNet perplexity-bucket label frame (rides backoff)
+        # and the mixer-verdict frame (rides contam/ppl/qc)
         text._PPL_LEG_CACHE,
+        text._VERDICT_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
