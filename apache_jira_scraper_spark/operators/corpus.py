@@ -216,7 +216,7 @@ GROUP BY t.source ORDER BY t.source
 """
 
 
-def corpus_report(docs: DataFrame) -> DataFrame:
+def corpus_report(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Data-card report: the per-release summary a corpus ships with —
     doc/token mass by source, by language, by quality band (2000-bp
     buckets of the shared quality score), plus the grand total, as ONE
@@ -273,9 +273,14 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     # Spark's default ascending sort puts NULLs FIRST where the DuckDB
     # twin's ORDER BY puts them LAST — order-sensitive consumers would see
     # the engines diverge on any corpus with a NULL key.
-    return g.select(
+    out = g.select(
         section.alias("section"), key.alias("key"), "n_docs", "n_tokens"
-    ).orderBy(F.col("section").asc_nulls_last(), F.col("key").asc_nulls_last())
+    )
+    if not ordered:  # composition callers re-sort after their union
+        return out
+    return out.orderBy(
+        F.col("section").asc_nulls_last(), F.col("key").asc_nulls_last()
+    )
 
 
 _CORPUS_REPORT_SQL_TPL = """
@@ -302,8 +307,10 @@ SELECT 'quality_band', CAST(band AS VARCHAR), COUNT(1), CAST(SUM(nt) AS BIGINT)
 FROM base GROUP BY band
 UNION ALL
 SELECT 'total', 'all', COUNT(1), CAST(SUM(nt) AS BIGINT) FROM base HAVING COUNT(1) > 0
-ORDER BY section, key
 """
+# body/full split (the _PACK_BODY_SQL convention): the gate twin embeds
+# the UNORDERED body next to the domain arm under one outer ORDER BY
+_CORPUS_REPORT_ORDER = "ORDER BY section, key\n"
 
 
 def corpus_report_sql() -> str:
@@ -311,15 +318,116 @@ def corpus_report_sql() -> str:
     shared stopword list)."""
     from .text import _STOP_SQL
 
-    return _CORPUS_REPORT_SQL_TPL.format(stop=_STOP_SQL)
+    return _CORPUS_REPORT_SQL_TPL.format(stop=_STOP_SQL) + _CORPUS_REPORT_ORDER
+
+
+_DOMAIN_CARDS_CACHE: dict = {}
+
+
+def domain_cards(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Embedding-domain composition section of the data card (r13):
+    k-means DOMAIN DISCOVERY over the embedding column — every vector is
+    assigned to its exact-discipline IVF cell (ivf.ivf_build_exact, the
+    cross-engine-reproducible Lloyd quantizer; k=16 discovered domains)
+    and the corpus's doc/token mass is aggregated per domain. This is
+    the cluster-composition table a mixing stage (DoReMi-style domain
+    weights, cluster-stratified sampling) consumes when the corpus has
+    no trustworthy source labels.
+
+    The reference has no embedding surface at all — §2.11 extension
+    (north-star "similarity search" family re-used for curation).
+
+    Scale shape: training is ivf_build_exact's bounded driver sample
+    (4096 vecs, numpy Lloyd — the PQ/OPQ model-step discipline);
+    assignment is a broadcast join of the 16-row centroid table +
+    one WindowGroupLimit ranked filter; then ONE doc-keyed equi-join
+    onto documents and ONE 16-key aggregate. No all-pairs anything.
+
+    Emits (section='domain', key=cid-as-string, n_docs, n_tokens) —
+    corpus_report's exact schema, so the gate unions it as a fifth
+    section and the DuckDB twin re-trains the same quantizer via
+    ivf_exact_sql_ctes (ivq_ prefix reserved in THIS oracle too).
+    """
+    from .ivf import ivf_assign_exact, ivf_build_exact
+
+    cents = ivf_build_exact(emb)
+    asg = ivf_assign_exact(emb.select("vec_id", "e"), cents, nprobe=1).select(
+        F.col("vec_id").alias("doc_id"), "cid"
+    )
+    return (
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("_nt"))
+        .join(asg, "doc_id")
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("_nt").alias("n_tokens"))
+        .select(
+            F.lit("domain").alias("section"),
+            F.col("cid").cast("string").alias("key"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
+def _domain_cards_cached(spark, sf_dir: str) -> DataFrame:
+    """Session-cached domain section (16 rows): the exact quantizer's
+    bounded collect + numpy rounds re-ran per gate call otherwise."""
+    from ..io import load_table, session_cached
+    from .similarity import _emb
+
+    def _build() -> DataFrame:
+        return domain_cards(
+            load_table(spark, sf_dir, "documents"), _emb(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_DOMAIN_CARDS_CACHE, spark, (sf_dir,), _build)
+
+
+def _domain_cards_sql() -> str:
+    """The domain section's oracle arm: re-train the exact quantizer in
+    SQL (ivf_exact_sql_ctes — only the CTEs up to the nprobe-1 ivq_asg
+    are referenced; the unreferenced non-materialized pair CTE is never
+    evaluated) and aggregate doc/token mass per cell."""
+    from .ivf import ivf_exact_sql_ctes
+
+    return f"""
+WITH {ivf_exact_sql_ctes(nprobe=1)}
+SELECT 'domain' AS section, CAST(a.cid AS VARCHAR) AS key,
+       COUNT(1) AS n_docs,
+       CAST(SUM(len(string_split(d.text, ' '))) AS BIGINT) AS n_tokens
+FROM documents d JOIN ivq_asg a ON d.doc_id = a.vec_id
+GROUP BY a.cid
+"""
+
+
+def corpus_report_gate_sql() -> str:
+    """Gate twin: the four labeled sections' UNORDERED body next to the
+    domain arm under one outer ORDER BY (both arms are parenthesized
+    WITH...SELECTs — their CTE namespaces don't meet)."""
+    from .text import _STOP_SQL
+
+    body = _CORPUS_REPORT_SQL_TPL.format(stop=_STOP_SQL)
+    return (
+        f"SELECT * FROM (({body}) UNION ALL ({_domain_cards_sql()}))\n"
+        + _CORPUS_REPORT_ORDER
+    )
 
 
 def q_corpus_report(spark, sf_dir: str) -> DataFrame:
     """Data-card report gate over the documents table (driver-certified
-    since r04 — the slot freed by the returnflag_stats merge)."""
+    since r04 — the slot freed by the returnflag_stats merge). r13 adds
+    the fifth section: 'domain' — doc/token mass per DISCOVERED
+    embedding domain (exact-IVF k-means cells), certifying the domain
+    quantizer + the embeddings⋈documents composition under the same
+    hash as the labeled sections."""
     from ..io import load_table
 
-    return corpus_report(load_table(spark, sf_dir, "documents"))
+    return (
+        corpus_report(load_table(spark, sf_dir, "documents"), ordered=False)
+        .unionByName(_domain_cards_cached(spark, sf_dir))
+        .orderBy(
+            F.col("section").asc_nulls_last(), F.col("key").asc_nulls_last()
+        )
+    )
 
 
 def source_token_totals(docs: DataFrame, source_col: str = "source") -> dict[str, int]:
@@ -905,7 +1013,7 @@ def register_all() -> None:
     from ..registry import register
 
     register("corpus_assembly", q_corpus_assembly, corpus_assembly_sql())
-    register("corpus_report", q_corpus_report, corpus_report_sql())
+    register("corpus_report", q_corpus_report, corpus_report_gate_sql())
 
 
 # ---------------------------------------------------------------------------

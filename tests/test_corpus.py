@@ -629,6 +629,31 @@ def test_corpus_report_internal_consistency(spark, sf_dir):
         assert sums == total, (sec, sums, total)
 
 
+def test_domain_cards_composition(spark, sf_dir):
+    """The discovered-domain section partitions exactly the docs that
+    carry an embedding: per-cell doc/token mass sums to the joined
+    corpus totals, keys are distinct cell ids within [0, IVF_EXACT_K),
+    and more than one domain is actually discovered (a single-cell
+    degenerate quantizer would certify nothing)."""
+    from apache_jira_scraper_spark.operators.corpus import domain_cards
+    from apache_jira_scraper_spark.operators.ivf import IVF_EXACT_K
+    from apache_jira_scraper_spark.operators.similarity import _emb
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = _emb(spark, sf_dir)
+    rows = domain_cards(docs, emb).collect()
+    keys = [int(r["key"]) for r in rows]
+    assert len(keys) == len(set(keys))
+    assert all(0 <= c < IVF_EXACT_K for c in keys)
+    assert len(keys) > 1
+    joined = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id"
+    ).select(F.size(F.split("text", " ")).alias("nt"))
+    n_docs = joined.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs > 0
+    assert sum(r["n_tokens"] for r in rows) == joined.agg(F.sum("nt")).first()[0]
+
+
 def test_corpus_report_single_scan_and_empty_input(spark, sf_dir):
     """GROUPING SETS form: ONE scan + ONE exchange (the 4-way union of
     groupBys recomputed the tokenize/score projection per leg); an empty
