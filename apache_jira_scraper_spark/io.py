@@ -222,8 +222,22 @@ def session_cached(cache: dict, spark: SparkSession, extra_key: tuple, build):
         if got is not None:
             return got
         for k in [k for k in cache if k[0] != app]:
-            del cache[k]
-            _BUILD_LOCKS.pop((id(cache), k), None)
+            # review r13: never pop a build lock that is HELD — a stale
+            # app's builder still in flight would otherwise (a) store its
+            # result after this eviction pass (one leaked checkpointed
+            # frame until the next pass) and (b) leave same-key waiters
+            # minting a SECOND lock, re-creating the r09 double-build /
+            # overwritten-checkpoint leak. Skipped keys are collected on
+            # a later call once their builder releases.
+            lk = _BUILD_LOCKS.get((id(cache), k))
+            if lk is not None and not lk.acquire(blocking=False):
+                continue
+            try:
+                del cache[k]
+                _BUILD_LOCKS.pop((id(cache), k), None)
+            finally:
+                if lk is not None:
+                    lk.release()
         lock_key = (id(cache), key)
         build_lock = _BUILD_LOCKS.get(lock_key)
         if build_lock is None:

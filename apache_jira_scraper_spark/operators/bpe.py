@@ -222,6 +222,8 @@ def bpe_encode(
     id_col: str = "doc_id",
     unk_id: int = -1,
     encoded_words: DataFrame | None = None,
+    segmented: DataFrame | None = None,
+    ordered: bool = True,
 ) -> DataFrame:
     """Text -> BPE token-id arrays under a trained model: bpe_segment then
     a BROADCAST join of the exploded pieces to the vocab (a BPE vocab is
@@ -233,14 +235,22 @@ def bpe_encode(
     join (the scale path) instead of the rank-by-rank fold; the inner
     segmentation runs unordered either way (ADVICE r12: the posexplode +
     doc-keyed reassembly below makes an inner presentation sort a wasted
-    corpus-wide range shuffle)."""
-    seg = bpe_segment(
-        df,
-        merges,
-        text_col=text_col,
-        id_col=id_col,
-        encoded_words=encoded_words,
-        ordered=False,
+    corpus-wide range shuffle). A caller that already materialized the
+    (id, pieces) frame passes it as `segmented` — the gate builds ONE
+    segmentation for both its seg and ids legs instead of two corpus
+    subtrees (review r13). ordered=False skips the final presentation
+    sort for composition callers (the exact_substring_dedup contract)."""
+    seg = (
+        segmented
+        if segmented is not None
+        else bpe_segment(
+            df,
+            merges,
+            text_col=text_col,
+            id_col=id_col,
+            encoded_words=encoded_words,
+            ordered=False,
+        )
     )
     pos = seg.select(id_col, F.posexplode("pieces").alias("pos", "piece"))
     vid = vocab.select("piece", F.col("id").cast("int").alias("_vid"))
@@ -260,7 +270,7 @@ def bpe_encode(
             ).alias("ids")
         )
     )
-    return (
+    out = (
         df.select(id_col)
         .join(encoded, id_col, "left")
         .select(
@@ -268,8 +278,8 @@ def bpe_encode(
             F.coalesce("ids", F.array().cast("array<int>")).alias("ids"),
         )
         .select(id_col, F.size("ids").alias("n_pieces"), "ids")
-        .orderBy(id_col)
     )
+    return out.orderBy(id_col) if ordered else out
 
 
 def _fold_all(symbols: Column, merges: list[tuple[str, str]]) -> Column:
@@ -596,6 +606,9 @@ def bpe_tokenize_and_pack(
         text_col=text_col,
         id_col=id_col,
         encoded_words=words,
+        # pack_token_ids' groupBy(seq_id) destroys order — the inner
+        # presentation sort would be a wasted corpus range shuffle
+        ordered=False,
     )
     seqs = pack_token_ids(
         enc.withColumnRenamed(id_col, "doc_id"),

@@ -217,9 +217,17 @@ def qc_gate_weights(docs: DataFrame, **train_kwargs) -> list[float]:
     """qc_train, then round every folded weight to QC_WEIGHT_DECIMALS —
     THE cross-engine weight contract for the driver gate (the DuckDB twin
     trains the same GD in SQL and applies ROUND(w, 8); see
-    QC_WEIGHT_DECIMALS for the noise-funnel argument)."""
+    QC_WEIGHT_DECIMALS for the noise-funnel argument). Rounding is
+    half-away-from-zero (ivf._round_half_away — review r13: Python's
+    builtin round() is banker's, so a weight landing on a 0.5e-8
+    boundary would round to a DIFFERENT grid point than DuckDB's ROUND;
+    bit-equal on the current fixtures either way, but half-away removes
+    the latent divergence class)."""
+    from .ivf import _round_half_away
+
     return [
-        round(v, QC_WEIGHT_DECIMALS) for v in qc_train(docs, **train_kwargs)
+        _round_half_away(v, QC_WEIGHT_DECIMALS)
+        for v in qc_train(docs, **train_kwargs)
     ]
 
 

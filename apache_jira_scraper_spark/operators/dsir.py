@@ -161,20 +161,14 @@ def dsir_resample(
 # (embedded-oracle namespace ritual).
 def dsir_sql(table: str = "documents") -> str:
     from .classifier import QC_LABEL_BP
-    from .text import TOKEN_HASH60_SQL
+    from .text import TOKEN_HASH60_SQL, quality_score_bp_sql
 
     h = TOKEN_HASH60_SQL.format(t="f")
     return f"""
 WITH ds_toks AS (
   SELECT doc_id, n_chars, string_split(text, ' ') AS ts FROM {table}
 ), ds_tgt AS (
-  SELECT doc_id,
-         (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 4000 ELSE 0 END
-          + CAST(FLOOR(len(list_filter(ts, t -> list_contains(
-              ['the','and','of','to','a','in','is','for'], t)))
-              * 3000 / len(ts)) AS BIGINT)
-          + CAST(FLOOR(len(list_distinct(ts)) * 3000 / len(ts)) AS BIGINT))
-         >= {QC_LABEL_BP} AS tgt
+  SELECT doc_id, {quality_score_bp_sql()} >= {QC_LABEL_BP} AS tgt
   FROM ds_toks
 ), ds_fb AS (
   SELECT doc_id, {h} % {DSIR_BUCKETS} AS b

@@ -221,6 +221,21 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_SQL = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
 
+
+def quality_score_bp_sql(ts: str = "ts", n_chars: str = "n_chars") -> str:
+    """quality_score_bp_col's formula as a DuckDB expression over a token
+    LIST column — THE shared oracle fragment (review r13: dsir_sql had
+    hand-copied the formula with a literal stopword list; a STOPWORDS or
+    formula edit would have silently left that oracle computing the old
+    rule while the Spark side moved)."""
+    return (
+        f"(CASE WHEN {n_chars} BETWEEN 100 AND 2000 THEN 4000 ELSE 0 END"
+        f" + CAST(FLOOR(len(list_filter({ts}, t -> list_contains("
+        f"{_STOP_SQL}, t))) * 3000 / len({ts})) AS BIGINT)"
+        f" + CAST(FLOOR(len(list_distinct({ts})) * 3000 / len({ts}))"
+        f" AS BIGINT))"
+    )
+
 QUALITY_SQL = f"""
 WITH t AS (
   SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents
@@ -2100,7 +2115,13 @@ def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id bigint, txt string, m1 bigint",
         ).select(F.lit("bpe_merge").alias("leg"), "id", "txt", "m1",
                  zero.alias("m2"), zero.alias("m3"))
-        seg = bpe_segment(docs, merges, encoded_words=words, ordered=False)
+        # ONE segmentation feeds both the seg and ids legs (review r13:
+        # the union has no cross-branch subtree reuse, so an uncheck-
+        # pointed shared frame would still evaluate twice) — eager
+        # checkpoint, freed with the word table after `out` materializes
+        seg = bpe_segment(
+            docs, merges, encoded_words=words, ordered=False
+        ).localCheckpoint(eager=True)
         seg_rows = seg.select(
             F.lit("bpe_seg").alias("leg"),
             F.col("doc_id").alias("id"),
@@ -2113,7 +2134,11 @@ def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # GPT-2 id layout (alphabet lexicographic, merges in training
         # order) and the broadcast-vocab encode, md5 per id stream.
         enc = bpe_encode(
-            docs, merges, bpe_vocab(merges, words), encoded_words=words
+            docs,
+            merges,
+            bpe_vocab(merges, words),
+            segmented=seg,
+            ordered=False,
         )
         ids_rows = enc.select(
             F.lit("bpe_ids").alias("leg"),
@@ -2131,6 +2156,7 @@ def _bpe_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         free_local_checkpoint(words)
+        free_local_checkpoint(seg)
         return out
 
     return session_cached(_BPE_LEG_CACHE, spark, (sf_dir,), _build)
@@ -2415,7 +2441,9 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         zero.alias("m2"),
         zero.alias("m3"),
     )
-    enc = encode_with_vocab(docs, vocab_df).select(
+    # ordered=False: the union's own orderBy re-sorts (review r13 — the
+    # flag's raison d'être names the gate legs as the callers)
+    enc = encode_with_vocab(docs, vocab_df, ordered=False).select(
         F.lit("encode").alias("leg"),
         F.col("doc_id").alias("id"),
         F.md5(
