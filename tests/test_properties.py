@@ -783,3 +783,74 @@ def test_trigram_backoff_matches_python_model(spark, docs_tokens):
     }
     for did, (n, total) in ref.items():
         assert got[did] == (n, total), (did, got[did], (n, total))
+
+
+def _py_ppl_bucket(scores: list[tuple[int, int, int]], grid: int = 100):
+    """Independent model of ppl_bucket: (doc_id, n_trigrams, avg_en4)
+    rows -> {doc_id: (bucket, s_grid, cut_lo, cut_hi)}. Truncating
+    integer division toward zero (Spark DIV / DuckDB //), value
+    histogram over scored docs, cutoffs = smallest grid value whose
+    ascending cumulative count reaches ceil(n/3) / ceil(2n/3)."""
+    import math
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // b
+        return -q if a < 0 else q
+
+    g = {d: trunc_div(avg, grid) for d, n, avg in scores}
+    scored = sorted(g[d] for d, n, _ in scores if n > 0)
+    cut_lo = cut_hi = 0
+    if scored:
+        n = len(scored)
+        hist: dict[int, int] = {}
+        for s in scored:
+            hist[s] = hist.get(s, 0) + 1
+        cum, c1, c2 = 0, None, None
+        for s in sorted(hist):
+            cum += hist[s]
+            if c1 is None and cum >= math.ceil(n / 3):
+                c1 = s
+            if c2 is None and cum >= math.ceil(2 * n / 3):
+                c2 = s
+        cut_lo, cut_hi = c1, c2
+    out = {}
+    for d, ntr, _ in scores:
+        s = g[d]
+        if ntr == 0:
+            b = "skip"
+        elif s <= cut_lo:
+            b = "tail"
+        elif s <= cut_hi:
+            b = "middle"
+        else:
+            b = "head"
+        out[d] = (b, s, cut_lo, cut_hi)
+    return out
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9),      # n_trigrams (0 = skip)
+        st.integers(min_value=-150_000, max_value=0)  # avg_logprob_en4
+    ),
+    min_size=1, max_size=20,
+))
+def test_ppl_bucket_matches_python_model(spark, rows):
+    """Random score tables (including all-skip, single-doc, heavy-tie
+    corpora): labels, grid scores, and BOTH cutoffs must match the
+    independent Python model exactly."""
+    from apache_jira_scraper_spark.operators.text import ppl_bucket
+
+    scores = [(i, n, avg if n > 0 else 0) for i, (n, avg) in enumerate(rows)]
+    df = spark.createDataFrame(
+        [(d, n, 0, avg) for d, n, avg in scores],
+        "doc_id long, n_trigrams long, sum_logprob_en4 long, avg_logprob_en4 long",
+    )
+    ref = _py_ppl_bucket(scores)
+    got = {
+        r["doc_id"]: (r["bucket"], r["s_grid"], r["cut_lo"], r["cut_hi"])
+        for r in ppl_bucket(df).collect()
+    }
+    assert got == ref
