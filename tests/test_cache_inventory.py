@@ -54,6 +54,7 @@ EXPECTED_CACHES = {
         "_PPL_LEG_CACHE",
         "_VERDICT_LEG_CACHE",
     },
+    "operators/extended.py": {"_CMS_HH_CACHE"},
 }
 
 # Module-level dicts that are NOT session caches (never hold DataFrames

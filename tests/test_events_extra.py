@@ -42,3 +42,55 @@ def test_approx_distinct_matches_oracle(spark, sf_dir):
         sf_dir,
         name="approx_distinct_parts",
     )
+
+
+def test_cms_heavy_hitter_envelope_and_exactness(spark, sf_dir):
+    """The heavy-hitter leg on the real corpus: the exact top matches an
+    independent groupBy ranking (min-partkey tie-break), the count-min
+    verdict holds per flag, and the sketch actually probes a non-trivial
+    count (top_count > 1 somewhere — a degenerate all-ones table would
+    certify nothing)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.extended import q_cms_heavy_hitter
+    from pyspark.sql import functions as F
+
+    rows = q_cms_heavy_hitter(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    ref = {}
+    for r in (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ):
+        best = ref.get(r["l_returnflag"])
+        cand = (r["c"], -r["l_partkey"])
+        if best is None or cand > best:
+            ref[r["l_returnflag"]] = cand
+    assert {r["l_returnflag"] for r in rows} == set(ref)
+    for r in rows:
+        c, negk = ref[r["l_returnflag"]]
+        assert (r["top_count"], r["top_partkey"]) == (c, -negk)
+        assert r["cms_ok"] is True
+    assert any(r["top_count"] > 1 for r in rows)
+
+
+def test_cms_heavy_hitter_tiebreak_and_collision_bound(spark):
+    """Crafted frame: a two-way top tie resolves to the SMALLER partkey
+    (the deterministic contract both engines state), and the envelope
+    verdict stays true on a table dense enough that the sketch may
+    collide (estimate >= exact is the CMS guarantee under test)."""
+    from apache_jira_scraper_spark.operators.extended import q_cms_heavy_hitter
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="cms_tie_")
+    rows = [("A", 7)] * 3 + [("A", 5)] * 3 + [("A", 9)] + [
+        ("R", k) for k in range(50)
+    ] + [("R", 11)] * 4
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_partkey long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "lineitem.parquet"))
+    got = {r["l_returnflag"]: r for r in q_cms_heavy_hitter(spark, d).collect()}
+    assert (got["A"]["top_partkey"], got["A"]["top_count"]) == (5, 3)
+    assert (got["R"]["top_partkey"], got["R"]["top_count"]) == (11, 5)
+    assert got["A"]["cms_ok"] and got["R"]["cms_ok"]
