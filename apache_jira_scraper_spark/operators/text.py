@@ -704,6 +704,127 @@ ORDER BY m.doc_id
 """
 
 
+# Gopher document-quality rule constants (Rae et al. 2021 §A1.1, public).
+# Word-count and stopword floors are the paper's own (50 words, >=2
+# stopwords); the mean-word-length band is corpus-adapted ([4.00, 5.00]
+# chars in a 1e-2 grid — the paper's [3, 10] never fires on the synthetic
+# corpus, the same measured-distribution tightening as the verdict leg's
+# VERDICT_*_PPM thresholds) so the rule is live at every test SF; the
+# symbol-ratio and alpha-fraction caps are the paper's (10% / 80%) and are
+# certified-but-passing here (the corpus has no '#'/'...' symbols and every
+# token is alphabetic). The paper's bullet-/ellipsis-LINE rules are omitted:
+# the corpus has no newlines, so every doc is one line and the rule is
+# structurally constant, not merely passing.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO_C = 400  # mean word length, 1e-2 chars
+GOPHER_MWL_HI_C = 500
+GOPHER_SYM_PPM_MAX = 100_000  # '#'/'...'-token share <= 10%
+GOPHER_ALPHA_PPM_MIN = 800_000  # >=80% tokens contain [a-z]
+GOPHER_MIN_STOP = 2  # >=2 DISTINCT stopwords (STOPWORDS list)
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) with
+    first-failing-rule precedence — the canonical pretraining document
+    filter, next to the repo's own quality_score_bp formula.
+
+    Codes in precedence (paper) order: 'words' (count outside
+    [GOPHER_MIN_WORDS, GOPHER_MAX_WORDS]), 'mwl' (mean word length
+    outside the band), 'sym' (symbol-to-word ratio over the cap),
+    'alpha' (alphabetic-token fraction under the floor), 'stop' (fewer
+    than GOPHER_MIN_STOP distinct STOPWORDS), else 'keep'.
+
+    All arithmetic is integer (1e-2 char grid, ppm shares) so the DuckDB
+    oracle compares exactly. Zero shuffle: one narrow map over the shared
+    tokenized checkpoint — the repetition leg's scale shape.
+    """
+    toks = _toks_of(docs)
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.aggregate(
+            toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_len"),
+        F.size(
+            F.filter(toks, lambda t: t.contains("#") | t.contains("..."))
+        ).alias("n_sym"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).alias("n_alpha"),
+        F.size(
+            F.array_distinct(
+                F.filter(toks, lambda t: t.isin(*STOPWORDS))
+            )
+        ).alias("n_stop_d"),
+    )
+    m = base.select(
+        "doc_id",
+        "n",
+        F.expr("sum_len * 100 DIV n").alias("mwl_c100"),
+        F.expr("n_sym * 1000000 DIV n").alias("sym_ppm"),
+        F.expr("n_alpha * 1000000 DIV n").alias("alpha_ppm"),
+        "n_stop_d",
+    )
+    code = (
+        F.when(
+            (F.col("n") < GOPHER_MIN_WORDS) | (F.col("n") > GOPHER_MAX_WORDS),
+            F.lit("words"),
+        )
+        .when(
+            (F.col("mwl_c100") < GOPHER_MWL_LO_C)
+            | (F.col("mwl_c100") > GOPHER_MWL_HI_C),
+            F.lit("mwl"),
+        )
+        .when(F.col("sym_ppm") > GOPHER_SYM_PPM_MAX, F.lit("sym"))
+        .when(F.col("alpha_ppm") < GOPHER_ALPHA_PPM_MIN, F.lit("alpha"))
+        .when(F.col("n_stop_d") < GOPHER_MIN_STOP, F.lit("stop"))
+        .otherwise(F.lit("keep"))
+    )
+    return m.select(
+        "doc_id",
+        code.alias("code"),
+        (code == "keep").cast("bigint").alias("keep"),
+        F.col("n").cast("bigint").alias("n_words"),
+        F.col("mwl_c100").cast("bigint").alias("mwl_c100"),
+    ).orderBy("doc_id")
+
+
+def gopher_rules_sql(table: str = "documents") -> str:
+    """gopher_rules as one DuckDB query over the same integer grids; the
+    stopword list rides the shared _STOP_SQL fragment (review r13: a
+    hand-copied list is the drift class)."""
+    return f"""
+WITH gp_t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM {table}
+), gp_m AS (
+  SELECT doc_id, len(toks) AS n,
+         (SELECT SUM(length(x.t)) FROM unnest(toks) AS x(t)) * 100 // len(toks)
+           AS mwl_c100,
+         len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...')))
+           * 1000000 // len(toks) AS sym_ppm,
+         len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+           * 1000000 // len(toks) AS alpha_ppm,
+         len(list_distinct(list_filter(toks, t -> list_contains({_STOP_SQL}, t))))
+           AS n_stop_d
+  FROM gp_t
+), gp_c AS (
+  SELECT doc_id, n, mwl_c100,
+         CASE
+           WHEN n < {GOPHER_MIN_WORDS} OR n > {GOPHER_MAX_WORDS} THEN 'words'
+           WHEN mwl_c100 < {GOPHER_MWL_LO_C} OR mwl_c100 > {GOPHER_MWL_HI_C}
+             THEN 'mwl'
+           WHEN sym_ppm > {GOPHER_SYM_PPM_MAX} THEN 'sym'
+           WHEN alpha_ppm < {GOPHER_ALPHA_PPM_MIN} THEN 'alpha'
+           WHEN n_stop_d < {GOPHER_MIN_STOP} THEN 'stop'
+           ELSE 'keep'
+         END AS code
+  FROM gp_m
+)
+SELECT doc_id, code, CAST(code = 'keep' AS BIGINT) AS keep,
+       CAST(n AS BIGINT) AS n_words, CAST(mwl_c100 AS BIGINT) AS mwl_c100
+FROM gp_c ORDER BY doc_id
+"""
+
+
 def build_vocab(docs: DataFrame, vocab_size: int = 100) -> DataFrame:
     """Tokenizer-vocabulary induction: the `vocab_size` most frequent
     BPE-pretokenizer pieces across the corpus, ranked by (count DESC,
@@ -2373,6 +2494,10 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   n_tokens (r13 — tokenize-and-pack: the materialized
                   fixed-length training sequences, two-phase prefix sum
                   vs the oracle's direct cumsum)
+      gopher      id=doc_id, txt=first-failing rule code (words|mwl|sym|
+                  alpha|stop|keep), m1=keep, m2=n_words, m3=mean word
+                  length in a 1e-2 grid (r13 — the canonical Gopher
+                  §A1.1 document filter; integer grids, gp_ reserved)
 
     Scale shapes are the standalone operators', unchanged: repetition's
     zero-shuffle narrow map, the sweep's ~21-row band table, vocab's
@@ -2423,6 +2548,17 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_sent_ppm").cast("bigint").alias("m1"),
         F.col("dup_token_ppm").cast("bigint").alias("m2"),
         F.col("top_bigram_ppm").cast("bigint").alias("m3"),
+    )
+    # 17th leg (r13): the canonical Gopher document-rule filter — a
+    # zero-shuffle narrow map like the repetition leg (no session cache:
+    # nothing to amortize).
+    gopher = gopher_rules(docs).select(
+        F.lit("gopher").alias("leg"),
+        F.col("doc_id").alias("id"),
+        F.col("code").alias("txt"),
+        F.col("keep").alias("m1"),
+        F.col("n_words").alias("m2"),
+        F.col("mwl_c100").alias("m3"),
     )
     sweep = quality_threshold_sweep(docs).select(
         F.lit("sweep").alias("leg"),
@@ -2560,7 +2696,8 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sampled").cast("bigint").alias("m3"),
     )
     return (
-        rep.unionByName(sweep)
+        rep.unionByName(gopher)
+        .unionByName(sweep)
         .unionByName(vocab)
         .unionByName(enc)
         .unionByName(uni)
@@ -2605,6 +2742,11 @@ SELECT 'repetition' AS leg, doc_id AS id, '' AS txt,
        CAST(dup_sent_ppm AS BIGINT) AS m1, CAST(dup_token_ppm AS BIGINT) AS m2,
        CAST(top_bigram_ppm AS BIGINT) AS m3
 FROM rpb
+UNION ALL
+SELECT 'gopher' AS leg, doc_id AS id, code AS txt,
+       CAST(keep AS BIGINT) AS m1, CAST(n_words AS BIGINT) AS m2,
+       CAST(mwl_c100 AS BIGINT) AS m3
+FROM ({gopher_rules_sql()})
 UNION ALL
 SELECT 'sweep' AS leg, threshold_bp AS id, '' AS txt,
        CAST(n_docs_kept AS BIGINT), CAST(n_tokens_kept AS BIGINT),

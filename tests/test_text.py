@@ -780,3 +780,103 @@ def test_pack_token_ids_no_global_window_on_corpus(spark, sf_dir):
             and "row_number" not in seg
         ):
             raise AssertionError(f"unexpected unpartitioned window: {seg}")
+
+
+def test_gopher_rules_matches_oracle(spark, sf_dir):
+    """Cross-engine parity of the Gopher document-rule filter (code,
+    keep flag, and the two certified numerics)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        gopher_rules,
+        gopher_rules_sql,
+    )
+
+    assert_matches_oracle(
+        gopher_rules(load_table(spark, sf_dir, "documents")),
+        gopher_rules_sql(),
+        sf_dir,
+        name="gopher_rules",
+    )
+
+
+def test_gopher_rules_nonvacuous(spark, sf_dir):
+    """At every test SF the corpus-adapted thresholds keep >=3 codes
+    live ('keep' plus at least two distinct failure codes) — the
+    verdict-leg discipline for a filter gate."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import gopher_rules
+
+    rows = gopher_rules(load_table(spark, sf_dir, "documents")).collect()
+    codes = {r["code"] for r in rows}
+    assert "keep" in codes and len(codes) >= 3, codes
+    keeps = {r["code"] for r in rows if r["keep"] == 1}
+    assert keeps == {"keep"}
+
+
+def test_gopher_rules_crafted_every_branch(spark):
+    """Hand-built docs firing each rule in precedence order — including
+    the 'sym' and 'alpha' branches that never fire on the synthetic
+    corpus (certified-but-passing there, live here)."""
+    from apache_jira_scraper_spark.operators.text import gopher_rules
+
+    docs = spark.createDataFrame(
+        [
+            (0, "tiny doc"),  # words (n=2 < 50)
+            (1, " ".join(["ab"] * 60)),  # mwl low (200)
+            # mwl stays in band (all length-5 tokens) so the later rules
+            # are reachable: 8/60 '#'-tokens = 13% > 10% -> sym
+            (2, " ".join(["weird"] * 52 + ["#####"] * 8)),
+            (3, " ".join(["weird"] * 45 + ["12345"] * 15)),  # alpha 75% < 80%
+            (4, " ".join(["data", "word", "lines"] * 20)),  # stop (0 distinct)
+            (5, " ".join(["the", "and", "vector", "table"] * 15)),  # keep
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["code"] for r in gopher_rules(docs).collect()}
+    assert got == {0: "words", 1: "mwl", 2: "sym", 3: "alpha", 4: "stop", 5: "keep"}
+
+
+def test_gopher_rules_python_model(spark, sf_dir):
+    """Row-for-row agreement with an independent pure-Python model of the
+    published rule set (integer grids, first-failing precedence)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.text import (
+        GOPHER_ALPHA_PPM_MIN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_STOP,
+        GOPHER_MIN_WORDS,
+        GOPHER_MWL_HI_C,
+        GOPHER_MWL_LO_C,
+        GOPHER_SYM_PPM_MAX,
+        STOPWORDS,
+        gopher_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    texts = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+
+    def model(text: str) -> tuple[str, int, int, int]:
+        toks = text.split(" ")
+        n = len(toks)
+        mwl = sum(len(t) for t in toks) * 100 // n
+        sym = sum(1 for t in toks if "#" in t or "..." in t) * 1_000_000 // n
+        alpha = sum(1 for t in toks if any("a" <= c <= "z" for c in t)) * 1_000_000 // n
+        nstop = len({t for t in toks if t in STOPWORDS})
+        if n < GOPHER_MIN_WORDS or n > GOPHER_MAX_WORDS:
+            code = "words"
+        elif mwl < GOPHER_MWL_LO_C or mwl > GOPHER_MWL_HI_C:
+            code = "mwl"
+        elif sym > GOPHER_SYM_PPM_MAX:
+            code = "sym"
+        elif alpha < GOPHER_ALPHA_PPM_MIN:
+            code = "alpha"
+        elif nstop < GOPHER_MIN_STOP:
+            code = "stop"
+        else:
+            code = "keep"
+        return code, int(code == "keep"), n, mwl
+
+    for r in gopher_rules(docs).collect():
+        assert (r["code"], r["keep"], r["n_words"], r["mwl_c100"]) == model(
+            texts[r["doc_id"]]
+        ), r["doc_id"]
