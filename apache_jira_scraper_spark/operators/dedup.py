@@ -1461,6 +1461,7 @@ ORDER BY cluster_id, doc_id
 
 _SEM_IVF_CACHE: dict = {}
 _SEM_LSH_CACHE: dict = {}
+_SEM_PROTO_CACHE: dict = {}
 
 
 def _sem_lsh_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1514,6 +1515,24 @@ def _sem_ivf_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(_SEM_IVF_CACHE, spark, (sf_dir,), _build)
 
 
+def _sem_proto_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached D4 prototype-prune leg: exact-discipline training
+    (bounded collect + driver numpy) + ivf.density_prune's histogram-
+    cutoff keep labels, checkpointed once per (session, sf_dir)."""
+    from ..io import session_cached
+    from .ivf import density_prune, ivf_build_exact
+    from .similarity import _emb
+
+    def _build() -> DataFrame:
+        emb = _emb(spark, sf_dir)
+        cents = ivf_build_exact(emb)
+        return density_prune(
+            emb.select("vec_id", "e"), cents, ordered=False
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_SEM_PROTO_CACHE, spark, (sf_dir,), _build)
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup driver gate, two union-tagged legs since r11 on
     (leg, vec_id, cluster_id, kept):
@@ -1535,18 +1554,35 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both legs end-to-end exact against DuckDB's recursive-CTE closures
     over the identical pair SQL. r12: both legs ride session caches —
-    the lsh leg's component rounds were recomputed per call."""
+    the lsh leg's component rounds were recomputed per call.
+
+    r13 third leg, the step AFTER SemDeDup in the D4 recipe
+    (Tirumala et al. 2023):
+
+      proto the density/prototype prune — within each exact-IVF cell,
+            drop the DENSITY_PRUNE_PPM fraction of vectors nearest
+            their centroid via ivf.density_prune's bounded-histogram
+            cutoff (never a per-cell global sort). cluster_id carries
+            the cell id; the hash covers every keep/drop bit against
+            the ivq_proto CTE twin (ivf_exact_sql_ctes(proto_ppm=...)).
+    """
     lsh = _sem_lsh_leg_cached(spark, sf_dir).select(
         F.lit("lsh").alias("leg"), "vec_id", "cluster_id", "kept"
     )
     ivf = _sem_ivf_leg_cached(spark, sf_dir).select(
         F.lit("ivf").alias("leg"), "vec_id", "cluster_id", "kept"
     )
-    return lsh.unionByName(ivf).orderBy("leg", "vec_id")
+    proto = _sem_proto_leg_cached(spark, sf_dir).select(
+        F.lit("proto").alias("leg"),
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster_id"),
+        "kept",
+    )
+    return lsh.unionByName(ivf).unionByName(proto).orderBy("leg", "vec_id")
 
 
 def _semantic_dedup_sql() -> str:
-    from .ivf import ivf_exact_sql_ctes
+    from .ivf import DENSITY_PRUNE_PPM, ivf_exact_sql_ctes
 
     return f"""
 WITH RECURSIVE sem_pairs AS (
@@ -1569,7 +1605,7 @@ reach(node, nbr) AS (
 lbl AS (
   SELECT node, LEAST(node, MIN(nbr)) AS cluster_id FROM reach GROUP BY node
 ),
-{ivf_exact_sql_ctes()},
+{ivf_exact_sql_ctes(proto_ppm=DENSITY_PRUNE_PPM)},
 iedges AS (
   SELECT v1 AS node, v2 AS nbr FROM ivq_pairs
   UNION
@@ -1592,6 +1628,9 @@ SELECT 'ivf' AS leg, v.vec_id,
        COALESCE(il.cluster_id, v.vec_id) AS cluster_id,
        v.vec_id = COALESCE(il.cluster_id, v.vec_id) AS kept
 FROM embeddings v LEFT JOIN ilbl il ON v.vec_id = il.node
+UNION ALL
+SELECT 'proto' AS leg, vec_id, CAST(cid AS BIGINT) AS cluster_id, kept
+FROM ivq_proto
 ORDER BY leg, vec_id
 """
 

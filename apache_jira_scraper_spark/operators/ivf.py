@@ -509,9 +509,12 @@ def ivf_assign_exact(
     vec_col: str = "e",
     nprobe: int = 1,
     id_col: str = "vec_id",
+    dist_col: str | None = None,
 ) -> DataFrame:
     """nprobe-way assignment under the exact discipline: distances rounded
-    to 6 decimals before the (d, cid) ranking.
+    to 6 decimals before the (d, cid) ranking. ``dist_col`` (optional)
+    additionally emits that rounded distance — same expression the
+    ranking uses, so consumers (density_prune) never recompute it.
 
     r12: broadcast-join + row_number form instead of the k-struct literal
     expression. The outputs are identical (the fold over a broadcast
@@ -531,12 +534,81 @@ def ivf_assign_exact(
     keys = list(emb.columns)
     d = F.round(_sqdist(F.col(vec_col), F.col("centroid")), 6)
     w = Window.partitionBy(id_col).orderBy(d.asc(), F.col("cid").asc())
+    extra = [d.alias(dist_col)] if dist_col else []
     return (
         emb.join(F.broadcast(centroids))
-        .withColumn("_rn", F.row_number().over(w))
+        .select(*keys, "cid", *extra, F.row_number().over(w).alias("_rn"))
         .filter(F.col("_rn") <= nprobe)
-        .select(*keys, "cid")
+        .drop("_rn")
     )
+
+
+# D4-style prototype pruning (Tirumala et al. 2023, arXiv:2308.12284):
+# after semantic dedup, the docs CLOSEST to their cluster centroid are the
+# most prototypical/redundant region of the cluster — dropping a fixed
+# fraction of them diversifies the corpus. Fraction in ppm (integer math).
+DENSITY_PRUNE_PPM = 250_000
+# histogram grid: micro-distances (rounded-6 dist * 1e6) DIV this. 64-dim
+# unit-scale embeddings put squared L2 in [0, ~4] -> <= ~4k buckets per
+# cell -> the cutoff table stays bounded at any corpus size.
+DENSITY_GRID = 1000
+
+
+def density_prune(
+    emb: DataFrame,
+    centroids: DataFrame,
+    prune_ppm: int = DENSITY_PRUNE_PPM,
+    grid: int = DENSITY_GRID,
+    vec_col: str = "e",
+    id_col: str = "vec_id",
+    ordered: bool = True,
+) -> DataFrame:
+    """D4 density/prototype pruning: within each quantizer cell, drop the
+    ``prune_ppm``-fraction of vectors NEAREST their centroid (most
+    prototypical), keeping the diverse remainder. Returns
+    (id, cid, kept) for every input row.
+
+    The per-cell quantile is NOT a per-cell global sort (k=16 cells would
+    funnel corpus/16 rows through single tasks — the skew-by-construction
+    shape _PAIR_SALT exists to kill): it is the ppl_bucket pattern — a
+    BOUNDED histogram of integer milli-distances per cell (map-side
+    combinable groupBy), a tiny cumulative window over <= ~4k buckets x k
+    cells, and the k-row cutoff table broadcast back. kept = bucket >=
+    cutoff, value-only tie policy: the boundary bucket survives whole, so
+    the realized drop fraction is <= prune_ppm, short by at most the
+    boundary bucket's mass (exactly CCNet ppl_bucket's cutoff
+    semantics). Corpus-wide cost: the assignment's one per-id exchange +
+    one histogram aggregation; the join back is a broadcast.
+
+    Integer discipline end-to-end (micro-dist CAST, DIV grid, ppm quota)
+    so the DuckDB twin (ivf_exact_sql_ctes(proto_ppm=...)) compares
+    exactly; rounded-6 distances are within 1 ulp of integral after *1e6,
+    so the CAST-ROUND is engine-stable (the exact-family argument).
+    """
+    asg = ivf_assign_exact(
+        emb, centroids, vec_col=vec_col, nprobe=1, id_col=id_col, dist_col="_d"
+    )
+    b = F.expr(f"CAST(ROUND(_d * 1000000, 0) AS BIGINT) div {int(grid)}")
+    asgb = asg.select(id_col, "cid", b.alias("b"))
+    hist = asgb.groupBy("cid", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("cid").orderBy("b")
+    cut = (
+        hist.select(
+            "cid",
+            "b",
+            F.sum("cnt").over(wcum).alias("cum"),
+            F.sum("cnt").over(Window.partitionBy("cid")).alias("n_cell"),
+        )
+        .filter(F.col("cum") >= F.expr(f"(n_cell * {int(prune_ppm)}) div 1000000"))
+        .groupBy("cid")
+        .agg(F.min("b").alias("cutoff"))
+    )
+    out = asgb.join(F.broadcast(cut), "cid").select(
+        id_col,
+        "cid",
+        (F.col("b") >= F.col("cutoff")).alias("kept"),
+    )
+    return out.orderBy(id_col) if ordered else out
 
 
 # salt width for the cell-keyed pair self-join: with only k (=16) join keys
@@ -605,12 +677,21 @@ def ivf_exact_sql_ctes(
     train_sample: int = IVF_EXACT_SAMPLE,
     nprobe: int = 2,
     threshold: float = 0.25,
+    proto_ppm: int | None = None,
+    proto_grid: int = DENSITY_GRID,
 ) -> str:
     """DuckDB CTE chain training the SAME exact model IN SQL (fixed-depth,
     like pagerank_sql_ctes — no literal centroids, so the oracle string
     stays SF-generic) and emitting the blocked-verified pair set as
     ``ivq_pairs(v1, v2, cosine)``. Prefix ``ivq_`` reserved (embedded-
-    oracle namespace ritual). Expects the ``embeddings`` view."""
+    oracle namespace ritual). Expects the ``embeddings`` view.
+
+    ``proto_ppm`` (r13) additionally appends density_prune's twin —
+    ``ivq_proto(vec_id, cid, kept)``: nprobe-1 assignment with the
+    rounded distance, milli-bucket histogram, per-cell ppm-quota cutoff,
+    kept = bucket >= cutoff (value-only ties, boundary bucket survives).
+    Default None keeps the emitted string byte-identical for existing
+    embedders (corpus_report)."""
 
     def dist(v: str, c: str) -> str:
         return (
@@ -678,4 +759,39 @@ def ivf_exact_sql_ctes(
         f"  WHERE ROUND(list_cosine_similarity(a.e, b.e), 4) >= {threshold}\n"
         f")"
     )
+    if proto_ppm is not None:
+        parts.append(
+            f"ivq_p_asg AS (\n"
+            f"  SELECT vec_id, cid,\n"
+            f"         CAST(ROUND(d * 1000000, 0) AS BIGINT) // {int(proto_grid)} AS b\n"
+            f"  FROM (\n"
+            f"    SELECT v.vec_id, c.cid, {dist('v.e', 'c.c')} AS d,\n"
+            f"           ROW_NUMBER() OVER (PARTITION BY v.vec_id\n"
+            f"             ORDER BY {dist('v.e', 'c.c')}, c.cid) AS rn\n"
+            f"    FROM ivq_emb v CROSS JOIN {prev} c\n"
+            f"  ) WHERE rn = 1\n"
+            f")"
+        )
+        parts.append(
+            "ivq_p_hist AS (\n"
+            "  SELECT cid, b, COUNT(1) AS cnt FROM ivq_p_asg GROUP BY cid, b\n"
+            ")"
+        )
+        parts.append(
+            f"ivq_p_cut AS (\n"
+            f"  SELECT cid, MIN(b) AS cutoff FROM (\n"
+            f"    SELECT cid, b,\n"
+            f"           SUM(cnt) OVER (PARTITION BY cid ORDER BY b) AS cum,\n"
+            f"           SUM(cnt) OVER (PARTITION BY cid) AS n_cell\n"
+            f"    FROM ivq_p_hist\n"
+            f"  ) WHERE cum >= (n_cell * {int(proto_ppm)}) // 1000000\n"
+            f"  GROUP BY cid\n"
+            f")"
+        )
+        parts.append(
+            "ivq_proto AS (\n"
+            "  SELECT a.vec_id, a.cid, a.b >= c.cutoff AS kept\n"
+            "  FROM ivq_p_asg a JOIN ivq_p_cut c USING (cid)\n"
+            ")"
+        )
     return ",\n".join(parts)

@@ -724,7 +724,7 @@ GOPHER_ALPHA_PPM_MIN = 800_000  # >=80% tokens contain [a-z]
 GOPHER_MIN_STOP = 2  # >=2 DISTINCT stopwords (STOPWORDS list)
 
 
-def gopher_rules(docs: DataFrame) -> DataFrame:
+def gopher_rules(docs: DataFrame, ordered: bool = True) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021 §A1.1) with
     first-failing-rule precedence — the canonical pretraining document
     filter, next to the repo's own quality_score_bp formula.
@@ -738,6 +738,8 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
     All arithmetic is integer (1e-2 char grid, ppm shares) so the DuckDB
     oracle compares exactly. Zero shuffle: one narrow map over the shared
     tokenized checkpoint — the repetition leg's scale shape.
+    ``ordered=False`` skips the presentation sort (the gate union
+    re-sorts — the established ordered-flag convention).
     """
     toks = _toks_of(docs)
     base = docs.select(
@@ -779,13 +781,14 @@ def gopher_rules(docs: DataFrame) -> DataFrame:
         .when(F.col("n_stop_d") < GOPHER_MIN_STOP, F.lit("stop"))
         .otherwise(F.lit("keep"))
     )
-    return m.select(
+    out = m.select(
         "doc_id",
         code.alias("code"),
         (code == "keep").cast("bigint").alias("keep"),
         F.col("n").cast("bigint").alias("n_words"),
         F.col("mwl_c100").cast("bigint").alias("mwl_c100"),
-    ).orderBy("doc_id")
+    )
+    return out.orderBy("doc_id") if ordered else out
 
 
 def gopher_rules_sql(table: str = "documents") -> str:
@@ -2552,7 +2555,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 17th leg (r13): the canonical Gopher document-rule filter — a
     # zero-shuffle narrow map like the repetition leg (no session cache:
     # nothing to amortize).
-    gopher = gopher_rules(docs).select(
+    gopher = gopher_rules(docs, ordered=False).select(
         F.lit("gopher").alias("leg"),
         F.col("doc_id").alias("id"),
         F.col("code").alias("txt"),

@@ -35,6 +35,7 @@ EXPECTED_CACHES = {
         "_LABELS_CACHE",
         "_SEM_IVF_CACHE",
         "_SEM_LSH_CACHE",
+        "_SEM_PROTO_CACHE",
         "_SUBSTR_LEG_CACHE",
     },
     "operators/multimodal.py": {"_PHASH_TABLES", "_PHASH_PAIRS", "_MEDIA_CLUSTERS"},

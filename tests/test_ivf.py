@@ -281,11 +281,13 @@ def test_exact_ivf_leg_differs_from_lsh_leg(spark, sf_dir):
     from apache_jira_scraper_spark.operators.dedup import q_semantic_dedup
 
     rows = q_semantic_dedup(spark, sf_dir).collect()
-    legs: dict = {"lsh": {}, "ivf": {}}
+    legs: dict = {"lsh": {}, "ivf": {}, "proto": {}}
     for r in rows:
         legs[r["leg"]][r["vec_id"]] = (r["cluster_id"], r["kept"])
-    assert set(legs["lsh"]) == set(legs["ivf"])  # same vector universe
+    assert set(legs["lsh"]) == set(legs["ivf"]) == set(legs["proto"])
     assert legs["lsh"] != legs["ivf"]
+    # and the r13 proto leg is not a clone of either dedup leg
+    assert legs["proto"] != legs["lsh"] and legs["proto"] != legs["ivf"]
 
 
 def test_round_half_away_matches_engines():
@@ -312,3 +314,89 @@ def test_round_half_away_vectorized_is_same_definition():
     vec = _round_half_away(np.asarray(grid))
     for g, v in zip(grid, vec):
         assert _round_half_away(g) == v
+
+
+def test_density_prune_crafted_cutoff():
+    """Hand-checkable D4 prune (r13): explicit 2-D centroids, one live
+    cell with known squared distances 0.25/1.44/2.89/4.0/6.25 -> buckets
+    0/1/2/4/6 at grid=1e6 (whole units). quota = floor(5 * 0.5) = 2, cum
+    hits 2 at bucket 1 -> cutoff 1: ONLY the bucket-0 point drops, and
+    the boundary bucket survives whole (value-only tie policy)."""
+    from apache_jira_scraper_spark.operators.ivf import density_prune
+    from apache_jira_scraper_spark.session import get_spark
+
+    spark = get_spark()
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [100.0, 100.0])],
+        "cid int, centroid array<double>",
+    )
+    pts = [
+        (10, [0.5, 0.0]),  # d2 = 0.25 -> b0 (the one drop)
+        (11, [1.2, 0.0]),  # 1.44 -> b1 (boundary, kept)
+        (12, [0.0, 1.7]),  # 2.89 -> b2
+        (13, [2.0, 0.0]),  # 4.00 -> b4
+        (14, [1.5, 2.0]),  # 6.25 -> b6
+    ]
+    emb = spark.createDataFrame(pts, "vec_id bigint, e array<double>")
+    got = {
+        r["vec_id"]: (r["cid"], r["kept"])
+        for r in density_prune(
+            emb, cents, prune_ppm=500_000, grid=1_000_000
+        ).collect()
+    }
+    assert got == {
+        10: (0, False),
+        11: (0, True),
+        12: (0, True),
+        13: (0, True),
+        14: (0, True),
+    }
+
+
+def test_density_prune_cross_engine_parity(spark, sf_dir):
+    """density_prune vs the ivq_proto CTE twin, bit for bit — the
+    property the semantic_dedup gate's proto leg rests on, checked
+    standalone (the exact-family pattern)."""
+    import duckdb
+
+    from apache_jira_scraper_spark.operators.ivf import (
+        DENSITY_PRUNE_PPM,
+        density_prune,
+        ivf_build_exact,
+        ivf_exact_sql_ctes,
+    )
+    from apache_jira_scraper_spark.operators.similarity import _emb
+
+    emb = _emb(spark, sf_dir)
+    cents = ivf_build_exact(emb)
+    got = [
+        (r["vec_id"], r["cid"], r["kept"])
+        for r in density_prune(emb.select("vec_id", "e"), cents).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/embeddings.parquet')"
+    )
+    want = [
+        (v, c, bool(k))
+        for v, c, k in con.execute(
+            f"WITH {ivf_exact_sql_ctes(proto_ppm=DENSITY_PRUNE_PPM)} "
+            "SELECT vec_id, cid, kept FROM ivq_proto ORDER BY vec_id"
+        ).fetchall()
+    ]
+    assert got == want
+    dropped = sum(1 for _, _, k in got if not k)
+    assert dropped, "prune dropped nothing — the parity certifies nothing"
+    # realized drop fraction never exceeds the ppm quota (value-only
+    # ties only UNDER-prune), summed per cell so the bound is the tight
+    # per-cell one, not the aggregate
+    from collections import Counter
+
+    n_cell: Counter = Counter()
+    d_cell: Counter = Counter()
+    for _, c, k in got:
+        n_cell[c] += 1
+        d_cell[c] += 0 if k else 1
+    for c in n_cell:
+        assert d_cell[c] <= n_cell[c] * DENSITY_PRUNE_PPM // 1_000_000

@@ -330,10 +330,25 @@ def main_text() -> int:
         _clear_text_session_caches()
         s10 = plan_shape(fn(spark, dir10))
         ratio = t10 / t1 if t1 > 0 else float("inf")
+
+        # r13 (100x dedup run): AQE demotes the pair-graph BHJs to
+        # SortMergeJoin once the build side outgrows the broadcast
+        # threshold — the scale-CORRECT adaptation (the relational
+        # probe's q3 precedent), but each demoted join re-plans up to 2
+        # exchanges (one per side). The contract is therefore
+        # directional like main()'s: no promotion toward broadcast,
+        # join count unchanged, exchange growth bounded by the
+        # demotion accounting, never cartesian.
+        def n(shape, key):
+            return sum(v for k, v in shape["joins"].items() if key in k)
+
+        demoted = max(0, n(s1, "BroadcastHashJoin") - n(s10, "BroadcastHashJoin"))
         gate_ok = (
             ratio <= SLOPE_CAP
-            and s10["exchanges"] <= s1["exchanges"]
+            and s10["exchanges"] <= s1["exchanges"] + 2 * demoted
             and sum(s10["joins"].values()) == sum(s1["joins"].values())
+            and n(s10, "BroadcastHashJoin") <= n(s1, "BroadcastHashJoin")
+            and n(s10, "BroadcastNestedLoop") <= n(s1, "BroadcastNestedLoop")
             and not s1["cartesian"]
             and not s10["cartesian"]
         )
@@ -450,8 +465,11 @@ def main_stream() -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale10"
-    print(f"building 10x exploded tables under {out_dir} ...", flush=True)
-    build_exploded(sf_dir, out_dir)
+    # r13: factor argument completes the relational ladder (10x default;
+    # the stale-dir row-count validation above already scales with it)
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    print(f"building {factor}x exploded tables under {out_dir} ...", flush=True)
+    build_exploded(sf_dir, out_dir, factor)
 
     from pyspark.sql import SparkSession
 
@@ -474,7 +492,10 @@ def main() -> int:
 
     results = {}
     ok = True
+    only = set(os.environ.get("SCALE_PROBE_GATES", "").split(",")) - {""}
     for g in GATES:
+        if only and g not in only:
+            continue
         fn = qs[g]
         # untimed warmup at BOTH scales first: the first execution of a
         # gate pays plan compile + JIT, which otherwise lands entirely on
