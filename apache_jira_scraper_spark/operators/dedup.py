@@ -1524,11 +1524,17 @@ def _sem_proto_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import _emb
 
     def _build() -> DataFrame:
+        from ..io import free_local_checkpoint
+
         emb = _emb(spark, sf_dir)
         cents = ivf_build_exact(emb)
-        return density_prune(
-            emb.select("vec_id", "e"), cents, ordered=False
+        scratch: list = []
+        out = density_prune(
+            emb.select("vec_id", "e"), cents, ordered=False, scratch_out=scratch
         ).localCheckpoint(eager=True)
+        for df in scratch:
+            free_local_checkpoint(df)
+        return out
 
     return session_cached(_SEM_PROTO_CACHE, spark, (sf_dir,), _build)
 

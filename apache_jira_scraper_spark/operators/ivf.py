@@ -562,6 +562,7 @@ def density_prune(
     vec_col: str = "e",
     id_col: str = "vec_id",
     ordered: bool = True,
+    scratch_out: list | None = None,
 ) -> DataFrame:
     """D4 density/prototype pruning: within each quantizer cell, drop the
     ``prune_ppm``-fraction of vectors NEAREST their centroid (most
@@ -584,12 +585,23 @@ def density_prune(
     so the DuckDB twin (ivf_exact_sql_ctes(proto_ppm=...)) compares
     exactly; rounded-6 distances are within 1 ulp of integral after *1e6,
     so the CAST-ROUND is engine-stable (the exact-family argument).
+
+    The bucketed assignment feeds BOTH the histogram and the final
+    labels; lazy, Spark re-derives it per consumer (two corpus passes —
+    the executed-plan reading in EXPLAIN.md r13). Pass ``scratch_out``
+    to materialize the 3-column frame once via localCheckpoint instead;
+    the checkpoint is appended for the CALLER to free after it
+    materializes the result (the bpe_segment ownership convention —
+    never silently pinned).
     """
     asg = ivf_assign_exact(
         emb, centroids, vec_col=vec_col, nprobe=1, id_col=id_col, dist_col="_d"
     )
     b = F.expr(f"CAST(ROUND(_d * 1000000, 0) AS BIGINT) div {int(grid)}")
     asgb = asg.select(id_col, "cid", b.alias("b"))
+    if scratch_out is not None:
+        asgb = asgb.localCheckpoint(eager=True)
+        scratch_out.append(asgb)
     hist = asgb.groupBy("cid", "b").agg(F.count(F.lit(1)).alias("cnt"))
     wcum = Window.partitionBy("cid").orderBy("b")
     cut = (
