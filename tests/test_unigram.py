@@ -1,0 +1,226 @@
+"""Unigram-LM tokenizer (operators/unigram.py): cross-checked against an
+INDEPENDENT pure-Python implementation of the same spec (the bpe
+Sennrich-parity pattern) plus crafted hand-checkable cases. The Spark DP
+adds integer 1e-4-nat scores, so parity is exact — no tolerance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from apache_jira_scraper_spark.operators.unigram import (
+    UNI_MAX_PIECE,
+    _NEG,
+    unigram_encode,
+    unigram_segment,
+    unigram_train,
+)
+
+
+# ---------- independent reference (dict-based, no Spark) ----------
+
+
+def ref_viterbi(w: str, lp: dict[str, int], L: int) -> list[str]:
+    n = len(w)
+    dp: list[tuple[int, int]] = [(0, 0)]
+    for i in range(1, n + 1):
+        best = None
+        for length in range(1, min(L, i) + 1):
+            s = dp[i - length][0] + lp.get(w[i - length : i], _NEG)
+            cand = (s, length)  # tuple max == (score, then LONGER piece)
+            if best is None or cand > best:
+                best = cand
+        dp.append(best)
+    out: list[str] = []
+    i = n
+    while i > 0:
+        length = dp[i][1]
+        out.insert(0, w[i - length : i])
+        i -= length
+    return out
+
+
+def ref_train(
+    texts: list[str], vocab_size: int, n_rounds: int, L: int
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Returns (counts, lp_e4) after training — the same spec as
+    unigram_train, written independently against dicts."""
+    freq: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                freq[w] = freq.get(w, 0) + 1
+    sub: dict[str, int] = {}
+    for w, f in freq.items():
+        for i in range(len(w)):
+            for length in range(1, min(L, len(w) - i) + 1):
+                p = w[i : i + length]
+                sub[p] = sub.get(p, 0) + f
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    assert chars, "empty corpus"
+    budget = max(0, vocab_size - len(chars))
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in sub.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:budget]
+    )
+    counts = {**chars, **multi}
+
+    def lp_of(cnt: dict[str, int]) -> dict[str, int]:
+        total = sum(cnt.values())
+        return {p: round(math.log(c / total) * 10_000) for p, c in cnt.items()}
+
+    lp = lp_of(counts)
+    for _ in range(n_rounds):
+        used: dict[str, int] = {}
+        for w, f in freq.items():
+            for p in ref_viterbi(w, lp, L):
+                used[p] = used.get(p, 0) + f
+        counts = {
+            p: used.get(p, 0) + (1 if len(p) == 1 else 0)
+            for p in counts
+            if len(p) == 1 or used.get(p, 0) > 0
+        }
+        lp = lp_of(counts)
+    return counts, lp
+
+
+def ref_layout(counts: dict[str, int]) -> list[str]:
+    singles = sorted(p for p in counts if len(p) == 1)
+    multis = [
+        p
+        for p, _ in sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+    ]
+    return singles + multis
+
+
+# ---------- tests ----------
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    from apache_jira_scraper_spark.io import load_table
+
+    return load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+
+def test_train_matches_reference_end_to_end(spark, docs):
+    """Full cross-implementation parity on the real corpus: vocab
+    (pieces, counts, integer scores, id layout) AND the Viterbi
+    segmentation of every document."""
+    texts = [r["text"] for r in docs.collect()]
+    v = unigram_train(docs, vocab_size=80, n_rounds=2, max_piece=3)
+    rows = v.orderBy("id").collect()
+    counts, lp = ref_train(texts, vocab_size=80, n_rounds=2, L=3)
+    assert [r["piece"] for r in rows] == ref_layout(counts)
+    assert {r["piece"]: r["cnt"] for r in rows} == counts
+    assert {r["piece"]: r["lp_e4"] for r in rows} == lp
+
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_segment(docs, v, max_piece=3).collect()
+    }
+    by_id = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for did, text in by_id.items():
+        want: list[str] = []
+        for w in text.split(" "):
+            if w:
+                want.extend(ref_viterbi(w, lp, 3))
+        assert got[did] == want, did
+
+
+def test_crafted_learns_repeated_piece(spark):
+    """'ab' dominates a corpus of ab-repeats: the trained model must
+    segment 'ababab' into three 'ab' pieces, and an UNSEEN word must
+    still segment (total Viterbi — chars fall back via the NEG floor)."""
+    docs = spark.createDataFrame(
+        [(0, "ab abab ababab ab abab"), (1, "ab ababab cd")],
+        "doc_id bigint, text string",
+    )
+    v = unigram_train(docs, vocab_size=20, n_rounds=2, max_piece=2)
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_segment(
+            spark.createDataFrame(
+                [(0, "ababab"), (1, "abxq")], "doc_id bigint, text string"
+            ),
+            v,
+            max_piece=2,
+        ).collect()
+    }
+    assert got[0] == ["ab", "ab", "ab"]
+    assert "".join(got[1]) == "abxq"  # unseen chars still segment
+
+
+def test_segmentation_is_lossless(spark, docs):
+    """Concatenating every doc's pieces reproduces its words exactly —
+    the coverage guarantee the single-char floor exists for."""
+    v = unigram_train(docs, vocab_size=60, n_rounds=1, max_piece=3)
+    seg = unigram_segment(docs, v, max_piece=3)
+    joined = docs.join(seg, "doc_id").select(
+        "doc_id",
+        F.concat_ws("", "pieces").alias("glued"),
+        F.regexp_replace("text", " ", "").alias("flat"),
+    )
+    bad = joined.filter(F.col("glued") != F.col("flat")).count()
+    assert bad == 0
+
+
+def test_encode_ids_roundtrip(spark, docs):
+    """unigram_encode ids decode back to the segmentation through the
+    vocab table; no id is the unk sentinel (training corpus == encode
+    corpus, so every piece is in-vocab)."""
+    v = unigram_train(docs, vocab_size=60, n_rounds=1, max_piece=3)
+    id2p = {r["id"]: r["piece"] for r in v.collect()}
+    enc = {
+        r["doc_id"]: r["ids"]
+        for r in unigram_encode(docs, v, max_piece=3).collect()
+    }
+    seg = {
+        r["doc_id"]: r["pieces"]
+        for r in unigram_segment(docs, v, max_piece=3).collect()
+    }
+    assert set(enc) == set(seg)
+    for did, ids in enc.items():
+        assert -1 not in ids
+        assert [id2p[i] for i in ids] == seg[did]
+
+
+def test_empty_corpus_raises(spark):
+    docs = spark.createDataFrame([(0, "")], "doc_id bigint, text string")
+    with pytest.raises(Exception, match="empty corpus"):
+        unigram_train(docs, vocab_size=10, n_rounds=1, max_piece=2)
+
+
+def test_viterbi_is_zero_shuffle_per_word(spark, docs):
+    """The per-distinct-word segmentation subtree must contain no
+    exchange beyond the word-distinct one: training's EM segmentation
+    pass is a narrow fold (the scale claim in the module docstring)."""
+    from apache_jira_scraper_spark.operators.unigram import (
+        _model_map,
+        _viterbi_cols,
+    )
+
+    v = unigram_train(docs, vocab_size=40, n_rounds=1, max_piece=3)
+    lp = _model_map(v)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
+    pieces, _ = _viterbi_cols(F.col("w"), lp, 3)
+    plan = (
+        words.select("w", pieces.alias("p"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # the DP adds NO join/window; the only aggregate is the distinct's
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Aggregate") <= 2  # partial+final of distinct
