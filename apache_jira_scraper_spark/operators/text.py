@@ -2125,6 +2125,63 @@ _DSIR_LEG_CACHE: dict = {}
 _TOKPACK_LEG_CACHE: dict = {}
 _PPL_LEG_CACHE: dict = {}
 _VERDICT_LEG_CACHE: dict = {}
+_UNITOK_LEG_CACHE: dict = {}
+
+
+def _unitok_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached unigram-tokenizer gate leg (r13): train the
+    SentencePiece-style unigram LM at the gate budgets (one hard-EM
+    round, max piece 3, vocab 40) over the shared tokenized checkpoint,
+    then Viterbi-segment the corpus via the word-keyed join path with
+    the per-doc integer score. Emits harmonized rows for BOTH sub-legs:
+    ('ut_vocab', vid, piece, cnt, lp_e4) — the whole trained model under
+    the hash — and ('ut_seg', doc_id, md5 of the pieces, n_pieces,
+    score). Oracle: unigram.unigram_gate_sql's rolling-window recursive-
+    CTE Viterbi (``ug_`` prefix reserved)."""
+    from ..io import session_cached
+    from .unigram import (
+        UNI_GATE_MAXP,
+        UNI_GATE_ROUNDS,
+        UNI_GATE_VOCAB,
+        unigram_segment,
+        unigram_train,
+    )
+
+    def _build() -> DataFrame:
+        docs = _docs_tokenized_cached(spark, sf_dir)
+        v = unigram_train(
+            docs,
+            vocab_size=UNI_GATE_VOCAB,
+            n_rounds=UNI_GATE_ROUNDS,
+            max_piece=UNI_GATE_MAXP,
+        )
+        seg = unigram_segment(
+            docs,
+            v,
+            max_piece=UNI_GATE_MAXP,
+            ordered=False,
+            with_score=True,
+        )
+        zero = F.lit(0).cast("bigint")
+        vocab_rows = v.select(
+            F.lit("ut_vocab").alias("leg"),
+            F.col("id").cast("bigint").alias("id"),
+            F.col("piece").alias("txt"),
+            F.col("cnt").cast("bigint").alias("m1"),
+            F.col("lp_e4").cast("bigint").alias("m2"),
+            zero.alias("m3"),
+        )
+        seg_rows = seg.select(
+            F.lit("ut_seg").alias("leg"),
+            F.col("doc_id").cast("bigint").alias("id"),
+            F.md5(F.concat_ws(" ", "pieces")).alias("txt"),
+            F.col("n_pieces").cast("bigint").alias("m1"),
+            F.col("score").cast("bigint").alias("m2"),
+            zero.alias("m3"),
+        )
+        return vocab_rows.unionByName(seg_rows).localCheckpoint(eager=True)
+
+    return session_cached(_UNITOK_LEG_CACHE, spark, (sf_dir,), _build)
 
 
 def _verdict_leg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2485,6 +2542,13 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                   grid score, m2/m3=the corpus tercile cutoffs (r13 —
                   CCNet perplexity bucketing over the cached backoff
                   scores; the hash certifies labels AND cutoffs)
+      ut_vocab    id=piece_id, txt=piece, m1=cnt, m2=lp_e4 (r13 — the
+                  unigram-LM tokenizer's ENTIRE trained model after one
+                  hard-EM round; oracle re-trains in SQL with a
+                  rolling-window recursive-CTE Viterbi)
+      ut_seg      id=doc_id, txt=md5 of the pieces, m1=n_pieces,
+                  m2=total integer Viterbi score (r13 — max-likelihood
+                  segmentation via the word-keyed join path)
       verdict     id=doc_id, txt=reason (contam|repet|ppl_tail|lowq|
                   keep), m1=keep flag (r13 — the Dolma-mixer decision
                   composing four certified signal frames under a fixed
@@ -2539,9 +2603,13 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         _f_ppl = _ex.submit(_ppl_leg_cached, spark, sf_dir)
         # verdict chains on contam/ppl/qc-weights via their build locks
         _f_vd = _ex.submit(_verdict_leg_cached, spark, sf_dir)
+        # r13: the unigram-tokenizer leg (one EM round = 2 bounded
+        # collects) rides its own thread like the BPE leg
+        _f_ut = _ex.submit(_unitok_leg_cached, spark, sf_dir)
         _bg_df, _ct_df, _bk_df = _f_bg.result(), _f_ct.result(), _f_bk.result()
         _qc_w, _bpe_df, _ds_df = _f_qc.result(), _f_bpe.result(), _f_ds.result()
         _tp_df, _ppl_df, _vd_df = _f_tp.result(), _f_ppl.result(), _f_vd.result()
+        _ut_df = _f_ut.result()
     zero = F.lit(0).cast("bigint")
     empty = F.lit("").alias("txt")
     rep = repetition_signals(docs).select(
@@ -2698,6 +2766,10 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("logratio_en4").cast("bigint").alias("m2"),
         F.col("sampled").cast("bigint").alias("m3"),
     )
+    # 18th/19th legs (r13): the unigram-LM tokenizer — the trained model
+    # (ut_vocab) and the scored Viterbi segmentation (ut_seg), already
+    # harmonized rows from the cached builder.
+    unitok = _ut_df
     return (
         rep.unionByName(gopher)
         .unionByName(sweep)
@@ -2714,6 +2786,7 @@ def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bpe)
         .unionByName(dsir)
         .unionByName(tokpack)
+        .unionByName(unitok)
         .orderBy("leg", "id", "txt")
     )
 
@@ -2815,6 +2888,9 @@ SELECT 'tokpack' AS leg, seq_id AS id,
        md5(array_to_string(ids, ',')) AS txt,
        CAST(n_tokens AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
 FROM ({tokpack_sql()})
+UNION ALL
+SELECT leg, id, txt, m1, m2, m3
+FROM ({_unigram_gate_body_sql()})
 ORDER BY leg, id, txt
 """
 
@@ -2823,6 +2899,12 @@ def _dsir_body_sql() -> str:
     from .dsir import dsir_sql
 
     return dsir_sql()
+
+
+def _unigram_gate_body_sql() -> str:
+    from .unigram import unigram_gate_sql
+
+    return unigram_gate_sql()
 
 
 def _bpe_gate_body_sql() -> str:

@@ -34,10 +34,12 @@ longs, so Spark-vs-reference parity is exact by construction — the only
 float math is the driver-side ln when scores are re-estimated, identical
 in the pure-Python reference (tests/test_unigram.py).
 
-No SQL twin yet: like bpe_train, each EM round's segmentation depends on
-the previous round's scores (the connected-components class); correctness
-is pinned against an independent pure-Python implementation of the same
-spec instead.
+Correctness is pinned two ways: an independent pure-Python implementation
+of the same spec at ANY budget (tests/test_unigram.py), and — for the
+FIXED gate budgets (one EM round, max piece 3) — a full DuckDB twin
+under the driver hash (unigram_gate_sql: the Viterbi DP as rolling-window
+recursive CTEs, the fixed-depth trick ivf_exact_sql_ctes uses for Lloyd
+rounds), feeding the text gate's 'ut_vocab'/'ut_seg' legs.
 
 Reference behavior anchor: the reference pipeline tokenizes text for its
 instruction corpus (transformer.py's summary/description handling); this
@@ -63,6 +65,12 @@ UNI_ROUNDS = 3
 #: any real score (|ln p| * 1e4 <= ~2e5 for p >= 1e-9) yet small enough
 #: that length(word) of them can never overflow a long
 _NEG = -(10**12)
+
+#: sentinel for structurally-invalid DP candidates (piece longer than the
+#: prefix): must lose to ANY chain of real candidates, i.e. stay below
+#: len(word) * _NEG — safe for words up to 1e5 characters (a longer
+#: whitespace-free "word" is degenerate input, documented bound)
+_SENT = -(10**17)
 
 
 def _words_of(docs: DataFrame, text_col: str) -> DataFrame:
@@ -113,7 +121,7 @@ def _viterbi_cols(
                     ),
                 ).otherwise(
                     F.struct(
-                        F.lit(2 * _NEG * max_piece).alias("s"),
+                        F.lit(_SENT).cast("bigint").alias("s"),
                         F.lit(0).alias("b"),
                     )
                 )
@@ -152,9 +160,17 @@ def _viterbi_cols(
 
 
 def _lp_e4(counts: dict[str, int]) -> dict[str, int]:
-    """count table -> integer 1e-4-nat scores (driver-side, bounded)."""
+    """count table -> integer 1e-4-nat scores (driver-side, bounded).
+    Half-AWAY rounding (ivf._round_half_away) so the tie policy matches
+    DuckDB ROUND in the gate twin — Python's built-in round is banker's
+    (the QC_WEIGHT_DECIMALS boundary-flip class, healed at the spec)."""
+    from .ivf import _round_half_away
+
     total = sum(counts.values())
-    return {p: round(math.log(c / total) * 10_000) for p, c in counts.items()}
+    return {
+        p: int(_round_half_away(math.log(c / total) * 10_000, 0))
+        for p, c in counts.items()
+    }
 
 
 def unigram_train(
@@ -261,21 +277,25 @@ def unigram_segment(
     text_col: str = "text",
     id_col: str = "doc_id",
     ordered: bool = True,
+    with_score: bool = False,
 ) -> DataFrame:
     """Corpus -> (id, n_pieces, pieces) under a trained model: Viterbi
     runs ONCE PER DISTINCT WORD (zero-shuffle fold over the word table),
     then the corpus joins the segmented table word-keyed and reassembles
     with one doc-keyed shuffle — bpe_segment's scale path, with no OOV
-    branch because the Viterbi expression is total."""
+    branch because the Viterbi expression is total. ``with_score`` adds
+    a ``score`` column: the doc's total integer Viterbi score (the sum
+    over word INSTANCES — exact long arithmetic, what the gate leg
+    certifies)."""
     lp = _model_map(vocab)
-    pieces_col, _ = _viterbi_cols(F.col("w"), lp, max_piece)
+    pieces_col, score_col = _viterbi_cols(F.col("w"), lp, max_piece)
     segw = (
         docs.select(
             F.explode(F.split(F.col(text_col), " ")).alias("w")
         )
         .filter(F.col("w") != "")
         .distinct()
-        .select("w", pieces_col.alias("wp"))
+        .select("w", pieces_col.alias("wp"), score_col.alias("ws"))
     )
     pos = docs.select(
         id_col,
@@ -284,7 +304,7 @@ def unigram_segment(
         ).alias("pos", "w"),
     )
     joined = pos.join(segw, "w").select(
-        id_col, F.struct("pos", "wp").alias("pw")
+        id_col, F.struct("pos", "wp").alias("pw"), "ws"
     )
     out = (
         docs.select(id_col)
@@ -294,7 +314,8 @@ def unigram_segment(
                     F.transform(
                         F.array_sort(F.collect_list("pw")), lambda s: s["wp"]
                     )
-                ).alias("pieces")
+                ).alias("pieces"),
+                F.sum("ws").alias("score"),
             ),
             id_col,
             "left",
@@ -304,8 +325,14 @@ def unigram_segment(
             F.coalesce("pieces", F.array().cast("array<string>")).alias(
                 "pieces"
             ),
+            F.coalesce("score", F.lit(0).cast("bigint")).alias("score"),
         )
-        .select(id_col, F.size("pieces").alias("n_pieces"), "pieces")
+        .select(
+            id_col,
+            F.size("pieces").alias("n_pieces"),
+            "pieces",
+            *(["score"] if with_score else []),
+        )
     )
     return out.orderBy(id_col) if ordered else out
 
@@ -340,3 +367,163 @@ def unigram_encode(
         segmented=seg,
         ordered=ordered,
     )
+
+
+# ---------- driver-gate SQL twin (fixed demo budgets, ug_ prefix) ----------
+
+#: gate budgets: ONE hard-EM round, max piece 3 (the SQL DP's rolling
+#: window is written for exactly 3), vocab 40 (25 corpus chars + 15
+#: multi-char pieces at the current fixture)
+UNI_GATE_VOCAB = 40
+UNI_GATE_ROUNDS = 1
+UNI_GATE_MAXP = 3
+
+
+def _viterbi_sql_ctes(sfx: str, lp_cte: str) -> str:
+    """The Viterbi DP as a pair of recursive CTEs over the distinct-word
+    table, for max_piece = 3 (UNI_GATE_MAXP — the rolling-window columns
+    s0/s1/s2 are the fixed-depth trick: each recursion step advances one
+    prefix position carrying the last 3 dp scores, so reaching back
+    max_piece positions never needs the recursion's full history).
+    Tie policy mirrors the Spark array_max: max score, then the LONGER
+    piece (the CASE tests l=3 first with >=). The backtrace is a second
+    recursion walking the stored piece lengths. Emits
+    ``ug_fin{sfx}(w, ws, bs)`` and ``ug_seg{sfx}(w, ps)``."""
+    return f"""
+ug_dp{sfx}(w, i, s0, s1, s2, bs) AS (
+  SELECT w, 0, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST([] AS INT[])
+  FROM ug_wf
+  UNION ALL
+  SELECT w, i + 1,
+         CASE WHEN c3 IS NOT NULL AND c3 >= c1
+                   AND (c2 IS NULL OR c3 >= c2) THEN c3
+              WHEN c2 IS NOT NULL AND c2 >= c1 THEN c2
+              ELSE c1 END,
+         s0, s1,
+         list_append(bs,
+           CASE WHEN c3 IS NOT NULL AND c3 >= c1
+                     AND (c2 IS NULL OR c3 >= c2) THEN 3
+                WHEN c2 IS NOT NULL AND c2 >= c1 THEN 2
+                ELSE 1 END)
+  FROM (
+    SELECT d.w, d.i, d.s0, d.s1, d.s2, d.bs,
+           d.s0 + COALESCE(l1.lp, {_NEG}) AS c1,
+           CASE WHEN d.i >= 1
+                THEN d.s1 + COALESCE(l2.lp, {_NEG}) END AS c2,
+           CASE WHEN d.i >= 2
+                THEN d.s2 + COALESCE(l3.lp, {_NEG}) END AS c3
+    FROM ug_dp{sfx} d
+    LEFT JOIN {lp_cte} l1 ON l1.piece = substr(d.w, d.i + 1, 1)
+    LEFT JOIN {lp_cte} l2 ON d.i >= 1 AND l2.piece = substr(d.w, d.i, 2)
+    LEFT JOIN {lp_cte} l3 ON d.i >= 2 AND l3.piece = substr(d.w, d.i - 1, 3)
+    WHERE d.i < length(d.w)
+  )
+),
+ug_fin{sfx} AS MATERIALIZED (
+  SELECT w, s0 AS ws, bs FROM ug_dp{sfx} WHERE i = length(w)
+),
+ug_bt{sfx}(w, i, ps) AS (
+  SELECT w, length(w), CAST([] AS VARCHAR[]) FROM ug_fin{sfx}
+  UNION ALL
+  SELECT b.w, b.i - f.bs[b.i],
+         list_prepend(substr(b.w, b.i - f.bs[b.i] + 1, f.bs[b.i]), b.ps)
+  FROM ug_bt{sfx} b JOIN ug_fin{sfx} f ON b.w = f.w
+  WHERE b.i > 0
+),
+ug_seg{sfx} AS MATERIALIZED (
+  SELECT w, ps FROM ug_bt{sfx} WHERE i = 0
+)"""
+
+
+def unigram_gate_sql(
+    vocab_size: int = UNI_GATE_VOCAB, table: str = "documents"
+) -> str:
+    """DuckDB twin of unigram_train(vocab_size, n_rounds=1, max_piece=3)
+    + unigram_segment(with_score) — the whole trained model AND the
+    max-likelihood segmentation of the corpus under the driver hash.
+    Fully integer DP (float enters only at the two ln() re-estimations,
+    ROUND half-away on both engines — pinned in tests/test_unigram.py).
+    Emits harmonized gate rows ('ut_vocab', vid, piece, cnt, lp_e4, 0)
+    and ('ut_seg', doc_id, md5(pieces), n_pieces, score, 0). Prefix
+    ``ug_`` reserved (embedded-oracle namespace ritual)."""
+    L = UNI_GATE_MAXP
+    lp_of = (
+        "SELECT piece, CAST(ROUND(ln(CAST(c AS DOUBLE) / "
+        "(SELECT SUM(c) FROM {src})) * 10000, 0) AS BIGINT) AS lp "
+        "FROM {src}"
+    )
+    return f"""
+WITH RECURSIVE
+ug_wf AS MATERIALIZED (
+  SELECT w, COUNT(1) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table})
+  WHERE w != '' GROUP BY w
+),
+ug_subs AS MATERIALIZED (
+  SELECT substr(w, i, l) AS piece, SUM(freq) AS c
+  FROM ug_wf,
+       unnest(range(1, length(w) + 1)) AS gi(i),
+       unnest(range(1, least({L}, length(w) - i + 1) + 1)) AS gl(l)
+  GROUP BY 1
+),
+ug_chars AS MATERIALIZED (SELECT piece, c FROM ug_subs WHERE length(piece) = 1),
+ug_multi AS (
+  SELECT piece, c FROM (
+    SELECT piece, c, ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS rn
+    FROM ug_subs WHERE length(piece) > 1
+  ) WHERE rn <= {vocab_size} - (SELECT COUNT(1) FROM ug_chars)
+),
+ug_cnt0 AS MATERIALIZED (SELECT * FROM ug_chars UNION ALL SELECT * FROM ug_multi),
+ug_lp0 AS MATERIALIZED ({lp_of.format(src="ug_cnt0")}),
+{_viterbi_sql_ctes("0", "ug_lp0").lstrip()},
+ug_used AS MATERIALIZED (
+  SELECT u.piece, SUM(f.freq) AS c
+  FROM ug_seg0 s, ug_wf f, unnest(s.ps) AS u(piece)
+  WHERE s.w = f.w
+  GROUP BY 1
+),
+ug_cnt1 AS MATERIALIZED (
+  SELECT v.piece,
+         COALESCE(u.c, 0)
+           + CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END AS c
+  FROM ug_cnt0 v LEFT JOIN ug_used u USING (piece)
+  WHERE length(v.piece) = 1 OR COALESCE(u.c, 0) > 0
+),
+ug_lp1 AS MATERIALIZED ({lp_of.format(src="ug_cnt1")}),
+{_viterbi_sql_ctes("1", "ug_lp1").lstrip()},
+ug_cw AS (
+  SELECT doc_id, UNNEST(ws) AS w, UNNEST(range(1, len(ws) + 1)) AS wpos
+  FROM (SELECT doc_id, list_filter(string_split(text, ' '),
+                                   x -> x != '') AS ws
+        FROM {table})
+),
+ug_docseg AS (
+  SELECT c.doc_id,
+         flatten(list(g.ps ORDER BY c.wpos)) AS pieces,
+         SUM(f.ws) AS score
+  FROM ug_cw c
+  JOIN ug_seg1 g ON c.w = g.w
+  JOIN ug_fin1 f ON c.w = f.w
+  GROUP BY c.doc_id
+),
+ug_vid AS (
+  SELECT n.piece, n.c, l.lp,
+         ROW_NUMBER() OVER (
+           ORDER BY (length(n.piece) > 1),
+                    CASE WHEN length(n.piece) = 1 THEN n.piece END,
+                    n.c DESC, n.piece) - 1 AS vid
+  FROM ug_cnt1 n JOIN ug_lp1 l ON n.piece = l.piece
+)
+SELECT 'ut_vocab' AS leg, CAST(vid AS BIGINT) AS id, piece AS txt,
+       CAST(c AS BIGINT) AS m1, CAST(lp AS BIGINT) AS m2,
+       CAST(0 AS BIGINT) AS m3
+FROM ug_vid
+UNION ALL
+SELECT 'ut_seg' AS leg, d.doc_id AS id,
+       md5(COALESCE(array_to_string(s.pieces, ' '), '')) AS txt,
+       CAST(COALESCE(len(s.pieces), 0) AS BIGINT) AS m1,
+       CAST(COALESCE(s.score, 0) AS BIGINT) AS m2,
+       CAST(0 AS BIGINT) AS m3
+FROM {table} d LEFT JOIN ug_docseg s ON d.doc_id = s.doc_id
+"""

@@ -54,6 +54,7 @@ EXPECTED_CACHES = {
         "_TOKPACK_LEG_CACHE",
         "_PPL_LEG_CACHE",
         "_VERDICT_LEG_CACHE",
+        "_UNITOK_LEG_CACHE",
     },
     "operators/extended.py": {"_CMS_HH_CACHE"},
 }

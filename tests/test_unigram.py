@@ -70,8 +70,12 @@ def ref_train(
     counts = {**chars, **multi}
 
     def lp_of(cnt: dict[str, int]) -> dict[str, int]:
+        # half-AWAY (the spec, matching DuckDB ROUND) — NOT Python round
+        def rha(x: float) -> int:
+            return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
         total = sum(cnt.values())
-        return {p: round(math.log(c / total) * 10_000) for p, c in cnt.items()}
+        return {p: rha(math.log(c / total) * 10_000) for p, c in cnt.items()}
 
     lp = lp_of(counts)
     for _ in range(n_rounds):
@@ -224,3 +228,38 @@ def test_viterbi_is_zero_shuffle_per_word(spark, docs):
     # the DP adds NO join/window; the only aggregate is the distinct's
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Aggregate") <= 2  # partial+final of distinct
+
+
+def test_gate_lp_cross_engine(spark, docs):
+    """Driver-side math.log + half-away rounding must equal DuckDB
+    ln + ROUND on the gate model's ACTUAL counts — the residual float
+    surface of the ut_vocab leg (the QC_WEIGHT_DECIMALS boundary-flip
+    class; re-run when the documents fixture regenerates)."""
+    import duckdb
+
+    from apache_jira_scraper_spark.operators.unigram import (
+        UNI_GATE_MAXP,
+        UNI_GATE_ROUNDS,
+        UNI_GATE_VOCAB,
+    )
+
+    v = unigram_train(
+        docs,
+        vocab_size=UNI_GATE_VOCAB,
+        n_rounds=UNI_GATE_ROUNDS,
+        max_piece=UNI_GATE_MAXP,
+    )
+    rows = v.collect()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(piece VARCHAR, c BIGINT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(r["piece"], r["cnt"]) for r in rows]
+    )
+    got = dict(
+        con.execute(
+            "SELECT piece, CAST(ROUND(ln(CAST(c AS DOUBLE) / "
+            "(SELECT SUM(c) FROM t)) * 10000, 0) AS BIGINT) FROM t"
+        ).fetchall()
+    )
+    for r in rows:
+        assert got[r["piece"]] == r["lp_e4"], r["piece"]

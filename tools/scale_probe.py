@@ -268,6 +268,8 @@ def _clear_text_session_caches() -> None:
         # and the mixer-verdict frame (rides contam/ppl/qc)
         text._PPL_LEG_CACHE,
         text._VERDICT_LEG_CACHE,
+        # r13: the unigram-tokenizer leg (trained model + segmentation)
+        text._UNITOK_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
