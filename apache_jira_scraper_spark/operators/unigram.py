@@ -83,19 +83,24 @@ def _words_of(docs: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def _viterbi_cols(
-    word: Column, lp: dict[str, int], max_piece: int
-) -> tuple[Column, Column]:
-    """(pieces, score) of the max-likelihood segmentation of ``word``
-    under integer piece scores ``lp`` — one narrow expression, no
-    shuffle, no Python rows.
+def _viterbi_dp(word: Column, lp: dict[str, int], max_piece: int) -> Column:
+    """The Viterbi dp table of ``word`` under integer piece scores
+    ``lp`` — one narrow fold, no shuffle, no Python rows.
 
     dp is built by ONE left fold over positions 1..n: dp[k+1] holds the
     best (score, piece_len) for the length-k prefix, candidates are the
     <= max_piece pieces ending at k, and the struct array_max implements
     the tie policy (equal score -> LONGER piece, the deterministic rule
-    the reference implementation mirrors). The backtrace is a second
-    fold walking the stored piece lengths. Scores are long sums — exact.
+    the reference implementation mirrors). Scores are long sums — exact.
+
+    IMPORTANT (measured, the ivf literal-expression lesson): consumers
+    must land this in a REAL COLUMN (withColumn) and run the backtrace /
+    score reads against that column reference — referencing this
+    expression tree directly from the backtrace duplicates the whole
+    fold (with its embedded vocab-map literal) 4x and Catalyst analysis
+    cost explodes (~2x leg build wall at sf0.1). CollapseProject keeps
+    the split honest: it never inlines a multiply-referenced non-cheap
+    expression, so the plan stays one narrow two-step projection.
     """
     n = F.length(word)
     m = F.create_map(
@@ -130,12 +135,18 @@ def _viterbi_cols(
         )
         return F.concat(acc, F.array(F.array_max(cands)))
 
-    dp = F.aggregate(
+    return F.aggregate(
         F.sequence(F.lit(1), n),
         F.array(F.struct(F.lit(0).cast("bigint").alias("s"), F.lit(0).alias("b"))),
         step,
     )
-    back = F.aggregate(
+
+
+def _viterbi_backtrace(word: Column, dp: Column) -> Column:
+    """Pieces from a dp COLUMN (see _viterbi_dp): a second fold walking
+    the stored piece lengths back from the full word."""
+    n = F.length(word)
+    return F.aggregate(
         F.sequence(F.lit(1), n),
         F.struct(n.alias("i"), F.array().cast("array<string>").alias("ps")),
         lambda acc, _: F.when(
@@ -155,8 +166,20 @@ def _viterbi_cols(
         ).otherwise(acc),
         lambda acc: acc["ps"],
     )
-    score = F.element_at(dp, n + 1)["s"]
-    return back, score
+
+
+def _viterbi_score(word: Column, dp: Column) -> Column:
+    return F.element_at(dp, F.length(word) + 1)["s"]
+
+
+def _viterbi_cols(
+    word: Column, lp: dict[str, int], max_piece: int
+) -> tuple[Column, Column]:
+    """(pieces, score) as SINGLE expressions — the dp tree is inlined at
+    every reference, so this form is for bounded ad-hoc use (tests);
+    the operators go through the _viterbi_dp column split."""
+    dp = _viterbi_dp(word, lp, max_piece)
+    return _viterbi_backtrace(word, dp), _viterbi_score(word, dp)
 
 
 def _lp_e4(counts: dict[str, int]) -> dict[str, int]:
@@ -234,9 +257,16 @@ def unigram_train(
         lp = _lp_e4(counts)
 
         for _ in range(n_rounds):
-            pieces_col, _score = _viterbi_cols(F.col("w"), lp, max_piece)
             used_rows = (
-                words.select("freq", F.explode(pieces_col).alias("piece"))
+                words.withColumn(
+                    "_dp", _viterbi_dp(F.col("w"), lp, max_piece)
+                )
+                .select(
+                    "freq",
+                    F.explode(
+                        _viterbi_backtrace(F.col("w"), F.col("_dp"))
+                    ).alias("piece"),
+                )
                 .groupBy("piece")
                 .agg(F.sum("freq").alias("c"))
                 .collect()
@@ -288,14 +318,18 @@ def unigram_segment(
     over word INSTANCES — exact long arithmetic, what the gate leg
     certifies)."""
     lp = _model_map(vocab)
-    pieces_col, score_col = _viterbi_cols(F.col("w"), lp, max_piece)
     segw = (
         docs.select(
             F.explode(F.split(F.col(text_col), " ")).alias("w")
         )
         .filter(F.col("w") != "")
         .distinct()
-        .select("w", pieces_col.alias("wp"), score_col.alias("ws"))
+        .withColumn("_dp", _viterbi_dp(F.col("w"), lp, max_piece))
+        .select(
+            "w",
+            _viterbi_backtrace(F.col("w"), F.col("_dp")).alias("wp"),
+            _viterbi_score(F.col("w"), F.col("_dp")).alias("ws"),
+        )
     )
     pos = docs.select(
         id_col,
