@@ -561,3 +561,46 @@ SELECT 'ut_seg' AS leg, d.doc_id AS id,
        CAST(0 AS BIGINT) AS m3
 FROM {table} d LEFT JOIN ug_docseg s ON d.doc_id = s.doc_id
 """
+
+
+def unigram_tokenize_and_pack(
+    docs: DataFrame,
+    vocab_size: int = UNI_VOCAB,
+    n_rounds: int = UNI_ROUNDS,
+    max_piece: int = UNI_MAX_PIECE,
+    seq_len: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """The end-to-end unigram pretraining tokenization pipeline in one
+    call — bpe_tokenize_and_pack's twin for the SentencePiece-style
+    model: train on the corpus, encode every document via the word-keyed
+    Viterbi segmentation, pack the global id stream into fixed `seq_len`
+    windows. Returns (vocab, sequences) where sequences is
+    (seq_id, n_tokens, ids). Each stage is certified machinery composed
+    (ut_vocab/ut_seg gate legs + the tokpack-certified pack), so this
+    owns only the plumbing."""
+    from .text import PACK_CONTEXT, pack_token_ids
+
+    vocab = unigram_train(
+        docs,
+        vocab_size=vocab_size,
+        n_rounds=n_rounds,
+        max_piece=max_piece,
+        text_col=text_col,
+    )
+    enc = unigram_encode(
+        docs,
+        vocab,
+        max_piece=max_piece,
+        text_col=text_col,
+        id_col=id_col,
+        # pack_token_ids' groupBy(seq_id) destroys order (the bpe
+        # composition's ordered=False contract)
+        ordered=False,
+    )
+    seqs = pack_token_ids(
+        enc.withColumnRenamed(id_col, "doc_id"),
+        seq_len=seq_len or PACK_CONTEXT,
+    )
+    return vocab, seqs

@@ -263,3 +263,66 @@ def test_gate_lp_cross_engine(spark, docs):
     )
     for r in rows:
         assert got[r["piece"]] == r["lp_e4"], r["piece"]
+
+
+def test_ref_viterbi_is_optimal_brute_force():
+    """The DP's anchor: on every word up to length 7 over a small
+    alphabet, ref_viterbi's score must equal the brute-force maximum
+    over ALL 2^(n-1) segmentations, and its pieces must be a valid
+    segmentation achieving it (hypothesis-style grid, deterministic).
+    Transitively certifies the Spark fold and the SQL recursive CTE,
+    which are pinned equal to ref_viterbi elsewhere."""
+    import itertools
+
+    lp = {
+        "a": -20000, "b": -25000, "ab": -30000, "ba": -60000,
+        "aa": -41000, "aab": -44999, "bb": -50001,
+    }
+    L = 3
+
+    def brute(w: str) -> int:
+        n = len(w)
+        best = None
+        for cuts in itertools.product([0, 1], repeat=n - 1):
+            pos = [0] + [i + 1 for i, c in enumerate(cuts) if c] + [n]
+            pieces = [w[pos[i] : pos[i + 1]] for i in range(len(pos) - 1)]
+            if any(len(p) > L for p in pieces):
+                continue
+            s = sum(lp.get(p, _NEG) for p in pieces)
+            best = s if best is None else max(best, s)
+        return best
+
+    for n in range(1, 8):
+        for chars in itertools.product("ab", repeat=n):
+            w = "".join(chars)
+            ps = ref_viterbi(w, lp, L)
+            assert "".join(ps) == w
+            assert all(1 <= len(p) <= L for p in ps)
+            got = sum(lp.get(p, _NEG) for p in ps)
+            assert got == brute(w), w
+
+
+def test_tokenize_and_pack_composition(spark, docs):
+    """unigram_tokenize_and_pack: every doc's ids appear in the packed
+    stream in doc order, windows are seq_len except the tail, and the
+    total token count is conserved."""
+    from apache_jira_scraper_spark.operators.unigram import (
+        unigram_tokenize_and_pack,
+    )
+
+    vocab, seqs = unigram_tokenize_and_pack(
+        docs, vocab_size=60, n_rounds=1, max_piece=3, seq_len=128
+    )
+    rows = sorted(
+        ((r["seq_id"], r["ids"]) for r in seqs.collect()), key=lambda x: x[0]
+    )
+    assert rows, "no sequences packed"
+    for sid, ids in rows[:-1]:
+        assert len(ids) == 128
+    stream = [i for _, ids in rows for i in ids]
+    enc_total = sum(
+        r["n_pieces"]
+        for r in unigram_encode(docs, vocab, max_piece=3).collect()
+    )
+    assert len(stream) == enc_total
+    assert -1 not in stream
