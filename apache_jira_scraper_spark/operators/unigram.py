@@ -202,6 +202,7 @@ def unigram_train(
     n_rounds: int = UNI_ROUNDS,
     max_piece: int = UNI_MAX_PIECE,
     text_col: str = "text",
+    em: str = "hard",
 ) -> DataFrame:
     """Train the unigram LM tokenizer. Returns the model as a bounded
     DataFrame (id, piece, lp_e4, cnt), id dense 0..|V|-1 in the
@@ -211,11 +212,23 @@ def unigram_train(
     Per EM round: one zero-shuffle Viterbi pass over the DISTINCT-word
     table + one vocabulary-sized count shuffle + one bounded driver
     collect. The corpus itself is read exactly once (the word table).
+
+    ``em="soft"`` (r13, the genuine Kudo E-step) replaces the Viterbi
+    argmax counts with forward-backward EXPECTED counts
+    (soft_em_counts): every in-vocab piece keeps positive posterior
+    mass, so no piece is pruned — re-weighting only (loss-based
+    pruning, Kudo's alpha-shrink, is the documented follow-on). The
+    score grid stays integer 1e-4 nats, so segmentation under either
+    trainer is the same exact integer DP; the soft E-step itself is
+    float log-domain (pinned vs a pure-Python mirror with tolerance in
+    tests, not a cross-engine hash — the documented float surface).
     """
     from ..io import free_local_checkpoint
 
     if n_rounds < 0 or vocab_size < 2 or max_piece < 1:
         raise ValueError("unigram_train: bad budgets")
+    if em not in ("hard", "soft"):
+        raise ValueError(f"unigram_train: em must be hard|soft, got {em!r}")
     words = _words_of(docs, text_col).localCheckpoint(eager=True)
     try:
         # seed: freq-weighted substring counts over the distinct words
@@ -257,6 +270,17 @@ def unigram_train(
         lp = _lp_e4(counts)
 
         for _ in range(n_rounds):
+            if em == "soft":
+                used_rows = soft_em_counts(words, lp, max_piece).collect()
+                usedf = {r["piece"]: float(r["e_cnt"]) for r in used_rows}
+                # char floor keeps coverage; posteriors never hit exact
+                # zero for an occurring piece, so no pruning (see doc)
+                counts = {
+                    p: usedf.get(p, 0.0) + (1.0 if len(p) == 1 else 0.0)
+                    for p in counts
+                }
+                lp = _lp_e4(counts)
+                continue
             used_rows = (
                 words.withColumn(
                     "_dp", _viterbi_dp(F.col("w"), lp, max_piece)
@@ -289,8 +313,15 @@ def unigram_train(
         key=lambda kv: (-kv[1], kv[0]),
     )
     layout = singles + multis
+    from .ivf import _round_half_away
+
+    # soft EM carries float expected counts internally; the emitted cnt
+    # column stays integral (display/layout), lp_e4 is the model
     return spark.createDataFrame(
-        [(i, p, lp[p], c) for i, (p, c) in enumerate(layout)],
+        [
+            (i, p, lp[p], int(_round_half_away(c, 0)))
+            for i, (p, c) in enumerate(layout)
+        ],
         "id int, piece string, lp_e4 bigint, cnt bigint",
     )
 
@@ -604,3 +635,113 @@ def unigram_tokenize_and_pack(
         seq_len=seq_len or PACK_CONTEXT,
     )
     return vocab, seqs
+
+
+# ---------- soft EM (the genuine Kudo E-step) ----------
+
+#: float log-domain floor for out-of-vocab pieces in the soft E-step
+#: (exp of it underflows to exactly 0.0 — the piece contributes nothing)
+_NEG_F = -1.0e9
+
+
+def _lsum(cands: Column) -> Column:
+    """logsumexp of a small candidate array: max + ln(sum(exp(x - max))),
+    the sum a SEQUENTIAL left fold so the pure-Python reference mirrors
+    the op order bit-for-bit (only libm ulps differ)."""
+    mx = F.array_max(cands)
+    return mx + F.log(
+        F.aggregate(
+            F.transform(cands, lambda x: F.exp(x - mx)),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+    )
+
+
+def _alpha_dp(word: Column, lp: dict[str, int], max_piece: int) -> Column:
+    """Forward log-probabilities alpha[0..n] of the unigram lattice as
+    one narrow fold (alpha[k+1] = logsumexp over pieces ending the
+    length-k prefix). Scores are float nats = lp_e4 / 1e4. The BACKWARD
+    pass needs no second implementation: beta over suffixes of w equals
+    alpha over prefixes of reverse(w) under the reversed-key map, so
+    callers run this same fold twice (the column-landing discipline of
+    _viterbi_dp applies: land each in a real column)."""
+    m = F.create_map(*[F.lit(x) for kv in lp.items() for x in kv])
+
+    def lpf(piece: Column) -> Column:
+        return F.coalesce(
+            F.element_at(m, piece) / F.lit(10_000.0), F.lit(_NEG_F)
+        )
+
+    def step(acc: Column, i: Column) -> Column:
+        cands = F.array(
+            *[
+                F.when(
+                    F.lit(length) <= i,
+                    F.element_at(acc, i - F.lit(length) + 1)
+                    + lpf(word.substr(i - F.lit(length) + 1, F.lit(length))),
+                ).otherwise(F.lit(2.0 * _NEG_F))
+                for length in range(1, max_piece + 1)
+            ]
+        )
+        return F.concat(acc, F.array(_lsum(cands)))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(word)),
+        F.array(F.lit(0.0)),
+        step,
+    )
+
+
+def soft_em_counts(
+    words: DataFrame, lp: dict[str, int], max_piece: int
+) -> DataFrame:
+    """ONE soft-EM E-step over the distinct-word table: expected piece
+    counts E[c(piece)] = sum over words freq * sum over occurrences
+    exp(alpha[i] + lp(piece) + beta[i+l] - alpha[n]) — the Kudo (2018)
+    forward-backward posterior, replacing hard EM's Viterbi argmax
+    counts. Returns (piece, e_cnt double), in-vocab pieces only.
+    Zero shuffle up to the final vocabulary-sized aggregation; the two
+    lattice folds land in real columns (the _viterbi_dp lesson)."""
+    m = F.create_map(*[F.lit(x) for kv in lp.items() for x in kv])
+    lp_rev = {p[::-1]: v for p, v in lp.items()}
+
+    def lpf(piece: Column) -> Column:
+        return F.coalesce(
+            F.element_at(m, piece) / F.lit(10_000.0), F.lit(_NEG_F)
+        )
+
+    n = F.length("w")
+    wa = (
+        words.withColumn("_a", _alpha_dp(F.col("w"), lp, max_piece))
+        .withColumn(
+            "_ar", _alpha_dp(F.reverse(F.col("w")), lp_rev, max_piece)
+        )
+    )
+    occ = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(max_piece), n - i)),
+                lambda le: F.struct(
+                    F.col("w").substr(i + 1, le).alias("piece"),
+                    (
+                        F.element_at("_a", i + 1)
+                        + lpf(F.col("w").substr(i + 1, le))
+                        + F.element_at("_ar", n - (i + le) + 1)
+                        - F.element_at("_a", n + 1)
+                    ).alias("lg"),
+                ),
+            ),
+        )
+    )
+    return (
+        wa.select("freq", F.explode(occ).alias("o"))
+        .filter(F.element_at(m, F.col("o.piece")).isNotNull())
+        .select(
+            F.col("o.piece").alias("piece"),
+            (F.col("freq") * F.exp("o.lg")).alias("e"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("e").alias("e_cnt"))
+    )

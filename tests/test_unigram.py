@@ -326,3 +326,99 @@ def test_tokenize_and_pack_composition(spark, docs):
     )
     assert len(stream) == enc_total
     assert -1 not in stream
+
+
+# ---------- soft EM (forward-backward expected counts) ----------
+
+
+def _ref_lpf(lp: dict[str, int], p: str) -> float:
+    v = lp.get(p)
+    return v / 10_000.0 if v is not None else -1.0e9
+
+
+def _ref_alpha(w: str, lp: dict[str, int], L: int) -> list[float]:
+    a = [0.0]
+    for i in range(1, len(w) + 1):
+        cands = [
+            (a[i - length] + _ref_lpf(lp, w[i - length : i]))
+            if length <= i
+            else -2.0e9
+            for length in range(1, L + 1)
+        ]
+        mx = max(cands)
+        s = 0.0
+        for c in cands:  # sequential fold, mirroring the Spark aggregate
+            s += math.exp(c - mx)
+        a.append(mx + math.log(s))
+    return a
+
+
+def _ref_soft_counts(
+    freq: dict[str, int], lp: dict[str, int], L: int
+) -> dict[str, float]:
+    lp_rev = {p[::-1]: v for p, v in lp.items()}
+    E: dict[str, float] = {}
+    for w, f in freq.items():
+        n = len(w)
+        a = _ref_alpha(w, lp, L)
+        ar = _ref_alpha(w[::-1], lp_rev, L)
+        for i in range(n):
+            for length in range(1, min(L, n - i) + 1):
+                p = w[i : i + length]
+                if p in lp:
+                    lg = a[i] + _ref_lpf(lp, p) + ar[n - (i + length)] - a[n]
+                    E[p] = E.get(p, 0.0) + f * math.exp(lg)
+    return E
+
+
+def test_soft_em_counts_match_reference(spark, docs):
+    """Forward-backward expected counts vs the pure-Python mirror of the
+    same op order — equal to float tolerance (libm + shuffle-sum ulps;
+    the soft E-step is the documented float surface, unlike the integer
+    hard path)."""
+    from apache_jira_scraper_spark.operators.unigram import (
+        _words_of,
+        soft_em_counts,
+    )
+
+    texts = [r["text"] for r in docs.collect()]
+    counts, lp = ref_train(texts, vocab_size=60, n_rounds=0, L=3)
+    words = _words_of(docs.select("doc_id", "text"), "text")
+    freq = {r["w"]: r["freq"] for r in words.collect()}
+    got = {
+        r["piece"]: r["e_cnt"]
+        for r in soft_em_counts(words, lp, 3).collect()
+    }
+    want = _ref_soft_counts(freq, lp, 3)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-7), p
+    # posterior mass is conserved per occurrence-set: total expected
+    # pieces can never exceed total characters or drop below chars/L
+    n_chars = sum(len(w) * f for w, f in freq.items())
+    total = sum(want.values())
+    assert n_chars / 3 - 1e-6 <= total <= n_chars + 1e-6
+
+
+def test_soft_em_trains_and_differs_from_hard(spark, docs):
+    """em='soft' end-to-end: trains, segmentation stays lossless under
+    the integer score grid, and the learned scores genuinely differ
+    from hard EM somewhere (non-vacuity)."""
+    vs = unigram_train(docs, vocab_size=60, n_rounds=2, max_piece=3, em="soft")
+    vh = unigram_train(docs, vocab_size=60, n_rounds=2, max_piece=3, em="hard")
+    s = {r["piece"]: r["lp_e4"] for r in vs.collect()}
+    h = {r["piece"]: r["lp_e4"] for r in vh.collect()}
+    assert s != h
+    # soft keeps every seed piece (no pruning); hard may prune
+    assert set(s) >= set(h)
+    seg = unigram_segment(docs, vs, max_piece=3)
+    joined = docs.join(seg, "doc_id").select(
+        F.concat_ws("", "pieces").alias("g"),
+        F.regexp_replace("text", " ", "").alias("f"),
+    )
+    assert joined.filter(F.col("g") != F.col("f")).count() == 0
+
+
+def test_soft_em_rejects_bad_mode(spark, docs):
+    with pytest.raises(ValueError, match="em must be"):
+        unigram_train(docs, vocab_size=20, n_rounds=1, em="fuzzy")
