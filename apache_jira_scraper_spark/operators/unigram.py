@@ -658,20 +658,32 @@ def _lsum(cands: Column) -> Column:
     )
 
 
-def _alpha_dp(word: Column, lp: dict[str, int], max_piece: int) -> Column:
+def _alpha_dp(
+    word: Column,
+    lp: dict[str, int],
+    max_piece: int,
+    exclude: Column | None = None,
+) -> Column:
     """Forward log-probabilities alpha[0..n] of the unigram lattice as
     one narrow fold (alpha[k+1] = logsumexp over pieces ending the
     length-k prefix). Scores are float nats = lp_e4 / 1e4. The BACKWARD
     pass needs no second implementation: beta over suffixes of w equals
     alpha over prefixes of reverse(w) under the reversed-key map, so
     callers run this same fold twice (the column-landing discipline of
-    _viterbi_dp applies: land each in a real column)."""
+    _viterbi_dp applies: land each in a real column).
+
+    ``exclude`` (a string column): score that piece as out-of-vocab —
+    the leave-one-out lattice the pruning loss needs, per ROW, so one
+    narrow job scores every (word, candidate) pair."""
     m = F.create_map(*[F.lit(x) for kv in lp.items() for x in kv])
 
     def lpf(piece: Column) -> Column:
-        return F.coalesce(
+        base = F.coalesce(
             F.element_at(m, piece) / F.lit(10_000.0), F.lit(_NEG_F)
         )
+        if exclude is None:
+            return base
+        return F.when(piece == exclude, F.lit(_NEG_F)).otherwise(base)
 
     def step(acc: Column, i: Column) -> Column:
         cands = F.array(
@@ -744,4 +756,93 @@ def soft_em_counts(
         )
         .groupBy("piece")
         .agg(F.sum("e").alias("e_cnt"))
+    )
+
+
+def piece_loss(
+    words: DataFrame, lp: dict[str, int], max_piece: int
+) -> DataFrame:
+    """Kudo's pruning signal: for every prune-ABLE piece (multi-char —
+    single characters are the coverage floor and never candidates),
+    loss(p) = sum over words freq * (alpha[n] - alpha_without_p[n]) —
+    the exact corpus log-likelihood drop if p left the vocabulary.
+    Returns (piece, loss) with loss >= 0 in float nats.
+
+    Shape: the |words| x |candidates| grid is BOUNDED (distinct words x
+    multi-char vocab), built with a broadcast cross join; both lattices
+    are narrow folds per grid row (the exclude column drives the
+    leave-one-out), and ONE vocabulary-sized aggregation sums the
+    per-word deltas. No corpus pass at all."""
+    spark = words.sparkSession
+    cands = [p for p in lp if len(p) > 1]
+    if not cands:
+        return spark.createDataFrame([], "piece string, loss double")
+    cdf = spark.createDataFrame([(p,) for p in cands], "piece string")
+    grid = (
+        words.crossJoin(F.broadcast(cdf))
+        .withColumn("_af", _alpha_dp(F.col("w"), lp, max_piece))
+        .withColumn(
+            "_ax",
+            _alpha_dp(F.col("w"), lp, max_piece, exclude=F.col("piece")),
+        )
+    )
+    n = F.length("w")
+    return (
+        grid.select(
+            "piece",
+            (
+                F.col("freq")
+                * (F.element_at("_af", n + 1) - F.element_at("_ax", n + 1))
+            ).alias("d"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("d").alias("loss"))
+    )
+
+
+def unigram_prune(
+    docs: DataFrame,
+    vocab: DataFrame,
+    target_size: int,
+    max_piece: int = UNI_MAX_PIECE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Kudo's vocabulary-shrink step: drop the LOWEST-loss multi-char
+    pieces until ``target_size`` remains (single characters are never
+    dropped — coverage floor), then re-normalize scores over the
+    survivors' counts. Ties break (loss ASC, piece ASC) —
+    deterministic. Returns the pruned model in the same
+    (id, piece, lp_e4, cnt) layout as unigram_train.
+
+    The full Kudo loop is seed-large -> EM -> prune -> EM -> ... ;
+    compose this with unigram_train(em='soft') per shrink round."""
+    rows = {r["piece"]: (int(r["lp_e4"]), int(r["cnt"])) for r in vocab.collect()}
+    lp = {p: v[0] for p, v in rows.items()}
+    singles = {p for p in rows if len(p) == 1}
+    n_drop = len(rows) - max(target_size, len(singles))
+    if n_drop <= 0:
+        return vocab
+    words = _words_of(docs, text_col)
+    losses = {
+        r["piece"]: float(r["loss"])
+        for r in piece_loss(words, lp, max_piece).collect()
+    }
+    drop = {
+        p
+        for p, _ in sorted(
+            ((p, losses.get(p, 0.0)) for p in rows if p not in singles),
+            key=lambda kv: (kv[1], kv[0]),
+        )[:n_drop]
+    }
+    counts = {p: rows[p][1] for p in rows if p not in drop}
+    lp2 = _lp_e4(counts)
+    spark = docs.sparkSession
+    s = sorted((p, c) for p, c in counts.items() if len(p) == 1)
+    m = sorted(
+        ((p, c) for p, c in counts.items() if len(p) > 1),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    return spark.createDataFrame(
+        [(i, p, lp2[p], c) for i, (p, c) in enumerate(s + m)],
+        "id int, piece string, lp_e4 bigint, cnt bigint",
     )

@@ -422,3 +422,85 @@ def test_soft_em_trains_and_differs_from_hard(spark, docs):
 def test_soft_em_rejects_bad_mode(spark, docs):
     with pytest.raises(ValueError, match="em must be"):
         unigram_train(docs, vocab_size=20, n_rounds=1, em="fuzzy")
+
+
+# ---------- loss-based pruning (Kudo's vocabulary shrink) ----------
+
+
+def _ref_loss(
+    freq: dict[str, int], lp: dict[str, int], L: int
+) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for p in lp:
+        if len(p) == 1:
+            continue
+        lx = {k: v for k, v in lp.items() if k != p}
+        d = 0.0
+        for w, f in freq.items():
+            d += f * (_ref_alpha(w, lp, L)[-1] - _ref_alpha(w, lx, L)[-1])
+        out[p] = d
+    return out
+
+
+def test_piece_loss_matches_leave_one_out_reference(spark, docs):
+    """piece_loss (one grid job with the exclusion column) vs the naive
+    per-piece leave-one-out recomputation in pure Python — equal to
+    float tolerance, and every loss is non-negative (removing a piece
+    can only lower corpus likelihood)."""
+    from apache_jira_scraper_spark.operators.unigram import (
+        _words_of,
+        piece_loss,
+    )
+
+    texts = [r["text"] for r in docs.collect()]
+    counts, lp = ref_train(texts, vocab_size=45, n_rounds=1, L=3)
+    words = _words_of(docs.select("doc_id", "text"), "text")
+    freq = {r["w"]: r["freq"] for r in words.collect()}
+    got = {
+        r["piece"]: r["loss"] for r in piece_loss(words, lp, 3).collect()
+    }
+    want = _ref_loss(freq, lp, 3)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p] == pytest.approx(want[p], rel=1e-7, abs=1e-9), p
+        assert got[p] >= -1e-9, p
+
+
+def test_unigram_prune_end_to_end(spark, docs):
+    """Shrink a trained vocab: target honored, single chars never
+    dropped, survivors re-normalized, dropped pieces are exactly the
+    lowest-loss ones, segmentation under the pruned model stays
+    lossless."""
+    from apache_jira_scraper_spark.operators.unigram import (
+        _words_of,
+        piece_loss,
+        unigram_prune,
+    )
+
+    v = unigram_train(docs, vocab_size=60, n_rounds=1, max_piece=3)
+    full = {r["piece"] for r in v.collect()}
+    singles = {p for p in full if len(p) == 1}
+    target = len(singles) + 5
+    pruned = unigram_prune(docs, v, target_size=target, max_piece=3)
+    kept = {r["piece"] for r in pruned.collect()}
+    assert len(kept) == target
+    assert singles <= kept
+    # dropped = lowest-loss multi-char pieces
+    words = _words_of(docs.select("doc_id", "text"), "text")
+    lp = {r["piece"]: r["lp_e4"] for r in v.collect()}
+    losses = {
+        r["piece"]: r["loss"] for r in piece_loss(words, lp, 3).collect()
+    }
+    order = sorted(
+        (p for p in full - singles), key=lambda p: (losses.get(p, 0.0), p)
+    )
+    assert set(order[: len(full) - target]) == full - kept
+    seg = unigram_segment(docs, pruned, max_piece=3)
+    joined = docs.join(seg, "doc_id").select(
+        F.concat_ws("", "pieces").alias("g"),
+        F.regexp_replace("text", " ", "").alias("f"),
+    )
+    assert joined.filter(F.col("g") != F.col("f")).count() == 0
+    # no-op when target >= current size
+    same = unigram_prune(docs, v, target_size=len(full) + 5, max_piece=3)
+    assert {r["piece"] for r in same.collect()} == full
