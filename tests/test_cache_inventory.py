@@ -39,7 +39,7 @@ EXPECTED_CACHES = {
         "_SUBSTR_LEG_CACHE",
     },
     "operators/multimodal.py": {"_PHASH_TABLES", "_PHASH_PAIRS", "_MEDIA_CLUSTERS"},
-    "operators/pipeline_queries.py": {"_ISSUES_CACHE"},
+    "operators/pipeline_queries.py": {"_ISSUES_CACHE", "_EXAMPLES_CACHE"},
     "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE"},
     "operators/similarity.py": {"_EXACT_TOPK_CACHE", "_IVF_CENTROIDS"},
     "operators/text.py": {

@@ -80,7 +80,17 @@ def test_flatmap_pipeline_joins(spark, sf_dir):
 
     df = _QS["jira_flatmap_examples"](spark, sf_dir)
     assert_no_cartesian(df)
-    ops = operator_counts(df)
+
+    # r13: the gate consumes the session's examples checkpoint (same
+    # silver-table materialization as the issues subtree above), so the
+    # explode shape is asserted on the UNCACHED construction.
+    from apache_jira_scraper_spark.operators.pipeline_queries import (
+        _issues,
+        issues_to_examples,
+    )
+
+    built = issues_to_examples(_issues(spark, sf_dir), include_content=True)
+    ops = operator_counts(built)
     assert ops.get("Generate", 0) == 1  # the explode — exactly one
 
 
