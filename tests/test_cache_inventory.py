@@ -37,6 +37,7 @@ EXPECTED_CACHES = {
         "_SEM_LSH_CACHE",
         "_SEM_PROTO_CACHE",
         "_SUBSTR_LEG_CACHE",
+        "_CLUSTER_CORE_CACHE",
     },
     "operators/multimodal.py": {"_PHASH_TABLES", "_PHASH_PAIRS", "_MEDIA_CLUSTERS"},
     "operators/pipeline_queries.py": {"_ISSUES_CACHE", "_EXAMPLES_CACHE"},
