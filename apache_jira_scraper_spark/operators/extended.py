@@ -612,16 +612,21 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("batch_id").cast("string").alias("aux"),
         F.col("n_chars").cast("bigint").alias("n"),
     )
-    # media survivors re-hashed through the REAL decoder so the leg pins
-    # every kept doc's exact 64-bit dHash (n) alongside its landing batch
-    # (aux); a missing hash surfaces as -1 and hash-mismatches loudly
-    from .multimodal import image_phash
+    # media survivors pinned to their exact 64-bit dHash (n) alongside the
+    # landing batch (aux): the hash comes from the session-cached per-doc
+    # hash table built by the REAL decoder over the full fixture
+    # (multimodal.phash_tables_cached — survivors are a subset of the
+    # fixture and image_phash is a pure per-doc function, so the joined
+    # values are identical to re-decoding the survivors; r13 optimization
+    # round, guide §4: one Arrow decode of each payload per session, not a
+    # second decode stage per gate call). A missing hash still surfaces as
+    # -1 and hash-mismatches loudly.
+    from .multimodal import phash_tables_cached
 
+    img_ph = phash_tables_cached(spark, sf_dir)[0]
     kept_media = spark.read.parquet(media_out)
     mingest = (
-        kept_media.join(
-            image_phash(kept_media.select("doc_id", "content")), "doc_id", "left"
-        )
+        kept_media.join(img_ph, "doc_id", "left")
         .select(
             F.lit("mingest").alias("op"),
             F.col("doc_id").alias("id"),

@@ -3554,6 +3554,54 @@ _PHASH_TABLES: dict = {}
 _PHASH_PAIRS: dict = {}
 
 
+def phash_tables_cached(spark: SparkSession, sf_dir: str):
+    """The three per-modality hash tables (img, vid, aud), hashed once per
+    SESSION (r09): pure functions of (session, sf_dir) — deterministic
+    fixture payloads through deterministic decoders — so they are
+    session-cached silver tables exactly like the text side's shingle
+    index (io.session_cached discipline; bench marks cache touches).
+    Within the building call each table still feeds multiple consumers
+    (fold + both sides of the banded self-join + the tail legs), hence
+    the eager checkpoints.
+
+    Module-level accessor (r13 optimization round) so OTHER gates that
+    need a fixture dHash — the streaming media-ingest leg's survivor
+    re-hash — can join against the already-decoded table instead of
+    paying a second Arrow decode stage of the same payloads (guide §4:
+    the JVM↔Python boundary is the cost; cross the payloads once)."""
+
+    def _build_phash_tables():
+        built: list = []
+        try:
+            built.append(
+                image_phash(phash_image_fixture(spark, sf_dir)).localCheckpoint(
+                    eager=True
+                )
+            )
+            built.append(
+                frame_phash(phash_video_fixture(spark, sf_dir)).localCheckpoint(
+                    eager=True
+                )
+            )
+            # the onset anchor is what the audio leg certifies: member 1
+            # is the time-shifted copy and must collide at hamming 0
+            built.append(
+                audio_phash(
+                    phash_audio_fixture(spark, sf_dir), anchor="onset"
+                ).localCheckpoint(eager=True)
+            )
+        except BaseException:
+            # a later checkpoint failing must not strand the earlier ones
+            # (nothing cached on failure; a retry would rebuild on a heap
+            # pinning dead state — same rule as _build_clusters)
+            for df in built:
+                free_local_checkpoint(df)
+            raise
+        return tuple(built)
+
+    return session_cached(_PHASH_TABLES, spark, (sf_dir,), _build_phash_tables)
+
+
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Combined decode gate: Arrow `mapInPandas` feature extraction AND
     column-algebra frame sampling over the same binary payloads, joined on
@@ -3683,45 +3731,7 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hamming/matching-frame count. All four folds are tiny
     # (n_docs/PHASH_SAMPLE_MOD rows): AQE broadcast-joins them onto the
     # per-doc spine.
-    # hash once per SESSION (r09): the three hash tables are pure
-    # functions of (session, sf_dir) — deterministic fixture payloads
-    # through deterministic decoders — so they are session-cached silver
-    # tables exactly like the text side's shingle index (io.session_cached
-    # discipline; bench marks cache touches). Within the building call
-    # each table still feeds multiple consumers (fold + both sides of the
-    # banded self-join + the tail legs), hence the eager checkpoints.
-    def _build_phash_tables():
-        built: list = []
-        try:
-            built.append(
-                image_phash(phash_image_fixture(spark, sf_dir)).localCheckpoint(
-                    eager=True
-                )
-            )
-            built.append(
-                frame_phash(phash_video_fixture(spark, sf_dir)).localCheckpoint(
-                    eager=True
-                )
-            )
-            # the onset anchor is what the audio leg certifies: member 1
-            # is the time-shifted copy and must collide at hamming 0
-            built.append(
-                audio_phash(
-                    phash_audio_fixture(spark, sf_dir), anchor="onset"
-                ).localCheckpoint(eager=True)
-            )
-        except BaseException:
-            # a later checkpoint failing must not strand the earlier ones
-            # (nothing cached on failure; a retry would rebuild on a heap
-            # pinning dead state — same rule as _build_clusters)
-            for df in built:
-                free_local_checkpoint(df)
-            raise
-        return tuple(built)
-
-    img_ph, vid_ph, aud_ph = session_cached(
-        _PHASH_TABLES, spark, (sf_dir,), _build_phash_tables
-    )
+    img_ph, vid_ph, aud_ph = phash_tables_cached(spark, sf_dir)
     # each pair table feeds multiple consumers (its per-doc fold + the
     # cross-modal cluster edge union below), and like the hash tables it
     # is a pure function of (session, sf_dir) — so the three are
