@@ -702,6 +702,10 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") < INTERVAL_GATE_MAX_USER
     )
+    # The interval table is bounded (<= INTERVAL_GATE_MAX_USER rows) —
+    # checkpoint it so the width probe below and the join's two sides all
+    # read the 200 stored rows instead of re-running the events scan+agg
+    # (three consumers, one scan).
     iv = (
         ev.groupBy("user_id")
         .agg(
@@ -709,9 +713,27 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.max("ts")).alias("end"),
         )
         .select(F.col("user_id").alias("id"), "start", "end")
+        .localCheckpoint(eager=True)
     )
+    # r13 optimization (guide §2.5: size the partitioning key to the data,
+    # not a constant): these per-user activity spans cover nearly the whole
+    # dataset range, so the old fixed 1-hour bucket exploded each interval
+    # into ~700 buckets whose candidate pairs the first-bucket filter then
+    # discarded (~100x the useful volume; measured 2.6 s vs 0.4 s warm at
+    # sf0.1). The width is now derived from the data — the median span, a
+    # bounded aggregate over the checkpointed 200-row interval table (the
+    # centroid-train bounded-model pattern) — keeping per-interval fan-out
+    # O(1) at ANY scale factor or density. Emitted pairs are width-
+    # invariant by the operator's first-bucket dedup contract (each
+    # overlapping pair appears exactly once for every width; re-verified
+    # against the DuckDB inequality-join oracle, which has no width), so
+    # the gate's hash is unchanged.
+    med = iv.agg(
+        F.expr("percentile(end - start, 0.5)").alias("med")
+    ).collect()[0]["med"]
+    width = max(3600, int(med or 0))
     return (
-        interval_overlap_join(iv, iv, bucket_width=3600)
+        interval_overlap_join(iv, iv, bucket_width=width)
         .filter(F.col("a_id") < F.col("b_id"))
         .orderBy("a_id", "b_id")
     )
