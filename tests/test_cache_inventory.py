@@ -37,6 +37,7 @@ EXPECTED_CACHES = {
         "_SEM_LSH_CACHE",
         "_SEM_PROTO_CACHE",
         "_SUBSTR_LEG_CACHE",
+        "_NGRAM_LEG_CACHE",
         "_CLUSTER_CORE_CACHE",
     },
     "operators/multimodal.py": {"_PHASH_TABLES", "_PHASH_PAIRS", "_MEDIA_CLUSTERS"},
@@ -49,6 +50,8 @@ EXPECTED_CACHES = {
         "_DOCS_TOK_CACHE",
         "_CONTAM_LEG_CACHE",
         "_BACKOFF_LEG_CACHE",
+        "_BPE_PIECES_CACHE",
+        "_UNIGRAM_LEG_CACHE",
         "_QC_WEIGHTS_CACHE",
         "_BPE_LEG_CACHE",
         "_DSIR_LEG_CACHE",
