@@ -3722,6 +3722,77 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("patches_md5"),
         )
     )
+    # Fixture legs (phash tables/pairs/clusters, index matches, audio/
+    # video/scene features): every one is a pure function of (session,
+    # sf_dir) over CONSTRUCTED fixture payloads, yet the gate rebuilt and
+    # re-executed all 11 fold subtrees per call - including a fresh Arrow
+    # decode of the audio/video fixtures (r13 optimization round, guide
+    # S4/S5: one fixture decode per session). They are now merged into ONE
+    # session-cached side table by _build_fixture_core below; chained
+    # per-doc LEFT joins of unique-keyed folds equal one left join of
+    # their full-outer merge, so the gate output is row-identical.
+    core = session_cached(
+        _FIXTURE_CORE, spark, (sf_dir,), lambda: _build_fixture_core(spark, sf_dir)
+    )
+    return (
+        spine.join(per_doc, "doc_id", "left")
+        .join(core, "doc_id", "left")
+        .select(
+            spine["doc_id"],
+            "features_csv",
+            "n_bytes",
+            "frames_md5",
+            "n_frames",
+            "content_md5",
+            "width",
+            "height",
+            F.coalesce("patch_n", F.lit(0)).cast("long").alias("patch_n"),
+            F.coalesce("patch_sum_total", F.lit(0)).cast("long").alias("patch_sum_total"),
+            F.coalesce("patches_md5", F.lit("")).alias("patches_md5"),
+            F.coalesce("img_phash", F.lit(0)).cast("long").alias("img_phash"),
+            F.coalesce("n_img_pairs", F.lit(0)).cast("long").alias("n_img_pairs"),
+            F.coalesce("img_pairs_md5", F.lit("")).alias("img_pairs_md5"),
+            F.coalesce("vid_phash_md5", F.lit("")).alias("vid_phash_md5"),
+            F.coalesce("n_vid_pairs", F.lit(0)).cast("long").alias("n_vid_pairs"),
+            F.coalesce("vid_pairs_md5", F.lit("")).alias("vid_pairs_md5"),
+            F.coalesce("aud_phash", F.lit(0)).cast("long").alias("aud_phash"),
+            F.coalesce("n_aud_pairs", F.lit(0)).cast("long").alias("n_aud_pairs"),
+            F.coalesce("aud_pairs_md5", F.lit("")).alias("aud_pairs_md5"),
+            F.coalesce("media_cluster", F.lit(-1)).cast("long").alias("media_cluster"),
+            F.coalesce("media_keeper", F.lit(0)).cast("long").alias("media_keeper"),
+            F.coalesce("n_idx_matches", F.lit(0)).cast("long").alias("n_idx_matches"),
+            F.coalesce("idx_matches_md5", F.lit("")).alias("idx_matches_md5"),
+            F.coalesce("af_rate", F.lit(-1)).cast("long").alias("af_rate"),
+            F.coalesce("af_nsamp", F.lit(-1)).cast("long").alias("af_nsamp"),
+            F.coalesce("af_peak", F.lit(-1)).cast("long").alias("af_peak"),
+            F.coalesce("af_rms_x100", F.lit(-1)).cast("long").alias("af_rms_x100"),
+            F.coalesce("af_zcr_ppm", F.lit(-1)).cast("long").alias("af_zcr_ppm"),
+            F.coalesce("af_silence_ppm", F.lit(-1)).cast("long").alias("af_silence_ppm"),
+            F.coalesce("vf_frames", F.lit(-1)).cast("long").alias("vf_frames"),
+            F.coalesce("vf_width", F.lit(-1)).cast("long").alias("vf_width"),
+            F.coalesce("vf_height", F.lit(-1)).cast("long").alias("vf_height"),
+            F.coalesce("vf_fps_ppm", F.lit(-1)).cast("long").alias("vf_fps_ppm"),
+            F.coalesce("vf_mean_luma", F.lit(-1)).cast("long").alias("vf_mean_luma"),
+            F.coalesce("vf_scenes", F.lit(-1)).cast("long").alias("vf_scenes"),
+            F.coalesce("vf_max_mad", F.lit(-1)).cast("long").alias("vf_max_mad"),
+            F.coalesce("sc_n", F.lit(0)).cast("long").alias("sc_n"),
+            F.coalesce("sc_md5", F.lit("")).alias("sc_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_FIXTURE_CORE: dict = {}
+
+
+def _build_fixture_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal gate's 11 fixture-derived per-doc folds merged on
+    doc_id into one eager session checkpoint (io.session_cached via
+    _FIXTURE_CORE). Each fold is unique on doc_id, so the full-outer
+    merge joined LEFT onto the spine is row- and null-identical to the
+    previous 11 chained left joins; missing-fold columns stay NULL and
+    the gate's COALESCE defaults apply unchanged. Size is bounded by the
+    fixture sample (~n_docs/PHASH_SAMPLE_MOD rows per modality)."""
     # phash near-dup legs (VERDICT r07 item 1): REAL constructed payloads
     # (PGM/PPM stills, Y4M video) through the REAL decoders, dHash, and
     # pigeonhole-banded joins — image_phash / image_near_dup_pairs /
@@ -3921,62 +3992,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sc_md5"),
         )
     )
-    return (
-        spine.join(per_doc, "doc_id", "left")
-        .join(img_fold, "doc_id", "left")
-        .join(img_pair_fold, "doc_id", "left")
-        .join(vid_ph_fold, "doc_id", "left")
-        .join(vid_pair_fold, "doc_id", "left")
-        .join(aud_fold, "doc_id", "left")
-        .join(aud_pair_fold, "doc_id", "left")
-        .join(clus, "doc_id", "left")
-        .join(idx_fold, "doc_id", "left")
-        .join(af, "doc_id", "left")
-        .join(vf, "doc_id", "left")
-        .join(sc, "doc_id", "left")
-        .select(
-            spine["doc_id"],
-            "features_csv",
-            "n_bytes",
-            "frames_md5",
-            "n_frames",
-            "content_md5",
-            "width",
-            "height",
-            F.coalesce("patch_n", F.lit(0)).cast("long").alias("patch_n"),
-            F.coalesce("patch_sum_total", F.lit(0)).cast("long").alias("patch_sum_total"),
-            F.coalesce("patches_md5", F.lit("")).alias("patches_md5"),
-            F.coalesce("img_phash", F.lit(0)).cast("long").alias("img_phash"),
-            F.coalesce("n_img_pairs", F.lit(0)).cast("long").alias("n_img_pairs"),
-            F.coalesce("img_pairs_md5", F.lit("")).alias("img_pairs_md5"),
-            F.coalesce("vid_phash_md5", F.lit("")).alias("vid_phash_md5"),
-            F.coalesce("n_vid_pairs", F.lit(0)).cast("long").alias("n_vid_pairs"),
-            F.coalesce("vid_pairs_md5", F.lit("")).alias("vid_pairs_md5"),
-            F.coalesce("aud_phash", F.lit(0)).cast("long").alias("aud_phash"),
-            F.coalesce("n_aud_pairs", F.lit(0)).cast("long").alias("n_aud_pairs"),
-            F.coalesce("aud_pairs_md5", F.lit("")).alias("aud_pairs_md5"),
-            F.coalesce("media_cluster", F.lit(-1)).cast("long").alias("media_cluster"),
-            F.coalesce("media_keeper", F.lit(0)).cast("long").alias("media_keeper"),
-            F.coalesce("n_idx_matches", F.lit(0)).cast("long").alias("n_idx_matches"),
-            F.coalesce("idx_matches_md5", F.lit("")).alias("idx_matches_md5"),
-            F.coalesce("af_rate", F.lit(-1)).cast("long").alias("af_rate"),
-            F.coalesce("af_nsamp", F.lit(-1)).cast("long").alias("af_nsamp"),
-            F.coalesce("af_peak", F.lit(-1)).cast("long").alias("af_peak"),
-            F.coalesce("af_rms_x100", F.lit(-1)).cast("long").alias("af_rms_x100"),
-            F.coalesce("af_zcr_ppm", F.lit(-1)).cast("long").alias("af_zcr_ppm"),
-            F.coalesce("af_silence_ppm", F.lit(-1)).cast("long").alias("af_silence_ppm"),
-            F.coalesce("vf_frames", F.lit(-1)).cast("long").alias("vf_frames"),
-            F.coalesce("vf_width", F.lit(-1)).cast("long").alias("vf_width"),
-            F.coalesce("vf_height", F.lit(-1)).cast("long").alias("vf_height"),
-            F.coalesce("vf_fps_ppm", F.lit(-1)).cast("long").alias("vf_fps_ppm"),
-            F.coalesce("vf_mean_luma", F.lit(-1)).cast("long").alias("vf_mean_luma"),
-            F.coalesce("vf_scenes", F.lit(-1)).cast("long").alias("vf_scenes"),
-            F.coalesce("vf_max_mad", F.lit(-1)).cast("long").alias("vf_max_mad"),
-            F.coalesce("sc_n", F.lit(0)).cast("long").alias("sc_n"),
-            F.coalesce("sc_md5", F.lit("")).alias("sc_md5"),
-        )
-        .orderBy("doc_id")
-    )
+    core = img_fold
+    for side in (
+        img_pair_fold,
+        vid_ph_fold,
+        vid_pair_fold,
+        aud_fold,
+        aud_pair_fold,
+        clus,
+        idx_fold,
+        af,
+        vf,
+        sc,
+    ):
+        core = core.join(side, "doc_id", "full")
+    return core.localCheckpoint(eager=True)
 
 
 #: Shared oracle CTE chain (documents -> fixture-member image dHash):
