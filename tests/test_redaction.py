@@ -137,6 +137,23 @@ def test_url_filter_duckdb_parity_on_url_fixture(spark, url_parquet):
     _assert_parity(url_filter(docs), sql)
 
 
+def test_pii_redact_arrow_identity(spark, sf_dir):
+    """The gate's RE2 mapInArrow twin must equal the column-algebra
+    pii_redact row-for-row — on the constructed PII fixture (real
+    emails/ssns/phones/ips, the r04/r05 edge rows) AND on the full
+    synthetic documents table (corpus-scale, zero-match rows included)."""
+    from apache_jira_scraper_spark.io import load_table
+    from apache_jira_scraper_spark.operators.redaction import pii_redact_arrow
+
+    for docs in (
+        spark.createDataFrame(PII_ROWS, "doc_id long, text string"),
+        load_table(spark, sf_dir, "documents"),
+    ):
+        cur = {r["doc_id"]: tuple(r) for r in pii_redact(docs, ordered=False).collect()}
+        new = {r["doc_id"]: tuple(r) for r in pii_redact_arrow(docs).collect()}
+        assert cur == new
+
+
 def test_pii_and_url_parity_on_documents(spark, sf_dir):
     """Corpus-scale regex-compat check over the synthetic documents table
     (an exact per-row string comparison even when match counts are zero)."""
