@@ -295,12 +295,44 @@ def semantic_dedup(
     )
 
 
+def ivf_probe_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    vec_col: str = "e",
+) -> DataFrame:
+    """The nprobe-way RANKED assignment ivf_search runs internally, as a
+    standalone frame: every emb column plus (probe_rank, cid), rank 0
+    being the nearest cell (= the inverted-list membership) and higher
+    ranks the probe set. This table IS the landed IVF index artifact a
+    production deployment materializes once per corpus — callers that
+    search repeatedly against a fixed corpus (the driver gate) checkpoint
+    it and pass it to ``ivf_search(assigned=...)`` instead of re-running
+    the k·dim-literal argmin map per search (r13 optimization round:
+    the re-assignment was the gate's dominant warm cost)."""
+    rows = _centroid_rows(centroids)
+    if len(rows) > _LITERAL_K_MAX:
+        raise ValueError(
+            "ivf_probe_assign: ranked assignment is the literal-k path; "
+            f"k={len(rows)} > {_LITERAL_K_MAX} uses ivf_assign's "
+            "broadcast-join form instead"
+        )
+    keys = list(emb.columns)
+    return emb.select(
+        *keys,
+        F.posexplode(
+            F.slice(F.array_sort(_dist_structs(vec_col, rows)), 1, nprobe)
+        ).alias("probe_rank", "dc"),
+    ).select(*keys, "probe_rank", F.col("dc.cid").alias("cid"))
+
+
 def ivf_search(
     emb: DataFrame,
     centroids: DataFrame,
     n_queries: int = 10,
     top_k: int = 5,
     nprobe: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k: probe `nprobe` cells per query, exact cosine inside the
     candidate cells. Expects `emb` with (vec_id, label, e, nrm) as produced
@@ -312,20 +344,16 @@ def ivf_search(
     inverted-list membership), the query side is every probed rank. Two
     separate ivf_assign calls would instantiate the k·dim-literal argmin
     expression twice in one plan; at small SF Catalyst's passes over that
-    tree, not the data, dominate wall time."""
-    rows = _centroid_rows(centroids)
-    if len(rows) <= _LITERAL_K_MAX:
-        ranked = emb.select(
-            "vec_id",
-            "label",
-            "e",
-            "nrm",
-            F.posexplode(
-                F.slice(F.array_sort(_dist_structs("e", rows)), 1, nprobe)
-            ).alias("probe_rank", "dc"),
-        ).select(
-            "vec_id", "label", "e", "nrm", "probe_rank", F.col("dc.cid").alias("cid")
-        )
+    tree, not the data, dominate wall time.
+
+    ``assigned``: a precomputed ivf_probe_assign(emb, centroids, nprobe)
+    frame (e.g. a checkpointed index artifact) — skips the per-call
+    assignment map and the centroid collect entirely."""
+    if assigned is not None:
+        corpus_src = assigned.filter(F.col("probe_rank") == 0)
+        queries_src = assigned.filter(F.col("vec_id") < n_queries)
+    elif len(_centroid_rows(centroids)) <= _LITERAL_K_MAX:
+        ranked = ivf_probe_assign(emb, centroids, nprobe=nprobe)
         corpus_src = ranked.filter(F.col("probe_rank") == 0)
         queries_src = ranked.filter(F.col("vec_id") < n_queries)
     else:

@@ -461,6 +461,7 @@ ORDER BY op, qid, rank
 
 
 _IVF_CENTROIDS: dict[tuple[str, str], DataFrame] = {}
+_IVF_ASSIGNED: dict[tuple[str, str], DataFrame] = {}
 
 IVF_K = 16
 IVF_NPROBE = 2
@@ -481,7 +482,7 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query at sf0.01/sf0.1 (mean 0.82-0.9); the envelope at 2/5 leaves
     seed-regeneration margin, and the tighter aggregate bound is pinned in
     tests/test_ivf.py."""
-    from .ivf import ivf_build, ivf_search
+    from .ivf import ivf_build, ivf_probe_assign, ivf_search
 
     emb = _emb(spark, sf_dir)
     from ..io import session_cached
@@ -489,8 +490,27 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = session_cached(
         _IVF_CENTROIDS, spark, (sf_dir,), lambda: ivf_build(emb, k=IVF_K, n_iter=4)
     )
+    # The ranked assignment is the landed IVF index artifact (inverted
+    # lists + probe sets) — a pure function of (session, sf_dir) like the
+    # centroids themselves, checkpointed once per session instead of
+    # re-running the k·dim-literal argmin map every call (r13: that map
+    # was the gate's dominant warm cost, ~0.6 s of fixed plan/codegen
+    # work over 2000 rows).
+    assigned = session_cached(
+        _IVF_ASSIGNED,
+        spark,
+        (sf_dir,),
+        lambda: ivf_probe_assign(emb, centroids, nprobe=IVF_NPROBE).localCheckpoint(
+            eager=True
+        ),
+    )
     got = ivf_search(
-        emb, centroids, n_queries=N_QUERIES, top_k=TOP_K, nprobe=IVF_NPROBE
+        emb,
+        centroids,
+        n_queries=N_QUERIES,
+        top_k=TOP_K,
+        nprobe=IVF_NPROBE,
+        assigned=assigned,
     )
     exact = q_cosine_topk(spark, sf_dir)
     hits = (

@@ -76,6 +76,26 @@ def test_search_recall_vs_exact(spark, sf_dir, emb, centroids):
     assert recall >= 0.6, f"recall@5 = {recall:.2f}"
 
 
+def test_search_assigned_path_identical(emb, centroids):
+    """ivf_search(assigned=ivf_probe_assign(...)) — the gate's checkpointed
+    index-artifact fast path — must return exactly the internal-assignment
+    result, row for row."""
+    from apache_jira_scraper_spark.operators.ivf import ivf_probe_assign
+
+    internal = [
+        tuple(r)
+        for r in ivf_search(emb, centroids, n_queries=10, top_k=5, nprobe=2).collect()
+    ]
+    pre = ivf_probe_assign(emb, centroids, nprobe=2)
+    fast = [
+        tuple(r)
+        for r in ivf_search(
+            emb, centroids, n_queries=10, top_k=5, nprobe=2, assigned=pre
+        ).collect()
+    ]
+    assert internal == fast
+
+
 def test_search_plan_is_equi_join(emb, centroids):
     """Candidate generation must be the cid equi-join. The
     BroadcastNestedLoopJoins in the plan are the vector×centroid assignment
