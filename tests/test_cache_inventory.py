@@ -40,10 +40,24 @@ EXPECTED_CACHES = {
         "_NGRAM_LEG_CACHE",
         "_CLUSTER_CORE_CACHE",
     },
-    "operators/multimodal.py": {"_PHASH_TABLES", "_PHASH_PAIRS", "_MEDIA_CLUSTERS"},
+    "operators/multimodal.py": {
+        "_PHASH_TABLES",
+        "_PHASH_PAIRS",
+        "_MEDIA_CLUSTERS",
+        # r13 optimization round: the 11 fixture folds merged into one
+        # session-checkpointed side table (W9)
+        "_FIXTURE_CORE",
+    },
     "operators/pipeline_queries.py": {"_ISSUES_CACHE", "_EXAMPLES_CACHE"},
-    "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE"},
-    "operators/similarity.py": {"_EXACT_TOPK_CACHE", "_IVF_CENTROIDS"},
+    # _ADC_HITS / _IVF_ASSIGNED: r13 optimization round — the PQ/OPQ
+    # per-query hit table (W13) and the ranked IVF assignment index
+    # artifact (W12)
+    "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE", "_ADC_HITS"},
+    "operators/similarity.py": {
+        "_EXACT_TOPK_CACHE",
+        "_IVF_CENTROIDS",
+        "_IVF_ASSIGNED",
+    },
     "operators/text.py": {
         "_BM25_TOPK_CACHE",
         "_BIGRAM_LEG_CACHE",
