@@ -75,6 +75,9 @@ EXPECTED_CACHES = {
         "_UNITOK_LEG_CACHE",
     },
     "operators/extended.py": {"_CMS_HH_CACHE"},
+    # r13 optimization round: the fuzzy gate's verified pair table — the
+    # dedup pair-table landed-artifact class
+    "operators/relational.py": {"_FUZZY_PAIRS_CACHE"},
 }
 
 # Module-level dicts that are NOT session caches (never hold DataFrames
