@@ -216,7 +216,22 @@ GROUP BY t.source ORDER BY t.source
 """
 
 
-def corpus_report(docs: DataFrame, ordered: bool = True) -> DataFrame:
+def _report_base(docs: DataFrame) -> DataFrame:
+    """corpus_report's per-doc projection: (source, lang, quality band,
+    n_tokens) — a pure narrow map over the corpus."""
+    from .text import quality_score_bp_col
+
+    return docs.select(
+        "source",
+        "lang",
+        (F.floor(quality_score_bp_col() / 2000) * 2000).cast("bigint").alias("band"),
+        F.size(F.split("text", " ")).alias("_nt"),
+    )
+
+
+def corpus_report(
+    docs: DataFrame, ordered: bool = True, base: DataFrame | None = None
+) -> DataFrame:
     """Data-card report: the per-release summary a corpus ships with —
     doc/token mass by source, by language, by quality band (2000-bp
     buckets of the shared quality score), plus the grand total, as ONE
@@ -231,15 +246,14 @@ def corpus_report(docs: DataFrame, ordered: bool = True) -> DataFrame:
     (grouping sets emit no rows on empty input; the twin's total leg
     carries a HAVING guard to match). Integer token counts make the
     DuckDB twin (`corpus_report_sql`) exact.
-    """
-    from .text import quality_score_bp_col
 
-    base = docs.select(
-        "source",
-        "lang",
-        (F.floor(quality_score_bp_col() / 2000) * 2000).cast("bigint").alias("band"),
-        F.size(F.split("text", " ")).alias("_nt"),
-    )
+    ``base``: optional precomputed `_report_base` projection (r13
+    optimization round) — the gate passes its session-materialized copy so
+    warm calls skip the per-doc tokenize/score pass; the default recomputes
+    it from ``docs``.
+    """
+    if base is None:
+        base = _report_base(docs)
     g = base.groupingSets(
         [[F.col("source")], [F.col("lang")], [F.col("band")], []],
         F.col("source"),
@@ -412,6 +426,25 @@ def corpus_report_gate_sql() -> str:
     )
 
 
+_REPORT_BASE_CACHE: dict = {}
+
+
+def _report_base_cached(spark, sf_dir: str) -> DataFrame:
+    """Session-materialized `_report_base` projection (r13 optimization
+    round, guide §5): the per-doc (source, lang, band, n_tokens) silver
+    column set is a pure function of the corpus — landed once per session
+    like text's tokenized-docs checkpoint; the grouping-sets aggregation
+    stays live per call."""
+    from ..io import load_table, session_cached
+
+    def _build() -> DataFrame:
+        return _report_base(
+            load_table(spark, sf_dir, "documents")
+        ).localCheckpoint(eager=True)
+
+    return session_cached(_REPORT_BASE_CACHE, spark, (sf_dir,), _build)
+
+
 def q_corpus_report(spark, sf_dir: str) -> DataFrame:
     """Data-card report gate over the documents table (driver-certified
     since r04 — the slot freed by the returnflag_stats merge). r13 adds
@@ -421,8 +454,9 @@ def q_corpus_report(spark, sf_dir: str) -> DataFrame:
     hash as the labeled sections."""
     from ..io import load_table
 
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        corpus_report(load_table(spark, sf_dir, "documents"), ordered=False)
+        corpus_report(docs, ordered=False, base=_report_base_cached(spark, sf_dir))
         .unionByName(_domain_cards_cached(spark, sf_dir))
         .orderBy(
             F.col("section").asc_nulls_last(), F.col("key").asc_nulls_last()

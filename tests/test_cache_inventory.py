@@ -25,7 +25,13 @@ PKG = Path(__file__).resolve().parent.parent / "apache_jira_scraper_spark"
 # The full session-cache inventory. A new cache dict must be added here
 # (and be session_cached-disciplined) or this test fails on discovery.
 EXPECTED_CACHES = {
-    "operators/corpus.py": {"_DOCS_PROJ_CACHE", "_DOMAIN_CARDS_CACHE"},
+    "operators/corpus.py": {
+        "_DOCS_PROJ_CACHE",
+        "_DOMAIN_CARDS_CACHE",
+        # r13 optimization round: corpus_report's per-doc
+        # (source, lang, band, n_tokens) projection (W16)
+        "_REPORT_BASE_CACHE",
+    },
     "operators/dedup.py": {
         "_SHINGLE_CACHE",
         "_PAIRS_CACHE",
