@@ -79,6 +79,10 @@ EXPECTED_CACHES = {
         "_PPL_LEG_CACHE",
         "_VERDICT_LEG_CACHE",
         "_UNITOK_LEG_CACHE",
+        # r13 optimization round: prepared-query memo — holds the
+        # lazily-assembled 19-leg union DataFrame OBJECT (no data beyond
+        # the inventoried leg checkpoints); execution still runs per call
+        "_TEXT_GATE_FRAME_MEMO",
     },
     "operators/extended.py": {"_CMS_HH_CACHE"},
     # r13 optimization round: the fuzzy gate's verified pair table — the

@@ -270,6 +270,14 @@ def _clear_text_session_caches() -> None:
         text._VERDICT_LEG_CACHE,
         # r13: the unigram-tokenizer leg (trained model + segmentation)
         text._UNITOK_LEG_CACHE,
+        # r13 optimization round: the shared BPE-pretokenized pieces
+        # checkpoint (W7) and the gate's prepared-query frame memo — the
+        # memo holds a lazy frame REFERENCING the leg checkpoints freed
+        # here, so leaving it would hand the next sample dangling
+        # checkpoint scans (the bigram clear-list lesson, plan-object
+        # flavor)
+        text._BPE_PIECES_CACHE,
+        text._TEXT_GATE_FRAME_MEMO,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):
