@@ -95,8 +95,13 @@ def main() -> None:
     # slower driver host could push that past the old 30 s cutoff, which
     # would record the COLD build as the gate's min instead of resampling
     # to warm) but low enough that a pathological gate can't eat minutes
-    # of bench wall
-    resample_cutoff_s = 45.0
+    # of bench wall. r13 optimization round: raised 45 -> 90 after a
+    # measured host-degradation phase pushed stream_stateful's cold sample
+    # to 62 s — the cutoff then recorded that one degraded-cold sample as
+    # the gate's "min" (the exact failure mode the 30 -> 45 raise fixed,
+    # one host-speed class further out). Same methodology — min-of-N with
+    # a wall-bound guard — only the guard's threshold moved.
+    resample_cutoff_s = 90.0
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     cached: list[str] = []
