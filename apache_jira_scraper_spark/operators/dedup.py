@@ -1346,89 +1346,53 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(_LABELS_CACHE, spark, (sf_dir,), _build)
 
 
-_CLUSTER_CORE_CACHE: dict = {}
-
-
-def _cluster_core_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cluster_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup_clusters gate's iterative core — connected-component
     labels ⋈ pagerank ⋈ similarity-weighted pagerank over the verified
-    MinHash pair graph — materialized once per (session, sf_dir).
+    MinHash pair graph — computed PER CALL (r14, VERDICT r13 item 1: the
+    r13 session checkpoint of this join memoized the gate's result grain,
+    so warm bench samples timed a checkpoint scan instead of the declared
+    fixed-point loops).
 
-    r13 optimization round: the three iterative consumers (multi-round
-    label propagation + two fixed-point pagerank loops, each a chain of
-    checkpoints and convergence counts) are a pure function of the
-    session-constant pair table, yet every warm gate call re-ran all
-    three (~1.5 s of small sequential jobs at sf0.1 by the
-    profile_split.py split). Silver-table discipline, the _MEDIA_CLUSTERS
-    precedent: build on first call — still on concurrent driver threads,
-    one edge checkpoint, deterministic frees — and serve the joined core
-    afterwards. The gate's per-call windows/sort stay live.
+    The three consumers still run on concurrent driver threads over ONE
+    eager edge checkpoint (own_edges=False) — the gate pays the slowest
+    loop, not the sum (measured 3.56 -> ~2.3 s at sf0.1, r11). The
+    consumers' final converged checkpoints back the returned frame, so
+    they cannot be freed here (lazy result); each loop's superseded
+    per-round checkpoints are freed inside the loops themselves.
     """
-    from ..io import session_cached
-
-    def _build() -> DataFrame:
-        # ONE eager edge checkpoint shared by all three consumers
-        # (own_edges=False): components and both pagerank loops each
-        # iterate over stored blocks instead of re-running the LSH
-        # pair-generation subtree. jaccard ppm rides the checkpoint as
-        # the weight column: round(jaccard*1e6) is exact in both engines
-        # because the 6-decimal jaccard doubles are already
-        # hash-certified identical (dedup_near_pairs).
-        edges = (
-            minhash_pairs(spark, sf_dir)
-            .select(
-                "d1",
-                "d2",
-                F.round(F.col("jaccard") * 1_000_000).cast("long").alias("w_ppm"),
-            )
-            .localCheckpoint(eager=True)
+    # jaccard ppm rides the edge checkpoint as the weight column:
+    # round(jaccard*1e6) is exact in both engines because the 6-decimal
+    # jaccard doubles are already hash-certified identical
+    # (dedup_near_pairs).
+    edges = (
+        minhash_pairs(spark, sf_dir)
+        .select(
+            "d1",
+            "d2",
+            F.round(F.col("jaccard") * 1_000_000).cast("long").alias("w_ppm"),
         )
-        # The consumers' converged checkpoints back the frames they
-        # return; once the joined core is eagerly checkpointed they are
-        # superseded and freed (scratch_out ownership; list.append is
-        # thread-safe under the GIL).
-        scratch: list = []
-        try:
-            # Three independent jobs over the same stored edge blocks —
-            # concurrent driver threads so the build pays the slowest
-            # one, not the sum (measured 3.56 -> ~2.3 s at sf0.1, r11).
-            from concurrent.futures import ThreadPoolExecutor
+        .localCheckpoint(eager=True)
+    )
+    try:
+        from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=3) as ex:
-                f_lbl = ex.submit(
-                    connected_components,
-                    edges.select("d1", "d2"),
-                    own_edges=False,
-                    scratch_out=scratch,
-                )
-                f_rk = ex.submit(
-                    pagerank,
-                    edges.select("d1", "d2"),
-                    own_edges=False,
-                    scratch_out=scratch,
-                )
-                f_rw = ex.submit(
-                    pagerank_weighted, edges, own_edges=False, scratch_out=scratch
-                )
-                labels = f_lbl.result()
-                ranks = f_rk.result()
-                ranks_w = f_rw.result().withColumnRenamed(
-                    "pagerank_ppb", "pagerank_w_ppb"
-                )
-            return (
-                labels.join(ranks, "doc_id")
-                .join(ranks_w, "doc_id")
-                .localCheckpoint(eager=True)
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_lbl = ex.submit(
+                connected_components, edges.select("d1", "d2"), own_edges=False
             )
-        finally:
-            # Runs after the core checkpoint materialized (or on failure):
-            # the edge blocks and the consumers' scratch checkpoints are
-            # dead either way.
-            free_local_checkpoint(edges)
-            for df in scratch:
-                free_local_checkpoint(df)
-
-    return session_cached(_CLUSTER_CORE_CACHE, spark, (sf_dir,), _build)
+            f_rk = ex.submit(pagerank, edges.select("d1", "d2"), own_edges=False)
+            f_rw = ex.submit(pagerank_weighted, edges, own_edges=False)
+            labels = f_lbl.result()
+            ranks = f_rk.result()
+            ranks_w = f_rw.result().withColumnRenamed(
+                "pagerank_ppb", "pagerank_w_ppb"
+            )
+        return labels.join(ranks, "doc_id").join(ranks_w, "doc_id")
+    finally:
+        # All consumers are fully materialized (their results are eager
+        # checkpoints), so the shared edge blocks are dead either way.
+        free_local_checkpoint(edges)
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1453,7 +1417,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportionally to similarity, so the weighted keeper is the member
     most STRONGLY similar to its cluster, not merely the most connected.
     """
-    core = _cluster_core_cached(spark, sf_dir)
+    core = _cluster_core(spark, sf_dir)
     # Per-cluster size via a window — cluster count is O(dup_rate * n)
     # (corpus cardinality on a dup-heavy crawl), so no broadcast of a sizes
     # table; the COUNT and both rank-argmaxes land in ONE cluster_id shuffle

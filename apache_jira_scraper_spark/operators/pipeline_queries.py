@@ -209,34 +209,24 @@ def _issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(_ISSUES_CACHE, spark, (sf_dir,), _build)
 
 
-_EXAMPLES_CACHE: dict[tuple[str, str], DataFrame] = {}
-
-
 def _examples(
     spark: SparkSession, sf_dir: str, include_content: bool = True
 ) -> DataFrame:
-    """Examples table, persisted once per (session, sf_dir) — the GOLD-zone
-    twin of `_issues`' silver materialization (r13 optimization round).
+    """Examples frame — the 1->7 flatMap over the session's silver issues
+    table, built PER CALL (r14, VERDICT r13 item 1: the r13 session
+    checkpoint of this frame memoized the jira gates' result grain — for
+    q_jira_flatmap_examples the cache WAS the gate's answer, so every warm
+    bench sample timed a checkpoint scan instead of the declared flatMap).
 
-    Five gates consume this frame; before the cache each one re-built and
-    re-analyzed the 7-branch example union (a ~200-node expression tree:
-    ~0.45-0.65 s of driver-side plan work per gate per bench sample,
-    measured with tools/profile_split.py) and re-ran the flatMap projection.
-    The reference pipeline itself materializes exactly this artifact (the
-    merged JSONL corpus that its query entry points re-read), so the cache
-    is the production layout, not a bench trick. Always built WITH content:
-    the `include_content=False` consumers (aggregate-only gates) never read
-    input/output, so handing them the full frame is semantically identical —
-    their aggregates consult only task_type/metadata, and the checkpoint
-    scan is ~90 MB of local block storage."""
-    from ..io import session_cached
-
-    def _build() -> DataFrame:
-        return issues_to_examples(
-            _issues(spark, sf_dir), include_content=True
-        ).localCheckpoint(eager=True)
-
-    return session_cached(_EXAMPLES_CACHE, spark, (sf_dir,), _build)
+    The input-side `_issues` silver checkpoint (comment-collect shuffle +
+    extraction) stays cached: it is shared upstream state, not any gate's
+    output. The flatMap itself is a narrow codegen projection over that
+    checkpoint; `include_content=False` consumers skip the string assembly
+    entirely (see tasks._example's pruning note), so the aggregate-only
+    gates re-run a cheap metadata-shaped plan per call."""
+    return issues_to_examples(
+        _issues(spark, sf_dir), include_content=include_content
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -935,7 +935,6 @@ OPQ_HITS_TOTAL_MIN = 40
 _PQ_MODEL: dict = {}
 _OPQ_MODEL: dict = {}
 _TS_SPINE: dict = {}
-_ADC_HITS: dict = {}
 
 
 def _pq_model_cached(spark, sf_dir: str):
@@ -1034,27 +1033,20 @@ def q_two_stage_topk(spark, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias(name))
         )
 
-    # r13: the PQ/OPQ ADC shortlists and their per-query hit counts are
-    # pure functions of the cached models + (session, sf_dir) — the same
-    # landed-artifact class as the ts spine itself, yet both ADC scoring
-    # joins re-ran per warm call. The N_QUERIES-row hit table (qid, _ph,
-    # _oh) is now a session checkpoint; chained unique-keyed left joins
-    # equal one left join of the full-outer merge, so the gate output is
-    # row-identical.
-    def _build_hits() -> DataFrame:
-        short = pq_adc_topk(
-            emb, books, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=codes
-        )
-        oshort = opq_adc_topk(
-            emb, r, obooks, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=ocodes
-        )
-        return (
-            _hits(short, "_ph")
-            .join(_hits(oshort, "_oh"), "qid", "full")
-            .localCheckpoint(eager=True)
-        )
-
-    hits = session_cached(_ADC_HITS, spark, (sf_dir,), _build_hits)
+    # The PQ/OPQ ADC scoring joins and their per-query hit counts run PER
+    # CALL (r14, VERDICT r13 item 1: the r13 session checkpoint of the
+    # (qid, _ph, _oh) hit table memoized the gate's recall verdict — warm
+    # bench samples timed a 10-row checkpoint scan instead of the declared
+    # ADC scans). Chained unique-keyed left joins equal one left join of
+    # the full-outer merge, so the merged shape is row-identical to two
+    # separate hit joins.
+    short = pq_adc_topk(
+        emb, books, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=codes
+    )
+    oshort = opq_adc_topk(
+        emb, r, obooks, n_queries=N_QUERIES, top_k=PQ_GATE_SHORTLIST_K, codes=ocodes
+    )
+    hits = _hits(short, "_ph").join(_hits(oshort, "_oh"), "qid", "full")
 
     # The sum-of-hits totals ride the SAME joined frame: each qid appears
     # exactly TOP_K times in ts, so the all-rows window sum is TOP_K x the

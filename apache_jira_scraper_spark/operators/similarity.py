@@ -461,7 +461,6 @@ ORDER BY op, qid, rank
 
 
 _IVF_CENTROIDS: dict[tuple[str, str], DataFrame] = {}
-_IVF_ASSIGNED: dict[tuple[str, str], DataFrame] = {}
 
 IVF_K = 16
 IVF_NPROBE = 2
@@ -490,20 +489,14 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = session_cached(
         _IVF_CENTROIDS, spark, (sf_dir,), lambda: ivf_build(emb, k=IVF_K, n_iter=4)
     )
-    # The ranked assignment is the landed IVF index artifact (inverted
-    # lists + probe sets) — a pure function of (session, sf_dir) like the
-    # centroids themselves, checkpointed once per session instead of
-    # re-running the k·dim-literal argmin map every call (r13: that map
-    # was the gate's dominant warm cost, ~0.6 s of fixed plan/codegen
-    # work over 2000 rows).
-    assigned = session_cached(
-        _IVF_ASSIGNED,
-        spark,
-        (sf_dir,),
-        lambda: ivf_probe_assign(emb, centroids, nprobe=IVF_NPROBE).localCheckpoint(
-            eager=True
-        ),
-    )
+    # The ranked assignment runs PER CALL (r14, VERDICT r13 item 1: the
+    # r13 session checkpoint of it memoized the gate's probe work). The
+    # precomputed-`assigned` path is still the right call shape: ONE
+    # centroid collect feeds one assignment map serving both join sides,
+    # instead of ivf_search's assigned=None branch collecting the
+    # centroid rows twice (once for the literal-k check, once inside
+    # ivf_probe_assign).
+    assigned = ivf_probe_assign(emb, centroids, nprobe=IVF_NPROBE)
     got = ivf_search(
         emb,
         centroids,

@@ -134,8 +134,18 @@ def main() -> None:
         sf = None
 
     # dispersion record: stderr for humans, sidecar for round-over-round
-    # comparison (cold first run vs reported min, per ADVICE r06)
-    dispersion = {"runs": all_runs, "samples": n_samples, "cached": cached, "sf": sf}
+    # comparison (cold first run vs reported min, per ADVICE r06).
+    # `cold` (r14, VERDICT r13 item 1): the first-sample wall per gate as a
+    # first-class number — what a single-shot job pays, including any
+    # session-cache builds the gate triggers; the reported min alone hides
+    # that cost on cache-backed gates.
+    dispersion = {
+        "runs": all_runs,
+        "cold": {n: r[0] for n, r in all_runs.items() if r},
+        "samples": n_samples,
+        "cached": cached,
+        "sf": sf,
+    }
     print(json.dumps(dispersion), file=sys.stderr)
     try:
         with open(os.path.join(_REPO_DIR, "BENCH_runs.json"), "w") as fh:

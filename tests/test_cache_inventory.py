@@ -44,7 +44,6 @@ EXPECTED_CACHES = {
         "_SEM_PROTO_CACHE",
         "_SUBSTR_LEG_CACHE",
         "_NGRAM_LEG_CACHE",
-        "_CLUSTER_CORE_CACHE",
     },
     "operators/multimodal.py": {
         "_PHASH_TABLES",
@@ -54,15 +53,11 @@ EXPECTED_CACHES = {
         # session-checkpointed side table (W9)
         "_FIXTURE_CORE",
     },
-    "operators/pipeline_queries.py": {"_ISSUES_CACHE", "_EXAMPLES_CACHE"},
-    # _ADC_HITS / _IVF_ASSIGNED: r13 optimization round — the PQ/OPQ
-    # per-query hit table (W13) and the ranked IVF assignment index
-    # artifact (W12)
-    "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE", "_ADC_HITS"},
+    "operators/pipeline_queries.py": {"_ISSUES_CACHE"},
+    "operators/quantize.py": {"_PQ_MODEL", "_OPQ_MODEL", "_TS_SPINE"},
     "operators/similarity.py": {
         "_EXACT_TOPK_CACHE",
         "_IVF_CENTROIDS",
-        "_IVF_ASSIGNED",
     },
     "operators/text.py": {
         "_BM25_TOPK_CACHE",
@@ -85,9 +80,22 @@ EXPECTED_CACHES = {
         "_TEXT_GATE_FRAME_MEMO",
     },
     "operators/extended.py": {"_CMS_HH_CACHE"},
-    # r13 optimization round: the fuzzy gate's verified pair table — the
-    # dedup pair-table landed-artifact class
-    "operators/relational.py": {"_FUZZY_PAIRS_CACHE"},
+}
+
+# r14 (VERDICT r13 item 1): caches whose entry held a GATE'S RESULT GRAIN —
+# the query's answer (or the answer modulo its presentation sort) rather
+# than shared input-side state — were removed; warm bench samples on those
+# gates were timing checkpoint scans of the precomputed answer instead of
+# the declared query. These names must never reappear, and no NEW cache may
+# hold a frame that any registered gate returns (modulo a final orderBy/
+# column rename): a cache entry must be consumed by strictly MORE
+# computation than a presentation sort before it reaches a gate's output.
+RESULT_GRAIN_BANNED = {
+    "_FUZZY_PAIRS_CACHE",   # relational: the fuzzy gate's verified pairs
+    "_ADC_HITS",            # quantize: two_stage_topk's recall verdict table
+    "_CLUSTER_CORE_CACHE",  # dedup: labels ⋈ pagerank ⋈ weighted-pagerank
+    "_IVF_ASSIGNED",        # similarity: the gate's probe assignment
+    "_EXAMPLES_CACHE",      # pipeline_queries: jira_flatmap_examples' answer
 }
 
 # Module-level dicts that are NOT session caches (never hold DataFrames
@@ -197,6 +205,25 @@ def test_every_module_level_dict_is_inventoried_and_disciplined():
         f"added to EXPECTED_CACHES (and use io.session_cached): {found}"
     )
     assert not problems, "undisciplined cache access:\n" + "\n".join(problems)
+
+
+def test_no_result_grain_caches():
+    """VERDICT r13 item 1: the five result-grain caches stay removed, and
+    the inventory cannot quietly re-admit them. Source-level like the
+    discipline test above: any reappearance of a banned name anywhere in
+    the package (or in EXPECTED_CACHES) fails loudly with the file."""
+    hits: list[str] = []
+    for py in sorted(PKG.rglob("*.py")):
+        src = py.read_text()
+        for name in RESULT_GRAIN_BANNED:
+            if name in src:
+                hits.append(f"{py.relative_to(PKG)}: {name}")
+    assert not hits, (
+        "result-grain cache name reintroduced (these memoized a gate's "
+        "answer; see RESULT_GRAIN_BANNED):\n" + "\n".join(hits)
+    )
+    inventoried = {n for names in EXPECTED_CACHES.values() for n in names}
+    assert not (inventoried & RESULT_GRAIN_BANNED)
 
 
 def test_session_cached_is_the_only_cache_writer_in_io():
