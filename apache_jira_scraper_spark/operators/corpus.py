@@ -230,7 +230,7 @@ def _report_base(docs: DataFrame) -> DataFrame:
 
 
 def corpus_report(
-    docs: DataFrame, ordered: bool = True, base: DataFrame | None = None
+    docs: DataFrame | None, ordered: bool = True, base: DataFrame | None = None
 ) -> DataFrame:
     """Data-card report: the per-release summary a corpus ships with —
     doc/token mass by source, by language, by quality band (2000-bp
@@ -250,9 +250,13 @@ def corpus_report(
     ``base``: optional precomputed `_report_base` projection (r13
     optimization round) — the gate passes its session-materialized copy so
     warm calls skip the per-doc tokenize/score pass; the default recomputes
-    it from ``docs``.
+    it from ``docs``. With ``base`` given, ``docs`` is never read and may
+    be None (ADVICE r13: passing a freshly loaded frame cost a dead
+    spark.read.parquet schema read per call).
     """
     if base is None:
+        if docs is None:
+            raise ValueError("corpus_report: pass `docs` or a precomputed `base`")
         base = _report_base(docs)
     g = base.groupingSets(
         [[F.col("source")], [F.col("lang")], [F.col("band")], []],
@@ -452,11 +456,10 @@ def q_corpus_report(spark, sf_dir: str) -> DataFrame:
     embedding domain (exact-IVF k-means cells), certifying the domain
     quantizer + the embeddings⋈documents composition under the same
     hash as the labeled sections."""
-    from ..io import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
+    # ADVICE r13: with `base` supplied, corpus_report never reads `docs` —
+    # the previous load_table call here was a dead per-call schema read.
     return (
-        corpus_report(docs, ordered=False, base=_report_base_cached(spark, sf_dir))
+        corpus_report(None, ordered=False, base=_report_base_cached(spark, sf_dir))
         .unionByName(_domain_cards_cached(spark, sf_dir))
         .orderBy(
             F.col("section").asc_nulls_last(), F.col("key").asc_nulls_last()

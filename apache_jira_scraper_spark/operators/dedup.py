@@ -494,7 +494,12 @@ def incremental_dedup(
         .select("d1", "d2")
         .distinct()
     )
-    cand = within if vs_index is None else within.unionByName(vs_index).distinct()
+    # No distinct over the union (r14, guide §2.4): `within` pairs have both
+    # ids in `fresh`, `vs_index` pairs have d1 from the index — and fresh is
+    # anti-joined against the index's ids above, so the two sides are
+    # DISJOINT and each is already distinct; the union-level distinct was a
+    # full extra shuffle of the candidate set that provably merged nothing.
+    cand = within if vs_index is None else within.unionByName(vs_index)
     # materialized once: three consumers (kept docs, shingle keep, signature
     # keep) would otherwise each re-run the band-join + verification subtree
     losers = (

@@ -357,12 +357,38 @@ def streaming_dedup_ingest(
         # `kept` feeds ONLY this write (the index advance derives from the
         # batch shingle/signature checkpoints, not from kept), so no
         # re-checkpoint before it — one fewer job per batch (r09 profile).
-        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
-        # O(batch) state advance: checkpoint only this batch's kept index
-        # segment; tier merges amortize the rest (r09)
+        #
+        # r14 (guide §2.6, overlap independent jobs): the survivor write
+        # and the two O(batch) segment checkpoints are three independent
+        # jobs over already-materialized inputs (losers is an eager
+        # checkpoint; sh_new/sig_new land on first use) — run them on
+        # concurrent driver threads so the batch pays the slowest, not the
+        # sum. The REPLAY CONTRACT is untouched: checkpointing a segment
+        # is not a state advance — tier.add() below still runs only after
+        # the write's .result() proves the batch directory committed; on a
+        # write failure the orphan segment checkpoints are freed.
         sh_kept, sig_kept = parts
-        sh_tier.add(sh_kept.localCheckpoint(eager=True), batch_id)
-        sig_tier.add(sig_kept.localCheckpoint(eager=True), batch_id)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_w = pool.submit(
+                kept.write.mode("overwrite").parquet,
+                f"{out_dir}/batch_id={batch_id}",
+            )
+            f_sh = pool.submit(sh_kept.localCheckpoint, True)
+            f_sig = pool.submit(sig_kept.localCheckpoint, True)
+            sh_ck = f_sh.result()
+            sig_ck = f_sig.result()
+            try:
+                f_w.result()
+            except BaseException:
+                _free_local_checkpoint(sh_ck)
+                _free_local_checkpoint(sig_ck)
+                raise
+        # O(batch) state advance: only this batch's kept index segment;
+        # tier merges amortize the rest (r09)
+        sh_tier.add(sh_ck, batch_id)
+        sig_tier.add(sig_ck, batch_id)
         for df in scratch:  # incremental_dedup's internal checkpoints —
             _free_local_checkpoint(df)  # superseded once the segments landed
 
@@ -911,15 +937,34 @@ def streaming_media_dedup_ingest(
         kept = batch_df.join(drops, "doc_id", "left_anti").localCheckpoint(
             eager=True
         )
-        kept.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+        # r14 (guide §2.6): the survivor write and the two O(batch) state
+        # segments are independent jobs over the materialized `kept`/`ph`
+        # checkpoints — overlap them on driver threads; tier adds still
+        # gate on the write's .result() (state advances only after the
+        # batch directory committed), orphans freed on write failure.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_w = pool.submit(
+                kept.write.mode("overwrite").parquet,
+                f"{out_dir}/batch_id={batch_id}",
+            )
+            f_ids = pool.submit(kept.select("doc_id").localCheckpoint, True)
+            f_seg = pool.submit(
+                ph.join(kept.select("doc_id"), "doc_id", "left_semi").localCheckpoint,
+                True,
+            )
+            ids_ck = f_ids.result()
+            seg_ck = f_seg.result()
+            try:
+                f_w.result()
+            except BaseException:
+                _free_local_checkpoint(ids_ck)
+                _free_local_checkpoint(seg_ck)
+                raise
         # state advances are O(batch) on BOTH tables; tier merges amortize
-        ids_tier.add(kept.select("doc_id").localCheckpoint(eager=True), batch_id)
-        seg_tier.add(
-            ph.join(kept.select("doc_id"), "doc_id", "left_semi").localCheckpoint(
-                eager=True
-            ),
-            batch_id,
-        )
+        ids_tier.add(ids_ck, batch_id)
+        seg_tier.add(seg_ck, batch_id)
         # per-batch intermediates: every eager derivative (write, ids
         # segment, hash segment) has materialized — free deterministically
         _free_local_checkpoint(ph)

@@ -79,7 +79,14 @@ EXPECTED_CACHES = {
         # the inventoried leg checkpoints); execution still runs per call
         "_TEXT_GATE_FRAME_MEMO",
     },
-    "operators/extended.py": {"_CMS_HH_CACHE"},
+    "operators/extended.py": {
+        "_CMS_HH_CACHE",
+        # r14: prepared-query memo — holds jira_rest_ingest's lazily-built
+        # frame OBJECT (no data materialized; page fetches + extraction
+        # re-execute per call, only the ~1 s/call from_json+extract plan
+        # construction amortizes; presentation sort live per call)
+        "_REST_FRAME_MEMO",
+    },
 }
 
 # r14 (VERDICT r13 item 1): caches whose entry held a GATE'S RESULT GRAIN —
