@@ -209,11 +209,14 @@ def _issues(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_cached(_ISSUES_CACHE, spark, (sf_dir,), _build)
 
 
+_EXAMPLES_FRAME_MEMO: dict = {}
+
+
 def _examples(
     spark: SparkSession, sf_dir: str, include_content: bool = True
 ) -> DataFrame:
     """Examples frame — the 1->7 flatMap over the session's silver issues
-    table, built PER CALL (r14, VERDICT r13 item 1: the r13 session
+    table, EXECUTED PER CALL (r14, VERDICT r13 item 1: the r13 session
     checkpoint of this frame memoized the jira gates' result grain — for
     q_jira_flatmap_examples the cache WAS the gate's answer, so every warm
     bench sample timed a checkpoint scan instead of the declared flatMap).
@@ -222,10 +225,24 @@ def _examples(
     extraction) stays cached: it is shared upstream state, not any gate's
     output. The flatMap itself is a narrow codegen projection over that
     checkpoint; `include_content=False` consumers skip the string assembly
-    entirely (see tasks._example's pruning note), so the aggregate-only
-    gates re-run a cheap metadata-shaped plan per call."""
-    return issues_to_examples(
-        _issues(spark, sf_dir), include_content=include_content
+    entirely (see tasks._example's pruning note).
+
+    What IS memoized is the lazy frame OBJECT, per (session, sf_dir,
+    include_content) — the prepared-query class (guide §7.3, the r13
+    W17/W1 ruling: "the plan-reanalysis saving is real"): constructing +
+    Catalyst-analyzing the 7-branch example union cost ~0.3-0.5 s of
+    driver-side plan work per gate per call. NO data is materialized —
+    every consumer's action re-runs the explode from the issues
+    checkpoint (the noop sink / aggregates execute the full plan)."""
+    from ..io import session_cached
+
+    return session_cached(
+        _EXAMPLES_FRAME_MEMO,
+        spark,
+        (sf_dir, include_content),
+        lambda: issues_to_examples(
+            _issues(spark, sf_dir), include_content=include_content
+        ),
     )
 
 

@@ -2562,6 +2562,42 @@ ORDER BY leg, qid, rank
 _TEXT_GATE_FRAME_MEMO: dict = {}
 
 
+def drain_session_caches() -> None:
+    """Free + clear EVERY session cache this module owns, including the
+    gate's prepared-query frame memo (ADVICE r13: the memo holds a lazy
+    frame referencing the leg checkpoints — any drain site that clears a
+    leg cache but leaves the memo hands the next caller dangling
+    checkpoint scans; centralizing the enumeration HERE makes that
+    invariant structural instead of a convention each drain site must
+    remember). Callers: tools/scale_probe.py's cold-sample reset, tests.
+    Values are checkpointed DataFrames, tuples containing them, or plain
+    model objects (cleared; nothing to free)."""
+    from ..io import free_local_checkpoint
+
+    for cache in (
+        _BM25_TOPK_CACHE,
+        _BIGRAM_LEG_CACHE,
+        _DOCS_TOK_CACHE,
+        _CONTAM_LEG_CACHE,
+        _BACKOFF_LEG_CACHE,
+        _QC_WEIGHTS_CACHE,
+        _BPE_LEG_CACHE,
+        _DSIR_LEG_CACHE,
+        _TOKPACK_LEG_CACHE,
+        _PPL_LEG_CACHE,
+        _VERDICT_LEG_CACHE,
+        _UNIGRAM_LEG_CACHE,
+        _UNITOK_LEG_CACHE,
+        _BPE_PIECES_CACHE,
+        _TEXT_GATE_FRAME_MEMO,
+    ):
+        for v in list(cache.values()):
+            for x in v if isinstance(v, tuple) else (v,):
+                if hasattr(x, "unpersist"):
+                    free_local_checkpoint(x)
+        cache.clear()
+
+
 def q_text_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union-tagged driver gate — thin prepared-query wrapper (r13
     optimization round, guide §7.3: planning time itself can become the

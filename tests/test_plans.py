@@ -81,9 +81,9 @@ def test_flatmap_pipeline_joins(spark, sf_dir):
     df = _QS["jira_flatmap_examples"](spark, sf_dir)
     assert_no_cartesian(df)
 
-    # r13: the gate consumes the session's examples checkpoint (same
-    # silver-table materialization as the issues subtree above), so the
-    # explode shape is asserted on the UNCACHED construction.
+    # r14: the gate builds the flatMap per call again (the r13 examples
+    # checkpoint held the gate's result grain and was removed); the
+    # explode shape assertion below is now literally the gate's plan.
     from apache_jira_scraper_spark.operators.pipeline_queries import (
         _issues,
         issues_to_examples,

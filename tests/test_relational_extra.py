@@ -295,6 +295,37 @@ def test_fuzzy_string_join_salted_equals_plain(spark):
     assert plain  # the common-prefix corpus must actually produce pairs
 
 
+def test_fuzzy_string_join_canonical_equals_filtered_symmetric(spark):
+    """canonical=True (r14: candidate-stage a_id < b_id filter, halving the
+    hot-block verify volume) returns exactly the symmetric self-join's
+    pairs filtered to a_id < b_id — PassJoin's segment theorem holds with
+    either member as the segment side, so no unordered pair is lost."""
+    from apache_jira_scraper_spark.operators.relational import fuzzy_string_join
+
+    import pytest
+
+    rows = [(i, f"Customer#{i:05d}") for i in range(80)] + [
+        (100 + i, s) for i, s in enumerate(["smith", "smyth", "ab", "ba", "hamburg"])
+    ]
+    df = spark.createDataFrame(rows, "id bigint, s string")
+    sym = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_string_join(df, df, max_dist=1).collect()
+        if r["a_id"] < r["b_id"]
+    }
+    canon = {
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_string_join(df, df, max_dist=1, canonical=True).collect()
+    }
+    assert canon == sym
+    assert canon  # non-empty: the equality must not pass vacuously
+    assert all(a < b for a, b, _ in canon)
+    # canonical is a self-join-only contract
+    other = spark.createDataFrame([(1, "smith")], "id bigint, s string")
+    with pytest.raises(ValueError, match="self-join"):
+        fuzzy_string_join(df, other, canonical=True)
+
+
 def test_fuzzy_string_join_candidate_fanout_bound(spark):
     """The PassJoin probe side's fan-out is bounded per string by
     (2d+1)^2 * (d+1) rows, independent of corpus size and string length —

@@ -237,47 +237,26 @@ def build_exploded_docs(sf_dir: str, out_base: str, factor: int = 10) -> dict[st
 
 def _clear_text_session_caches() -> None:
     """Free + clear every session cache the probed text gates build, so a
-    timed sample pays the full cold pipeline (values are checkpointed
-    DataFrames or tuples containing them)."""
+    timed sample pays the full cold pipeline. The text module's caches —
+    INCLUDING the prepared-query frame memo, whose lazy plan references
+    the leg checkpoints freed here — are drained by the module's own
+    centralized helper (ADVICE r13: the memo-must-drain-with-the-legs
+    invariant is structural there, not a list each drain site maintains);
+    only the non-text caches the probed gates touch are enumerated
+    here."""
     from apache_jira_scraper_spark.io import free_local_checkpoint
     from apache_jira_scraper_spark.operators import dedup, similarity, text
 
+    text.drain_session_caches()
     for cache in (
         dedup._SHINGLE_CACHE,
         dedup._PAIRS_CACHE,
         # r12: the substr leg rode a new session cache — same clear-list
-        # rule as the bigram lesson below
+        # rule as the r11 bigram lesson (a cache added in the same change
+        # set as this probe missed the clear list and the probe's "cold"
+        # samples silently reused the warm checkpoint)
         dedup._SUBSTR_LEG_CACHE,
-        text._BM25_TOPK_CACHE,
-        # review r11: the bigram leg cache was added in the same change
-        # set as this probe and missed the clear list — the probe's
-        # "cold" samples silently reused the warm bigram checkpoint
-        text._BIGRAM_LEG_CACHE,
-        # r12: the shared tokenized-docs checkpoint and the contam/backoff
-        # leg caches feed text_quality_signals
-        text._DOCS_TOK_CACHE,
-        text._CONTAM_LEG_CACHE,
-        text._BACKOFF_LEG_CACHE,
-        # r13: trained classifier weights (a list, not a frame — cleared,
-        # nothing to free), the BPE gate leg, and the DSIR leg
-        text._QC_WEIGHTS_CACHE,
-        text._BPE_LEG_CACHE,
-        text._DSIR_LEG_CACHE,
-        text._TOKPACK_LEG_CACHE,
-        # r13: the CCNet perplexity-bucket label frame (rides backoff)
-        # and the mixer-verdict frame (rides contam/ppl/qc)
-        text._PPL_LEG_CACHE,
-        text._VERDICT_LEG_CACHE,
-        # r13: the unigram-tokenizer leg (trained model + segmentation)
-        text._UNITOK_LEG_CACHE,
-        # r13 optimization round: the shared BPE-pretokenized pieces
-        # checkpoint (W7) and the gate's prepared-query frame memo — the
-        # memo holds a lazy frame REFERENCING the leg checkpoints freed
-        # here, so leaving it would hand the next sample dangling
-        # checkpoint scans (the bigram clear-list lesson, plan-object
-        # flavor)
-        text._BPE_PIECES_CACHE,
-        text._TEXT_GATE_FRAME_MEMO,
+        dedup._NGRAM_LEG_CACHE,
         similarity._EXACT_TOPK_CACHE,
     ):
         for v in list(cache.values()):

@@ -31,9 +31,15 @@ def main() -> None:
     from apache_jira_scraper_spark.operators import extended as ext
     from apache_jira_scraper_spark.streaming import pipelines
 
+    # --wide-ingest: start the two foreachBatch ingest legs OUTSIDE the
+    # narrowed-shuffle window (session width instead of 4). Measured and
+    # REJECTED for the gate (r14): alternating narrow/wide sessions gave
+    # warm criticals 8.5 s (narrow) vs 11.3-11.9 s (wide) — 32-wide
+    # shuffles on sub-MB batches add task dispatch under 7 concurrent
+    # queries. Kept as the A/B switch that produced that evidence.
     wide_ingest = "--wide-ingest" in sys.argv
     for i in range(n):
-        if True:
+        if True:  # keep the gate body's indentation for easy diffing
             ingest_tmp = tempfile.mkdtemp(prefix="stream_prof_")
             ingest_out = f"{ingest_tmp}/out"
 
