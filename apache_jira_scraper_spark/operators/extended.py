@@ -399,12 +399,6 @@ def _start_to_memory(df: DataFrame, mode: str):
     return q, name
 
 
-def _run_to_memory(df: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
-    q, name = _start_to_memory(df, mode)
-    q.awaitTermination()
-    return df.sparkSession.table(name)
-
-
 def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: watermarked tumbling windows — the SAME pipelines.tumbling_counts
     operator, run as its certified batch twin (r14, VERDICT r13 item 5).
